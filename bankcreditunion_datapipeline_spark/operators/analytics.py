@@ -1,0 +1,85 @@
+"""Analytics kernel (SURVEY §2.5, §2.7): pivot-by-period, aggregations,
+top-k, rollup/cube.
+
+The headline rewrite: the reference builds its quarter-pivoted gold matrices
+with an O(Q) loop of collect + filter + full-outer-join rounds
+(goldLayer/BuildGoldLayer.py:92-139, SURVEY §4.3#1). Here it is a single
+groupBy().pivot().agg() -- one shuffle regardless of quarter count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Spark caps pivot width (spark.sql.pivotMaxValues = 10000); a quarterly
+# pivot hits that after 2500 years, so the bound is documentation, not risk.
+PIVOT_MAX_VALUES = 10000
+
+
+def pivot_by_period(
+    df: DataFrame,
+    keys: Sequence[str],
+    period_col: str,
+    measure: Column,
+    values: Sequence[str] | None = None,
+) -> DataFrame:
+    """A4/J3 replacement: wide matrix with one column per period value.
+
+    `values`: pass the explicit period list when known (skips the implicit
+    distinct-collect pre-pass -- on 100 TB always pass it; quarter-end dates
+    are enumerable). Column names are the period values rendered as strings,
+    matching the reference's data-named columns ('2020-03-31',
+    goldLayer/BuildGoldLayer.py:106).
+    """
+    grouped = df.groupBy(*keys)
+    pivoted = grouped.pivot(period_col, list(values)) if values else grouped.pivot(period_col)
+    return pivoted.agg(measure)
+
+
+def derive_year_quarter(
+    df: DataFrame, date_col: str, year_out: str = "year", quarter_out: str = "quarter"
+) -> DataFrame:
+    """Gold fact derivations (reference goldLayer/BuildGoldLayer.py:173-176,
+    which routes through date_format + a dict replace; F.year/F.quarter are
+    the intended semantics -- and fix the reference's bitwise-OR quarter-map
+    bug, SURVEY §4.3#5)."""
+    d = F.col(date_col)
+    return df.withColumns({year_out: F.year(d), quarter_out: F.quarter(d)})
+
+
+def top_k(df: DataFrame, k: int, order_by: Sequence[Column | str]) -> DataFrame:
+    """O2-style global top-k: orderBy + limit compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows -- no global sort shuffle)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int, rank_out: str = "rank"
+) -> DataFrame:
+    """Per-group top-k via window row_number (one shuffle on the group keys)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_out, F.row_number().over(w))
+        .filter(F.col(rank_out) <= k)
+    )
+
+
+def distinct_values(df: DataFrame, col: str, desc: bool = True) -> DataFrame:
+    """A2: distinct projection (reference quarter_dates_df,
+    goldLayer/BuildGoldLayer.py:77-88)."""
+    return df.select(col).distinct().orderBy(F.desc(col) if desc else F.asc(col))
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """Grouping-sets surface promised by SURVEY §2.5 -- the gold tables'
+    downstream Athena analytics (assets/deposits by state/quarter) as
+    first-class queries."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)

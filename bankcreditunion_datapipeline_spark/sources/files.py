@@ -1,0 +1,91 @@
+"""File-based sources (SURVEY §2.1 S1-S4, S7).
+
+All scans go through spark.read so Catalyst gets pushdown/pruning for free;
+explicit schemas skip inference jobs (an extra full pass over 100 TB inputs
+is not acceptable -- the reference already knew this for FDIC bronze,
+silverLayer/BuildSilverLayer.py:88-106).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """S1: JSON scan (reference df_from_json, bronzeLayer/BuildBronzeLayer.py:66-77).
+
+    Prefer an explicit schema: schema inference is a separate full scan.
+    """
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv_inferred(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """S2: CSV scan with inferred schema
+    (reference csvfile_to_inferred_df, bronzeLayer/BuildBronzeLayer.py:100-113).
+    """
+    return spark.read.option("inferSchema", True).csv(path, header=header)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = True) -> DataFrame:
+    """S2 variant with a declared contract -- the scale path (no inference pass)."""
+    return spark.read.schema(schema).csv(path, header=header)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S3/S4: Parquet scan, optionally under a StructType contract
+    (reference BronzeDFs, silverLayer/BuildSilverLayer.py:88-136)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan one of the driver-generated star-schema tables.
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by default
+    (TIMESTAMP is micros); read it as a long and convert with integer DIV
+    (float division loses precision on 1e18-scale nanos). The generated data
+    is micro-precision, so the conversion is lossless.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def testdata_tables(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
+    names = tables or TESTDATA_TABLES
+    return {t: read_testdata(spark, sf_dir, t) for t in names}

@@ -1,0 +1,82 @@
+"""Unit tests for analytics kernel: pivot, year/quarter, top-k, rollup."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.analytics import (
+    cube_agg,
+    derive_year_quarter,
+    distinct_values,
+    pivot_by_period,
+    rollup_agg,
+    top_k,
+    top_k_per_group,
+)
+
+
+def _quarters(spark):
+    rows = [
+        (1, "bank", "2020-03-31", 100),
+        (1, "bank", "2020-06-30", 110),
+        (2, "credit union", "2020-03-31", 50),
+    ]
+    return spark.createDataFrame(rows, "charter int, type string, qdate string, assets long")
+
+
+def test_pivot_by_period_explicit_values(spark):
+    out = pivot_by_period(
+        _quarters(spark),
+        keys=["charter", "type"],
+        period_col="qdate",
+        measure=F.first("assets"),
+        values=["2020-03-31", "2020-06-30"],
+    ).orderBy("charter")
+    assert out.columns == ["charter", "type", "2020-03-31", "2020-06-30"]
+    rows = out.collect()
+    assert (rows[0]["2020-03-31"], rows[0]["2020-06-30"]) == (100, 110)
+    assert (rows[1]["2020-03-31"], rows[1]["2020-06-30"]) == (50, None)
+
+
+def test_pivot_inferred_values_matches_explicit(spark):
+    df = _quarters(spark)
+    a = pivot_by_period(df, ["charter"], "qdate", F.first("assets"))
+    b = pivot_by_period(df, ["charter"], "qdate", F.first("assets"), values=["2020-03-31", "2020-06-30"])
+    assert sorted(a.columns) == sorted(b.columns)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_derive_year_quarter(spark):
+    df = spark.createDataFrame([(datetime.date(2020, 5, 17),)], "d date")
+    row = derive_year_quarter(df, "d").collect()[0]
+    assert (row.year, row.quarter) == (2020, 2)
+
+
+def test_top_k_and_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 8)], "g string, v int"
+    )
+    top = top_k(df, 2, [F.desc("v")]).collect()
+    assert [r.v for r in top] == [9, 8]
+    per = top_k_per_group(df, ["g"], [F.desc("v")], k=1)
+    assert sorted((r.g, r.v) for r in per.collect()) == [("a", 3), ("b", 9)]
+
+
+def test_distinct_values_desc(spark):
+    df = _quarters(spark)
+    vals = [r.qdate for r in distinct_values(df, "qdate").collect()]
+    assert vals == ["2020-06-30", "2020-03-31"]
+
+
+def test_rollup_and_cube(spark):
+    df = spark.createDataFrame(
+        [("bank", "CA", 1), ("bank", "NY", 2), ("cu", "CA", 4)], "t string, s string, v int"
+    )
+    r = rollup_agg(df, ["t", "s"], F.sum("v").alias("v")).collect()
+    total = [x for x in r if x.t is None and x.s is None]
+    assert len(total) == 1 and total[0].v == 7
+    c = cube_agg(df, ["t", "s"], F.sum("v").alias("v")).collect()
+    ca = [x for x in c if x.t is None and x.s == "CA"]
+    assert len(ca) == 1 and ca[0].v == 5
