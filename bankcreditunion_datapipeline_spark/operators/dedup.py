@@ -1,0 +1,385 @@
+"""Deduplication operators for a training-data pipeline over `documents` /
+`embeddings`: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design:
+- Everything is expressed with JVM array/hash built-ins (xxhash64, transform,
+  aggregate, array_min, explode) -- no Python UDFs, so signatures compute
+  inside whole-stage codegen and the only shuffles are the LSH bucket
+  group-joins, which are equi-joins on small keys (band hash) that AQE can
+  size. Pairwise comparison happens ONLY within LSH buckets -- never a
+  cross join -- so cost is O(candidates), not O(n^2).
+- Near-dup "keep one" semantics: greedy edge-wise -- a document is dropped
+  iff it is the non-minimal side of some duplicate pair. For chains
+  a~b~c (a!~c), b and c are dropped and a kept; i.e. the kept set is the
+  per-component set of locally-minimal ids (exact connected components
+  would need iterative label propagation; see connected_components()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, hamming64, random_hyperplanes, sign_bits
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal on `cols` (default all) -- hash aggregate."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_keep_min(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact content dedup keeping the minimal id per content group.
+
+    Groups on a content digest rather than the full payload so the shuffle
+    key is 16 bytes, not document bodies (matters at 100 TB).
+    """
+    digest = F.md5(F.col(content_col).cast("binary"))
+    keyed = df.withColumn("__digest", digest)
+    keepers = keyed.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keepers, [ "__digest", id_col], "left_semi").drop("__digest")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH  (shingle -> minhash -> band -> bucket-join)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a document (array<string>); documents with
+    fewer than k tokens get their whole text as the single shingle."""
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<long>, length num_hashes).
+
+    Hash family: xxhash64 seeded by prefixing the shingle with the hash
+    index -- one JVM hash call per (shingle, i), no Python.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}\x00"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    out: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(out, minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes))
+
+
+def lsh_band_table(
+    df: DataFrame, id_col: str, sig_col: str = "minhash", bands: int = 8
+) -> DataFrame:
+    """Explode a minhash signature into (id, band_id, band_hash) rows.
+
+    Two documents share a bucket iff one band of their signatures matches
+    exactly -- the classic (b bands x r rows) S-curve. Bucket key is a
+    single long, so the subsequent self-join shuffles 16-byte keys only.
+    """
+    sig = F.col(sig_col)
+    r = F.size(sig) / bands  # rows per band (validated by caller)
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig, (b * r + 1).cast("int"), r.cast("int")), lambda x: x.cast("string")))
+            ).alias("band_hash"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+
+
+def candidate_pairs(band_table: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate id pairs (a < b) sharing at least one LSH bucket.
+
+    Self-join on (band_id, band_hash); the a<b predicate halves the output
+    and removes self-pairs. Hot buckets (boilerplate text) are the skew
+    risk -- AQE skew-join handles moderate cases; extreme cases should cap
+    bucket size upstream (filter huge buckets as 'template' docs).
+    """
+    a = band_table.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = band_table.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band ->
+    bucket-join -> exact-Jaccard verify. Returns (id_a, id_b, jaccard_sim)
+    for verified pairs; only candidate pairs are ever compared exactly.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    sigs = shingled.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    bands_t = lsh_band_table(sigs, id_col, "__sig", bands)
+    cands = candidate_pairs(bands_t, id_col)
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Greedy keep-minimal dedup: drop every id appearing as the larger side
+    of a verified duplicate pair."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, [id_col], "left_anti")
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Duplicate-cluster labeling via iterative min-label propagation over
+    the pair graph: returns (id, component) where component is the minimal
+    id reachable. Converges in O(graph diameter) joins; near-dup clusters
+    are shallow in practice, so max_iters=10 is generous. This is the exact
+    version of drop_near_dups' greedy semantics."""
+    edges = pairs.select("id_a", "id_b").union(pairs.select(F.col("id_b"), F.col("id_a")).toDF("id_a", "id_b"))
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component"),
+            )
+        )
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, prefix_bits: int = 16) -> Column:
+    """64-bit SimHash packed into a long, computed JVM-side.
+
+    Per-bit majority vote over token hashes via F.aggregate with an
+    array<int> accumulator (bit b of token hash set -> +1 else -1), then
+    packed. No shuffle, no Python.
+    """
+    tokens = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hashes = F.transform(tokens, lambda tok: F.xxhash64(tok))
+    zero = F.array_repeat(F.lit(0), 64)
+    # Bit positions are driver-side constants, so the per-bit expressions are
+    # unrolled in Python (shift amounts must be ints, not Columns).
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(63)] + [F.lit(-(1 << 63)).cast("long")])
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole blocking: hamming(a,b) <= k
+    implies at least one of (k+1) signature chunks matches exactly, so the
+    join is an equi-join on (chunk_id, chunk_value) -- never a cross join.
+    Returns (id_a, id_b, hamming) verified pairs.
+    """
+    assert chunks > max_hamming, "need chunks > max_hamming for pigeonhole completeness"
+    bits_per = 64 // chunks
+    sigd = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sim"))
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftrightunsigned(F.col("__sim"), c * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1).cast("long"))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = sigd.select(
+        F.col(id_col), F.col("__sim"), F.explode(chunk_structs).alias("ch")
+    ).select(id_col, "__sim", "ch.chunk_id", "ch.chunk_val")
+    a = chunked.select(
+        "chunk_id", "chunk_val", F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a")
+    )
+    b = chunked.select(
+        "chunk_id", "chunk_val", F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b")
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (character n-grams) -- direct, for candidate verification
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    ln = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dups, LSH-blocked (same minhash/band
+    machinery, character shingles instead of word shingles)."""
+    grams = df.select(F.col(id_col), char_ngrams(F.col(text_col), n).alias("__sh"))
+    sigs = grams.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    cands = candidate_pairs(lsh_band_table(sigs, id_col, "__sig", bands), id_col)
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    dim: int | None = None,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Embedding near-dups: sign-LSH bucket (exact signature match after
+    masking to (n_planes - max_hamming) multi-probe chunks) then exact
+    cosine verify. Chunked pigeonhole blocking as in simhash."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes)
+    sigd = df.select(
+        F.col(id_col), F.col(vec_col), sign_bits(F.col(vec_col), planes).alias("__sig")
+    )
+    chunks = max_hamming + 1
+    bits_per = n_planes // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftrightunsigned(F.col("__sig"), c * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1).cast("long"))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = sigd.select(F.col(id_col), F.col(vec_col), F.col("__sig"), F.explode(chunk_structs).alias("ch")).select(
+        id_col, vec_col, "__sig", "ch.chunk_id", "ch.chunk_val"
+    )
+    a = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"), F.col("__sig").alias("__sig_a"))
+    b = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"), F.col("__sig").alias("__sig_b"))
+    cands = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("__sig_a"), F.col("__sig_b")) <= max_hamming)
+        .select("id_a", "id_b", "__v_a", "__v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cosine_sim", F.round(cosine(F.col("__v_a"), F.col("__v_b")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

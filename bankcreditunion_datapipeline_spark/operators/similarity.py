@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the scale story:
+- brute_force_topk: exact cosine against every row -- the correctness
+  baseline; one narrow pass + TakeOrderedAndProject (per-partition heaps,
+  no global sort). Linear scan is the right plan up to ~1e8 vectors/query
+  batch; beyond that, use the LSH path.
+- lsh_topk: sign-LSH prefilter (hamming distance on packed signatures,
+  computed JVM-side) -> exact cosine re-rank of a bounded candidate pool.
+  Approximate: recall depends on n_planes and pool size.
+- ivf_topk: IVF-style coarse quantization -- assign every vector to its
+  nearest of k centroids (selected deterministically from the data), probe
+  the closest `nprobe` cells at query time. Candidate set is pruned by
+  partition-preserving filter on cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, hamming64, random_hyperplanes, sign_bits
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k nearest rows to `query_vec`. Returns (id, score) ordered
+    desc with id tiebreak (deterministic)."""
+    score = (
+        cosine(F.col(vec_col), query_vec)
+        if metric == "cosine"
+        else dot(F.col(vec_col), query_vec)
+    )
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    dim: int | None = None,
+    out: str = "lsh_sig",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Attach a packed sign-LSH signature column; returns (df, planes) so
+    queries hash with the same plane set. At scale, persist the signed table
+    (signature computation is the expensive narrow pass)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    return df.withColumn(out, sign_bits(F.col(vec_col), planes)), planes
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    candidate_pool: int | None = None,
+    sig_col: str | None = None,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: rank by hamming distance between signatures, take
+    a bounded candidate pool, exact-cosine re-rank. One narrow pass + two
+    TakeOrdered operations; no shuffle of vectors."""
+    candidate_pool = candidate_pool or max(4 * k, 100)
+    if sig_col is None:
+        df, planes = with_lsh_signature(df, vec_col, n_planes)
+        sig_col = "lsh_sig"
+    assert planes is not None
+    qsig = None
+    # compute query signature driver-side (tiny): sign of dot(q, plane)
+    bits = 0
+    for i, plane in enumerate(planes):
+        d = sum(q * p for q, p in zip(query_vec, plane))
+        if d >= 0:
+            bits |= 1 << i
+    qsig = bits
+    cands = (
+        df.select(F.col(id_col), F.col(vec_col), F.col(sig_col))
+        .withColumn("__ham", hamming64(F.col(sig_col), F.lit(qsig).cast("long")))
+        .orderBy(F.asc("__ham"), F.asc(id_col))
+        .limit(candidate_pool)
+    )
+    return (
+        cands.select(F.col(id_col), F.round(cosine(F.col(vec_col), query_vec), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    k_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse index: pick k_cells deterministic seed centroids (first
+    rows by id -- cheap, reproducible; swap for k-means|| offline at scale),
+    assign every vector to its nearest centroid by cosine.
+
+    Returns (indexed_df with `ivf_cell` column, centroids). At scale,
+    write indexed_df partitioned by ivf_cell so probes prune partitions.
+    """
+    seeds = df.orderBy(F.asc(id_col)).limit(k_cells).select(id_col, vec_col).collect()
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds]
+    scored = F.array(
+        *[
+            F.struct(cosine(F.col(vec_col), c).alias("sim"), F.lit(cid).alias("cell"))
+            for cid, c in centroids
+        ]
+    )
+    assigned = df.withColumn("ivf_cell", F.array_max(scored)["cell"])
+    return assigned, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells, exact re-rank inside them. With the
+    index partitioned by ivf_cell, the filter is partition pruning -- the
+    scan never touches the other cells."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probe_cells = [
+        cid for cid, _ in sorted(centroids, key=lambda c: -cos(c[1], query_vec))[:nprobe]
+    ]
+    return (
+        indexed.filter(F.col("ivf_cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), query_vec), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for a training-data pipeline over the
+`documents` table: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All hot-path expressions are JVM built-ins (split/regexp/length/md5) so they
+stay inside whole-stage codegen at 100 TB -- no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Counting occurrences of high-frequency function words is the classic cheap
+# language-ID signal; extend per language as needed.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper bound: word pieces + digits + punctuation as separate
+    tokens (a regex approximation of subword tokenizer output size)."""
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    arr = F.regexp_extract_all(text, F.lit(pattern), 0)
+    return F.size(arr)
+
+
+def substring_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, via length arithmetic (codegen-
+    friendly, avoids regex escaping issues)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Total marker-stopword occurrences for one language (case-insensitive,
+    space-delimited matching)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for marker in LANG_MARKERS[lang]:
+        total = total + substring_count(padded, marker)
+    return total
+
+
+def lang_id(text: Column, langs: list[str] | None = None) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts; NULL when
+    no marker matches (unknown language)."""
+    langs = langs or list(LANG_MARKERS)
+    pairs = F.array(
+        *[F.struct(stopword_hits(text, lg).alias("hits"), F.lit(lg).alias("lang")) for lg in langs]
+    )
+    best = F.array_max(pairs)  # struct ordering: by hits, tie-break by lang desc
+    return F.when(best["hits"] > 0, best["lang"])
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic quality score: length sweet-spot x alpha ratio x
+    (1 - excess punctuation). Deterministic, JVM-only -- the shape of a
+    fastText-style quality filter without the model dependency."""
+    n = F.length(text)
+    length_component = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    return F.round(length_component * alpha_ratio(text) * punct_penalty, 6)
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """Content fingerprint: md5 of whitespace/case-normalized text.
+    Normalization makes trivially-reformatted duplicates collide."""
+    norm = text
+    if normalize:
+        norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def rolling_hashes(text: Column, window: int = 8) -> Column:
+    """Karp-Rabin-style rolling fingerprints: xxhash64 of each `window`-token
+    shingle. Basis for winnowing-style near-dup detection; JVM-side via
+    transform over token index sequence."""
+    tokens = F.split(F.trim(text), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window)))
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document text profile (narrow, no shuffle)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_computed": F.length(c),
+            "n_tokens": token_count(c),
+            "n_bpe_tokens": bpe_ish_token_count(c),
+            "alpha_ratio": F.round(alpha_ratio(c), 6),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -349,6 +349,382 @@ def q10_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("c_custkey", "c_mktsegment")
 
 
+# ---------------------------------------------------------------------------
+# J2: composite multi-table join chain (FOICU<-FS220D<-FS220 analog).
+# ---------------------------------------------------------------------------
+@register(
+    "q11_nation_supply_chain",
+    """
+    SELECT n_name AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS supplier_revenue,
+           count(DISTINCT s_suppkey) AS supplier_count
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="J2 chained equi-joins; dim side broadcast, fact side shuffle-free scan.",
+)
+def q11_nation_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    return joined.groupBy("nation").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "supplier_revenue"
+        ),
+        F.countDistinct("s_suppkey").alias("supplier_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: running totals (agg surface beyond the reference).
+# ---------------------------------------------------------------------------
+@register(
+    "q12_customer_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 2) AS running_total
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    doc="window running sum, deterministic frame via (date, orderkey) ordering.",
+)
+def q12_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: rollup (state x quarter Athena-analytics analog).
+# ---------------------------------------------------------------------------
+@register(
+    "q13_rollup_region_nation",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           count(*) AS customer_count,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="rollup grouping sets -- subtotals + grand total in one shuffle.",
+)
+def q13_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import rollup_agg
+
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+    )
+    return rollup_agg(
+        joined,
+        ["region", "nation"],
+        F.count(F.lit(1)).alias("customer_count"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5-F7: regex-gated multi-format string date parsing (the silver motif).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_date_parse_roundtrip",
+    """
+    WITH formatted AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%-m/%-d/%Y') AS date_str
+      FROM orders
+    )
+    SELECT year(parsed) AS order_year, count(*) AS n_orders
+    FROM (
+      SELECT CASE WHEN regexp_matches(date_str, '^\\d{1,2}/\\d{1,2}/\\d{4}$')
+                  THEN CAST(try_strptime(date_str, '%-m/%-d/%Y') AS DATE) END AS parsed
+      FROM formatted
+    )
+    WHERE parsed IS NOT NULL
+    GROUP BY order_year
+    """,
+    doc="reference's regex-gate -> to_date motif (BuildSilverLayer.py:156-157) round-tripped.",
+)
+def q14_date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clean import ColumnSpec, StandardizeSpec, standardize
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "date_str", F.date_format("o_orderdate", "M/d/yyyy")
+    )
+    spec = StandardizeSpec(
+        columns=[
+            ColumnSpec(
+                "date_str",
+                name="parsed",
+                date_regex=r"^\d{1,2}/\d{1,2}/\d{4}$",
+                date_format="M/d/yyyy",
+                required=True,
+            )
+        ]
+    )
+    parsed = standardize(orders, spec).filter(F.col("parsed").isNotNull())
+    return parsed.groupBy(F.year("parsed").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series surface: hourly event rollup (streaming-adjacent batch form).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_events_hourly",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling-window agg in batch form (streaming twin in streaming/windows.py).",
+)
+def q15_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data ops: exact dedup on documents (self-union manufactures dupes).
+# ---------------------------------------------------------------------------
+@register(
+    "q16_doc_exact_dedup",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+    ),
+    keepers AS (
+      SELECT md5(text) AS dg, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM unioned GROUP BY md5(text)
+    )
+    SELECT u.source, count(*) AS n_kept, sum(k.n_copies) AS n_seen
+    FROM keepers k JOIN unioned u USING (doc_id)
+    GROUP BY u.source
+    """,
+    doc="exact dedup keep-min on md5 digest (16-byte shuffle key, not document bodies).",
+)
+def q16_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    unioned = docs.unionByName(dupes)
+    keyed = unioned.withColumn("dg", F.md5(F.col("text").cast("binary")))
+    keepers = keyed.groupBy("dg").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    kept = keepers.join(keyed.select("doc_id", "source"), "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_copies").alias("n_seen")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data ops: per-document text profile (token counts, ratios, quality).
+# ---------------------------------------------------------------------------
+@register(
+    "q17_text_profile",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0 END, 6) AS alpha_ratio
+    FROM documents
+    """,
+    doc="single-pass narrow text stats; JVM regexp/length only (no Python UDF).",
+)
+def q17_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import alpha_ratio, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).alias("n_chars_computed"),
+        token_count(c).alias("n_tokens"),
+        F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data ops: stopword-marker language ID heuristic.
+# ---------------------------------------------------------------------------
+def _lang_hits_sql(lang_markers: dict[str, list[str]]) -> dict[str, str]:
+    out = {}
+    for lang, markers in lang_markers.items():
+        terms = [
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
+            for m in markers
+        ]
+        out[lang] = " + ".join(terms)
+    return out
+
+
+from .operators.text import LANG_MARKERS as _LM  # noqa: E402
+
+_HITS = _lang_hits_sql(_LM)
+
+
+@register(
+    "q18_lang_id",
+    f"""
+    WITH padded AS (
+      SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             {_HITS['en']} AS h_en, {_HITS['de']} AS h_de,
+             {_HITS['fr']} AS h_fr, {_HITS['es']} AS h_es
+      FROM padded
+    )
+    SELECT lang_pred, count(*) AS n_docs FROM (
+      SELECT CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN NULL
+                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM hits
+    )
+    GROUP BY lang_pred
+    """,
+    doc="argmax of per-language stopword-marker hit counts (tie-break = lexicographically "
+    "last, matching Spark struct array_max ordering).",
+)
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data ops: content fingerprinting.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="normalized md5 content fingerprint -- identical hex on Spark and DuckDB.",
+)
+def q19_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (the correctness baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_embedding_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id
+    LIMIT 20
+    """,
+    doc="exact cosine top-k via zip_with/aggregate (JVM) + TakeOrderedAndProject.",
+)
+def q20_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(emb, qvec, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup detection (rows-only checks: hash families differ across engines;
+# correctness is pytest-verified against brute-force ground truth instead).
+# ---------------------------------------------------------------------------
+@register(
+    "q21_minhash_near_dups",
+    None,
+    doc="MinHash+LSH near-dup pairs: shingle -> signature -> band bucket-join -> "
+    "exact-Jaccard verify; pairwise work bounded to LSH candidates.",
+)
+def q21_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.4, num_hashes=32, bands=16)
+
+
+@register(
+    "q22_simhash_near_dups",
+    None,
+    doc="SimHash near-dups with pigeonhole chunk blocking (hamming<=3 over 64 bits).",
+)
+def q22_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3, chunks=4)
+
+
+@register(
+    "q23_embedding_near_dups",
+    None,
+    doc="embedding near-dup pairs: sign-LSH chunk blocking + exact cosine verify. "
+    "Source embeddings are near-orthogonal (max pairwise cosine ~0.51), so the "
+    "query plants deterministic near-copies (scaled + shifted) and must recover them.",
+)
+def q23_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    near_copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.01 + F.lit(0.001)).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(near_copies), threshold=0.95, n_planes=16, dim=64, max_hamming=3
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

@@ -1,0 +1,150 @@
+"""Tests for dedup operators: exact, MinHash-LSH vs brute-force Jaccard
+ground truth, SimHash, connected components, embedding near-dup recall."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.dedup import (
+    candidate_pairs,
+    char_ngrams,
+    connected_components,
+    drop_near_dups,
+    embedding_near_dup_pairs,
+    exact_dedup_keep_min,
+    jaccard,
+    lsh_band_table,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    simhash,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, base.replace("quick", "slow")),  # near-dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "another unrelated document discussing credit union financial reports"),
+        (6, base),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keep_min(spark):
+    out = exact_dedup_keep_min(_docs(spark), "doc_id", "text")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5]  # 6 dropped (exact dup of 1)
+
+
+def test_minhash_finds_near_dups_and_matches_bruteforce(spark):
+    df = _docs(spark)
+    pairs = minhash_near_dup_pairs(df, threshold=0.5, num_hashes=32, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # brute-force ground truth on exact shingle jaccard
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in df.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    truth = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if j >= 0.5:
+            truth.add((a, b))
+    # LSH must find every true pair here (high-sim pairs, 16 bands of 2)
+    assert truth <= got
+    # and verification must have removed any false positives below threshold
+    assert got <= truth
+
+
+def test_minhash_jaccard_estimates_true_jaccard(spark):
+    df = _docs(spark)
+    sigs = df.select(
+        "doc_id", minhash_signature(word_shingles(F.col("text")), 128).alias("sig")
+    ).collect()
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in df.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    sig = {r.doc_id: r.sig for r in sigs}
+    true_j = len(sh[1] & sh[2]) / len(sh[1] | sh[2])
+    est_j = sum(a == b for a, b in zip(sig[1], sig[2])) / 128
+    assert abs(true_j - est_j) < 0.15
+
+
+def test_drop_near_dups_greedy(spark):
+    df = _docs(spark)
+    pairs = minhash_near_dup_pairs(df, threshold=0.5, num_hashes=32, bands=16)
+    kept = drop_near_dups(df, pairs, "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 in ids and 4 in ids and 5 in ids
+    assert 6 not in ids  # exact dup dropped
+
+
+def test_connected_components_labels_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (7, 8, 1.0)], "id_a long, id_b long, sim double"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+
+
+def test_simhash_similar_docs_close(spark):
+    df = _docs(spark)
+    sigs = {r.doc_id: r.s for r in df.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sigs[1], sigs[6]) == 0  # identical text
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[4])  # near-dup closer than unrelated
+
+
+def test_simhash_near_dup_pairs_pigeonhole(spark):
+    df = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(df, max_hamming=10, chunks=16).collect()}
+    assert (1, 6) in pairs and pairs[(1, 6)] == 0
+
+
+def test_char_ngram_jaccard(spark):
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "abcdefgx")], "doc_id long, text string")
+    g = df.select("doc_id", char_ngrams(F.col("text"), 3).alias("g"))
+    a = g.filter("doc_id=1").select(F.col("g").alias("ga"))
+    b = g.filter("doc_id=2").select(F.col("g").alias("gb"))
+    j = a.crossJoin(b).select(jaccard(F.col("ga"), F.col("gb")).alias("j")).first().j
+    # 6 trigrams each, 5 shared -> 5/7
+    assert abs(j - 5 / 7) < 1e-9
+
+
+def test_embedding_near_dup_recall_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    for i in range(40):
+        vecs.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant 5 near-copies
+    for i in range(5):
+        base = vecs[i][1]
+        vecs.append((100 + i, [x * 1.02 + 0.001 for x in base]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.98, n_planes=16, dim=16, max_hamming=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, 100 + i) for i in range(5)} <= got
+
+
+def test_lsh_band_table_shape(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    sigs = df.select("doc_id", minhash_signature(word_shingles(F.col("text")), 32).alias("sig"))
+    bt = lsh_band_table(sigs, "doc_id", "sig", bands=8)
+    assert bt.count() == 8
+    assert bt.columns == ["doc_id", "band_id", "band_hash"]
+    # same doc twice -> candidate pair found
+    two = df.union(spark.createDataFrame([(2, "a b c d e f g h")], "doc_id long, text string"))
+    sigs2 = two.select("doc_id", minhash_signature(word_shingles(F.col("text")), 32).alias("sig"))
+    cp = candidate_pairs(lsh_band_table(sigs2, "doc_id", "sig", 8), "doc_id").collect()
+    assert [(r.id_a, r.id_b) for r in cp] == [(1, 2)]

@@ -1,0 +1,76 @@
+"""Tests for similarity search: brute force vs DuckDB ground truth, LSH and
+IVF approximate paths vs the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+    lsh_topk,
+    with_lsh_signature,
+)
+from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+
+def _emb(spark, sf_dir):
+    return read_testdata(spark, sf_dir, "embeddings")
+
+
+def _query_vec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_brute_force_topk_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb)
+    got = [(r.vec_id, r.score) for r in brute_force_topk(emb, q, k=10).collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW e AS FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    truth = con.sql(
+        """
+        WITH q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS score
+        FROM e, q ORDER BY score DESC, vec_id LIMIT 10
+        """
+    ).fetchall()
+    assert got == truth
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb)
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {r.vec_id for r in lsh_topk(emb, q, k=5, n_planes=32, candidate_pool=100).collect()}
+    # vec 0 itself must always be found (cosine 1.0, hamming 0)
+    assert 0 in approx
+    # generous recall bound on near-random data with a 100-candidate pool
+    assert len(exact & approx) >= 2
+
+
+def test_lsh_signature_reuse(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    signed, planes = with_lsh_signature(emb, n_planes=24)
+    q = _query_vec(emb)
+    out = lsh_topk(signed, q, k=3, sig_col="lsh_sig", planes=planes, candidate_pool=50)
+    assert out.first().vec_id == 0  # self-match tops the ranking
+
+
+def test_ivf_topk_self_match_and_bounded_scan(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb)
+    indexed, centroids = build_ivf_index(emb, k_cells=8)
+    out = ivf_topk(indexed, centroids, q, k=5, nprobe=4)
+    rows = out.collect()
+    assert rows[0].vec_id == 0 and abs(rows[0].score - 1.0) < 1e-6
+    # probing fewer cells scans fewer rows than the full table
+    probed = indexed.filter(F.col("ivf_cell").isin([c for c, _ in centroids][:4])).count()
+    assert probed < emb.count()

@@ -1,0 +1,79 @@
+"""Unit tests for text-analysis operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hashes,
+    text_profile,
+    token_count,
+)
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("single",)], "text string"
+    )
+    out = [r.n for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert out == [3, 0, 0, 1]
+
+
+def test_bpe_ish_counts_punct_and_digits(spark):
+    df = spark.createDataFrame([("hello, world 42",)], "text string")
+    # hello | , | world | 4 | 2
+    assert df.select(bpe_ish_token_count(F.col("text")).alias("n")).first().n == 5
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        ("the cat and the dog is here",),
+        ("der Hund und die Katze ist das",),
+        ("le chat et la mer est les",),
+        ("xyzzy qwerty",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r.lang for r in df.select(lang_id(F.col("text")).alias("lang")).collect()]
+    assert out == ["en", "de", "fr", None]
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("other",)], "text string"
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    assert fps[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [("A clean readable sentence about banks and data pipelines.",), ("!!!???...;;;",), ("",)],
+        "text string",
+    )
+    out = [r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert 0 < out[0] <= 1
+    assert out[1] == 0.0  # all punctuation
+    assert out[2] == 0.0  # empty
+
+
+def test_rolling_hashes_shingle_count(spark):
+    df = spark.createDataFrame([(" ".join(f"w{i}" for i in range(10)),)], "text string")
+    row = df.select(rolling_hashes(F.col("text"), window=8).alias("h")).first()
+    assert len(row.h) == 3  # 10 - 8 + 1
+
+
+def test_text_profile_runs_on_testdata(spark, sf_dir):
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    prof = text_profile(docs)
+    row = prof.first()
+    assert row.n_chars_computed == len(row.text)
+    assert row.n_tokens > 0
