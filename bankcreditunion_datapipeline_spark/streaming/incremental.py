@@ -1,0 +1,83 @@
+"""Incremental ingest with real checkpoints (SURVEY §2.9).
+
+The reference's incremental state is a hand-rolled text watermark:
+`runLog.txt` holds the last run date (bronzeLayer/BuildBronzeLayer.py:199-201),
+read back via DataRunParams (bronzeLayer/DataRunParams.py:39-48) and pushed
+into the FDIC query predicate `REPDTE:[prevRun TO currentRun]`
+(bronzeLayer/BankData.py:82-83). Two engine-native replacements:
+
+- `incremental_files`: Structured Streaming over a file source with
+  Trigger.AvailableNow + checkpoint -- exactly-once incremental batch over
+  landed files; Spark tracks which files were processed, no runLog.txt.
+- `Watermark`: a durable key->value watermark store for source predicates
+  that must be pushed OUTSIDE Spark (e.g. the REST ingest window). Atomic
+  single-writer file semantics; replace with a table/DynamoDB at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class Watermark:
+    """Durable watermark store (runLog.txt replacement, observable + atomic)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        if not os.path.exists(self.path):
+            return default
+        with open(self.path) as f:
+            return json.load(f).get(key, default)
+
+    def advance(self, key: str, value: str) -> None:
+        state = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                state = json.load(f)
+        prev = state.get(key)
+        if prev is not None and value < prev:
+            raise ValueError(f"watermark {key} cannot regress: {prev} -> {value}")
+        state[key] = value
+        d = os.path.dirname(self.path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)  # atomic on POSIX
+
+
+def incremental_files(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    batch_fn: Callable[[DataFrame, int], None],
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Process only files not seen by previous runs, then stop.
+
+    Structured Streaming file source + Trigger.AvailableNow: the checkpoint
+    records processed files, so re-running after new files land processes
+    exactly the delta -- the engine-native version of the reference's
+    quarter-by-quarter NCUA loop (bronzeLayer/CreditUnionData.py:57-66).
+    `batch_fn(df, batch_id)` is the foreachBatch body (write bronze, etc.).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

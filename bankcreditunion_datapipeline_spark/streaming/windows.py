@@ -1,0 +1,83 @@
+"""Streaming windowed aggregations with late-data handling (SURVEY §2.9's
+"if made continuous" mapping) + a stateful sessionization extension point.
+
+The batch twins of these queries live in queries.py (q15_events_hourly);
+these run the same logic continuously with watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "15 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with a watermark so state for
+    closed windows is dropped (bounded memory on an unbounded stream).
+
+    Works on both batch and streaming DataFrames -- F.window is the same
+    logical operator; only state management differs.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark_delay: str = "15 minutes",
+) -> DataFrame:
+    """Session windows per user: events within `gap` of each other merge into
+    one session (F.session_window -- native stateful operator, no
+    applyInPandasWithState needed for this shape)."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drive a streaming DataFrame to an in-memory sink until all available
+    data is processed (test/debug harness; production uses a real sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
