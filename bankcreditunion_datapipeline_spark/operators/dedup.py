@@ -62,14 +62,23 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature (array<long>, length num_hashes).
 
-    Hash family: xxhash64 seeded by prefixing the shingle with the hash
-    index -- one JVM hash call per (shingle, i), no Python.
+    Cost shape: each shingle STRING is hashed exactly once (xxhash64); the
+    num_hashes family is then derived by re-hashing that 8-byte long with
+    the function index (xxhash64(i, h)) -- string bytes are not re-scanned
+    per hash function, which is the dominant cost at 100 TB.
     """
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
+    )
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from pre-hashed shingles (array<long>). Materialize
+    the base hash as its own column first so the string scan isn't repeated
+    per hash function."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}\x00"), s)))
-            )
+            F.array_min(F.transform(hashes, lambda h, i=i: F.xxhash64(F.lit(i), h)))
             for i in range(num_hashes)
         ]
     )
@@ -153,18 +162,25 @@ def minhash_near_dup_pairs(
     for verified pairs; only candidate pairs are ever compared exactly.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
+    # One narrow pass computes shingles + signature; persisted because three
+    # downstream branches (band table, verify-a, verify-b) would otherwise
+    # re-shingle the corpus. At 100 TB this is a checkpointed table.
     shingled = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
-    )
-    sigs = shingled.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    sigs = shingled.withColumn(
+        "__sig", minhash_signature_from_hashes(F.col("__hashes"), num_hashes)
+    ).persist()
     bands_t = lsh_band_table(sigs, id_col, "__sig", bands)
     cands = candidate_pairs(bands_t, id_col)
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # Verify on the hashed shingle sets (longs), not the string arrays --
+    # same Jaccard (xxhash64 is injective in practice), smaller rows.
+    a = sigs.select(F.col(id_col).alias("id_a"), F.array_distinct("__hashes").alias("__h_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.array_distinct("__hashes").alias("__h_b"))
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__h_a"), F.col("__h_b")), 6))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -263,7 +279,9 @@ def simhash_near_dup_pairs(
     """
     assert chunks > max_hamming, "need chunks > max_hamming for pigeonhole completeness"
     bits_per = 64 // chunks
-    sigd = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sim"))
+    # persist: the signature (64-wide aggregate per token) feeds both join
+    # sides; recomputing it doubles the dominant cost.
+    sigd = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sim")).persist()
     chunk_structs = F.array(
         *[
             F.struct(
@@ -316,15 +334,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dups, LSH-blocked (same minhash/band
     machinery, character shingles instead of word shingles)."""
-    grams = df.select(F.col(id_col), char_ngrams(F.col(text_col), n).alias("__sh"))
-    sigs = grams.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    grams = df.select(
+        F.col(id_col), char_ngrams(F.col(text_col), n).alias("__sh")
+    ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    sigs = grams.withColumn(
+        "__sig", minhash_signature_from_hashes(F.col("__hashes"), num_hashes)
+    ).persist()
     cands = candidate_pairs(lsh_band_table(sigs, id_col, "__sig", bands), id_col)
-    a = grams.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = grams.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("__hashes").alias("__h_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("__hashes").alias("__h_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__h_a"), F.col("__h_b")), 6))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -352,7 +374,7 @@ def embedding_near_dup_pairs(
     planes = random_hyperplanes(dim, n_planes)
     sigd = df.select(
         F.col(id_col), F.col(vec_col), sign_bits(F.col(vec_col), planes).alias("__sig")
-    )
+    ).persist()
     chunks = max_hamming + 1
     bits_per = n_planes // chunks
     chunk_structs = F.array(

@@ -1,0 +1,197 @@
+"""Multimodal (image/audio/video) column handling.
+
+Representation: media is an opaque `binary` column plus typed metadata
+(media_type, format, width/height/duration, byte length) -- the pattern that
+scales: payloads stay columnar in parquet, metadata predicates prune without
+touching bytes, and compute happens in Arrow-batched pandas UDFs via
+mapInPandas (one Python worker hop per batch, not per row).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are STUBBED: `decode_stub=True` (default) derives
+deterministic fake features from the bytes; `decode_stub=False` raises
+NotImplementedError at the point where the real library call belongs. The
+Spark-side plumbing -- schemas, batch iteration, partitioning, UDF
+signatures -- is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("format", StringType()),  # 'jpeg' | 'png' | 'wav' | 'mp4' ...
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),  # images/video; NULL otherwise
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),  # audio/video; NULL otherwise
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("mean_luma", FloatType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def _stub_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake embedding from payload bytes (stands in for a
+    vision/audio encoder). Stable across runs and partitionings."""
+    import hashlib
+
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 - 0.5 for b in h)
+        counter += 1
+    return [float(x) for x in out[:dim]]
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata that's derivable JVM-side without decoding: byte length and a
+    magic-number format sniff (JPEG/PNG/WAV/MP4). Predicates on these prune
+    partitions before any Python worker sees payload bytes."""
+    p = F.col(payload_col)
+    hex4 = F.hex(F.substring(p, 1, 4))
+    return df.withColumns(
+        {
+            "n_bytes": F.length(p).cast("long"),
+            "sniffed_format": (
+                F.when(hex4.startswith("FFD8"), "jpeg")
+                .when(hex4 == "89504E47", "png")
+                .when(hex4 == "52494646", "wav")
+                .otherwise("unknown")
+            ),
+        }
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image decode + feature extraction via mapInPandas.
+
+    Real implementation point: replace the stub with PIL/torchvision decode
+    inside the batch loop. Batch shape: Arrow record batches of
+    (media_id, payload); output one feature row per input row.
+    """
+
+    def batches(it: Iterator["Any"]) -> Iterator["Any"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/opencv; not in this container"
+                    )
+                feats = _stub_features(raw, dim)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(raw),
+                        "embedding": feats,
+                        "mean_luma": float(sum(feats) / len(feats) + 0.5),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_side: int = 256,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize via mapInPandas: payload -> resized payload. The stub
+    truncates bytes deterministically (stands in for decode->resize->encode)."""
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator["Any"]) -> Iterator["Any"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if not decode_stub:
+                    raise NotImplementedError("real resize requires PIL; not in this container")
+                rows.append({"media_id": int(mid), "payload": raw[: max_side * 64]})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 10,
+    max_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling via mapInPandas -- the one-to-many shape (N frame rows
+    per video row). The stub slices the payload into chunks as fake frames."""
+
+    def batches(it: Iterator["Any"]) -> Iterator["Any"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if not decode_stub:
+                    raise NotImplementedError("real frame sampling requires ffmpeg")
+                chunk = max(len(raw) // max(every_n, 1), 1)
+                for i in range(min(max_frames, max(len(raw) // chunk, 1))):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_index": i * every_n,
+                            "frame_payload": raw[i * chunk : (i + 1) * chunk],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)

@@ -725,6 +725,100 @@ def q23_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload columns with JVM-side metadata sniffing.
+# ---------------------------------------------------------------------------
+@register(
+    "q24_media_metadata",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS sniffed_format,
+           count(*) AS n_media,
+           sum(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 4 END
+               + octet_length(encode(text))) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="binary media columns: magic-number format sniff + byte stats, all JVM-side "
+    "(payload bytes never cross into Python). Oracle computes the expectation "
+    "analytically from the payload construction.",
+)
+def q24_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_media_metadata
+
+    docs = t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes.fromhex("FFD8FFE0")))
+        .when(F.col("doc_id") % 3 == 1, F.lit(bytes.fromhex("89504E470D0A1A0A")))
+        .otherwise(F.lit(b"RIFF"))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+    return (
+        attach_media_metadata(media)
+        .groupBy("sniffed_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
+@register(
+    "q25_image_features",
+    None,
+    doc="image decode/feature-extract via Arrow-batched mapInPandas (decode stubbed "
+    "deterministically -- no codec libs in container; plumbing is real).",
+)
+def q25_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_image_features
+
+    docs = t(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media, dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming operator surface in batch: session windows vs relational oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q26_user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           cast(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    doc="F.session_window (the streaming sessionization operator) in batch mode, "
+    "cross-checked against lag-based relational sessionization.",
+)
+def q26_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
