@@ -276,8 +276,13 @@ def run_gold(silver: DataFrame, out_dir: str, quarters: list[str] | None = None)
     (goldLayer/BuildGoldLayer.py:212-237)."""
     from ..sinks import write_gold
 
+    # O3: cluster rows by name inside each write partition (reference
+    # repartition + sortWithinPartitions, goldLayer/BuildGoldLayer.py:158-159)
+    # so downstream name-range scans read contiguous row groups.
     write_gold(
-        gold_directory(silver),
+        gold_directory(silver)
+        .repartition("institution_type", "state")
+        .sortWithinPartitions("name"),
         f"{out_dir}/institutions_directory_by_type",
         partition_by=["institution_type", "state"],
     )
