@@ -1,0 +1,106 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval range
+join, expressed as compositions of existing DataFrame ops (SURVEY's custom-
+operator rule (a): composition before pandas UDFs before mapPartitions).
+
+Scale shapes:
+- asof_join: ONE shuffle (window partition by key over the unioned stream).
+  No per-row lookups, no broadcast requirement, no quadratic anything; skew
+  is governed by the join key like any keyed window.
+- range_join_buckets: equi-join on coarse time buckets + exact predicate
+  re-filter, turning an unbounded theta-join into a bounded equi-join
+  (each left row joins at most ceil(window/bucket)+1 buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach `value_cols` from the
+    LATEST right row with right.ts <= left.ts and equal keys.
+
+    Implementation: tag sides, union on (keys, ts), and carry the last
+    non-null right value forward with a window `last(..., ignorenulls)` --
+    the streaming-friendly formulation (one sort-shuffle on the key, no
+    range predicate). Right rows sort before left rows at equal ts, giving
+    the standard >= (inclusive) semantics.
+
+    how='inner' drops left rows with no prior right row; 'left' keeps them
+    with NULLs (DuckDB `ASOF [LEFT] JOIN` equivalents).
+    """
+    tagged_r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+    )
+    tagged_l = left.select(
+        "*", F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in value_cols],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if how == "inner":
+        cond = F.lit(False)
+        for c in value_cols:
+            cond = cond | F.col(c).isNotNull()
+        out = out.filter(cond)
+    return out
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    bucket_seconds: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval join: pairs where |left_ts - right_ts| <= window_seconds
+    (optionally also equal on key_cols), via time-bucket blocking.
+
+    Each side gets a coarse bucket id; the right side is replicated into the
+    adjacent buckets its window can reach, so the join is a pure equi-join
+    on (keys..., bucket) followed by the exact range re-filter. Replication
+    factor = windows-per-bucket + 1, chosen by `bucket_seconds` (defaults to
+    the window size => right rows appear 3x).
+    """
+    bucket_seconds = bucket_seconds or window_seconds
+    reach = window_seconds // bucket_seconds + 1
+    keys = key_cols or []
+    lb = left.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "__rbucket", (F.unix_timestamp(F.col(right_ts)) / bucket_seconds).cast("long")
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.col("__rbucket") - reach, F.col("__rbucket") + reach)
+        ),
+    ).drop("__rbucket")
+    joined = lb.join(rb, [*keys, "__bucket"]).drop("__bucket")
+    exact = F.abs(
+        F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts))
+    ) <= window_seconds
+    return joined.filter(exact)

@@ -819,6 +819,135 @@ def q26_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal: as-of join (operator Spark lacks; composition of window + union).
+# ---------------------------------------------------------------------------
+@register(
+    "q27_asof_last_purchase",
+    """
+    SELECT l.event_id, l.user_id,
+           round(r.value, 6) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="backward as-of join via union + last(ignorenulls) window -- one keyed "
+    "shuffle, no range predicate; oracle is DuckDB's native ASOF JOIN.",
+)
+def q27_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, key_cols=["user_id"], ts_col="ts",
+        value_cols=["last_purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("last_purchase_value", 6).alias("last_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): inverse of the quarter pivot -- round-trip capability.
+# ---------------------------------------------------------------------------
+@register(
+    "q28_unpivot_quarters",
+    """
+    SELECT l_returnflag,
+           'q' || quarter(l_shipdate) || '_revenue' AS quarter_label,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="pivot -> unpivot round trip: the melted matrix equals the direct "
+    "group-by (property the reference's pivoted gold tables never verified).",
+)
+def q28_unpivot_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q05_quarterly_revenue_pivot(spark, sf_dir)
+    melted = wide.unpivot(
+        ["l_returnflag"],
+        [f"q{i}_revenue" for i in (1, 2, 3, 4)],
+        "quarter_label",
+        "revenue",
+    )
+    return melted.filter(F.col("revenue").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Array functions: explode + top-k token frequency.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_token_frequency",
+    """
+    SELECT token, count(*) AS n
+    FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(token)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="explode(split(...)) corpus token frequency with deterministic top-k.",
+)
+def q29_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions: edit-distance bucketing.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_name_edit_distance",
+    """
+    SELECT levenshtein(p_brand, 'Brand#33') AS edit_distance, count(*) AS n_parts
+    FROM part
+    GROUP BY 1
+    """,
+    doc="levenshtein edit distance (JVM) -- fuzzy-matching primitive for entity "
+    "resolution; bucketed distribution keeps output bounded.",
+)
+def q30_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return (
+        part.select(F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).alias("edit_distance"))
+        .groupBy("edit_distance")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collect/array aggregation: sorted distinct sets per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q31_quarters_per_flag",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT quarter(l_shipdate))) AS active_quarters,
+           count(DISTINCT quarter(l_shipdate)) AS n_quarters
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="collect_set + array_sort: set-valued aggregation surface.",
+)
+def q31_quarters_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").withColumn("q", F.quarter("l_shipdate"))
+    return li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("q")).alias("active_quarters"),
+        F.countDistinct("q").alias("n_quarters"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

@@ -1,0 +1,86 @@
+"""Tests for as-of and range joins against brute-force ground truth."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_buckets,
+)
+
+
+def _ts(minutes):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minutes)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(9), "b"), (1, _ts(1), "c"), (2, _ts(5), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), 100.0), (1, _ts(7), 200.0), (2, _ts(6), 300.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.tag): r.v
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    assert out[(1, "a")] == 100.0  # ts=5 -> right ts=4
+    assert out[(1, "b")] == 200.0  # ts=9 -> right ts=7
+    assert out[(1, "c")] is None  # no prior right row
+    assert out[(2, "d")] is None  # right row is later (ts=6 > 5)
+
+
+def test_asof_join_inclusive_tie(spark):
+    left = spark.createDataFrame([(1, _ts(4), "x")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(4), 7.0)], "k long, ts timestamp, v double")
+    r = asof_join(left, right, ["k"], "ts", ["v"]).first()
+    assert r.v == 7.0  # >= is inclusive: equal timestamps match
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(1), "early"), (1, _ts(9), "late")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame([(1, _ts(5), 1.0)], "k long, ts timestamp, v double")
+    tags = [r.tag for r in asof_join(left, right, ["k"], "ts", ["v"], how="inner").collect()]
+    assert tags == ["late"]
+
+
+def test_range_join_matches_bruteforce(spark):
+    left = spark.createDataFrame(
+        [(i, _ts(i * 3)) for i in range(30)], "lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(j, _ts(j * 7 + 1)) for j in range(15)], "rid long, rts timestamp"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_buckets(left, right, "lts", "rts", window_seconds=300).collect()
+    }
+    truth = set()
+    for i in range(30):
+        for j in range(15):
+            if abs((i * 3 - (j * 7 + 1)) * 60) <= 300:
+                truth.add((i, j))
+    assert got == truth
+
+
+def test_range_join_with_keys(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(0))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1)), (2, _ts(100))], "k long, rts timestamp"
+    )
+    got = {
+        r.k
+        for r in range_join_buckets(
+            left, right, "lts", "rts", window_seconds=120, key_cols=["k"]
+        ).collect()
+    }
+    assert got == {1}  # key 2's right row is outside the window
