@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, hamming64, random_hyperplanes, sign_bits
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread CPU-heavy narrow work across the cluster when the input arrives
+    under-partitioned (e.g. one small parquet file -> one task serializing
+    signature computation). At real scale `files.maxPartitionBytes` already
+    yields >= cores partitions and this is a no-op; the repartition only
+    fires when the input has fewer partitions than cores."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -165,7 +177,7 @@ def minhash_near_dup_pairs(
     # One narrow pass computes shingles + signature; persisted because three
     # downstream branches (band table, verify-a, verify-b) would otherwise
     # re-shingle the corpus. At 100 TB this is a checkpointed table.
-    shingled = df.select(
+    shingled = ensure_min_partitions(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
     ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
     sigs = shingled.withColumn(
@@ -281,7 +293,11 @@ def simhash_near_dup_pairs(
     bits_per = 64 // chunks
     # persist: the signature (64-wide aggregate per token) feeds both join
     # sides; recomputing it doubles the dominant cost.
-    sigd = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sim")).persist()
+    sigd = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), simhash(F.col(text_col)).alias("__sim"))
+        .persist()
+    )
     chunk_structs = F.array(
         *[
             F.struct(
@@ -334,7 +350,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dups, LSH-blocked (same minhash/band
     machinery, character shingles instead of word shingles)."""
-    grams = df.select(
+    grams = ensure_min_partitions(df).select(
         F.col(id_col), char_ngrams(F.col(text_col), n).alias("__sh")
     ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
     sigs = grams.withColumn(
@@ -372,6 +388,7 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes)
+    df = ensure_min_partitions(df)
     sigd = df.select(
         F.col(id_col), F.col(vec_col), sign_bits(F.col(vec_col), planes).alias("__sig")
     ).persist()

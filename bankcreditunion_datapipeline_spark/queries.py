@@ -622,9 +622,10 @@ _HITS = _lang_hits_sql(_LM)
     "last, matching Spark struct array_max ordering).",
 )
 def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ensure_min_partitions
     from .operators.text import lang_id
 
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(t(spark, sf_dir, "documents"))
     return (
         docs.select(lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
@@ -772,12 +773,15 @@ def q24_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministically -- no codec libs in container; plumbing is real).",
 )
 def q25_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ensure_min_partitions
     from .operators.multimodal import extract_image_features
 
     docs = t(spark, sf_dir, "documents").limit(200)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    media = ensure_min_partitions(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
     )
     feats = extract_image_features(media, dim=8)
     return feats.select(

@@ -31,6 +31,33 @@ def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     df.write.format(fmt).mode("overwrite").save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write: co-locates rows by hash(bucket_cols) so joins
+    and aggregations between tables bucketed the same way need NO shuffle
+    (the Exchange disappears from the plan -- verified in tests). The scale
+    tool for repeated fact-fact joins on a stable key."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_with_schema_merge(spark, path: str) -> DataFrame:
+    """Schema-evolution read for tables whose column set grows over time
+    (the quarter-pivot gold tables gain a column per quarter, K4): parquet
+    mergeSchema unions the schemas of all files; delta handles this via
+    overwriteSchema at write time."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_gold(
     df: DataFrame,
     path: str,

@@ -14,7 +14,13 @@ SF0001 = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = build_session(app_name="tests", shuffle_partitions=8)
+    import tempfile
+
+    spark = build_session(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
+    )
     yield spark
 
 

@@ -1,0 +1,68 @@
+"""Scale-feature tests: bucketed co-located joins (no shuffle), parquet
+schema evolution, approx_count_distinct accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.sinks import (
+    read_with_schema_merge,
+    write_bucketed,
+)
+from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    write_bucketed(cust, "b_customer", ["c_custkey"], 4, sort_cols=["c_custkey"])
+    write_bucketed(orders, "b_orders", ["c_custkey"], 4, sort_cols=["c_custkey"])
+    joined = spark.table("b_customer").join(spark.table("b_orders"), "c_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: the join runs with NO shuffle on either side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == orders.count()  # every order matches its customer
+
+
+def test_unbucketed_join_does_exchange(spark, sf_dir):
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    # force the comparison shape: disable auto-broadcast so the difference
+    # bucketing makes is visible as shuffle-vs-no-shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            cust.join(orders, "c_custkey")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    p = str(tmp_path / "pivot_table")
+    q1 = spark.createDataFrame([(1, 100)], "charter int, `2020-03-31` int")
+    q1.write.parquet(p)
+    q2 = spark.createDataFrame(
+        [(1, 110, 100)], "charter int, `2020-06-30` int, `2020-03-31` int"
+    )
+    q2.write.mode("append").parquet(p)
+    merged = read_with_schema_merge(spark, p)
+    assert set(merged.columns) == {"charter", "2020-03-31", "2020-06-30"}
+    # old-file rows surface NULL for the new quarter column
+    old = merged.filter(F.col("2020-06-30").isNull()).collect()
+    assert len(old) == 1 and old[0]["2020-03-31"] == 100
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    orders = read_testdata(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey").alias("n")).first().n
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
+    ).first().n
+    assert abs(approx - exact) / exact < 0.05
