@@ -952,6 +952,258 @@ def q31_quarters_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CUBE: all grouping combinations in ONE shuffle (SURVEY §2.5 agg surface --
+# the state x quarter analyses the reference's gold tables feed into Athena).
+# ---------------------------------------------------------------------------
+@register(
+    "q32_cube_region_segment",
+    """
+    SELECT r_name, c_mktsegment,
+           count(*)                  AS n_customers,
+           round(sum(c_acctbal), 2)  AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    """,
+    doc="cube(): per-(region,segment), per-region, per-segment and grand-total "
+    "aggregates in one pass; both dims broadcast-joined (tiny).",
+)
+def q32_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    reg = t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    joined = cust.join(F.broadcast(nat), "c_nationkey").join(F.broadcast(reg), "n_regionkey")
+    return joined.cube("r_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window ranking functions: lag (YoY delta) + dense_rank within year.
+# ---------------------------------------------------------------------------
+@register(
+    "q33_yoy_revenue_rank",
+    """
+    WITH yearly AS (
+      SELECT r_name, year(o_orderdate) AS order_year,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, year(o_orderdate))
+    SELECT r_name, order_year, revenue,
+           round(revenue - lag(revenue) OVER (PARTITION BY r_name ORDER BY order_year), 2)
+             AS yoy_delta,
+           dense_rank() OVER (PARTITION BY order_year ORDER BY revenue DESC)
+             AS rank_in_year
+    FROM yearly
+    """,
+    doc="lag/dense_rank window functions over a grouped aggregate; one shuffle "
+    "for the agg, window partitions reuse small intermediate.",
+)
+def q33_yoy_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    nat = t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    reg = t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    yearly = (
+        orders.join(cust, "o_custkey")
+        .join(F.broadcast(nat), "c_nationkey")
+        .join(F.broadcast(reg), "n_regionkey")
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_lag = Window.partitionBy("r_name").orderBy("order_year")
+    w_rank = Window.partitionBy("order_year").orderBy(F.desc("revenue"))
+    return yearly.select(
+        "r_name",
+        "order_year",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w_lag), 2).alias("yoy_delta"),
+        F.dense_rank().over(w_rank).alias("rank_in_year"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (SURVEY §2.6 -- reference has only
+# union; intersect/except complete the set-op surface).
+# ---------------------------------------------------------------------------
+@register(
+    "q34_customer_cohorts",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'both' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    """,
+    doc="intersect/except set ops: retention cohorts across two order years.",
+)
+def q34_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("both").alias("cohort"), "n_customers"
+    )
+    only95 = y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("only_1995").alias("cohort"), "n_customers"
+    )
+    return both.unionByName(only95)
+
+
+# ---------------------------------------------------------------------------
+# Percentiles: exact interpolated quantiles (Spark `percentile` == DuckDB
+# `quantile_cont`); approx_percentile is the scale path (tested separately,
+# not oracle-comparable since sketches differ).
+# ---------------------------------------------------------------------------
+@register(
+    "q35_price_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="exact interpolated percentiles per group; at 100 TB swap to "
+    "approx_percentile (t-digest sketch, mergeable map-side).",
+)
+def q35_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: correlation / stddev per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_quantity_price_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)  AS qty_price_corr,
+           round(stddev_samp(l_quantity), 4)            AS qty_stddev,
+           round(avg(l_extendedprice), 2)               AS price_avg
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="corr/stddev_samp statistical agg surface (single-pass moments, "
+    "map-side combinable).",
+)
+def q36_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.avg("l_extendedprice"), 2).alias("price_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions: split / substring / concat (SURVEY §2.8 notes the
+# reference has no string concat/substring/split -- engine exposes them).
+# ---------------------------------------------------------------------------
+@register(
+    "q37_part_name_tokens",
+    """
+    SELECT split_part(p_name, ' ', 2)                                  AS noun,
+           upper(substr(split_part(p_name, ' ', 2), 1, 3))             AS noun_prefix,
+           concat(split_part(p_name, ' ', 1), '-', split_part(p_name, ' ', 2))
+                                                                       AS full_label_min,
+           count(*)                                                    AS n_parts,
+           round(avg(p_retailprice), 2)                                AS avg_price
+    FROM part
+    GROUP BY 1, 2, 3
+    """,
+    doc="split/substring/upper/concat string surface, grouped; full_label_min "
+    "is min-free because (adj, noun) pairs group exactly.",
+)
+def q37_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    toks = part.select(
+        F.split(F.col("p_name"), " ").alias("w"), F.col("p_retailprice")
+    ).select(
+        F.col("w")[1].alias("noun"),
+        F.upper(F.substring(F.col("w")[1], 1, 3)).alias("noun_prefix"),
+        F.concat_ws("-", F.col("w")[0], F.col("w")[1]).alias("full_label_min"),
+        "p_retailprice",
+    )
+    return toks.groupBy("noun", "noun_prefix", "full_label_min").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS through the engine's SQL entry point (catalog views +
+# spark.sql), matching DuckDB's identical syntax.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_grouping_sets_sql",
+    """
+    SELECT year(o_orderdate) AS order_year, o_orderstatus,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+    """,
+    doc="GROUPING SETS via spark.sql over registered catalog views -- the "
+    "engine's SQL surface, not just the DataFrame API.",
+)
+def q38_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q38_orders")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS order_year, o_orderstatus,
+               round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM q38_orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index probe: with nprobe == k_cells the probe covers every cell, so
+# the result is exact and oracle-checkable -- this verifies the index
+# machinery (centroid assignment, cell filter, re-rank); recall-vs-speed
+# with nprobe < k_cells is exercised in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_ivf_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id
+    LIMIT 15
+    """,
+    doc="IVF coarse-quantization ANN with full probe (exact, oracle-checked); "
+    "partition-pruned cell filter is the 100 TB path.",
+)
+def q39_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import build_ivf_index, ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    indexed, centroids = build_ivf_index(emb, k_cells=8)
+    return ivf_topk(indexed, centroids, qvec, k=15, nprobe=8)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

@@ -113,3 +113,35 @@ def test_sessionize_gap_semantics(spark):
         per_user.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(per_user[1]) == [1, 2]
     assert per_user[2] == [1]
+
+
+def test_stateful_cumulative_across_batches(spark, tmp_path):
+    from bankcreditunion_datapipeline_spark.streaming.stateful import (
+        user_cumulative_totals,
+    )
+
+    src = str(tmp_path / "src_state")
+    # two separate files -> maxFilesPerTrigger=1 forces two micro-batches,
+    # so state must survive a batch boundary to produce the right totals
+    _write_events(spark, src, 0, 6)    # users 0,1,2 x 2 events each
+    _write_events(spark, src, 100, 6)  # users 0,1,2 x 2 more events (ids 100..105)
+    stream_df = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        user_cumulative_totals(stream_df), "cum_totals", str(tmp_path / "ckpt_state")
+    )
+    rows = spark.sql("SELECT * FROM cum_totals").collect()
+    final = {}
+    for r in rows:
+        if r.batches_seen == max(x.batches_seen for x in rows if x.user_id == r.user_id):
+            final[r.user_id] = r
+    # every user appears in both batches -> batches_seen == 2, 4 events each
+    assert set(final) == {0, 1, 2}
+    for uid, r in final.items():
+        assert r.batches_seen == 2
+        assert r.n_events == 4
+    # user 0 (id % 3 == 0) saw event ids {0,3,102,105} -> total 210 (value == id)
+    assert final[0].total_value == 0 + 3 + 102 + 105
