@@ -318,12 +318,14 @@ def simhash_near_dup_pairs(
     b = chunked.select(
         "chunk_id", "chunk_val", F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b")
     )
+    # hamming filter BEFORE distinct: the dedup shuffle only ever moves
+    # pairs that already passed the radius check.
     return (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -410,15 +412,16 @@ def embedding_near_dup_pairs(
     )
     a = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"), F.col("__sig").alias("__sig_a"))
     b = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"), F.col("__sig").alias("__sig_b"))
-    cands = (
+    # Verify (hamming prefilter + exact cosine + threshold) BEFORE the pair
+    # dedup: the dropDuplicates shuffle then moves only (id, id, double) rows
+    # for pairs that already passed, never the vectors themselves. Cosine is
+    # deterministic per pair, so multi-probe duplicates collapse cleanly.
+    return (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(hamming64(F.col("__sig_a"), F.col("__sig_b")) <= max_hamming)
-        .select("id_a", "id_b", "__v_a", "__v_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cands.withColumn("cosine_sim", F.round(cosine(F.col("__v_a"), F.col("__v_b")), 6))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__v_a"), F.col("__v_b")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+        .dropDuplicates(["id_a", "id_b"])
     )

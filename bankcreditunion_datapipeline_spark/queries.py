@@ -1049,8 +1049,21 @@ def q33_yoy_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q34_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    # sargable ranges (year(col) == N blocks parquet predicate pushdown)
+    y95 = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    y96 = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
     both = y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_customers")).select(
         F.lit("both").alias("cohort"), "n_customers"
     )
@@ -1202,6 +1215,104 @@ def q39_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
     indexed, centroids = build_ivf_index(emb, k_cells=8)
     return ivf_topk(indexed, centroids, qvec, k=15, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: fact-fact join with selective filters on both sides,
+# deterministic top-k. The join-order / pushdown showcase.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: both filters push to the parquet scans, orders<->lineitem "
+    "shuffle join on the surviving slice, top-k via TakeOrderedAndProject.",
+)
+def q40_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        orders.join(cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-table join with a correlation predicate (customer and
+# supplier in the same nation) -- the join-graph stress test.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_local_supplier_volume",
+    """
+    SELECT n_name AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS local_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE s_nationkey = c_nationkey
+      AND year(o_orderdate) BETWEEN 1995 AND 1997
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table join graph; dims broadcast, fact-fact join "
+    "shuffles only filtered slices; same-nation correlation predicate.",
+)
+def q41_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    # sargable range instead of year(o_orderdate) BETWEEN: the function-
+    # wrapped form blocks parquet predicate pushdown; this form reaches the
+    # scan as PushedFilters (verified via .explain).
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+        .join(cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .join(F.broadcast(supp).withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey")
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(nat).withColumnRenamed("n_nationkey", "c_nationkey"),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(reg).withColumnRenamed("r_regionkey", "n_regionkey"),
+            "n_regionkey",
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "local_revenue"
+        )
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
