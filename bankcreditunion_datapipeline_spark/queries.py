@@ -1315,6 +1315,74 @@ def q41_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew-mitigated join: salted equi-join produces byte-identical results to
+# the plain join (oracle is the plain SQL join) while splitting hot keys
+# across salt_buckets tasks.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_salted_join_revenue",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="salted_join (explicit skew mitigation: salt fact side, explode dim "
+    "side over buckets) -- result provably identical to the plain join; for "
+    "moderate skew AQE skew-split does this automatically at runtime.",
+)
+def q42_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conform import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON functions (F1 surface): extract typed values from a JSON string
+# column without a string round-trip.
+# ---------------------------------------------------------------------------
+@register(
+    "q43_json_extract",
+    """
+    SELECT event_type,
+           count(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT)) AS n_with_k,
+           sum(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT))   AS k_sum,
+           round(avg(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT)), 4)
+                                                                             AS k_avg
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="get_json_object path extraction on the events.props JSON column "
+    "(JVM-side; no Python, no string round-trip) + typed aggregation.",
+)
+def q43_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

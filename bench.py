@@ -30,13 +30,22 @@ def main() -> None:
     # startup cost doesn't land on q01.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Best-of-2 per query: the second run amortizes JIT/codegen-cache and
+    # scan-index warmup so timings reflect steady-state plan cost, not
+    # first-touch noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):
-        t0 = time.perf_counter()
+        best = None
+        n = None
         try:
-            df = q.spark_fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = q.spark_fn(spark, sf_dir)
+                n = df.count()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
             print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0

@@ -66,3 +66,20 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
     ).first().n
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_gold_partitioned_read_prunes(spark, sf_dir, tmp_path):
+    from bankcreditunion_datapipeline_spark.sinks import write_gold
+
+    orders = read_testdata(spark, sf_dir, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    p = str(tmp_path / "gold_orders")
+    write_gold(orders, p, partition_by=["status"])
+    pruned = spark.read.parquet(p).filter(F.col("status") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the status filter must land in PartitionFilters (directory pruning),
+    # not as a row-level data filter over the full scan
+    assert "PartitionFilters: [" in plan
+    start = plan.index("PartitionFilters: [")
+    assert "status" in plan[start : plan.index("]", start)]
