@@ -211,12 +211,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     the pair graph: returns (id, component) where component is the minimal
     id reachable. Converges in O(graph diameter) joins; near-dup clusters
     are shallow in practice, so max_iters=10 is generous. This is the exact
-    version of drop_near_dups' greedy semantics."""
-    edges = pairs.select("id_a", "id_b").union(pairs.select(F.col("id_b"), F.col("id_a")).toDF("id_a", "id_b"))
+    version of drop_near_dups' greedy semantics.
+
+    Scale posture: each iteration's labels are materialized with
+    localCheckpoint, which truncates the logical plan -- without it the
+    lineage doubles per iteration (labels_i references labels_{i-1} twice:
+    once in the join, once in the convergence check) and Catalyst analysis
+    cost grows exponentially with iteration count. Edges are persisted once
+    and reused by every iteration.
+    """
+    edges = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b"), F.col("id_a")).toDF("id_a", "id_b")
+    ).persist()
     labels = (
         edges.select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -230,11 +241,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                 "id",
                 F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component"),
             )
+            .localCheckpoint()  # truncate lineage before the next round
         )
-        if new_labels.exceptAll(labels).isEmpty():
-            labels = new_labels
-            break
+        converged = new_labels.exceptAll(labels).isEmpty()
         labels = new_labels
+        if converged:
+            break
+    edges.unpersist()
     return labels
 
 

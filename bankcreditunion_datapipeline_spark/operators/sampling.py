@@ -1,0 +1,66 @@
+"""Sampling operators for training-data pipelines.
+
+Three tools, by reproducibility requirement:
+
+- deterministic_hash_sample: keep a row iff a hash of its key falls under
+  the rate threshold. Fully deterministic, engine-portable (md5 is
+  standard everywhere), stable under re-runs, appends, and repartitioning
+  -- the property that matters for dataset versioning: a row's membership
+  depends only on its key, never on partition layout or seed streams.
+  Narrow (no shuffle); the predicate pushes into the scan stage.
+- seeded_sample / stratified_sample: Spark-native Bernoulli sampling
+  (df.sample / df.sampleBy). Seeded but partition-layout-dependent;
+  fine for quick subsampling, wrong for reproducible dataset cuts.
+- split_train_holdout: hash-disjoint train/holdout partition of a corpus
+  (the standard "hash mod N" eval split, leak-free by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16^4 four-hex-digit buckets
+_BUCKETS = 65536
+
+
+def hash_bucket(key: Column, buckets: int = _BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from md5(key) -- engine-portable
+    (same value in any system with md5 + hex parse, so samples can be
+    reproduced outside Spark)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % buckets
+
+
+def deterministic_hash_sample(
+    df: DataFrame, key: str, rate: float, buckets: int = _BUCKETS
+) -> DataFrame:
+    """Keep rows whose hash bucket < rate * buckets. Membership is a pure
+    function of the key: stable across runs, engines, partitionings."""
+    threshold = int(rate * buckets)
+    return df.filter(hash_bucket(F.col(key), buckets) < threshold)
+
+
+def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Bernoulli row sample. Seeded but NOT layout-stable -- use
+    deterministic_hash_sample for reproducible dataset cuts."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (df.sampleBy): e.g. downsample the
+    dominant language while keeping all of a rare one."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def split_train_holdout(
+    df: DataFrame, key: str, holdout_rate: float = 0.05, buckets: int = _BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """Hash-disjoint (train, holdout) split: a key is in exactly one side,
+    forever -- append-safe and leak-free. Returns (train, holdout)."""
+    threshold = int(holdout_rate * buckets)
+    b = hash_bucket(F.col(key), buckets)
+    return df.filter(b >= threshold), df.filter(b < threshold)

@@ -1383,6 +1383,40 @@ def q43_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling: membership is a pure function of the key
+# (md5 bucket), so the SAME rows are selected by Spark and DuckDB -- which
+# is exactly the reproducibility property training-data cuts need.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_deterministic_sample",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536
+          < CAST(0.1 * 65536 AS INT)
+    GROUP BY lang
+    """,
+    doc="deterministic_hash_sample: layout/seed-independent 10%% sample (md5 "
+    "bucket on doc_id); narrow predicate, no shuffle; reproducible across "
+    "engines (the oracle literally selects the same rows).",
+)
+def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import deterministic_hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        deterministic_hash_sample(docs, "doc_id", 0.1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

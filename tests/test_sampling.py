@@ -1,0 +1,62 @@
+"""Sampling operator tests: determinism, split disjointness, rate bounds,
+stratified fractions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.sampling import (
+    deterministic_hash_sample,
+    seeded_sample,
+    split_train_holdout,
+    stratified_sample,
+)
+from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+
+def test_hash_sample_deterministic_and_layout_stable(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.2).select("doc_id").collect())
+    # different partition layout -> identical membership
+    b = sorted(
+        r.doc_id
+        for r in deterministic_hash_sample(docs.repartition(7), "doc_id", 0.2)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.25 * n  # rate is approximately honored
+
+
+def test_hash_sample_nested_rates(spark, sf_dir):
+    # a 5% hash sample is a subset of the 20% sample (thresholds nest) --
+    # lets you grow a dataset cut without resampling from scratch
+    docs = read_testdata(spark, sf_dir, "documents")
+    small = {r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.05).select("doc_id").collect()}
+    big = {r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_split_train_holdout_disjoint_and_complete(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    train, holdout = split_train_holdout(docs, "doc_id", holdout_rate=0.1)
+    n_train, n_hold, n = train.count(), holdout.count(), docs.count()
+    assert n_train + n_hold == n
+    assert train.join(holdout, "doc_id").count() == 0
+    assert 0.05 * n < n_hold < 0.15 * n
+
+
+def test_seeded_and_stratified_sample(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    s1 = seeded_sample(docs, 0.3).count()
+    n = docs.count()
+    assert 0.2 * n < s1 < 0.4 * n
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fracs = {lang: (1.0 if i == 0 else 0.1) for i, lang in enumerate(langs)}
+    strat = stratified_sample(docs, "lang", fracs)
+    counts = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts[langs[0]] == full[langs[0]]  # fraction 1.0 keeps every row
+    for lang in langs[1:]:
+        assert counts.get(lang, 0) < 0.3 * full[lang]
