@@ -104,3 +104,34 @@ def range_join_buckets(
         F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts))
     ) <= window_seconds
     return joined.filter(exact)
+
+
+def fill_period_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    period_col: str,
+    fill_values: dict,
+    interval: str = "3 months",
+) -> DataFrame:
+    """Densify a keyed time series: every key gets one row per period in
+    the table's [min, max] span; missing periods take `fill_values`
+    defaults (the continuous-rollup / gap-fill primitive downstream
+    charting and windowed models expect -- lag/lead over a gappy series
+    silently skips periods).
+
+    Scale shape: the period axis is ONE tiny exploded sequence (O(span),
+    driver-free) broadcast-cross-joined against distinct keys; the actual
+    data then left-joins the scaffold on (key, period). One shuffle for
+    the keys distinct, one for the final join; nothing quadratic.
+    """
+    span = df.agg(
+        F.min(period_col).alias("__min"), F.max(period_col).alias("__max")
+    )
+    periods = span.select(
+        F.explode(F.expr(f"sequence(__min, __max, interval {interval})")).alias(
+            period_col
+        )
+    )
+    keys = df.select(*key_cols).distinct()
+    scaffold = keys.crossJoin(F.broadcast(periods))
+    return scaffold.join(df, [*key_cols, period_col], "left").fillna(fill_values)

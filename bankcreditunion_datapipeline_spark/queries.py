@@ -1417,6 +1417,56 @@ def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-series gap fill: densify a keyed quarterly series so every
+# (customer, quarter) exists with 0 revenue where no orders happened --
+# the continuous-rollup primitive (reference's quarterly series assumes a
+# dense quarter axis in its pivot tables).
+# ---------------------------------------------------------------------------
+@register(
+    "q45_quarter_gap_fill",
+    """
+    WITH span AS (
+      SELECT min(date_trunc('quarter', o_orderdate)) AS qmin,
+             max(date_trunc('quarter', o_orderdate)) AS qmax
+      FROM orders),
+    qs AS (
+      SELECT unnest(generate_series(qmin, qmax, INTERVAL 3 MONTH)) AS quarter_start
+      FROM span),
+    custs AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 50),
+    actual AS (
+      SELECT o_custkey, date_trunc('quarter', o_orderdate) AS quarter_start,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE o_custkey < 50
+      GROUP BY 1, 2)
+    SELECT c.o_custkey, CAST(q.quarter_start AS DATE) AS quarter_start,
+           coalesce(a.revenue, 0.0) AS revenue
+    FROM custs c
+    CROSS JOIN qs q
+    LEFT JOIN actual a
+      ON a.o_custkey = c.o_custkey AND a.quarter_start = q.quarter_start
+    """,
+    doc="fill_period_gaps: dense (key x period) scaffold via one exploded "
+    "sequence broadcast against distinct keys; gaps filled with 0.",
+)
+def q45_quarter_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import fill_period_gaps
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    quarterly = (
+        orders.groupBy(
+            "o_custkey", F.date_trunc("quarter", "o_orderdate").alias("qts")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    dense = fill_period_gaps(
+        quarterly, ["o_custkey"], "qts", {"revenue": 0.0}, interval="3 months"
+    )
+    return dense.select(
+        "o_custkey", F.col("qts").cast("date").alias("quarter_start"), "revenue"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
