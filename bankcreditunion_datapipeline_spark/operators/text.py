@@ -124,3 +124,46 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleanup / redaction (training-data hygiene) -- all JVM regexp_replace,
+# whole-stage codegen, no Python. Patterns kept RE2-compatible so the same
+# regexes run in other engines (and in the DuckDB oracle).
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_HTML_TAG_RE = r"<[^>]+>"
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def strip_html(text: Column) -> Column:
+    """Remove markup tags (tag-level strip; full HTML parsing is a decode-
+    stage concern, not a column expression)."""
+    return F.regexp_replace(text, _HTML_TAG_RE, " ")
+
+
+def mask_emails(text: Column, token: str = "<EMAIL>") -> Column:
+    return F.regexp_replace(text, _EMAIL_RE, token)
+
+
+def mask_urls(text: Column, token: str = "<URL>") -> Column:
+    return F.regexp_replace(text, _URL_RE, token)
+
+
+def remove_control_chars(text: Column) -> Column:
+    return F.regexp_replace(text, _CONTROL_RE, "")
+
+
+def normalize_whitespace(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def clean_text(text: Column) -> Column:
+    """Standard hygiene chain: strip markup -> redact emails/urls -> drop
+    control chars -> collapse whitespace. Composes as one codegen'd
+    expression tree (no intermediate materialization)."""
+    return normalize_whitespace(
+        remove_control_chars(mask_urls(mask_emails(strip_html(text))))
+    )

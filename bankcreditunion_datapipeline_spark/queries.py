@@ -1467,6 +1467,51 @@ def q45_quarter_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Text hygiene chain: markup strip -> email/url redaction -> control-char
+# removal -> whitespace collapse, as ONE codegen'd expression (RE2-safe
+# patterns so the identical regexes run in the DuckDB oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "q46_text_cleanup",
+    r"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(length(text)), 4)    AS avg_len_raw,
+           round(avg(length(cleaned)), 4) AS avg_len_clean,
+           sum(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS n_changed
+    FROM (
+      SELECT source, text,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(text, '<[^>]+>', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+               '\s+', ' ', 'g')) AS cleaned
+      FROM documents)
+    GROUP BY source
+    """,
+    doc="clean_text hygiene chain (strip_html -> mask_emails -> mask_urls -> "
+    "remove_control_chars -> normalize_whitespace); single JVM expression "
+    "tree, no intermediate materialization.",
+)
+def q46_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import clean_text
+
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source", "text", clean_text(F.col("text")).alias("cleaned")
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len_raw"),
+        F.round(F.avg(F.length("cleaned")), 4).alias("avg_len_clean"),
+        F.sum(F.when(F.col("cleaned") != F.col("text"), 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

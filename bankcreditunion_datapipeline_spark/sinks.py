@@ -58,6 +58,31 @@ def read_with_schema_merge(spark, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", True).parquet(path)
 
 
+def compact_to(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_files: int,
+    fmt: str = "parquet",
+    size_balanced: bool = False,
+) -> int:
+    """Small-files compaction: rewrite a directory into `target_files`
+    larger files at `dest_path` (write-then-swap at the catalog/path level;
+    never rewrites in place, which is unsafe on object stores).
+
+    The small-files problem is the dominant operational failure at scale:
+    a 100 TB table accreted from streaming micro-batches ends up with
+    millions of KB-sized files, and scan planning/open overhead dwarfs IO.
+    coalesce() merges narrow (no shuffle); size_balanced=True repartitions
+    (one shuffle) when input files are skewed enough that merged outputs
+    would be lopsided. Returns the number of rows rewritten.
+    """
+    df = spark.read.format(fmt).load(src_path)
+    out = df.repartition(target_files) if size_balanced else df.coalesce(target_files)
+    out.write.format(fmt).mode("overwrite").save(dest_path)
+    return df.count()
+
+
 def write_gold(
     df: DataFrame,
     path: str,

@@ -83,3 +83,48 @@ def test_gold_partitioned_read_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     start = plan.index("PartitionFilters: [")
     assert "status" in plan[start : plan.index("]", start)]
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from bankcreditunion_datapipeline_spark.sinks import compact_to
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    orders = read_testdata(spark, sf_dir, "orders")
+    orders.repartition(24).write.parquet(src)  # simulate micro-batch accretion
+    n_src_files = len([f for f in __import__("os").listdir(src) if f.endswith(".parquet")])
+    assert n_src_files >= 20
+    n_rows = compact_to(spark, src, dest, target_files=2)
+    n_dest_files = len([f for f in __import__("os").listdir(dest) if f.endswith(".parquet")])
+    assert n_dest_files == 2
+    assert n_rows == orders.count()
+    assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from bankcreditunion_datapipeline_spark.sinks import write_overwrite
+
+    p = str(tmp_path / "orders_orc")
+    orders = read_testdata(spark, sf_dir, "orders")
+    write_overwrite(orders, p, fmt="orc")
+    back = spark.read.orc(p)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+
+
+def test_fill_period_gaps_dense(spark):
+    import datetime
+
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        fill_period_gaps,
+    )
+
+    q = lambda m: datetime.datetime(2020, m, 1)
+    rows = [(1, q(1), 10.0), (1, q(7), 30.0), (2, q(4), 20.0)]
+    df = spark.createDataFrame(rows, "k int, period timestamp, v double")
+    dense = fill_period_gaps(df, ["k"], "period", {"v": 0.0}, interval="3 months")
+    # span jan..jul = 3 quarters x 2 keys = 6 rows
+    assert dense.count() == 6
+    got = {(r.k, r.period.month): r.v for r in dense.collect()}
+    assert got[(1, 1)] == 10.0 and got[(1, 4)] == 0.0 and got[(1, 7)] == 30.0
+    assert got[(2, 1)] == 0.0 and got[(2, 4)] == 20.0 and got[(2, 7)] == 0.0

@@ -77,3 +77,16 @@ def test_text_profile_runs_on_testdata(spark, sf_dir):
     row = prof.first()
     assert row.n_chars_computed == len(row.text)
     assert row.n_tokens > 0
+
+
+def test_clean_text_masks_and_normalizes(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import clean_text
+
+    rows = [
+        ("<b>Hi</b>  contact me: a.b+x@ex-ample.co.uk or https://x.io/p?q=1 \x07 now",),
+        ("plain   text",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r.c for r in df.select(clean_text(df.text).alias("c")).collect()]
+    assert out[0] == "Hi contact me: <EMAIL> or <URL> now"
+    assert out[1] == "plain text"
