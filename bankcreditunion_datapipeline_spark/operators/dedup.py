@@ -438,3 +438,73 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine_sim")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Persistable dedup index: (id, __hashes, __sig) per document. The
+    100 TB dedup workflow is NOT re-pairing the whole corpus per run -- you
+    build this index once, write it (bucketed by id or partitioned by band
+    via lsh_band_table), and dedup each arriving delta against it.
+    """
+    shingled = ensure_min_partitions(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
+    ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    return shingled.withColumn(
+        "__sig", minhash_signature_from_hashes(F.col("__hashes"), num_hashes)
+    ).select(id_col, F.array_distinct("__hashes").alias("__hashes"), "__sig")
+
+
+def incremental_near_dup_pairs(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    index_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a new delta and an existing index: returns
+    (new_id, index_id, jaccard_sim). Only the delta is shingled; the index
+    side reuses stored signatures (pass `index_bands` if the band table is
+    also persisted -- then the index side does zero signature work and the
+    candidate join can partition-prune on band_hash).
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    new_sigs = build_minhash_index(new_df, id_col, text_col, num_hashes, shingle_k).persist()
+    new_bands = lsh_band_table(new_sigs, id_col, "__sig", bands).select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("new_id")
+    )
+    if index_bands is None:
+        index_bands = lsh_band_table(index_sigs, id_col, "__sig", bands)
+    idx_bands = index_bands.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("index_id")
+    )
+    cands = (
+        new_bands.join(idx_bands, ["band_id", "band_hash"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    a = new_sigs.select(F.col(id_col).alias("new_id"), F.col("__hashes").alias("__h_a"))
+    b = index_sigs.select(
+        F.col(id_col).alias("index_id"), F.array_distinct("__hashes").alias("__h_b")
+    )
+    return (
+        cands.join(a, "new_id")
+        .join(b, "index_id")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__h_a"), F.col("__h_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("new_id", "index_id", "jaccard_sim")
+    )

@@ -1,0 +1,112 @@
+"""End-to-end training-data curation plan: the composition the individual
+operators exist for.
+
+    raw documents
+      -> hygiene (clean_text)
+      -> language gate (lang_id in allowed set)
+      -> quality gate (quality_score >= min)
+      -> length gate (per-language p95 trim)
+      -> exact dedup (content digest, keep minimal id)
+      -> near dedup (MinHash-LSH pairs -> drop non-minimal side)
+      -> deterministic train/holdout split (hash-disjoint)
+
+Every stage reports its row count (`CurationResult.funnel`) -- rejection
+is observable, never silent (the same quarantine discipline as the
+medallion silver layer). All stages are narrow or LSH-blocked; nothing
+is quadratic and nothing touches Python workers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup_keep_min, drop_near_dups, minhash_near_dup_pairs
+from ..operators.sampling import split_train_holdout
+from ..operators.text import clean_text, lang_id, quality_score
+
+
+@dataclass
+class CurationResult:
+    train: DataFrame
+    holdout: DataFrame
+    funnel: dict[str, int] = field(default_factory=dict)
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allowed_langs: list[str] | None = None,
+    min_quality: float = 0.3,
+    length_quantile: float = 0.95,
+    near_dup_threshold: float = 0.7,
+    holdout_rate: float = 0.05,
+    count_stages: bool = True,
+) -> CurationResult:
+    """Run the curation funnel. `count_stages=False` skips the per-stage
+    counts (each is a job) for production runs where only the final
+    tables matter; the funnel then reports -1 per skipped stage.
+    """
+    funnel: dict[str, int] = {}
+    pinned: list[DataFrame] = []
+
+    # Each stage is persisted before counting: otherwise stage N's count
+    # re-executes stages 1..N-1 (the funnel is a lazy chain), turning a
+    # linear pipeline into a quadratic one. Earlier stages unpin as soon
+    # as their successor is materialized -- at most two stages are ever
+    # cached at once.
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        if count_stages:
+            df = df.persist()
+            funnel[name] = df.count()
+            while len(pinned) > 1:
+                pinned.pop(0).unpersist()
+            pinned.append(df)
+        else:
+            funnel[name] = -1
+        return df
+
+    cleaned = stage(
+        "input",
+        docs.withColumn(text_col, clean_text(F.col(text_col))),
+    )
+
+    langed = cleaned.withColumn("__lang", lang_id(F.col(text_col)))
+    if allowed_langs:
+        langed = langed.filter(F.col("__lang").isin(allowed_langs))
+    langed = stage("lang_gate", langed)
+
+    quality = stage(
+        "quality_gate",
+        langed.withColumn("__q", quality_score(F.col(text_col))).filter(
+            F.col("__q") >= min_quality
+        ),
+    )
+
+    # per-language length trim: tiny cutoff table broadcast back
+    cut = quality.groupBy("__lang").agg(
+        F.percentile(F.length(text_col), F.lit(length_quantile)).alias("__cut")
+    )
+    trimmed = stage(
+        "length_gate",
+        quality.join(F.broadcast(cut), "__lang").filter(
+            F.length(text_col) <= F.col("__cut")
+        ),
+    )
+
+    exact = stage("exact_dedup", exact_dedup_keep_min(trimmed, id_col, text_col))
+
+    pairs = minhash_near_dup_pairs(
+        exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+    )
+    near = stage("near_dedup", drop_near_dups(exact, pairs, id_col))
+
+    final = near.drop("__lang", "__q", "__cut")
+    train, holdout = split_train_holdout(final, id_col, holdout_rate)
+    if count_stages:
+        funnel["train"] = train.count()
+        funnel["holdout"] = holdout.count()
+    return CurationResult(train=train, holdout=holdout, funnel=funnel)

@@ -1512,6 +1512,99 @@ def q46_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rolling time-range window: trailing-90-day revenue per customer (RANGE
+# frame over event time, not ROWS -- gaps and bursts handled correctly).
+# ---------------------------------------------------------------------------
+@register(
+    "q47_rolling_90d_revenue",
+    """
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2)
+             AS rolling_90d_revenue
+    FROM orders
+    WHERE o_custkey < 20
+    """,
+    doc="time-RANGE window frame (trailing 90 days) via rangeBetween over "
+    "unix seconds; one shuffle on the partition key.",
+)
+def q47_rolling_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_90d_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group quantile outlier filter: keep documents under their language's
+# p95 length -- the distribution-aware quality gate (a fixed global cutoff
+# mis-trims languages with different length profiles).
+# ---------------------------------------------------------------------------
+@register(
+    "q48_p95_length_filter",
+    """
+    WITH cut AS (
+      SELECT lang, quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang)
+    SELECT d.lang,
+           count(*) AS n_kept,
+           round(avg(d.n_chars), 4) AS avg_chars_kept
+    FROM documents d JOIN cut USING (lang)
+    WHERE d.n_chars <= cut.p95
+    GROUP BY d.lang
+    """,
+    doc="per-group exact p95 cutoff (broadcast tiny cutoff table back to the "
+    "corpus); at 100 TB swap quantile_cont for approx_percentile -- the "
+    "join shape is identical.",
+)
+def q48_p95_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cut = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.95)).alias("p95")
+    )
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .filter(F.col("n_chars") <= F.col("p95"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full curation funnel (composition of hygiene -> lang gate -> quality gate
+# -> p95 trim -> exact dedup -> near dedup -> split). Rows-only: lang-ID and
+# quality heuristics aren't SQL-portable; each underlying operator is
+# oracle-checked individually (q16/q18/q17/q48/q44/q21).
+# ---------------------------------------------------------------------------
+@register(
+    "q49_curation_funnel",
+    None,
+    doc="curate_documents end-to-end: per-stage surviving-row counts "
+    "(observable rejection); train/holdout hash-disjoint by construction.",
+)
+def q49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.curation import curate_documents
+
+    docs = t(spark, sf_dir, "documents")
+    res = curate_documents(docs, min_quality=0.2)
+    rows = [(k, int(v)) for k, v in res.funnel.items()]
+    return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

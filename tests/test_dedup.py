@@ -148,3 +148,30 @@ def test_lsh_band_table_shape(spark):
     sigs2 = two.select("doc_id", minhash_signature(word_shingles(F.col("text")), 32).alias("sig"))
     cp = candidate_pairs(lsh_band_table(sigs2, "doc_id", "sig", 8), "doc_id").collect()
     assert [(r.id_a, r.id_b) for r in cp] == [(1, 2)]
+
+
+def test_incremental_near_dups_matches_full_run(spark, sf_dir):
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_near_dup_pairs,
+        minhash_near_dup_pairs,
+    )
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)   # "corpus"
+    delta = docs.filter(F.col("doc_id") % 2 == 1)      # "today's arrivals"
+    index = build_minhash_index(existing).persist()
+    inc = incremental_near_dup_pairs(delta, index)
+    inc_pairs = {
+        frozenset((r.new_id, r.index_id)) for r in inc.collect()
+    }
+    # ground truth: full-corpus run restricted to (odd, even) cross pairs
+    full = minhash_near_dup_pairs(docs)
+    cross = {
+        frozenset((r.id_a, r.id_b))
+        for r in full.collect()
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    assert inc_pairs == cross
+    assert len(inc_pairs) > 0  # fixture contains cross near-dups
