@@ -101,3 +101,22 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_left.join(salted_right, [*on, "__salt"], how).drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 20
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key row counts for the top_k
+    heaviest keys plus each key's share of the total. Run this BEFORE
+    choosing a join strategy on a new dataset -- a top key holding >~5% of
+    rows predicts straggler tasks and motivates salted_join / AQE skew
+    split. One aggregation pass; output is O(top_k)."""
+    total = df.count()
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        counts.withColumn(
+            "share", F.round(F.col("n_rows") / F.lit(total), 6)
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_k)
+    )

@@ -81,3 +81,19 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "15 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose `id_cols` were already seen
+    within the watermark horizon (state for ids older than the watermark is
+    evicted, so memory is bounded by arrival rate x delay, not stream
+    length). The streaming twin of exact_dedup for at-least-once sources
+    that re-deliver (Kafka replays, file-source restarts)."""
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )

@@ -67,3 +67,13 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, ["k"]).groupBy("tag").count()
     salted = salted_join(left, right, ["k"], salt_buckets=4).groupBy("tag").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_key_skew_report(spark):
+    from bankcreditunion_datapipeline_spark.operators.conform import key_skew_report
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    rep = key_skew_report(df, ["k"], top_k=2).collect()
+    assert rep[0].k == "hot" and rep[0].n_rows == 80 and abs(rep[0].share - 0.8) < 1e-6
+    assert rep[1].k == "warm" and rep[1].n_rows == 15

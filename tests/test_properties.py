@@ -69,3 +69,16 @@ def test_union_by_name_commutative(spark, rows):
     ab = union_conform([a, b]).select("k", "period", "v")
     ba = union_conform([b, a]).select("k", "period", "v")
     assert sorted(map(tuple, ab.collect())) == sorted(map(tuple, ba.collect()))
+
+
+@given(st.text(max_size=300))
+@settings(**COMMON)
+def test_clean_text_idempotent(spark, s):
+    from bankcreditunion_datapipeline_spark.operators.text import clean_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,)], "text string")
+    once, twice = df.select(
+        clean_text(F.col("text")).alias("a"),
+    ).select("a", clean_text(F.col("a")).alias("b")).first()
+    assert once == twice

@@ -145,3 +145,26 @@ def test_stateful_cumulative_across_batches(spark, tmp_path):
         assert r.n_events == 4
     # user 0 (id % 3 == 0) saw event ids {0,3,102,105} -> total 210 (value == id)
     assert final[0].total_value == 0 + 3 + 102 + 105
+
+
+def test_dedup_stream_drops_redelivered(spark, tmp_path):
+    from bankcreditunion_datapipeline_spark.streaming.windows import dedup_stream
+
+    src = str(tmp_path / "src_dup")
+    # batch 1: events 0..9; batch 2: same ids REdelivered + 5 new
+    _write_events(spark, src, 0, 10)
+    _write_events(spark, src, 0, 10)   # duplicate file content (same ids)
+    _write_events(spark, src, 200, 5)
+    stream_df = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        dedup_stream(stream_df, ["event_id"], watermark_delay="10 hours"),
+        "dedup_out",
+        str(tmp_path / "ckpt_dedup"),
+    )
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)) == 15  # 10 unique + 5 new, replays dropped
