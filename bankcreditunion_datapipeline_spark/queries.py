@@ -1605,6 +1605,135 @@ def q49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage string, n_rows long")
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-gated aggregate joined back to detail rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q50_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 120)
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           round(o_totalprice, 2) AS total_price, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: grouped HAVING filter reduces the fact side FIRST, "
+    "then joins back to detail -- the aggregate acts as its own semi-join.",
+)
+def q50_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 120)
+        .select(F.col("l_orderkey"), F.round("__q", 2).alias("total_qty"))
+    )
+    return (
+        big.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+        .join(cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .select(
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar subquery threshold + anti-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q51_dormant_rich_customers",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold (one tiny agg, reused "
+    "as a literal) + left_anti join (no large orders) -- no correlated "
+    "per-row subquery execution.",
+)
+def q51_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    # scalar subquery: computed as a 1-row DF crossed in (stays in-plan;
+    # Catalyst broadcasts the single row -- no driver round-trip)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 300000).select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Pandas-UDF path: project embeddings onto fixed axes with a
+# numpy matmul inside mapInPandas. The oracle computes the identical dot
+# products in SQL -- proving the Arrow round-trip preserves values.
+# ---------------------------------------------------------------------------
+@register(
+    "q52_embedding_projection",
+    """
+    WITH proj AS (
+      SELECT label,
+             list_dot_product(embedding::DOUBLE[],
+               [CAST(1.0 + (i % 7) * 0.25 AS DOUBLE) FOR i IN range(64)]) AS x,
+             list_dot_product(embedding::DOUBLE[],
+               [CAST(2.0 - (i % 5) * 0.5 AS DOUBLE) FOR i IN range(64)]) AS y
+      FROM embeddings)
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(x), 4) AS mean_x,
+           round(avg(y), 4) AS mean_y
+    FROM proj
+    GROUP BY label
+    """,
+    doc="mapInPandas + numpy matmul projection (Arrow-batched, vectorized "
+    "Python); oracle recomputes the same fixed-axis dot products in SQL.",
+)
+def q52_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import project_embeddings
+
+    emb = t(spark, sf_dir, "embeddings")
+    axes = [
+        [1.0 + (i % 7) * 0.25 for i in range(64)],
+        [2.0 - (i % 5) * 0.5 for i in range(64)],
+    ]
+    proj = project_embeddings(emb, axes, vec_col="embedding", keep_cols=["label"])
+    return proj.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("proj_0"), 4).alias("mean_x"),
+        F.round(F.avg("proj_1"), 4).alias("mean_y"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
