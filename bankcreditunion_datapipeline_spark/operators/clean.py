@@ -135,3 +135,28 @@ def select_sort_dated_cols(
     sorted (desc = newest quarter first). Metadata-only projection."""
     rest = sorted((c for c in df.columns if c not in first_cols), reverse=sort_desc)
     return df.select(*first_cols, *rest)
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: one output row per column with null and
+    exact-distinct counts. ONE aggregation pass over the table (every
+    stat is an agg expression; the per-column melt happens on the single
+    result row) -- never one job per column. At 100 TB swap countDistinct
+    for approx_count_distinct; the shape is unchanged."""
+    columns = columns or df.columns
+    aggs = []
+    for c in columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{c}"))
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+            )
+            for c in columns
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p")).select("p.column", "p.n_nulls", "p.n_distinct")

@@ -1734,6 +1734,82 @@ def q52_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode: most frequent value via count + window
+# rank with a value tiebreak (plain mode() is tie-nondeterministic across
+# engines; this form is reproducible anywhere).
+# ---------------------------------------------------------------------------
+@register(
+    "q53_modal_priority",
+    """
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rk
+      FROM counted)
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS n_orders
+    FROM ranked WHERE rk = 1
+    """,
+    doc="deterministic mode per group (count -> row_number with value "
+    "tiebreak); the top-1-per-group pattern, never a global sort.",
+)
+def q53_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: nulls + exact distincts for every column in ONE pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q54_column_profile",
+    """
+    SELECT 'c_custkey' AS column, sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT c_custkey) AS n_distinct FROM customer
+    UNION ALL
+    SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT c_nationkey) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT c_acctbal) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT c_mktsegment) FROM customer
+    """,
+    doc="column_profile: per-column null/distinct stats in ONE aggregation "
+    "pass (the oracle needs five scans; the engine needs one).",
+)
+def q54_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clean import column_profile
+
+    cust = t(spark, sf_dir, "customer")
+    return column_profile(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
