@@ -31,10 +31,21 @@ def norm(a: Column | list[float]) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _py_norm(v: list[float]) -> float:
+    return sum(float(x) * float(x) for x in v) ** 0.5
+
+
 def cosine(a: Column | list[float], b: Column | list[float]) -> Column:
-    """Cosine similarity; NULL-safe for zero vectors (returns NULL)."""
-    a, b = _as_double(a), _as_double(b)
-    denom = norm(a) * norm(b)
+    """Cosine similarity; NULL-safe for zero vectors (returns NULL).
+
+    When either side is a Python literal its norm is computed driver-side
+    (a float constant in the plan) instead of as a per-row HOF fold --
+    array HOF lambdas evaluate interpreted per element, so every fold
+    removed is a real win on wide embedding columns.
+    """
+    norm_a = F.lit(_py_norm(a)) if isinstance(a, list) else norm(_as_double(a))
+    norm_b = F.lit(_py_norm(b)) if isinstance(b, list) else norm(_as_double(b))
+    denom = norm_a * norm_b
     return F.when(denom != 0, dot(a, b) / denom)
 
 
@@ -72,3 +83,35 @@ def sign_bits(vec: Column, planes: list[list[float]]) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two packed 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def attach_sign_bits(df, planes: list[list[float]], vec_col: str = "embedding", out: str = "lsh_sig"):
+    """Arrow-batched sign-LSH signatures: one (n x dim) @ (dim x n_planes)
+    numpy matmul per batch, packed into a LONG column appended to the input.
+
+    This replaces n_planes interpreted HOF folds per row with one BLAS call
+    per Arrow batch -- the scale path for signature computation (the
+    expression form `sign_bits` stays for single-vector / plan-only uses).
+    Sign flips vs sequential summation require |dot| ~ 1e-16, measure-zero
+    with Gaussian planes; downstream candidates are exact-verified anyway.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert len(planes) <= 63, "signature must fit a signed 64-bit long"
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (1 << np.arange(mat.shape[1], dtype=np.uint64)).astype(np.int64)
+    schema = StructType(list(df.schema.fields) + [StructField(out, LongType())])
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (vecs @ mat) >= 0  # (n, n_planes) bool
+            pdf[out] = (bits * weights).sum(axis=1)
+            yield pdf
+
+    return df.mapInPandas(fn, schema)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hamming64, random_hyperplanes, sign_bits
+from ..functions.vectors import attach_sign_bits, cosine, hamming64, random_hyperplanes
 
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread CPU-heavy narrow work across the cluster when the input arrives
@@ -94,6 +94,60 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Colum
             for i in range(num_hashes)
         ]
     )
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def attach_minhash_from_hashes(
+    df: DataFrame, hashes_col: str, num_hashes: int = 32, out: str = "__sig"
+) -> DataFrame:
+    """Arrow-batched MinHash: derive the num_hashes family from the 8-byte
+    base hashes with vectorized splitmix64 mixing, per-row mins via ONE
+    `minimum.reduceat` over the batch's concatenated hash arrays per
+    function -- no per-row Python and no interpreted HOF lambda per hash
+    function (the expression form re-walks each array num_hashes times,
+    interpreted; this is the scale path). The string scan stays JVM-side
+    (xxhash64 in `word_shingles` callers); only int64 arrays cross Arrow.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    schema = StructType(list(df.schema.fields) + [StructField(out, ArrayType(LongType()))])
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            rows = [np.asarray(h, dtype=np.int64) for h in pdf[hashes_col]]
+            lens = np.asarray([len(r) for r in rows])
+            keep = lens > 0
+            flat = (
+                np.concatenate([r for r in rows if len(r)])
+                if keep.any()
+                else np.empty(0, dtype=np.int64)
+            ).astype(np.uint64)
+            starts = np.zeros(int(keep.sum()), dtype=np.int64)
+            if len(starts) > 1:
+                starts[1:] = np.cumsum(lens[keep])[:-1]
+            sigs = np.zeros((n, num_hashes), dtype=np.uint64)
+            for i, seed in enumerate(seeds):
+                mixed = _splitmix64(flat ^ seed)
+                if len(starts):
+                    sigs[keep, i] = np.minimum.reduceat(mixed, starts)
+            pdf[out] = list(sigs.astype(np.int64))
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
 
 
 def with_minhash(
@@ -177,12 +231,13 @@ def minhash_near_dup_pairs(
     # One narrow pass computes shingles + signature; persisted because three
     # downstream branches (band table, verify-a, verify-b) would otherwise
     # re-shingle the corpus. At 100 TB this is a checkpointed table.
-    shingled = ensure_min_partitions(df).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
-    ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
-    sigs = shingled.withColumn(
-        "__sig", minhash_signature_from_hashes(F.col("__hashes"), num_hashes)
-    ).persist()
+    shingled = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+        .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        .select(id_col, "__hashes")
+    )
+    sigs = attach_minhash_from_hashes(shingled, "__hashes", num_hashes, "__sig").persist()
     bands_t = lsh_band_table(sigs, id_col, "__sig", bands)
     cands = candidate_pairs(bands_t, id_col)
     # Verify on the hashed shingle sets (longs), not the string arrays --
@@ -290,6 +345,62 @@ def simhash(text: Column, prefix_bits: int = 16) -> Column:
     )
 
 
+def attach_simhash(
+    df: DataFrame, id_col: str, text_col: str, out: str = "__sim"
+) -> DataFrame:
+    """(id, simhash) via the Arrow-batched scale path. Tokenization and the
+    one string hash stay JVM-side (identical to `simhash`: distinct
+    whitespace tokens -> xxhash64); the 64-bit majority vote runs as
+    vectorized numpy over the batch's concatenated token hashes (one
+    add.reduceat per bit) instead of a 64-wide interpreted zip_with per
+    token. Bit-identical to the expression form: bit b set iff strictly
+    more token hashes have bit b set than clear."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashed = df.select(
+        F.col(id_col), F.transform(tokens, lambda t: F.xxhash64(t)).alias("__th")
+    )
+    schema = StructType([hashed.schema[id_col], StructField(out, LongType())])
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            rows = [
+                np.asarray(h, dtype=np.int64) if h is not None else None
+                for h in pdf["__th"]
+            ]
+            valid = np.asarray([r is not None and len(r) > 0 for r in rows])
+            lens = np.asarray([len(r) if r is not None else 0 for r in rows])
+            flat = (
+                np.concatenate([r for r in rows if r is not None and len(r)])
+                if valid.any()
+                else np.empty(0, dtype=np.int64)
+            ).astype(np.uint64)
+            starts = np.zeros(int(valid.sum()), dtype=np.int64)
+            if len(starts) > 1:
+                starts[1:] = np.cumsum(lens[valid])[:-1]
+            sig = np.zeros(n, dtype=np.uint64)
+            if len(starts):
+                vlens = lens[valid].astype(np.int64)
+                packed = np.zeros(len(starts), dtype=np.uint64)
+                for b in range(64):
+                    ones = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                    counts = np.add.reduceat(ones, starts)
+                    packed |= (2 * counts > vlens).astype(np.uint64) << np.uint64(b)
+                sig[valid] = packed
+            out_vals = pd.array(sig.astype(np.int64), dtype="Int64")
+            out_vals[~valid] = pd.NA
+            yield pd.DataFrame({id_col: pdf[id_col], out: out_vals})
+
+    return hashed.mapInPandas(fn, schema)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -304,13 +415,9 @@ def simhash_near_dup_pairs(
     """
     assert chunks > max_hamming, "need chunks > max_hamming for pigeonhole completeness"
     bits_per = 64 // chunks
-    # persist: the signature (64-wide aggregate per token) feeds both join
-    # sides; recomputing it doubles the dominant cost.
-    sigd = (
-        ensure_min_partitions(df)
-        .select(F.col(id_col), simhash(F.col(text_col)).alias("__sim"))
-        .persist()
-    )
+    # persist: the signature feeds both join sides; recomputing it doubles
+    # the dominant cost.
+    sigd = attach_simhash(ensure_min_partitions(df), id_col, text_col, "__sim").persist()
     chunk_structs = F.array(
         *[
             F.struct(
@@ -365,12 +472,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dups, LSH-blocked (same minhash/band
     machinery, character shingles instead of word shingles)."""
-    grams = ensure_min_partitions(df).select(
-        F.col(id_col), char_ngrams(F.col(text_col), n).alias("__sh")
-    ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
-    sigs = grams.withColumn(
-        "__sig", minhash_signature_from_hashes(F.col("__hashes"), num_hashes)
-    ).persist()
+    grams = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), char_ngrams(F.col(text_col), n).alias("__sh"))
+        .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        .select(id_col, "__hashes")
+    )
+    sigs = attach_minhash_from_hashes(grams, "__hashes", num_hashes, "__sig").persist()
     cands = candidate_pairs(lsh_band_table(sigs, id_col, "__sig", bands), id_col)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("__hashes").alias("__h_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("__hashes").alias("__h_b"))
@@ -404,8 +512,8 @@ def embedding_near_dup_pairs(
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes)
     df = ensure_min_partitions(df)
-    sigd = df.select(
-        F.col(id_col), F.col(vec_col), sign_bits(F.col(vec_col), planes).alias("__sig")
+    sigd = attach_sign_bits(
+        df.select(F.col(id_col), F.col(vec_col)), planes, vec_col, "__sig"
     ).persist()
     chunks = max_hamming + 1
     bits_per = n_planes // chunks
@@ -457,12 +565,15 @@ def build_minhash_index(
     build this index once, write it (bucketed by id or partitioned by band
     via lsh_band_table), and dedup each arriving delta against it.
     """
-    shingled = ensure_min_partitions(df).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
-    ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
-    return shingled.withColumn(
-        "__sig", minhash_signature_from_hashes(F.col("__hashes"), num_hashes)
-    ).select(id_col, F.array_distinct("__hashes").alias("__hashes"), "__sig")
+    shingled = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+        .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        .select(id_col, "__hashes")
+    )
+    return attach_minhash_from_hashes(shingled, "__hashes", num_hashes, "__sig").select(
+        id_col, F.array_distinct("__hashes").alias("__hashes"), "__sig"
+    )
 
 
 def incremental_near_dup_pairs(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, hamming64, random_hyperplanes, sign_bits
+from ..functions.vectors import attach_sign_bits, cosine, dot, hamming64, random_hyperplanes
 
 
 def brute_force_topk(
@@ -54,11 +54,15 @@ def with_lsh_signature(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Attach a packed sign-LSH signature column; returns (df, planes) so
     queries hash with the same plane set. At scale, persist the signed table
-    (signature computation is the expensive narrow pass)."""
+    (signature computation is the expensive narrow pass).
+
+    Signatures are computed Arrow-batched (one numpy matmul per batch via
+    mapInPandas) -- n_planes interpreted HOF folds per row don't survive
+    wide embedding columns."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    return df.withColumn(out, sign_bits(F.col(vec_col), planes)), planes
+    return attach_sign_bits(df, planes, vec_col, out), planes
 
 
 def lsh_topk(
@@ -113,17 +117,35 @@ def build_ivf_index(
 
     Returns (indexed_df with `ivf_cell` column, centroids). At scale,
     write indexed_df partitioned by ivf_cell so probes prune partitions.
+
+    Assignment runs Arrow-batched: one (n x dim) @ (dim x k) numpy matmul
+    per batch against unit-normalized centroids, argmax per row. Cosine
+    argmax == dot argmax against unit centroids (row norm is a common
+    positive factor), so per-cell norm folds are never computed.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     seeds = df.orderBy(F.asc(id_col)).limit(k_cells).select(id_col, vec_col).collect()
     centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds]
-    scored = F.array(
-        *[
-            F.struct(cosine(F.col(vec_col), c).alias("sim"), F.lit(cid).alias("cell"))
-            for cid, c in centroids
-        ]
-    )
-    assigned = df.withColumn("ivf_cell", F.array_max(scored)["cell"])
-    return assigned, centroids
+
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0] = 1.0
+    cmat = (cmat / norms[:, None]).T  # (dim, k) unit columns
+    cell_ids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+    schema = StructType(list(df.schema.fields) + [StructField("ivf_cell", IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf["ivf_cell"] = cell_ids[np.argmax(vecs @ cmat, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(assign, schema), centroids
 
 
 def ivf_topk(
