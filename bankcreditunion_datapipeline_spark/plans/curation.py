@@ -53,11 +53,11 @@ def curate_documents(
     funnel: dict[str, int] = {}
     pinned: list[DataFrame] = []
 
-    # Each stage is persisted before counting: otherwise stage N's count
-    # re-executes stages 1..N-1 (the funnel is a lazy chain), turning a
-    # linear pipeline into a quadratic one. Earlier stages unpin as soon
-    # as their successor is materialized -- at most two stages are ever
-    # cached at once.
+    # Group-based stages (dedup, split) are persisted before counting:
+    # otherwise stage N's count re-executes stages 1..N-1 (the funnel is a
+    # lazy chain), turning a linear pipeline into a quadratic one. Earlier
+    # stages unpin as soon as their successor is materialized -- at most
+    # two stages are ever cached at once.
     def stage(name: str, df: DataFrame) -> DataFrame:
         if count_stages:
             df = df.persist()
@@ -69,22 +69,34 @@ def curate_documents(
             funnel[name] = -1
         return df
 
-    cleaned = stage(
-        "input",
-        docs.withColumn(text_col, clean_text(F.col(text_col))),
+    # The predicate gates (lang, quality) are row-local, so their funnel
+    # counts come from ONE conditional aggregation over one persisted base
+    # -- not one persist+count job per gate. Only group-based stages
+    # (length cutoff, dedups, split) need their own materialization.
+    base = (
+        docs.withColumn(text_col, clean_text(F.col(text_col)))
+        .withColumn("__lang", lang_id(F.col(text_col)))
+        .withColumn("__q", quality_score(F.col(text_col)))
     )
-
-    langed = cleaned.withColumn("__lang", lang_id(F.col(text_col)))
-    if allowed_langs:
-        langed = langed.filter(F.col("__lang").isin(allowed_langs))
-    langed = stage("lang_gate", langed)
-
-    quality = stage(
-        "quality_gate",
-        langed.withColumn("__q", quality_score(F.col(text_col))).filter(
-            F.col("__q") >= min_quality
-        ),
+    lang_ok = (
+        F.col("__lang").isin(allowed_langs) if allowed_langs else F.lit(True)
     )
+    qual_ok = lang_ok & (F.col("__q") >= min_quality)
+    if count_stages:
+        base = base.persist()
+        pinned.append(base)
+        gate_counts = base.agg(
+            F.count(F.lit(1)).alias("input"),
+            F.sum(lang_ok.cast("long")).alias("lang_gate"),
+            F.sum(qual_ok.cast("long")).alias("quality_gate"),
+        ).first()
+        funnel["input"] = gate_counts["input"]
+        funnel["lang_gate"] = int(gate_counts["lang_gate"] or 0)
+        funnel["quality_gate"] = int(gate_counts["quality_gate"] or 0)
+    else:
+        funnel["input"] = funnel["lang_gate"] = funnel["quality_gate"] = -1
+
+    quality = base.filter(qual_ok)
 
     # per-language length trim: tiny cutoff table broadcast back
     cut = quality.groupBy("__lang").agg(

@@ -66,8 +66,17 @@ def read_parquet(
     return reader.parquet(path)
 
 
+_TESTDATA_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one of the driver-generated star-schema tables.
+
+    The resolved DataFrame is memoized per (session, path): the testdata
+    dirs are immutable, so re-resolving the scan (file listing + footer
+    schema) on every query is pure overhead -- this is what a catalog's
+    table resolution does once. DataFrames are immutable plans; sharing
+    one across queries is safe.
 
     `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by default
     (TIMESTAMP is micros); read it as a long and convert with integer DIV
@@ -75,6 +84,10 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     is micro-precision, so the conversion is lossless.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    cached = _TESTDATA_CACHE.get(key)
+    if cached is not None:
+        return cached
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
@@ -82,8 +95,10 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TESTDATA_CACHE[key] = df
+    return df
 
 
 def testdata_tables(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
