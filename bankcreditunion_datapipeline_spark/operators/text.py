@@ -167,3 +167,81 @@ def clean_text(text: Column) -> Column:
     return normalize_whitespace(
         remove_control_chars(mask_urls(mask_emails(strip_html(text))))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII masking beyond emails/URLs. Longest/most-specific patterns run first
+# so a card number is not half-eaten by the phone pattern; apply in the
+# SAME order in any twin engine.
+# ---------------------------------------------------------------------------
+
+_CARD_RE = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+_PHONE_RE = r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def mask_card_numbers(text: Column, token: str = "<CARD>") -> Column:
+    return F.regexp_replace(text, _CARD_RE, token)
+
+
+def mask_ssns(text: Column, token: str = "<SSN>") -> Column:
+    return F.regexp_replace(text, _SSN_RE, token)
+
+
+def mask_phones(text: Column, token: str = "<PHONE>") -> Column:
+    return F.regexp_replace(text, _PHONE_RE, token)
+
+
+def mask_ipv4(text: Column, token: str = "<IP>") -> Column:
+    return F.regexp_replace(text, _IPV4_RE, token)
+
+
+def mask_pii(text: Column) -> Column:
+    """Full PII redaction chain: emails -> cards -> SSNs -> phones -> IPs.
+    One codegen'd expression; idempotent (mask tokens contain no digits)."""
+    return mask_ipv4(mask_phones(mask_ssns(mask_card_numbers(mask_emails(text)))))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / layout quality signals (Gopher-style): duplicate-line
+# fraction, bullet-line fraction, mean word length, symbol-to-word ratio.
+# All JVM array/string built-ins; each is SQL-expressible for oracles.
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition and layout stats (narrow, one pass).
+
+    - dup_line_frac: 1 - distinct/total physical lines; boilerplate and
+      scraped templates score high.
+    - bullet_line_frac: fraction of lines starting with a bullet marker.
+    - mean_word_len: non-whitespace chars / whitespace tokens.
+    - symbol_word_ratio: '#' and '...' occurrences per token (markup/
+      truncation junk signal).
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_tok = token_count(c)
+    n_nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    symbols = substring_count(c, "#") + substring_count(c, "...")
+    return df.withColumns(
+        {
+            "n_lines": n_lines,
+            "dup_line_frac": F.round(
+                F.when(n_lines > 0, 1.0 - n_distinct / n_lines).otherwise(0.0), 6
+            ),
+            "bullet_line_frac": F.round(
+                F.when(n_lines > 0, bullet / n_lines).otherwise(0.0), 6
+            ),
+            "mean_word_len": F.round(
+                F.when(n_tok > 0, n_nonspace / n_tok).otherwise(0.0), 6
+            ),
+            "symbol_word_ratio": F.round(
+                F.when(n_tok > 0, symbols / n_tok).otherwise(0.0), 6
+            ),
+        }
+    )

@@ -1810,6 +1810,106 @@ def q54_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / layout quality signals, aggregated per source.
+# ---------------------------------------------------------------------------
+@register(
+    "q55_repetition_signals",
+    r"""
+    SELECT source,
+           count(*)                          AS n_docs,
+           round(avg(dup_line_frac), 4)      AS avg_dup_line_frac,
+           round(max(dup_line_frac), 4)      AS max_dup_line_frac,
+           round(avg(bullet_line_frac), 4)   AS avg_bullet_line_frac,
+           round(avg(mean_word_len), 4)      AS avg_mean_word_len,
+           round(avg(symbol_word_ratio), 4)  AS avg_symbol_word_ratio
+    FROM (
+      SELECT source,
+             round(CASE WHEN len(lines) > 0
+               THEN 1 - len(list_distinct(lines)) * 1.0 / len(lines) ELSE 0 END, 6)
+               AS dup_line_frac,
+             round(CASE WHEN len(lines) > 0
+               THEN len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                    * 1.0 / len(lines) ELSE 0 END, 6) AS bullet_line_frac,
+             round(CASE WHEN n_tok > 0
+               THEN length(regexp_replace(text, '\s', '', 'g')) * 1.0 / n_tok
+               ELSE 0 END, 6) AS mean_word_len,
+             round(CASE WHEN n_tok > 0
+               THEN (CAST((length(text) - length(replace(text, '#', ''))) / 1 AS INT)
+                   + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT))
+                    * 1.0 / n_tok
+               ELSE 0 END, 6) AS symbol_word_ratio
+      FROM (
+        SELECT source, text,
+               string_split(text, chr(10)) AS lines,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        FROM documents))
+    GROUP BY source
+    """,
+    doc="repetition_signals: duplicate-line fraction, bullet-line fraction, "
+    "mean word length, symbol-to-word ratio (Gopher-style layout quality "
+    "stats), one narrow pass then one aggregation.",
+)
+def q55_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_signals
+
+    docs = t(spark, sf_dir, "documents")
+    sig = repetition_signals(docs)
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_line_frac"), 4).alias("avg_dup_line_frac"),
+        F.round(F.max("dup_line_frac"), 4).alias("max_dup_line_frac"),
+        F.round(F.avg("bullet_line_frac"), 4).alias("avg_bullet_line_frac"),
+        F.round(F.avg("mean_word_len"), 4).alias("avg_mean_word_len"),
+        F.round(F.avg("symbol_word_ratio"), 4).alias("avg_symbol_word_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction chain (emails -> cards -> SSNs -> phones -> IPv4), verified
+# by running the identical RE2 regexes in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q56_pii_masking",
+    r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN masked <> text THEN 1 ELSE 0 END) AS n_changed,
+           sum(CAST((length(masked) - length(replace(masked, '<EMAIL>', '')))
+               / 7 AS INT)) AS n_emails,
+           sum(CAST((length(masked) - length(replace(masked, '<IP>', '')))
+               / 4 AS INT)) AS n_ips
+    FROM (
+      SELECT source, text,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b', '<CARD>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                 '(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS masked
+      FROM documents)
+    GROUP BY source
+    """,
+    doc="mask_pii: email/card/SSN/phone/IPv4 redaction as one codegen'd "
+    "regexp chain; oracle runs the same RE2 patterns in the same order.",
+)
+def q56_pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import mask_pii, substring_count
+
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select("source", "text", mask_pii(F.col("text")).alias("masked"))
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("masked") != F.col("text"), 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.sum(substring_count(F.col("masked"), "<EMAIL>")).alias("n_emails"),
+        F.sum(substring_count(F.col("masked"), "<IP>")).alias("n_ips"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

@@ -90,3 +90,37 @@ def test_clean_text_masks_and_normalizes(spark):
     out = [r.c for r in df.select(clean_text(df.text).alias("c")).collect()]
     assert out[0] == "Hi contact me: <EMAIL> or <URL> now"
     assert out[1] == "plain text"
+
+
+def test_mask_pii_all_kinds(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import mask_pii
+
+    rows = [
+        ("card 4111-1111-1111-1111 ssn 123-45-6789 call 555-867-5309 ip 10.0.0.1",),
+        ("mail me at who@example.org from 192.168.1.100",),
+        ("no pii here",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r.m for r in df.select(mask_pii(df.text).alias("m")).collect()]
+    assert out[0] == "card <CARD> ssn <SSN> call <PHONE> ip <IP>"
+    assert out[1] == "mail me at <EMAIL> from <IP>"
+    assert out[2] == "no pii here"
+    # idempotent: masking already-masked text is a no-op
+    out2 = [r.m for r in df.select(mask_pii(mask_pii(df.text)).alias("m")).collect()]
+    assert out2 == out
+
+
+def test_repetition_signals(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "same line\nsame line\nsame line\nother"),
+        (2, "- one\n- two\nplain"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].n_lines == 4
+    assert out[1].dup_line_frac == 0.5  # 4 lines, 2 distinct
+    assert out[2].bullet_line_frac == round(2 / 3, 6)
+    assert out[3].dup_line_frac == 0.0 and out[3].mean_word_len == 0.0
