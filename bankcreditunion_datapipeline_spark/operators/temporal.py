@@ -135,3 +135,74 @@ def fill_period_gaps(
     keys = df.select(*key_cols).distinct()
     scaffold = keys.crossJoin(F.broadcast(periods))
     return scaffold.join(df, [*key_cols, period_col], "left").fillna(fill_values)
+
+
+def scd2_from_snapshots(
+    df: DataFrame,
+    key_cols: list[str],
+    snapshot_col: str,
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Collapse a snapshot series into SCD2 validity intervals: one row per
+    (key, unbroken run of identical tracked values), with `valid_from` =
+    first snapshot of the run and `valid_to` = next run's start (NULL =
+    current). The reference's silver table is exactly such a quarterly
+    snapshot series keyed by (charter_number, institution_type,
+    quarter_date) (reference silverLayer/BuildSilverLayer.py:312-327);
+    SCD2 is its history-compressed form.
+
+    Plan shape: two window passes over ONE shuffle on key_cols (change
+    flag via lag, then run-id via running sum -- the gaps-and-islands
+    idiom), a groupBy on (key, run) that reuses the same partitioning,
+    and a lead() for valid_to. No self-joins.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(snapshot_col)
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    flagged = df.withColumn(
+        "__chg", F.when(F.lag(F.col(snapshot_col)).over(w).isNull(), F.lit(True)).otherwise(changed)
+    ).withColumn("__run", F.sum(F.col("__chg").cast("long")).over(w))
+    runs = flagged.groupBy(*key_cols, "__run").agg(
+        F.min(snapshot_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in tracked_cols],
+    )
+    w_runs = Window.partitionBy(*key_cols).orderBy("valid_from")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w_runs))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__run")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Keyed MERGE/upsert without a table format: latest version per key
+    wins across base ∪ delta (ties break toward the delta side). The
+    parquet-era equivalent of Delta's MERGE INTO latest-wins; at scale,
+    write the result partitioned/bucketed by key so the next merge's
+    shuffle is avoidable.
+
+    One unionByName + one window (single shuffle on key_cols). Delta rows
+    with keys absent from base are inserts; matching keys with newer
+    versions are updates; base rows otherwise survive unchanged.
+    """
+    from pyspark.sql import Window
+
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        delta.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("__src")
+    )
+    return (
+        tagged.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__src")
+    )

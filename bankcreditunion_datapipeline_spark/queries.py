@@ -1910,6 +1910,105 @@ def q56_pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 history compression: snapshot series -> validity intervals
+# (gaps-and-islands; the reference's quarterly silver series in
+# history-compressed form).
+# ---------------------------------------------------------------------------
+@register(
+    "q57_scd2_event_intervals",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_type FROM events WHERE user_id < 20),
+    flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1
+                  WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                    THEN 1 ELSE 0 END AS chg
+      FROM e),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts) AS run
+      FROM flagged),
+    grouped AS (
+      SELECT user_id, run, min(ts) AS valid_from, min(event_type) AS event_type
+      FROM runs GROUP BY user_id, run)
+    SELECT user_id, valid_from, event_type,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM grouped
+    """,
+    doc="scd2_from_snapshots: lag change-flag -> running-sum run id -> "
+    "group -> lead valid_to; two window passes over ONE shuffle, no "
+    "self-join.",
+)
+def q57_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import scd2_from_snapshots
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return scd2_from_snapshots(
+        ev.select("user_id", "ts", "event_type"),
+        key_cols=["user_id"],
+        snapshot_col="ts",
+        tracked_cols=["event_type"],
+    ).select("user_id", "valid_from", "event_type", "valid_to", "is_current")
+
+
+# ---------------------------------------------------------------------------
+# Keyed MERGE/upsert (latest version wins, delta beats base on ties) --
+# the parquet-era Delta MERGE INTO.
+# ---------------------------------------------------------------------------
+@register(
+    "q58_merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             o_orderdate AS version FROM orders),
+    delta AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 5000.0 AS o_totalprice,
+             o_orderdate + INTERVAL 1 DAY AS version
+      FROM orders WHERE o_orderkey % 10 = 0),
+    u AS (
+      SELECT *, 0 AS src FROM base UNION ALL SELECT *, 1 AS src FROM delta),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rk
+      FROM u)
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice) / 1000000, 4) AS total_price_mm,
+           max(version) AS max_version
+    FROM r WHERE rk = 1
+    GROUP BY o_orderstatus
+    """,
+    doc="merge_upsert: latest-wins keyed upsert via unionByName + one "
+    "row_number window (single shuffle on the key); delta rows with newer "
+    "versions replace base rows, new keys insert.",
+)
+def q58_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import merge_upsert
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    base = orders.withColumnRenamed("o_orderdate", "version")
+    delta = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5000.0)
+        .withColumn("version", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .drop("o_orderdate")
+    )
+    merged = merge_upsert(base, delta, ["o_orderkey"], "version")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice") / 1000000, 4).alias("total_price_mm"),
+        F.max("version").alias("max_version"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

@@ -84,3 +84,46 @@ def test_range_join_with_keys(spark):
         ).collect()
     }
     assert got == {1}  # key 2's right row is outside the window
+
+
+def test_scd2_from_snapshots(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import scd2_from_snapshots
+
+    rows = [
+        (1, "2020-01-01", "A"),
+        (1, "2020-02-01", "A"),
+        (1, "2020-03-01", "B"),
+        (1, "2020-04-01", "A"),
+        (2, "2020-01-01", None),
+        (2, "2020-02-01", None),
+        (2, "2020-03-01", "X"),
+    ]
+    df = spark.createDataFrame(rows, "k int, snap string, v string")
+    out = scd2_from_snapshots(df, ["k"], "snap", ["v"]).orderBy("k", "valid_from")
+    got = [(r.k, r.valid_from, r.v, r.valid_to, r.is_current) for r in out.collect()]
+    assert got == [
+        (1, "2020-01-01", "A", "2020-03-01", False),
+        (1, "2020-03-01", "B", "2020-04-01", False),
+        (1, "2020-04-01", "A", None, True),
+        (2, "2020-01-01", None, "2020-03-01", False),  # null run is ONE interval
+        (2, "2020-03-01", "X", None, True),
+    ]
+
+
+def test_merge_upsert_latest_wins(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "old", 1), (2, "keep", 5), (3, "stale", 2)], "k int, val string, version int"
+    )
+    delta = spark.createDataFrame(
+        [(1, "new", 2), (2, "older", 1), (3, "tie", 2), (4, "insert", 1)],
+        "k int, val string, version int",
+    )
+    out = {r.k: (r.val, r.version) for r in merge_upsert(base, delta, ["k"], "version").collect()}
+    assert out == {
+        1: ("new", 2),     # delta newer -> update
+        2: ("keep", 5),    # base newer -> survives
+        3: ("tie", 2),     # equal version -> delta wins
+        4: ("insert", 1),  # new key -> insert
+    }
