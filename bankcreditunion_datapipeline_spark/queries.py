@@ -2009,6 +2009,106 @@ def q58_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Grouped applyInPandas: per-customer spend trend (least-squares slope),
+# verified against the oracle's regr_slope aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q59_customer_trend",
+    """
+    SELECT o_custkey,
+           round(regr_slope(o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 4)
+             AS trend,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_custkey < 300
+    GROUP BY o_custkey
+    HAVING regr_slope(o_totalprice,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           IS NOT NULL
+    """,
+    doc="grouped applyInPandas (Arrow batch per group): numpy least-squares "
+    "slope of spend vs time per customer; the sanctioned per-group Python "
+    "extension point, verified against SQL regr_slope.",
+)
+def q59_customer_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("__x"),
+            F.col("o_totalprice").alias("__y"),
+        )
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["__x"].to_numpy(dtype=np.float64)
+        y = pdf["__y"].to_numpy(dtype=np.float64)
+        xc = x - x.mean()
+        sxx = float((xc * xc).sum())
+        if sxx == 0.0:
+            return pd.DataFrame(columns=["o_custkey", "trend", "n_orders"])
+        slope = float((xc * (y - y.mean())).sum()) / sxx
+        return pd.DataFrame(
+            {"o_custkey": [pdf["o_custkey"].iloc[0]], "trend": [round(slope, 4)],
+             "n_orders": [len(pdf)]}
+        )
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        fit, "o_custkey long, trend double, n_orders long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (iterative min-label propagation) over a
+# deterministic doc_id chain graph; the oracle computes the same fixpoint
+# with a recursive CTE -- an independent check of the iterative operator.
+# ---------------------------------------------------------------------------
+@register(
+    "q60_dup_components",
+    """
+    WITH RECURSIVE ids AS (
+      SELECT doc_id FROM documents),
+    e AS (
+      SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      WHERE (a.doc_id % 10) < ((a.doc_id // 10) % 7)),
+    ebi AS (
+      SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+    reach(id, r) AS (
+      SELECT id_a, id_a FROM ebi
+      UNION
+      SELECT ebi.id_a, reach.r FROM ebi JOIN reach ON ebi.id_b = reach.id),
+    comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT component_size, count(*) AS n_components
+    FROM (SELECT component, count(*) AS component_size FROM comp GROUP BY component)
+    GROUP BY component_size
+    """,
+    doc="connected_components: iterative min-label propagation with "
+    "localCheckpoint lineage truncation per round; oracle recomputes the "
+    "fixpoint via recursive-CTE transitive closure.",
+)
+def q60_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    a = ids.filter(
+        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
+    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    pairs = a.join(
+        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return sizes.groupBy("component_size").agg(F.count(F.lit(1)).alias("n_components"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
