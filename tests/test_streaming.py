@@ -168,3 +168,34 @@ def test_dedup_stream_drops_redelivered(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_out").collect()
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)) == 15  # 10 unique + 5 new, replays dropped
+
+
+def test_streaming_upsert_latest_wins(spark, tmp_path):
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_upsert,
+    )
+
+    src = str(tmp_path / "usrc")
+    ckpt = str(tmp_path / "uckpt")
+    tgt = str(tmp_path / "utgt")
+
+    # round 1: users 0,1,2 (via user_id=i%3), versions = ts
+    _write_events(spark, src, 0, 6)
+    streaming_upsert(
+        spark, src, ckpt, EVENT_SCHEMA, tgt, keys=["user_id"], version_col="ts"
+    )
+    cur = spark.read.schema(EVENT_SCHEMA).parquet(tgt + "/current")
+    assert cur.count() == 3  # one row per user_id
+    # latest event per user wins: user 0 -> event 3? ids 0..5, user=i%3:
+    # user 0 has ids 0,3 -> latest 3
+    got = {r["user_id"]: r["event_id"] for r in cur.collect()}
+    assert got == {0: 3, 1: 4, 2: 5}
+
+    # round 2: only the delta (ids 6..8, newer ts) is read and merged
+    _write_events(spark, src, 6, 3)
+    streaming_upsert(
+        spark, src, ckpt, EVENT_SCHEMA, tgt, keys=["user_id"], version_col="ts"
+    )
+    cur = spark.read.schema(EVENT_SCHEMA).parquet(tgt + "/current")
+    got = {r["user_id"]: r["event_id"] for r in cur.collect()}
+    assert got == {0: 6, 1: 7, 2: 8}
