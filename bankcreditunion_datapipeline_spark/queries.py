@@ -2139,8 +2139,6 @@ def q60_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part<->supplier).",
 )
 def q61_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
@@ -2149,10 +2147,17 @@ def q61_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("__cents").alias("revenue_cents")
     )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("revenue_cents").asc(), F.col("l_suppkey").asc()
+    # argmin via min(struct(cost, key)): lexicographic struct ordering gives
+    # the same (revenue ASC, suppkey ASC) winner as the oracle's row_number
+    # window, but as a hash aggregate with map-side partial min -- no
+    # per-part sort, and the second shuffle carries one row per part.
+    best = ps.groupBy("l_partkey").agg(
+        F.min(F.struct("revenue_cents", "l_suppkey")).alias("b")
+    ).select(
+        "l_partkey",
+        F.col("b.revenue_cents").alias("revenue_cents"),
+        F.col("b.l_suppkey").alias("l_suppkey"),
     )
-    best = ps.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     sup = t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
     )
@@ -2203,6 +2208,66 @@ def q62_long_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_long_tokens"),
         F.array_join(F.slice(toks, 1, 3), ",").alias("sample_tokens"),
     ).filter(F.col("n_long_tokens") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches (Apache DataSketches): distinct-count SET OPERATIONS --
+# intersection/difference across segments, which HLL cannot do. Sketches are
+# built once per (segment, year) filter and combined without re-reading
+# rows; below the sketch's retention bound (k=4096 default) theta is EXACT,
+# and per-segment yearly cardinalities at the correctness SF are ~300, so
+# the DuckDB oracle can check exact values. At 100 TB the same plan returns
+# bounded-error estimates instead of failing.
+# ---------------------------------------------------------------------------
+@register(
+    "q63_theta_segment_overlap",
+    """
+    WITH cy AS (
+      SELECT c_mktsegment AS seg, o_custkey AS k,
+             bool_or(year(CAST(o_orderdate AS DATE)) = 1995) AS h95,
+             bool_or(year(CAST(o_orderdate AS DATE)) = 1996) AS h96
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      GROUP BY seg, k)
+    SELECT seg,
+           sum(CASE WHEN h95 THEN 1 ELSE 0 END) AS n_1995,
+           sum(CASE WHEN h96 THEN 1 ELSE 0 END) AS n_1996,
+           count(*) AS n_either,
+           sum(CASE WHEN h95 AND h96 THEN 1 ELSE 0 END) AS n_both
+    FROM cy GROUP BY seg
+    """,
+    doc="theta_sketch_agg + theta_union/theta_intersection: per-segment "
+    "customer overlap between two order years from mergeable sketches; "
+    "exact below the sketch k-bound (oracle checks exact counts), "
+    "bounded-error beyond it.",
+)
+def q63_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "__y", F.year(F.to_date("o_orderdate"))
+    ).filter(F.col("__y").isin(1995, 1996))
+    joined = orders.join(cust, "o_custkey").select(
+        F.col("c_mktsegment").alias("seg"), "o_custkey", "__y"
+    )
+    per_seg = joined.groupBy("seg").agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN __y = 1995 THEN o_custkey END)"
+        ).alias("sk95"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN __y = 1996 THEN o_custkey END)"
+        ).alias("sk96"),
+    )
+    return per_seg.select(
+        "seg",
+        F.expr("theta_sketch_estimate(sk95)").alias("n_1995"),
+        F.expr("theta_sketch_estimate(sk96)").alias("n_1996"),
+        F.expr("theta_sketch_estimate(theta_union(sk95, sk96))").alias("n_either"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk95, sk96))").alias(
+            "n_both"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2314,6 +2379,50 @@ def q66_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_nation.groupBy("n_regionkey")
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_customers"))
         .orderBy("n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical time rollup (hypertable/continuous-aggregate pattern): the
+# daily table is re-aggregated FROM THE HOURLY ROLLUP, never from raw
+# events -- sums/counts merge losslessly, avg is re-derived from them.
+# The oracle computes daily straight from raw rows, so the check proves
+# the two-level merge is exact. At 100 TB each level reads the (much
+# smaller) level below; raw is touched once.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_daily_rollup_from_hourly",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(round(sum(value), 2) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+    doc="two-level mergeable rollup: hour partials (count,sum) -> day by "
+    "re-aggregation of partials; avg derived as merged sum/count. Oracle "
+    "aggregates raw->day directly, proving the merge is lossless.",
+)
+def q67_daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    return hourly.groupBy(
+        F.to_date(F.date_trunc("day", F.col("hour"))).alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 2).alias("total_value"),
+        # avg from the ROUNDED merged sum: identical operands on both
+        # engines, so the derived metric can't flip a rounding boundary.
+        F.round(F.round(F.sum("sum_value"), 2) / F.sum("n_events"), 4).alias(
+            "avg_value"
+        ),
     )
 
 
