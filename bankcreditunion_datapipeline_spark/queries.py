@@ -2426,6 +2426,39 @@ def q67_daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Map-typed columns: JSON -> map<string,string> -> explode keys. The schema-
+# free complement to q43's typed get_json_object extraction.
+# ---------------------------------------------------------------------------
+@register(
+    "q68_event_prop_keys",
+    """
+    SELECT k AS prop_key,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_event_types,
+           count(DISTINCT json_extract_string(props, k)) AS n_distinct_values
+    FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+    doc="from_json to map<string,string> + explode of map entries: per-key "
+    "occurrence/cardinality profile of the semi-structured props column -- "
+    "map functions stay JVM-side, no schema declaration needed for unknown "
+    "keys.",
+)
+def q68_event_prop_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.select("event_type", F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.countDistinct("prop_value").alias("n_distinct_values"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
