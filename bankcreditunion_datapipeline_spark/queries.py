@@ -2459,6 +2459,138 @@ def q68_event_prop_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional two-nation trade volume. Five-table join
+# where both ends of the fact (supplier side and customer side) resolve
+# through the same dimension chain; only the two dim joins on the fact
+# are broadcasts, the fact-fact joins shuffle on their keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_nation_trade_volume",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(CAST(l_shipdate AS DATE)) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    doc="TPC-H Q7 shape: lineitem x orders x customer x supplier x nation x2 "
+    "with a symmetric two-nation predicate (NATION_3/NATION_7); nation filters push through the "
+    "broadcast joins so the fact-fact shuffle carries only qualifying rows.",
+)
+def q69_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nations = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    # Resolve each fact end to a nation NAME first (broadcast chains), so
+    # the symmetric predicate prunes before the fact-fact shuffle join.
+    sup_n = sup.join(
+        F.broadcast(nations.select(F.col("n_nationkey").alias("s_nationkey"),
+                                   F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        F.broadcast(nations.select(F.col("n_nationkey").alias("c_nationkey"),
+                                   F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    ).select("c_custkey", "cust_nation")
+    li_s = li.join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+    ord_c = orders.join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+    joined = li_s.join(ord_c, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year(F.to_date("l_shipdate")).alias("ship_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("volume"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share as a conditional share-of-total -- one
+# aggregation computes both the focal-nation numerator (filtered CASE sum)
+# and the regional denominator; no self-join, no second pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_market_share",
+    """
+    SELECT year(CAST(l_shipdate AS DATE)) AS ship_year,
+           round(sum(CASE WHEN n_name = 'NATION_7'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+             AS nation_volume,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS region_volume,
+           round(round(sum(CASE WHEN n_name = 'NATION_7'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 4)
+             AS market_share
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY ship_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of regional revenue per ship "
+    "year via conditional aggregation -- numerator and denominator in a "
+    "single grouped pass (share derived from the two rounded sums, so the "
+    "ratio cannot flip a rounding boundary).",
+)
+def q70_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        sup.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
+            ),
+            "s_nationkey",
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(dim), "l_suppkey")
+        .groupBy(F.year(F.to_date("l_shipdate")).alias("ship_year"))
+        .agg(
+            F.round(F.sum(nation_rev), 2).alias("nation_volume"),
+            F.round(F.sum(rev), 2).alias("region_volume"),
+        )
+    )
+    return agg.withColumn(
+        "market_share",
+        F.round(F.col("nation_volume") / F.col("region_volume"), 4),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
