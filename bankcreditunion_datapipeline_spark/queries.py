@@ -2591,6 +2591,55 @@ def q70_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive branches across both join
+# sides. Catalyst extracts the common equi-key and pushes the single-side
+# conjuncts (p_brand/p_size to the part scan, l_quantity to the lineitem
+# scan) below the join; the residual OR evaluates post-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q71_branded_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_matches
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides; "
+    "Catalyst pushes the per-side disjunct envelopes "
+    "(brand-1-or-3 envelope, size 1-30, qty 1-35) down to the scans and keeps the "
+    "exact disjunction as a post-join residual.",
+)
+def q71_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+    )
+    return joined.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
