@@ -2640,6 +2640,105 @@ def q71_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas: the two-sided Arrow extension point -- each key's
+# order rows AND event rows arrive as separate pandas frames in one call.
+# The computed stats are deliberately SQL-checkable (FULL OUTER join twin)
+# so the oracle validates the cogroup plumbing end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "q72_customer_activity_cogroup",
+    """
+    WITH o AS (
+      SELECT o_custkey AS key, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE o_custkey < 200 GROUP BY o_custkey),
+    e AS (
+      SELECT user_id AS key, count(*) AS n_events
+      FROM events WHERE user_id < 200 GROUP BY user_id)
+    SELECT coalesce(o.key, e.key) AS key,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(revenue, 0.0) AS revenue,
+           coalesce(n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.key = e.key
+    """,
+    doc="groupBy().cogroup().applyInPandas: per-key two-sided Arrow batch "
+    "(orders frame + events frame in one call); stats chosen to be "
+    "SQL-expressible so the DuckDB full-outer-join twin verifies the "
+    "cogroup path itself.",
+)
+def q72_customer_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(F.col("o_custkey").alias("key"), "o_totalprice")
+    )
+    events = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select(F.col("user_id").alias("key"))
+    )
+
+    def stats(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["key"].iloc[0] if len(left) else right["key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [int(key)],
+                "n_orders": [len(left)],
+                "revenue": [round(float(left["o_totalprice"].sum()), 2)],
+                "n_events": [len(right)],
+            }
+        )
+
+    return (
+        orders.groupBy("key")
+        .cogroup(events.groupBy("key"))
+        .applyInPandas(stats, "key long, n_orders long, revenue double, n_events long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the language mix per source: aggregate-of-aggregate
+# where the inner counts feed a log-weighted outer sum -- all from integer
+# counts, so both engines compute log on identical doubles.
+# ---------------------------------------------------------------------------
+@register(
+    "q73_source_lang_entropy",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang),
+    tot AS (
+      SELECT source, sum(n) AS total FROM c GROUP BY source)
+    SELECT c.source,
+           count(*) AS n_langs,
+           round(-sum((n / CAST(total AS DOUBLE))
+                      * ln(n / CAST(total AS DOUBLE))), 4) AS lang_entropy
+    FROM c JOIN tot ON c.source = tot.source
+    GROUP BY c.source
+    """,
+    doc="per-source Shannon entropy of the language distribution (corpus "
+    "diversity signal): two-level aggregation where the second level is "
+    "log-weighted; probabilities derive from integer counts so the float "
+    "inputs are engine-identical.",
+)
+def q73_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        c.join(F.broadcast(w), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
