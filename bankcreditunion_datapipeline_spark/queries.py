@@ -2739,6 +2739,32 @@ def q73_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact median aggregate (interpolating, not approx): both engines sort the
+# same doubles and average the same middle pair, so values are
+# hash-comparable without a rounding dance.
+# ---------------------------------------------------------------------------
+@register(
+    "q74_priority_price_median",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 2) AS median_price,
+           round(avg(o_totalprice), 2) AS mean_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact interpolating median per group (F.median) next to the mean "
+    "-- the skew-robust center; complements q35's percentile surface.",
+)
+def q74_priority_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
