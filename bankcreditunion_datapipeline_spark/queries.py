@@ -526,7 +526,7 @@ def q15_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT md5(text) AS dg, min(doc_id) AS doc_id, count(*) AS n_copies
       FROM unioned GROUP BY md5(text)
     )
-    SELECT u.source, count(*) AS n_kept, sum(k.n_copies) AS n_seen
+    SELECT u.source, count(*) AS n_kept, CAST(sum(k.n_copies) AS BIGINT) AS n_seen
     FROM keepers k JOIN unioned u USING (doc_id)
     GROUP BY u.source
     """,
@@ -734,8 +734,8 @@ def q23_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS sniffed_format,
            count(*) AS n_media,
-           sum(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 4 END
-               + octet_length(encode(text))) AS total_bytes
+           CAST(sum(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 4 END
+               + octet_length(encode(text))) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1
     """,
@@ -937,17 +937,19 @@ def q30_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_quarters_per_flag",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT quarter(l_shipdate))) AS active_quarters,
+           array_to_string(list_sort(list(DISTINCT quarter(l_shipdate))), ',')
+               AS active_quarters,
            count(DISTINCT quarter(l_shipdate)) AS n_quarters
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    doc="collect_set + array_sort: set-valued aggregation surface.",
+    doc="collect_set + array_sort: set-valued aggregation surface (emitted as "
+    "a sorted comma-joined string so the result stays hashable downstream).",
 )
 def q31_quarters_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").withColumn("q", F.quarter("l_shipdate"))
     return li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("q")).alias("active_quarters"),
+        F.array_join(F.array_sort(F.collect_set("q")), ",").alias("active_quarters"),
         F.countDistinct("q").alias("n_quarters"),
     )
 
@@ -1360,7 +1362,8 @@ def q42_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT)) AS n_with_k,
-           sum(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT))   AS k_sum,
+           CAST(sum(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT))
+                AS BIGINT)                                                   AS k_sum,
            round(avg(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT)), 4)
                                                                              AS k_avg
     FROM events
@@ -1479,7 +1482,7 @@ def q45_quarter_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            round(avg(length(text)), 4)    AS avg_len_raw,
            round(avg(length(cleaned)), 4) AS avg_len_clean,
-           sum(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS n_changed
+           CAST(sum(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
     FROM (
       SELECT source, text,
              trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1783,19 +1786,20 @@ def q53_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q54_column_profile",
     """
-    SELECT 'c_custkey' AS column, sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    SELECT 'c_custkey' AS column,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT c_custkey) AS n_distinct FROM customer
     UNION ALL
-    SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+    SELECT 'c_name', CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_name) FROM customer
     UNION ALL
-    SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+    SELECT 'c_nationkey', CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_nationkey) FROM customer
     UNION ALL
-    SELECT 'c_acctbal', sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+    SELECT 'c_acctbal', CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_acctbal) FROM customer
     UNION ALL
-    SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+    SELECT 'c_mktsegment', CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_mktsegment) FROM customer
     """,
     doc="column_profile: per-column null/distinct stats in ONE aggregation "
@@ -1875,11 +1879,11 @@ def q55_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN masked <> text THEN 1 ELSE 0 END) AS n_changed,
-           sum(CAST((length(masked) - length(replace(masked, '<EMAIL>', '')))
-               / 7 AS INT)) AS n_emails,
-           sum(CAST((length(masked) - length(replace(masked, '<IP>', '')))
-               / 4 AS INT)) AS n_ips
+           CAST(sum(CASE WHEN masked <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CAST((length(masked) - length(replace(masked, '<EMAIL>', '')))
+               / 7 AS INT)) AS BIGINT) AS n_emails,
+           CAST(sum(CAST((length(masked) - length(replace(masked, '<IP>', '')))
+               / 4 AS INT)) AS BIGINT) AS n_ips
     FROM (
       SELECT source, text,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -2230,10 +2234,10 @@ def q62_long_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
       GROUP BY seg, k)
     SELECT seg,
-           sum(CASE WHEN h95 THEN 1 ELSE 0 END) AS n_1995,
-           sum(CASE WHEN h96 THEN 1 ELSE 0 END) AS n_1996,
+           CAST(sum(CASE WHEN h95 THEN 1 ELSE 0 END) AS BIGINT) AS n_1995,
+           CAST(sum(CASE WHEN h96 THEN 1 ELSE 0 END) AS BIGINT) AS n_1996,
            count(*) AS n_either,
-           sum(CASE WHEN h95 AND h96 THEN 1 ELSE 0 END) AS n_both
+           CAST(sum(CASE WHEN h95 AND h96 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
     FROM cy GROUP BY seg
     """,
     doc="theta_sketch_agg + theta_union/theta_intersection: per-segment "
@@ -2711,7 +2715,7 @@ def q72_customer_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT source, lang, count(*) AS n
       FROM documents GROUP BY source, lang),
     tot AS (
-      SELECT source, sum(n) AS total FROM c GROUP BY source)
+      SELECT source, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY source)
     SELECT c.source,
            count(*) AS n_langs,
            round(-sum((n / CAST(total AS DOUBLE))
