@@ -63,12 +63,17 @@ def exact_dedup_keep_min(df: DataFrame, id_col: str, content_col: str) -> DataFr
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of a document (array<string>); documents with
-    fewer than k tokens get their whole text as the single shingle."""
-    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    fewer than k tokens get their whole text as the single shingle.
+
+    NULL or whitespace-only text yields NULL (not a [""] shingle) so empty
+    documents neither crash the signature kernel nor collide into one giant
+    spurious near-dup cluster of empties.
+    """
+    tokens = F.array_remove(F.split(F.lower(F.trim(text)), r"\s+"), "")
     n = F.size(tokens)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
-    return F.array_distinct(sh)
+    return F.when(n > 0, F.array_distinct(sh))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -128,11 +133,17 @@ def attach_minhash_from_hashes(
             n = len(pdf)
             if n == 0:
                 continue
-            rows = [np.asarray(h, dtype=np.int64) for h in pdf[hashes_col]]
-            lens = np.asarray([len(r) for r in rows])
-            keep = lens > 0
+            # NULL hash arrays (e.g. a document with NULL text) must yield a
+            # NULL signature, not kill the job -- same contract as simhash.
+            rows = [
+                np.asarray(h, dtype=np.int64) if h is not None else None
+                for h in pdf[hashes_col]
+            ]
+            lens = np.asarray([len(r) if r is not None else 0 for r in rows])
+            valid = np.asarray([r is not None for r in rows])
+            keep = valid & (lens > 0)
             flat = (
-                np.concatenate([r for r in rows if len(r)])
+                np.concatenate([r for r, k in zip(rows, keep) if k])
                 if keep.any()
                 else np.empty(0, dtype=np.int64)
             ).astype(np.uint64)
@@ -144,7 +155,10 @@ def attach_minhash_from_hashes(
                 mixed = _splitmix64(flat ^ seed)
                 if len(starts):
                     sigs[keep, i] = np.minimum.reduceat(mixed, starts)
-            pdf[out] = list(sigs.astype(np.int64))
+            signed = sigs.astype(np.int64)
+            pdf[out] = [
+                list(signed[j]) if valid[j] else None for j in range(n)
+            ]
             yield pdf
 
     return df.mapInPandas(fn, schema)

@@ -30,10 +30,17 @@ def asof_join(
     LATEST right row with right.ts <= left.ts and equal keys.
 
     Implementation: tag sides, union on (keys, ts), and carry the last
-    non-null right value forward with a window `last(..., ignorenulls)` --
-    the streaming-friendly formulation (one sort-shuffle on the key, no
-    range predicate). Right rows sort before left rows at equal ts, giving
-    the standard >= (inclusive) semantics.
+    right ROW forward with a window `last(..., ignorenulls)` -- the
+    streaming-friendly formulation (one sort-shuffle on the key, no range
+    predicate). Right rows sort before left rows at equal ts, giving the
+    standard >= (inclusive) semantics.
+
+    The right row's value columns travel packed in ONE struct (non-null as
+    a whole even when every field is NULL), so (a) a left row matched to a
+    right row whose values are legitimately NULL is distinguishable from a
+    left row with no prior right row at all, and (b) the match carries the
+    LATEST right row's values verbatim rather than skipping its NULL field
+    back to some older non-null value.
 
     how='inner' drops left rows with no prior right row; 'left' keeps them
     with NULLs (DuckDB `ASOF [LEFT] JOIN` equivalents).
@@ -42,11 +49,12 @@ def asof_join(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
+    r_struct_type = tagged_r.schema["__r"].dataType
     tagged_l = left.select(
         "*", F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
     w = (
@@ -54,17 +62,14 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if c not in value_cols],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
-    )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    carried = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        cond = F.lit(False)
-        for c in value_cols:
-            cond = cond | F.col(c).isNotNull()
-        out = out.filter(cond)
-    return out
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col("__r").getField(c).alias(c) for c in value_cols],
+    )
 
 
 def range_join_buckets(

@@ -797,8 +797,11 @@ def q25_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts,
+             -- >= mirrors Spark's end-exclusive session_window: a window is
+             -- [first_ts, last_ts + gap), so an event landing EXACTLY gap
+             -- after its predecessor starts a new session on both engines.
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE OR
+                       >= INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events

@@ -175,3 +175,33 @@ def test_incremental_near_dups_matches_full_run(spark, sf_dir):
     }
     assert inc_pairs == cross
     assert len(inc_pairs) > 0  # fixture contains cross near-dups
+
+
+def test_minhash_survives_null_text(spark):
+    """A NULL-text document must yield a NULL signature (and no pairs), not
+    a TypeError inside the Arrow batch (ADVICE r1: np.asarray(None) crash)."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        attach_minhash_from_hashes,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    shingled = df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("__sh")
+    ).withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    sigs = {
+        r["doc_id"]: r["__sig"]
+        for r in attach_minhash_from_hashes(shingled, "__hashes", 16, "__sig").collect()
+    }
+    assert sigs[3] is None           # NULL text -> NULL signature
+    assert sigs[4] is None           # empty text -> NULL signature, not hash("")
+    assert sigs[1] == sigs[2]        # identical docs agree
+    assert sigs[1] is not None and len(sigs[1]) == 16
+    # end-to-end: the full pipeline still finds the (1,2) pair and no NULL ids
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_near_dup_pairs(df, threshold=0.5, num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert all(a is not None and b is not None for a, b in pairs)

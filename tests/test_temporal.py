@@ -51,6 +51,31 @@ def test_asof_join_inner_drops_unmatched(spark):
     assert tags == ["late"]
 
 
+def test_asof_join_null_right_values(spark):
+    """A matched right row whose value columns are legitimately NULL must be
+    kept by how='inner' AND must not be skipped back to an older non-NULL
+    right row (ADVICE r1: match-marker vs last(ignorenulls) misattribution)."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "after_null"), (2, _ts(10), "no_match")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), 100.0), (1, _ts(8), None)],  # latest prior row is NULL-valued
+        "k long, ts timestamp, v double",
+    )
+    rows = {
+        r.tag: r.v
+        for r in asof_join(left, right, ["k"], "ts", ["v"], how="inner").collect()
+    }
+    assert rows == {"after_null": None}  # matched-with-NULL kept; carries the
+    # LATEST row's NULL, not ts=2's 100.0; truly-unmatched k=2 dropped
+    rows_left = {
+        r.tag: r.v
+        for r in asof_join(left, right, ["k"], "ts", ["v"], how="left").collect()
+    }
+    assert rows_left == {"after_null": None, "no_match": None}
+
+
 def test_range_join_matches_bruteforce(spark):
     left = spark.createDataFrame(
         [(i, _ts(i * 3)) for i in range(30)], "lid long, lts timestamp"
