@@ -27,8 +27,24 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     under-partitioned (e.g. one small parquet file -> one task serializing
     signature computation). At real scale `files.maxPartitionBytes` already
     yields >= cores partitions and this is a no-op; the repartition only
-    fires when the input has fewer partitions than cores."""
+    fires when the input has fewer partitions than cores.
+
+    The probe must NOT execute the plan: under AQE, `.rdd.getNumPartitions()`
+    on a plan containing exchanges materializes the upstream query stages as
+    a side effect of plan building (measured: seconds, mid-pipeline). So the
+    decision is static: if the pre-AQE physical plan already contains a
+    shuffle or a cached relation, partitioning is governed by
+    `spark.sql.shuffle.partitions` / the cache and this is a no-op; only a
+    bare narrow-over-scan plan (no exchanges, nothing to pre-execute, so
+    `.rdd` is cheap) gets the runtime partition-count check.
+    """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+    except Exception:  # noqa: BLE001 - e.g. Spark Connect; fall back to probing
+        plan = ""
+    if "Exchange" in plan or "InMemory" in plan:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -542,23 +558,31 @@ def embedding_near_dup_pairs(
             for c in range(chunks)
         ]
     )
-    chunked = sigd.select(F.col(id_col), F.col(vec_col), F.col("__sig"), F.explode(chunk_structs).alias("ch")).select(
-        id_col, vec_col, "__sig", "ch.chunk_id", "ch.chunk_val"
-    )
-    a = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"), F.col("__sig").alias("__sig_a"))
-    b = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"), F.col("__sig").alias("__sig_b"))
-    # Verify (hamming prefilter + exact cosine + threshold) BEFORE the pair
-    # dedup: the dropDuplicates shuffle then moves only (id, id, double) rows
-    # for pairs that already passed, never the vectors themselves. Cosine is
-    # deterministic per pair, so multi-probe duplicates collapse cleanly.
-    return (
+    chunked = sigd.select(
+        F.col(id_col), F.col("__sig"), F.explode(chunk_structs).alias("ch")
+    ).select(id_col, "__sig", "ch.chunk_id", "ch.chunk_val")
+    a = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"))
+    b = chunked.select("chunk_id", "chunk_val", F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"))
+    # The bucket self-join and the multi-probe pair dedup move ONLY
+    # (id, 64-bit sig) rows -- never the embedding vectors, which at real
+    # scale are 100-1000x wider than the ids. Vectors are joined back BY ID
+    # for the surviving candidates only, so each side's vector crosses the
+    # wire once per verified candidate instead of (max_hamming+1) times per
+    # bucket row.
+    cands = (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(hamming64(F.col("__sig_a"), F.col("__sig_b")) <= max_hamming)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = sigd.select(F.col(id_col), F.col(vec_col))
+    return (
+        cands.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b")), "id_b")
         .withColumn("cosine_sim", F.round(cosine(F.col("__v_a"), F.col("__v_b")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

