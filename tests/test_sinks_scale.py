@@ -128,3 +128,41 @@ def test_fill_period_gaps_dense(spark):
     got = {(r.k, r.period.month): r.v for r in dense.collect()}
     assert got[(1, 1)] == 10.0 and got[(1, 4)] == 0.0 and got[(1, 7)] == 30.0
     assert got[(2, 1)] == 0.0 and got[(2, 4)] == 20.0 and got[(2, 7)] == 0.0
+
+
+def test_write_gold_delta_mode(spark, tmp_path):
+    """Exercise the delta gold path end-to-end (txn log, overwriteSchema
+    evolution) when delta-spark is importable. This container ships without
+    it, so the skip below is the DOCUMENTED decision (SCALE.md "Gold format")
+    that write_gold publishes parquet here; on a delta-enabled cluster this
+    test runs and pins the reference's goldLayer/BuildGoldLayer.py:219,230
+    semantics."""
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.sinks import delta_available, write_gold
+
+    if not delta_available():
+        pytest.skip("delta-spark not installed; write_gold falls back to parquet")
+    p = str(tmp_path / "gold_delta")
+    df = spark.range(10).withColumn("status", (F.col("id") % 2).cast("string"))
+    write_gold(df, p, partition_by=["status"], fmt="delta")
+    assert spark.read.format("delta").load(p).count() == 10
+    # schema evolution: widened frame replaces the table under overwriteSchema
+    widened = df.withColumn("extra", F.lit(1))
+    write_gold(widened, p, partition_by=["status"], overwrite_schema=True, fmt="delta")
+    out = spark.read.format("delta").load(p)
+    assert "extra" in out.columns and out.count() == 10
+
+
+def test_write_gold_parquet_fallback_is_partition_pruned(spark, tmp_path):
+    """The fallback format keeps the same partition layout and pruning
+    behavior the delta path would have."""
+    from bankcreditunion_datapipeline_spark.sinks import write_gold
+
+    p = str(tmp_path / "gold_pq")
+    df = spark.range(100).withColumn("status", (F.col("id") % 4).cast("string"))
+    write_gold(df, p, partition_by=["status"], fmt="parquet")
+    got = spark.read.parquet(p).filter(F.col("status") == "2")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert got.count() == 25
+    assert "PartitionFilters: [isnotnull(status" in plan
