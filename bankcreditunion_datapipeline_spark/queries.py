@@ -2776,3 +2776,466 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for entry(): the silver->gold motif end-to-end --
     filter + joins + year/quarter derivation + pivot (SURVEY §7.2 slice 0)."""
     return q05_quarterly_revenue_pivot(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: greedy sequence packing -- group consecutive documents into
+# fixed token-budget packs (the batch-construction primitive for training).
+# Pure window arithmetic: ONE keyed sort-shuffle, no Python workers.
+# ---------------------------------------------------------------------------
+@register(
+    "q75_sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS tok
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, tok,
+             CAST(coalesce(CAST(sum(tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               // 200 AS BIGINT) AS pack_id
+      FROM toks)
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY source, pack_id
+    """,
+    doc="sequence packing: per-source running token count assigns each doc "
+    "to floor(tokens_before/budget) -- contiguous fixed-budget packs from "
+    "one window pass (no UDF, no iteration).",
+)
+def q75_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("tok")
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("tok").over(w), F.lit(0)) / 200).cast("long"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("pack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: boilerplate / duplicated-passage detection -- the fraction
+# of each document's word 5-grams that are globally frequent (>= 3 docs),
+# the C4-style repeated-passage signal, aggregated per source.
+# ---------------------------------------------------------------------------
+@register(
+    "q76_boilerplate_fraction",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5),
+    freq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    perdoc AS (
+      SELECT doc_id, source,
+             count(*) AS n_grams,
+             sum(CASE WHEN f.c >= 3 THEN 1 ELSE 0 END) AS n_freq
+      FROM grams JOIN freq f USING (g)
+      GROUP BY doc_id, source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_freq) AS BIGINT) AS n_frequent_grams,
+           round(avg(CAST(n_freq AS DOUBLE) / n_grams), 4) AS boilerplate_frac
+    FROM perdoc GROUP BY source
+    """,
+    doc="boilerplate fraction: explode word 5-grams, global frequency "
+    "count, per-doc frequent-gram share, per-source average. Two hash "
+    "aggregations + one equi-join on the gram string; at scale the gram "
+    "column would be xxhash64'd to an 8-byte join key.",
+)
+def q76_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # Gram strings never shuffle: the 8-byte xxhash64 of the gram is the
+    # frequency key (collision odds ~n^2/2^64, irrelevant vs corpus noise);
+    # global counts come from ONE window over that key instead of a
+    # groupBy + join back (halves the shuffled volume and passes).
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 5))))
+        ).alias("gh"),
+    )
+    from pyspark.sql.window import Window
+
+    counted = grams.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    perdoc = counted.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("c") >= 3).cast("long")).alias("n_freq"),
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_freq").cast("long").alias("n_frequent_grams"),
+        F.round(F.avg(F.col("n_freq").cast("double") / F.col("n_grams")), 4).alias(
+            "boilerplate_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: train/benchmark contamination check -- which training docs
+# share a majority of their word 5-grams with a held-out benchmark set.
+# Integer predicate (2*hits >= grams) so the threshold can't float-flip.
+# ---------------------------------------------------------------------------
+@register(
+    "q77_contamination_check",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    perdoc AS (
+      SELECT t.doc_id, t.source,
+             count(*) AS n_grams,
+             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM train t LEFT JOIN bench b ON t.g = b.g
+      GROUP BY t.doc_id, t.source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN 2 * n_hits >= n_grams THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits
+    FROM perdoc GROUP BY source
+    """,
+    doc="contamination: distinct 5-gram sets, benchmark gram table "
+    "(doc_id%97==0 as the stand-in eval split) left-joined against "
+    "training grams; a doc is contaminated when >= half its grams appear "
+    "in the benchmark. At scale the bench gram set is broadcast (it is "
+    "eval-sized, not corpus-sized).",
+)
+def q77_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 5))))
+        ).alias("gh"),
+    ).distinct()
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    perdoc = (
+        train.join(F.broadcast(bench), "gh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((2 * F.col("n_hits") >= F.col("n_grams")).cast("long"))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: stratified per-(source, lang) caps -- keep the first K docs
+# of every stratum (deterministic by doc_id), the dataset-balancing cut.
+# ---------------------------------------------------------------------------
+@register(
+    "q78_stratified_caps",
+    """
+    WITH ranked AS (
+      SELECT source, lang, doc_id,
+             row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source, lang,
+           count(*) AS n_kept,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM ranked WHERE rn <= 5
+    GROUP BY source, lang
+    """,
+    doc="stratified cap: row_number over (source, lang) keeps a "
+    "deterministic K per stratum -- one sort-shuffle, no sampling "
+    "nondeterminism, append-stable for the leading K.",
+)
+def q78_stratified_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source", "lang").orderBy("doc_id")
+    )
+    return (
+        docs.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: mixture resampling -- downsample every source to a target
+# row budget with the engine's deterministic md5-bucket membership, so the
+# cut is layout/seed independent and identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q79_mixture_resample",
+    """
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    thr AS (
+      SELECT source, least(CAST(65536 AS BIGINT), (30 * 65536) // n) AS bucket_thr
+      FROM cnt),
+    kept AS (
+      SELECT d.source
+      FROM documents d JOIN thr USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+            % 65536 < bucket_thr)
+    SELECT c.source,
+           CAST(c.n AS BIGINT) AS n_total,
+           CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM cnt c LEFT JOIN (
+      SELECT source, count(*) AS n_sampled FROM kept GROUP BY source) k
+    USING (source)
+    """,
+    doc="mixture resampling toward a uniform 30-docs/source target: "
+    "per-source bucket threshold = target*65536/count (integer math), "
+    "membership by the md5 hash-bucket of doc_id (sampling.py's "
+    "deterministic_hash_sample machinery) -- reproducible, append-safe, "
+    "pushed down as a narrow predicate after a broadcast threshold join.",
+)
+def q79_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    thr = cnt.select(
+        "source",
+        F.least(F.lit(65536).cast("long"), F.expr("(30 * 65536) div n")).alias(
+            "bucket_thr"
+        ),
+    )
+    kept = (
+        docs.join(F.broadcast(thr), "source")
+        .filter(hash_bucket(F.col("doc_id"), 65536) < F.col("bucket_thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return cnt.join(kept, "source", "left").select(
+        "source",
+        F.col("n").cast("long").alias("n_total"),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: context-window chunking -- split each document into
+# fixed-size token windows with overlap (stride < size), the standard
+# pre-tokenization cut for long-document training.
+# ---------------------------------------------------------------------------
+@register(
+    "q80_document_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, source, least(20, n - s + 1) AS chunk_len
+      FROM toks, unnest(generate_series(1, n, 15)) AS t(s))
+    SELECT source,
+           count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(chunk_len) AS BIGINT) AS total_chunk_tokens,
+           round(avg(CAST(chunk_len AS DOUBLE)), 4) AS avg_chunk_len
+    FROM chunks GROUP BY source
+    """,
+    doc="window chunking (size 20, stride 15): chunk starts are ONE "
+    "sequence()/explode per doc -- narrow, no Python; chunk token counts "
+    "derived arithmetically without materializing chunk text (at scale "
+    "the slice() of the token array happens in the same projection).",
+)
+def q80_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(15))).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.least(F.lit(20), F.col("n") - F.col("s") + 1).alias("chunk_len"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
+        F.round(F.avg(F.col("chunk_len").cast("double")), 4).alias("avg_chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analytics: per-source distinctive terms -- rarest-then-most-frequent
+# ranking (integer keys only: df asc, tf desc, term asc), the
+# deterministic cousin of TF-IDF top terms (float argmax is
+# engine-divergent; integer ordering is not).
+# ---------------------------------------------------------------------------
+@register(
+    "q81_distinctive_terms",
+    """
+    WITH terms AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY source, term),
+    df AS (SELECT term, count(DISTINCT source) AS df FROM terms GROUP BY term),
+    ranked AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.source
+                                ORDER BY df.df ASC, tf.tf DESC, tf.term ASC) AS rank
+      FROM tf JOIN df USING (term))
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="distinctive terms per source: tf per (source, term), df as "
+    "source-count per term (a broadcast-sized table), rank by integer "
+    "(df, -tf, term) for engine-stable ordering. The TF-IDF shape with a "
+    "deterministic tie-break.",
+)
+def q81_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = terms.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    ranked = tf.join(df_t, "term").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("df").asc(), F.col("tf").desc(), F.col("term").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "source",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity surface: EXACT word-3-gram Jaccard pairs over the whole corpus
+# (the oracle-checkable twin of the LSH path in operators/dedup.py --
+# recall of the LSH variant vs this exact ground truth is asserted in
+# tests/test_dedup.py). The shared-gram equi-join bounds the pair space to
+# documents with at least one common gram -- never an all-pairs cross join;
+# at 100 TB the same shape runs on xxhash64'd grams with a
+# stop-gram-frequency cap. Integer threshold: 100*inter >= 35*union.
+# ---------------------------------------------------------------------------
+@register(
+    "q82_exact_jaccard_pairs",
+    """
+    WITH sub AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS g
+      FROM sub, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+               AS jaccard_sim
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 100 * n_inter >= 35 * (sa.n + sb.n - n_inter)
+    """,
+    doc="exact n-gram Jaccard (operators/dedup.py char_ngrams/jaccard "
+    "surface) on a modulo-bounded subset: shared-gram equi-join computes "
+    "intersections (never an all-pairs cross join); threshold applied as "
+    "an integer inequality so the cut can't float-flip.",
+)
+def q82_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 3))))
+        ).alias("gh"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    u = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(100 * F.col("n_inter") >= 35 * u)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            u.cast("long").alias("n_union"),
+            F.round(F.col("n_inter").cast("double") / u, 4).alias("jaccard_sim"),
+        )
+    )
