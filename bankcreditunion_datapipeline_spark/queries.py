@@ -3239,3 +3239,182 @@ def q82_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_inter").cast("double") / u, 4).alias("jaccard_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: per-user ordered conversion (view -> click -> purchase by
+# strictly increasing first-touch timestamps) -- ONE aggregation pass,
+# no per-stage scans or self-joins.
+# ---------------------------------------------------------------------------
+@register(
+    "q83_event_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view_then_click,
+           CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+    doc="conversion funnel from first-touch timestamps: conditional min() "
+    "per stage in one grouped pass (NULL-safe: a missing stage yields NULL "
+    "and the strict > comparison fails), then one global conditional sum. "
+    "Two narrow aggregations total -- no joins, no per-stage scans.",
+)
+def q83_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).cast("long").alias("n_view"),
+        F.sum(F.coalesce(clicked, F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_view_then_click"),
+        F.sum(F.coalesce(purchased, F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-scalar-subquery shape: parts priced strictly above their
+# brand's average -- decorrelated to a window, with the comparison done in
+# integer cents (price*n > total) so no float boundary can flip a row.
+# ---------------------------------------------------------------------------
+@register(
+    "q84_above_brand_average",
+    """
+    WITH c AS (
+      SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part),
+    w AS (
+      SELECT p_brand, cents,
+             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY p_brand) AS BIGINT) AS total
+      FROM c)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(max(n) AS BIGINT) AS n_parts,
+           max(cents) AS max_cents
+    FROM w WHERE cents * n > total
+    GROUP BY p_brand
+    """,
+    doc="'price > (SELECT avg(...) WHERE same brand)' decorrelated to ONE "
+    "window pass (no per-row subquery, no re-scan); the avg comparison is "
+    "cents * n > total -- exact integer arithmetic, engine-portable.",
+)
+def q84_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    c = part.select(
+        "p_brand", F.round(F.col("p_retailprice") * 100).cast("long").alias("cents")
+    ).select(
+        "p_brand",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("total"),
+    )
+    return (
+        c.filter(F.col("cents") * F.col("n") > F.col("total"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max("n").cast("long").alias("n_parts"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding analytics: per-label centroid coordinates (first dims) --
+# array-element aggregation straight over the vector column, no Python.
+# ---------------------------------------------------------------------------
+@register(
+    "q85_label_centroids",
+    """
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c1,
+           round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS c2,
+           round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS c3
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="per-label centroid (leading dims): element_at on the vector "
+    "column aggregates JVM-side in one grouped pass -- the re-clustering / "
+    "drift-monitoring primitive over an embedding table.",
+)
+def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.round(F.avg(F.col("embedding").getItem(i).cast("double")), 4).alias(
+                f"c{i}"
+            )
+            for i in range(4)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users active in week w who return in week w+1.
+# Week index is integer day-arithmetic (no engine-specific week-truncation
+# semantics). Self-join on distinct (user, week) -- tiny vs raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_weekly_retention",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        / 7.0) AS BIGINT) AS wk
+      FROM events)
+    SELECT a.wk,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained
+    FROM uw a LEFT JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+    GROUP BY a.wk
+    """,
+    doc="week-over-week retention: distinct (user, week) grain first (the "
+    "self-join runs on the deduplicated table, orders of magnitude smaller "
+    "than raw events), integer week index from day arithmetic -- immune to "
+    "engine week-start conventions.",
+)
+def q86_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7.0
+    ).cast("long")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    nxt = uw.select(
+        "user_id", (F.col("wk") - 1).alias("wk"), F.lit(1).alias("__r")
+    )
+    return (
+        uw.join(nxt, ["user_id", "wk"], "left")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.coalesce(F.col("__r"), F.lit(0))).cast("long").alias("n_retained"),
+        )
+    )
