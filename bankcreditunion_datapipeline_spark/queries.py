@@ -3220,6 +3220,10 @@ def q82_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 3))))
         ).alias("gh"),
     ).distinct()
+    # On real corpora, pre-dropping singleton grams (one document -> no
+    # pair) shrinks the self-join input; on this synthetic small-vocabulary
+    # corpus nearly every gram is multi-doc, so the prune measured neutral
+    # and is omitted. Sizes always count ALL grams (the denominator).
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("id_a"), "gh")
     b = grams.select(F.col("doc_id").alias("id_b"), "gh")
@@ -3421,5 +3425,101 @@ def q86_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_active"),
             F.sum(F.coalesce(F.col("__r"), F.lit(0))).cast("long").alias("n_retained"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order-function surface: per-element lambdas (filter / exists /
+# transform / aggregate) over the token array, all inside codegen --
+# the no-UDF idiom for per-row collection logic.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_hof_word_stats",
+    """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents),
+    per_doc AS (
+      SELECT source,
+             len(list_filter(w, x -> length(x) >= 7)) AS n_long,
+             CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                  AS BIGINT) AS total_chars
+      FROM toks)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_long > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_long,
+           CAST(sum(n_long) AS BIGINT) AS total_long_words,
+           CAST(sum(total_chars) AS BIGINT) AS total_word_chars
+    FROM per_doc GROUP BY source
+    """,
+    doc="higher-order functions (F.filter / F.exists / F.transform / "
+    "F.aggregate) on the token array: long-word counts and summed word "
+    "lengths computed per row inside whole-stage codegen -- zero Python, "
+    "zero explode (the array never fans out to rows).",
+)
+def q87_hof_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_long = F.size(F.filter(w, lambda x: F.length(x) >= 7))
+    total_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    per_doc = docs.select(
+        "source", n_long.alias("n_long"), total_chars.alias("total_chars")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_long") > 0).cast("long")).cast("long").alias(
+            "n_docs_with_long"
+        ),
+        F.sum("n_long").cast("long").alias("total_long_words"),
+        F.sum("total_chars").cast("long").alias("total_word_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence analytics: per-user event-type transition matrix (prev -> curr
+# bigram counts from a lag window) -- the Markov-chain / journey-mining
+# primitive. ONE keyed sort-shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q88_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS curr_type,
+           count(*) AS n_transitions,
+           count(DISTINCT user_id) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, curr_type
+    """,
+    doc="event-type transition matrix via lag() over (user, ts, event_id): "
+    "per-user ordering needs one sort-shuffle on user_id; the bigram "
+    "aggregation is a tiny follow-up. Tie-break on event_id keeps the "
+    "sequence deterministic across engines.",
+)
+def q88_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
         )
     )
