@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -50,7 +51,9 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("embedding", ArrayType(FloatType())),
-        StructField("mean_luma", FloatType()),
+        # double, not float: a float32 round-trip perturbs the 6th decimal,
+        # which the oracle (bit-identical double arithmetic) would catch
+        StructField("mean_luma", DoubleType()),
     ]
 )
 

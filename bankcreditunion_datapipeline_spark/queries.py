@@ -768,15 +768,28 @@ def q24_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q25_image_features",
-    None,
+    """
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+      FROM documents WHERE doc_id < 200)
+    SELECT media_id, n_bytes,
+           round(((CAST(('0x' || substr(hx, 1, 2)) AS INT) / 255.0 - 0.5) + (CAST(('0x' || substr(hx, 3, 2)) AS INT) / 255.0 - 0.5) + (CAST(('0x' || substr(hx, 5, 2)) AS INT) / 255.0 - 0.5) + (CAST(('0x' || substr(hx, 7, 2)) AS INT) / 255.0 - 0.5) + (CAST(('0x' || substr(hx, 9, 2)) AS INT) / 255.0 - 0.5) + (CAST(('0x' || substr(hx, 11, 2)) AS INT) / 255.0 - 0.5) + (CAST(('0x' || substr(hx, 13, 2)) AS INT) / 255.0 - 0.5) + (CAST(('0x' || substr(hx, 15, 2)) AS INT) / 255.0 - 0.5)) / 8 + 0.5, 6) AS mean_luma
+    FROM h
+    """,
     doc="image decode/feature-extract via Arrow-batched mapInPandas (decode stubbed "
-    "deterministically -- no codec libs in container; plumbing is real).",
+    "deterministically -- no codec libs in container; plumbing is real). The "
+    "oracle replays the stub math in SQL: sha256(payload || 4 zero bytes), "
+    "first 8 digest bytes scaled, summed in the stub's left-to-right order "
+    "so the doubles are bit-identical.",
 )
 def q25_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ensure_min_partitions
     from .operators.multimodal import extract_image_features
 
-    docs = t(spark, sf_dir, "documents").limit(200)
+    # deterministic subset (limit() without an order is partition-dependent)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = ensure_min_partitions(
         docs.select(
             F.col("doc_id").alias("media_id"),
