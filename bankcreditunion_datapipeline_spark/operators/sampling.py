@@ -42,6 +42,25 @@ def deterministic_hash_sample(
     return df.filter(hash_bucket(F.col(key), buckets) < threshold)
 
 
+def weighted_hash_sample(
+    df: DataFrame, key: str, weight: Column, buckets: int = _BUCKETS
+) -> DataFrame:
+    """Per-row keep probability given by `weight` (a [0, 1] Column computed
+    from the row itself, e.g. a quality score): keep iff
+    hash_bucket(key) < floor(weight * buckets).
+
+    The quality-proportional retention pattern (keep high-quality docs at a
+    higher rate than low-quality ones) WITHOUT an RNG: membership is a pure
+    function of (key, weight), so it is stable across runs, engines,
+    partitionings, and appends, and a later re-run with the same weights
+    reproduces the identical corpus cut. weight >= 1 always keeps,
+    weight <= 0 never keeps. Narrow predicate -- no shuffle.
+    """
+    return df.filter(
+        hash_bucket(F.col(key), buckets) < F.floor(weight * F.lit(float(buckets)))
+    )
+
+
 def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Bernoulli row sample. Seeded but NOT layout-stable -- use
     deterministic_hash_sample for reproducible dataset cuts."""

@@ -87,11 +87,18 @@ def range_join_buckets(
     Each side gets a coarse bucket id; the right side is replicated into the
     adjacent buckets its window can reach, so the join is a pure equi-join
     on (keys..., bucket) followed by the exact range re-filter. Replication
-    factor = windows-per-bucket + 1, chosen by `bucket_seconds` (defaults to
-    the window size => right rows appear 3x).
+    factor = 2*ceil(window/bucket) + 1, chosen by `bucket_seconds`
+    (defaults to the window size => right rows appear 3x).
+
+    Range semantics are SECOND-truncated on both sides (unix_timestamp
+    floors to whole seconds), so a pair straddling the window boundary by
+    sub-second amounts matches iff the floored difference is in range.
     """
     bucket_seconds = bucket_seconds or window_seconds
-    reach = window_seconds // bucket_seconds + 1
+    # ceil(window/bucket): a right row at floored-second f matches left
+    # rows in [f - w, f + w], which spans at most ceil(w/b) buckets on
+    # each side of f's own bucket.
+    reach = (window_seconds - 1) // bucket_seconds + 1
     keys = key_cols or []
     lb = left.withColumn(
         "__bucket", (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")

@@ -3536,3 +3536,295 @@ def q88_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: video frame sampling -- the one-to-many mapInPandas shape
+# (N frame rows per media row). Codec stubbed (no ffmpeg in container); the
+# oracle replays the stub's chunking math in SQL, so the Arrow plumbing,
+# slicing arithmetic, and row fan-out are all value-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "q89_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS len
+      FROM documents WHERE doc_id < 150),
+    c AS (
+      SELECT media_id, text, len, greatest(len // 10, 1) AS chunk FROM m),
+    f AS (
+      SELECT media_id, text, chunk,
+             least(4, greatest(len // chunk, 1)) AS nf FROM c),
+    x AS (
+      SELECT media_id, CAST(i - 1 AS INT) AS fi, text, chunk
+      FROM f, unnest(generate_series(1, nf)) AS g(i))
+    SELECT media_id,
+           CAST(fi * 10 AS INT) AS frame_index,
+           CAST(octet_length(encode(substr(text, fi * chunk + 1, CAST(chunk AS INT))))
+                AS BIGINT) AS n_frame_bytes,
+           sha256(substr(text, fi * chunk + 1, CAST(chunk AS INT))) AS frame_digest
+    FROM x
+    """,
+    doc="sample_video_frames (operators/multimodal.py): mapInPandas one-to-many "
+    "fan-out, frame payload = deterministic byte-slice stub standing in for "
+    "ffmpeg frame extraction. documents.text is pure ASCII in this corpus "
+    "(octet_length == length for every row), so the oracle's VARCHAR substr "
+    "equals the stub's byte slicing; sha256 of each frame proves the exact "
+    "bytes crossed the Arrow boundary.",
+)
+def q89_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ensure_min_partitions
+    from .operators.multimodal import sample_video_frames
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = ensure_min_partitions(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    frames = sample_video_frames(media, every_n=10, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame_payload").cast("long").alias("n_frame_bytes"),
+        F.sha2("frame_payload", 256).alias("frame_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: the EXISTS / NOT-EXISTS correlated pair ("another
+# supplier exists on the order; none of them acted later"). Spark-first
+# decorrelation: both subqueries collapse into ONE window pass over the
+# (order, supplier) grain -- count(*) over the order gives EXISTS, max()
+# over the order gives NOT EXISTS -- instead of the oracle's two extra
+# self-joins of lineitem.
+# ---------------------------------------------------------------------------
+@register(
+    "q90_last_shipper",
+    """
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sup_max
+      FROM lineitem GROUP BY l_orderkey, l_suppkey)
+    SELECT s_name, count(*) AS numwait
+    FROM per p1
+    JOIN orders   ON o_orderkey = p1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = p1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM per p2
+        WHERE p2.l_orderkey = p1.l_orderkey
+          AND p2.l_suppkey <> p1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM per p3
+        WHERE p3.l_orderkey = p1.l_orderkey
+          AND p3.l_suppkey <> p1.l_suppkey
+          AND p3.sup_max > p1.sup_max)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="Q21-shape EXISTS + NOT-EXISTS pair at the (order, supplier) grain: "
+    "a supplier 'kept the order waiting' iff the finished order has other "
+    "suppliers and none shipped strictly later (date ties qualify both, "
+    "exactly like Q21's receiptdate formulation). Spark plan: one partial-agg "
+    "shuffle to the (order, supplier) grain, one window over l_orderkey "
+    "computing both subqueries at once, semi-join to 'F' orders, broadcast "
+    "supplier dim. Timestamp comparisons are exact -- no float risk.",
+)
+def q90_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sup_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per.withColumns(
+        {
+            "n_sup": F.count(F.lit(1)).over(w),
+            "omax": F.max("sup_max").over(w),
+        }
+    )
+    qual = flagged.filter((F.col("n_sup") > 1) & (F.col("sup_max") == F.col("omax")))
+    fin = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    sup = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        qual.join(fin, "l_orderkey", "left_semi")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup canonicalization: after near-dup clustering, pick ONE canonical
+# representative per duplicate cluster (the longest member, doc_id as
+# tiebreak) -- the step that turns dup-pair detection into an actual
+# deduplicated corpus. One window pass over the labeled members.
+# ---------------------------------------------------------------------------
+@register(
+    "q91_dup_cluster_reps",
+    """
+    WITH RECURSIVE ids AS (
+      SELECT doc_id FROM documents),
+    e AS (
+      SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      WHERE (a.doc_id % 10) < ((a.doc_id // 10) % 7)),
+    ebi AS (
+      SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+    reach(id, r) AS (
+      SELECT id_a, id_a FROM ebi
+      UNION
+      SELECT ebi.id_a, reach.r FROM ebi JOIN reach ON ebi.id_b = reach.id),
+    comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id),
+    m AS (
+      SELECT comp.id, comp.component, d.n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.id),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rk,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM m)
+    SELECT component, id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS rep_chars
+    FROM ranked WHERE rk = 1
+    """,
+    doc="connected_components (operators/dedup.py) + representative "
+    "selection: canonical doc per dup cluster by (n_chars DESC, doc_id ASC). "
+    "Same synthetic edge set as q60 so the cluster labeling itself is "
+    "cross-checked too (labels must equal the oracle's min-reachable-id). "
+    "One extra window pass over the members; integer ordering key, so the "
+    "argmax can't float-flip.",
+)
+def q91_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    a = ids.filter(
+        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
+    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    pairs = a.join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    labels = connected_components(pairs)
+    members = labels.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("component")
+    ranked = members.withColumns(
+        {
+            "rk": F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("id"))),
+            "n_members": F.count(F.lit(1)).over(w),
+        }
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "component",
+        F.col("id").alias("rep_doc_id"),
+        "n_members",
+        F.col("n_chars").alias("rep_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling: keep probability proportional to
+# a per-row quality signal (here: length, capped), with NO randomness --
+# membership is a pure function of (doc_id, weight). The
+# quality-proportional mixture pattern, reproducible across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_weighted_sample",
+    """
+    SELECT lang,
+           count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536
+          < floor((least(n_chars, 1000) / 1000.0) * 65536.0)
+    GROUP BY lang
+    """,
+    doc="weighted_hash_sample (operators/sampling.py): per-doc keep "
+    "probability = least(n_chars,1000)/1000 via the md5 bucket -- longer "
+    "docs kept at a higher rate, no RNG, layout/append-stable. The weight "
+    "arithmetic ((BIGINT least)/1000.0*65536) is the same correctly-rounded "
+    "IEEE double sequence on both engines, so floor() agrees exactly.",
+)
+def q92_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)
+    return (
+        weighted_hash_sample(docs, "doc_id", weight)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval self-join (range join): ordered event pairs of the same user
+# within 30 minutes, via time-bucket blocking -- the range-join operator as
+# a graded query (previously exercised only in pytest). Never an all-pairs
+# cross join: the equi-join runs on (user, bucket) with right rows
+# replicated into reachable buckets only.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_event_burst_pairs",
+    """
+    SELECT a.user_id,
+           count(*) AS n_pairs,
+           CAST(max(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS max_gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND abs(date_diff('second', date_trunc('second', a.ts),
+                       date_trunc('second', b.ts))) <= 1800
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    GROUP BY a.user_id
+    """,
+    doc="range_join_buckets (operators/temporal.py): |floor-second "
+    "difference| <= 1800s on (user_id) via bucket blocking (replication "
+    "2*ceil(w/b)+1 = 3x), exact re-filter after the equi-join, then ordered "
+    "so each unordered pair counts once. The oracle states the same "
+    "second-truncated range predicate relationally; the gap metric is exact "
+    "integer microseconds.",
+)
+def q93_event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import range_join_buckets
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.select(
+        F.col("event_id").alias("a_event_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("b_event_id"),
+        "user_id",
+        F.col("ts").alias("b_ts"),
+    )
+    pairs = range_join_buckets(
+        left, right, "a_ts", "b_ts", window_seconds=1800, key_cols=["user_id"]
+    )
+    ordered = pairs.filter(
+        (F.col("a_ts") < F.col("b_ts"))
+        | ((F.col("a_ts") == F.col("b_ts")) & (F.col("a_event_id") < F.col("b_event_id")))
+    )
+    return ordered.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("max_gap_us"),
+    )

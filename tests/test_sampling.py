@@ -60,3 +60,34 @@ def test_seeded_and_stratified_sample(spark, sf_dir):
     assert counts[langs[0]] == full[langs[0]]  # fraction 1.0 keeps every row
     for lang in langs[1:]:
         assert counts.get(lang, 0) < 0.3 * full[lang]
+
+
+def test_weighted_hash_sample(spark, sf_dir):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    n = docs.count()
+    # weight 1 keeps everything, weight 0 keeps nothing
+    assert weighted_hash_sample(docs, "doc_id", F.lit(1.0)).count() == n
+    assert weighted_hash_sample(docs, "doc_id", F.lit(0.0)).count() == 0
+    # constant weight w reproduces deterministic_hash_sample(rate=w)
+    flat = {r.doc_id for r in weighted_hash_sample(docs, "doc_id", F.lit(0.2)).select("doc_id").collect()}
+    plain = {r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    assert flat == plain
+    # higher weight keeps a superset of a lower weight (thresholds nest)
+    w_half = {r.doc_id for r in weighted_hash_sample(docs, "doc_id", F.lit(0.5)).select("doc_id").collect()}
+    assert flat <= w_half
+    # row-dependent weight: kept set is exactly the per-row predicate
+    weight = F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)
+    kept = {r.doc_id for r in weighted_hash_sample(docs, "doc_id", weight).select("doc_id").collect()}
+    import hashlib
+    import math
+
+    expect = set()
+    for row in docs.select("doc_id", "n_chars").collect():
+        bucket = int(hashlib.md5(str(row.doc_id).encode()).hexdigest()[:4], 16) % 65536
+        if bucket < math.floor(min(row.n_chars, 1000) / 1000.0 * 65536.0):
+            expect.add(row.doc_id)
+    assert kept == expect

