@@ -3828,3 +3828,41 @@ def q93_event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.max(F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming operator surface in batch: SLIDING windows (overlapping) -- each
+# event lands in duration/slide windows. Same F.window operator the
+# streaming path uses; the oracle replays the window assignment as an
+# explicit 4-way fan-out on the epoch grid.
+# ---------------------------------------------------------------------------
+@register(
+    "q94_sliding_windows",
+    """
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS us FROM events),
+    x AS (
+      SELECT event_type, value,
+             (us // 900000000) * 900000000 - k * 900000000 AS start_us
+      FROM e, unnest(generate_series(0, 3)) AS g(k)
+      WHERE (us // 900000000) * 900000000 - k * 900000000 > us - 3600000000)
+    SELECT make_timestamp(start_us) AS window_start,
+           make_timestamp(start_us + 3600000000) AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM x
+    GROUP BY start_us, event_type
+    """,
+    doc="windowed_event_counts(slide=...) (streaming/windows.py): 1-hour "
+    "windows sliding every 15 minutes over events -- the overlapping-window "
+    "streaming operator run in batch mode (F.window is the same logical op; "
+    "only state management differs). Epoch-aligned [start, end) semantics; "
+    "the oracle enumerates each event's 4 covering windows explicitly via "
+    "integer microsecond arithmetic on the 900s grid.",
+)
+def q94_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import windowed_event_counts
+
+    ev = t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour", ts_col="ts", slide="15 minutes")

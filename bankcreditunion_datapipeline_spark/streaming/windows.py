@@ -16,16 +16,25 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark_delay: str = "15 minutes",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count/sum per event_type with a watermark so state for
+    """Windowed count/sum per event_type with a watermark so state for
     closed windows is dropped (bounded memory on an unbounded stream).
+    Tumbling by default; pass `slide` (< duration) for overlapping sliding
+    windows -- each event then lands in duration/slide windows, which is a
+    row fan-out of that factor inside the aggregation, not a self-join.
 
     Works on both batch and streaming DataFrames -- F.window is the same
     logical operator; only state management differs.
     """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         events.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))
+        .groupBy(win, F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

@@ -199,3 +199,27 @@ def test_streaming_upsert_latest_wins(spark, tmp_path):
     cur = spark.read.schema(EVENT_SCHEMA).parquet(tgt + "/current")
     got = {r["user_id"]: r["event_id"] for r in cur.collect()}
     assert got == {0: 6, 1: 7, 2: 8}
+
+
+def test_sliding_windows_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "slide_src")
+    _write_events(spark, src, 0, 60)
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    batch = windowed_event_counts(batch_df, slide="15 minutes")
+    # every event is in exactly duration/slide = 4 windows
+    n_events = batch_df.count()
+    assert batch.agg(F.sum("n_events")).first()[0] == 4 * n_events
+
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    run_stream_to_memory(
+        windowed_event_counts(stream_df, slide="15 minutes"),
+        "slide_counts",
+        str(tmp_path / "slide_ckpt"),
+    )
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM slide_counts").collect()))
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(minutes=15)
+    closed_batch = sorted(
+        map(tuple, batch.filter(F.col("window_end") <= cutoff).collect())
+    )
+    assert streamed == closed_batch
