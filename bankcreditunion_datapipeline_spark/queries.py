@@ -3866,3 +3866,185 @@ def q94_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return windowed_event_counts(ev, "1 hour", ts_col="ts", slide="15 minutes")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer distribution by order count, INCLUDING
+# zero-order customers.  Scale-aware formulation: orders are pre-aggregated
+# to (custkey, n) BEFORE touching customer, so the join carries one row per
+# customer instead of one per order, and the outer join's null side becomes
+# coalesce(0).  The second aggregation groups on a tiny key domain.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_order_count_distribution",
+    """
+    WITH per AS (
+      SELECT c_custkey, coalesce(n, 0) AS c_count
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, count(*) AS n
+                 FROM orders GROUP BY o_custkey) o ON o_custkey = c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per GROUP BY c_count
+    """,
+    doc="TPC-H Q13 decorrelated: pre-aggregated orders left-joined to "
+    "customer (one shuffle each on custkey), zero-order customers kept via "
+    "coalesce, then a low-cardinality re-aggregation. The naive "
+    "customer-LEFT-JOIN-orders-then-count plan shuffles every order row; "
+    "this one shuffles one row per customer.",
+)
+def q95_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    per = c.join(cnt, c.c_custkey == cnt.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("c_count")
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders -- the HAVING-sum in-subquery joined
+# back to orders and customer.  The quantity filter reduces lineitem to a
+# tiny key set BEFORE the 3-way join, so both subsequent joins are
+# broadcast-able at any scale where "big orders" stay rare.
+# ---------------------------------------------------------------------------
+@register(
+    "q96_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18: groupBy-HAVING subquery as a first-class DataFrame, "
+    "then selective join-back. sum(l_quantity) is a sum of small "
+    "integer-valued doubles, exact in IEEE double on both engines, so the "
+    "HAVING boundary and the hashed total agree bit-for-bit.",
+)
+def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 250)
+        .select("l_orderkey", F.round("_tq", 2).alias("total_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS decorrelated to a left-semi join.  The probe side
+# is pre-filtered (returned lineitems only) and projected to the join key
+# alone, so the semi-join ships keys, not rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q97_priority_returned_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4: EXISTS expressed as left_semi join (Spark never "
+    "duplicates orders rows even when several lineitems match). Probe side "
+    "filtered+projected to keys before the shuffle.",
+)
+def q97_priority_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery (per-part average quantity)
+# decorrelated into an aggregate + equi-join.  avg(l_quantity) is a sum of
+# integer-valued doubles divided by a count -- bit-exact on both engines
+# regardless of summation order, so the 0.5*avg threshold cannot flip.
+# ---------------------------------------------------------------------------
+@register(
+    "q98_small_quantity_revenue",
+    """
+    WITH a AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN a    ON a.l_partkey = lineitem.l_partkey
+    JOIN part ON p_partkey = lineitem.l_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q17 decorrelated: per-part avg as a self-aggregate joined "
+    "back on partkey (both sides share the same hash partitioning, AQE "
+    "reuses the exchange), then the brand dimension joined broadcast.",
+)
+def q98_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avg_q, li.l_partkey == avg_q.a_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: argmax-with-ties over an aggregated view.  Revenue is
+# summed in exact integer cents (per-row round, then BIGINT sum -- the
+# q61 discipline) so the max comparison is exact; the scalar max is a
+# 1-row broadcast, never a global window.
+# ---------------------------------------------------------------------------
+@register(
+    "q99_top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, rev_cents
+    FROM rev
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+    doc="TPC-H Q15: max-revenue supplier(s) with ties. The scalar subquery "
+    "is a 1-row aggregate broadcast-joined against the revenue view "
+    "(never a partition-less window). Exact cents arithmetic per q61.",
+)
+def q99_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
+    mx = rev.agg(F.max("rev_cents").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_cents == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "rev_cents")
+    )
