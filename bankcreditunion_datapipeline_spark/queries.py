@@ -4048,3 +4048,67 @@ def q99_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "rev_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase attribution: each purchase attributed to the user's LATEST view
+# within 30 minutes (the batch twin of streaming/joins.stream_interval_join
+# + last-touch selection).  The as-of formulation does ONE keyed
+# sort-shuffle and never materializes the (view x purchase) pair fan-out
+# the interval join would; the gap filter then demotes stale matches.
+# Latency is averaged in exact integer microseconds and divided once, so
+# the hash can't float-flip on summation order.
+# ---------------------------------------------------------------------------
+@register(
+    "q100_purchase_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT p.ts,
+             CASE WHEN v.v_ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(v.v_ts) <= 1800000000
+                  THEN epoch_us(p.ts) - epoch_us(v.v_ts) END AS lat_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.v_ts <= p.ts)
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN lat_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed,
+           round(avg(lat_us) / 1000000.0, 4) AS avg_latency_sec
+    FROM j GROUP BY 1
+    """,
+    doc="last-touch attribution: asof_join (operators/temporal.py) views->"
+    "purchases, 30-minute attribution window, hourly conversion rollup. "
+    "Streaming twin: streaming/joins.stream_interval_join with watermark-"
+    "bounded state. Oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def q100_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("v_ts")
+    )
+    j = asof_join(
+        purchases, views, key_cols=["user_id"], ts_col="ts", value_cols=["v_ts"]
+    )
+    lat_us = F.when(
+        F.col("v_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("v_ts") <= 1_800_000_000),
+        F.unix_micros("ts") - F.unix_micros("v_ts"),
+    )
+    return (
+        j.select(F.date_trunc("hour", "ts").alias("hour"), lat_us.alias("lat_us"))
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("lat_us").isNotNull().cast("long")).alias("n_attributed"),
+            F.round(F.avg("lat_us") / 1_000_000.0, 4).alias("avg_latency_sec"),
+        )
+    )

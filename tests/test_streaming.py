@@ -223,3 +223,43 @@ def test_sliding_windows_streaming_matches_batch(spark, tmp_path):
         map(tuple, batch.filter(F.col("window_end") <= cutoff).collect())
     )
     assert streamed == closed_batch
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from bankcreditunion_datapipeline_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    src = str(tmp_path / "ssj_src")
+    _write_events(spark, src, 0, 40)
+
+    def views(df):
+        return df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+        )
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+        )
+
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    batch = stream_interval_join(
+        views(batch_df), clicks(batch_df), ["user_id"], "v_ts", "c_ts", 1800
+    )
+    expected = sorted(
+        map(tuple, batch.select("user_id", "view_id", "click_id").collect())
+    )
+    assert expected, "fixture should produce at least one in-window pair"
+
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    sj = stream_interval_join(
+        views(stream_df), clicks(stream_df), ["user_id"], "v_ts", "c_ts", 1800
+    )
+    run_stream_to_memory(
+        sj.select("user_id", "view_id", "click_id"),
+        "ssj_pairs",
+        str(tmp_path / "ssj_ckpt"),
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ssj_pairs").collect()))
+    assert got == expected
