@@ -72,6 +72,49 @@ def exact_dedup_keep_min(df: DataFrame, id_col: str, content_col: str) -> DataFr
     return keyed.join(keepers, [ "__digest", id_col], "left_semi").drop("__digest")
 
 
+def content_digests(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Distinct content digests of a corpus -- the persistable exact-dedup
+    index (one 16-byte-hex row per distinct content, nothing else)."""
+    return df.select(
+        F.md5(F.col(content_col).cast("binary")).alias("digest")
+    ).distinct()
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    index_digests: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Exact dedup of a delta batch against a persisted digest index -- the
+    production shape at 100 TB: the already-ingested corpus ships only its
+    16-byte digests (from `content_digests`, stored partitioned by digest
+    prefix), the delta alone is hashed.
+
+    Drops (a) delta rows whose digest is already indexed (left_anti on the
+    digest) and (b) intra-delta duplicates, keeping the minimal `id_col`
+    per digest group.  NULL content hashes to a per-row sentinel digest:
+    unknown content is never merged with anything, so every NULL-content
+    row survives both stages.  Returns the surviving delta rows with their
+    original columns.
+    """
+    keyed = new_df.withColumn(
+        "__digest",
+        F.coalesce(
+            F.md5(F.col(content_col).cast("binary")),
+            F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+        ),
+    )
+    fresh = keyed.join(
+        index_digests.select(F.col(digest_col).alias("__digest")),
+        "__digest",
+        "left_anti",
+    )
+    keepers = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keepers, ["__digest", id_col], "left_semi").drop("__digest")
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash + LSH  (shingle -> minhash -> band -> bucket-join)
 # ---------------------------------------------------------------------------

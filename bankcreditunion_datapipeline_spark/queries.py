@@ -4112,3 +4112,51 @@ def q100_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lat_us") / 1_000_000.0, 4).alias("avg_latency_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup against a persisted index -- the delta-vs-index
+# workflow as a graded query.  Even doc_ids play the already-ingested
+# corpus (index side: digests only), odd doc_ids are the new delta; the
+# delta keeps rows whose content was never seen, minus intra-delta dupes
+# (keep-min id).  The index never re-hashes content and ships 16-byte
+# digests, not bodies.
+# ---------------------------------------------------------------------------
+@register(
+    "q101_incremental_exact_dedup",
+    """
+    WITH idx AS (
+      SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 2 = 0),
+    delta AS (
+      SELECT doc_id, lang, n_chars,
+             coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)) AS dg
+      FROM documents WHERE doc_id % 2 = 1),
+    fresh AS (
+      SELECT * FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.dg = d.dg)),
+    keep AS (
+      SELECT dg, min(doc_id) AS doc_id FROM fresh GROUP BY dg)
+    SELECT lang,
+           count(*) AS n_new_docs,
+           CAST(sum(n_chars) AS BIGINT) AS new_chars
+    FROM fresh JOIN keep USING (dg, doc_id)
+    GROUP BY lang
+    """,
+    doc="incremental_exact_dedup + content_digests (operators/dedup.py): "
+    "anti-join of the hashed delta against the stored digest index, then "
+    "keep-min within the delta. Digest equality never crosses engines "
+    "(each side compares its own md5), so hex-representation differences "
+    "can't flip the hash; NULL content gets a per-row sentinel digest so "
+    "unknown content is never merged.",
+)
+def q101_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import content_digests, incremental_exact_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    index = content_digests(docs.filter(F.col("doc_id") % 2 == 0))
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    survivors = incremental_exact_dedup(delta, index, "doc_id", "text")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.sum("n_chars").cast("long").alias("new_chars"),
+    )

@@ -205,3 +205,29 @@ def test_minhash_survives_null_text(spark):
              minhash_near_dup_pairs(df, threshold=0.5, num_hashes=16, bands=8).collect()}
     assert (1, 2) in pairs
     assert all(a is not None and b is not None for a, b in pairs)
+
+
+def test_incremental_exact_dedup_vs_index(spark):
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        content_digests,
+        incremental_exact_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "beta"),   # already indexed -> dropped
+            (11, "gamma"),  # fresh, first of an intra-delta dup pair
+            (12, "gamma"),  # intra-delta dup -> dropped (keep-min)
+            (13, "delta"),  # fresh, unique
+            (14, None),     # NULL content never matches the index -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    idx = content_digests(old)
+    assert idx.count() == 2  # alpha, beta (NULL-free distinct digests)
+    out = incremental_exact_dedup(new, idx, "doc_id", "text")
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13, 14]
+    assert out.columns == new.columns
