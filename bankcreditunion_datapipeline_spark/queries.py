@@ -4160,3 +4160,72 @@ def q101_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new_docs"),
         F.sum("n_chars").cast("long").alias("new_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (chunk-level) cross-corpus dedup -- the C4/RefinedWeb move:
+# dedup at 20-word chunk granularity, keeping each chunk's first
+# occurrence in (doc_id, position) order.  Chunk text never shuffles: the
+# 8-byte xxhash64 is the dedup key, and the keeper is picked with a
+# min(struct) aggregate (argmin), not a window sort over chunk bodies.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_chunk_level_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    ch AS (
+      SELECT doc_id, source, s,
+             least(20, n - s + 1) AS chunk_len,
+             array_to_string(list_slice(w, s, s + 19), ' ') AS chunk
+      FROM toks, unnest(generate_series(1, n, 20)) AS t(s)),
+    ranked AS (
+      SELECT source, chunk_len,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, s) AS rk
+      FROM ch)
+    SELECT source,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk = 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           round(avg(CASE WHEN rk = 1 THEN 1.0 ELSE 0.0 END), 4) AS kept_frac
+    FROM ranked GROUP BY source
+    """,
+    doc="chunk-granularity exact dedup: non-overlapping 20-word chunks, "
+    "first-occurrence-wins by (doc_id, start). Spark picks keepers with "
+    "min(struct(doc_id,s)) per chunk hash -- a two-level hash aggregate, "
+    "no window over chunk text, 8-byte shuffle keys. The oracle states "
+    "the identical rule as row_number over the chunk string.",
+)
+def q102_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(20))
+    pairs = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.least(F.lit(20), F.size(toks) - s + 1).alias("chunk_len"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, s, 20))).alias("ch"),
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", "source", F.explode(pairs).alias("c")
+    ).select("doc_id", "source", "c.s", "c.chunk_len", "c.ch")
+    keep = chunks.groupBy(F.col("ch").alias("k_ch")).agg(
+        F.min(F.struct("doc_id", "s")).alias("k")
+    )
+    flagged = chunks.join(keep, chunks.ch == F.col("k_ch")).withColumn(
+        "is_kept",
+        (F.col("doc_id") == F.col("k.doc_id")) & (F.col("s") == F.col("k.s")),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), F.col("chunk_len")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.round(F.avg(F.col("is_kept").cast("double")), 4).alias("kept_frac"),
+    )
