@@ -1415,7 +1415,7 @@ def q43_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(n_chars), 4) AS avg_chars
     FROM documents
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536
-          < CAST(0.1 * 65536 AS INT)
+          < CAST(floor(0.1 * 65536) AS INT)
     GROUP BY lang
     """,
     doc="deterministic_hash_sample: layout/seed-independent 10%% sample (md5 "
@@ -4228,4 +4228,182 @@ def q102_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
         F.round(F.avg(F.col("is_kept").cast("double")), 4).alias("kept_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/holdout split: membership is decided by the DUP-
+# CLUSTER label (min reachable id; singletons label themselves), not the
+# doc id, so near-identical documents can never straddle the split -- the
+# eval-contamination guard every training pipeline needs.  Same synthetic
+# edge set as q60/q91, so the cluster labels are cross-checked against the
+# oracle's recursive-CTE fixpoint a third way.
+# ---------------------------------------------------------------------------
+@register(
+    "q103_leakage_free_split",
+    """
+    WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    e AS (
+      SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      WHERE (a.doc_id % 10) < ((a.doc_id // 10) % 7)),
+    ebi AS (
+      SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+    reach(id, r) AS (
+      SELECT id_a, id_a FROM ebi
+      UNION
+      SELECT ebi.id_a, reach.r FROM ebi JOIN reach ON ebi.id_b = reach.id),
+    comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS grp,
+             CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END AS in_cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    s AS (
+      SELECT *,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4)) AS INT)
+                       % 65536 >= CAST(floor(0.05 * 65536) AS INT)
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM lab)
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT grp) AS n_groups,
+           CAST(sum(in_cluster) AS BIGINT) AS n_clustered_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split
+    """,
+    doc="connected_components + hash_bucket split on the CLUSTER label "
+    "(operators/dedup.py, operators/sampling.py): the leak-free eval split "
+    "-- a dup cluster lands wholly in train or wholly in holdout. Both "
+    "engines floor() the rate threshold so the bucket boundary can't "
+    "off-by-one (DuckDB CAST rounds, Python int() truncates).",
+)
+def q103_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+    from .operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    a = ids.filter(
+        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
+    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    pairs = a.join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    labels = connected_components(pairs)
+    lab = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("grp"),
+        F.col("component").isNotNull().cast("long").alias("in_cluster"),
+    )
+    threshold = int(0.05 * 65536)
+    split = F.when(
+        hash_bucket(F.col("grp")) >= threshold, F.lit("train")
+    ).otherwise(F.lit("holdout"))
+    return lab.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum("in_cluster").cast("long").alias("n_clustered_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget selection: greedy prefix in deterministic
+# (doc_id) order until each source's cumulative token count reaches the
+# budget -- the "data mixing by token count" primitive.  One window pass
+# per source; a doc is kept iff the budget wasn't exhausted BEFORE it.
+# ---------------------------------------------------------------------------
+@register(
+    "q104_token_budget_selection",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+      FROM toks)
+    SELECT source,
+           count(*) AS n_selected,
+           CAST(sum(n_tokens) AS BIGINT) AS selected_tokens,
+           CAST(max(before + n_tokens) AS BIGINT) AS final_cum
+    FROM c WHERE before < 5000
+    GROUP BY source
+    """,
+    doc="token-budget curriculum cut: cumulative window sum per source in "
+    "doc_id order, keep while the PRE-doc cumulative is under budget "
+    "(the first overshooting doc is kept, closing the budget exactly "
+    "once). Integer token counts -- no float boundary. At scale the "
+    "window partitions by source; skewed sources split via AQE.",
+)
+def q104_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = toks.withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.filter(F.col("before") < 5000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("selected_tokens"),
+            F.max(F.col("before") + F.col("n_tokens")).cast("long").alias("final_cum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-insensitive ("fuzzy exact") dedup: case folding, punct
+# stripping, and whitespace collapse BEFORE the digest, so trivially
+# reformatted copies collapse into one group.  Character classes only
+# ([^a-z0-9 ], [ ]+) -- identical semantics in Java regex and RE2.
+# ---------------------------------------------------------------------------
+@register(
+    "q105_normalized_dedup",
+    """
+    WITH norm AS (
+      SELECT lang,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'),
+                                 '[ ]+', ' ', 'g')) AS nt
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT nt) AS n_distinct_norm,
+           CAST(count(*) - count(DISTINCT nt) AS BIGINT) AS n_collapsed
+    FROM norm GROUP BY lang
+    """,
+    doc="normalized exact dedup: lower/strip-punct/collapse-space then "
+    "distinct-count per lang. The normalized text itself never crosses "
+    "engines (each computes its own), and at scale the distinct runs on "
+    "the md5 of nt, not the body.",
+)
+def q105_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    nt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", ""),
+            "[ ]+",
+            " ",
+        )
+    )
+    return (
+        docs.select("lang", nt.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("nt").alias("n_distinct_norm"),
+            (F.count(F.lit(1)) - F.countDistinct("nt"))
+            .cast("long")
+            .alias("n_collapsed"),
+        )
     )
