@@ -166,3 +166,26 @@ def test_write_gold_parquet_fallback_is_partition_pruned(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert got.count() == 25
     assert "PartitionFilters: [isnotnull(status" in plan
+
+
+def test_gold_partition_join_uses_dynamic_pruning(spark, tmp_path):
+    """A fact table published with write_gold(partition_by=...) joined to a
+    selectively-filtered dimension triggers dynamic partition pruning: the
+    runtime subquery of dim keys becomes a PartitionFilter on the fact
+    scan, so only matching partitions are read -- the mechanism that keeps
+    dim-filtered fact queries from scanning all 100 TB."""
+    from bankcreditunion_datapipeline_spark.sinks import write_gold
+
+    p = str(tmp_path / "gold_fact")
+    fact = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 7).alias("part_key"), (F.col("id") * 2).alias("v")
+    )
+    write_gold(fact, p, partition_by=["part_key"], fmt="parquet")
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("part_key"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    j = spark.read.parquet(p).join(dim.filter(F.col("name") == "n3"), "part_key")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 10000 // 7 + 1
