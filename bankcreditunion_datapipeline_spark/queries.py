@@ -4407,3 +4407,128 @@ def q105_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_collapsed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Value histogram: fixed-width binning via integer floor-division -- the
+# OLAP histogram primitive without width_bucket portability concerns.
+# Binning is arithmetic on the row (narrow), the aggregate groups on
+# (type, bin) -- two-level hash agg, bytes shuffled ∝ bins.
+# ---------------------------------------------------------------------------
+@register(
+    "q106_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(sum(value), 2) AS bin_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="fixed-width histogram: bin = floor(value/50) computed per-row in "
+    "the scan projection (same IEEE division on both engines), grouped on "
+    "the (type, bin) pair. The streaming twin would be the identical "
+    "groupBy under a watermark.",
+)
+def q106_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("long").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("bin_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations on yearly active-customer sets: INTERSECT and EXCEPT as
+# first-class operators (Spark intersect/subtract compile to left-semi /
+# left-anti over distinct inputs -- no row materialization of the set
+# product).  Output is the three-way partition of the two sets.
+# ---------------------------------------------------------------------------
+@register(
+    "q107_active_customer_set_ops",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1995-01-01'
+                   AND o_orderdate < DATE '1996-01-01'),
+    y96 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01')
+    SELECT 'both' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995', count(*)
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1996', count(*)
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+    """,
+    doc="INTERSECT / EXCEPT surface: Spark df.intersect and df.subtract "
+    "(set semantics) partitioning two yearly activity sets. Catalyst "
+    "plans these as aggregate + left-semi/left-anti joins on the distinct "
+    "key -- no cross product, shuffle carries distinct keys only.",
+)
+def q107_active_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+
+    def active(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = active(1995), active(1996)
+    rows = [
+        y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit("both").alias("cohort"), "n_customers"
+        ),
+        y95.subtract(y96).agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit("only_1995").alias("cohort"), "n_customers"
+        ),
+        y96.subtract(y95).agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit("only_1996").alias("cohort"), "n_customers"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics: correlation / covariance / stddev per group -- the
+# profiling statistics a feature-engineering pass needs, all single-pass
+# co-moment aggregates (partial + final, no second scan).
+# ---------------------------------------------------------------------------
+@register(
+    "q108_bivariate_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_discount), 6) AS discount_sd,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="corr / covar_samp / stddev_samp as distributed co-moment "
+    "aggregates (map-side partials merged associatively -- one pass, "
+    "shuffle carries per-group moment tuples). Rounded at 1e-4/1e-2/1e-6 "
+    "-- orders of magnitude above the co-moment merge's float noise.",
+)
+def q108_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
