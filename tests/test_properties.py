@@ -82,3 +82,76 @@ def test_clean_text_idempotent(spark, s):
         clean_text(F.col("text")).alias("a"),
     ).select("a", clean_text(F.col("a")).alias("b")).first()
     assert once == twice
+
+
+DOC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # doc_id (dupes possible)
+        st.sampled_from(["aa", "bb", "cc", "dd", None]),  # text
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**COMMON)
+@given(rows=DOC_ROWS)
+def test_incremental_dedup_consistent_with_one_shot(spark, rows):
+    """Splitting a corpus into (index half, delta half) and deduping the
+    delta against the index's digests keeps exactly the delta rows that a
+    one-shot keep-min dedup over the WHOLE corpus would keep -- i.e. delta
+    rows whose content never appears in the index and who are the minimal
+    id for their content within the delta.  NULL-content rows are always
+    kept (unknown content never merges)."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        content_digests,
+        incremental_exact_dedup,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    index_side = df.filter(F.col("doc_id") % 2 == 0)
+    delta = df.filter(F.col("doc_id") % 2 == 1)
+    out = incremental_exact_dedup(
+        delta, content_digests(index_side), "doc_id", "text"
+    )
+    got = sorted(r.doc_id for r in out.collect())
+
+    index_texts = {r.text for r in index_side.collect() if r.text is not None}
+    delta_rows = sorted(
+        ((r.doc_id, r.text) for r in delta.collect()), key=lambda x: x[0]
+    )
+    keep, seen = [], set()
+    for doc_id, text in delta_rows:
+        if text is None:
+            keep.append(doc_id)
+        elif text not in index_texts and text not in seen:
+            keep.append(doc_id)
+            seen.add(text)
+    assert got == sorted(keep)
+
+
+@settings(**COMMON)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=200),
+)
+def test_token_budget_closed_exactly_once(spark, toks, budget):
+    """The q104 selection rule (keep while the PRE-doc cumulative is under
+    budget) always keeps a non-empty prefix whose total reaches or
+    overshoots the budget by at most one document."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = df.withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    kept = c.filter(F.col("before") < budget).collect()
+    assert kept, "first doc always kept"
+    total = sum(r.n_tokens for r in kept)
+    last = max(kept, key=lambda r: r.doc_id)
+    assert total >= min(budget, sum(toks))
+    assert total - last.n_tokens < budget  # dropping the closer re-opens it
