@@ -83,3 +83,26 @@ def split_train_holdout(
     threshold = int(holdout_rate * buckets)
     b = hash_bucket(F.col(key), buckets)
     return df.filter(b >= threshold), df.filter(b < threshold)
+
+
+def assign_shards(df: DataFrame, key: str, n_shards: int, out: str = "shard") -> DataFrame:
+    """Deterministic training-shard assignment: ``shard = md5-bucket(key) %
+    n_shards`` -- the export step that turns a curated corpus into N
+    balanced shards for a data loader.
+
+    Properties that matter for training exports:
+
+    - membership is a pure function of the key: re-runs, appends, and
+      repartitioning never move a document between shards (resumable,
+      diffable exports);
+    - the hash is engine-portable md5 (same bucket in DuckDB/Python), so a
+      loader can verify shard membership without Spark;
+    - assignment is a narrow projection -- NO shuffle happens until the
+      partitioned write, and ``df.write.partitionBy(out)`` is then the
+      only data movement. With ``n_shards`` a power of two the 16-bit
+      md5 bucket divides evenly (no modulo bias).
+
+    This hash-mod assignment is the 100 TB path: a global ``row_number``
+    round-robin would funnel every row through one window partition.
+    """
+    return df.withColumn(out, hash_bucket(F.col(key), n_shards))

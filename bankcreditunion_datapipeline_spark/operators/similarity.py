@@ -217,3 +217,65 @@ def project_embeddings(
             yield pd.DataFrame(out)
 
     return df.select(*keep_cols, vec_col).mapInPandas(fn, schema)
+
+
+def label_centroids(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label centroid vectors: one grouped pass with `dim` avg
+    aggregates (JVM-side), reassembled into an array column.
+
+    Components are rounded to `decimals` so the centroid is a stable,
+    engine-portable constant: float summation order across rows differs
+    between engines/partitionings by ~1e-16, and rounding far above that
+    noise floor makes downstream distance math reproducible.
+    """
+    aggs = [
+        F.round(F.avg(F.col(vec_col).getItem(i).cast("double")), decimals).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    cent = df.groupBy(label_col).agg(*aggs)
+    return cent.select(
+        F.col(label_col).alias("centroid_label"),
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """One Lloyd assignment step: each vector joins the (tiny, broadcast)
+    centroid table and keeps its nearest centroid by squared L2 distance.
+
+    Distance uses the dot-product identity ``|a-c|^2 = a.a - 2 a.c + c.c``
+    with sequential double-precision folds (functions/vectors.dot), rounded
+    to `decimals`; the argmin is a ``min(struct(dist, label))`` aggregate --
+    deterministic under ties by centroid label. The plan is: broadcast
+    nested-loop fan-out (k rows per vector), narrow distance math, one
+    hash aggregate on the vector id. Nothing wider than k x input ever
+    exists, and the embedding column never shuffles -- the aggregate
+    carries only (id, keep_cols, dist, label).
+    """
+    keep_cols = list(keep_cols or [])
+    fan = df.select(id_col, *keep_cols, vec_col).crossJoin(F.broadcast(centroids))
+    a, c = F.col(vec_col), F.col("centroid")
+    dist = F.round(dot(a, a) - 2 * dot(a, c) + dot(c, c), decimals)
+    best = (
+        fan.select(
+            id_col,
+            *keep_cols,
+            F.struct(dist.alias("dist"), F.col("centroid_label").alias("assigned")).alias("dc"),
+        )
+        .groupBy(id_col, *keep_cols)
+        .agg(F.min("dc").alias("dc"))
+    )
+    return best.select(id_col, *keep_cols, F.col("dc.assigned").alias("assigned"), F.col("dc.dist").alias("dist"))

@@ -245,3 +245,53 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: a unigram language model TRAINED ON THE
+# CORPUS ITSELF (one aggregation), then every document scored by its mean
+# per-token log-likelihood -- the cheap end of the perplexity-filter family
+# (KenLM-style filters are the same shape with a bigger model table).
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm_doc_scores(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Train a corpus unigram LM and score each document by mean log2
+    token likelihood.
+
+    Three-stage plan, all shuffles bounded by vocabulary or document count:
+
+    1. tokenize + count: ``explode(split(text))`` -> groupBy(word) -- the
+       LM "training" pass; shuffle carries one row per distinct word.
+    2. score: tokens equi-join the frequency table. The model is
+       vocabulary-sized, so it is BROADCAST -- the big token stream never
+       shuffles. (A 100 TB corpus has a ~1e7-row unigram table: still
+       broadcastable; a bigram/KenLM table would bucket-join instead.)
+    3. per-doc reduce: sum(log2 p) / n_tokens per document.
+
+    Returns one row per document: id cols + ``n_words``, ``sum_c`` (sum of
+    corpus counts of its tokens), ``avg_ll`` (mean log2 likelihood),
+    ``t_total`` / ``t_sq`` (corpus token count and sum of squared counts,
+    constant columns for downstream integer-exact rarity predicates like
+    ``sum_c * t_total < n_words * t_sq`` -- "rarer than the corpus mean").
+    """
+    ids = [F.col(c) for c in id_cols]
+    tokens = df.select(*ids, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    freq = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(
+        F.sum("c").cast("long").alias("t_total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("t_sq"),
+    )
+    scored = tokens.join(F.broadcast(freq), "w").crossJoin(F.broadcast(totals))
+    return scored.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("c").cast("long").alias("sum_c"),
+        (
+            F.sum(F.log2(F.col("c").cast("double") / F.col("t_total")))
+            / F.count(F.lit(1))
+        ).alias("avg_ll"),
+        F.first("t_total").alias("t_total"),
+        F.first("t_sq").alias("t_sq"),
+    )

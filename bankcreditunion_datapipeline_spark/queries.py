@@ -4532,3 +4532,154 @@ def q108_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: corpus-trained unigram LM, every document
+# scored by mean log2 token likelihood -- the cheap end of the perplexity
+# filter family (KenLM filters are this shape with a larger model table).
+# The "rare doc" flag is an integer-exact cross-multiplication (mean word
+# count below the corpus token-weighted mean), so no float threshold.
+# ---------------------------------------------------------------------------
+@register(
+    "q109_unigram_lm_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total,
+                   CAST(sum(c * c) AS BIGINT) AS t_sq FROM freq),
+    perdoc AS (
+      SELECT doc_id, source, t_total, t_sq,
+             count(*) AS n_words,
+             CAST(sum(c) AS BIGINT) AS sum_c,
+             sum(log2(CAST(c AS DOUBLE) / t_total)) AS ll
+      FROM toks JOIN freq USING (w) CROSS JOIN tot
+      GROUP BY doc_id, source, t_total, t_sq)
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(ll / n_words), 4) AS avg_logprob,
+           CAST(sum(CASE WHEN sum_c * t_total < n_words * t_sq
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_docs
+    FROM perdoc GROUP BY source
+    """,
+    doc="unigram_lm_doc_scores (operators/text.py): LM training is one "
+    "groupBy(word) (shuffle = vocabulary), scoring joins the BROADCAST "
+    "model table (the token stream never shuffles), per-doc reduce, "
+    "per-source rollup. Rarity predicate sum_c*t_total < n_words*t_sq is "
+    "all-BIGINT -- engine-exact; the float avg_logprob is rounded at 1e-4, "
+    "far above summation-order noise.",
+)
+def q109_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import unigram_lm_doc_scores
+
+    docs = t(spark, sf_dir, "documents")
+    scores = unigram_lm_doc_scores(docs, id_cols=("doc_id", "source"))
+    rare = (
+        F.col("sum_c") * F.col("t_total") < F.col("n_words") * F.col("t_sq")
+    ).cast("long")
+    return scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_ll"), 4).alias("avg_logprob"),
+        F.sum(rare).cast("long").alias("n_rare_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export: deterministic hash-mod shard assignment (the step
+# that turns a curated corpus into N loader shards), with per-shard
+# balance statistics.  Assignment is a narrow projection -- the ONLY data
+# movement in a real export is the partitionBy(shard) write itself.
+# ---------------------------------------------------------------------------
+@register(
+    "q110_training_shards",
+    """
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 8 AS shard,
+             source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM s GROUP BY shard
+    """,
+    doc="assign_shards (operators/sampling.py): shard = md5-bucket(doc_id) "
+    "% 8 -- layout/append-stable and engine-portable, so a loader can "
+    "verify membership without Spark. No global row_number round-robin "
+    "(that funnels 100 TB through one window partition); balance comes "
+    "from hash uniformity and is what this query measures.",
+)
+def q110_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import assign_shards
+
+    docs = t(spark, sf_dir, "documents")
+    sharded = assign_shards(docs, "doc_id", n_shards=8)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("shard_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One k-means Lloyd assignment step over the embedding table: per-label
+# centroids (rounded to a portable constant), every vector assigned to its
+# nearest centroid by squared L2, label-vs-assigned agreement + inertia
+# per cell.  The clustering-refinement / drift-monitoring primitive.
+# ---------------------------------------------------------------------------
+_KM_DIMS = ",\n             ".join(
+    f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6)" for i in range(64)
+)
+
+
+@register(
+    "q111_kmeans_assignment",
+    f"""
+    WITH cent AS (
+      SELECT label AS clabel,
+             [{_KM_DIMS}]::DOUBLE[] AS centroid
+      FROM embeddings GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                   + list_dot_product(c.centroid, c.centroid), 6) AS dist
+      FROM embeddings e CROSS JOIN cent c),
+    pick AS (
+      SELECT vec_id, label, clabel, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, clabel) AS rk
+      FROM d)
+    SELECT clabel AS assigned,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matching,
+           round(avg(dist), 4) AS mean_dist
+    FROM pick WHERE rk = 1
+    GROUP BY clabel
+    """,
+    doc="label_centroids + kmeans_assign (operators/similarity.py): "
+    "centroid components rounded to 1e-6 (a portable constant above float "
+    "summation-order noise), distance via the dot-product identity with "
+    "sequential double folds (the q20-proven parity pattern vs DuckDB "
+    "list_dot_product), argmin as min(struct(dist, label)) -- "
+    "deterministic under ties. Plan: broadcast k-row fan-out, narrow "
+    "math, one hash aggregate on vec_id; embeddings never shuffle.",
+)
+def q111_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_assign, label_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    assigned = kmeans_assign(emb, cent, keep_cols=["label"])
+    return assigned.groupBy("assigned").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("label") == F.col("assigned")).cast("long"))
+        .cast("long")
+        .alias("n_matching"),
+        F.round(F.avg("dist"), 4).alias("mean_dist"),
+    )

@@ -91,3 +91,33 @@ def test_weighted_hash_sample(spark, sf_dir):
         if bucket < math.floor(min(row.n_chars, 1000) / 1000.0 * 65536.0):
             expect.add(row.doc_id)
     assert kept == expect
+
+
+def test_assign_shards_deterministic_and_writable(spark, sf_dir, tmp_path):
+    import hashlib
+
+    from bankcreditunion_datapipeline_spark.operators.sampling import assign_shards
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sharded = assign_shards(docs, "doc_id", n_shards=8)
+    got = {r.doc_id: r.shard for r in sharded.select("doc_id", "shard").collect()}
+    # pure function of the key: md5-bucket % 8, layout-independent
+    for doc_id, shard in got.items():
+        expect = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 65536 % 8
+        assert shard == expect
+    assert set(got.values()) <= set(range(8))
+    relaid = {
+        r.doc_id: r.shard
+        for r in assign_shards(docs.repartition(13), "doc_id", 8)
+        .select("doc_id", "shard")
+        .collect()
+    }
+    assert relaid == got
+    # the export path: partitionBy(shard) write, round-trip preserves rows
+    out = str(tmp_path / "shards")
+    sharded.write.partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(r.shard for r in back.select("shard").distinct().collect()) == set(
+        got.values()
+    )

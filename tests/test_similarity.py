@@ -74,3 +74,28 @@ def test_ivf_topk_self_match_and_bounded_scan(spark, sf_dir):
     # probing fewer cells scans fewer rows than the full table
     probed = indexed.filter(F.col("ivf_cell").isin([c for c, _ in centroids][:4])).count()
     assert probed < emb.count()
+
+
+def test_label_centroids_and_kmeans_assign(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        kmeans_assign,
+        label_centroids,
+    )
+
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [0.0, 2.0], 0),
+        (2, [10.0, 0.0], 1),
+        (3, [10.0, 2.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cent = {r.centroid_label: r.centroid for r in label_centroids(emb, dim=2).collect()}
+    assert cent[0] == [0.0, 1.0] and cent[1] == [10.0, 1.0]
+    assigned = kmeans_assign(emb, label_centroids(emb, dim=2), keep_cols=["label"])
+    out = {r.vec_id: r for r in assigned.collect()}
+    # every vector lands on its own label's centroid, dist = |a-c|^2 = 1
+    for vid, r in out.items():
+        assert r.assigned == r.label
+        assert abs(r.dist - 1.0) < 1e-9

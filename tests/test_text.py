@@ -124,3 +124,26 @@ def test_repetition_signals(spark):
     assert out[1].dup_line_frac == 0.5  # 4 lines, 2 distinct
     assert out[2].bullet_line_frac == round(2 / 3, 6)
     assert out[3].dup_line_frac == 0.0 and out[3].mean_word_len == 0.0
+
+
+def test_unigram_lm_doc_scores(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        unigram_lm_doc_scores,
+    )
+
+    # corpus: a a b | b c  ->  counts a=2 b=2 c=1, T=5, t_sq=9
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_lm_doc_scores(df).collect()}
+    import math
+
+    assert rows[1].n_words == 3 and rows[2].n_words == 2
+    assert rows[1].sum_c == 6 and rows[2].sum_c == 3
+    assert rows[1].t_total == 5 and rows[1].t_sq == 9
+    assert abs(rows[1].avg_ll - math.log2(2 / 5)) < 1e-12
+    expected2 = (math.log2(2 / 5) + math.log2(1 / 5)) / 2
+    assert abs(rows[2].avg_ll - expected2) < 1e-12
+    # integer rarity predicate: doc2 uses rarer-than-average words
+    assert rows[1].sum_c * rows[1].t_total >= rows[1].n_words * rows[1].t_sq
+    assert rows[2].sum_c * rows[2].t_total < rows[2].n_words * rows[2].t_sq
