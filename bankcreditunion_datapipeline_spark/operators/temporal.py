@@ -218,3 +218,31 @@ def merge_upsert(
         .filter(F.col("__rk") == 1)
         .drop("__rk", "__src")
     )
+
+
+def apply_cdc(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change stream (inserts/updates/deletes) to produce the
+    current snapshot: the LATEST change per key wins, and keys whose
+    latest change is a delete are absent from the result.
+
+    The CDC-apply primitive (Debezium-style op column) as one window pass:
+    a single shuffle on key_cols, ordered by order_cols descending. At
+    scale this is the foreachBatch body of a streaming CDC pipeline, with
+    the output written partitioned by key for the next apply; Delta's
+    MERGE WHEN MATCHED THEN DELETE is the table-format spelling of the
+    same statement.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        changes.withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rk")
+    )

@@ -4683,3 +4683,160 @@ def q111_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_matching"),
         F.round(F.avg("dist"), 4).alias("mean_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: reduce a change stream (update/delete ops per key) to the
+# current snapshot -- latest change wins, deleted keys vanish.  The
+# Debezium/MERGE-WHEN-MATCHED-DELETE primitive as one window pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q112_cdc_apply",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    latest AS (
+      SELECT user_id, op, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM ch)
+    SELECT user_id % 10 AS bucket,
+           count(*) AS n_live_keys,
+           round(sum(value), 2) AS total_value
+    FROM latest WHERE rk = 1 AND op <> 'D'
+    GROUP BY 1
+    """,
+    doc="apply_cdc (operators/temporal.py): events replayed as a change "
+    "log (purchase = delete, else upsert), latest change per user_id wins "
+    "via one (ts, event_id)-ordered window -- a single shuffle on the "
+    "key; keys whose latest op is D are absent from the snapshot. The "
+    "unique event_id tiebreak makes the winner engine-deterministic.",
+)
+def q112_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import apply_cdc
+
+    ev = t(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    snapshot = apply_cdc(
+        changes, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return snapshot.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_live_keys"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: interleave two key columns into a space-filling-
+# curve key and measure per-bucket min/max envelopes on BOTH dimensions --
+# the file-skipping property OPTIMIZE ZORDER buys.  Pure integer bit math
+# on each engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q113_zorder_layout",
+    """
+    WITH keyed AS (
+      SELECT o_custkey % 256 AS x, o_orderkey % 256 AS y,
+             ( (((o_custkey % 256) >> 0) & 1) << 0 ) +
+             ( (((o_custkey % 256) >> 1) & 1) << 2 ) +
+             ( (((o_custkey % 256) >> 2) & 1) << 4 ) +
+             ( (((o_custkey % 256) >> 3) & 1) << 6 ) +
+             ( (((o_custkey % 256) >> 4) & 1) << 8 ) +
+             ( (((o_custkey % 256) >> 5) & 1) << 10 ) +
+             ( (((o_custkey % 256) >> 6) & 1) << 12 ) +
+             ( (((o_custkey % 256) >> 7) & 1) << 14 ) +
+             ( (((o_orderkey % 256) >> 0) & 1) << 1 ) +
+             ( (((o_orderkey % 256) >> 1) & 1) << 3 ) +
+             ( (((o_orderkey % 256) >> 2) & 1) << 5 ) +
+             ( (((o_orderkey % 256) >> 3) & 1) << 7 ) +
+             ( (((o_orderkey % 256) >> 4) & 1) << 9 ) +
+             ( (((o_orderkey % 256) >> 5) & 1) << 11 ) +
+             ( (((o_orderkey % 256) >> 6) & 1) << 13 ) +
+             ( (((o_orderkey % 256) >> 7) & 1) << 15 ) AS z
+      FROM orders)
+    SELECT z // 256 AS z_bucket,
+           count(*) AS n_rows,
+           CAST(max(x) - min(x) AS BIGINT) AS x_span,
+           CAST(max(y) - min(y) AS BIGINT) AS y_span
+    FROM keyed GROUP BY 1
+    """,
+    doc="zorder_key (operators/layout.py): bit-interleaved z-curve key "
+    "over (custkey, orderkey) low bytes; each 256-key z-bucket's per-"
+    "dimension span stays ~16/256 wide -- the narrow min/max envelope "
+    "that makes file skipping work on BOTH columns after clustering. "
+    "cluster_by_zorder is the write-side pass (repartitionByRange + "
+    "sortWithinPartitions on z).",
+)
+def q113_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import zorder_key
+
+    o = t(spark, sf_dir, "orders")
+    keyed = o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.col("o_orderkey") % 256).alias("y"),
+        zorder_key(F.col("o_custkey"), F.col("o_orderkey"), bits=8).alias("z"),
+    )
+    return keyed.groupBy((F.col("z") / 256).cast("long").alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("x") - F.min("x")).cast("long").alias("x_span"),
+        (F.max("y") - F.min("y")).cast("long").alias("y_span"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-sketch rollup: per-day 63-bit activity bitmaps OR-merged to the
+# event-type level -- exact re-aggregatable distinct sketches from integer
+# bit math (the roaring-bitmap pattern at word granularity).  Merging
+# day-level sketches gives the type-level distinct count WITHOUT re-
+# scanning events: the q66 HLL story, exact instead of approximate.
+# ---------------------------------------------------------------------------
+@register(
+    "q114_bitmap_rollup",
+    """
+    WITH days AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS d,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS mask
+      FROM events
+      WHERE user_id % 61 = 0
+      GROUP BY 1, 2)
+    SELECT event_type,
+           count(*) AS n_days,
+           CAST(bit_count(bit_or(mask)) AS BIGINT) AS merged_buckets,
+           CAST(sum(bit_count(mask)) AS BIGINT) AS sum_day_buckets
+    FROM days GROUP BY event_type
+    """,
+    doc="bitmap rollup: day-level bit_or masks (bucket = user_id % 63 -- "
+    "63 not 64 because a 1<<63 BIGINT shift overflows portably), merged "
+    "with a second bit_or to the type level. Both levels are one hash "
+    "aggregate; the merge consumes 8-byte masks, never raw events -- the "
+    "exact-sketch re-aggregation pattern for dashboard rollups.",
+)
+def q114_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("user_id") % 61 == 0)
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+            ).alias("mask")
+        )
+    )
+    return days.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.bit_count(F.expr("bit_or(mask)")).cast("long").alias("merged_buckets"),
+        F.sum(F.bit_count("mask")).cast("long").alias("sum_day_buckets"),
+    )

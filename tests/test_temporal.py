@@ -173,3 +173,31 @@ def test_range_join_replication_factor(spark):
     # count replicas by re-deriving the exploded right side the operator builds
     reach = (600 - 1) // 600 + 1
     assert reach == 1  # 3 replicas total: rbucket-1 .. rbucket+1
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import apply_cdc
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: U then U -> survives with latest value
+            (1, 10, "U", 1.0),
+            (1, 20, "U", 2.0),
+            # key 2: U then D -> gone
+            (2, 10, "U", 5.0),
+            (2, 30, "D", 0.0),
+            # key 3: D then U -> resurrected with the later value
+            (3, 10, "D", 0.0),
+            (3, 40, "U", 7.0),
+            # key 4: same version, tiebreak column decides -- D wins
+            (4, 50, "U", 1.0),
+            (4, 50, "D", 2.0),
+        ],
+        "k long, v long, op string, value double",
+    )
+    out = {
+        r.k: r
+        for r in apply_cdc(changes, ["k"], ["v", "value"], op_col="op").collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].value == 2.0 and out[3].value == 7.0
