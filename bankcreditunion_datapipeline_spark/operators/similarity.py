@@ -264,11 +264,25 @@ def kmeans_assign(
     hash aggregate on the vector id. Nothing wider than k x input ever
     exists, and the embedding column never shuffles -- the aggregate
     carries only (id, keep_cols, dist, label).
+
+    The squared norms are computed ONCE per vector (before the k-way
+    fan-out) and once per centroid -- array HOF folds evaluate
+    interpreted per element, so only the unavoidable cross-term fold runs
+    k times per row (3x fewer folds than the naive per-pair expression;
+    identical doubles, since the same three dot products are summed).
     """
     keep_cols = list(keep_cols or [])
-    fan = df.select(id_col, *keep_cols, vec_col).crossJoin(F.broadcast(centroids))
+    left = df.select(
+        id_col, *keep_cols, vec_col, dot(F.col(vec_col), F.col(vec_col)).alias("__a_sq")
+    )
+    cent = centroids.select(
+        "centroid_label",
+        "centroid",
+        dot(F.col("centroid"), F.col("centroid")).alias("__c_sq"),
+    )
+    fan = left.crossJoin(F.broadcast(cent))
     a, c = F.col(vec_col), F.col("centroid")
-    dist = F.round(dot(a, a) - 2 * dot(a, c) + dot(c, c), decimals)
+    dist = F.round(F.col("__a_sq") - 2 * dot(a, c) + F.col("__c_sq"), decimals)
     best = (
         fan.select(
             id_col,
