@@ -293,3 +293,70 @@ def kmeans_assign(
         .agg(F.min("dc").alias("dc"))
     )
     return best.select(id_col, *keep_cols, F.col("dc.assigned").alias("assigned"), F.col("dc.dist").alias("dist"))
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    max_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Full Lloyd k-means: deterministic seeding (first k vectors by id,
+    the build_ivf_index convention), then assign/recompute rounds until
+    assignments stop changing or `max_iters`.
+
+    Returns (assignments, centroids, n_iters). Each round is one
+    `kmeans_assign` (broadcast fan-out + hash aggregate) plus one
+    centroid recompute (grouped per-dim avgs); assignments are
+    `localCheckpoint`ed per round -- same lineage-truncation discipline
+    as connected_components, without it the plan doubles every
+    iteration. The convergence probe is a changed-assignment count:
+    O(1) rows to the driver per round (an allowed driver materialization
+    like the funnel counts and IVF centroids).
+    """
+    seeds = df.orderBy(F.asc(id_col)).limit(k).select(id_col, vec_col).collect()
+    rounded = [
+        [round(float(x), decimals) for x in r[1]] for r in seeds
+    ]
+    centroids = df.sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(rounded)],
+        "centroid_label int, centroid array<double>",
+    )
+    assigned = None
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        new_assigned = kmeans_assign(
+            df, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
+        if assigned is not None:
+            changed = (
+                new_assigned.alias("n")
+                .join(assigned.alias("p"), id_col)
+                .filter(F.col("n.assigned") != F.col("p.assigned"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                assigned = new_assigned
+                break
+        assigned = new_assigned
+        members = df.join(assigned.select(id_col, "assigned"), id_col)
+        aggs = [
+            F.round(F.avg(F.col(vec_col).getItem(i).cast("double")), decimals).alias(
+                f"_c{i}"
+            )
+            for i in range(dim)
+        ]
+        centroids = (
+            members.groupBy(F.col("assigned").alias("centroid_label"))
+            .agg(*aggs)
+            .select(
+                "centroid_label",
+                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return assigned, centroids, iters

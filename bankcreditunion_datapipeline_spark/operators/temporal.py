@@ -220,6 +220,23 @@ def merge_upsert(
     )
 
 
+def latest_changes(
+    changes: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Reduce a change stream to the LATEST change per key (one window
+    pass / one shuffle on key_cols, ordered by order_cols descending).
+    Keeps every column -- including delete markers -- so the result can
+    serve as a tombstone-preserving compacted log."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        changes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 def apply_cdc(
     changes: DataFrame,
     key_cols: list[str],
@@ -232,17 +249,13 @@ def apply_cdc(
     latest change is a delete are absent from the result.
 
     The CDC-apply primitive (Debezium-style op column) as one window pass:
-    a single shuffle on key_cols, ordered by order_cols descending. At
-    scale this is the foreachBatch body of a streaming CDC pipeline, with
-    the output written partitioned by key for the next apply; Delta's
-    MERGE WHEN MATCHED THEN DELETE is the table-format spelling of the
-    same statement.
+    `latest_changes` + the delete filter. At scale this is the
+    foreachBatch body of a streaming CDC pipeline (see
+    streaming/incremental.py:streaming_cdc_apply, which persists the
+    tombstones too), with the output written partitioned by key for the
+    next apply; Delta's MERGE WHEN MATCHED THEN DELETE is the
+    table-format spelling of the same statement.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
-    return (
-        changes.withColumn("__rk", F.row_number().over(w))
-        .filter((F.col("__rk") == 1) & (F.col(op_col) != delete_op))
-        .drop("__rk")
+    return latest_changes(changes, key_cols, order_cols).filter(
+        F.col(op_col) != delete_op
     )

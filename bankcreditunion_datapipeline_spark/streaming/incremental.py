@@ -22,6 +22,7 @@ import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -132,4 +133,75 @@ def streaming_upsert(
 
     incremental_files(
         spark, source_dir, checkpoint_dir, schema, merge_batch, fmt=fmt
+    )
+
+
+def streaming_cdc_apply(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    target_dir: str,
+    keys: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    fmt: str = "parquet",
+) -> None:
+    """Continuously apply a CDC change stream (upserts AND deletes) to a
+    keyed snapshot table.
+
+    foreachBatch composition of `incremental_files` + `latest_changes`:
+    each micro-batch is compacted to its per-key latest change, unioned
+    with the stored state, and re-compacted -- latest (order_cols) wins
+    because every row carries its real order keys. A key whose latest
+    change is a delete DISAPPEARS from the live table, which
+    `streaming_upsert` (insert/update only) cannot express.
+
+    The stored state KEEPS tombstones (the compacted-log shape): without
+    them, a redelivered batch holding an older upsert would resurrect a
+    key deleted by a newer change the snapshot no longer remembers. Live
+    rows are published separately (``target/current``, op filtered) next
+    to the full state (``target/state``); production systems expire
+    tombstones after the redelivery horizon.
+
+    Same atomic write-then-rename publish as streaming_upsert; at scale
+    the state becomes a Delta/Iceberg target and the swap `MERGE INTO
+    ... WHEN MATCHED [AND op = 'D'] THEN DELETE` -- the foreachBatch
+    shape and the per-batch compaction are identical.
+    """
+    from ..operators.temporal import latest_changes
+
+    current = os.path.join(target_dir, "current")
+    state = os.path.join(target_dir, "state")
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        compacted = latest_changes(batch, keys, order_cols)
+        if os.path.exists(state):
+            base = spark.read.schema(schema).parquet(state)
+            compacted = latest_changes(
+                base.unionByName(compacted), keys, order_cols
+            )
+        staged = os.path.join(target_dir, f"_stage_{batch_id}")
+        compacted.write.mode("overwrite").parquet(staged)
+        staged_live = os.path.join(target_dir, f"_stage_live_{batch_id}")
+        spark.read.schema(schema).parquet(staged).filter(
+            F.col(op_col) != delete_op
+        ).write.mode("overwrite").parquet(staged_live)
+        _swap(state, staged, batch_id, "_retired_state_")
+        _swap(current, staged_live, batch_id, "_retired_live_")
+
+    def _swap(dest: str, staged: str, batch_id: int, retired_prefix: str) -> None:
+        import shutil
+
+        if os.path.exists(dest):
+            retired = os.path.join(target_dir, f"{retired_prefix}{batch_id}")
+            os.replace(dest, retired)
+            os.replace(staged, dest)
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.replace(staged, dest)
+
+    incremental_files(
+        spark, source_dir, checkpoint_dir, schema, apply_batch, fmt=fmt
     )

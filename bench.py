@@ -62,13 +62,19 @@ def main() -> None:
             print(f"# {name}: ERROR {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    ordered = sorted(v for v in timings.values() if v >= 0)
+    median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
+    # Summary keys LAST: harness logs that keep only the tail of a long
+    # line still show total/median/count even after truncation.
     print(
         json.dumps(
             {
+                "queries": timings,
+                "n_queries": len(timings),
+                "median_query_sec": median,
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
             }
         )

@@ -99,3 +99,30 @@ def test_label_centroids_and_kmeans_assign(spark):
     for vid, r in out.items():
         assert r.assigned == r.label
         assert abs(r.dist - 1.0) < 1e-9
+
+
+def test_kmeans_iterate_converges_to_true_clusters(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        kmeans_iterate,
+    )
+
+    # two tight blobs; seeds (first 2 ids) start one in each blob
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, [0.0 + (i % 3) * 0.1, 1.0 + (i % 2) * 0.1], "a"))
+        rows.append((2 * i + 1, [5.0 + (i % 3) * 0.1, -1.0 - (i % 2) * 0.1], "b"))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, blob string"
+    )
+    assigned, centroids, iters = kmeans_iterate(emb, k=2, dim=2, max_iters=8)
+    got = {r.vec_id: r.assigned for r in assigned.collect()}
+    # all evens (blob a) in one cluster, odds (blob b) in the other
+    a_labels = {got[v] for v in range(0, 20, 2)}
+    b_labels = {got[v] for v in range(1, 20, 2)}
+    assert len(a_labels) == 1 and len(b_labels) == 1 and a_labels != b_labels
+    assert iters <= 8
+    cents = {r.centroid_label: r.centroid for r in centroids.collect()}
+    assert len(cents) == 2
+    # converged centroids sit at the blob means (within the 0.1 jitter)
+    means = sorted(c[0] for c in cents.values())
+    assert abs(means[0] - 0.1) < 0.2 and abs(means[1] - 5.1) < 0.2

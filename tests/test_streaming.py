@@ -263,3 +263,64 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     )
     got = sorted(map(tuple, spark.sql("SELECT * FROM ssj_pairs").collect()))
     assert got == expected
+
+
+def test_streaming_cdc_apply_deletes_and_tombstones(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_cdc_apply,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("val", StringType()),
+            StructField("op", StringType()),
+        ]
+    )
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    tgt = str(tmp_path / "cdc_tgt")
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_cdc_apply(
+            spark, src, ckpt, schema, tgt,
+            keys=["k"], order_cols=["seq"],
+        )
+
+    def live():
+        df = spark.read.schema(schema).parquet(tgt + "/current")
+        return {r.k: (r.seq, r.val) for r in df.collect()}
+
+    # batch 1: inserts for 1,2,3
+    land([(1, 10, "a", "U"), (2, 10, "b", "U"), (3, 10, "c", "U")], "b1")
+    run()
+    assert live() == {1: (10, "a"), 2: (10, "b"), 3: (10, "c")}
+
+    # batch 2: update 1, delete 2
+    land([(1, 20, "a2", "U"), (2, 20, None, "D")], "b2")
+    run()
+    assert live() == {1: (20, "a2"), 3: (10, "c")}
+    # tombstone retained in state
+    state = spark.read.schema(schema).parquet(tgt + "/state")
+    ops = {r.k: r.op for r in state.collect()}
+    assert ops == {1: "U", 2: "D", 3: "U"}
+
+    # batch 3: an OLDER redelivered upsert for the deleted key 2 must NOT
+    # resurrect it (the tombstone outranks it), and an older update for 1
+    # must lose to the current seq=20 row
+    land([(2, 15, "b-old", "U"), (1, 5, "a-old", "U")], "b3")
+    run()
+    assert live() == {1: (20, "a2"), 3: (10, "c")}
