@@ -160,3 +160,38 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         ]
     )
     return row.select(F.explode(pairs).alias("p")).select("p.column", "p.n_nulls", "p.n_distinct")
+
+
+def constraint_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Deequ-style data-quality gate: evaluate named constraints in ONE
+    aggregation pass and emit a tidy (constraint, observed, passed) report.
+
+    Each rule maps a constraint name to a per-row VIOLATION predicate
+    (boolean Column); `observed` is the violation count and `passed` is
+    `observed == 0` -- integer semantics end to end, no float thresholds
+    to flip between engines. All rules compile into one `agg()` (a single
+    scan + partial/final aggregate regardless of rule count); the
+    per-constraint melt happens on the one result row, driver-free.
+
+    The reference's dev-time null scanner (Helpers_FunctionsDicts.py:54-63,
+    one count() JOB per column) is the shape this replaces; `dropna`-style
+    enforcement belongs to apply_with_quarantine -- this is the
+    observability side.
+    """
+    names = list(rules)
+    aggs = [
+        F.count_if(rules[name]).cast("long").alias(f"__v_{i}")
+        for i, name in enumerate(names)
+    ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.col(f"__v_{i}").alias("observed"),
+                (F.col(f"__v_{i}") == 0).alias("passed"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")

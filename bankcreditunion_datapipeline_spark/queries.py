@@ -4840,3 +4840,125 @@ def q114_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.expr("bit_or(mask)")).cast("long").alias("merged_buckets"),
         F.sum(F.bit_count("mask")).cast("long").alias("sum_day_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint gate (Deequ shape): five named constraints over
+# orders evaluated in ONE aggregation pass, reported as a tidy
+# (constraint, observed, passed) table.  Violation counts are integers --
+# no float thresholds anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q115_quality_constraints",
+    """
+    WITH m AS (
+      SELECT
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_notnull,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+        CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_range,
+        CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1
+                 ELSE 0 END) AS BIGINT) AS v_domain,
+        CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_format
+      FROM orders)
+    SELECT 'custkey_not_null' AS constraint, v_notnull AS observed,
+           v_notnull = 0 AS passed FROM m
+    UNION ALL SELECT 'orderkey_unique', v_unique, v_unique = 0 FROM m
+    UNION ALL SELECT 'totalprice_positive', v_range, v_range = 0 FROM m
+    UNION ALL SELECT 'status_in_domain', v_domain, v_domain = 0 FROM m
+    UNION ALL SELECT 'priority_format', v_format, v_format = 0 FROM m
+    """,
+    doc="constraint_report (operators/clean.py): named violation "
+    "predicates compiled into ONE agg (single scan however many rules; "
+    "the reference's per-column count() scanner, "
+    "Helpers_FunctionsDicts.py:54-63, is the anti-pattern this replaces). "
+    "observed = integer violation count, passed = observed == 0 -- "
+    "engine-exact. Uniqueness via count - countDistinct in the same pass.",
+)
+def q115_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clean import constraint_report
+
+    o = t(spark, sf_dir, "orders")
+    base = constraint_report(
+        o,
+        {
+            "custkey_not_null": F.col("o_custkey").isNull(),
+            "totalprice_positive": F.col("o_totalprice") <= 0,
+            "status_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_format": ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+    )
+    # uniqueness needs countDistinct, which count_if can't express -- same
+    # single-pass idea, merged into the report by name
+    uniq = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("observed")
+    ).select(
+        F.lit("orderkey_unique").alias("constraint"),
+        "observed",
+        (F.col("observed") == 0).alias("passed"),
+    )
+    return base.unionByName(uniq)
+
+
+# ---------------------------------------------------------------------------
+# Time-series anomaly scoring: each (event_type, day)'s total scored
+# against its own TRAILING 30-day window (rows between -30 and -1 --
+# never includes itself, so a spike can't mask its own detection).
+# ---------------------------------------------------------------------------
+@register(
+    "q116_daily_anomaly_scores",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             sum(value) AS v, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, d, v, n,
+             avg(v) OVER w AS mu,
+             stddev_samp(v) OVER w AS sd,
+             count(*) OVER w AS n_hist
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, d AS day, CAST(n AS BIGINT) AS n_events,
+           round(v, 2) AS day_value,
+           round((v - mu) / sd, 4) AS z_score
+    FROM scored
+    WHERE n_hist >= 10 AND sd > 0
+    """,
+    doc="trailing-window anomaly scores: day rollup (one shuffle), then "
+    "avg/stddev over a ROWS -30..-1 frame per event_type -- the trailing "
+    "stats EXCLUDE the current day so a spike is judged against history "
+    "only. z rounded at 1e-4 (orders above co-moment float noise); "
+    "history-length gate is an integer count.",
+)
+def q116_daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-30, -1)
+    )
+    scored = daily.withColumns(
+        {
+            "mu": F.avg("v").over(w),
+            "sd": F.stddev_samp("v").over(w),
+            "n_hist": F.count(F.lit(1)).over(w),
+        }
+    )
+    return scored.filter((F.col("n_hist") >= 10) & (F.col("sd") > 0)).select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round("v", 2).alias("day_value"),
+        F.round((F.col("v") - F.col("mu")) / F.col("sd"), 4).alias("z_score"),
+    )

@@ -105,3 +105,31 @@ def test_select_sort_dated_cols(spark):
     )
     out = select_sort_dated_cols(df, ["id", "name"], sort_desc=True)
     assert out.columns == ["id", "name", "2020-06-30", "2020-03-31"]
+
+
+def test_constraint_report_single_pass_and_counts(spark):
+    from bankcreditunion_datapipeline_spark.operators.clean import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, None, -1), (3, "y", 0), (None, "z", 7)],
+        "id long, name string, v long",
+    )
+    report = constraint_report(
+        df,
+        {
+            "id_not_null": F.col("id").isNull(),
+            "name_not_null": F.col("name").isNull(),
+            "v_positive": F.col("v") <= 0,
+        },
+    )
+    got = {r.constraint: (r.observed, r.passed) for r in report.collect()}
+    assert got == {
+        "id_not_null": (1, False),
+        "name_not_null": (1, False),
+        "v_positive": (2, False),
+    }
+    # all rules compile into ONE aggregate over one scan
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
