@@ -131,5 +131,9 @@ def test_constraint_report_single_pass_and_counts(spark):
         "v_positive": (2, False),
     }
     # all rules compile into ONE aggregate over one scan
+    # one scan + one aggregate for ALL rules (AQE string repeats the plan
+    # as "Initial Plan" -- inspect only the final section)
     plan = report._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") == 1
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Scan ExistingRDD") == 1
+    assert final_plan.count("HashAggregate") == 2  # partial + final
