@@ -4962,3 +4962,155 @@ def q116_daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 2).alias("day_value"),
         F.round((F.col("v") - F.col("mu")) / F.col("sd"), 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: "untapped customers" -- above-average positive balances
+# in target segments with no RECENT orders (this star's synthetic orders
+# give every customer some order, so plain NOT EXISTS is vacuous; the
+# recency predicate keeps the anti-join load-bearing).  Scalar-subquery
+# average via an integer cross-multiplication (cents * n > sum_cents),
+# NOT EXISTS as a left-anti join on keys only.
+# ---------------------------------------------------------------------------
+@register(
+    "q117_untapped_customers",
+    """
+    WITH pos AS (
+      SELECT count(*) AS n_pos,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+      FROM customer WHERE c_acctbal > 0),
+    target AS (
+      SELECT c_custkey, c_nationkey % 5 AS code,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer, pos
+      WHERE c_nationkey % 5 IN (1, 2, 3)
+        AND CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_cents)
+    SELECT code,
+           count(*) AS n_custs,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = t.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY code
+    """,
+    doc="TPC-H Q22 decorrelated: the avg-positive-balance scalar subquery "
+    "becomes a broadcast 1-row (n_pos, sum_cents) cross join with the "
+    "threshold as an all-BIGINT cross-multiplication (cents * n_pos > "
+    "sum_cents -- no float boundary), NOT EXISTS over recent orders "
+    "becomes a left-anti join against a date-filtered key projection "
+    "(the filter pushes into the orders scan). Two shuffles total "
+    "(anti join + final group).",
+)
+def q117_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )
+    target = (
+        c.select(
+            "c_custkey",
+            (F.col("c_nationkey") % 5).alias("code"),
+            cents.alias("cents"),
+        )
+        .filter(F.col("code").isin(1, 2, 3))
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_cents"))
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2001-01-01")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    untapped = target.join(recent, "c_custkey", "left_anti")
+    return untapped.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: order-priority mix per line category for a shipping
+# year -- the join carries keys + two small columns, the CASE bucketing
+# happens inside one grouped pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q118_priority_mix_by_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 adapted to this star's columns (returnflag as the line "
+    "category): the ship-year filter pushes into the lineitem scan, the "
+    "join projects (orderkey, priority) only, and both CASE counters run "
+    "in one grouped pass over a 3-value key.",
+)
+def q118_priority_mix_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    year = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    ).select("l_orderkey", "l_returnflag")
+    joined = year.join(
+        o.select("o_orderkey", "o_orderpriority"),
+        year.l_orderkey == o.o_orderkey,
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(high.cast("long")).cast("long").alias("high_line_count"),
+        F.sum((~high).cast("long")).cast("long").alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share per ship year -- conditional
+# revenue over total revenue from ONE joined pass (numerator and
+# denominator in the same aggregate, never two scans).
+# ---------------------------------------------------------------------------
+@register(
+    "q119_promo_revenue_share",
+    """
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           round(sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) END), 2)
+               AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14: part is the BROADCAST side (dim-sized), revenue and "
+    "promo revenue accumulate in the same grouped pass, share = one "
+    "division on the final row. Rounded at 1e-2/1e-4, far above "
+    "float-sum ordering noise.",
+)
+def q119_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    joined = li.select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount").join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        li.l_partkey == p.p_partkey,
+    )
+    return joined.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.round(F.sum(promo), 2).alias("promo_revenue"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.round(
+            100.0 * F.sum(F.coalesce(promo, F.lit(0.0))) / F.sum(rev), 4
+        ).alias("promo_pct"),
+    )
