@@ -64,21 +64,37 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     ordered = sorted(v for v in timings.values() if v >= 0)
     median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
-    # Summary keys LAST: harness logs that keep only the tail of a long
-    # line still show total/median/count even after truncation.
-    print(
-        json.dumps(
+    # The harness keeps only the last ~2000 chars of stdout and parses the
+    # JSON from that, so the line MUST fit: compact separators, short query
+    # keys ("q01".."q119" — the registry prefix before the first "_"), and
+    # 2-decimal timings.  Full names + 3-decimal timings go to stderr.
+    print("# full timings: " + json.dumps(timings), file=sys.stderr)
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "median_query_sec": median,
+            "queries": short,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1900:  # never exceed the harness capture window
+        line = json.dumps(
             {
-                "queries": timings,
-                "n_queries": len(timings),
-                "median_query_sec": median,
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "median_query_sec": median,
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
     spark.stop()
 
 
