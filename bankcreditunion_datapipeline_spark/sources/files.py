@@ -97,6 +97,17 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         df = spark.read.parquet(path)
+    # Driver-generated parquet has drifted between rounds on timestamp
+    # flavor (NANOS, micros-with-UTC, micros-no-tz).  Micros-no-tz arrives
+    # as TIMESTAMP_NTZ, which epoch functions (unix_micros & co) reject.
+    # Session tz is pinned UTC, so NTZ -> TIMESTAMP is value-identical
+    # here and matches how DuckDB reads the same file; normalizing at the
+    # catalog boundary keeps every downstream plan type-stable.
+    ntz_cols = [c for c, dt in df.dtypes if dt == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     _TESTDATA_CACHE[key] = df
     return df
 
