@@ -725,3 +725,90 @@ def incremental_near_dup_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("new_id", "index_id", "jaccard_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (cluster-blocked) embedding dedup -- SemDeDup shape
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs: exact pairwise cosine
+    WITHIN a cluster only (Abbas et al. 2023 -- k-means the embeddings,
+    then compare inside each cluster).  `cluster_col` is any blocking
+    label: a stored class label, or `kmeans_assign`'s cluster id /
+    `build_ivf_index`'s cell at scale, where it bounds pair count by the
+    cluster size instead of O(n^2) over the corpus.
+
+    Norms are computed ONCE per row before the self-join (the join fans
+    each row into ~cluster_size pairs; folding the norm inside the pair
+    expression would recompute it per pair).  The join shuffles each
+    side's vectors exactly once, keyed by the cluster id.
+    """
+    base = df.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col(vec_col).cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__n"),
+    )
+    a = base.select(
+        "__cl",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__v_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b = base.select(
+        "__cl",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__v_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    prods = F.zip_with(
+        F.col("__v_a").cast("array<double>"),
+        F.col("__v_b").cast("array<double>"),
+        lambda x, y: x * y,
+    )
+    dp = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    denom = F.col("__n_a") * F.col("__n_b")
+    cos = F.when(denom != 0, F.round(dp / denom, 6))
+    return (
+        a.join(b, "__cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(F.col("__cl").alias(cluster_col), "id_a", "id_b", "cosine_sim")
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Rows surviving semantic dedup: drop any row that is the non-minimal
+    side of a within-cluster pair at/above `threshold` (same greedy
+    edge-wise keep rule as the text near-dup path)."""
+    dropped = (
+        semantic_dedup_pairs(df, id_col, vec_col, cluster_col, threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

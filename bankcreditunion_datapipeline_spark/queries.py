@@ -5114,3 +5114,40 @@ def q119_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.sum(F.coalesce(promo, F.lit(0.0))) / F.sum(rev), 4
         ).alias("promo_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: SemDeDup-style semantic dedup -- cluster-blocked pairwise
+# cosine over embeddings, keep the minimal id of every duplicate pair.
+# Cluster blocking (here the stored label; kmeans_assign's cluster id at
+# scale) bounds pair count by cluster size -- never corpus O(n^2).
+# ---------------------------------------------------------------------------
+@register(
+    "q120_semantic_dedup",
+    """
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                     a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]))), 6) >= 0.35
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e ANTI JOIN dropped d ON e.vec_id = d.vec_id
+    """,
+    doc="semantic_dedup_keep (operators/dedup.py): SemDeDup shape -- "
+    "within-cluster exact cosine pairs (norms precomputed per row, one "
+    "vector shuffle per side keyed by cluster), drop the non-minimal side "
+    "of every pair >= threshold. The 0.35 cut matches this synthetic "
+    "corpus's low-cosine blobs; production text embeddings use ~0.95+. "
+    "Cosine rounded to 6 on both engines (identical sequential double "
+    "arithmetic, as q20).",
+)
+def q120_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import semantic_dedup_keep
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(emb, threshold=0.35).select("vec_id", "label")

@@ -231,3 +231,29 @@ def test_incremental_exact_dedup_vs_index(spark):
     out = incremental_exact_dedup(new, idx, "doc_id", "text")
     assert sorted(r.doc_id for r in out.collect()) == [11, 13, 14]
     assert out.columns == new.columns
+
+
+def test_semantic_dedup_cluster_blocked(spark):
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        # cluster 0: 1 and 2 are near-identical, 3 is orthogonal-ish
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        # cluster 1: 4 duplicates 1's direction but is in another cluster
+        # -> NEVER compared against 1 (blocking is strict)
+        (4, [1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = semantic_dedup_pairs(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.cosine_sim >= 0.95 for r in pairs)
+    kept = sorted(
+        r.vec_id for r in semantic_dedup_keep(df, threshold=0.95).collect()
+    )
+    assert kept == [1, 3, 4, 5]  # 2 dropped; 4 survives via cluster blocking
