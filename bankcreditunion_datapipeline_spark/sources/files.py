@@ -66,6 +66,20 @@ def read_parquet(
     return reader.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan (columnar interchange beyond the reference's formats).
+
+    Spark's native vectorized ORC reader gets the same Catalyst treatment
+    as parquet: predicate pushdown, column pruning, partition pruning.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 _TESTDATA_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
