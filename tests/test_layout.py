@@ -44,3 +44,54 @@ def test_cluster_by_zorder_bounds_both_dims(spark):
         .collect()
     )
     assert spans and all(r.xs <= 8 and r.ys <= 8 for r in spans)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """AQE runtime bloom-filter join pruning: a selective filter on the dim
+    side injects bloom_filter_might_contain onto the fact scan, so fact
+    rows that cannot join are dropped BEFORE the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and shuffling
+    only the matching slice; locally we lower the application-side size
+    threshold (default 10GB) to make the small fixture eligible."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 50000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    )
+    dim = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 50 == 0, "hot").otherwise("cold").alias("tag"),
+    )
+    fact.write.parquet(str(tmp_path / "fact"))
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        # force a shuffle join: broadcast joins get DPP/broadcast pruning
+        # instead and never need the bloom path
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).filter("tag = 'hot'")
+        j = f.join(d, "k").select("k", "v")
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower()
+        assert j.count() == 100  # pruning never changes the result
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
