@@ -70,6 +70,7 @@ def main() -> None:
     # 2-decimal timings.  Full names + 3-decimal timings go to stderr.
     print("# full timings: " + json.dumps(timings), file=sys.stderr)
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    n_ok = len(ordered)
     line = json.dumps(
         {
             "metric": "total_query_wall_clock",
@@ -77,6 +78,8 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            # corpus grows every round -- normalize totals across rounds
+            "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
             "median_query_sec": median,
             "queries": short,
         },
@@ -90,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
                 "median_query_sec": median,
             },
             separators=(",", ":"),

@@ -121,3 +121,29 @@ def test_orc_roundtrip_pushdown_and_partition_prune(spark, tmp_path):
     assert pruned.count() == 30
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan
+
+
+def test_testdata_loader_normalizes_timestamp_ntz(spark, tmp_path):
+    """Driver-regenerated testdata has drifted between rounds on timestamp
+    flavor (NANOS, micros+UTC, micros-no-tz). The catalog loader must hand
+    every query a plain TIMESTAMP column regardless, or epoch functions
+    (unix_micros & co) fail at analysis time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    sf_dir = str(tmp_path)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            # no-tz micros -> Spark TIMESTAMP_NTZ without normalization
+            "ts": pa.array([1000000, 2000000], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    df = read_testdata(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
+    assert [r.us for r in got] == [1000000, 2000000]  # UTC session: value-identical
