@@ -106,3 +106,62 @@ def assign_shards(df: DataFrame, key: str, n_shards: int, out: str = "shard") ->
     round-robin would funnel every row through one window partition.
     """
     return df.withColumn(out, hash_bucket(F.col(key), n_shards))
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-flattened sampling weights per corpus group:
+    ``weight(g) = n_g^alpha / sum_g n_g^alpha`` (the multilingual sampling
+    exponent of mBERT/XLM-R; alpha<1 up-weights small sources so the
+    mixture isn't dominated by the largest corpus).
+
+    One grouped count over the corpus, then the normalization runs on the
+    O(groups) aggregate -- the window is dim-sized at any corpus scale.
+    Default alpha=0.5 uses sqrt (exactly rounded IEEE, engine-portable);
+    arbitrary alpha goes through pow.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = (
+        F.sqrt(F.col("n_docs"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs"), F.lit(alpha))
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum(raw).over(Window.partitionBy())
+    return counts.select(
+        group_col,
+        F.col("n_docs"),
+        F.round(raw / total, 6).alias("sample_weight"),
+    )
+
+
+def epoch_permutation(
+    df: DataFrame,
+    key: str,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order permutation: shard = md5-bucket(key) %
+    n_shards, position = rank of md5(key || ':' || seed) within the shard.
+
+    The reproducible epoch shuffle for a data loader: membership and order
+    are pure functions of (key, seed) -- re-runs, appends to OTHER shards,
+    and repartitioning never change a row's (shard, pos); a new seed is a
+    fresh permutation. The window partitions by shard, so no 100 TB global
+    row_number bottleneck -- each shard orders independently (and the
+    loader reads shards in parallel anyway).
+    """
+    order_key = F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + seed)))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(shard_col).orderBy("__ok", key)
+    return (
+        assign_shards(df, key, n_shards, shard_col)
+        .withColumn("__ok", order_key)
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__ok")
+    )

@@ -5151,3 +5151,60 @@ def q120_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return semantic_dedup_keep(emb, threshold=0.35).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: temperature-flattened mixture weights (the multilingual
+# sampling exponent) -- corpus-sized grouped count, dim-sized normalize.
+# ---------------------------------------------------------------------------
+@register(
+    "q121_mixture_weights",
+    """
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS sample_weight
+    FROM s
+    """,
+    doc="mixture_weights (operators/sampling.py): weight = n^alpha / sum "
+    "n^alpha with alpha=0.5 (sqrt is exactly-rounded IEEE, so both engines "
+    "agree bit-for-bit before the final round). The normalization window "
+    "runs over the O(sources) aggregate, never the corpus.",
+)
+def q121_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import mixture_weights
+
+    return mixture_weights(t(spark, sf_dir, "documents"), "source", alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: reproducible epoch shuffle -- per-shard deterministic
+# training order from engine-portable md5, no RNG state, no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q122_epoch_permutation",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 8 AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch7') AS ok
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+    doc="epoch_permutation (operators/sampling.py): shard = md5-bucket "
+    "(doc_id) % 8, pos = rank of md5(doc_id || ':seed') within the shard. "
+    "Membership and order are pure functions of (key, seed): re-runs and "
+    "repartitioning are stable, a new seed is a fresh permutation, and the "
+    "window partitions by shard so there is no global row_number funnel.",
+)
+def q122_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import epoch_permutation
+
+    docs = t(spark, sf_dir, "documents")
+    return epoch_permutation(docs, "doc_id", n_shards=8, seed="epoch7").select(
+        "doc_id", "shard", "pos"
+    )

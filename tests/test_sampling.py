@@ -121,3 +121,41 @@ def test_assign_shards_deterministic_and_writable(spark, sf_dir, tmp_path):
     assert set(r.shard for r in back.select("shard").distinct().collect()) == set(
         got.values()
     )
+
+
+def test_epoch_permutation_properties(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        epoch_permutation,
+        mixture_weights,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = epoch_permutation(df, "doc_id", n_shards=4, seed="e1")
+    rows = out.collect()
+    # bijection per shard: positions are exactly 1..n_shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # layout-independent: same (shard, pos) after a repartition
+    again = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in epoch_permutation(df.repartition(7), "doc_id", 4, "e1").collect()
+    }
+    assert {r.doc_id: (r.shard, r.pos) for r in rows} == again
+    # a new seed reshuffles order but never shard membership
+    other = {r.doc_id: (r.shard, r.pos) for r in
+             epoch_permutation(df, "doc_id", 4, "e2").collect()}
+    assert all(other[d][0] == s for d, (s, _) in again.items())
+    assert any(other[d][1] != p for d, (_, p) in again.items())
+
+    # mixture weights: sum to ~1, small groups up-weighted vs proportional
+    mix = spark.createDataFrame(
+        [("big", i) for i in range(90)] + [("small", i) for i in range(10)],
+        "source string, doc_id long",
+    )
+    w = {r.source: r.sample_weight for r in mixture_weights(mix, "source").collect()}
+    assert abs(sum(w.values()) - 1.0) < 1e-5
+    assert w["small"] > 0.1  # proportional would give 0.1; sqrt flattens up
