@@ -83,3 +83,26 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
 
 def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
     return df.cube(*keys).agg(*aggs)
+
+
+def per_group_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    out: str = "pct_rank",
+) -> DataFrame:
+    """Per-group quantile normalization of a score: percent_rank within
+    `group_col` ordered by (score, tiebreak). The cross-corpus calibration
+    step for quality gates -- an absolute score cut keeps different
+    fractions of every source (length/style bias); ranking within the
+    source makes "top X% of EACH source" expressible as one predicate.
+
+    The unique tiebreak makes rank == row_number, so results are exact and
+    engine-portable (no tie-group averaging ambiguity). One shuffle on
+    `group_col`; each group ranks independently -- no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, tiebreak_col)
+    return df.withColumn(out, F.round(F.percent_rank().over(w), 6))

@@ -259,3 +259,59 @@ def apply_cdc(
     return latest_changes(changes, key_cols, order_cols).filter(
         F.col(op_col) != delete_op
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    type_col: str = "change_type",
+) -> DataFrame:
+    """Row-level diff of two table snapshots: one row per key present in
+    either side, tagged added / removed / changed / unchanged.
+
+    The publishing primitive between full snapshots: diff a new extract
+    against the published table, write only added+changed (and retract
+    removed) instead of rewriting 100 TB. One full-outer shuffle on the
+    key; comparisons are column-wise null-safe (`IS DISTINCT FROM`), so
+    NULL -> value and value -> NULL both count as changed -- no digest
+    concatenation ambiguity. Emitted columns are the NEW side's values
+    (coalesced to the old side for 'removed' rows).
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+    )
+    nw = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__o_{c}") == F.col(f"__n_{c}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(nw, cond, "full_outer")
+    in_old = F.col(f"__o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+    tag = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in key_cols
+    ] + [
+        # side-select, not value-coalesce: a changed row whose NEW value is
+        # NULL must emit NULL, not resurrect the old value
+        F.when(in_new, F.col(f"__nv_{c}")).otherwise(F.col(f"__ov_{c}")).alias(c)
+        for c in compare_cols
+    ]
+    return joined.select(*out_cols, tag.alias(type_col))

@@ -5208,3 +5208,87 @@ def q122_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_permutation(docs, "doc_id", n_shards=8, seed="epoch7").select(
         "doc_id", "shard", "pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: added/removed/changed between two table versions -- the
+# incremental-publish primitive (write the delta, not the 100 TB rewrite).
+# Two deterministic "versions" of orders are derived by modulo filters.
+# ---------------------------------------------------------------------------
+@register(
+    "q123_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN (o.st IS DISTINCT FROM n.st)
+                       OR (o.price IS DISTINCT FROM n.price) THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old o FULL JOIN new n ON o.k = n.k)
+    GROUP BY change_type
+    """,
+    doc="snapshot_diff (operators/temporal.py): full-outer key join, "
+    "column-wise IS-DISTINCT-FROM comparison (NULL transitions count as "
+    "changed), one shuffle on the key. The query aggregates the tag to "
+    "per-type counts; production publishes added+changed and retracts "
+    "removed instead of rewriting the table.",
+)
+def q123_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import snapshot_diff
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 11 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    return (
+        snapshot_diff(old, new, ["k"], ["st", "price"])
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: per-source calibrated quality rank -- quantile-normalize a
+# score within each source so "top X% of EVERY source" is one predicate.
+# n_chars stands in for the (non-SQL-portable) quality_score; the operator
+# is score-agnostic.
+# ---------------------------------------------------------------------------
+@register(
+    "q124_calibrated_quality_rank",
+    """
+    SELECT doc_id, source,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6) AS pct_rank
+    FROM documents
+    """,
+    doc="per_group_percent_rank (operators/analytics.py): percent_rank "
+    "within source ordered by (n_chars, doc_id) -- the unique tiebreak "
+    "makes rank == row_number, so both engines agree exactly. One shuffle "
+    "on source; groups rank independently (no global sort).",
+)
+def q124_calibrated_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import per_group_percent_rank
+
+    docs = t(spark, sf_dir, "documents")
+    return per_group_percent_rank(docs, "source", "n_chars", "doc_id").select(
+        "doc_id", "source", "pct_rank"
+    )

@@ -201,3 +201,29 @@ def test_apply_cdc_latest_wins_and_deletes(spark):
     }
     assert set(out) == {1, 3}
     assert out[1].value == 2.0 and out[3].value == 7.0
+
+
+def test_snapshot_diff_tags_and_null_transitions(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, p long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c2", 30), (4, "now", 40), (5, "e", None)],
+        "k long, v string, p long",
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows[1].change_type == "removed" and rows[1].v == "a"
+    assert rows[2].change_type == "unchanged"
+    assert rows[3].change_type == "changed" and rows[3].v == "c2"
+    assert rows[4].change_type == "changed"  # NULL -> value counts as changed
+    assert rows[5].change_type == "added"
+    assert rows[5].p is None  # NEW side emitted verbatim, even when NULL
+
+    # value -> NULL is 'changed' and must emit the new NULL, not the old value
+    old2 = spark.createDataFrame([(1, "x")], "k long, v string")
+    new2 = spark.createDataFrame([(1, None)], "k long, v string")
+    r = snapshot_diff(old2, new2, ["k"]).collect()[0]
+    assert r.change_type == "changed" and r.v is None
