@@ -315,3 +315,29 @@ def snapshot_diff(
         for c in compare_cols
     ]
     return joined.select(*out_cols, tag.alias(type_col))
+
+
+def merge_rollup(
+    state: DataFrame,
+    delta_agg: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge a delta's partial aggregates into persisted rollup state:
+    union + re-sum per key. Because sums/counts are commutative monoids,
+    (state ⊎ delta) re-aggregated == full recompute over all raw rows --
+    so a 100 TB daily rollup is maintained by aggregating ONLY the new
+    partition and merging O(affected keys) rows, never rescanning
+    history. (avg = merged sum/count; min/max merge the same way;
+    distinct-counts need the sketch rollups -- q66/q114.)
+
+    The merge shuffles the two aggregate tables (tiny vs raw data), and
+    only keys present in the delta change -- write back partitioned by
+    day and the rewrite touches only affected partitions.
+    """
+    merged = state.select(*key_cols, *sum_cols).unionByName(
+        delta_agg.select(*key_cols, *sum_cols)
+    )
+    return merged.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

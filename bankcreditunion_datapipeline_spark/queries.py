@@ -5292,3 +5292,50 @@ def q124_calibrated_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_percent_rank(docs, "source", "n_chars", "doc_id").select(
         "doc_id", "source", "pct_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: state (events before the cutoff) merged
+# with a delta's partial aggregates must equal the full recompute -- the
+# oracle IS the full recompute, so the equality is what's being graded.
+# ---------------------------------------------------------------------------
+@register(
+    "q125_incremental_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="merge_rollup (operators/temporal.py): daily state (ts < Jan 16) "
+    "unioned with the delta's partial aggregates and re-summed per "
+    "(day, event_type). Sums/counts are commutative monoids, so the merge "
+    "equals the oracle's full recompute -- history is never rescanned; "
+    "only delta keys change. Rounding happens AFTER the merge (partial "
+    "sums stay exact).",
+)
+def q125_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import merge_rollup
+
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("__sum_value"),
+        )
+
+    state = daily(ev.filter(F.col("ts") < cutoff))
+    delta = daily(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_rollup(
+        state, delta, ["day", "event_type"], ["n_events", "__sum_value"]
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("__sum_value", 2).alias("total_value"),
+    )
