@@ -147,3 +147,29 @@ def test_testdata_loader_normalizes_timestamp_ntz(spark, tmp_path):
     assert dict(df.dtypes)["ts"] == "timestamp"
     got = df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
     assert [r.us for r in got] == [1000000, 2000000]  # UTC session: value-identical
+
+
+def test_testdata_contract_dtypes(spark, sf_dir):
+    """Canary for driver-side testdata regeneration drift (it has already
+    drifted once per round on timestamp flavor): the loader must present a
+    stable logical schema to the 125-query corpus regardless of what
+    physical types the regenerated parquet uses. A failure here names the
+    drifted column before 100 queries fail on it obscurely."""
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    expect = {
+        "events": {"event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+                   "event_type": "string", "value": "double", "props": "string"},
+        "documents": {"doc_id": "bigint", "text": "string", "lang": "string",
+                      "source": "string", "n_chars": "bigint"},
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>",
+                       "label": "int"},
+    }
+    for table, cols in expect.items():
+        got = dict(read_testdata(spark, sf_dir, table).dtypes)
+        for col, dt in cols.items():
+            assert got.get(col) == dt, f"{table}.{col}: {got.get(col)!r} != {dt!r}"
+    li = dict(read_testdata(spark, sf_dir, "lineitem").dtypes)
+    for c in ("l_extendedprice", "l_discount", "l_quantity", "l_tax"):
+        assert li[c] == "double", f"lineitem.{c}: {li[c]!r}"
+    assert li["l_shipdate"] in ("date", "timestamp"), li["l_shipdate"]
