@@ -155,3 +155,36 @@ def test_token_budget_closed_exactly_once(spark, toks, budget):
     last = max(kept, key=lambda r: r.doc_id)
     assert total >= min(budget, sum(toks))
     assert total - last.n_tokens < budget  # dropping the closer re-opens it
+
+
+SNAPSHOT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),                   # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # value
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**COMMON)
+@given(old_rows=SNAPSHOT_ROWS, new_rows=SNAPSHOT_ROWS)
+def test_snapshot_diff_reconstructs_new(spark, old_rows, new_rows):
+    """The publish guarantee: old + (added ∪ changed) - removed == new,
+    for ANY pair of snapshots including NULL-valued and empty ones."""
+    from bankcreditunion_datapipeline_spark.operators.temporal import snapshot_diff
+
+    schema = "k long, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = snapshot_diff(old, new, ["k"]).collect()
+    upserts = {r.k: r.v for r in diff if r.change_type in ("added", "changed")}
+    removed = {r.k for r in diff if r.change_type == "removed"}
+    rebuilt = {k: v for k, v in old_rows if k not in removed}
+    rebuilt.update(upserts)
+    assert rebuilt == dict(new_rows)
+    # and the diff is minimal: unchanged rows carry identical values
+    for r in diff:
+        if r.change_type == "unchanged":
+            assert dict(old_rows)[r.k] == dict(new_rows)[r.k] == r.v
