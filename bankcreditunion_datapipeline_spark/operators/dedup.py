@@ -812,3 +812,97 @@ def semantic_dedup_keep(
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def connected_components_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components via alternating large-star/small-star (the
+    MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): returns (id, component) with
+    component = minimal id, same contract as connected_components().
+
+    Why a second implementation: min-label propagation converges in
+    O(log d) checkpointed rounds after path-halving, which is fine for
+    the shallow clusters near-dup graphs produce -- but on adversarial
+    long-chain graphs (scraped boilerplate rings, linked re-posts) the
+    diameter is large. Star operations reattach WHOLE neighborhoods to
+    the neighborhood minimum each round, converging in O(log^2 n) rounds
+    regardless of diameter, with per-round cost one groupBy over the
+    current edge set. Both rounds keep only (node, smaller-node) edges,
+    so the edge set shrinks monotonically toward the star forest.
+
+    large-star: for every node u, attach each STRICTLY LARGER neighbor to
+    min(N(u) + {u}). small-star: orient edges downward, attach u and all
+    its smaller neighbors to the minimum. Fixpoint = edge set stable
+    (checked by count + xxhash64 checksum -- two cheap jobs over the
+    just-checkpointed edges, no set-difference join).
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and cannot overflow (sum of
+            # xxhash64 longs trips ANSI overflow checking)
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = m.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges already oriented u > v; m = min of u's smaller neighborhood
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            e.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            moved.union(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig = _sig(edges)
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        new_sig = _sig(new_edges)
+        edges, sig_prev = new_edges, sig
+        sig = new_sig
+        if new_sig == sig_prev:
+            break
+    # At the fixpoint every non-root has exactly ONE parent edge (u -> min);
+    # aggregate defensively so an early max_iters cut still yields one row
+    # per id (with the best label found so far) instead of a fan-out.
+    parents = edges.groupBy("u").agg(F.min("v").alias("component"))
+    labels = all_nodes.join(
+        parents.select(F.col("u").alias("id"), "component"), "id", "left"
+    ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+    all_nodes.unpersist()
+    return labels

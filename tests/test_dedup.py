@@ -257,3 +257,31 @@ def test_semantic_dedup_cluster_blocked(spark):
         r.vec_id for r in semantic_dedup_keep(df, threshold=0.95).collect()
     )
     assert kept == [1, 3, 4, 5]  # 2 dropped; 4 survives via cluster blocking
+
+
+def test_connected_components_star_matches_propagation(spark):
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(1, 12)],          # diameter 11
+        "star": [(1, i) for i in range(2, 9)],
+        "two_comps": [(1, 2), (2, 3), (10, 11), (12, 11)],
+        "triangle_plus_isolated_pair": [(5, 6), (6, 7), (5, 7), (100, 99)],
+        "dup_edges_both_orders": [(2, 1), (1, 2), (3, 2), (2, 3)],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        star = {
+            (r.id, r.component)
+            for r in connected_components_star(df).collect()
+        }
+        prop = {
+            (r.id, r.component) for r in connected_components(df).collect()
+        }
+        assert star == prop, name
+        # labels are component minima
+        for node, comp in star:
+            assert comp <= node, name

@@ -188,3 +188,46 @@ def test_snapshot_diff_reconstructs_new(spark, old_rows, new_rows):
     for r in diff:
         if r.change_type == "unchanged":
             assert dict(old_rows)[r.k] == dict(new_rows)[r.k] == r.v
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(edges=EDGES)
+def test_star_cc_matches_union_find(spark, edges):
+    """connected_components_star agrees with a driver-side union-find on
+    arbitrary random graphs (self-loops and duplicate edges included)."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(real, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components_star(df).collect()}
+    assert got == expected
