@@ -205,3 +205,72 @@ def streaming_cdc_apply(
     incremental_files(
         spark, source_dir, checkpoint_dir, schema, apply_batch, fmt=fmt
     )
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    target_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> None:
+    """Streaming near-duplicate dedup against ALL history: each micro-batch
+    is (1) deduped within itself (MinHash-LSH pairs, keep-min), then (2)
+    checked against the persisted signature index -- history never
+    re-shingles; the index side of the candidate join reuses stored
+    signatures (`incremental_near_dup_pairs`). Survivors append to
+    `target_dir/clean` and their signatures to `target_dir/index`, so the
+    next batch (or the next run -- the file-source checkpoint makes runs
+    incremental) dedups against everything ever accepted.
+
+    This is the 100 TB streaming-ingest shape: per batch the work is
+    O(batch signatures) + O(candidate pairs vs index buckets), never a
+    rescan of the corpus. Appends here are plain parquet (at-least-once
+    on redelivery); production targets a transactional table format where
+    the foreachBatch body is idempotent per batch_id.
+    """
+    from ..operators.dedup import (
+        build_minhash_index,
+        drop_near_dups,
+        incremental_near_dup_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    clean_dir = os.path.join(target_dir, "clean")
+    index_dir = os.path.join(target_dir, "index")
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        intra_pairs = minhash_near_dup_pairs(
+            batch, id_col, text_col, threshold, num_hashes, bands, shingle_k
+        )
+        survivors = drop_near_dups(batch, intra_pairs, id_col)
+        if os.path.exists(index_dir):
+            index_sigs = spark.read.parquet(index_dir)
+            cross = incremental_near_dup_pairs(
+                survivors,
+                index_sigs,
+                id_col,
+                text_col,
+                threshold,
+                num_hashes,
+                bands,
+                shingle_k,
+            )
+            dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
+            survivors = survivors.join(dup_ids, id_col, "left_anti")
+        survivors = survivors.persist()
+        survivors.write.mode("append").parquet(clean_dir)
+        build_minhash_index(
+            survivors, id_col, text_col, num_hashes, shingle_k
+        ).write.mode("append").parquet(index_dir)
+        survivors.unpersist()
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, dedup_batch)

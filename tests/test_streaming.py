@@ -324,3 +324,55 @@ def test_streaming_cdc_apply_deletes_and_tombstones(spark, tmp_path):
     land([(2, 15, "b-old", "U"), (1, 5, "a-old", "U")], "b3")
     run()
     assert live() == {1: (20, "a2"), 3: (10, "c")}
+
+
+def test_streaming_near_dedup_drops_cross_batch_dups(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_near_dedup,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tgt = str(tmp_path / "out")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the quiet village in the early morning light"
+    )
+    near = base.replace("quiet", "sleepy")
+    unique1 = "completely different subject matter about spark physical plans and shuffles"
+    unique2 = "yet another unrelated document mentioning parquet footers and row groups"
+
+    def run():
+        streaming_near_dedup(
+            spark, str(src), ckpt, schema, tgt, threshold=0.5
+        )
+
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, unique1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    kept1 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tgt}/clean").collect()
+    )
+    assert kept1 == [1, 3]  # 2 is an intra-batch near-dup of 1
+
+    # batch 2: 10 near-dups doc 1 ACROSS batches; 11 is fresh
+    spark.createDataFrame(
+        [(10, base.replace("calm", "wide")), (11, unique2)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    kept2 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tgt}/clean").collect()
+    )
+    assert kept2 == [1, 3, 11]  # 10 dropped against the persisted index
+    # index holds signatures for every accepted doc, nothing else
+    idx_ids = sorted(
+        r.doc_id for r in spark.read.parquet(f"{tgt}/index").collect()
+    )
+    assert idx_ids == [1, 3, 11]
