@@ -5339,3 +5339,52 @@ def q125_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("__sum_value", 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering, diameter-independent variant: SAME synthetic chain
+# graph and oracle as q60, labeled by large-star/small-star instead of
+# min-label propagation -- the two implementations are graded against one
+# recursive-CTE fixpoint, so their equivalence is driver-checked, not just
+# pytest-asserted.
+# ---------------------------------------------------------------------------
+@register(
+    "q126_dup_components_star",
+    """
+    WITH RECURSIVE ids AS (
+      SELECT doc_id FROM documents),
+    e AS (
+      SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      WHERE (a.doc_id % 10) < ((a.doc_id // 10) % 7)),
+    ebi AS (
+      SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+    reach(id, r) AS (
+      SELECT id_a, id_a FROM ebi
+      UNION
+      SELECT ebi.id_a, reach.r FROM ebi JOIN reach ON ebi.id_b = reach.id),
+    comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT component_size, count(*) AS n_components
+    FROM (SELECT component, count(*) AS component_size FROM comp GROUP BY component)
+    GROUP BY component_size
+    """,
+    doc="connected_components_star (operators/dedup.py): alternating "
+    "large-star/small-star (Kiveris et al. SoCC'14), converging in "
+    "O(log^2 n) rounds independent of graph diameter -- the extreme-scale "
+    "twin of q60's label propagation, graded against the same "
+    "recursive-CTE fixpoint.",
+)
+def q126_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components_star
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    a = ids.filter(
+        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
+    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    pairs = a.join(
+        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    labels = connected_components_star(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return sizes.groupBy("component_size").agg(F.count(F.lit(1)).alias("n_components"))
