@@ -1,0 +1,93 @@
+"""End-to-end pretraining-data export: the composition downstream of
+curation that turns a curated corpus into loader-ready shards.
+
+    curated documents
+      -> per-source token budgets from temperature mixture weights
+      -> budget cut (keep docs while the pre-doc cumulative is under budget)
+      -> shard assignment (md5-bucket % n_shards)
+      -> reproducible epoch order within each shard
+      -> partitioned write (one directory per shard) + manifest
+
+Scale shape: every step is a narrow projection or a per-source/per-shard
+window -- no global sort, no driver-side loop over rows. The only data
+movements are the per-source budget window's shuffle and the final
+partitioned write. The manifest is an O(n_shards) aggregate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.sampling import assign_shards, epoch_permutation, mixture_weights
+
+
+@dataclass
+class ExportResult:
+    selected: DataFrame   # rows chosen for export, with shard + pos
+    manifest: DataFrame   # per-shard: n_docs, n_tokens
+    weights: DataFrame    # per-source mixture weight and token budget
+
+
+def export_training_data(
+    docs: DataFrame,
+    total_token_budget: int,
+    out_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    alpha: float = 0.5,
+) -> ExportResult:
+    """Select ~`total_token_budget` whitespace tokens, allocated across
+    sources by temperature-flattened mixture weights, and lay the result
+    out as `n_shards` reproducibly-ordered shards.
+
+    Budget semantics per source: keep documents (in deterministic id
+    order) while the PRE-document cumulative is under the source budget,
+    so each source's budget closes exactly once (the first overshooting
+    doc is kept -- same rule as the q104 curriculum cut). Selection is a
+    pure function of (corpus, budget, seed): append-only corpus growth
+    never reorders existing shards' prefixes.
+    """
+    toks = docs.withColumn(
+        "__n_tokens",
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ),
+    )
+    weights = mixture_weights(docs, source_col, alpha).withColumn(
+        "token_budget",
+        F.ceil(F.col("sample_weight") * F.lit(float(total_token_budget))).cast(
+            "long"
+        ),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn(
+        "__before", F.sum("__n_tokens").over(w) - F.col("__n_tokens")
+    )
+    selected = (
+        cum.join(
+            F.broadcast(weights.select(source_col, "token_budget")), source_col
+        )
+        .filter(F.col("__before") < F.col("token_budget"))
+        .drop("__before", "token_budget")
+    )
+    laid_out = epoch_permutation(selected, id_col, n_shards, seed)
+    if out_dir is not None:
+        laid_out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    manifest = laid_out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_tokens").cast("long").alias("n_tokens"),
+    )
+    return ExportResult(
+        selected=laid_out.drop("__n_tokens"), manifest=manifest, weights=weights
+    )

@@ -5388,3 +5388,53 @@ def q126_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components_star(pairs)
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return sizes.groupBy("component_size").agg(F.count(F.lit(1)).alias("n_components"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end export manifest: mixture weights -> per-source token budgets
+# -> budget cut -> shard assignment -> per-shard manifest, as ONE graded
+# query (the full composition of q121 + q104 + q110 semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "q127_export_manifest",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents),
+    wts AS (
+      SELECT source, round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS wgt
+      FROM (SELECT source, count(*) AS n FROM documents GROUP BY source)),
+    b AS (
+      SELECT source, CAST(ceil(wgt * 12000) AS BIGINT) AS budget FROM wts),
+    c AS (
+      SELECT t.doc_id, t.n_tokens, b.budget,
+             sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.doc_id
+                                   ROWS UNBOUNDED PRECEDING) - t.n_tokens
+               AS before
+      FROM toks t JOIN b USING (source)),
+    sel AS (SELECT doc_id, n_tokens FROM c WHERE before < budget),
+    sh AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 4 AS shard,
+             n_tokens
+      FROM sel)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM sh GROUP BY shard
+    """,
+    doc="export_training_data (plans/export.py): temperature mixture "
+    "weights -> ceil'd per-source token budgets -> deterministic budget "
+    "cut (pre-doc cumulative, budget closes once) -> md5 shard assignment "
+    "-> per-shard manifest. The oracle replays the whole composition "
+    "relationally; Spark-side layout (epoch order, partitioned write) "
+    "doesn't change the manifest and is pytest-covered.",
+)
+def q127_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.export import export_training_data
+
+    docs = t(spark, sf_dir, "documents")
+    res = export_training_data(
+        docs, total_token_budget=12000, out_dir=None, n_shards=4
+    )
+    return res.manifest

@@ -3,6 +3,8 @@ leak-free split."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bankcreditunion_datapipeline_spark.plans.curation import curate_documents
 from bankcreditunion_datapipeline_spark.sources.files import read_testdata
 
@@ -21,3 +23,47 @@ def test_curation_funnel(spark, sf_dir):
     assert res.train.join(res.holdout, "doc_id").count() == 0
     # gates actually fired on this fixture (not a pass-through pipeline)
     assert f["near_dedup"] < f["input"]
+
+
+def test_export_training_data_budgets_shards_and_manifest(spark, tmp_path):
+    from bankcreditunion_datapipeline_spark.plans.export import export_training_data
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "w " * 20, "big"))       # 20 tokens each, 60 docs
+    for i in range(100, 110):
+        rows.append((i, "w " * 10, "small"))     # 10 tokens each, 10 docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = str(tmp_path / "shards")
+    res = export_training_data(
+        docs, total_token_budget=400, out_dir=out, n_shards=4, seed="e1"
+    )
+    wts = {r.source: r for r in res.weights.collect()}
+    # sqrt temperature: small source gets ~29% despite being 14% of docs
+    assert wts["small"].sample_weight > 0.25
+    sel = res.selected.collect()
+    by_src: dict[str, int] = {}
+    for r in sel:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # each source's budget closes once: selected tokens < budget + one doc
+    for src, cnt in by_src.items():
+        toks = cnt * (20 if src == "big" else 10)
+        assert toks <= wts[src].token_budget + 20, (src, toks)
+    assert by_src["small"] >= 10  # small source fits entirely in its budget
+
+    # selection is deterministic under repartition
+    again = export_training_data(
+        docs.repartition(13), total_token_budget=400, n_shards=4, seed="e1"
+    )
+    assert sorted((r.doc_id, r.shard, r.pos) for r in again.selected.collect()) == \
+        sorted((r.doc_id, r.shard, r.pos) for r in sel)
+
+    # written layout: one directory per shard, manifest agrees with files
+    back = spark.read.parquet(out)
+    man = {r.shard: r.n_docs for r in res.manifest.collect()}
+    got = {
+        r.shard: r.cnt
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == man
