@@ -198,3 +198,66 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("window_energy", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_audio_windows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    window_bytes: int = 4096,
+    max_windows: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Audio decode + fixed-window energy features via mapInPandas -- the
+    audio sibling of extract_image_features / sample_video_frames (the
+    three modalities share one plumbing shape: opaque bytes in, typed
+    feature rows out, one Python hop per Arrow batch).
+
+    Real implementation point: librosa/soundfile decode + per-window RMS
+    inside the batch loop. The stub treats the payload as PCM-ish raw
+    bytes and emits deterministic per-window byte-mean "energy" so the
+    window arithmetic (count, truncation at max_windows) is testable.
+    """
+
+    def batches(it: Iterator["Any"]) -> Iterator["Any"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real audio decode requires librosa/soundfile; "
+                        "not in this container"
+                    )
+                n_win = min(max_windows, max(1, -(-len(raw) // window_bytes)))
+                energy = []
+                for k in range(n_win):
+                    chunk = raw[k * window_bytes : (k + 1) * window_bytes]
+                    energy.append(
+                        float(sum(chunk) / len(chunk)) if chunk else 0.0
+                    )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(raw),
+                        "n_windows": n_win,
+                        "window_energy": energy,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

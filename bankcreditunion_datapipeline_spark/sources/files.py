@@ -32,12 +32,24 @@ def read_json(
     path: str,
     schema: StructType | None = None,
     multiline: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S1: JSON scan (reference df_from_json, bronzeLayer/BuildBronzeLayer.py:66-77).
 
     Prefer an explicit schema: schema inference is a separate full scan.
+
+    `corrupt_col` opts into PERMISSIVE corrupt-record capture: malformed
+    lines land with their raw text in that column instead of silently
+    becoming all-NULL rows -- the source-level twin of the silver layer's
+    quarantine discipline (reject rows stay observable). The column must
+    be part of `schema` (StringType); filter on it to split clean vs
+    quarantine.
     """
     reader = spark.read.option("multiLine", multiline)
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -67,3 +67,22 @@ def test_frame_sampling_one_to_many(spark, media):
     f1 = sorted(by_id[1], key=lambda r: r.frame_index)
     joined = b"".join(bytes(r.frame_payload) for r in f1)
     assert src[1].startswith(joined[: len(joined) // 2])
+
+
+def test_extract_audio_windows_shapes(spark):
+    from bankcreditunion_datapipeline_spark.operators.multimodal import (
+        extract_audio_windows,
+    )
+
+    rows = [
+        (1, bytes(range(256)) * 20),   # 5120 bytes -> 2 windows of 4096/1024
+        (2, b"\x10" * 100),            # tiny -> 1 window
+        (3, b"\xff" * 4096 * 20),      # long -> capped at max_windows
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in extract_audio_windows(df, max_windows=4).collect()}
+    assert out[1].n_windows == 2 and len(out[1].window_energy) == 2
+    assert out[1].window_energy[0] == sum(range(256)) / 256  # deterministic stub
+    assert out[2].n_windows == 1 and out[2].window_energy == [16.0]
+    assert out[3].n_windows == 4  # truncated at max_windows
+    assert out[3].window_energy == [255.0] * 4

@@ -173,3 +173,29 @@ def test_testdata_contract_dtypes(spark, sf_dir):
     for c in ("l_extendedprice", "l_discount", "l_quantity", "l_tax"):
         assert li[c] == "double", f"lineitem.{c}: {li[c]!r}"
     assert li["l_shipdate"] in ("date", "timestamp"), li["l_shipdate"]
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.sources.files import read_json
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "name": "fine"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema, corrupt_col="_bad").cache()
+    clean = df.filter("_bad IS NULL")
+    quarantined = df.filter("_bad IS NOT NULL")
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    bad = quarantined.collect()
+    assert len(bad) == 1 and "not json" in bad[0]._bad  # raw line preserved
