@@ -165,3 +165,25 @@ def epoch_permutation(
         .withColumn(pos_col, F.row_number().over(w).cast("long"))
         .drop("__ok")
     )
+
+
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Pre-shuffle skew diagnostics for a join/aggregation key: one row of
+    (n_keys, max_count, p50_count, p99_count, skew_ratio = max/p50).
+
+    Run it BEFORE picking a join strategy at scale: skew_ratio near 1
+    means plain hash partitioning is fine; a hot-key ratio in the
+    hundreds says salt the key (conform.salted_join) or rely on AQE
+    skew-split, and the report's cost is one grouped count (the same
+    shuffle the real query would pay) plus an O(distinct keys) aggregate.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__c").cast("long").alias("max_count"),
+        F.round(F.percentile("__c", F.lit(0.5)), 2).alias("p50_count"),
+        F.round(F.percentile("__c", F.lit(0.99)), 2).alias("p99_count"),
+        F.round(
+            F.max("__c") / F.percentile("__c", F.lit(0.5)), 4
+        ).alias("skew_ratio"),
+    )

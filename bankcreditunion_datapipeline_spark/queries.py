@@ -5438,3 +5438,30 @@ def q127_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, total_token_budget=12000, out_dir=None, n_shards=4
     )
     return res.manifest
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostics: the audit you run BEFORE choosing between
+# plain hash join, salting (q42), and AQE skew-split at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q128_key_skew_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_count,
+           round(quantile_cont(n, 0.5), 2) AS p50_count,
+           round(quantile_cont(n, 0.99), 2) AS p99_count,
+           round(max(n) / quantile_cont(n, 0.5), 4) AS skew_ratio
+    FROM c
+    """,
+    doc="key_skew_report (operators/sampling.py): per-key grouped count "
+    "(the same shuffle the real query would pay) + O(distinct keys) "
+    "summary -- max/p50/p99 and the skew ratio that decides plain hash "
+    "vs salting vs AQE skew-split. Exact interpolated percentiles match "
+    "quantile_cont (q35 pattern).",
+)
+def q128_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import key_skew_report
+
+    return key_skew_report(t(spark, sf_dir, "events"), "user_id")
