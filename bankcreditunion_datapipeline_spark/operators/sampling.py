@@ -151,7 +151,9 @@ def epoch_permutation(
     The reproducible epoch shuffle for a data loader: membership and order
     are pure functions of (key, seed) -- re-runs, appends to OTHER shards,
     and repartitioning never change a row's (shard, pos); a new seed is a
-    fresh permutation. The window partitions by shard, so no 100 TB global
+    fresh permutation. `key` must be unique at the row grain (duplicate
+    keys would tie on the order key and make their relative order
+    partition-dependent). The window partitions by shard, so no 100 TB global
     row_number bottleneck -- each shard orders independently (and the
     loader reads shards in parallel anyway).
     """
