@@ -273,7 +273,9 @@ def snapshot_diff(
 
     The publishing primitive between full snapshots: diff a new extract
     against the published table, write only added+changed (and retract
-    removed) instead of rewriting 100 TB. One full-outer shuffle on the
+    removed) instead of rewriting 100 TB. Both sides must be unique at
+    `key_cols` grain (dedupe to the grain first -- a duplicated key fans
+    the full-outer join out). One full-outer shuffle on the
     key; comparisons are column-wise null-safe (`IS DISTINCT FROM`), so
     NULL -> value and value -> NULL both count as changed -- no digest
     concatenation ambiguity. Emitted columns are the NEW side's values
