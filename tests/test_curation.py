@@ -67,3 +67,32 @@ def test_export_training_data_budgets_shards_and_manifest(spark, tmp_path):
         for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == man
+
+
+def test_curation_production_path_skips_count_jobs(spark, sf_dir):
+    """count_stages=False (the 100 TB path) must yield the same final
+    tables with the funnel reported as -1 sentinels, not run count jobs."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    counted = curate_documents(docs, min_quality=0.2)
+    silent = curate_documents(docs, min_quality=0.2, count_stages=False)
+    assert set(silent.funnel.values()) == {-1}
+    assert sorted(r.doc_id for r in silent.train.collect()) == sorted(
+        r.doc_id for r in counted.train.collect()
+    )
+    assert sorted(r.doc_id for r in silent.holdout.collect()) == sorted(
+        r.doc_id for r in counted.holdout.collect()
+    )
+
+
+def test_mixture_weights_pow_path(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import mixture_weights
+
+    mix = spark.createDataFrame(
+        [("a", i) for i in range(81)] + [("b", i) for i in range(100, 101)],
+        "source string, doc_id long",
+    )
+    # alpha=0 flattens to uniform; alpha=1 is proportional
+    flat = {r.source: r.sample_weight for r in mixture_weights(mix, alpha=0.0).collect()}
+    prop = {r.source: r.sample_weight for r in mixture_weights(mix, alpha=1.0).collect()}
+    assert abs(flat["a"] - 0.5) < 1e-6 and abs(flat["b"] - 0.5) < 1e-6
+    assert abs(prop["a"] - 81 / 82) < 1e-6
