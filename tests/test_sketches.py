@@ -1,0 +1,84 @@
+"""SpaceSaving heavy hitters: guarantee + bound checks vs exact counts."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.sketches import heavy_hitters
+
+
+def _zipfish_items() -> list[str]:
+    # deterministic skewed stream: item i appears ~6000/i times
+    items: list[str] = []
+    for i in range(1, 400):
+        items.extend([f"item{i:03d}"] * (6000 // i))
+    # interleave deterministically so heavy items spread across partitions
+    items.sort(key=lambda s: hash((s, len(items))) % 997)
+    return items
+
+
+def test_heavy_hitters_bounds_and_guarantee(spark):
+    items = _zipfish_items()
+    truth = Counter(items)
+    n = len(items)
+    df = spark.createDataFrame([(x,) for x in items], "token string").repartition(8)
+
+    # k must be >= the guaranteed set (items with count > n/capacity) --
+    # the SpaceSaving guarantee is about summary membership; a smaller k
+    # simply truncates the ranked output below the guarantee threshold
+    guaranteed = {item for item, cnt in truth.items() if cnt > n / 200}
+    out = heavy_hitters(df, "token", k=60, capacity=200).collect()
+    assert len(out) == 60 and len(guaranteed) <= 60
+    got = {r.item for r in out}
+    missing = guaranteed - got
+    assert not missing, missing
+    # bounds: lower <= truth <= upper for every reported item
+    for r in out:
+        assert r.count_lower <= truth[r.item] <= r.count_upper, r
+    # the dominant item heads the ranking and its lower bound is tight
+    # (count_upper may overestimate when a partition evicted+readmitted it)
+    assert out[0].item == "item001"
+    assert out[0].count_lower == truth["item001"]
+
+
+def test_heavy_hitters_exact_when_domain_fits(spark):
+    # capacity >= distinct domain -> SpaceSaving degenerates to exact counts
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "token string").repartition(3)
+    out = {r.item: (r.count_lower, r.count_upper)
+           for r in heavy_hitters(df, "token", k=3, capacity=10).collect()}
+    assert out == {"a": (7, 7), "c": (5, 5), "b": (3, 3)}
+
+
+def test_heavy_hitters_upper_bound_sound_across_partitions(spark, tmp_path):
+    """An item EVICTED from one partition's summary but heavy in another
+    must still satisfy truth <= count_upper -- this needs the non-tracking
+    partition's min-counter folded into the merged upper bound (a naive
+    sum-of-est merge undercounts here)."""
+    # parquet-backed partitions: a union of two in-memory local relations
+    # collapses into ONE LocalTableScan partition, but two file scans stay
+    # two splits, which is what this test needs
+    spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",)], "token string"
+    ).coalesce(1).write.parquet(str(tmp_path / "p0"))
+    spark.createDataFrame(
+        [("b",), ("b",), ("b",), ("b",)], "token string"
+    ).coalesce(1).write.parquet(str(tmp_path / "p1"))
+    df = spark.read.parquet(str(tmp_path / "p0")).unionAll(
+        spark.read.parquet(str(tmp_path / "p1"))
+    )
+    assert df.rdd.getNumPartitions() == 2
+    truth = {"a": 3, "b": 5, "c": 1}
+    out = {r.item: r for r in heavy_hitters(df, "token", k=3, capacity=2).collect()}
+    assert set(out) == {"a", "b", "c"}
+    for item, cnt in truth.items():
+        assert out[item].count_lower <= cnt <= out[item].count_upper, (
+            item,
+            cnt,
+            out[item],
+        )
+    # 'b' was evicted from partition 1 (its summary holds a, c): the sound
+    # upper bound is est_in_p2 + pmin_of_p1 = 4 + 2
+    assert out["b"].count_upper == 6 and out["b"].count_lower == 4
