@@ -5465,3 +5465,35 @@ def q128_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import key_skew_report
 
     return key_skew_report(t(spark, sf_dir, "events"), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters in the exact regime: capacity >> distinct domain, so the
+# SpaceSaving summaries hold every item, bounds collapse to true counts,
+# and the result is layout-independent -- which is what lets the full
+# mapInPandas summarize+merge path be graded against a plain SQL oracle.
+# (Approximate regimes are partition-order-dependent by nature and are
+# covered by the bound/guarantee tests in tests/test_sketches.py.)
+# ---------------------------------------------------------------------------
+@register(
+    "q129_brand_heavy_hitters",
+    """
+    SELECT p_brand AS item,
+           CAST(count(*) AS BIGINT) AS count_lower,
+           CAST(count(*) AS BIGINT) AS count_upper
+    FROM part
+    GROUP BY p_brand
+    ORDER BY count_upper DESC, item
+    LIMIT 10
+    """,
+    doc="heavy_hitters (operators/sketches.py) with capacity 4096 over "
+    "~25 brands: every partition tracks the whole domain, so est==truth, "
+    "err==0, pmin==0 and [lower, upper] pinch to the exact count -- the "
+    "merged-summary machinery graded exactly. Production case is the "
+    "inverse (domain >> capacity), where bounds widen but the top-k "
+    "guarantee holds.",
+)
+def q129_brand_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import heavy_hitters
+
+    return heavy_hitters(t(spark, sf_dir, "part"), "p_brand", k=10, capacity=4096)
