@@ -72,33 +72,105 @@ def heavy_hitters(
     def summarize(batches):
         import pandas as pd
 
-        counters: dict[str, list[int]] = {}
+        # Stream-Summary structure (Metwally et al. 2005, fig. 1): items
+        # grouped into per-count buckets, buckets threaded into a
+        # count-sorted doubly-linked list. Every operation -- hit, insert,
+        # evict-min -- is O(1) dict/set work; the min counter is always the
+        # head bucket. (A min() scan here would be O(capacity) per eviction
+        # and O(n*capacity) per partition on all-distinct adversarial
+        # streams, exactly the workload heavy hitters exist for.)
+        count: dict[str, int] = {}     # item -> its counter value
+        err: dict[str, int] = {}       # item -> overestimation bound
+        # buckets hold items as insertion-ordered dicts (not sets): the
+        # evicted victim is the OLDEST item in the min bucket, so eviction
+        # order never depends on process-varying string hashing
+        bucket: dict[int, dict] = {}   # counter value -> {item: None, ...}
+        nxt: dict[int, int] = {}       # count -> next larger count
+        prv: dict[int, int] = {}       # count -> next smaller count
+        head = [0]                     # min count in the summary (0 = empty)
+
+        def link_after(c, new):
+            # splice bucket `new` right after bucket `c` in the list
+            n = nxt.get(c)
+            nxt[c] = new
+            prv[new] = c
+            if n is not None:
+                nxt[new] = n
+                prv[n] = new
+
+        def unlink(c):
+            p, n = prv.pop(c, None), nxt.pop(c, None)
+            if p is not None:
+                if n is not None:
+                    nxt[p] = n
+                else:
+                    nxt.pop(p, None)
+            if n is not None:
+                if p is not None:
+                    prv[n] = p
+                else:
+                    prv.pop(n, None)
+            if head[0] == c:
+                head[0] = n if n is not None else 0
+            del bucket[c]
+
+        def promote(v, c):
+            # move item v from bucket c to bucket c+1 (creating it if absent)
+            b = bucket[c]
+            b.pop(v, None)
+            tgt = c + 1
+            if tgt in bucket:
+                bucket[tgt][v] = None
+            else:
+                bucket[tgt] = {v: None}
+                link_after(c, tgt)
+            if not b:
+                unlink(c)
+            count[v] = tgt
 
         def feed(values):
             for v in values:
                 if v is None:
                     continue
-                c = counters.get(v)
+                c = count.get(v)
                 if c is not None:
-                    c[0] += 1
-                elif len(counters) < capacity:
-                    counters[v] = [1, 0]
+                    promote(v, c)
+                elif len(count) < capacity:
+                    count[v] = 1
+                    err[v] = 0
+                    if 1 in bucket:
+                        bucket[1][v] = None
+                    else:
+                        bucket[1] = {v: None}
+                        if head[0]:
+                            # 1 is <= every existing count: new head
+                            nxt[1] = head[0]
+                            prv[head[0]] = 1
+                        head[0] = 1
                 else:
-                    min_item = min(counters, key=lambda kk: counters[kk][0])
-                    min_count = counters[min_item][0]
-                    del counters[min_item]
-                    counters[v] = [min_count + 1, min_count]
+                    mn = head[0]
+                    b = bucket[mn]
+                    victim = next(iter(b))
+                    b.pop(victim)
+                    del count[victim]
+                    del err[victim]
+                    tgt = mn + 1
+                    if tgt in bucket:
+                        bucket[tgt][v] = None
+                    else:
+                        bucket[tgt] = {v: None}
+                        link_after(mn, tgt)
+                    if not b:
+                        unlink(mn)
+                    count[v] = tgt
+                    err[v] = mn
 
         for pdf in batches:
             feed(pdf[col].astype(object))
-        pmin = (
-            min(c[0] for c in counters.values())
-            if len(counters) >= capacity
-            else 0
-        )
+        pmin = head[0] if len(count) >= capacity else 0
         rows = [
-            {"item": it, "est": int(c[0]), "err": int(c[1]), "pmin": pmin}
-            for it, c in counters.items()
+            {"item": it, "est": int(c), "err": int(err[it]), "pmin": pmin}
+            for it, c in count.items()
         ]
         rows.append({"item": None, "est": 0, "err": 0, "pmin": pmin})
         yield pd.DataFrame(rows, columns=["item", "est", "err", "pmin"])
@@ -119,7 +191,7 @@ def heavy_hitters(
             F.sum("pmin").alias("__tracking_pmin"),
         )
     )
-    return (
+    out = (
         merged.crossJoin(F.broadcast(totals))
         .select(
             "item",
@@ -137,3 +209,10 @@ def heavy_hitters(
         .orderBy(F.desc("count_upper"), F.asc("item"))
         .limit(k)
     )
+    try:
+        # materialize the O(k) result so the cached per-partition summaries
+        # (read twice above: totals + merge) can be released immediately
+        # instead of leaking cached blocks for the session lifetime
+        return out.localCheckpoint(eager=True)
+    finally:
+        summaries.unpersist()

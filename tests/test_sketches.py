@@ -52,6 +52,54 @@ def test_heavy_hitters_exact_when_domain_fits(spark):
     assert out == {"a": (7, 7), "c": (5, 5), "b": (3, 3)}
 
 
+def test_heavy_hitters_adversarial_eviction_throughput(spark):
+    """Every value distinct at full capacity -> EVERY row after the first
+    `capacity` is an eviction, the worst case for the summary. With the
+    Stream-Summary bucket list each eviction is O(1); the old min()-scan
+    was O(capacity) per row, ~2e8 comparisons for this stream, minutes of
+    wall time. The bound here is generous (the run takes a few seconds) so
+    only a complexity regression can trip it, not machine noise."""
+    import time
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("token"))
+        .coalesce(1)  # one partition -> one summary does ALL n evictions
+    )
+    t0 = time.monotonic()
+    out = heavy_hitters(df, "token", k=10, capacity=1000).collect()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"eviction path is superlinear: {elapsed:.1f}s"
+    # soundness on the all-distinct stream: every true count is 1, every
+    # counter overestimates by exactly its inherited error -> lower <= 1
+    assert len(out) == 10
+    for r in out:
+        assert r.count_lower <= 1 <= r.count_upper, r
+
+
+def test_heavy_hitters_eviction_linear_scaling(spark):
+    """Per-row cost must not grow with rows processed: 4x the adversarial
+    stream should cost ~4x, never ~16x (quadratic). Slack absorbs JVM and
+    scheduling noise."""
+    import time
+
+    def run(n: int) -> float:
+        df = (
+            spark.range(n)
+            .select(F.concat(F.lit("v"), F.col("id")).alias("token"))
+            .coalesce(1)
+        )
+        t0 = time.monotonic()
+        heavy_hitters(df, "token", k=5, capacity=1000).collect()
+        return time.monotonic() - t0
+
+    run(50_000)  # warm the codepath (JIT, Arrow init)
+    t1 = min(run(50_000) for _ in range(2))
+    t4 = min(run(200_000) for _ in range(2))
+    assert t4 < 8 * t1 + 2.0, f"superlinear eviction: {t1:.2f}s -> {t4:.2f}s"
+
+
 def test_heavy_hitters_upper_bound_sound_across_partitions(spark, tmp_path):
     """An item EVICTED from one partition's summary but heavy in another
     must still satisfy truth <= count_upper -- this needs the non-tracking
