@@ -589,6 +589,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 35,
+    threshold_den: int = 100,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT word-k-gram Jaccard pairs via an inverted-index self-join --
+    the oracle-checkable ground truth that the LSH paths
+    (minhash_near_dup_pairs) approximate; their recall is asserted
+    against this in tests/test_dedup.py.
+
+    Scale guards on the posting-list self-join (the classic quadratic
+    blow-up for inverted-index pair generation -- a gram in m documents
+    contributes m*(m-1)/2 join rows):
+
+    - Singleton grams (document frequency 1) are dropped from the JOIN
+      INPUT before the self-join. Provably lossless: a gram held by one
+      document can produce no (a < b) pair. On real heavy-tailed corpora
+      this removes the hapax tail -- typically the majority of distinct
+      grams. Sizes (the union denominator) always count ALL grams.
+    - `max_doc_freq`, when set, also drops grams hotter than the bound
+      (stop-gram cap) -- how the baseline survives the hottest posting
+      list at 100x corpus. NOT exact once set: a pair whose shared grams
+      are all capped is missed, and surviving pairs' n_inter undercounts
+      capped shared grams (never overcounts; n_union is unaffected), so
+      reported jaccard_sim is a lower bound. Default None stays exact.
+
+    The doc-frequency aggregation and the self-join shuffle on the same
+    key (the gram hash), so the prune costs one extra hash aggregate on
+    an exchange the join needs anyway.
+
+    Returns (id_a, id_b, n_inter, n_union, jaccard_sim) for pairs whose
+    jaccard >= threshold_num/threshold_den, with the threshold applied
+    as an integer inequality so the cut can't float-flip.
+    """
+    w = F.split(text_col, " ")
+    n = F.size(w)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))))
+        ).alias("gh"),
+    ).distinct()
+    # sizes BEFORE any prune: every gram counts toward the union
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
+    eligible = freq.filter(F.col("__df") >= 2)
+    if max_doc_freq is not None:
+        eligible = eligible.filter(F.col("__df") <= max_doc_freq)
+    posting = grams.join(eligible.select("gh"), "gh")
+    a = posting.select(F.col("__id").alias("id_a"), "gh")
+    b = posting.select(F.col("__id").alias("id_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("nb"))
+    u = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(threshold_den * F.col("n_inter") >= threshold_num * u)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            u.cast("long").alias("n_union"),
+            F.round(F.col("n_inter").cast("double") / u, 4).alias("jaccard_sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

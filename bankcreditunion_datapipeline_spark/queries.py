@@ -3215,51 +3215,19 @@ def q81_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE 100 * n_inter >= 35 * (sa.n + sb.n - n_inter)
     """,
-    doc="exact n-gram Jaccard (operators/dedup.py char_ngrams/jaccard "
-    "surface) on a modulo-bounded subset: shared-gram equi-join computes "
-    "intersections (never an all-pairs cross join); threshold applied as "
-    "an integer inequality so the cut can't float-flip.",
+    doc="exact word-3-gram Jaccard (operators/dedup.py exact_jaccard_pairs): "
+    "inverted-index self-join with the lossless singleton-gram prune "
+    "(df=1 grams make no pair; sizes still count all grams), threshold "
+    "applied as an integer inequality so the cut can't float-flip. The "
+    "stop-gram cap (max_doc_freq) stays off here to keep the baseline "
+    "exact; the scale path is q21's MinHash-LSH.",
 )
 def q82_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_jaccard_pairs
+
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    n = F.size(w)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 3))))
-        ).alias("gh"),
-    ).distinct()
-    # On real corpora, pre-dropping singleton grams (one document -> no
-    # pair) shrinks the self-join input; on this synthetic small-vocabulary
-    # corpus nearly every gram is multi-doc, so the prune measured neutral
-    # and is omitted. Sizes always count ALL grams (the denominator).
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "gh")
-    b = grams.select(F.col("doc_id").alias("id_b"), "gh")
-    inter = (
-        a.join(b, "gh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    u = F.col("na") + F.col("nb") - F.col("n_inter")
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(100 * F.col("n_inter") >= 35 * u)
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_inter").cast("long").alias("n_inter"),
-            u.cast("long").alias("n_union"),
-            F.round(F.col("n_inter").cast("double") / u, 4).alias("jaccard_sim"),
-        )
+    return exact_jaccard_pairs(
+        docs, "doc_id", "text", threshold_num=35, threshold_den=100, k=3
     )
 
 

@@ -285,3 +285,110 @@ def test_connected_components_star_matches_propagation(spark):
         # labels are component minima
         for node, comp in star:
             assert comp <= node, name
+
+
+def test_exact_jaccard_pairs_matches_bruteforce_with_singletons(spark):
+    """The singleton-gram prune must be lossless: corpus built so MOST
+    grams are hapax (each doc carries unique filler words) yet the two
+    near-dup docs still exceed the threshold. Expected pairs computed by
+    a Python set brute force over the same word-3-gram definition."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    texts = {
+        "d1": "the quick brown fox jumps over the lazy dog tonight",
+        "d2": "the quick brown fox jumps over the lazy dog today",
+        "d3": "completely unrelated filler alpha beta gamma delta epsilon",
+        "d4": "another orthogonal document zeta eta theta iota kappa",
+        "d5": "short one",  # < 3 words -> zero grams
+    }
+
+    def grams(s: str) -> set[str]:
+        w = s.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    expected = set()
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = grams(texts[a]), grams(texts[b])
+            if not ga or not gb:
+                continue
+            inter, union = len(ga & gb), len(ga | gb)
+            if 100 * inter >= 35 * union:
+                expected.add((a, b, inter, union))
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id string, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.n_inter, r.n_union)
+        for r in exact_jaccard_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == expected and len(expected) == 1
+
+
+def test_exact_jaccard_singleton_prune_shrinks_join_input(spark, sf_dir):
+    """Evidence the prune matters: on the documents table the self-join
+    input (posting rows for grams with doc-frequency >= 2) must be a
+    strict subset of all distinct (doc, gram) rows."""
+    from pyspark.sql import functions as F
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 3))))
+        ).alias("gh"),
+    ).distinct()
+    total = grams.count()
+    multi = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .join(grams, "gh")
+        .count()
+    )
+    assert multi < total, (multi, total)
+
+
+def test_exact_jaccard_max_doc_freq_caps_hot_grams(spark):
+    """Stop-gram cap: with max_doc_freq set, pairs connected only through
+    hot grams disappear and surviving similarities never increase
+    (documented lower-bound semantics)."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    # 'common ground here' appears in ALL docs (df=4); d1/d2 also share a
+    # private gram pair, d3/d4 share ONLY the hot gram
+    rows = [
+        ("d1", "common ground here with shared private tail words"),
+        ("d2", "common ground here with shared private tail sequel"),
+        ("d3", "common ground here plus alpha beta gamma"),
+        ("d4", "common ground here minus delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = {
+        (r.id_a, r.id_b): r.n_inter
+        for r in exact_jaccard_pairs(
+            df, threshold_num=1, threshold_den=100
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.n_inter
+        for r in exact_jaccard_pairs(
+            df, threshold_num=1, threshold_den=100, max_doc_freq=3
+        ).collect()
+    }
+    assert set(capped) < set(uncapped)
+    assert ("d3", "d4") in uncapped and ("d3", "d4") not in capped
+    for pair, n_inter in capped.items():
+        assert n_inter <= uncapped[pair]
