@@ -2374,16 +2374,29 @@ def q65_capitalized_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mergeable distinct-count sketches (Apache DataSketches HLL, built into
 # Spark SQL): per-nation customer sketches union up to regions WITHOUT
 # re-touching fact rows -- the 100 TB pattern for layered distinct counts.
-# No SQL oracle (sketch estimates are engine-specific); the unit test bounds
-# the estimate against exact countDistinct.
+# Below the sketch's exact regime (lgConfigK=16 keeps the DataSketches
+# coupon LIST/SET mode, which stores hashes exactly) the estimate equals
+# the true distinct count -- verified empirically: exact at the
+# correctness SF's ~300 customers/region; the residual risk is a 26-bit
+# coupon-hash collision (~0.1% at this cardinality, deterministic per
+# dataset), first observed at sf0.1's ~3000/region (one region off by 1).
+# So the DuckDB oracle checks EXACT distinct counts -- the q63 theta
+# technique -- and at 100 TB the same plan returns bounded-error
+# estimates instead of failing.
 # ---------------------------------------------------------------------------
 @register(
     "q66_hll_sketch_rollup",
-    None,
+    """
+    SELECT n_regionkey,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS approx_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
     doc="hll_sketch_agg per nation -> hll_union_agg per region -> "
     "hll_sketch_estimate: mergeable distinct-count sketches; re-aggregation "
-    "reads pre-built sketches, not raw rows. Rows-only driver check; "
-    "tests/test_analytics.py bounds estimates vs exact.",
+    "reads pre-built sketches, not raw rows. Exact below the coupon-mode "
+    "bound (lgConfigK=16), so the oracle checks exact distinct counts; "
+    "tests/test_analytics.py additionally bounds estimates vs exact.",
 )
 def q66_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
@@ -2393,7 +2406,7 @@ def q66_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_nation = (
         cust.join(F.broadcast(nation), "c_nationkey")
         .groupBy("n_regionkey", "c_nationkey")
-        .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"))
+        .agg(F.expr("hll_sketch_agg(c_custkey, 16)").alias("sk"))
     )
     return (
         per_nation.groupBy("n_regionkey")
