@@ -278,8 +278,12 @@ def snapshot_diff(
     the full-outer join out). One full-outer shuffle on the
     key; comparisons are column-wise null-safe (`IS DISTINCT FROM`), so
     NULL -> value and value -> NULL both count as changed -- no digest
-    concatenation ambiguity. Emitted columns are the NEW side's values
-    (coalesced to the old side for 'removed' rows).
+    concatenation ambiguity. The JOIN is null-safe too, and presence is
+    carried by explicit per-side flags rather than key-column NULL-ness,
+    so a row whose key contains NULL still matches its counterpart
+    instead of surfacing as a spurious added+removed pair. Emitted
+    columns are the NEW side's values (the old side's for 'removed'
+    rows).
     """
     compare_cols = compare_cols or [
         c for c in new.columns if c not in key_cols
@@ -287,18 +291,21 @@ def snapshot_diff(
     o = old.select(
         *[F.col(c).alias(f"__o_{c}") for c in key_cols],
         *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     nw = new.select(
         *[F.col(c).alias(f"__n_{c}") for c in key_cols],
         *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
     cond = None
     for c in key_cols:
-        eq = F.col(f"__o_{c}") == F.col(f"__n_{c}")
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(nw, cond, "full_outer")
-    in_old = F.col(f"__o_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    # full-outer leaves the absent side's flag NULL
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     differs = F.lit(False)
     for c in compare_cols:
         differs = differs | ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
@@ -309,7 +316,10 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     out_cols = [
-        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in key_cols
+        # side-select (not coalesce) so a genuinely-NULL key value on the
+        # present side is emitted as NULL rather than falling through
+        F.when(in_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+        for c in key_cols
     ] + [
         # side-select, not value-coalesce: a changed row whose NEW value is
         # NULL must emit NULL, not resurrect the old value

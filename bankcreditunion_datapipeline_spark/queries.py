@@ -5381,7 +5381,12 @@ def q126_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id, source,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             -- empty/whitespace-only text is 0 tokens, mirroring the
+             -- Spark side's explicit CASE (plans/export.py): DuckDB's
+             -- regexp_split_to_array('') yields [''] = 1 otherwise
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
       FROM documents),
     wts AS (
       SELECT source, round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS wgt

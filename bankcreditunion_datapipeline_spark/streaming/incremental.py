@@ -54,6 +54,21 @@ class Watermark:
         os.replace(tmp, self.path)  # atomic on POSIX
 
 
+def _storage_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe that honors ANY storage scheme Spark supports
+    (file://, hdfs://, s3a://, ...) by asking the Hadoop FileSystem bound
+    to the path -- os.path.exists() is only correct for the local scheme,
+    and a silently-false probe on object storage would make history-aware
+    operators (streaming_near_dedup's index check) quietly no-op."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:  # noqa: BLE001 - e.g. Spark Connect: no JVM handle
+        return os.path.exists(path)
+
+
 def incremental_files(
     spark: SparkSession,
     source_dir: str,
@@ -252,7 +267,7 @@ def streaming_near_dedup(
             batch, id_col, text_col, threshold, num_hashes, bands, shingle_k
         )
         survivors = drop_near_dups(batch, intra_pairs, id_col)
-        if os.path.exists(index_dir):
+        if _storage_path_exists(spark, index_dir):
             index_sigs = spark.read.parquet(index_dir)
             cross = incremental_near_dup_pairs(
                 survivors,

@@ -376,3 +376,19 @@ def test_streaming_near_dedup_drops_cross_batch_dups(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{tgt}/index").collect()
     )
     assert idx_ids == [1, 3, 11]
+
+
+def test_storage_path_exists_handles_schemes(spark, tmp_path):
+    """The index probe must honor any Hadoop-supported scheme, not just
+    bare local paths -- an always-false probe would silently disable
+    cross-batch history dedup on object storage."""
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        _storage_path_exists,
+    )
+
+    existing = tmp_path / "idx"
+    existing.mkdir()
+    assert _storage_path_exists(spark, str(existing))
+    assert _storage_path_exists(spark, f"file://{existing}")
+    assert not _storage_path_exists(spark, str(tmp_path / "nope"))
+    assert not _storage_path_exists(spark, f"file://{tmp_path}/nope")

@@ -227,3 +227,28 @@ def test_snapshot_diff_tags_and_null_transitions(spark):
     new2 = spark.createDataFrame([(1, None)], "k long, v string")
     r = snapshot_diff(old2, new2, ["k"]).collect()[0]
     assert r.change_type == "changed" and r.v is None
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    """A NULL key present on both sides must join (eqNullSafe + presence
+    flags), not surface as a spurious added+removed pair."""
+    from bankcreditunion_datapipeline_spark.operators.temporal import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "keep", 1), ("1", "a", 2)], "k string, v string, p long"
+    )
+    new = spark.createDataFrame(
+        [(None, "keep", 1), ("1", "a2", 2)], "k string, v string, p long"
+    )
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert len(rows) == 2
+    by_key = {r.k: r for r in rows}
+    assert by_key[None].change_type == "unchanged"
+    assert by_key["1"].change_type == "changed" and by_key["1"].v == "a2"
+
+    # composite key with NULL in ONE component: still one matched row
+    old3 = spark.createDataFrame([(1, None, "x")], "a long, b string, v string")
+    new3 = spark.createDataFrame([(1, None, "y")], "a long, b string, v string")
+    r3 = snapshot_diff(old3, new3, ["a", "b"]).collect()
+    assert len(r3) == 1 and r3[0].change_type == "changed"
+    assert r3[0].a == 1 and r3[0].b is None and r3[0].v == "y"
