@@ -162,6 +162,7 @@ def streaming_cdc_apply(
     op_col: str = "op",
     delete_op: str = "D",
     fmt: str = "parquet",
+    tombstone_keep: str | None = None,
 ) -> None:
     """Continuously apply a CDC change stream (upserts AND deletes) to a
     keyed snapshot table.
@@ -177,8 +178,17 @@ def streaming_cdc_apply(
     them, a redelivered batch holding an older upsert would resurrect a
     key deleted by a newer change the snapshot no longer remembers. Live
     rows are published separately (``target/current``, op filtered) next
-    to the full state (``target/state``); production systems expire
-    tombstones after the redelivery horizon.
+    to the full state (``target/state``).
+
+    State is O(live keys + retained tombstones), never O(events): each
+    batch re-compacts to one row per key. `tombstone_keep` bounds the
+    tombstone term -- a SQL boolean over state columns (typically the
+    redelivery horizon on the order column, e.g. ``"seq >= 1000"`` or an
+    event-time cutoff); delete rows where it is false are dropped from
+    state after compaction. Expiring a tombstone the source can still
+    redeliver behind risks resurrecting the key -- pick the horizon from
+    the source's redelivery guarantee, exactly like Debezium/Kafka
+    compaction retention. Default None retains tombstones forever.
 
     Same atomic write-then-rename publish as streaming_upsert; at scale
     the state becomes a Delta/Iceberg target and the swap `MERGE INTO
@@ -196,6 +206,10 @@ def streaming_cdc_apply(
             base = spark.read.schema(schema).parquet(state)
             compacted = latest_changes(
                 base.unionByName(compacted), keys, order_cols
+            )
+        if tombstone_keep is not None:
+            compacted = compacted.filter(
+                (F.col(op_col) != delete_op) | F.expr(tombstone_keep)
             )
         staged = os.path.join(target_dir, f"_stage_{batch_id}")
         compacted.write.mode("overwrite").parquet(staged)

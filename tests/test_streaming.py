@@ -392,3 +392,119 @@ def test_storage_path_exists_handles_schemes(spark, tmp_path):
     assert _storage_path_exists(spark, f"file://{existing}")
     assert not _storage_path_exists(spark, str(tmp_path / "nope"))
     assert not _storage_path_exists(spark, f"file://{tmp_path}/nope")
+
+
+def test_streaming_cdc_state_bounded_at_scale(spark, tmp_path):
+    """Replay the sf0.1 events table as a 3-batch CDC stream: the stored
+    state must stay O(distinct keys), never O(events) -- each batch
+    re-compacts to one row per key, so thousands of changes per key
+    collapse. This is the bench-scale twin of the toy equivalence test."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_cdc_apply,
+    )
+
+    events = read_testdata(spark, "/root/testdata/sf0.1", "events")
+    changes = events.select(
+        F.col("user_id").cast("long").alias("k"),
+        F.unix_micros(F.col("ts")).alias("seq"),
+        F.col("event_type").alias("val"),
+        # deterministic op mix: purchases are deletes, everything else upserts
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        # deterministic 3-way batch split, uncorrelated with key or time
+        (F.abs(F.xxhash64("user_id", "ts")) % 3).alias("__b"),
+    ).persist()
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("val", StringType()),
+            StructField("op", StringType()),
+        ]
+    )
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    tgt = str(tmp_path / "cdc_tgt")
+
+    events_so_far = 0
+    keys_so_far: set[int] = set()
+    for b in range(3):
+        part = changes.filter(F.col("__b") == b).drop("__b")
+        part.write.mode("append").parquet(src)
+        events_so_far += part.count()
+        keys_so_far |= {r.k for r in part.select("k").distinct().collect()}
+        streaming_cdc_apply(
+            spark, src, ckpt, schema, tgt, keys=["k"], order_cols=["seq"]
+        )
+        state_rows = spark.read.schema(schema).parquet(tgt + "/state").count()
+        # exactly one state row per key ever seen (live or tombstone)
+        assert state_rows == len(keys_so_far), (b, state_rows, len(keys_so_far))
+    changes.unpersist()
+    # the point: state is keys-sized, events are not
+    assert events_so_far > 10 * len(keys_so_far), (events_so_far, len(keys_so_far))
+    # live table excludes keys whose latest change is a delete
+    state = spark.read.schema(schema).parquet(tgt + "/state")
+    live = spark.read.schema(schema).parquet(tgt + "/current")
+    n_tombstones = state.filter(F.col("op") == "D").count()
+    assert live.count() == len(keys_so_far) - n_tombstones
+
+
+def test_streaming_cdc_tombstone_expiry_bounds_state(spark, tmp_path):
+    """tombstone_keep evicts delete markers behind the redelivery horizon:
+    the state sheds them (bounded tombstone term) while retaining the
+    ones the source could still redeliver behind."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_cdc_apply,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("val", StringType()),
+            StructField("op", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tgt = str(tmp_path / "tgt")
+
+    def run():
+        streaming_cdc_apply(
+            spark, src, ckpt, schema, tgt,
+            keys=["k"], order_cols=["seq"],
+            tombstone_keep="seq >= 100",
+        )
+
+    spark.createDataFrame(
+        [(1, 10, "a", "U"), (2, 11, "b", "U"), (3, 12, "c", "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # delete 1 BEHIND the horizon (expired), delete 2 within it (kept)
+    spark.createDataFrame(
+        [(1, 20, None, "D"), (2, 200, None, "D")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    state = {r.k: r.op for r in
+             spark.read.schema(schema).parquet(tgt + "/state").collect()}
+    assert state == {2: "D", 3: "U"}  # key 1's tombstone evicted
+    live = {r.k for r in
+            spark.read.schema(schema).parquet(tgt + "/current").collect()}
+    assert live == {3}
