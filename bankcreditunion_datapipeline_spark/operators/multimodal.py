@@ -6,12 +6,17 @@ scales: payloads stay columnar in parquet, metadata predicates prune without
 touching bytes, and compute happens in Arrow-batched pandas UDFs via
 mapInPandas (one Python worker hop per batch, not per row).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are STUBBED: `decode_stub=True` (default) derives
-deterministic fake features from the bytes; `decode_stub=False` raises
-NotImplementedError at the point where the real library call belongs. The
-Spark-side plumbing -- schemas, batch iteration, partitioning, UDF
-signatures -- is real and tested.
+Codec strategy (mirrors the delta-spark probe in sinks.py): with
+`decode_stub=False` each kernel FEATURE-PROBES its real codec at the batch
+level and uses it when importable -- PIL for image decode/resize, stdlib
+`wave` for PCM WAV (no external dependency, so the real audio path runs
+even in this container), ffmpeg for video. A missing codec raises
+NotImplementedError at the documented seam. `decode_stub=True` (default
+here) derives deterministic fake features from the bytes so the Spark-side
+plumbing -- schemas, batch iteration, partitioning, UDF signatures -- is
+exercised regardless of what is installed. PIL/ffmpeg are absent from
+this container and installs are disallowed; the PIL golden tests
+skip-mark themselves exactly like the delta gold-path test.
 """
 
 from __future__ import annotations
@@ -108,29 +113,49 @@ def extract_image_features(
 ) -> DataFrame:
     """Image decode + feature extraction via mapInPandas.
 
-    Real implementation point: replace the stub with PIL/torchvision decode
-    inside the batch loop. Batch shape: Arrow record batches of
-    (media_id, payload); output one feature row per input row.
+    `decode_stub=False` decodes with PIL when importable (probed once per
+    batch iterator, not per row): grayscale thumbnail pixels become the
+    embedding (sqrt(dim)-sided, row-major, [-0.5, 0.5)) and mean_luma is
+    the true full-image luma mean. Swap the thumbnail for a vision
+    encoder at the same seam for model embeddings. Batch shape: Arrow
+    record batches of (media_id, payload); one feature row per input row.
     """
 
     def batches(it: Iterator["Any"]) -> Iterator["Any"]:
         import pandas as pd
 
+        Image = None
+        if not decode_stub:
+            try:
+                from PIL import Image  # noqa: N813 - PIL's exported name
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real image decode requires PIL; not importable here"
+                ) from exc
+            import io
+            import math
+
+            side = max(1, math.isqrt(dim - 1) + 1)  # ceil(sqrt(dim))
+
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv; not in this container"
-                    )
-                feats = _stub_features(raw, dim)
+                if decode_stub:
+                    feats = _stub_features(raw, dim)
+                    luma = float(sum(feats) / len(feats) + 0.5)
+                else:
+                    img = Image.open(io.BytesIO(raw)).convert("L")
+                    px = list(img.getdata())
+                    luma = float(sum(px) / len(px) / 255.0)
+                    thumb = list(img.resize((side, side)).getdata())
+                    feats = [float(p / 255.0 - 0.5) for p in thumb[:dim]]
                 rows.append(
                     {
                         "media_id": int(mid),
                         "n_bytes": len(raw),
                         "embedding": feats,
-                        "mean_luma": float(sum(feats) / len(feats) + 0.5),
+                        "mean_luma": luma,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
@@ -145,8 +170,10 @@ def resize_images(
     max_side: int = 256,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Image resize via mapInPandas: payload -> resized payload. The stub
-    truncates bytes deterministically (stands in for decode->resize->encode)."""
+    """Image resize via mapInPandas: payload -> resized payload.
+    `decode_stub=False` uses PIL when importable: decode -> thumbnail
+    (aspect-preserving, longest side <= max_side) -> re-encode PNG. The
+    stub truncates bytes deterministically instead."""
     out_schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
@@ -154,13 +181,29 @@ def resize_images(
     def batches(it: Iterator["Any"]) -> Iterator["Any"]:
         import pandas as pd
 
+        Image = None
+        if not decode_stub:
+            try:
+                from PIL import Image  # noqa: N813 - PIL's exported name
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real resize requires PIL; not importable here"
+                ) from exc
+            import io
+
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                if not decode_stub:
-                    raise NotImplementedError("real resize requires PIL; not in this container")
-                rows.append({"media_id": int(mid), "payload": raw[: max_side * 64]})
+                if decode_stub:
+                    out = raw[: max_side * 64]
+                else:
+                    img = Image.open(io.BytesIO(raw))
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out = buf.getvalue()
+                rows.append({"media_id": int(mid), "payload": out})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
@@ -223,31 +266,65 @@ def extract_audio_windows(
     three modalities share one plumbing shape: opaque bytes in, typed
     feature rows out, one Python hop per Arrow batch).
 
-    Real implementation point: librosa/soundfile decode + per-window RMS
-    inside the batch loop. The stub treats the payload as PCM-ish raw
-    bytes and emits deterministic per-window byte-mean "energy" so the
-    window arithmetic (count, truncation at max_windows) is testable.
+    `decode_stub=False` REALLY decodes 16-bit PCM WAV with stdlib `wave`
+    (RIFF is a container around raw PCM -- no external codec needed, so
+    this path runs and is golden-tested even in codec-less containers):
+    per-window energy is the RMS of decoded samples normalized to [0, 1].
+    Compressed formats (mp3/ogg/flac) need librosa/soundfile at the same
+    seam and raise NotImplementedError when the payload is not RIFF/WAV.
+    The stub treats the payload as PCM-ish raw bytes and emits
+    deterministic per-window byte-mean "energy" so the window arithmetic
+    (count, truncation at max_windows) is testable everywhere.
     """
 
     def batches(it: Iterator["Any"]) -> Iterator["Any"]:
         import pandas as pd
 
+        if not decode_stub:
+            import array
+            import io
+            import math
+            import wave
+
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real audio decode requires librosa/soundfile; "
-                        "not in this container"
+                if decode_stub:
+                    n_win = min(max_windows, max(1, -(-len(raw) // window_bytes)))
+                    energy = []
+                    for k in range(n_win):
+                        chunk = raw[k * window_bytes : (k + 1) * window_bytes]
+                        energy.append(
+                            float(sum(chunk) / len(chunk)) if chunk else 0.0
+                        )
+                else:
+                    if raw[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "only PCM WAV decodes without external codecs; "
+                            "compressed audio needs librosa/soundfile here"
+                        )
+                    with wave.open(io.BytesIO(raw)) as w:
+                        if w.getsampwidth() != 2:
+                            raise NotImplementedError(
+                                "only 16-bit PCM handled; widen at this seam"
+                            )
+                        pcm = array.array("h")
+                        pcm.frombytes(w.readframes(w.getnframes()))
+                    samples_per_win = max(1, window_bytes // 2)
+                    n_win = min(
+                        max_windows,
+                        max(1, -(-len(pcm) // samples_per_win)),
                     )
-                n_win = min(max_windows, max(1, -(-len(raw) // window_bytes)))
-                energy = []
-                for k in range(n_win):
-                    chunk = raw[k * window_bytes : (k + 1) * window_bytes]
-                    energy.append(
-                        float(sum(chunk) / len(chunk)) if chunk else 0.0
-                    )
+                    energy = []
+                    for k in range(n_win):
+                        chunk = pcm[k * samples_per_win : (k + 1) * samples_per_win]
+                        energy.append(
+                            math.sqrt(sum(s * s for s in chunk) / len(chunk))
+                            / 32768.0
+                            if len(chunk)
+                            else 0.0
+                        )
                 rows.append(
                     {
                         "media_id": int(mid),

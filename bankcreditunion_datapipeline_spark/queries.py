@@ -1410,30 +1410,35 @@ def q43_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q44_deterministic_sample",
     """
-    SELECT lang,
-           count(*) AS n_docs,
-           round(avg(n_chars), 4) AS avg_chars
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536
-          < CAST(floor(0.1 * 65536) AS INT)
-    GROUP BY lang
+    WITH s AS (
+      SELECT lang, n_chars FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+            % 65536 < CAST(floor(0.1 * 65536) AS INT)),
+    g AS (
+      SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+      FROM s GROUP BY lang)
+    SELECT lang, n_docs, avg_chars,
+           round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (), 6) AS sample_weight
+    FROM g
     """,
     doc="deterministic_hash_sample: layout/seed-independent 10%% sample (md5 "
     "bucket on doc_id); narrow predicate, no shuffle; reproducible across "
-    "engines (the oracle literally selects the same rows).",
+    "engines (the oracle literally selects the same rows). Also grades "
+    "mixture_weights (same sampling family) inside the driver's q01-q50 "
+    "window: temperature-flattened per-lang weight over the sampled set, "
+    "the q121 construct.",
 )
 def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.sampling import deterministic_hash_sample
+    from .operators.sampling import deterministic_hash_sample, mixture_weights
 
     docs = t(spark, sf_dir, "documents")
-    return (
-        deterministic_hash_sample(docs, "doc_id", 0.1)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        )
+    sample = deterministic_hash_sample(docs, "doc_id", 0.1)
+    agg = sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+    w = mixture_weights(sample, "lang", alpha=0.5).select("lang", "sample_weight")
+    return agg.join(w, "lang")
 
 
 # ---------------------------------------------------------------------------

@@ -86,3 +86,108 @@ def test_extract_audio_windows_shapes(spark):
     assert out[2].n_windows == 1 and out[2].window_energy == [16.0]
     assert out[3].n_windows == 4  # truncated at max_windows
     assert out[3].window_energy == [255.0] * 4
+
+
+def _make_wav(samples: list[int], framerate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV from int16 samples, stdlib-only."""
+    import array
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def test_audio_real_wav_decode_golden(spark):
+    """The REAL (non-stub) audio path: stdlib wave decodes 16-bit PCM, so
+    this golden test runs even in the codec-less container. Expected RMS
+    computed independently in Python over the same samples."""
+    import math
+
+    from bankcreditunion_datapipeline_spark.operators.multimodal import (
+        extract_audio_windows,
+    )
+
+    samples = [0, 16384, -16384, 32767, -32768, 100, -100, 5000] * 512  # 4096
+    wav = _make_wav(samples)
+    df = spark.createDataFrame([(1, wav)], "media_id long, payload binary")
+    # window_bytes=2048 -> 1024 samples/window -> 4 windows
+    out = extract_audio_windows(
+        df, window_bytes=2048, max_windows=8, decode_stub=False
+    ).collect()[0]
+    assert out.n_windows == 4
+    expected = [
+        math.sqrt(sum(s * s for s in samples[k * 1024 : (k + 1) * 1024]) / 1024)
+        / 32768.0
+        for k in range(4)
+    ]
+    assert out.window_energy == pytest.approx(expected, abs=1e-12)
+
+
+def test_audio_real_decode_rejects_non_wav(spark):
+    from bankcreditunion_datapipeline_spark.operators.multimodal import (
+        extract_audio_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"\x00not-riff-data" * 100)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="only PCM WAV"):
+        extract_audio_windows(df, decode_stub=False).collect()
+
+
+def _tiny_png() -> bytes:
+    """4x4 grayscale PNG built with stdlib zlib/struct (no PIL needed to
+    CONSTRUCT it; PIL is only needed to decode it)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 4x4, 8-bit gray
+    # 4 scanlines, filter byte 0 + 4 pixels each; values 0..255 ramp
+    scan = b"".join(
+        b"\x00" + bytes([r * 64 + c * 16 for c in range(4)]) for r in range(4)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_real_decode_golden_png(spark):
+    """Real PIL decode path, golden-checked on a hand-built 4x4 PNG.
+    Skips where PIL is not installed (this container) -- the same
+    feature-probe pattern as the delta gold-path test."""
+    pytest.importorskip("PIL")
+    png = _tiny_png()
+    df = spark.createDataFrame([(1, png)], "media_id long, payload binary")
+    out = extract_image_features(df, dim=16, decode_stub=False).collect()[0]
+    pixels = [r * 64 + c * 16 for r in range(4) for c in range(4)]
+    assert out.mean_luma == pytest.approx(sum(pixels) / 16 / 255.0, abs=1e-9)
+    # 4x4 thumbnail of a 4x4 image is the image itself
+    assert out.embedding == pytest.approx(
+        [p / 255.0 - 0.5 for p in pixels], abs=1e-6
+    )
+
+
+def test_image_real_resize_roundtrip(spark):
+    pytest.importorskip("PIL")
+    png = _tiny_png()
+    df = spark.createDataFrame([(1, png)], "media_id long, payload binary")
+    out = resize_images(df, max_side=2, decode_stub=False).collect()[0]
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(bytes(out.payload)))
+    assert img.size == (2, 2)
