@@ -260,9 +260,14 @@ def streaming_near_dedup(
 
     This is the 100 TB streaming-ingest shape: per batch the work is
     O(batch signatures) + O(candidate pairs vs index buckets), never a
-    rescan of the corpus. Appends here are plain parquet (at-least-once
-    on redelivery); production targets a transactional table format where
-    the foreachBatch body is idempotent per batch_id.
+    rescan of the corpus. Writes are idempotent per batch: each batch
+    lands in its own ``batch=<id>`` partition directory with overwrite
+    semantics, so a redelivered foreachBatch (same batch_id after a
+    failure) REPLACES its partition instead of double-appending
+    survivors/signatures -- exactly-once table contents from an
+    at-least-once trigger, the same discipline a Delta
+    ``txnAppId/txnVersion`` write gives, without the table format.
+    Readers see ``batch`` as a discovered partition column.
     """
     from ..operators.dedup import (
         build_minhash_index,
@@ -282,7 +287,13 @@ def streaming_near_dedup(
         )
         survivors = drop_near_dups(batch, intra_pairs, id_col)
         if _storage_path_exists(spark, index_dir):
+            # drop this batch's own partitions from the history view so a
+            # REDELIVERED batch doesn't dedup against its previous attempt
             index_sigs = spark.read.parquet(index_dir)
+            if "batch" in index_sigs.columns:
+                index_sigs = index_sigs.filter(
+                    F.col("batch") != batch_id
+                ).drop("batch")
             cross = incremental_near_dup_pairs(
                 survivors,
                 index_sigs,
@@ -296,10 +307,14 @@ def streaming_near_dedup(
             dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
         survivors = survivors.persist()
-        survivors.write.mode("append").parquet(clean_dir)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(clean_dir, f"batch={batch_id}")
+        )
         build_minhash_index(
             survivors, id_col, text_col, num_hashes, shingle_k
-        ).write.mode("append").parquet(index_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
         survivors.unpersist()
 
     incremental_files(spark, source_dir, checkpoint_dir, schema, dedup_batch)

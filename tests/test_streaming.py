@@ -378,6 +378,51 @@ def test_streaming_near_dedup_drops_cross_batch_dups(spark, tmp_path):
     assert idx_ids == [1, 3, 11]
 
 
+def test_streaming_near_dedup_idempotent_on_redelivery(spark, tmp_path):
+    """A redelivered micro-batch (same batch_id after a failure) must
+    REPLACE its batch partition, not double-append survivors and index
+    signatures -- and must not dedup against its own previous attempt.
+    Simulated by wiping the checkpoint so the same files replay as the
+    same batch id 0."""
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_near_dedup,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tgt = str(tmp_path / "out")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the quiet village in the early morning light"
+    )
+    docs = [(1, base), (2, base.replace("quiet", "sleepy")),
+            (3, "unrelated text about parquet footers row groups and codecs")]
+    spark.createDataFrame(docs, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run():
+        streaming_near_dedup(spark, str(src), ckpt, schema, tgt, threshold=0.5)
+
+    run()
+    first = sorted(r.doc_id for r in spark.read.parquet(f"{tgt}/clean").collect())
+    assert first == [1, 3]
+    shutil.rmtree(ckpt)  # forget progress -> same files redeliver as batch 0
+    run()
+    again = sorted(r.doc_id for r in spark.read.parquet(f"{tgt}/clean").collect())
+    assert again == first  # replaced, not doubled; self-dedup didn't fire
+    idx = sorted(r.doc_id for r in spark.read.parquet(f"{tgt}/index").collect())
+    assert idx == first
+
+
 def test_storage_path_exists_handles_schemes(spark, tmp_path):
     """The index probe must honor any Hadoop-supported scheme, not just
     bare local paths -- an always-false probe would silently disable
