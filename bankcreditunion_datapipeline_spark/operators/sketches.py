@@ -175,24 +175,28 @@ def heavy_hitters(
         rows.append({"item": None, "est": 0, "err": 0, "pmin": pmin})
         yield pd.DataFrame(rows, columns=["item", "est", "err", "pmin"])
 
+    from pyspark.sql.window import Window
+
     summaries = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         summarize, _SUMMARY_SCHEMA
-    ).persist()
-    # one sentinel per partition: total of all partitions' min counters
-    totals = summaries.filter(F.col("item").isNull()).agg(
-        F.sum("pmin").alias("__total_pmin")
     )
-    merged = (
-        summaries.filter(F.col("item").isNotNull())
-        .groupBy("item")
-        .agg(
-            F.sum("est").alias("__sum_est"),
-            F.sum("err").alias("__sum_err"),
-            F.sum("pmin").alias("__tracking_pmin"),
-        )
+    # ONE aggregation consumes the summaries exactly once (no persist, no
+    # second scan): the per-partition sentinel rows (NULL item) group into
+    # a single NULL-key row whose summed pmin IS the all-partitions total,
+    # spread to the item rows by a window over the already-merged table --
+    # O(tracked items) rows through the final single-partition window,
+    # the same volume the merge itself emits.
+    merged = summaries.groupBy("item").agg(
+        F.sum("est").alias("__sum_est"),
+        F.sum("err").alias("__sum_err"),
+        F.sum("pmin").alias("__tracking_pmin"),
     )
-    out = (
-        merged.crossJoin(F.broadcast(totals))
+    total_pmin = F.sum(
+        F.when(F.col("item").isNull(), F.col("__tracking_pmin"))
+    ).over(Window.partitionBy())
+    return (
+        merged.withColumn("__total_pmin", total_pmin)
+        .filter(F.col("item").isNotNull())
         .select(
             "item",
             (F.col("__sum_est") - F.col("__sum_err"))
@@ -209,10 +213,3 @@ def heavy_hitters(
         .orderBy(F.desc("count_upper"), F.asc("item"))
         .limit(k)
     )
-    try:
-        # materialize the O(k) result so the cached per-partition summaries
-        # (read twice above: totals + merge) can be released immediately
-        # instead of leaking cached blocks for the session lifetime
-        return out.localCheckpoint(eager=True)
-    finally:
-        summaries.unpersist()
