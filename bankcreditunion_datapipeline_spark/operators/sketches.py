@@ -40,6 +40,108 @@ _SUMMARY_SCHEMA = StructType(
 )
 
 
+class StreamSummary:
+    """Per-partition SpaceSaving state as the Stream-Summary structure
+    (Metwally et al. 2005, fig. 1): items grouped into per-count buckets,
+    buckets threaded into a count-sorted doubly-linked list. Every
+    operation -- hit, insert, evict-min -- is O(1) dict work; the min
+    counter is always the head bucket. (A min() scan would be O(capacity)
+    per eviction, O(n*capacity) per partition on all-distinct adversarial
+    streams -- exactly the workload heavy hitters exist for.)
+
+    Invariants (property-tested in tests/test_properties.py against exact
+    recounting): for every tracked item, est - err <= true count <= est;
+    min_count over tracked items never exceeds n_offered/len(tracked);
+    any item with true count > n/capacity is tracked.
+
+    Module-level (not nested in the UDF) so the eviction machinery is
+    drivable without a SparkSession; heavy_hitters' mapInPandas is a thin
+    wrapper.
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.count: dict[str, int] = {}   # item -> counter value
+        self.err: dict[str, int] = {}     # item -> overestimation bound
+        # buckets hold items as insertion-ordered dicts (not sets): the
+        # evicted victim is the OLDEST item in the min bucket, so eviction
+        # never depends on process-varying string hashing
+        self._bucket: dict[int, dict] = {}  # counter -> {item: None, ...}
+        self._nxt: dict[int, int] = {}      # count -> next larger count
+        self._prv: dict[int, int] = {}      # count -> next smaller count
+        self.min_count = 0                  # head of the list (0 = empty)
+
+    def _link_after(self, c: int, new: int) -> None:
+        # splice bucket `new` right after bucket `c` in the list
+        n = self._nxt.get(c)
+        self._nxt[c] = new
+        self._prv[new] = c
+        if n is not None:
+            self._nxt[new] = n
+            self._prv[n] = new
+
+    def _unlink(self, c: int) -> None:
+        p, n = self._prv.pop(c, None), self._nxt.pop(c, None)
+        if p is not None:
+            if n is not None:
+                self._nxt[p] = n
+            else:
+                self._nxt.pop(p, None)
+        if n is not None:
+            if p is not None:
+                self._prv[n] = p
+            else:
+                self._prv.pop(n, None)
+        if self.min_count == c:
+            self.min_count = n if n is not None else 0
+        del self._bucket[c]
+
+    def _move_into(self, v, tgt: int, after: int) -> None:
+        if tgt in self._bucket:
+            self._bucket[tgt][v] = None
+        else:
+            self._bucket[tgt] = {v: None}
+            self._link_after(after, tgt)
+        self.count[v] = tgt
+
+    def offer(self, v) -> None:
+        c = self.count.get(v)
+        if c is not None:
+            b = self._bucket[c]
+            b.pop(v, None)
+            self._move_into(v, c + 1, c)
+            if not b:
+                self._unlink(c)
+        elif len(self.count) < self.capacity:
+            self.count[v] = 1
+            self.err[v] = 0
+            if 1 in self._bucket:
+                self._bucket[1][v] = None
+            else:
+                self._bucket[1] = {v: None}
+                if self.min_count:
+                    # 1 is <= every existing count: new head
+                    self._nxt[1] = self.min_count
+                    self._prv[self.min_count] = 1
+                self.min_count = 1
+        else:
+            mn = self.min_count
+            b = self._bucket[mn]
+            victim = next(iter(b))
+            b.pop(victim)
+            del self.count[victim]
+            del self.err[victim]
+            self._move_into(v, mn + 1, mn)
+            if not b:
+                self._unlink(mn)
+            self.err[v] = mn
+
+    def feed(self, values) -> None:
+        for v in values:
+            if v is not None:
+                self.offer(v)
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -72,105 +174,13 @@ def heavy_hitters(
     def summarize(batches):
         import pandas as pd
 
-        # Stream-Summary structure (Metwally et al. 2005, fig. 1): items
-        # grouped into per-count buckets, buckets threaded into a
-        # count-sorted doubly-linked list. Every operation -- hit, insert,
-        # evict-min -- is O(1) dict/set work; the min counter is always the
-        # head bucket. (A min() scan here would be O(capacity) per eviction
-        # and O(n*capacity) per partition on all-distinct adversarial
-        # streams, exactly the workload heavy hitters exist for.)
-        count: dict[str, int] = {}     # item -> its counter value
-        err: dict[str, int] = {}       # item -> overestimation bound
-        # buckets hold items as insertion-ordered dicts (not sets): the
-        # evicted victim is the OLDEST item in the min bucket, so eviction
-        # order never depends on process-varying string hashing
-        bucket: dict[int, dict] = {}   # counter value -> {item: None, ...}
-        nxt: dict[int, int] = {}       # count -> next larger count
-        prv: dict[int, int] = {}       # count -> next smaller count
-        head = [0]                     # min count in the summary (0 = empty)
-
-        def link_after(c, new):
-            # splice bucket `new` right after bucket `c` in the list
-            n = nxt.get(c)
-            nxt[c] = new
-            prv[new] = c
-            if n is not None:
-                nxt[new] = n
-                prv[n] = new
-
-        def unlink(c):
-            p, n = prv.pop(c, None), nxt.pop(c, None)
-            if p is not None:
-                if n is not None:
-                    nxt[p] = n
-                else:
-                    nxt.pop(p, None)
-            if n is not None:
-                if p is not None:
-                    prv[n] = p
-                else:
-                    prv.pop(n, None)
-            if head[0] == c:
-                head[0] = n if n is not None else 0
-            del bucket[c]
-
-        def promote(v, c):
-            # move item v from bucket c to bucket c+1 (creating it if absent)
-            b = bucket[c]
-            b.pop(v, None)
-            tgt = c + 1
-            if tgt in bucket:
-                bucket[tgt][v] = None
-            else:
-                bucket[tgt] = {v: None}
-                link_after(c, tgt)
-            if not b:
-                unlink(c)
-            count[v] = tgt
-
-        def feed(values):
-            for v in values:
-                if v is None:
-                    continue
-                c = count.get(v)
-                if c is not None:
-                    promote(v, c)
-                elif len(count) < capacity:
-                    count[v] = 1
-                    err[v] = 0
-                    if 1 in bucket:
-                        bucket[1][v] = None
-                    else:
-                        bucket[1] = {v: None}
-                        if head[0]:
-                            # 1 is <= every existing count: new head
-                            nxt[1] = head[0]
-                            prv[head[0]] = 1
-                        head[0] = 1
-                else:
-                    mn = head[0]
-                    b = bucket[mn]
-                    victim = next(iter(b))
-                    b.pop(victim)
-                    del count[victim]
-                    del err[victim]
-                    tgt = mn + 1
-                    if tgt in bucket:
-                        bucket[tgt][v] = None
-                    else:
-                        bucket[tgt] = {v: None}
-                        link_after(mn, tgt)
-                    if not b:
-                        unlink(mn)
-                    count[v] = tgt
-                    err[v] = mn
-
+        ss = StreamSummary(capacity)
         for pdf in batches:
-            feed(pdf[col].astype(object))
-        pmin = head[0] if len(count) >= capacity else 0
+            ss.feed(pdf[col].astype(object))
+        pmin = ss.min_count if len(ss.count) >= capacity else 0
         rows = [
-            {"item": it, "est": int(c), "err": int(err[it]), "pmin": pmin}
-            for it, c in count.items()
+            {"item": it, "est": int(c), "err": int(ss.err[it]), "pmin": pmin}
+            for it, c in ss.count.items()
         ]
         rows.append({"item": None, "est": 0, "err": 0, "pmin": pmin})
         yield pd.DataFrame(rows, columns=["item", "est", "err", "pmin"])

@@ -231,3 +231,77 @@ def test_star_cc_matches_union_find(spark, edges):
     df = spark.createDataFrame(real, "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components_star(df).collect()}
     assert got == expected
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    capacity=st.integers(min_value=1, max_value=8),
+)
+def test_stream_summary_spacesaving_invariants(stream, capacity):
+    """Drive the O(1) Stream-Summary bucket list (no Spark needed) against
+    exact recounting. The linked-list eviction machinery is the kind of
+    code whose bugs live on specific operation sequences -- random streams
+    with tiny capacities maximize evictions, bucket splits, and unlinks."""
+    from collections import Counter
+
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        StreamSummary,
+    )
+
+    ss = StreamSummary(capacity)
+    ss.feed(stream)
+    truth = Counter(stream)
+    n = len(stream)
+
+    assert len(ss.count) <= capacity
+    # every offer increments exactly one counter by one (hit +1, insert
+    # 0->1, evict replaces mn with mn+1) => counters always sum to n
+    assert sum(ss.count.values()) == n
+    # per-item soundness: est - err <= true count <= est
+    for it, est in ss.count.items():
+        assert est - ss.err[it] <= truth[it] <= est, (it, est, ss.err[it])
+    # SpaceSaving guarantee: true count > n/capacity => tracked
+    for it, c in truth.items():
+        if c * capacity > n:
+            assert it in ss.count, (it, c)
+    # head of the bucket list is the true minimum counter
+    if ss.count:
+        assert ss.min_count == min(ss.count.values())
+    else:
+        assert ss.min_count == 0
+    # structural: buckets exactly partition the tracked items and the
+    # linked list walks counts in strictly increasing order
+    walked = 0
+    c, prev = ss.min_count, 0
+    while c:
+        assert c > prev
+        for it in ss._bucket[c]:
+            assert ss.count[it] == c
+            walked += 1
+        prev, c = c, ss._nxt.get(c)
+    assert walked == len(ss.count)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    chunks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=12), max_size=60),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_stream_summary_batch_feed_equals_single_feed(chunks):
+    """Feeding in Arrow-batch-sized chunks must equal one continuous feed
+    -- the summary is a pure fold over the stream."""
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        StreamSummary,
+    )
+
+    a = StreamSummary(4)
+    for ch in chunks:
+        a.feed(ch)
+    b = StreamSummary(4)
+    b.feed([x for ch in chunks for x in ch])
+    assert a.count == b.count and a.err == b.err
+    assert a.min_count == b.min_count
