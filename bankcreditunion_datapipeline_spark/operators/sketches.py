@@ -2,11 +2,14 @@
 
 The exact sketch rollups (HLL via approx_count_distinct, theta overlap,
 day-level bitmap masks) live directly in the query corpus (q66 / q63 /
-q114) because Spark ships those as built-ins. This module adds the one
-classic summary Spark lacks: SpaceSaving heavy hitters (Metwally et al.,
-"Efficient Computation of Frequent and Top-k Elements in Data Streams",
-ICDT 2005) for top-k over domains where exact per-item counting (q29's
-groupBy) would shuffle more distinct keys than the cluster can hold.
+q114) because Spark ships those as built-ins. This module adds the two
+classic summaries Spark lacks as re-aggregatable state: SpaceSaving
+heavy hitters (Metwally et al., "Efficient Computation of Frequent and
+Top-k Elements in Data Streams", ICDT 2005) for top-k over domains where
+exact per-item counting (q29's groupBy) would shuffle more distinct keys
+than the cluster can hold, and fixed-width histogram quantiles (q130)
+-- percentile_approx cannot re-aggregate from stored state, (bin, count)
+rows can.
 
 Scale shape: each partition maintains at most `capacity` counters in one
 sequential Arrow-batched pass (no shuffle, no sort); only the per-partition
@@ -223,3 +226,73 @@ def heavy_hitters(
         .orderBy(F.desc("count_upper"), F.asc("item"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantiles via fixed-width histogram bins -- completes the
+# sketch-rollup family (distinct counts: HLL/theta/bitmap q66/q63/q114;
+# frequencies: SpaceSaving above; quantiles: this). percentile_approx
+# cannot re-aggregate from stored state; (bin, count) rows CAN: counts are
+# a monoid, so per-partition/per-day bin tables merge losslessly (the q67
+# rollup argument) and a 100 TB quantile is answered from the ~O(range/
+# width) merged bins, never the raw rows. Estimation error is bounded by
+# the bin width; the estimator is deterministic arithmetic over integer
+# counts, so a SQL oracle can check it exactly.
+# ---------------------------------------------------------------------------
+
+
+def bin_counts(df: DataFrame, col: str, width: float, *group_cols: str) -> DataFrame:
+    """Level-0 histogram: (group..., bin, n) with bin = floor(col/width).
+    One hash aggregate; NULLs drop (no bin). Output is the mergeable
+    summary -- coarser grains re-aggregate these rows, not raw data."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*group_cols, F.floor(F.col(col) / F.lit(width)).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def binned_quantiles(
+    bins: DataFrame, width: float, probs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a merged (bin, n) histogram: for each prob
+    p, find the first bin whose cumulative count reaches p * total and
+    interpolate linearly inside it:
+
+        est = (bin + (p*total - cum_before) / n_bin) * width
+
+    True quantile lies within one bin width of the estimate. All
+    arithmetic is deterministic over exact integer counts (the only
+    floats are the final interpolation), so the same expression in SQL
+    reproduces the result bit-for-bit -- the correctness gate for q130.
+    The cumulative window runs over O(distinct bins) rows -- the merged
+    summary, not the data."""
+    from pyspark.sql.window import Window
+
+    spark = bins.sparkSession
+    cum = (
+        bins.groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("cum", F.sum("n").over(Window.orderBy("bin")))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    p = F.broadcast(
+        spark.createDataFrame([(float(x),) for x in probs], "prob double")
+    )
+    hit = p.join(cum, cum["cum"] >= p["prob"] * cum["total"])
+    first = (
+        hit.groupBy("prob")
+        .agg(F.min(F.struct("bin", "n", "cum", "total")).alias("s"))
+        .select(
+            "prob",
+            (
+                (
+                    F.col("s.bin")
+                    + (F.col("prob") * F.col("s.total") - (F.col("s.cum") - F.col("s.n")))
+                    / F.col("s.n")
+                )
+                * F.lit(width)
+            ).alias("__est"),
+        )
+    )
+    return first.select("prob", F.round("__est", 4).alias("quantile_est"))

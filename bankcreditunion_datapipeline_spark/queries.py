@@ -5488,3 +5488,51 @@ def q129_brand_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import heavy_hitters
 
     return heavy_hitters(t(spark, sf_dir, "part"), "p_brand", k=10, capacity=4096)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantiles: the sketch-rollup family's third leg (distinct
+# counts q66/q63/q114, frequencies q129, quantiles here). Level-0 bins
+# per order-year merge losslessly to a global histogram (counts are a
+# monoid, the q67 argument); quantiles come from the merged O(bins)
+# summary, never the raw rows. The estimator is deterministic integer
+# arithmetic + one interpolation, so the oracle replays it exactly from
+# raw data -- proving the two-level merge changed nothing. True quantile
+# is within one bin width; tests bound it against percentile_approx.
+# ---------------------------------------------------------------------------
+@register(
+    "q130_binned_quantile_rollup",
+    """
+    WITH b AS (
+      SELECT floor(o_totalprice / 2000.0) AS bin, count(*) AS n
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin) AS cum,
+             sum(n) OVER () AS total
+      FROM b),
+    p AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob),
+    hit AS (
+      SELECT p.prob, c.bin, c.n, c.cum, c.total,
+             row_number() OVER (PARTITION BY p.prob ORDER BY c.bin) AS rk
+      FROM p JOIN c ON c.cum >= p.prob * c.total)
+    SELECT prob,
+           round((bin + (prob * total - (cum - n)) / n) * 2000.0, 4)
+             AS quantile_est
+    FROM hit WHERE rk = 1
+    """,
+    doc="bin_counts + binned_quantiles (operators/sketches.py): per-year "
+    "fixed-width histograms re-aggregated to a global histogram, p50/p90/"
+    "p99 interpolated from the merged bins. Oracle computes the identical "
+    "estimator straight from raw rows, proving the level merge lossless; "
+    "error vs true quantiles bounded by bin width (tested).",
+)
+def q130_binned_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import bin_counts, binned_quantiles
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "__yr", F.year(F.to_date("o_orderdate"))
+    )
+    lvl0 = bin_counts(orders, "o_totalprice", 2000.0, "__yr")
+    merged = lvl0.groupBy("bin").agg(F.sum("n").alias("n"))
+    return binned_quantiles(merged, 2000.0, [0.5, 0.9, 0.99])

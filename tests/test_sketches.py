@@ -130,3 +130,42 @@ def test_heavy_hitters_upper_bound_sound_across_partitions(spark, tmp_path):
     # 'b' was evicted from partition 1 (its summary holds a, c): the sound
     # upper bound is est_in_p2 + pmin_of_p1 = 4 + 2
     assert out["b"].count_upper == 6 and out["b"].count_lower == 4
+
+
+def test_binned_quantiles_within_one_bin_width_of_exact(spark):
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        bin_counts,
+        binned_quantiles,
+    )
+
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    orders = read_testdata(spark, "/root/testdata/sf0.001", "orders")
+    width = 2000.0
+    probs = [0.5, 0.9, 0.99]
+    bins = bin_counts(orders, "o_totalprice", width)
+    est = {r.prob: r.quantile_est
+           for r in binned_quantiles(bins, width, probs).collect()}
+    exact = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("q")
+    ).collect()[0].q
+    for p, x in zip(probs, exact):
+        assert abs(est[p] - x) <= width, (p, est[p], x)
+
+
+def test_bin_counts_merge_losslessly_across_groups(spark):
+    """The mergeability claim itself: per-year level-0 bins re-aggregated
+    equal bins computed straight from raw rows."""
+    from bankcreditunion_datapipeline_spark.operators.sketches import bin_counts
+
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    orders = read_testdata(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "__yr", F.year(F.to_date("o_orderdate"))
+    )
+    lvl0 = bin_counts(orders, "o_totalprice", 500.0, "__yr")
+    merged = {(r.bin): r.n for r in
+              lvl0.groupBy("bin").agg(F.sum("n").alias("n")).collect()}
+    direct = {(r.bin): r.n for r in
+              bin_counts(orders, "o_totalprice", 500.0).collect()}
+    assert merged == direct
