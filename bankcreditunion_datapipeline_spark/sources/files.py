@@ -92,6 +92,40 @@ def read_orc(
     return reader.orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """Feature probe for the external spark-avro module (same pattern as
+    the delta probe in sinks.py): Avro is row-oriented interchange --
+    right for Kafka payloads and cross-system handoff, not for analytic
+    scans -- and ships outside Spark core since 2.4. Probed once per
+    session via the DataSource registry, no job run."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsc.sc().conf()
+        )
+        return True
+    except Exception:  # noqa: BLE001 - missing module surfaces as Py4J error
+        return False
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Avro scan behind the module probe. Raises a clear error (instead of
+    a deep Py4J trace) where spark-avro is not deployed; this container
+    ships without it and installs are disallowed, so the round-trip test
+    skip-marks itself exactly like the delta gold test."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro module not deployed; add org.apache.spark:spark-avro "
+            "to spark.jars.packages"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("avro").load(path)
+
+
 _TESTDATA_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 

@@ -199,3 +199,25 @@ def test_json_corrupt_record_capture(spark, tmp_path):
     assert sorted(r.id for r in clean.collect()) == [1, 3]
     bad = quarantined.collect()
     assert len(bad) == 1 and "not json" in bad[0]._bad  # raw line preserved
+
+
+def test_avro_probe_and_clear_error_or_roundtrip(spark, tmp_path):
+    """spark-avro is an external module: where deployed, rows round-trip;
+    where not (this container, installs disallowed), the probe is False
+    and read_avro raises the documented clear error instead of a deep
+    Py4J trace. Mirrors the delta feature-probe pattern."""
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.sources.files import (
+        avro_available,
+        read_avro,
+    )
+
+    if not avro_available(spark):
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "nope"))
+        return
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.write.format("avro").save(str(tmp_path / "avro"))
+    back = read_avro(spark, str(tmp_path / "avro"))
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
