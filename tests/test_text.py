@@ -147,3 +147,45 @@ def test_unigram_lm_doc_scores(spark):
     # integer rarity predicate: doc2 uses rarer-than-average words
     assert rows[1].sum_c * rows[1].t_total >= rows[1].n_words * rows[1].t_sq
     assert rows[2].sum_c * rows[2].t_total < rows[2].n_words * rows[2].t_sq
+
+
+def test_luhn_valid_known_vectors(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import luhn_valid
+
+    rows = [
+        ("4111111111111111", True),    # canonical valid test PAN
+        ("4111-1111-1111-1111", True),  # separators stripped first
+        ("4532 0151 1283 0366", True),
+        ("4111111111111112", False),   # checksum off by one
+        ("1234567812345678", False),
+        ("", False),                   # no digits -> false, not NULL
+        ("no digits here", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r.v for r in df.select(luhn_valid(F.col("s")).alias("v")).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_mask_card_numbers_validated_spares_non_cards(spark):
+    """The Luhn gate: shape-matching but checksum-failing numbers (order
+    ids, timestamps) must survive; real PANs must not."""
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        mask_card_numbers,
+        mask_card_numbers_validated,
+    )
+
+    text = (
+        "pay with 4111-1111-1111-1111 ref order 1234 5678 1234 5678 "
+        "backup card 4532 0151 1283 0366 thanks"
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+    validated = df.select(
+        mask_card_numbers_validated(F.col("t")).alias("v")
+    ).collect()[0].v
+    assert "4111-1111-1111-1111" not in validated
+    assert "4532 0151 1283 0366" not in validated
+    assert validated.count("<CARD>") == 2
+    assert "1234 5678 1234 5678" in validated  # order id untouched
+    # the unvalidated chain masks all three -- the false positive
+    blunt = df.select(mask_card_numbers(F.col("t")).alias("v")).collect()[0].v
+    assert blunt.count("<CARD>") == 3
