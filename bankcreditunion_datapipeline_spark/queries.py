@@ -2435,13 +2435,19 @@ def q66_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            round(sum(value), 2) AS total_value,
-           round(round(sum(value), 2) / count(*), 4) AS avg_value
+           floor(round(sum(value), 2) / count(*) * 10000) / 10000.0
+             AS avg_value
     FROM events
     GROUP BY day, event_type
     """,
     doc="two-level mergeable rollup: hour partials (count,sum) -> day by "
-    "re-aggregation of partials; avg derived as merged sum/count. Oracle "
-    "aggregates raw->day directly, proving the merge is lossless.",
+    "re-aggregation of partials; avg derived as merged sum/count, "
+    "TRUNCATED to 4 decimals (floor, not round: division by the count "
+    "makes exact .5 ties common, and Spark rounds the shortest decimal "
+    "repr while DuckDB rounds the binary double -- the adversarial "
+    "differential caught them disagreeing at 38.37875. floor is pure "
+    "IEEE on both engines, so identical inputs give identical outputs). "
+    "Oracle aggregates raw->day directly, proving the merge is lossless.",
 )
 def q67_daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
@@ -2456,11 +2462,16 @@ def q67_daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("sum_value"), 2).alias("total_value"),
-        # avg from the ROUNDED merged sum: identical operands on both
-        # engines, so the derived metric can't flip a rounding boundary.
-        F.round(F.round(F.sum("sum_value"), 2) / F.sum("n_events"), 4).alias(
-            "avg_value"
-        ),
+        # avg from the ROUNDED merged sum, truncated (floor) at 4
+        # decimals: sum/count lands on exact .5 ties (cents*100/n), where
+        # Spark's round (shortest-decimal BigDecimal) and DuckDB's
+        # (binary double) disagree; floor is tie-free and pure IEEE.
+        (
+            F.floor(
+                F.round(F.sum("sum_value"), 2) / F.sum("n_events") * 10000
+            )
+            / 10000.0
+        ).alias("avg_value"),
     )
 
 
@@ -2758,14 +2769,18 @@ def q72_customer_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT c.source,
            count(*) AS n_langs,
            round(-sum((n / CAST(total AS DOUBLE))
-                      * ln(n / CAST(total AS DOUBLE))), 4) AS lang_entropy
+                      * ln(n / CAST(total AS DOUBLE))) + 0.0, 4)
+             AS lang_entropy
     FROM c JOIN tot ON c.source = tot.source
     GROUP BY c.source
     """,
     doc="per-source Shannon entropy of the language distribution (corpus "
     "diversity signal): two-level aggregation where the second level is "
     "log-weighted; probabilities derive from integer counts so the float "
-    "inputs are engine-identical.",
+    "inputs are engine-identical. The +0.0 folds the single-language "
+    "case's -0.0 (= -1*ln(1) negated) to +0.0 on both engines -- the "
+    "engines disagree on the sign of that zero otherwise (caught by the "
+    "adversarial differential).",
 )
 def q73_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -2777,7 +2792,9 @@ def q73_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_langs"),
-            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+            # + 0.0: a single-lang source yields -0.0 (negated zero sum);
+            # IEEE addition folds it to +0.0 identically on both engines
+            F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 4).alias("lang_entropy"),
         )
     )
 

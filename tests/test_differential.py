@@ -1,0 +1,51 @@
+"""Adversarial-corpus differential (tools/fuzz_oracle.py) as a CI gate.
+
+The full 130-query sweep is a tool run; CI covers the high-risk subset:
+queries whose twins touch the divergence classes the mutations target --
+tokenization of degenerate text (the q127 class), float rounding of
+divisions by counts (the q67 class), signed zeros (q73), JSON edge
+shapes (q43/q68), date boundaries, and dangling keys (outer joins).
+Both engines read the same mutated parquet, so any mismatch is a real
+twin divergence, not a data bug.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SUBSET = [
+    "q17_text_profile",
+    "q29_token_frequency",
+    "q43_json_extract",
+    "q44_deterministic_sample",
+    "q48_p95_length_filter",
+    "q62_long_token_arrays",
+    "q65_capitalized_mentions",
+    "q67_daily_rollup_from_hourly",
+    "q68_event_prop_keys",
+    "q73_source_lang_entropy",
+    "q76_boilerplate_fraction",
+    "q82_exact_jaccard_pairs",
+    "q95_order_count_distribution",
+    "q104_token_budget_selection",
+    "q127_export_manifest",
+]
+
+
+def test_adversarial_subset_matches():
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "fuzz_oracle.py"),
+            "/root/testdata/sf0.001",
+            *SUBSET,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]

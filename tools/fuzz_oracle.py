@@ -1,0 +1,141 @@
+"""Adversarial-corpus differential gate.
+
+The per-round oracle compare runs on driver-generated testdata, so a
+query twin can agree there yet diverge on data shapes the generator
+never emits -- exactly the class of latent bug the round-3 advisor found
+in q127 (empty text: DuckDB regexp_split_to_array('') yields [''] = 1
+token, Spark's CASE yields 0). This tool builds a mutated COPY of a
+testdata dir with edge rows appended inside each table's schema --
+empty/whitespace/single-word/repetitive text, boundary prices and
+dates, a dangling foreign key, degenerate JSON props -- and re-runs the
+exact check_correctness compare over it. Both engines read the same
+parquet, so any FAIL is a real twin divergence, not a data bug.
+
+Usage: python tools/fuzz_oracle.py [src_sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _append_rows(src: str, dst: str, rows: list[dict]) -> None:
+    table = pq.read_table(src)
+    extra = pa.Table.from_pylist(rows, schema=table.schema)
+    pq.write_table(pa.concat_tables([table, extra]), dst)
+
+
+def build_adversarial(src_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src_dir, f), os.path.join(out_dir, f))
+
+    import datetime
+
+    def doc(i, text, lang="en", source="web"):
+        return {
+            "doc_id": 90_000_000 + i,
+            "text": text,
+            "lang": lang,
+            "source": source,
+            "n_chars": len(text),
+        }
+
+    _append_rows(
+        os.path.join(src_dir, "documents.parquet"),
+        os.path.join(out_dir, "documents.parquet"),
+        [
+            doc(1, ""),                       # the q127 class: zero tokens
+            doc(2, "   "),                    # whitespace-only
+            doc(3, "word"),                   # below every n-gram width
+            doc(4, "a b"),                    # two tokens, no 3-gram
+            doc(5, "x y z x y z x y z"),      # heavy intra-doc gram repeats
+            doc(6, "the " * 200),             # one token repeated, long
+            doc(7, "tab\tand\nnewline mix"),  # non-space whitespace
+            doc(8, "1234 5678 9012 3456"),    # digit soup
+        ],
+    )
+
+    def order(i, price, date, custkey):
+        return {
+            "o_orderkey": 90_000_000 + i,
+            "o_custkey": custkey,
+            "o_orderstatus": "F",
+            "o_totalprice": price,
+            "o_orderdate": datetime.datetime.fromisoformat(date),
+            "o_orderpriority": "3-MEDIUM",
+        }
+
+    _append_rows(
+        os.path.join(src_dir, "orders.parquet"),
+        os.path.join(out_dir, "orders.parquet"),
+        [
+            order(1, 0.0, "1995-06-15", 1),          # zero price
+            order(2, 0.01, "1992-01-01", 1),         # epoch-edge year start
+            order(3, 999999.99, "1998-12-31", 2),    # year end, huge price
+            order(4, 100.5, "1996-02-29", 2),        # leap day
+            order(5, 100.5, "1996-02-29", 90_000_077),  # DANGLING custkey
+        ],
+    )
+
+    def event(i, ts, etype, value, props):
+        return {
+            "event_id": 90_000_000 + i,
+            "ts": datetime.datetime.fromisoformat(ts),
+            "user_id": 90_000_000 + (i % 2),
+            "event_type": etype,
+            "value": value,
+            "props": props,
+        }
+
+    _append_rows(
+        os.path.join(src_dir, "events.parquet"),
+        os.path.join(out_dir, "events.parquet"),
+        [
+            event(1, "2024-01-01 00:00:00", "view", 0.0, "{}"),
+            event(2, "2024-01-01 00:00:00.000001", "click", -1.5,
+                  '{"k": null}'),
+            event(3, "2024-12-31 23:59:59.999999", "purchase", 1e6,
+                  '{"other": 7}'),
+            event(4, "2024-06-01 12:00:00", "view", 2.5,
+                  '{"k": 41, "extra": "x"}'),
+        ],
+    )
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2:]
+    if only:
+        # the checker silently skips unknown names -- that would turn a
+        # typo into a false green, so validate against the registry first
+        sys.path.insert(0, os.path.dirname(HERE))
+        import __spark_entry__ as entrymod
+
+        unknown = sorted(set(only) - set(entrymod.queries()))
+        if unknown:
+            print(f"unknown query names: {unknown}")
+            return 2
+    out = tempfile.mkdtemp(prefix="fuzz-sf-")
+    build_adversarial(src, out)
+    print(f"adversarial corpus at {out} (from {src})")
+    try:
+        return subprocess.call(
+            [sys.executable, os.path.join(HERE, "check_correctness.py"), out, *only]
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
