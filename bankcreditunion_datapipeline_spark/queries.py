@@ -1160,16 +1160,22 @@ def q36_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="split/substring/upper/concat string surface, grouped; full_label_min "
-    "is min-free because (adj, noun) pairs group exactly.",
+    "is min-free because (adj, noun) pairs group exactly. Token access "
+    "uses get()+coalesce('') -- ANSI-mode w[1] THROWS on one-token names "
+    "(caught by the adversarial differential), while DuckDB's split_part "
+    "returns '' for a missing field; coalescing to '' matches it.",
 )
 def q37_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
+    second = F.coalesce(F.get(F.col("w"), 1), F.lit(""))
     toks = part.select(
         F.split(F.col("p_name"), " ").alias("w"), F.col("p_retailprice")
     ).select(
-        F.col("w")[1].alias("noun"),
-        F.upper(F.substring(F.col("w")[1], 1, 3)).alias("noun_prefix"),
-        F.concat_ws("-", F.col("w")[0], F.col("w")[1]).alias("full_label_min"),
+        second.alias("noun"),
+        F.upper(F.substring(second, 1, 3)).alias("noun_prefix"),
+        # concat_ws skips NULLs but keeps '' -- with the coalesce this
+        # renders "adj-" exactly like DuckDB's concat(.., '-', '')
+        F.concat_ws("-", F.col("w")[0], second).alias("full_label_min"),
         "p_retailprice",
     )
     return toks.groupBy("noun", "noun_prefix", "full_label_min").agg(

@@ -20,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SUBSET = [
     "q17_text_profile",
     "q29_token_frequency",
+    "q37_part_name_tokens",
     "q43_json_extract",
     "q44_deterministic_sample",
     "q48_p95_length_filter",

@@ -88,6 +88,49 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
         ],
     )
 
+    def cust(i, name, acctbal, seg="BUILDING"):
+        return {
+            "c_custkey": 90_000_000 + i,
+            "c_name": name,
+            "c_nationkey": 1,
+            "c_acctbal": acctbal,
+            "c_mktsegment": seg,
+        }
+
+    _append_rows(
+        os.path.join(src_dir, "customer.parquet"),
+        os.path.join(out_dir, "customer.parquet"),
+        [
+            cust(1, "", 0.0),                       # empty name
+            cust(2, "  padded  name  ", -999.99),   # inner/outer spaces
+            cust(3, "o'brien-smith jr.", 0.01),     # apostrophe + hyphen
+            cust(4, "MÜLLER élan ÇELIK", 100.0),    # non-ASCII case mapping
+            cust(5, "tab\there", 1e7),              # embedded tab
+            cust(6, "UPPER lower MiXeD", -0.0),     # case soup + signed zero
+        ],
+    )
+
+    def part_row(i, name, brand="Brand#55", ptype="STANDARD BRUSHED TIN"):
+        return {
+            "p_partkey": 90_000_000 + i,
+            "p_name": name,
+            "p_brand": brand,
+            "p_type": ptype,
+            "p_size": 1,
+            "p_retailprice": 0.0,
+        }
+
+    _append_rows(
+        os.path.join(src_dir, "part.parquet"),
+        os.path.join(out_dir, "part.parquet"),
+        [
+            part_row(1, ""),                          # empty name
+            part_row(2, "single"),                    # one token
+            part_row(3, "hy-phen ap'ostrophe dot."),  # token-splitting chars
+            part_row(4, "a  b   c"),                  # multi-space runs
+        ],
+    )
+
     def event(i, ts, etype, value, props):
         return {
             "event_id": 90_000_000 + i,
