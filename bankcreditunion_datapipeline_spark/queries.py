@@ -70,8 +70,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(sum(l_quantity), 2)                                   AS sum_qty,
            round(sum(l_extendedprice), 2)                              AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_discount), 4)                                   AS avg_disc,
+           floor((avg(l_quantity)) * 10000) / 10000.0                                   AS avg_qty,
+           floor((avg(l_discount)) * 10000) / 10000.0                                   AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -86,8 +86,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "sum_disc_price"
         ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        (F.floor((F.avg("l_quantity")) * 10000) / 10000).alias("avg_qty"),
+        (F.floor((F.avg("l_discount")) * 10000) / 10000).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -1127,7 +1127,7 @@ def q35_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 4)  AS qty_price_corr,
            round(stddev_samp(l_quantity), 4)            AS qty_stddev,
-           round(avg(l_extendedprice), 2)               AS price_avg
+           floor((avg(l_extendedprice)) * 100) / 100.0               AS price_avg
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1139,7 +1139,7 @@ def q36_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
-        F.round(F.avg("l_extendedprice"), 2).alias("price_avg"),
+        (F.floor((F.avg("l_extendedprice")) * 100) / 100).alias("price_avg"),
     )
 
 
@@ -1155,7 +1155,7 @@ def q36_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(split_part(p_name, ' ', 1), '-', split_part(p_name, ' ', 2))
                                                                        AS full_label_min,
            count(*)                                                    AS n_parts,
-           round(avg(p_retailprice), 2)                                AS avg_price
+           floor((avg(p_retailprice)) * 100) / 100.0                                AS avg_price
     FROM part
     GROUP BY 1, 2, 3
     """,
@@ -1180,7 +1180,7 @@ def q37_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return toks.groupBy("noun", "noun_prefix", "full_label_min").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        (F.floor((F.avg("p_retailprice")) * 100) / 100).alias("avg_price"),
     )
 
 
@@ -1386,7 +1386,7 @@ def q42_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT)) AS n_with_k,
            CAST(sum(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT))
                 AS BIGINT)                                                   AS k_sum,
-           round(avg(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT)), 4)
+           floor((avg(CAST(json_extract_string(nullif(props, ''), '$.k') AS INT))) * 10000) / 10000.0
                                                                              AS k_avg
     FROM events
     GROUP BY event_type
@@ -1403,7 +1403,7 @@ def q43_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("k").alias("n_with_k"),
             F.sum("k").alias("k_sum"),
-            F.round(F.avg("k"), 4).alias("k_avg"),
+            (F.floor((F.avg("k")) * 10000) / 10000).alias("k_avg"),
         )
     )
 
@@ -1421,7 +1421,7 @@ def q43_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
             % 65536 < CAST(floor(0.1 * 65536) AS INT)),
     g AS (
-      SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+      SELECT lang, count(*) AS n_docs, floor((avg(n_chars)) * 10000) / 10000.0 AS avg_chars
       FROM s GROUP BY lang)
     SELECT lang, n_docs, avg_chars,
            round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (), 6) AS sample_weight
@@ -1441,7 +1441,7 @@ def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = deterministic_hash_sample(docs, "doc_id", 0.1)
     agg = sample.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.floor((F.avg("n_chars")) * 10000) / 10000).alias("avg_chars"),
     )
     w = mixture_weights(sample, "lang", alpha=0.5).select("lang", "sample_weight")
     return agg.join(w, "lang")
@@ -1507,8 +1507,8 @@ def q45_quarter_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT source,
            count(*) AS n_docs,
-           round(avg(length(text)), 4)    AS avg_len_raw,
-           round(avg(length(cleaned)), 4) AS avg_len_clean,
+           floor((avg(length(text))) * 10000) / 10000.0    AS avg_len_raw,
+           floor((avg(length(cleaned))) * 10000) / 10000.0 AS avg_len_clean,
            CAST(sum(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
     FROM (
       SELECT source, text,
@@ -1534,8 +1534,8 @@ def q46_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_len_raw"),
-        F.round(F.avg(F.length("cleaned")), 4).alias("avg_len_clean"),
+        (F.floor((F.avg(F.length("text"))) * 10000) / 10000).alias("avg_len_raw"),
+        (F.floor((F.avg(F.length("cleaned"))) * 10000) / 10000).alias("avg_len_clean"),
         F.sum(F.when(F.col("cleaned") != F.col("text"), 1).otherwise(0)).alias(
             "n_changed"
         ),
@@ -1589,7 +1589,7 @@ def q47_rolling_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang)
     SELECT d.lang,
            count(*) AS n_kept,
-           round(avg(d.n_chars), 4) AS avg_chars_kept
+           floor((avg(d.n_chars)) * 10000) / 10000.0 AS avg_chars_kept
     FROM documents d JOIN cut USING (lang)
     WHERE d.n_chars <= cut.p95
     GROUP BY d.lang
@@ -1609,7 +1609,7 @@ def q48_p95_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
+            (F.floor((F.avg("n_chars")) * 10000) / 10000).alias("avg_chars_kept"),
         )
     )
 
@@ -1740,8 +1740,8 @@ def q51_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT label,
            count(*) AS n_vecs,
-           round(avg(x), 4) AS mean_x,
-           round(avg(y), 4) AS mean_y
+           floor((avg(x)) * 10000) / 10000.0 AS mean_x,
+           floor((avg(y)) * 10000) / 10000.0 AS mean_y
     FROM proj
     GROUP BY label
     """,
@@ -1759,8 +1759,8 @@ def q52_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = project_embeddings(emb, axes, vec_col="embedding", keep_cols=["label"])
     return proj.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("proj_0"), 4).alias("mean_x"),
-        F.round(F.avg("proj_1"), 4).alias("mean_y"),
+        (F.floor((F.avg("proj_0")) * 10000) / 10000).alias("mean_x"),
+        (F.floor((F.avg("proj_1")) * 10000) / 10000).alias("mean_y"),
     )
 
 
@@ -1849,11 +1849,11 @@ def q54_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT source,
            count(*)                          AS n_docs,
-           round(avg(dup_line_frac), 4)      AS avg_dup_line_frac,
+           floor((avg(dup_line_frac)) * 10000) / 10000.0      AS avg_dup_line_frac,
            round(max(dup_line_frac), 4)      AS max_dup_line_frac,
-           round(avg(bullet_line_frac), 4)   AS avg_bullet_line_frac,
-           round(avg(mean_word_len), 4)      AS avg_mean_word_len,
-           round(avg(symbol_word_ratio), 4)  AS avg_symbol_word_ratio
+           floor((avg(bullet_line_frac)) * 10000) / 10000.0   AS avg_bullet_line_frac,
+           floor((avg(mean_word_len)) * 10000) / 10000.0      AS avg_mean_word_len,
+           floor((avg(symbol_word_ratio)) * 10000) / 10000.0  AS avg_symbol_word_ratio
     FROM (
       SELECT source,
              round(CASE WHEN len(lines) > 0
@@ -1889,11 +1889,11 @@ def q55_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = repetition_signals(docs)
     return sig.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("dup_line_frac"), 4).alias("avg_dup_line_frac"),
+        (F.floor((F.avg("dup_line_frac")) * 10000) / 10000).alias("avg_dup_line_frac"),
         F.round(F.max("dup_line_frac"), 4).alias("max_dup_line_frac"),
-        F.round(F.avg("bullet_line_frac"), 4).alias("avg_bullet_line_frac"),
-        F.round(F.avg("mean_word_len"), 4).alias("avg_mean_word_len"),
-        F.round(F.avg("symbol_word_ratio"), 4).alias("avg_symbol_word_ratio"),
+        (F.floor((F.avg("bullet_line_frac")) * 10000) / 10000).alias("avg_bullet_line_frac"),
+        (F.floor((F.avg("mean_word_len")) * 10000) / 10000).alias("avg_mean_word_len"),
+        (F.floor((F.avg("symbol_word_ratio")) * 10000) / 10000).alias("avg_symbol_word_ratio"),
     )
 
 
@@ -2322,7 +2322,7 @@ def q63_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,
-           round(avg(pr), 4) AS avg_pct_rank
+           floor((avg(pr)) * 10000) / 10000.0 AS avg_pct_rank
     FROM r GROUP BY order_year, decile
     """,
     doc="ntile + percent_rank windows partitioned by year (bounded "
@@ -2346,7 +2346,7 @@ def q64_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
-        F.round(F.avg("pr"), 4).alias("avg_pct_rank"),
+        (F.floor((F.avg("pr")) * 10000) / 10000).alias("avg_pct_rank"),
     )
 
 
@@ -2815,7 +2815,7 @@ def q73_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            round(median(o_totalprice), 2) AS median_price,
-           round(avg(o_totalprice), 2) AS mean_price,
+           floor((avg(o_totalprice)) * 100) / 100.0 AS mean_price,
            count(*) AS n_orders
     FROM orders GROUP BY o_orderpriority
     """,
@@ -2826,7 +2826,7 @@ def q74_priority_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.round(F.median("o_totalprice"), 2).alias("median_price"),
-        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        (F.floor((F.avg("o_totalprice")) * 100) / 100).alias("mean_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -2912,7 +2912,7 @@ def q75_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(n_freq) AS BIGINT) AS n_frequent_grams,
-           round(avg(CAST(n_freq AS DOUBLE) / n_grams), 4) AS boilerplate_frac
+           floor((avg(CAST(n_freq AS DOUBLE) / n_grams)) * 10000) / 10000.0 AS boilerplate_frac
     FROM perdoc GROUP BY source
     """,
     doc="boilerplate fraction: explode word 5-grams, global frequency "
@@ -2950,7 +2950,7 @@ def q76_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perdoc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_freq").cast("long").alias("n_frequent_grams"),
-        F.round(F.avg(F.col("n_freq").cast("double") / F.col("n_grams")), 4).alias(
+        (F.floor((F.avg(F.col("n_freq").cast("double") / F.col("n_grams"))) * 10000) / 10000).alias(
             "boilerplate_frac"
         ),
     )
@@ -3141,7 +3141,7 @@ def q79_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_chunks,
            count(DISTINCT doc_id) AS n_docs,
            CAST(sum(chunk_len) AS BIGINT) AS total_chunk_tokens,
-           round(avg(CAST(chunk_len AS DOUBLE)), 4) AS avg_chunk_len
+           floor((avg(CAST(chunk_len AS DOUBLE))) * 10000) / 10000.0 AS avg_chunk_len
     FROM chunks GROUP BY source
     """,
     doc="window chunking (size 20, stride 15): chunk starts are ONE "
@@ -3166,7 +3166,7 @@ def q80_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
-        F.round(F.avg(F.col("chunk_len").cast("double")), 4).alias("avg_chunk_len"),
+        (F.floor((F.avg(F.col("chunk_len").cast("double"))) * 10000) / 10000).alias("avg_chunk_len"),
     )
 
 
@@ -3383,10 +3383,10 @@ def q84_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            count(*) AS n_vecs,
-           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
-           round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c1,
-           round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS c2,
-           round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS c3
+           floor((avg(CAST(embedding[1] AS DOUBLE))) * 10000) / 10000.0 AS c0,
+           floor((avg(CAST(embedding[2] AS DOUBLE))) * 10000) / 10000.0 AS c1,
+           floor((avg(CAST(embedding[3] AS DOUBLE))) * 10000) / 10000.0 AS c2,
+           floor((avg(CAST(embedding[4] AS DOUBLE))) * 10000) / 10000.0 AS c3
     FROM embeddings
     GROUP BY label
     """,
@@ -3399,7 +3399,7 @@ def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         *[
-            F.round(F.avg(F.col("embedding").getItem(i).cast("double")), 4).alias(
+            (F.floor((F.avg(F.col("embedding").getItem(i).cast("double"))) * 10000) / 10000).alias(
                 f"c{i}"
             )
             for i in range(4)
@@ -3757,7 +3757,7 @@ def q91_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_kept,
            CAST(sum(n_chars) AS BIGINT) AS kept_chars,
-           round(avg(n_chars), 4) AS avg_chars
+           floor((avg(n_chars)) * 10000) / 10000.0 AS avg_chars
     FROM documents
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536
           < floor((least(n_chars, 1000) / 1000.0) * 65536.0)
@@ -3780,7 +3780,7 @@ def q92_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_chars").alias("kept_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            (F.floor((F.avg("n_chars")) * 10000) / 10000).alias("avg_chars"),
         )
     )
 
@@ -4086,7 +4086,7 @@ def q99_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_purchases,
            CAST(sum(CASE WHEN lat_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_attributed,
-           round(avg(lat_us) / 1000000.0, 4) AS avg_latency_sec
+           floor((avg(lat_us) / 1000000.0) * 10000) / 10000.0 AS avg_latency_sec
     FROM j GROUP BY 1
     """,
     doc="last-touch attribution: asof_join (operators/temporal.py) views->"
@@ -4118,7 +4118,7 @@ def q100_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             F.sum(F.col("lat_us").isNotNull().cast("long")).alias("n_attributed"),
-            F.round(F.avg("lat_us") / 1_000_000.0, 4).alias("avg_latency_sec"),
+            (F.floor((F.avg("lat_us") / 1_000_000.0) * 10000) / 10000).alias("avg_latency_sec"),
         )
     )
 
@@ -4199,7 +4199,7 @@ def q101_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN rk = 1 THEN chunk_len ELSE 0 END) AS BIGINT)
              AS kept_tokens,
-           round(avg(CASE WHEN rk = 1 THEN 1.0 ELSE 0.0 END), 4) AS kept_frac
+           floor((avg(CASE WHEN rk = 1 THEN 1.0 ELSE 0.0 END)) * 10000) / 10000.0 AS kept_frac
     FROM ranked GROUP BY source
     """,
     doc="chunk-granularity exact dedup: non-overlapping 20-word chunks, "
@@ -4236,7 +4236,7 @@ def q102_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_kept"), F.col("chunk_len")).otherwise(0))
         .cast("long")
         .alias("kept_tokens"),
-        F.round(F.avg(F.col("is_kept").cast("double")), 4).alias("kept_frac"),
+        (F.floor((F.avg(F.col("is_kept").cast("double"))) * 10000) / 10000).alias("kept_frac"),
     )
 
 
@@ -4568,7 +4568,7 @@ def q108_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, source, t_total, t_sq)
     SELECT source,
            count(*) AS n_docs,
-           round(avg(ll / n_words), 4) AS avg_logprob,
+           floor((avg(ll / n_words)) * 10000) / 10000.0 AS avg_logprob,
            CAST(sum(CASE WHEN sum_c * t_total < n_words * t_sq
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_docs
     FROM perdoc GROUP BY source
@@ -4590,7 +4590,7 @@ def q109_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return scores.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("avg_ll"), 4).alias("avg_logprob"),
+        (F.floor((F.avg("avg_ll")) * 10000) / 10000).alias("avg_logprob"),
         F.sum(rare).cast("long").alias("n_rare_docs"),
     )
 
@@ -4641,6 +4641,10 @@ def q110_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per cell.  The clustering-refinement / drift-monitoring primitive.
 # ---------------------------------------------------------------------------
 _KM_DIMS = ",\n             ".join(
+    # round (not the floor-truncation used for count-denominator avgs):
+    # this mirrors label_centroids' F.round portability constant, and
+    # continuous embedding components make exact .5 ties a ~1e-10 event,
+    # unlike integer/cents sums divided by counts
     f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6)" for i in range(64)
 )
 
@@ -4667,7 +4671,7 @@ _KM_DIMS = ",\n             ".join(
            count(*) AS n_vecs,
            CAST(sum(CASE WHEN label = clabel THEN 1 ELSE 0 END) AS BIGINT)
                AS n_matching,
-           round(avg(dist), 4) AS mean_dist
+           floor((avg(dist)) * 10000) / 10000.0 AS mean_dist
     FROM pick WHERE rk = 1
     GROUP BY clabel
     """,
@@ -4690,7 +4694,7 @@ def q111_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("label") == F.col("assigned")).cast("long"))
         .cast("long")
         .alias("n_matching"),
-        F.round(F.avg("dist"), 4).alias("mean_dist"),
+        (F.floor((F.avg("dist")) * 10000) / 10000).alias("mean_dist"),
     )
 
 
