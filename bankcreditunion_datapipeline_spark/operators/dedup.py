@@ -665,7 +665,9 @@ def exact_jaccard_pairs(
             "id_b",
             F.col("n_inter").cast("long").alias("n_inter"),
             u.cast("long").alias("n_union"),
-            F.round(F.col("n_inter").cast("double") / u, 4).alias("jaccard_sim"),
+            (F.floor((F.col("n_inter").cast("double") / u) * 10000) / 10000).alias(
+                "jaccard_sim"
+            ),
         )
     )
 

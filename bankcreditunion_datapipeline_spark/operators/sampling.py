@@ -185,7 +185,8 @@ def key_skew_report(df: DataFrame, key: str) -> DataFrame:
         F.max("__c").cast("long").alias("max_count"),
         F.round(F.percentile("__c", F.lit(0.5)), 2).alias("p50_count"),
         F.round(F.percentile("__c", F.lit(0.99)), 2).alias("p99_count"),
-        F.round(
-            F.max("__c") / F.percentile("__c", F.lit(0.5)), 4
+        (
+            F.floor((F.max("__c") / F.percentile("__c", F.lit(0.5))) * 10000)
+            / 10000
         ).alias("skew_ratio"),
     )

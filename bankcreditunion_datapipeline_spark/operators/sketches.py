@@ -295,4 +295,6 @@ def binned_quantiles(
             ).alias("__est"),
         )
     )
-    return first.select("prob", F.round("__est", 4).alias("quantile_est"))
+    return first.select(
+        "prob", (F.floor(F.col("__est") * 10000) / 10000).alias("quantile_est")
+    )

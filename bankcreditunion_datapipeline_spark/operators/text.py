@@ -78,6 +78,16 @@ def alpha_ratio(text: Column) -> Column:
     return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
 
 
+def trunc6(col: Column) -> Column:
+    """Truncate to 6 decimals (floor). The engine's discipline for
+    division-derived per-row metrics: int/int ratios land on exact
+    decimal .5 ties where Spark (shortest-repr HALF_UP) and a SQL twin
+    engine (binary-double rounding) disagree; floor has no tie to break
+    and is pure IEEE, so identical inputs give identical outputs
+    anywhere. See SCALE.md "Cross-engine float discipline"."""
+    return F.floor(col * 1000000) / 1000000
+
+
 def quality_score(text: Column) -> Column:
     """[0,1] heuristic quality score: length sweet-spot x alpha ratio x
     (1 - excess punctuation). Deterministic, JVM-only -- the shape of a
@@ -85,7 +95,7 @@ def quality_score(text: Column) -> Column:
     n = F.length(text)
     length_component = F.least(n / F.lit(500.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
-    return F.round(length_component * alpha_ratio(text) * punct_penalty, 6)
+    return trunc6(length_component * alpha_ratio(text) * punct_penalty)
 
 
 def fingerprint(text: Column, normalize: bool = True) -> Column:
@@ -117,8 +127,8 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_chars_computed": F.length(c),
             "n_tokens": token_count(c),
             "n_bpe_tokens": bpe_ish_token_count(c),
-            "alpha_ratio": F.round(alpha_ratio(c), 6),
-            "punct_ratio": F.round(punct_ratio(c), 6),
+            "alpha_ratio": trunc6(alpha_ratio(c)),
+            "punct_ratio": trunc6(punct_ratio(c)),
             "quality": quality_score(c),
             "lang_pred": lang_id(c),
             "fingerprint": fingerprint(c),
@@ -281,17 +291,17 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {
             "n_lines": n_lines,
-            "dup_line_frac": F.round(
-                F.when(n_lines > 0, 1.0 - n_distinct / n_lines).otherwise(0.0), 6
+            "dup_line_frac": trunc6(
+                F.when(n_lines > 0, 1.0 - n_distinct / n_lines).otherwise(0.0)
             ),
-            "bullet_line_frac": F.round(
-                F.when(n_lines > 0, bullet / n_lines).otherwise(0.0), 6
+            "bullet_line_frac": trunc6(
+                F.when(n_lines > 0, bullet / n_lines).otherwise(0.0)
             ),
-            "mean_word_len": F.round(
-                F.when(n_tok > 0, n_nonspace / n_tok).otherwise(0.0), 6
+            "mean_word_len": trunc6(
+                F.when(n_tok > 0, n_nonspace / n_tok).otherwise(0.0)
             ),
-            "symbol_word_ratio": F.round(
-                F.when(n_tok > 0, symbols / n_tok).otherwise(0.0), 6
+            "symbol_word_ratio": trunc6(
+                F.when(n_tok > 0, symbols / n_tok).otherwise(0.0)
             ),
         }
     )

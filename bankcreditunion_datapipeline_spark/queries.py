@@ -558,15 +558,15 @@ def q16_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text) AS n_chars_computed,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-           round(CASE WHEN length(text) > 0
+           floor((CASE WHEN length(text) > 0
                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
-                 ELSE 0 END, 6) AS alpha_ratio
+                 ELSE 0 END) * 1000000) / 1000000.0 AS alpha_ratio
     FROM documents
     """,
     doc="single-pass narrow text stats; JVM regexp/length only (no Python UDF).",
 )
 def q17_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import alpha_ratio, token_count
+    from .operators.text import alpha_ratio, token_count, trunc6
 
     docs = t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -574,7 +574,7 @@ def q17_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(c).alias("n_chars_computed"),
         token_count(c).alias("n_tokens"),
-        F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
+        trunc6(alpha_ratio(c)).alias("alpha_ratio"),
     )
 
 
@@ -1850,26 +1850,27 @@ def q54_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*)                          AS n_docs,
            floor((avg(dup_line_frac)) * 10000) / 10000.0      AS avg_dup_line_frac,
-           round(max(dup_line_frac), 4)      AS max_dup_line_frac,
+           floor((max(dup_line_frac)) * 10000) / 10000.0 AS max_dup_line_frac,
            floor((avg(bullet_line_frac)) * 10000) / 10000.0   AS avg_bullet_line_frac,
            floor((avg(mean_word_len)) * 10000) / 10000.0      AS avg_mean_word_len,
            floor((avg(symbol_word_ratio)) * 10000) / 10000.0  AS avg_symbol_word_ratio
     FROM (
       SELECT source,
-             round(CASE WHEN len(lines) > 0
-               THEN 1 - len(list_distinct(lines)) * 1.0 / len(lines) ELSE 0 END, 6)
-               AS dup_line_frac,
-             round(CASE WHEN len(lines) > 0
+             floor((CASE WHEN len(lines) > 0
+               THEN 1 - len(list_distinct(lines)) * 1.0 / len(lines) ELSE 0 END)
+               * 1000000) / 1000000.0 AS dup_line_frac,
+             floor((CASE WHEN len(lines) > 0
                THEN len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
-                    * 1.0 / len(lines) ELSE 0 END, 6) AS bullet_line_frac,
-             round(CASE WHEN n_tok > 0
+                    * 1.0 / len(lines) ELSE 0 END) * 1000000) / 1000000.0
+               AS bullet_line_frac,
+             floor((CASE WHEN n_tok > 0
                THEN length(regexp_replace(text, '\s', '', 'g')) * 1.0 / n_tok
-               ELSE 0 END, 6) AS mean_word_len,
-             round(CASE WHEN n_tok > 0
+               ELSE 0 END) * 1000000) / 1000000.0 AS mean_word_len,
+             floor((CASE WHEN n_tok > 0
                THEN (CAST((length(text) - length(replace(text, '#', ''))) / 1 AS INT)
                    + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT))
                     * 1.0 / n_tok
-               ELSE 0 END, 6) AS symbol_word_ratio
+               ELSE 0 END) * 1000000) / 1000000.0 AS symbol_word_ratio
       FROM (
         SELECT source, text,
                string_split(text, chr(10)) AS lines,
@@ -1890,7 +1891,7 @@ def q55_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.floor((F.avg("dup_line_frac")) * 10000) / 10000).alias("avg_dup_line_frac"),
-        F.round(F.max("dup_line_frac"), 4).alias("max_dup_line_frac"),
+        (F.floor((F.max("dup_line_frac")) * 10000) / 10000).alias("max_dup_line_frac"),
         (F.floor((F.avg("bullet_line_frac")) * 10000) / 10000).alias("avg_bullet_line_frac"),
         (F.floor((F.avg("mean_word_len")) * 10000) / 10000).alias("avg_mean_word_len"),
         (F.floor((F.avg("symbol_word_ratio")) * 10000) / 10000).alias("avg_symbol_word_ratio"),
@@ -2010,7 +2011,7 @@ def q57_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u)
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice) / 1000000, 4) AS total_price_mm,
+           floor((sum(o_totalprice) / 1000000) * 10000) / 10000.0 AS total_price_mm,
            max(version) AS max_version
     FROM r WHERE rk = 1
     GROUP BY o_orderstatus
@@ -2035,7 +2036,9 @@ def q58_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_upsert(base, delta, ["o_orderkey"], "version")
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice") / 1000000, 4).alias("total_price_mm"),
+        (F.floor((F.sum("o_totalprice") / 1000000) * 10000) / 10000).alias(
+            "total_price_mm"
+        ),
         F.max("version").alias("max_version"),
     )
 
@@ -2600,10 +2603,10 @@ def q69_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
              AS nation_volume,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS region_volume,
-           round(round(sum(CASE WHEN n_name = 'NATION_7'
+           floor((round(sum(CASE WHEN n_name = 'NATION_7'
                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 4)
-             AS market_share
+                 / round(sum(l_extendedprice * (1 - l_discount)), 2)) * 10000)
+             / 10000.0 AS market_share
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -2613,8 +2616,9 @@ def q69_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 shape: one nation's share of regional revenue per ship "
     "year via conditional aggregation -- numerator and denominator in a "
-    "single grouped pass (share derived from the two rounded sums, so the "
-    "ratio cannot flip a rounding boundary).",
+    "single grouped pass; the share is TRUNCATED at 1e-4 from the two "
+    "rounded sums (floor is tie-free; a round of the ratio could flip a "
+    ".5 boundary differently per engine).",
 )
 def q70_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
@@ -2647,7 +2651,8 @@ def q70_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.withColumn(
         "market_share",
-        F.round(F.col("nation_volume") / F.col("region_volume"), 4),
+        F.floor((F.col("nation_volume") / F.col("region_volume")) * 10000)
+        / 10000,
     )
 
 
@@ -3249,8 +3254,8 @@ def q81_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            CAST(n_inter AS BIGINT) AS n_inter,
            CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
-           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
-               AS jaccard_sim
+           floor((CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter))
+                 * 10000) / 10000.0 AS jaccard_sim
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -5470,7 +5475,7 @@ def q127_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(n) AS BIGINT) AS max_count,
            round(quantile_cont(n, 0.5), 2) AS p50_count,
            round(quantile_cont(n, 0.99), 2) AS p99_count,
-           round(max(n) / quantile_cont(n, 0.5), 4) AS skew_ratio
+           floor((max(n) / quantile_cont(n, 0.5)) * 10000) / 10000.0 AS skew_ratio
     FROM c
     """,
     doc="key_skew_report (operators/sampling.py): per-key grouped count "
@@ -5544,8 +5549,8 @@ def q129_brand_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY p.prob ORDER BY c.bin) AS rk
       FROM p JOIN c ON c.cum >= p.prob * c.total)
     SELECT prob,
-           round((bin + (prob * total - (cum - n)) / n) * 2000.0, 4)
-             AS quantile_est
+           floor(((bin + (prob * total - (cum - n)) / n) * 2000.0) * 10000)
+             / 10000.0 AS quantile_est
     FROM hit WHERE rk = 1
     """,
     doc="bin_counts + binned_quantiles (operators/sketches.py): per-year "

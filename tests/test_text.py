@@ -122,7 +122,9 @@ def test_repetition_signals(spark):
     out = {r.doc_id: r for r in repetition_signals(df).collect()}
     assert out[1].n_lines == 4
     assert out[1].dup_line_frac == 0.5  # 4 lines, 2 distinct
-    assert out[2].bullet_line_frac == round(2 / 3, 6)
+    # ratios TRUNCATE at 1e-6 (floor, the engine's tie-free cross-engine
+    # discipline), so 2/3 -> 0.666666, not round()'s 0.666667
+    assert out[2].bullet_line_frac == 0.666666
     assert out[3].dup_line_frac == 0.0 and out[3].mean_word_len == 0.0
 
 
