@@ -2603,10 +2603,11 @@ def q69_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
              AS nation_volume,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS region_volume,
-           floor((round(sum(CASE WHEN n_name = 'NATION_7'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-                 / round(sum(l_extendedprice * (1 - l_discount)), 2)) * 10000)
-             / 10000.0 AS market_share
+           CASE WHEN round(sum(l_extendedprice * (1 - l_discount)), 2) <> 0
+             THEN floor((round(sum(CASE WHEN n_name = 'NATION_7'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                   / round(sum(l_extendedprice * (1 - l_discount)), 2)) * 10000)
+               / 10000.0 END AS market_share
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -2651,8 +2652,11 @@ def q70_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.withColumn(
         "market_share",
-        F.floor((F.col("nation_volume") / F.col("region_volume")) * 10000)
-        / 10000,
+        F.when(
+            F.col("region_volume") != 0,
+            F.floor((F.col("nation_volume") / F.col("region_volume")) * 10000)
+            / 10000,
+        ),
     )
 
 
@@ -5102,17 +5106,21 @@ def q118_priority_mix_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
                      THEN l_extendedprice * (1 - l_discount) END), 2)
                AS promo_revenue,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+           CASE WHEN sum(l_extendedprice * (1 - l_discount)) <> 0 THEN
+             floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+                    / sum(l_extendedprice * (1 - l_discount))) * 10000)
+               / 10000.0 END AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
     """,
     doc="TPC-H Q14: part is the BROADCAST side (dim-sized), revenue and "
     "promo revenue accumulate in the same grouped pass, share = one "
-    "division on the final row. Rounded at 1e-2/1e-4, far above "
-    "float-sum ordering noise.",
+    "TRUNCATED division on the final row, NULL when a year's revenue is "
+    "zero (ANSI Spark ERRORS on double/0 -- the adversarial corpus's "
+    "all-discount year caught the unguarded crash). Revenue columns "
+    "rounded at 1e-2, far above float-sum ordering noise.",
 )
 def q119_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -5128,8 +5136,13 @@ def q119_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.round(F.sum(promo), 2).alias("promo_revenue"),
         F.round(F.sum(rev), 2).alias("total_revenue"),
-        F.round(
-            100.0 * F.sum(F.coalesce(promo, F.lit(0.0))) / F.sum(rev), 4
+        F.when(
+            F.sum(rev) != 0,
+            F.floor(
+                (100.0 * F.sum(F.coalesce(promo, F.lit(0.0))) / F.sum(rev))
+                * 10000
+            )
+            / 10000,
         ).alias("promo_pct"),
     )
 

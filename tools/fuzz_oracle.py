@@ -131,6 +131,47 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
         ],
     )
 
+    def li(i, qty, price, disc, tax, date):
+        return {
+            "l_orderkey": 90_000_000 + i,
+            "l_partkey": 1,
+            "l_suppkey": 1,
+            "l_linenumber": 1,
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": disc,
+            "l_tax": tax,
+            "l_returnflag": "R",
+            "l_linestatus": "F",
+            "l_shipdate": datetime.datetime.fromisoformat(date),
+        }
+
+    _append_rows(
+        os.path.join(src_dir, "lineitem.parquet"),
+        os.path.join(out_dir, "lineitem.parquet"),
+        [
+            li(1, 0.0, 0.0, 0.0, 0.0, "1992-01-01"),       # all-zero line
+            li(2, 1.0, 0.01, 1.0, 0.0, "1998-12-31"),      # 100% discount
+            li(3, 50.0, 104949.5, 0.5, 0.08, "1996-02-29"),  # leap day, big
+            li(4, 3.0, 33.33, 0.07, 0.02, "1995-06-17"),   # repeating-dec avg
+        ],
+    )
+
+    def vec(i, embedding, label=0):
+        return {"vec_id": 90_000_000 + i, "embedding": embedding, "label": label}
+
+    _append_rows(
+        os.path.join(src_dir, "embeddings.parquet"),
+        os.path.join(out_dir, "embeddings.parquet"),
+        [
+            vec(1, [0.0] * 64),                      # zero norm: cosine x/0
+            vec(2, [1e-30] * 64),                    # denormal-ish tiny norm
+            vec(3, [1e6] * 64, label=1),             # huge magnitude
+            vec(4, [1.0] + [0.0] * 63, label=2),     # axis-aligned unit
+            vec(5, [-1.0] * 64, label=3),            # all-negative
+        ],
+    )
+
     def event(i, ts, etype, value, props):
         return {
             "event_id": 90_000_000 + i,
