@@ -105,4 +105,9 @@ def per_group_percent_rank(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(group_col).orderBy(score_col, tiebreak_col)
-    return df.withColumn(out, F.round(F.percent_rank().over(w), 6))
+    # TRUNCATE at 1e-6 (floor): percent_rank is k/(n-1), an int/int
+    # rational that lands on exact decimal .5 ties for 2^a*5^b group
+    # sizes -- the tie-free cross-engine discipline (SCALE.md)
+    return df.withColumn(
+        out, F.floor(F.percent_rank().over(w) * 1000000) / 1000000
+    )

@@ -115,7 +115,8 @@ def key_skew_report(
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
     return (
         counts.withColumn(
-            "share", F.round(F.col("n_rows") / F.lit(total), 6)
+            # floor, not round: n/total int ratios hit exact .5 ties
+            "share", F.floor(F.col("n_rows") / F.lit(total) * 1000000) / 1000000
         )
         .orderBy(F.desc("n_rows"), *key_cols)
         .limit(top_k)

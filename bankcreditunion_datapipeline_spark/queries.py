@@ -5307,8 +5307,9 @@ def q123_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q124_calibrated_quality_rank",
     """
     SELECT doc_id, source,
-           round(percent_rank() OVER (PARTITION BY source
-                                      ORDER BY n_chars, doc_id), 6) AS pct_rank
+           floor((percent_rank() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id)) * 1000000)
+             / 1000000.0 AS pct_rank
     FROM documents
     """,
     doc="per_group_percent_rank (operators/analytics.py): percent_rank "
