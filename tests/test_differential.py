@@ -33,6 +33,8 @@ SUBSET = [
     "q82_exact_jaccard_pairs",
     "q95_order_count_distribution",
     "q104_token_budget_selection",
+    "q119_promo_revenue_share",
+    "q124_calibrated_quality_rank",
     "q127_export_manifest",
 ]
 
