@@ -2495,13 +2495,19 @@ def q67_daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            count(DISTINCT event_type) AS n_event_types,
            count(DISTINCT json_extract_string(props, k)) AS n_distinct_values
-    FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+    FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
+          FROM events
+          -- mirror Spark's PERMISSIVE from_json: NULL/empty/malformed
+          -- props yield no keys instead of a hard parse error (DuckDB
+          -- json_keys('') throws; caught by the adversarial corpus)
+          WHERE json_valid(props))
     GROUP BY k
     """,
     doc="from_json to map<string,string> + explode of map entries: per-key "
     "occurrence/cardinality profile of the semi-structured props column -- "
     "map functions stay JVM-side, no schema declaration needed for unknown "
-    "keys.",
+    "keys. Oracle gates on json_valid so malformed/empty props degrade to "
+    "zero keys exactly like PERMISSIVE from_json.",
 )
 def q68_event_prop_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")

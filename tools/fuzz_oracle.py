@@ -193,6 +193,8 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
                   '{"other": 7}'),
             event(4, "2024-06-01 12:00:00", "view", 2.5,
                   '{"k": 41, "extra": "x"}'),
+            event(5, "2024-06-02 12:00:00", "click", None, None),  # NULLs
+            event(6, "2024-06-03 12:00:00", "view", 3.25, ""),     # empty props
         ],
     )
 
