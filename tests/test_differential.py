@@ -28,7 +28,6 @@ SUBSET = [
     "q65_capitalized_mentions",
     "q67_daily_rollup_from_hourly",
     "q68_event_prop_keys",
-    "q68_event_prop_keys",
     "q73_source_lang_entropy",
     "q76_boilerplate_fraction",
     "q82_exact_jaccard_pairs",
