@@ -190,3 +190,77 @@ def key_skew_report(df: DataFrame, key: str) -> DataFrame:
             / 10000
         ).alias("skew_ratio"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    n_tokens_col: str,
+    seq_len: int = 512,
+    seq_col: str = "seq_id",
+    prefix_buckets: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-capacity training sequences by contiguous
+    greedy fill: lay the corpus out in a deterministic order and cut it
+    every `seq_len` tokens, assigning each document to the sequence where
+    it STARTS (``seq_id = floor(start_offset / seq_len)``). This is the
+    "concatenate then chop" packing that GPT-style pretraining loaders use
+    -- simple, deterministic, and within one document of optimal fill
+    (no bin-packing search, which is neither stable nor distributable).
+
+    The order is ``md5(key)`` -- an engine-portable deterministic shuffle,
+    so packing is reproducible across runs/engines and independent of
+    partition layout (same property as deterministic_hash_sample).
+
+    Scale shape: a naive ``sum() OVER (ORDER BY md5)`` is a single-
+    partition global window -- the classic 100 TB bottleneck. This
+    implements the two-level distributed prefix sum instead:
+
+    1. bucket = first 2 hex digits of md5(key) (256 buckets); bucket-major
+       order (bucket, md5) is IDENTICAL to global md5 order because the
+       bucket is a numeric prefix of the hex string.
+    2. per-bucket token totals -- O(buckets) rows -- get exclusive prefix
+       offsets via a window over that tiny aggregate.
+    3. the per-row running sum is a window PARTITIONED by bucket (256-way
+       parallel), plus the broadcast bucket offset.
+
+    Each document's global start offset is exact, no row ever passes
+    through a single-partition window, and the broadcast side is O(256).
+
+    Returns df + (seq_col, __start kept off). Rows with NULL token counts
+    count as 0 tokens (they land in a sequence but consume nothing).
+    """
+    from pyspark.sql.window import Window
+
+    okey = F.md5(F.col(key).cast("string"))
+    bkt = F.conv(F.substring(okey, 1, 2), 16, 10).cast("int")
+    n_tok = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    base = df.withColumn("__ok", okey).withColumn("__bkt", bkt).withColumn(
+        "__nt", n_tok
+    )
+
+    totals = base.groupBy("__bkt").agg(F.sum("__nt").alias("__bt"))
+    off_w = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off")
+    )
+
+    cum_w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__ok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.col("__off") + F.sum("__nt").over(cum_w))
+        .withColumn(
+            seq_col,
+            F.floor((F.col("__cum") - F.col("__nt")) / F.lit(float(seq_len))).cast(
+                "long"
+            ),
+        )
+        .drop("__ok", "__bkt", "__off", "__cum", "__nt")
+    )

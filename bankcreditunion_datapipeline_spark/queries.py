@@ -5588,3 +5588,395 @@ def q130_binned_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl0 = bin_counts(orders, "o_totalprice", 2000.0, "__yr")
     merged = lvl0.groupBy("bin").agg(F.sum("n").alias("n"))
     return binned_quantiles(merged, 2000.0, [0.5, 0.9, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: CCNet-style boilerplate removal (segment-frequency strip).
+# ---------------------------------------------------------------------------
+@register(
+    "q131_boilerplate_strip",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS a
+      FROM documents),
+    b2 AS (
+      SELECT doc_id, source, a,
+             CAST(ceil(len(a) / 4.0) AS INT) AS n_seg
+      FROM base),
+    segs AS (
+      SELECT doc_id, source, g,
+             array_to_string(a[(g*4+1):(g*4+4)], ' ') AS seg
+      FROM b2, unnest(range(0, n_seg)) AS t(g)),
+    bp AS (
+      SELECT source, seg FROM segs
+      GROUP BY source, seg HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (
+      SELECT s.doc_id, s.g, s.seg FROM segs s
+      ANTI JOIN bp ON s.source = bp.source AND s.seg = bp.seg),
+    re AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY g) AS clean_text,
+             CAST(count(*) AS INT) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT b2.doc_id,
+           coalesce(re.clean_text, '') AS clean_text,
+           n_seg,
+           CAST(n_seg - coalesce(n_kept, 0) AS INT) AS n_removed
+    FROM b2 LEFT JOIN re USING (doc_id)
+    """,
+    doc="remove_boilerplate_segments (operators/text.py): CCNet-style "
+    "crawl hygiene -- 4-token segments repeating across >=2 docs of the "
+    "same source are site boilerplate; strip them and reassemble the "
+    "survivors in order. Broadcast anti-join strip; the only content-"
+    "keyed shuffle is the (source, segment) frequency count.",
+)
+def q131_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import remove_boilerplate_segments
+
+    docs = t(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(
+        docs, id_col="doc_id", text_col="text", group_col="source",
+        seg_tokens=4, min_docs=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: the classic corpus-statistics join -- per-doc term frequency x
+# inverse document frequency, top-3 characteristic terms per document.
+# ---------------------------------------------------------------------------
+@register(
+    "q132_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS u(token)),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*) AS dfr FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln((n_docs + 1) / CAST(dfr + 1 AS DOUBLE)) AS s
+      FROM tf JOIN dfq USING (token) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, token, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, token,
+           floor(s * 1000000) / 1000000.0 AS tfidf_t
+    FROM r WHERE rnk <= 3
+    """,
+    doc="tf-idf top-3 terms per document: per-doc term counts join a "
+    "broadcast document-frequency table (O(vocab), broadcastable at any "
+    "corpus scale -- the q109 unigram-LM shape); idf is smoothed "
+    "ln((N+1)/(df+1)) over engine-identical integer-derived doubles "
+    "(the q73 log discipline); window ranks within doc_id -- the "
+    "corpus's natural partition key, never a global window.",
+)
+def q132_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfr"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = F.col("tf") * F.log(
+        (F.col("n_docs") + 1) / (F.col("dfr") + 1).cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("s", s)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "rnk",
+            "token",
+            (F.floor(F.col("s") * 1000000) / 1000000).alias("tfidf_t"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: "concatenate then chop" assignment of documents to
+# fixed-capacity training sequences via a distributed two-level prefix sum.
+# ---------------------------------------------------------------------------
+@register(
+    "q133_sequence_packing",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(len(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> '')), 0)
+               AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents),
+    c AS (
+      SELECT n_tok,
+             sum(n_tok) OVER (ORDER BY okey ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+    s AS (
+      SELECT CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS seq_id, n_tok
+      FROM c)
+    SELECT seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           floor(sum(n_tok) / 512.0 * 1000000) / 1000000.0 AS fill_t
+    FROM s GROUP BY seq_id
+    """,
+    doc="pack_sequences (operators/sampling.py): GPT-loader-style packing "
+    "-- deterministic md5 corpus order, cut every 512 tokens, doc joins "
+    "the sequence where it starts. Spark side is the two-level "
+    "distributed prefix sum (256 md5-prefix buckets, broadcast offsets, "
+    "per-bucket windows -- no single-partition global window); the "
+    "oracle's naive global running sum proves the decomposition exact. "
+    "Contract: doc_id unique (ties would make cum order ambiguous).",
+)
+def q133_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_tok"),
+    )
+    packed = pack_sequences(d, key="doc_id", n_tokens_col="n_tok", seq_len=512)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("seq_tokens"),
+        (F.floor(F.sum("n_tok") / 512.0 * 1000000) / 1000000).alias("fill_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression QA: int8 scalar quantization + reconstruction error.
+# ---------------------------------------------------------------------------
+@register(
+    "q134_embedding_quantization",
+    r"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, label, x,
+             list_min(x) AS mn, list_max(x) AS mx, len(x) AS n,
+             (list_max(x) - list_min(x)) / 255.0 AS sc
+      FROM e),
+    r AS (
+      SELECT vec_id, label, mn, mx, n,
+             CASE
+               WHEN n > 0 AND sc > 0 AND NOT isnan(sc) THEN
+                 list_reduce(
+                   list_transform(x, v ->
+                     (v - (mn + floor((v - mn) / sc + 0.5) * sc))
+                     * (v - (mn + floor((v - mn) / sc + 0.5) * sc))),
+                   (acc, v) -> acc + v) / n
+               WHEN n > 0 THEN 0.0
+             END AS mse
+      FROM m)
+    SELECT vec_id, label,
+           CASE WHEN mx - mn IS NULL OR isnan(mx - mn)
+                     OR abs(mx - mn) > 1e12 THEN NULL
+                ELSE floor((mx - mn) * 1000000) / 1000000.0 END AS rng_t,
+           CASE WHEN mse IS NULL OR isnan(mse) OR abs(mse) > 1e12 THEN NULL
+                ELSE floor(mse * 100000000) / 100000000.0 END AS mse_q8_t
+    FROM r
+    """,
+    doc="int8 scalar quantization QA for an embedding column: per-vector "
+    "[min,max] range -> 255-level grid -> round -> dequantize -> MSE. "
+    "Pure array expressions (transform/aggregate), zero Python; per-row "
+    "narrow -- no shuffle at any corpus scale. Fold order is the strict "
+    "left fold on BOTH engines (F.aggregate vs list_reduce), so sums are "
+    "bit-identical; non-finite fuzz embeddings (NaN/inf/huge) degrade to "
+    "NULL identically on both sides (Spark's NaN-is-largest comparison "
+    "semantics never get to differ: isnan is checked first).",
+)
+def q134_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    m = emb.select(
+        "vec_id",
+        "label",
+        x.alias("x"),
+    ).select(
+        "vec_id",
+        "label",
+        "x",
+        F.array_min("x").alias("mn"),
+        F.array_max("x").alias("mx"),
+        F.size("x").alias("n"),
+        ((F.array_max("x") - F.array_min("x")) / F.lit(255.0)).alias("sc"),
+    )
+
+    def deq_err(v):
+        q = F.floor((v - F.col("mn")) / F.col("sc") + F.lit(0.5))
+        d = v - (F.col("mn") + q * F.col("sc"))
+        return d * d
+
+    sse = F.aggregate(
+        F.transform(F.col("x"), deq_err), F.lit(0.0), lambda acc, v: acc + v
+    )
+    mse = (
+        F.when(
+            (F.col("n") > 0) & (F.col("sc") > 0) & ~F.isnan(F.col("sc")),
+            sse / F.col("n"),
+        )
+        .when(F.col("n") > 0, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+    def safe_trunc(col, scale):
+        return F.when(
+            col.isNull() | F.isnan(col) | (F.abs(col) > F.lit(1e12)),
+            F.lit(None).cast("double"),
+        ).otherwise(F.floor(col * scale) / scale)
+
+    return m.withColumn("mse", mse).select(
+        "vec_id",
+        "label",
+        safe_trunc(F.col("mx") - F.col("mn"), 1000000).alias("rng_t"),
+        safe_trunc(F.col("mse"), 100000000).alias("mse_q8_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index between two event cohorts.
+# ---------------------------------------------------------------------------
+@register(
+    "q135_psi_drift",
+    r"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN day(ts) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even,
+             CAST(sum(CASE WHEN day(ts) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_odd
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type),
+    tot AS (
+      SELECT CAST(sum(n_even) AS BIGINT) AS ta,
+             CAST(sum(n_odd) AS BIGINT) AS tb,
+             count(*) AS k
+      FROM g)
+    SELECT event_type, n_even, n_odd,
+           floor((
+             ((n_even + 1) / CAST(ta + k AS DOUBLE)
+              - (n_odd + 1) / CAST(tb + k AS DOUBLE))
+             * ln(((n_even + 1) * (tb + k))
+                  / CAST((n_odd + 1) * (ta + k) AS DOUBLE))
+             + 0.0
+           ) * 1000000) / 1000000.0 AS psi_term_t
+    FROM g CROSS JOIN tot
+    """,
+    doc="PSI drift check between even-day and odd-day event cohorts: "
+    "per-category contribution (p-q)*ln(p/q) with add-one smoothing; "
+    "total PSI is the sum of the terms downstream. One conditional "
+    "aggregation pass over events + an O(categories) broadcast of the "
+    "totals; probabilities and the log ratio derive from integer counts "
+    "so both engines compute on identical doubles (q73 discipline; +0.0 "
+    "folds the p=q signed zero).",
+)
+def q135_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    even = F.when(F.dayofmonth("ts") % 2 == 0, 1).otherwise(0)
+    g = ev.groupBy("event_type").agg(
+        F.sum(even).cast("long").alias("n_even"),
+        F.sum(1 - even).cast("long").alias("n_odd"),
+    )
+    tot = g.agg(
+        F.sum("n_even").cast("long").alias("ta"),
+        F.sum("n_odd").cast("long").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = (F.col("n_even") + 1) / (F.col("ta") + F.col("k")).cast("double")
+    q = (F.col("n_odd") + 1) / (F.col("tb") + F.col("k")).cast("double")
+    ratio = (
+        (F.col("n_even") + 1) * (F.col("tb") + F.col("k"))
+    ) / ((F.col("n_odd") + 1) * (F.col("ta") + F.col("k"))).cast("double")
+    term = (p - q) * F.log(ratio) + F.lit(0.0)
+    return g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_even",
+        "n_odd",
+        (F.floor(term * 1000000) / 1000000).alias("psi_term_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join: overlapping 30-day order windows per customer.
+# ---------------------------------------------------------------------------
+@register(
+    "q136_order_window_overlap",
+    """
+    WITH l AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 29 AS e
+      FROM orders WHERE o_orderdate IS NOT NULL),
+    p AS (
+      SELECT a.o_custkey,
+             date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1 AS od
+      FROM l a JOIN l b
+        ON a.o_custkey = b.o_custkey
+       AND a.s <= b.e AND b.s <= a.e
+       AND a.o_orderkey < b.o_orderkey)
+    SELECT o_custkey,
+           count(*) AS n_pairs,
+           CAST(sum(od) AS BIGINT) AS overlap_days
+    FROM p GROUP BY o_custkey
+    """,
+    doc="overlapping_interval_pairs (operators/intervals.py): which of a "
+    "customer's 30-day order windows overlap, via month-bucket blocking "
+    "-- Spark has no range-join optimization, so the raw inequality "
+    "self-join the oracle runs would plan as a nested loop; the operator "
+    "discretizes intervals into the months they touch, hash equi-joins "
+    "on (customer, month), exact-filters the co-bucketed candidates, "
+    "and dedups pairs spanning several shared months. Every step is a "
+    "hash shuffle; candidate count ~ true overlaps, never |n|^2.",
+)
+def q136_order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.intervals import overlapping_interval_pairs
+
+    orders = t(spark, sf_dir, "orders")
+    l = orders.filter(F.col("o_orderdate").isNotNull()).select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 29).alias("e"),
+    )
+    pairs = overlapping_interval_pairs(
+        l, keys=["o_custkey"], id_cols=["o_orderkey"],
+        start_col="s", end_col="e",
+    )
+    od = F.datediff(
+        F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+    ) + F.lit(1)
+    return pairs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(od).cast("long").alias("overlap_days"),
+    )

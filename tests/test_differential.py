@@ -36,6 +36,8 @@ SUBSET = [
     "q119_promo_revenue_share",
     "q124_calibrated_quality_rank",
     "q127_export_manifest",
+    "q131_boilerplate_strip",
+    "q134_embedding_quantization",
 ]
 
 

@@ -1,0 +1,90 @@
+"""overlapping_interval_pairs: bucketed range join vs brute force."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from bankcreditunion_datapipeline_spark.operators.intervals import (
+    overlapping_interval_pairs,
+)
+
+D = dt.date
+
+
+def _brute(rows):
+    """All overlapping same-key pairs, smaller id first."""
+    out = set()
+    for a, b in itertools.combinations(rows, 2):
+        if a[0] != b[0]:
+            continue
+        (lo, hi) = (a, b) if a[1] < b[1] else (b, a)
+        if lo[2] <= hi[3] and hi[2] <= lo[3]:
+            out.add((lo[0], lo[1], hi[1]))
+    return out
+
+
+def test_pairs_match_brute_force(spark):
+    rows = [
+        # key 1: chain of overlaps, one spanning several months
+        (1, 10, D(2020, 1, 1), D(2020, 1, 20)),
+        (1, 11, D(2020, 1, 15), D(2020, 2, 10)),
+        (1, 12, D(2020, 2, 5), D(2020, 4, 25)),  # 4-month span
+        (1, 13, D(2020, 3, 1), D(2020, 3, 2)),
+        (1, 14, D(2020, 6, 1), D(2020, 6, 5)),   # isolated
+        # key 2: same dates as key-1 rows -> must NOT pair across keys
+        (2, 20, D(2020, 1, 1), D(2020, 1, 20)),
+        (2, 21, D(2020, 1, 10), D(2020, 1, 12)),
+        # touching endpoints overlap (inclusive intervals)
+        (3, 30, D(2021, 5, 1), D(2021, 5, 10)),
+        (3, 31, D(2021, 5, 10), D(2021, 5, 20)),
+        # adjacent but NOT touching
+        (4, 40, D(2021, 5, 1), D(2021, 5, 9)),
+        (4, 41, D(2021, 5, 10), D(2021, 5, 20)),
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s date, e date")
+    got = {
+        (r["k"], r["a_id"], r["b_id"])
+        for r in overlapping_interval_pairs(
+            df, keys=["k"], id_cols=["id"], start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got == _brute(rows)
+    # multi-month pair appears exactly ONCE despite sharing 2 buckets
+    pairs = overlapping_interval_pairs(
+        df, keys=["k"], id_cols=["id"], start_col="s", end_col="e"
+    ).collect()
+    assert len(pairs) == len(got)
+
+
+def test_null_and_inverted_intervals_dropped(spark):
+    rows = [
+        (1, 1, D(2020, 1, 1), D(2020, 1, 31)),
+        (1, 2, None, D(2020, 1, 15)),            # NULL start
+        (1, 3, D(2020, 1, 10), None),            # NULL end
+        (1, 4, D(2020, 1, 20), D(2020, 1, 5)),   # inverted
+        (1, 5, D(2020, 1, 10), D(2020, 1, 12)),
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s date, e date")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in overlapping_interval_pairs(
+            df, keys=["k"], id_cols=["id"], start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got == {(1, 5)}
+
+
+def test_composite_id_tiebreak(spark):
+    # two rows with the same first id component: the second component
+    # must break the tie so the pair appears exactly once
+    rows = [
+        (1, 7, 1, D(2020, 1, 1), D(2020, 1, 31)),
+        (1, 7, 2, D(2020, 1, 10), D(2020, 1, 20)),
+    ]
+    df = spark.createDataFrame(rows, "k long, id1 long, id2 long, s date, e date")
+    got = overlapping_interval_pairs(
+        df, keys=["k"], id_cols=["id1", "id2"], start_col="s", end_col="e"
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["a_id1"], got[0]["a_id2"], got[0]["b_id2"]) == (7, 1, 2)

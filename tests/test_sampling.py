@@ -159,3 +159,52 @@ def test_epoch_permutation_properties(spark):
     w = {r.source: r.sample_weight for r in mixture_weights(mix, "source").collect()}
     assert abs(sum(w.values()) - 1.0) < 1e-5
     assert w["small"] > 0.1  # proportional would give 0.1; sqrt flattens up
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark):
+    import hashlib
+
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rows = [(i, (i * 37) % 200 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, "doc_id", "n_tok", seq_len=256).collect()
+    }
+
+    # naive single-threaded reference: global md5 order, running sum
+    order = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    cum = 0
+    expected = {}
+    for doc_id, n in order:
+        expected[doc_id] = cum // 256
+        cum += n
+    assert got == expected
+
+    # layout independence: different partitioning, identical assignment
+    got2 = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(
+            df.repartition(13), "doc_id", "n_tok", seq_len=256
+        ).collect()
+    }
+    assert got2 == expected
+
+    # packing is contiguous: seq ids are 0..max with no holes
+    seqs = sorted(set(got.values()))
+    assert seqs == list(range(len(seqs)))
+
+
+def test_pack_sequences_null_tokens_count_zero(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, 5)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", seq_len=8).collect()
+    assert len(out) == 3  # NULL-count row still lands in a sequence

@@ -126,3 +126,23 @@ def test_kmeans_iterate_converges_to_true_clusters(spark):
     # converged centroids sit at the blob means (within the 0.1 jitter)
     means = sorted(c[0] for c in cents.values())
     assert abs(means[0] - 0.1) < 0.2 and abs(means[1] - 5.1) < 0.2
+
+
+def test_quantization_error_bounds(spark, sf_dir):
+    """q134's int8 quantization: MSE bounded by the grid step, constant
+    vectors reconstruct exactly."""
+    from bankcreditunion_datapipeline_spark.queries import registry
+
+    q = registry()["q134_embedding_quantization"]
+    rows = q.spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["mse_q8_t"] is None or r["rng_t"] is None:
+            continue
+        if r["rng_t"] == 0.0:
+            assert r["mse_q8_t"] == 0.0
+        else:
+            # worst-case per-dim error is half a grid step; allow the
+            # truncation slack
+            step = r["rng_t"] / 255.0
+            assert r["mse_q8_t"] <= (step / 2) ** 2 + 1e-6

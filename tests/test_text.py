@@ -191,3 +191,61 @@ def test_mask_card_numbers_validated_spares_non_cards(spark):
     # the unvalidated chain masks all three -- the false positive
     blunt = df.select(mask_card_numbers(F.col("t")).alias("v")).collect()[0].v
     assert blunt.count("<CARD>") == 3
+
+
+def test_remove_boilerplate_segments(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        remove_boilerplate_segments,
+    )
+
+    bp = "cookie banner accept all"  # exactly one 4-token segment
+    rows = [
+        # srcA: boilerplate prefix shared by two docs
+        (1, f"{bp} unique alpha words here", "srcA"),
+        (2, f"{bp} other beta content now", "srcA"),
+        # srcA: no boilerplate
+        (3, "totally fresh gamma text here", "srcA"),
+        # srcB: same segment but only ONE doc -> not boilerplate there
+        (4, f"{bp} lonely delta words here", "srcB"),
+        (5, "", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_segments(
+            df, seg_tokens=4, min_docs=2
+        ).collect()
+    }
+
+    assert out[1]["clean_text"] == "unique alpha words here"
+    assert out[1]["n_seg"] == 2 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "other beta content now"
+    # untouched docs come back verbatim (token-joined)
+    assert out[3]["clean_text"] == "totally fresh gamma text here"
+    assert out[3]["n_removed"] == 0
+    # same segment, different source, df=1 -> kept
+    assert out[4]["clean_text"].startswith(bp)
+    assert out[4]["n_removed"] == 0
+    # empty doc survives with empty text
+    assert out[5]["clean_text"] == "" and out[5]["n_seg"] == 0
+
+
+def test_remove_boilerplate_preserves_order(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        remove_boilerplate_segments,
+    )
+
+    # boilerplate segment sits in the MIDDLE (segment-aligned: positions
+    # 4-7); survivors must rejoin in original order, not content order
+    mid = "repeat this exact chunk"
+    rows = [
+        (1, f"a1 a2 a3 a4 {mid} z1 z2 z3 z4", "s"),
+        (2, f"b1 b2 b3 b4 {mid} y1 y2 y3 y4", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_segments(df, seg_tokens=4, min_docs=2).collect()
+    }
+    assert out[1] == "a1 a2 a3 a4 z1 z2 z3 z4"
+    assert out[2] == "b1 b2 b3 b4 y1 y2 y3 y4"
