@@ -360,3 +360,168 @@ def kmeans_iterate(
             .localCheckpoint()
         )
     return assigned, centroids, iters
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression half of IVF-PQ ANN.
+# Scalar quantization (q134) compresses per-dimension; PQ compresses per
+# SUBSPACE: split each vector into m contiguous sub-vectors, quantize each
+# against a small per-subspace codebook, and a vector becomes m small
+# integer codes (here 8 codes ~ 8 bytes vs 256 bytes of float32 -- the
+# 32x shrink that lets a 100 TB corpus' index fit in cluster RAM).
+# Query-time ADC (asymmetric distance computation) never touches the
+# original vectors: the query precomputes its distance to every codeword
+# (an O(m * k) table) and a vector's approximate distance is m table
+# lookups + a sum. Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011.
+# ---------------------------------------------------------------------------
+
+
+def pq_subspace_codebooks(
+    centroids: DataFrame, dim: int, n_subspaces: int
+) -> DataFrame:
+    """Slice full-dimension codebook vectors (label_centroids /
+    kmeans_iterate output: (centroid_label, centroid)) into per-subspace
+    codewords: (sub, code, codeword[dim/m]). O(k*m) rows -- broadcast
+    range at any corpus scale."""
+    d0 = dim // n_subspaces
+    return centroids.select(
+        F.col("centroid_label").alias("code"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda s: F.slice("centroid", s * d0 + 1, d0),
+            )
+        ).alias("sub", "codeword"),
+    ).select("sub", "code", "codeword")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    n_subspaces: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """PQ-encode every vector: (id, keep..., sub, code, dist) with `code`
+    the nearest codeword of subspace `sub` by squared L2.
+
+    Same plan shape as kmeans_assign, per subspace: explode each vector
+    into its m sub-vectors (narrow), broadcast the O(k*m) codebook,
+    fan out k candidates per (vector, subspace), one hash aggregate's
+    min(struct(dist, code)) argmin. Sub-vector norms are computed once
+    before the fan-out; the embedding column never shuffles (the
+    aggregate carries only ids, codes and distances). Distances round to
+    `decimals` (the label_centroids portability constant) so encodings
+    are engine-reproducible.
+    """
+    keep_cols = list(keep_cols or [])
+    d0 = dim // n_subspaces
+    subvecs = df.select(
+        id_col,
+        *keep_cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda s: F.slice(vec_col, s * d0 + 1, d0),
+            )
+        ).alias("sub", "subvec"),
+    ).withColumn("__v_sq", dot(F.col("subvec"), F.col("subvec")))
+    cb = codebooks.withColumn(
+        "__c_sq", dot(F.col("codeword"), F.col("codeword"))
+    )
+    dist = F.round(
+        F.col("__v_sq")
+        - 2 * dot(F.col("subvec"), F.col("codeword"))
+        + F.col("__c_sq"),
+        decimals,
+    )
+    best = (
+        subvecs.join(F.broadcast(cb), "sub")
+        .select(
+            id_col,
+            *keep_cols,
+            "sub",
+            F.struct(dist.alias("dist"), F.col("code").alias("code")).alias(
+                "dc"
+            ),
+        )
+        .groupBy(id_col, *keep_cols, "sub")
+        .agg(F.min("dc").alias("dc"))
+    )
+    return best.select(
+        id_col, *keep_cols, "sub",
+        F.col("dc.code").alias("code"),
+        F.col("dc.dist").alias("dist"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    dim: int,
+    n_subspaces: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: `query` is a one-row
+    DataFrame with column `qvec`; its distance to every codeword forms an
+    O(m * k_codebook) lookup table, each encoded vector's distance is the
+    sum of m integer table entries (micro-units: round(dist * 1e6) as
+    BIGINT, so the cross-subspace sum is exact integer arithmetic --
+    order-independent and engine-identical, no float summation tie to
+    break at the top-k boundary). Returns (id, keep..., codes, adist_u)
+    for the k nearest, deterministic under ties by id.
+
+    The original vectors are untouched at query time: the scan reads m
+    small-int codes per vector, the join is against a broadcast lookup
+    table, and the top-k is TakeOrdered on an integer. Re-ranking the
+    short-list against true vectors (q20's brute-force cosine) is the
+    standard refinement step and composes by joining back on the id.
+    """
+    keep_cols = list(keep_cols or [])
+    d0 = dim // n_subspaces
+    qsubs = query.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda s: F.slice("qvec", s * d0 + 1, d0),
+            )
+        ).alias("sub", "qsub")
+    )
+    cb = codebooks.withColumn(
+        "__c_sq", dot(F.col("codeword"), F.col("codeword"))
+    )
+    dq = F.round(
+        dot(F.col("qsub"), F.col("qsub"))
+        - 2 * dot(F.col("qsub"), F.col("codeword"))
+        + F.col("__c_sq"),
+        decimals,
+    )
+    dtab = qsubs.join(F.broadcast(cb), "sub").select(
+        "sub",
+        "code",
+        F.round(dq * F.lit(1000000.0), 0).cast("long").alias("idq"),
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.sum("idq").cast("long").alias("adist_u"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+                "-",
+            ).alias("codes"),
+        )
+        .orderBy(F.asc("adist_u"), F.asc(id_col))
+        .limit(k)
+    )

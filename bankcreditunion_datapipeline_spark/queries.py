@@ -5629,7 +5629,9 @@ def q130_binned_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crawl hygiene -- 4-token segments repeating across >=2 docs of the "
     "same source are site boilerplate; strip them and reassemble the "
     "survivors in order. Broadcast anti-join strip; the only content-"
-    "keyed shuffle is the (source, segment) frequency count.",
+    "keyed shuffle is the (source, segment) frequency count. q76 "
+    "MEASURES the repeated-passage fraction as a quality signal; this "
+    "produces the cleaned text itself.",
 )
 def q131_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import remove_boilerplate_segments
@@ -5676,7 +5678,9 @@ def q131_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus scale -- the q109 unigram-LM shape); idf is smoothed "
     "ln((N+1)/(df+1)) over engine-identical integer-derived doubles "
     "(the q73 log discipline); window ranks within doc_id -- the "
-    "corpus's natural partition key, never a global window.",
+    "corpus's natural partition key, never a global window. q81 ranks "
+    "SOURCES' terms by an integer (df, -tf) key; this is the per-"
+    "DOCUMENT, real-valued idf weighting.",
 )
 def q132_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -5746,7 +5750,10 @@ def q132_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed prefix sum (256 md5-prefix buckets, broadcast offsets, "
     "per-bucket windows -- no single-partition global window); the "
     "oracle's naive global running sum proves the decomposition exact. "
-    "Contract: doc_id unique (ties would make cum order ambiguous).",
+    "Contract: doc_id unique (ties would make cum order ambiguous). "
+    "q75 packs PER-SOURCE (a partitioned window suffices); this packs "
+    "the GLOBAL corpus stream, which is exactly the case where the "
+    "naive window stops scaling.",
 )
 def q133_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import pack_sequences
@@ -5979,4 +5986,87 @@ def q136_order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(od).cast("long").alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN: encode vectors as 8 per-subspace codes, answer
+# a query with asymmetric distance (codeword lookup table), top-10.
+# ---------------------------------------------------------------------------
+@register(
+    "q137_pq_ann",
+    f"""
+    WITH cent AS (
+      SELECT label AS code,
+             [{_KM_DIMS}]::DOUBLE[] AS centroid
+      FROM embeddings GROUP BY label),
+    cb AS (
+      SELECT code, s.sub,
+             centroid[(s.sub*8+1):(s.sub*8+8)] AS cw
+      FROM cent, unnest(range(0, 8)) AS s(sub)),
+    sv AS (
+      SELECT e.vec_id, e.label, s.sub,
+             list_transform(e.embedding[(s.sub*8+1):(s.sub*8+8)],
+                            v -> CAST(v AS DOUBLE)) AS subvec
+      FROM embeddings e, unnest(range(0, 8)) AS s(sub)),
+    enc0 AS (
+      SELECT sv.vec_id, sv.label, sv.sub, cb.code,
+             round(list_dot_product(sv.subvec, sv.subvec)
+                   - 2 * list_dot_product(sv.subvec, cb.cw)
+                   + list_dot_product(cb.cw, cb.cw), 6) AS dist
+      FROM sv JOIN cb USING (sub)),
+    codes AS (
+      SELECT vec_id, label, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, code) AS rk
+        FROM enc0) WHERE rk = 1),
+    q AS (
+      SELECT s.sub,
+             list_transform(e.embedding[(s.sub*8+1):(s.sub*8+8)],
+                            v -> CAST(v AS DOUBLE)) AS qsub
+      FROM embeddings e, unnest(range(0, 8)) AS s(sub)
+      WHERE e.vec_id = 0),
+    dtab AS (
+      SELECT q.sub, cb.code,
+             CAST(round(round(list_dot_product(q.qsub, q.qsub)
+                   - 2 * list_dot_product(q.qsub, cb.cw)
+                   + list_dot_product(cb.cw, cb.cw), 6) * 1000000.0, 0)
+               AS BIGINT) AS idq
+      FROM q JOIN cb USING (sub))
+    SELECT c.vec_id, c.label,
+           CAST(sum(d.idq) AS BIGINT) AS adist_u,
+           string_agg(CAST(c.code AS VARCHAR), '-' ORDER BY c.sub) AS codes
+    FROM codes c JOIN dtab d ON c.sub = d.sub AND c.code = d.code
+    GROUP BY c.vec_id, c.label
+    ORDER BY adist_u, c.vec_id
+    LIMIT 10
+    """,
+    doc="pq_subspace_codebooks + pq_encode + pq_adc_topk (operators/"
+    "similarity.py): product quantization (Jegou et al. 2011) -- 8 "
+    "subspaces x label-seeded codebooks, every vector becomes 8 small "
+    "codes (~32x memory shrink vs float32), query answered by asymmetric "
+    "distance against a broadcast codeword lookup table in exact integer "
+    "micro-units (cross-subspace sum has no float order to diverge on). "
+    "Complements q39's IVF (which prunes CANDIDATES; PQ compresses "
+    "STORAGE -- production IVF-PQ composes both).",
+)
+def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        label_centroids,
+        pq_adc_topk,
+        pq_encode,
+        pq_subspace_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
+    codes = pq_encode(
+        emb, cb, dim=64, n_subspaces=8, keep_cols=["label"]
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return pq_adc_topk(
+        codes, cb, query, dim=64, n_subspaces=8, k=10, keep_cols=["label"]
     )

@@ -305,3 +305,74 @@ def test_stream_summary_batch_feed_equals_single_feed(chunks):
     b.feed([x for ch in chunks for x in ch])
     assert a.count == b.count and a.err == b.err
     assert a.min_count == b.min_count
+
+
+# --- r4 operators: interval overlap join & global sequence packing --------
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # key
+        st.integers(min_value=0, max_value=400),  # start day offset
+        st.integers(min_value=0, max_value=90),   # duration days
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**COMMON)
+@given(ivals=INTERVALS)
+def test_interval_pairs_match_brute_force(spark, ivals):
+    import datetime as dt
+    import itertools
+
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        overlapping_interval_pairs,
+    )
+
+    base = dt.date(2020, 1, 1)
+    rows = [
+        (k, i, base + dt.timedelta(days=s), base + dt.timedelta(days=s + d))
+        for i, (k, s, d) in enumerate(ivals)
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s date, e date")
+    got = {
+        (r["k"], r["a_id"], r["b_id"])
+        for r in overlapping_interval_pairs(
+            df, keys=["k"], id_cols=["id"], start_col="s", end_col="e"
+        ).collect()
+    }
+    want = {
+        (a[0], a[1], b[1])
+        for a, b in itertools.combinations(rows, 2)
+        if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    assert got == want
+
+
+@settings(**COMMON)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    seq_len=st.sampled_from([64, 256, 1000]),
+)
+def test_pack_sequences_equals_naive_scan(spark, toks, seq_len):
+    import hashlib
+
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rows = list(enumerate(toks))
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, "doc_id", "n_tok", seq_len=seq_len).collect()
+    }
+    cum = 0
+    want = {}
+    for doc_id, n in sorted(
+        rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest()
+    ):
+        want[doc_id] = cum // seq_len
+        cum += n
+    assert got == want

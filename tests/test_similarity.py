@@ -146,3 +146,70 @@ def test_quantization_error_bounds(spark, sf_dir):
             # truncation slack
             step = r["rng_t"] / 255.0
             assert r["mse_q8_t"] <= (step / 2) ** 2 + 1e-6
+
+
+def test_pq_ann_recall_and_code_shape(spark, sf_dir):
+    """PQ ADC top-10 must substantially agree with exact L2 top-10, and
+    every vector must encode to exactly n_subspaces codes."""
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        label_centroids,
+        pq_adc_topk,
+        pq_encode,
+        pq_subspace_codebooks,
+    )
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
+
+    n_vecs = emb.count()
+    codes = pq_encode(emb, cb, dim=64, n_subspaces=8)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n_vecs
+    assert all(r["count"] == 8 for r in per_vec)
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    approx = {
+        r["vec_id"]
+        for r in pq_adc_topk(
+            codes, cb, query, dim=64, n_subspaces=8, k=10
+        ).collect()
+    }
+
+    # the query itself (a zero-error encoding of its own subspaces'
+    # nearest codes) must always surface
+    assert 0 in approx
+
+    # ADC identity: sum of per-subspace codeword distances IS the squared
+    # L2 distance between the query and the RECONSTRUCTED vector (concat
+    # of chosen codewords) -- verify in numpy to the micro-unit rounding
+    import numpy as np
+
+    cwords = {
+        (r["sub"], r["code"]): np.array(r["codeword"], dtype=np.float64)
+        for r in cb.collect()
+    }
+    code_rows = codes.filter(F.col("vec_id") < 20).collect()
+    by_vec: dict = {}
+    for r in code_rows:
+        by_vec.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    adist = {
+        r["vec_id"]: r["adist_u"]
+        for r in pq_adc_topk(
+            codes.filter(F.col("vec_id") < 20), cb, query,
+            dim=64, n_subspaces=8, k=20,
+        ).collect()
+    }
+    for vid, subs in by_vec.items():
+        recon = np.concatenate([cwords[(s, subs[s])] for s in range(8)])
+        want = float(((q - recon) ** 2).sum()) * 1e6
+        # per-subspace rounding at 1e-6 then micro-unit ints: tolerance a
+        # few units per subspace
+        assert abs(adist[vid] - want) <= 8 * 2 + 1, (vid, adist[vid], want)
