@@ -6070,3 +6070,134 @@ def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         codes, cb, query, dim=64, n_subspaces=8, k=10, keep_cols=["label"]
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed: coarse cell pruning (q39/q111's assignment) + PQ ADC
+# re-rank (q137) inside the probed cells -- the production ANN pair.
+# ---------------------------------------------------------------------------
+@register(
+    "q138_ivf_pq_search",
+    f"""
+    WITH cent AS (
+      SELECT label AS code,
+             [{_KM_DIMS}]::DOUBLE[] AS centroid
+      FROM embeddings GROUP BY label),
+    ex AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    qv AS (SELECT x AS q FROM ex WHERE vec_id = 0),
+    probe AS (
+      SELECT code FROM (
+        SELECT c.code,
+               round(list_dot_product(qv.q, qv.q)
+                     - 2 * list_dot_product(qv.q, c.centroid)
+                     + list_dot_product(c.centroid, c.centroid), 6) AS dist,
+               row_number() OVER (ORDER BY
+                 round(list_dot_product(qv.q, qv.q)
+                       - 2 * list_dot_product(qv.q, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6),
+                 c.code) AS rk
+        FROM cent c CROSS JOIN qv) WHERE rk <= 2),
+    assign AS (
+      SELECT vec_id, label, code AS cell FROM (
+        SELECT ex.vec_id, ex.label, c.code,
+               row_number() OVER (PARTITION BY ex.vec_id ORDER BY
+                 round(list_dot_product(ex.x, ex.x)
+                       - 2 * list_dot_product(ex.x, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6),
+                 c.code) AS rk
+        FROM ex CROSS JOIN cent c) WHERE rk = 1),
+    cand AS (
+      SELECT vec_id, label, cell FROM assign
+      WHERE cell IN (SELECT code FROM probe)),
+    cb AS (
+      SELECT code, s.sub, centroid[(s.sub*8+1):(s.sub*8+8)] AS cw
+      FROM cent, unnest(range(0, 8)) AS s(sub)),
+    sv AS (
+      SELECT ex.vec_id, s.sub, ex.x[(s.sub*8+1):(s.sub*8+8)] AS subvec
+      FROM ex JOIN cand USING (vec_id), unnest(range(0, 8)) AS s(sub)),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT sv.vec_id, sv.sub, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 round(list_dot_product(sv.subvec, sv.subvec)
+                       - 2 * list_dot_product(sv.subvec, cb.cw)
+                       + list_dot_product(cb.cw, cb.cw), 6),
+                 cb.code) AS rk
+        FROM sv JOIN cb USING (sub)) WHERE rk = 1),
+    q8 AS (
+      SELECT s.sub, qv.q[(s.sub*8+1):(s.sub*8+8)] AS qsub
+      FROM qv, unnest(range(0, 8)) AS s(sub)),
+    dtab AS (
+      SELECT q8.sub, cb.code,
+             CAST(round(round(list_dot_product(q8.qsub, q8.qsub)
+                   - 2 * list_dot_product(q8.qsub, cb.cw)
+                   + list_dot_product(cb.cw, cb.cw), 6) * 1000000.0, 0)
+               AS BIGINT) AS idq
+      FROM q8 JOIN cb USING (sub))
+    SELECT c.vec_id, cand.label, cand.cell,
+           CAST(sum(d.idq) AS BIGINT) AS adist_u
+    FROM codes c
+    JOIN cand USING (vec_id)
+    JOIN dtab d ON c.sub = d.sub AND c.code = d.code
+    GROUP BY c.vec_id, cand.label, cand.cell
+    ORDER BY adist_u, c.vec_id
+    LIMIT 10
+    """,
+    doc="IVF-PQ composition (operators/similarity.py): the query probes "
+    "its 2 nearest coarse cells (q111's deterministic L2 argmin over "
+    "label-seeded centroids), only vectors assigned to those cells are "
+    "PQ-scored via the q137 integer-micro-unit ADC table, top-10 "
+    "deterministic under ties. This is the production 100 TB ANN shape: "
+    "the cell filter is a partition prune when the index is written "
+    "partitionBy(cell), PQ codes are the only per-vector bytes read, and "
+    "both structures are maintained by narrow passes.",
+)
+def q138_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        kmeans_assign,
+        label_centroids,
+        pq_adc_topk,
+        pq_encode,
+        pq_subspace_codebooks,
+    )
+    from .functions.vectors import dot
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    assigned = kmeans_assign(emb, cent, keep_cols=["label"]).select(
+        "vec_id", "label", F.col("assigned").alias("cell")
+    )
+
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    qdist = F.round(
+        dot(F.col("qvec"), F.col("qvec"))
+        - 2 * dot(F.col("qvec"), F.col("centroid"))
+        + dot(F.col("centroid"), F.col("centroid")),
+        6,
+    )
+    probe = (
+        qrow.crossJoin(F.broadcast(cent))
+        .select(F.col("centroid_label").alias("cell"), qdist.alias("qd"))
+        .orderBy(F.asc("qd"), F.asc("cell"))
+        .limit(2)
+        .select("cell")
+    )
+
+    cand = assigned.join(F.broadcast(probe), "cell").select(
+        "vec_id", "label", "cell"
+    )
+    cand_vecs = emb.select("vec_id", "embedding").join(cand, "vec_id")
+
+    cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
+    codes = pq_encode(
+        cand_vecs, cb, dim=64, n_subspaces=8, keep_cols=["label", "cell"]
+    )
+    return pq_adc_topk(
+        codes, cb, qrow, dim=64, n_subspaces=8, k=10,
+        keep_cols=["label", "cell"],
+    ).drop("codes")

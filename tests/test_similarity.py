@@ -213,3 +213,18 @@ def test_pq_ann_recall_and_code_shape(spark, sf_dir):
         # per-subspace rounding at 1e-6 then micro-unit ints: tolerance a
         # few units per subspace
         assert abs(adist[vid] - want) <= 8 * 2 + 1, (vid, adist[vid], want)
+
+
+def test_ivf_pq_candidates_confined_to_probed_cells(spark, sf_dir):
+    from bankcreditunion_datapipeline_spark.queries import registry
+
+    rows = registry()["q138_ivf_pq_search"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    # the query vector itself lives in its own nearest cell and has the
+    # smallest reconstruction error on near-random data -> it must appear
+    assert 0 in {r["vec_id"] for r in rows}
+    # everything returned comes from at most 2 distinct cells (nprobe=2)
+    assert len({r["cell"] for r in rows}) <= 2
+    # ranking is by integer ADC distance
+    dists = [r["adist_u"] for r in rows]
+    assert dists == sorted(dists)
