@@ -553,3 +553,84 @@ def test_streaming_cdc_tombstone_expiry_bounds_state(spark, tmp_path):
     live = {r.k for r in
             spark.read.schema(schema).parquet(tgt + "/current").collect()}
     assert live == {3}
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
+    """Streamed windowed counts -> psi_terms batch finisher == the same
+    pipeline computed fully in batch; identical distributions give PSI 0."""
+    from bankcreditunion_datapipeline_spark.operators.drift import (
+        drift_alerts,
+        psi_terms,
+    )
+
+    src = str(tmp_path / "drift_src")
+    _write_events(spark, src, 0, 80)
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(src)
+
+    # reference = the overall historical distribution
+    ref = batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+
+    stream_df = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    run_stream_to_memory(
+        windowed_event_counts(stream_df), "drift_counts", str(tmp_path / "ck")
+    )
+    streamed_counts = spark.sql(
+        "SELECT window_start, event_type, n_events FROM drift_counts"
+    )
+
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(minutes=15)
+    batch_counts = windowed_event_counts(batch_df).filter(
+        F.col("window_end") <= cutoff
+    ).select("window_start", "event_type", "n_events")
+
+    got = sorted(
+        map(
+            tuple,
+            psi_terms(streamed_counts, ref, ["window_start"]).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, psi_terms(batch_counts, ref, ["window_start"]).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # alerts fold: psi >= 0 everywhere, deterministic flag
+    alerts = {
+        r["window_start"]: (r["psi_t"], r["drifted"])
+        for r in drift_alerts(
+            psi_terms(streamed_counts, ref, ["window_start"]),
+            ["window_start"],
+        ).collect()
+    }
+    assert all(p >= 0 for p, _ in alerts.values())
+
+    # a window whose distribution equals the reference proportions with
+    # EQUAL counts has p == q for every category -> every term exactly 0
+    same = psi_terms(ref.withColumn("w", F.lit(1)).select(
+        "w", "event_type", F.col("n_ref").alias("n_events")
+    ), ref, ["w"])
+    assert all(r["psi_term_t"] == 0.0 for r in same.collect())
+
+
+def test_psi_terms_scaffolds_missing_categories(spark):
+    from bankcreditunion_datapipeline_spark.operators.drift import psi_terms
+
+    ref = spark.createDataFrame(
+        [("a", 50), ("b", 30), ("c", 20)], "event_type string, n_ref long"
+    )
+    # window 1 never saw category c; its absence must still contribute
+    obs = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 5), (2, "z", 7)],
+        "w int, event_type string, n_events long",
+    )
+    out = psi_terms(obs, ref, ["w"]).collect()
+    rows = {(r["w"], r["event_type"]): r for r in out}
+    assert rows[(1, "c")]["n_obs"] == 0
+    assert rows[(1, "c")]["psi_term_t"] > 0
+    # observed category outside the reference space is ignored
+    assert (2, "z") not in rows
+    # every group scaffolds to exactly the reference categories
+    assert {k[1] for k in rows} == {"a", "b", "c"}
