@@ -228,3 +228,56 @@ def test_ivf_pq_candidates_confined_to_probed_cells(spark, sf_dir):
     # ranking is by integer ADC distance
     dists = [r["adist_u"] for r in rows]
     assert dists == sorted(dists)
+
+
+def test_pq_codebooks_trainable_per_subspace(spark, sf_dir):
+    """The production PQ path: train each subspace's codebook with the
+    existing Lloyd operator. Lloyd monotonicity guarantees the trained
+    codebook quantizes no worse than its own seed assignment; verify on
+    the first subspace and confirm trained codebooks slot straight into
+    pq_encode/pq_adc_topk."""
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_iterate,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    sub0 = emb.select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+
+    assigned, trained, iters = kmeans_iterate(sub0, k=16, dim=8, max_iters=6)
+    trained_sse = assigned.agg(F.sum("dist")).first()[0]
+
+    # seed centroids = first 16 vectors by id (kmeans_iterate convention)
+    seeds = sub0.orderBy(F.asc("vec_id")).limit(16).collect()
+    seed_cent = spark.createDataFrame(
+        [
+            (i, [round(float(x), 6) for x in r["embedding"]])
+            for i, r in enumerate(seeds)
+        ],
+        "centroid_label int, centroid array<double>",
+    )
+    seed_sse = (
+        kmeans_assign(sub0, seed_cent).agg(F.sum("dist")).first()[0]
+    )
+    assert trained_sse <= seed_sse + 1e-6
+    assert iters >= 1
+
+    # trained codebooks (one per subspace here: reuse sub0's for all 8
+    # slots via the same schema) drive the SAME encode/ADC machinery
+    cb = trained.select(
+        F.lit(0).alias("sub"),
+        F.col("centroid_label").alias("code"),
+        F.col("centroid").alias("codeword"),
+    )
+    codes = pq_encode(sub0, cb, dim=8, n_subspaces=1)
+    assert codes.groupBy("vec_id").count().filter("count != 1").count() == 0
+    query = sub0.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    top = pq_adc_topk(codes, cb, query, dim=8, n_subspaces=1, k=5).collect()
+    assert len(top) == 5 and all(r["adist_u"] >= 0 for r in top)
