@@ -6201,3 +6201,114 @@ def q138_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, cb, qrow, dim=64, n_subspaces=8, k=10,
         keep_cols=["label", "cell"],
     ).drop("codes")
+
+
+# ---------------------------------------------------------------------------
+# Window-function frame shapes: first/last/nth over the full partition
+# frame + cume_dist -- the remaining analytic-window surface.
+# ---------------------------------------------------------------------------
+@register(
+    "q139_order_window_shapes",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w_full  AS first_price,
+           last_value(o_totalprice) OVER w_full   AS last_price,
+           nth_value(o_orderpriority, 2) OVER w_full AS second_priority,
+           floor(cume_dist() OVER w_ord * 1000000) / 1000000.0 AS date_cume_t
+    FROM orders
+    WINDOW
+      w_full AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      w_ord AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey)
+    """,
+    doc="full-frame window shapes per customer order timeline: "
+    "first_value/last_value/nth_value over an explicit UNBOUNDED-"
+    "UNBOUNDED rows frame (last_value over the DEFAULT frame is the "
+    "classic silent bug -- it returns the CURRENT row), plus cume_dist "
+    "with a unique tiebreak (o_orderkey) so no peer groups exist and "
+    "the ratio is exactly row_number/total -- an int/int division, "
+    "truncated per the engine float discipline. NULLS FIRST is pinned "
+    "explicitly: Spark and the oracle default opposite NULL sort ends.",
+)
+def q139_order_window_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    order_keys = [F.asc_nulls_first("o_orderdate"), F.asc("o_orderkey")]
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy("o_custkey").orderBy(*order_keys)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w_full).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_orderpriority", 2).over(w_full).alias("second_priority"),
+        (F.floor(F.cume_dist().over(w_ord) * 1000000) / 1000000).alias(
+            "date_cume_t"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL keep duplicate
+# multiplicity -- the distinct-set variants (q34/q107) silently collapse it.
+# ---------------------------------------------------------------------------
+@register(
+    "q140_priority_multiset_ops",
+    """
+    WITH y95 AS (
+      SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995),
+    y96 AS (
+      SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996),
+    common AS (
+      SELECT o_orderpriority, count(*) AS n_common FROM (
+        SELECT o_orderpriority FROM y95
+        INTERSECT ALL
+        SELECT o_orderpriority FROM y96
+      ) GROUP BY o_orderpriority),
+    extra AS (
+      SELECT o_orderpriority, count(*) AS n_95_extra FROM (
+        SELECT o_orderpriority FROM y95
+        EXCEPT ALL
+        SELECT o_orderpriority FROM y96
+      ) GROUP BY o_orderpriority)
+    SELECT coalesce(c.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+           coalesce(n_common, 0) AS n_common,
+           coalesce(n_95_extra, 0) AS n_95_extra
+    FROM common c FULL JOIN extra e USING (o_orderpriority)
+    """,
+    doc="bag semantics on the priority mix of two order years: INTERSECT "
+    "ALL keeps min(multiplicity) per value, EXCEPT ALL keeps the count "
+    "difference -- the multiset complements of q34's distinct-set "
+    "cohorts. Spark plans both as aggregated anti/semi shapes over "
+    "(value, count) -- no row explosion; full-join reassembly tolerates "
+    "a priority present in only one year.",
+)
+def q140_priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_orderpriority")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_orderpriority")
+    common = (
+        y95.intersectAll(y96)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    extra = (
+        y95.exceptAll(y96)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_95_extra"))
+    )
+    return (
+        common.join(extra, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("n_95_extra", F.lit(0)).alias("n_95_extra"),
+        )
+    )
