@@ -706,12 +706,73 @@ def q22_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3, chunks=4)
 
 
+def _q23_oracle() -> str:
+    """The sign-LSH planes are deterministic driver-side constants
+    (random_hyperplanes seed 42), so the full pipeline -- signature,
+    chunk blocking, hamming prefilter, cosine verify -- is expressible
+    in SQL with the planes baked in as literals. Built by this helper
+    (16 planes x 64 floats is ~16 KB of SQL) at import time.
+
+    Parity note: Spark computes signature dots with a numpy matmul
+    (pairwise summation) while the oracle folds sequentially -- a sign
+    can only differ when |dot| is within summation noise (~1e-13) of
+    zero, measure-zero for Gaussian planes (and exactly 0.0 on both for
+    the fuzz corpus's zero vector, since 0 @ x == fold(0*x) == +0.0).
+    The cosine VERIFY is the q20 fold-parity expression on both sides,
+    so surviving pairs and their rounded sims are engine-identical."""
+    from .functions.vectors import random_hyperplanes
+
+    planes = random_hyperplanes(64, 16)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(x, {plane!r}::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    near AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(x, v -> v * 1.01 + 0.001) AS x
+      FROM base WHERE vec_id % 10 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM near),
+    sig AS (SELECT vec_id, x, {bits} AS s FROM u),
+    ch AS (
+      SELECT vec_id, s, c.chunk_id,
+             (s >> (CAST(c.chunk_id AS INT) * 4)) & 15 AS chunk_val
+      FROM sig, unnest(range(0, 4)) AS c(chunk_id)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ch a JOIN ch b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+      WHERE a.vec_id < b.vec_id
+        AND bit_count(xor(a.s, b.s)) <= 3),
+    ver AS (
+      SELECT id_a, id_b,
+             round(CASE WHEN sqrt(list_dot_product(va.x, va.x))
+                             * sqrt(list_dot_product(vb.x, vb.x)) <> 0
+                   THEN list_dot_product(va.x, vb.x)
+                        / (sqrt(list_dot_product(va.x, va.x))
+                           * sqrt(list_dot_product(vb.x, vb.x)))
+                   END, 6) AS cosine_sim
+      FROM cand
+      JOIN u va ON va.vec_id = cand.id_a
+      JOIN u vb ON vb.vec_id = cand.id_b)
+    SELECT id_a, id_b, cosine_sim FROM ver WHERE cosine_sim >= 0.95
+    """
+
+
 @register(
     "q23_embedding_near_dups",
-    None,
+    _q23_oracle(),
     doc="embedding near-dup pairs: sign-LSH chunk blocking + exact cosine verify. "
     "Source embeddings are near-orthogonal (max pairwise cosine ~0.51), so the "
-    "query plants deterministic near-copies (scaled + shifted) and must recover them.",
+    "query plants deterministic near-copies (scaled + shifted) and must recover "
+    "them. Oracle since r4: the LSH planes are deterministic constants, so the "
+    "whole pipeline is SQL-expressible with the planes as literals (see "
+    "_q23_oracle) -- shrinks the no-oracle set to q21/q22 (xxhash64-based "
+    "signatures have no SQL twin) and q49 (multi-stage funnel).",
 )
 def q23_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_near_dup_pairs
