@@ -95,3 +95,49 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALE.md claims AQE skew-join handles moderate hot keys without
+    manual salting: with test-scale thresholds, a join whose left side is
+    dominated by one key must finalize as SortMergeJoin(skew=true) -- the
+    hot partition split across tasks -- with results unchanged."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    knobs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in knobs.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        left = spark.range(0, 200000, 1, 8).select(
+            F.when(F.col("id") < 150000, 0)
+            .otherwise(F.col("id") % 500)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 500, 1, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right.hint("shuffle_merge"), "k")
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert n == 200000  # every left row matches exactly one right row
+        assert "skew=true" in plan, plan[:800]
+        assert "isFinalPlan=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
