@@ -38,6 +38,10 @@ SUBSET = [
     "q127_export_manifest",
     "q131_boilerplate_strip",
     "q134_embedding_quantization",
+    # NULL sort-end pinning (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    "q139_order_window_shapes",
+    # numpy-vs-sequential sign parity + zero-norm cosine NULL contract
+    "q23_embedding_near_dups",
 ]
 
 
