@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 TESTDATA_TABLES = (
@@ -175,3 +176,38 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def testdata_tables(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
     names = tables or TESTDATA_TABLES
     return {t: read_testdata(spark, sf_dir, t) for t in names}
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, line_col: str = "text"
+) -> DataFrame:
+    """Raw-text corpus scan, one row per line (`spark.read.text`): the
+    natural shape for line-delimited corpora (one document per line).
+    Adds no parsing cost -- rows are the raw bytes split on newlines --
+    and the scan parallelizes by file split like any other source. Pair
+    with `F.monotonically_increasing_id()` downstream only for
+    scratch ids; durable doc ids should hash the content
+    (`F.xxhash64(text)`) or carry provenance (`with_file_provenance`)."""
+    return spark.read.text(path).withColumnRenamed("value", line_col)
+
+
+def read_whole_text_files(
+    spark: SparkSession, path: str, text_col: str = "text"
+) -> DataFrame:
+    """One row per FILE (wholetext mode): for corpora stored as
+    document-per-file. Each file must fit an executor's task memory --
+    at 100 TB this is for the many-small-files layout (crawl dumps,
+    scraped pages), not multi-GB archives (those stream through the
+    zip/archive source instead)."""
+    return spark.read.text(path, wholetext=True).withColumnRenamed(
+        "value", text_col
+    )
+
+
+def with_file_provenance(df: DataFrame, col: str = "source_file") -> DataFrame:
+    """Attach the originating file path to every row
+    (`F.input_file_name` is deprecated in favor of the _metadata
+    struct): lineage for corpus rows -- which shard/dump produced a
+    document -- without any join. Reads the scan's hidden `_metadata`
+    column, so it works on any file-based source and costs nothing."""
+    return df.withColumn(col, F.col("_metadata.file_path"))

@@ -221,3 +221,36 @@ def test_avro_probe_and_clear_error_or_roundtrip(spark, tmp_path):
     df.write.format("avro").save(str(tmp_path / "avro"))
     back = read_avro(spark, str(tmp_path / "avro"))
     assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_text_lines_and_whole_files(spark, tmp_path):
+    from bankcreditunion_datapipeline_spark.sources.files import (
+        read_text_lines,
+        read_whole_text_files,
+        with_file_provenance,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one line one\ndoc one line two\n")
+    (d / "b.txt").write_text("doc two only line\n")
+
+    lines = read_text_lines(spark, str(d))
+    assert sorted(r["text"] for r in lines.collect()) == [
+        "doc one line one",
+        "doc one line two",
+        "doc two only line",
+    ]
+
+    whole = read_whole_text_files(spark, str(d))
+    texts = {r["text"].strip() for r in whole.collect()}
+    assert len(texts) == 2
+    assert "doc one line one\ndoc one line two" in texts
+
+    # provenance rides the scan's _metadata column -- no join, any source
+    prov = with_file_provenance(read_text_lines(spark, str(d))).collect()
+    assert all(r["source_file"].endswith((".txt",)) for r in prov)
+    assert {r["source_file"].rsplit("/", 1)[-1] for r in prov} == {
+        "a.txt",
+        "b.txt",
+    }
