@@ -125,3 +125,51 @@ def ann_query(
         long_codes, cb, query, dim=dim, n_subspaces=n_subspaces, k=k,
         id_col=id_col, keep_cols=[*keep_cols, "cell"],
     )
+
+
+def append_to_ann_index(
+    emb_delta: DataFrame,
+    index_dir: str,
+    dim: int = 64,
+    n_subspaces: int = 8,
+    id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
+) -> None:
+    """Incremental index maintenance: encode ONLY the delta against the
+    EXISTING centroids/codebooks and append its code rows to the
+    partitioned table -- the index twin of incremental_exact_dedup's
+    delta-vs-index shape. The corpus already indexed does zero work; the
+    delta pays one assignment + one encode pass. Queries see old and new
+    rows identically (same codebooks, same partition key).
+
+    Codebook drift: appended vectors quantize against the ORIGINAL
+    codebooks, so reconstruction error grows if the delta's distribution
+    shifts -- monitor with operators/drift.py over the cell histogram
+    and rebuild when PSI crosses the alert threshold (the standard
+    IVF-PQ reindexing policy).
+    """
+    keep_cols = list(keep_cols or [])
+    spark = emb_delta.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+
+    assigned = kmeans_assign(emb_delta, cent, id_col=id_col).select(
+        id_col, F.col("assigned").alias("cell")
+    )
+    codes = pq_encode(
+        emb_delta, cb, dim=dim, n_subspaces=n_subspaces,
+        id_col=id_col, keep_cols=keep_cols,
+    )
+    wide = (
+        codes.groupBy(id_col, *keep_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .join(assigned, id_col)
+    )
+    wide.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )

@@ -62,3 +62,44 @@ def test_probe_is_partition_pruning(spark, tmp_path):
     assert probed_cells > 2  # pruning is meaningful: >2 cells exist
     assert len(out.collect()) == 5
     assert full == emb.count()
+
+
+def test_incremental_append_equals_full_build(spark, tmp_path):
+    from bankcreditunion_datapipeline_spark.plans.ann_index import (
+        append_to_ann_index,
+    )
+
+    emb = read_testdata(spark, SF, "embeddings")
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    full_idx = str(tmp_path / "full")
+    build_ann_index(emb, full_idx)
+    # append's contract: the delta encodes against the EXISTING
+    # centroids/codebooks. Start inc from the same structures as full
+    # (build on the full corpus), truncate its vectors to half_a, then
+    # append half_b -- the result must equal the full build exactly.
+    inc_idx = str(tmp_path / "inc")
+    build_ann_index(emb, inc_idx)
+    spark.read.parquet(f"{inc_idx}/vectors").filter(
+        F.col("vec_id") % 2 == 0
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        str(tmp_path / "keep")
+    )
+    spark.read.parquet(str(tmp_path / "keep")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{inc_idx}/vectors")
+
+    append_to_ann_index(half_b, inc_idx)
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    got = [
+        tuple(r) for r in ann_query(spark, inc_idx, query, k=10, nprobe=2)
+        .drop("codes").collect()
+    ]
+    want = [
+        tuple(r) for r in ann_query(spark, full_idx, query, k=10, nprobe=2)
+        .drop("codes").collect()
+    ]
+    assert got == want and len(got) == 10
