@@ -63,9 +63,24 @@ def read_csv_inferred(spark: SparkSession, path: str, header: bool = True) -> Da
     return spark.read.option("inferSchema", True).csv(path, header=header)
 
 
-def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = True) -> DataFrame:
-    """S2 variant with a declared contract -- the scale path (no inference pass)."""
-    return spark.read.schema(schema).csv(path, header=header)
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """S2 variant with a declared contract -- the scale path (no inference
+    pass). `corrupt_col` opts into PERMISSIVE corrupt-record capture
+    (same contract as read_json): malformed lines keep their raw text in
+    that column instead of silently becoming all-NULL rows; the column
+    must be a StringType member of `schema`."""
+    reader = spark.read
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.schema(schema).csv(path, header=header)
 
 
 def read_parquet(

@@ -254,3 +254,30 @@ def test_read_text_lines_and_whole_files(spark, tmp_path):
         "a.txt",
         "b.txt",
     }
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.sources.files import read_csv
+
+    p = tmp_path / "rows.csv"
+    p.write_text("id,amount\n1,10\n2,notanumber\n3,30\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("amount", LongType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema, corrupt_col="_bad").cache()
+    clean = df.filter(F.col("_bad").isNull())
+    bad = df.filter(F.col("_bad").isNotNull())
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "notanumber" in bad_rows[0]["_bad"]
