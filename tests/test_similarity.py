@@ -281,3 +281,30 @@ def test_pq_codebooks_trainable_per_subspace(spark, sf_dir):
     )
     top = pq_adc_topk(codes, cb, query, dim=8, n_subspaces=1, k=5).collect()
     assert len(top) == 5 and all(r["adist_u"] >= 0 for r in top)
+
+
+def test_pq_encode_arrow_matches_expression_path(spark, sf_dir):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        label_centroids,
+        pq_encode,
+        pq_encode_arrow,
+        pq_subspace_codebooks,
+    )
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
+
+    expr = {
+        (r["vec_id"], r["sub"]): (r["code"], r["dist"])
+        for r in pq_encode(emb, cb, dim=64, n_subspaces=8).collect()
+    }
+    arrow = {
+        (r["vec_id"], r["sub"]): (r["code"], r["dist"])
+        for r in pq_encode_arrow(emb, cb, dim=64, n_subspaces=8).collect()
+    }
+    assert expr.keys() == arrow.keys()
+    for k in expr:
+        assert expr[k][0] == arrow[k][0], (k, expr[k], arrow[k])
+        assert abs(expr[k][1] - arrow[k][1]) <= 1e-6
