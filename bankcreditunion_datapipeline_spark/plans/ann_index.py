@@ -30,7 +30,7 @@ from ..operators.similarity import (
     kmeans_assign,
     label_centroids,
     pq_adc_topk,
-    pq_encode,
+    pq_encode_arrow,
     pq_subspace_codebooks,
 )
 
@@ -51,7 +51,9 @@ def build_ann_index(
     assigned = kmeans_assign(emb, cent, id_col=id_col).select(
         id_col, F.col("assigned").alias("cell")
     )
-    codes = pq_encode(
+    # production encode: Arrow-batched BLAS (code-identical to the
+    # expression form, asserted in tests/test_similarity.py)
+    codes = pq_encode_arrow(
         emb, cb, dim=dim, n_subspaces=n_subspaces,
         id_col=id_col, keep_cols=keep_cols,
     )
@@ -156,7 +158,7 @@ def append_to_ann_index(
     assigned = kmeans_assign(emb_delta, cent, id_col=id_col).select(
         id_col, F.col("assigned").alias("cell")
     )
-    codes = pq_encode(
+    codes = pq_encode_arrow(
         emb_delta, cb, dim=dim, n_subspaces=n_subspaces,
         id_col=id_col, keep_cols=keep_cols,
     )
