@@ -104,7 +104,13 @@ def per_group_percent_rank(
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(group_col).orderBy(score_col, tiebreak_col)
+    # NULL scores pinned FIRST explicitly: Spark defaults NULLS FIRST on
+    # ASC but SQL twins (DuckDB/Postgres) default NULLS LAST -- a NULL
+    # score would shift every rank in the group by one between engines
+    # (caught by the r4 NULL-field differential sweep).
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc_nulls_first(score_col), F.asc_nulls_first(tiebreak_col)
+    )
     # TRUNCATE at 1e-6 (floor): percent_rank is k/(n-1), an int/int
     # rational that lands on exact decimal .5 ties for 2^a*5^b group
     # sizes -- the tie-free cross-engine discipline (SCALE.md)

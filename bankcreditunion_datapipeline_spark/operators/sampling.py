@@ -229,6 +229,9 @@ def pack_sequences(
 
     Returns df + (seq_col, __start kept off). Rows with NULL token counts
     count as 0 tokens (they land in a sequence but consume nothing).
+    `key` must be unique AND non-null: md5(NULL) is NULL, which would
+    both make the order ambiguous and drop the row at the bucket-offset
+    join.
     """
     from pyspark.sql.window import Window
 

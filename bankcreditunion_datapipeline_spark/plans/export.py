@@ -74,6 +74,10 @@ def export_training_data(
     cum = toks.withColumn(
         "__before", F.sum("__n_tokens").over(w) - F.col("__n_tokens")
     )
+    # NULL-source docs get no budget row and are EXCLUDED here (equi-join
+    # semantics, mirrored by the oracle's USING join): a doc without
+    # provenance has no mixture group to draw budget from. Assign a
+    # sentinel source upstream to opt such docs in.
     selected = (
         cum.join(
             F.broadcast(weights.select(source_col, "token_budget")), source_col

@@ -609,7 +609,8 @@ _HITS = _lang_hits_sql(_LM)
       FROM padded
     )
     SELECT lang_pred, count(*) AS n_docs FROM (
-      SELECT CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN NULL
+      SELECT CASE WHEN h_en IS NULL THEN NULL
+                  WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN NULL
                   WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
                   WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
                   WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
@@ -793,7 +794,10 @@ def q23_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q24_media_metadata",
     """
-    SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS sniffed_format,
+    SELECT CASE WHEN text IS NULL THEN 'unknown'
+                WHEN doc_id % 3 = 0 THEN 'jpeg'
+                WHEN doc_id % 3 = 1 THEN 'png'
+                ELSE 'wav' END AS sniffed_format,
            count(*) AS n_media,
            CAST(sum(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 4 END
                + octet_length(encode(text))) AS BIGINT) AS total_bytes
@@ -5375,7 +5379,9 @@ def q123_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, source,
            floor((percent_rank() OVER (PARTITION BY source
-                                       ORDER BY n_chars, doc_id)) * 1000000)
+                                       ORDER BY n_chars ASC NULLS FIRST,
+                                                doc_id ASC NULLS FIRST))
+                 * 1000000)
              / 1000000.0 AS pct_rank
     FROM documents
     """,

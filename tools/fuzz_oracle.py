@@ -48,7 +48,7 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             "text": text,
             "lang": lang,
             "source": source,
-            "n_chars": len(text),
+            "n_chars": len(text) if text is not None else None,
         }
 
     _append_rows(
@@ -63,6 +63,9 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             doc(6, "the " * 200),             # one token repeated, long
             doc(7, "tab\tand\nnewline mix"),  # non-space whitespace
             doc(8, "1234 5678 9012 3456"),    # digit soup
+            doc(9, None),                     # NULL text (r4: the
+                                              # curation NULL-lang class)
+            doc(10, "plain words with metadata gaps", lang=None, source=None),
         ],
     )
 
