@@ -388,7 +388,8 @@ def q11_nation_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey
            ), 2) AS running_total
     FROM orders
     WHERE o_custkey <= 100
@@ -882,7 +883,9 @@ def q25_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                        >= INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      -- Spark's native session_window DROPS NULL-timestamp events
+      -- (no window to assign); mirror that contract here
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            cast(sum(new_session) AS BIGINT) AS n_sessions,
@@ -1079,7 +1082,7 @@ def q32_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, year(o_orderdate))
     SELECT r_name, order_year, revenue,
-           round(revenue - lag(revenue) OVER (PARTITION BY r_name ORDER BY order_year), 2)
+           round(revenue - lag(revenue) OVER (PARTITION BY r_name ORDER BY order_year ASC NULLS FIRST), 2)
              AS yoy_delta,
            dense_rank() OVER (PARTITION BY order_year ORDER BY revenue DESC)
              AS rank_in_year
@@ -2148,6 +2151,11 @@ def q59_customer_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf["__x"].to_numpy(dtype=np.float64)
         y = pdf["__y"].to_numpy(dtype=np.float64)
+        # SQL regr_slope excludes pairs with a NULL on either side but
+        # count(*) still counts the rows -- mirror both (a NULL date or
+        # price arrives here as NaN and would otherwise poison the fit)
+        keep = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[keep], y[keep]
         xc = x - x.mean()
         sxx = float((xc * xc).sum())
         if sxx == 0.0:
@@ -2381,10 +2389,10 @@ def q63_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_totalprice,
              ntile(10) OVER (
                PARTITION BY year(CAST(o_orderdate AS DATE))
-               ORDER BY o_totalprice, o_orderkey) AS decile,
+               ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey) AS decile,
              percent_rank() OVER (
                PARTITION BY year(CAST(o_orderdate AS DATE))
-               ORDER BY o_totalprice, o_orderkey) AS pr
+               ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey) AS pr
       FROM orders)
     SELECT order_year, decile,
            count(*) AS n_orders,
@@ -3592,7 +3600,8 @@ def q87_hof_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH seq AS (
       SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC NULLS FIRST, event_id)
                  AS prev_type
       FROM events)
     SELECT prev_type, event_type AS curr_type,
@@ -5411,6 +5420,9 @@ def q124_calibrated_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS total_value
     FROM events
+    -- the state/delta watermark split (ts < cutoff vs >= cutoff) can't
+    -- route a NULL timestamp to either side; mirror the exclusion
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="merge_rollup (operators/temporal.py): daily state (ts < Jan 16) "
@@ -5623,8 +5635,9 @@ def q129_brand_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q130_binned_quantile_rollup",
     """
     WITH b AS (
+      -- bin_counts drops NULL measures (no bin to land in); mirror
       SELECT floor(o_totalprice / 2000.0) AS bin, count(*) AS n
-      FROM orders GROUP BY 1),
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
     c AS (
       SELECT bin, n,
              sum(n) OVER (ORDER BY bin) AS cum,

@@ -69,14 +69,16 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
         ],
     )
 
-    def order(i, price, date, custkey):
+    def order(i, price, date, custkey, prio="3-MEDIUM"):
         return {
             "o_orderkey": 90_000_000 + i,
             "o_custkey": custkey,
             "o_orderstatus": "F",
             "o_totalprice": price,
-            "o_orderdate": datetime.datetime.fromisoformat(date),
-            "o_orderpriority": "3-MEDIUM",
+            "o_orderdate": datetime.datetime.fromisoformat(date)
+            if date
+            else None,
+            "o_orderpriority": prio,
         }
 
     _append_rows(
@@ -88,6 +90,9 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             order(3, 999999.99, "1998-12-31", 2),    # year end, huge price
             order(4, 100.5, "1996-02-29", 2),        # leap day
             order(5, 100.5, "1996-02-29", 90_000_077),  # DANGLING custkey
+            order(6, 100.5, None, 3),                   # NULL orderdate
+            order(7, None, "1997-03-03", 3),            # NULL totalprice
+            order(8, 100.5, "1997-03-03", 3, prio=None),  # NULL priority
         ],
     )
 
@@ -178,7 +183,7 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
     def event(i, ts, etype, value, props):
         return {
             "event_id": 90_000_000 + i,
-            "ts": datetime.datetime.fromisoformat(ts),
+            "ts": datetime.datetime.fromisoformat(ts) if ts else None,
             "user_id": 90_000_000 + (i % 2),
             "event_type": etype,
             "value": value,
@@ -198,6 +203,8 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
                   '{"k": 41, "extra": "x"}'),
             event(5, "2024-06-02 12:00:00", "click", None, None),  # NULLs
             event(6, "2024-06-03 12:00:00", "view", 3.25, ""),     # empty props
+            event(7, None, "view", 1.0, "{}"),                     # NULL ts
+            event(8, "2024-06-04 12:00:00", None, 1.0, "{}"),      # NULL type
         ],
     )
 
