@@ -40,6 +40,9 @@ SUBSET = [
     "q134_embedding_quantization",
     # NULL sort-end pinning (Spark NULLS FIRST vs DuckDB NULLS LAST)
     "q139_order_window_shapes",
+    "q64_order_value_deciles",
+    # native session_window's NULL-timestamp drop contract
+    "q26_user_sessions",
     # numpy-vs-sequential sign parity + zero-norm cosine NULL contract
     "q23_embedding_near_dups",
 ]
