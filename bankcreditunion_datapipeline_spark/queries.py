@@ -949,7 +949,12 @@ def q27_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            'q' || quarter(l_shipdate) || '_revenue' AS quarter_label,
            round(sum(l_extendedprice), 2) AS revenue
     FROM lineitem
+    -- the Spark side pivots explicit q1..q4 values, so a NULL-shipdate
+    -- bucket never materializes a column; and the melt drops NULL cells
+    -- (a flag with no rows in a quarter) -- mirror both
+    WHERE quarter(l_shipdate) IS NOT NULL
     GROUP BY 1, 2
+    HAVING round(sum(l_extendedprice), 2) IS NOT NULL
     """,
     doc="pivot -> unpivot round trip: the melted matrix equals the direct "
     "group-by (property the reference's pivoted gold tables never verified).",

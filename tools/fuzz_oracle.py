@@ -115,6 +115,7 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             cust(4, "MÜLLER élan ÇELIK", 100.0),    # non-ASCII case mapping
             cust(5, "tab\there", 1e7),              # embedded tab
             cust(6, "UPPER lower MiXeD", -0.0),     # case soup + signed zero
+            cust(7, None, None, seg=None),          # NULL name/bal/segment
         ],
     )
 
@@ -139,7 +140,7 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
         ],
     )
 
-    def li(i, qty, price, disc, tax, date):
+    def li(i, qty, price, disc, tax, date, flag="R"):
         return {
             "l_orderkey": 90_000_000 + i,
             "l_partkey": 1,
@@ -149,9 +150,11 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             "l_extendedprice": price,
             "l_discount": disc,
             "l_tax": tax,
-            "l_returnflag": "R",
+            "l_returnflag": flag,
             "l_linestatus": "F",
-            "l_shipdate": datetime.datetime.fromisoformat(date),
+            "l_shipdate": datetime.datetime.fromisoformat(date)
+            if date
+            else None,
         }
 
     _append_rows(
@@ -162,6 +165,9 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             li(2, 1.0, 0.01, 1.0, 0.0, "1998-12-31"),      # 100% discount
             li(3, 50.0, 104949.5, 0.5, 0.08, "1996-02-29"),  # leap day, big
             li(4, 3.0, 33.33, 0.07, 0.02, "1995-06-17"),   # repeating-dec avg
+            li(5, 1.0, 10.0, 0.0, 0.0, None),              # NULL shipdate
+            li(6, None, None, None, None, "1995-06-17"),   # NULL measures
+            li(7, 1.0, 10.0, 0.0, 0.0, "1995-06-17", flag=None),  # NULL flag
         ],
     )
 
