@@ -109,9 +109,16 @@ def attach_sign_bits(df, planes: list[list[float]], vec_col: str = "embedding", 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            bits = (vecs @ mat) >= 0  # (n, n_planes) bool
-            pdf[out] = (bits * weights).sum(axis=1)
+            # NULL vectors get a NULL signature (they can bucket with
+            # nothing); a raw np.asarray would crash the whole job on the
+            # first NULL row -- the classic one-bad-record failure mode
+            mask = pdf[vec_col].notna().to_numpy()
+            sig = pd.array([None] * len(pdf), dtype="Int64")
+            if mask.any():
+                vecs = np.asarray(pdf[vec_col][mask].tolist(), dtype=np.float64)
+                bits = (vecs @ mat) >= 0  # (m, n_planes) bool
+                sig[mask] = (bits * weights).sum(axis=1)
+            pdf[out] = sig
             yield pdf
 
     return df.mapInPandas(fn, schema)

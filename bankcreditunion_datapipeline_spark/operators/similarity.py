@@ -141,8 +141,14 @@ def build_ivf_index(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            pdf["ivf_cell"] = cell_ids[np.argmax(vecs @ cmat, axis=1)]
+            # NULL vectors belong to no cell (NULL ivf_cell): probes skip
+            # them and the job survives the bad record
+            mask = pdf[vec_col].notna().to_numpy()
+            cells = pd.array([None] * len(pdf), dtype="Int32")
+            if mask.any():
+                vecs = np.asarray(pdf[vec_col][mask].tolist(), dtype=np.float64)
+                cells[mask] = cell_ids[np.argmax(vecs @ cmat, axis=1)]
+            pdf["ivf_cell"] = cells
             yield pdf
 
     return df.mapInPandas(assign, schema), centroids
@@ -209,11 +215,19 @@ def project_embeddings(
             n = len(pdf)
             if n == 0:
                 continue
-            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            proj = vecs @ mat  # (n, k)
+            # NULL vectors project to NULL coordinates (not NaN -- NULL
+            # survives SQL aggregation semantics, NaN poisons them); a raw
+            # asarray would crash the job on one bad record
+            mask = pdf[vec_col].notna().to_numpy()
             out = {c: pdf[c] for c in keep_cols}
+            cols = [pd.array([None] * n, dtype="Float64") for _ in range(k)]
+            if mask.any():
+                vecs = np.asarray(pdf[vec_col][mask].tolist(), dtype=np.float64)
+                proj = vecs @ mat  # (m, k)
+                for i in range(k):
+                    cols[i][mask] = proj[:, i]
             for i in range(k):
-                out[f"{out_prefix}{i}"] = proj[:, i]
+                out[f"{out_prefix}{i}"] = cols[i]
             yield pd.DataFrame(out)
 
     return df.select(*keep_cols, vec_col).mapInPandas(fn, schema)
@@ -272,7 +286,9 @@ def kmeans_assign(
     identical doubles, since the same three dot products are summed).
     """
     keep_cols = list(keep_cols or [])
-    left = df.select(
+    # NULL vectors have no nearest centroid -- excluded by contract (a
+    # NULL distance would otherwise poison the argmin struct ordering)
+    left = df.filter(F.col(vec_col).isNotNull()).select(
         id_col, *keep_cols, vec_col, dot(F.col(vec_col), F.col(vec_col)).alias("__a_sq")
     )
     cent = centroids.select(
@@ -420,6 +436,9 @@ def pq_encode(
     """
     keep_cols = list(keep_cols or [])
     d0 = dim // n_subspaces
+    # NULL vectors have no nearest codeword -- excluded (same contract as
+    # pq_encode_arrow and kmeans_assign)
+    df = df.filter(F.col(vec_col).isNotNull())
     subvecs = df.select(
         id_col,
         *keep_cols,
@@ -595,6 +614,9 @@ def pq_encode_arrow(
 
     def encode(batches):
         for pdf in batches:
+            # NULL vectors are unencodable and dropped (the expression
+            # path filters them identically)
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)

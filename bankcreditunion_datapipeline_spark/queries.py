@@ -662,9 +662,13 @@ def q19_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
+           -- NULL vectors score NULL (sort to the bottom; DuckDB's
+           -- list_dot_product raises on table-sourced NULL lists)
+           CASE WHEN embedding IS NOT NULL THEN
            round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
                  / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS score
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6)
+           END AS score
     FROM embeddings, q
     ORDER BY score DESC, vec_id
     LIMIT 20
@@ -739,7 +743,7 @@ def _q23_oracle() -> str:
              list_transform(x, v -> v * 1.01 + 0.001) AS x
       FROM base WHERE vec_id % 10 = 0),
     u AS (SELECT * FROM base UNION ALL SELECT * FROM near),
-    sig AS (SELECT vec_id, x, {bits} AS s FROM u),
+    sig AS (SELECT vec_id, x, {bits} AS s FROM u WHERE x IS NOT NULL),
     ch AS (
       SELECT vec_id, s, c.chunk_id,
              (s >> (CAST(c.chunk_id AS INT) * 4)) & 15 AS chunk_val
@@ -1295,9 +1299,11 @@ def q38_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
     SELECT vec_id,
+           CASE WHEN embedding IS NOT NULL THEN
            round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
                  / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS score
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6)
+           END AS score
     FROM embeddings, q
     ORDER BY score DESC, vec_id
     LIMIT 15
@@ -1806,10 +1812,12 @@ def q51_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH proj AS (
       SELECT label,
-             list_dot_product(embedding::DOUBLE[],
-               [CAST(1.0 + (i % 7) * 0.25 AS DOUBLE) FOR i IN range(64)]) AS x,
-             list_dot_product(embedding::DOUBLE[],
-               [CAST(2.0 - (i % 5) * 0.5 AS DOUBLE) FOR i IN range(64)]) AS y
+             -- NULL vectors project to NULL coords (count(*) still
+             -- counts the row; avg skips it -- mirrors the Arrow kernel)
+             CASE WHEN embedding IS NOT NULL THEN list_dot_product(embedding::DOUBLE[],
+               [CAST(1.0 + (i % 7) * 0.25 AS DOUBLE) FOR i IN range(64)]) END AS x,
+             CASE WHEN embedding IS NOT NULL THEN list_dot_product(embedding::DOUBLE[],
+               [CAST(2.0 - (i % 5) * 0.5 AS DOUBLE) FOR i IN range(64)]) END AS y
       FROM embeddings)
     SELECT label,
            count(*) AS n_vecs,
@@ -4755,7 +4763,8 @@ _KM_DIMS = ",\n             ".join(
              round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
                    - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid)
                    + list_dot_product(c.centroid, c.centroid), 6) AS dist
-      FROM embeddings e CROSS JOIN cent c),
+      -- NULL vectors have no nearest centroid (kmeans_assign contract)
+      FROM embeddings e CROSS JOIN cent c WHERE e.embedding IS NOT NULL),
     pick AS (
       SELECT vec_id, label, clabel, dist,
              row_number() OVER (PARTITION BY vec_id
@@ -4785,7 +4794,13 @@ def q111_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = kmeans_assign(emb, cent, keep_cols=["label"])
     return assigned.groupBy("assigned").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum((F.col("label") == F.col("assigned")).cast("long"))
+        # NULL labels count as non-matching (the oracle's CASE ELSE 0),
+        # not as NULL -- coalesce before the sum
+        F.sum(
+            F.coalesce(
+                (F.col("label") == F.col("assigned")).cast("long"), F.lit(0)
+            )
+        )
         .cast("long")
         .alias("n_matching"),
         (F.floor((F.avg("dist")) * 10000) / 10000).alias("mean_dist"),
@@ -6093,7 +6108,9 @@ def q136_order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id, e.label, s.sub,
              list_transform(e.embedding[(s.sub*8+1):(s.sub*8+8)],
                             v -> CAST(v AS DOUBLE)) AS subvec
-      FROM embeddings e, unnest(range(0, 8)) AS s(sub)),
+      -- NULL vectors are unencodable (pq_encode contract)
+      FROM embeddings e, unnest(range(0, 8)) AS s(sub)
+      WHERE e.embedding IS NOT NULL),
     enc0 AS (
       SELECT sv.vec_id, sv.label, sv.sub, cb.code,
              round(list_dot_product(sv.subvec, sv.subvec)
@@ -6171,7 +6188,8 @@ def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (
       SELECT vec_id, label,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
-      FROM embeddings),
+      -- NULL vectors: no cell assignment, no codes (operator contracts)
+      FROM embeddings WHERE embedding IS NOT NULL),
     qv AS (SELECT x AS q FROM ex WHERE vec_id = 0),
     probe AS (
       SELECT code FROM (

@@ -183,6 +183,8 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             vec(3, [1e6] * 64, label=1),             # huge magnitude
             vec(4, [1.0] + [0.0] * 63, label=2),     # axis-aligned unit
             vec(5, [-1.0] * 64, label=3),            # all-negative
+            vec(6, None),                            # NULL vector
+            vec(7, [0.5] * 64, label=None),          # NULL label
         ],
     )
 
