@@ -5037,7 +5037,10 @@ def q115_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS d,
              sum(value) AS v, count(*) AS n
-      FROM events GROUP BY 1, 2),
+      -- a NULL timestamp has no day and cannot sit in a TRAILING time
+      -- frame (the engines would also disagree on which end of the
+      -- ORDER BY d frame the NULL lands) -- excluded on both sides
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     scored AS (
       SELECT event_type, d, v, n,
              avg(v) OVER w AS mu,
@@ -5061,7 +5064,7 @@ def q115_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q116_daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
