@@ -188,11 +188,13 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
         ],
     )
 
-    def event(i, ts, etype, value, props):
+    def event(i, ts, etype, value, props, user=None):
         return {
             "event_id": 90_000_000 + i,
             "ts": datetime.datetime.fromisoformat(ts) if ts else None,
-            "user_id": 90_000_000 + (i % 2),
+            "user_id": (90_000_000 + (i % 2)) if user is None else (
+                None if user == 0 else user
+            ),
             "event_type": etype,
             "value": value,
             "props": props,
@@ -213,6 +215,7 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             event(6, "2024-06-03 12:00:00", "view", 3.25, ""),     # empty props
             event(7, None, "view", 1.0, "{}"),                     # NULL ts
             event(8, "2024-06-04 12:00:00", None, 1.0, "{}"),      # NULL type
+            event(9, "2024-06-05 12:00:00", "view", 1.0, "{}", user=0),  # NULL user
         ],
     )
 
