@@ -171,6 +171,19 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
         ],
     )
 
+    _append_rows(
+        os.path.join(src_dir, "supplier.parquet"),
+        os.path.join(out_dir, "supplier.parquet"),
+        [
+            # NULL name/balance + a dangling nation key: dim-side joins
+            # must neither fabricate nor silently multiply rows
+            {"s_suppkey": 90_000_001, "s_name": None,
+             "s_nationkey": 77, "s_acctbal": None},
+            {"s_suppkey": 90_000_002, "s_name": "null-nation supplier",
+             "s_nationkey": None, "s_acctbal": 10.0},
+        ],
+    )
+
     def vec(i, embedding, label=0):
         return {"vec_id": 90_000_000 + i, "embedding": embedding, "label": label}
 
