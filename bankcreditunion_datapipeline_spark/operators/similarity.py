@@ -401,6 +401,10 @@ def pq_subspace_codebooks(
     codewords: (sub, code, codeword[dim/m]). O(k*m) rows -- broadcast
     range at any corpus scale."""
     d0 = dim // n_subspaces
+    # codebook codes must be dense non-null ints (the Arrow encoder packs
+    # them into int arrays); a NULL-labeled centroid -- possible with
+    # label-seeded codebooks over unlabeled rows -- is excluded
+    centroids = centroids.filter(F.col("centroid_label").isNotNull())
     return centroids.select(
         F.col("centroid_label").alias("code"),
         F.posexplode(

