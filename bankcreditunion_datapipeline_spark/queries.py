@@ -6273,7 +6273,7 @@ def q138_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign,
         label_centroids,
         pq_adc_topk,
-        pq_encode_arrow,
+        pq_encode,
         pq_subspace_codebooks,
     )
     from .functions.vectors import dot
@@ -6307,7 +6307,12 @@ def q138_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_vecs = emb.select("vec_id", "embedding").join(cand, "vec_id")
 
     cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
-    codes = pq_encode_arrow(
+    # expression encoder here: the candidate set after the cell probe is
+    # small (~corpus/k_cells * nprobe), and below ~10^4 rows the Arrow
+    # worker round-trip costs more than the interpreted folds save
+    # (measured at sf0.1: 2.2s expr vs 3.2s arrow). Full-corpus encodes
+    # (q137, index builds) take pq_encode_arrow.
+    codes = pq_encode(
         cand_vecs, cb, dim=64, n_subspaces=8, keep_cols=["label", "cell"]
     )
     return pq_adc_topk(
