@@ -1227,10 +1227,13 @@ def q36_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q37_part_name_tokens",
     """
-    SELECT split_part(p_name, ' ', 2)                                  AS noun,
-           upper(substr(split_part(p_name, ' ', 2), 1, 3))             AS noun_prefix,
-           concat(split_part(p_name, ' ', 1), '-', split_part(p_name, ' ', 2))
-                                                                       AS full_label_min,
+    -- NULL names tokenize like empty names (both engines' NULL token
+    -- functions diverge otherwise: Spark's get/concat_ws vs DuckDB's
+    -- split_part/concat treat NULL differently)
+    SELECT split_part(coalesce(p_name, ''), ' ', 2)                    AS noun,
+           upper(substr(split_part(coalesce(p_name, ''), ' ', 2), 1, 3)) AS noun_prefix,
+           concat(split_part(coalesce(p_name, ''), ' ', 1), '-',
+                  split_part(coalesce(p_name, ''), ' ', 2))            AS full_label_min,
            count(*)                                                    AS n_parts,
            floor((avg(p_retailprice)) * 100) / 100.0                                AS avg_price
     FROM part
@@ -1246,7 +1249,8 @@ def q37_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     second = F.coalesce(F.get(F.col("w"), 1), F.lit(""))
     toks = part.select(
-        F.split(F.col("p_name"), " ").alias("w"), F.col("p_retailprice")
+        F.split(F.coalesce(F.col("p_name"), F.lit("")), " ").alias("w"),
+        F.col("p_retailprice"),
     ).select(
         second.alias("noun"),
         F.upper(F.substring(second, 1, 3)).alias("noun_prefix"),

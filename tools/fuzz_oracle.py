@@ -137,6 +137,7 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             part_row(2, "single"),                    # one token
             part_row(3, "hy-phen ap'ostrophe dot."),  # token-splitting chars
             part_row(4, "a  b   c"),                  # multi-space runs
+            part_row(5, None, brand=None, ptype=None),  # NULL name/brand/type
         ],
     )
 
