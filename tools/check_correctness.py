@@ -126,7 +126,16 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from bankcreditunion_datapipeline_spark.session import build_session
 
-    spark = build_session(app_name="check-correctness")
+    # SPARK_GRAFT_SHUFFLE overrides the partition count: re-running the
+    # whole gate at a different layout (e.g. 3 vs 32) is the layout-
+    # independence differential -- results must not depend on partition
+    # count (catches unsorted collect_list, first() without order, and
+    # any accidental partition-local logic)
+    shuffle_env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    spark = build_session(
+        app_name="check-correctness",
+        shuffle_partitions=int(shuffle_env) if shuffle_env else None,
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
