@@ -6434,3 +6434,122 @@ def q140_priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_95_extra", F.lit(0)).alias("n_95_extra"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly scores: median/MAD instead of mean/stddev -- q116's z-score
+# is itself dragged by the outliers it hunts; the median pair is not.
+# ---------------------------------------------------------------------------
+@register(
+    "q141_robust_daily_scores",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, median(v) AS m FROM daily GROUP BY event_type),
+    mad AS (
+      SELECT d.event_type, m, median(abs(v - m)) AS mad
+      FROM daily d JOIN med USING (event_type)
+      GROUP BY d.event_type, m)
+    SELECT d.event_type, d.day, d.v,
+           floor((0.6745 * (d.v - mad.m) / mad.mad) * 10000) / 10000.0
+             AS robust_z
+    FROM daily d JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+    """,
+    doc="median/MAD robust z per (event_type, day): the 0.6745 factor "
+    "scales MAD to sigma-equivalent units. Exact interpolating medians "
+    "on both engines (the q74 parity class); daily sums rounded BEFORE "
+    "the medians so both engines take medians of identical doubles; "
+    "score floor-truncated per the division discipline. Two grouped "
+    "passes over the O(days x types) rollup -- the raw events are "
+    "touched once.",
+)
+def q141_robust_daily_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    med = daily.groupBy("event_type").agg(F.median("v").alias("m"))
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.median(F.abs(F.col("v") - F.col("m"))).alias("mad"))
+    )
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_type",
+            "day",
+            "v",
+            (
+                F.floor(
+                    (0.6745 * (F.col("v") - F.col("m")) / F.col("mad")) * 10000
+                )
+                / 10000
+            ).alias("robust_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized means: clip to the [p10, p90] band before averaging -- the
+# outlier-robust location estimate for skewed money columns.
+# ---------------------------------------------------------------------------
+@register(
+    "q142_winsorized_order_value",
+    """
+    WITH cuts AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.1) AS lo,
+             quantile_cont(o_totalprice, 0.9) AS hi
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY o_orderpriority),
+    w AS (
+      SELECT o.o_orderpriority,
+             least(greatest(o_totalprice, lo), hi) AS wv,
+             o_totalprice
+      FROM orders o JOIN cuts USING (o_orderpriority)
+      WHERE o_totalprice IS NOT NULL)
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           floor((avg(o_totalprice)) * 100) / 100.0 AS raw_mean,
+           floor((avg(wv)) * 100) / 100.0 AS winsorized_mean,
+           round(lo, 2) AS p10, round(hi, 2) AS p90
+    FROM w JOIN cuts USING (o_orderpriority)
+    GROUP BY o_orderpriority, lo, hi
+    """,
+    doc="per-priority winsorized mean: exact interpolating p10/p90 "
+    "(percentile parity class), clip via least/greatest (pure IEEE, "
+    "engine-identical), means floor-truncated. The tiny cutoff table "
+    "broadcasts back -- the same shape as the curation funnel's length "
+    "gate. NULL prices excluded on both sides (a NULL can't clip).",
+)
+def q142_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cuts = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.1)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("hi"),
+    )
+    w = orders.join(F.broadcast(cuts), "o_orderpriority").withColumn(
+        "wv",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")),
+    )
+    return w.groupBy("o_orderpriority", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.floor(F.avg("o_totalprice") * 100) / 100).alias("raw_mean"),
+        (F.floor(F.avg("wv") * 100) / 100).alias("winsorized_mean"),
+    ).select(
+        "o_orderpriority",
+        "n_orders",
+        "raw_mean",
+        "winsorized_mean",
+        F.round("lo", 2).alias("p10"),
+        F.round("hi", 2).alias("p90"),
+    )
