@@ -353,3 +353,49 @@ def merge_rollup(
     return merged.groupBy(*key_cols).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``s_1 = v_1; s_t = alpha * v_t + (1 - alpha) * s_{t-1}``.
+
+    EWMA is a true recursion -- no window frame expresses it (the
+    pow-weight rewrite ``sum(a^(t-i) v_i)`` overflows its 2^i rebasing
+    past ~1000 points) -- so this is the sanctioned per-key
+    applyInPandas shape: one Arrow batch per key, the recursion runs in
+    float64 inside the batch, state is O(1). Partitioning is by key (the
+    natural shuffle); each key's series must fit a task, which is the
+    same contract as any per-key state machine (sessionization,
+    applyInPandasWithState).
+
+    With ``alpha`` an exact binary fraction (0.5, 0.25) every step is
+    pure IEEE arithmetic in recursion order, so any engine replaying the
+    same recursion (e.g. a SQL recursive CTE) reproduces the values
+    bit-for-bit -- the oracle technique behind q143.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
+        f"{order_col} {df.schema[order_col].dataType.simpleString()}, "
+        f"{value_col} double, {out} double"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        s = None
+        acc = []
+        for v in pdf[value_col].astype(float):
+            s = v if s is None else alpha * v + (1.0 - alpha) * s
+            acc.append(s)
+        pdf[out] = acc
+        return pdf[[key_col, order_col, value_col, out]]
+
+    return df.groupBy(key_col).applyInPandas(smooth, out_schema)

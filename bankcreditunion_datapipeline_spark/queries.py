@@ -6553,3 +6553,54 @@ def q142_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 2).alias("p10"),
         F.round("hi", 2).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing per key: a TRUE recursion (no window frame expresses it),
+# run as per-key Arrow batches; the oracle REPLAYS the identical recursion
+# with a recursive CTE -- the q60 fixpoint-oracle technique on time series.
+# ---------------------------------------------------------------------------
+@register(
+    "q143_daily_value_ewma",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('day', ts)) AS rn
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    r AS (
+      SELECT event_type, day, rn, v, v AS s
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.rn, d.v, 0.5 * d.v + 0.5 * r.s
+      FROM daily d JOIN r
+        ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+    SELECT event_type, day, v,
+           floor(s * 1000000) / 1000000.0 AS ewma_t
+    FROM r
+    """,
+    doc="ewma_by_key (operators/temporal.py): s_t = 0.5*v_t + 0.5*s_(t-1) "
+    "per event_type over the daily rollup. alpha=0.5 is an exact binary "
+    "fraction, so the Python recursion and the oracle's recursive-CTE "
+    "replay produce bit-identical doubles step for step; inputs are "
+    "2-decimal-rounded sums (engine-identical). The per-key Arrow batch "
+    "is the sanctioned state-machine shape -- O(1) state, keys "
+    "partition the shuffle.",
+)
+def q143_daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import ewma_by_key
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    sm = ewma_by_key(daily, "event_type", "day", "v", alpha=0.5, out="s")
+    return sm.select(
+        "event_type",
+        "day",
+        "v",
+        (F.floor(F.col("s") * 1000000) / 1000000).alias("ewma_t"),
+    )

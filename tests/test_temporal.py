@@ -252,3 +252,34 @@ def test_snapshot_diff_null_keys_match_null_safely(spark):
     r3 = snapshot_diff(old3, new3, ["a", "b"]).collect()
     assert len(r3) == 1 and r3[0].change_type == "changed"
     assert r3[0].a == 1 and r3[0].b is None and r3[0].v == "y"
+
+
+def test_ewma_by_key_recursion_and_layout_independence(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        ewma_by_key,
+    )
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 20, 10, 40])] + [
+        ("b", 0, 100.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_by_key(df, "k", "t", "v", alpha=0.5).collect()
+    }
+    # hand recursion: 10; .5*20+.5*10=15; .5*10+.5*15=12.5; .5*40+.5*12.5
+    assert got[("a", 0)] == 10.0
+    assert got[("a", 1)] == 15.0
+    assert got[("a", 2)] == 12.5
+    assert got[("a", 3)] == 26.25
+    assert got[("b", 0)] == 100.0  # single-point series: seed value
+
+    # layout independence: arrival order inside the frame doesn't matter
+    # (the smoother sorts per key)
+    got2 = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_by_key(
+            df.orderBy(F.desc("t")).repartition(7), "k", "t", "v", alpha=0.5
+        ).collect()
+    }
+    assert got2 == got
