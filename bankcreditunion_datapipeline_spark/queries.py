@@ -6604,3 +6604,110 @@ def q143_daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         (F.floor(F.col("s") * 1000000) / 1000000).alias("ewma_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl-Hirschman index of supplier revenue per
+# year -- is supply concentrating? (sum of squared shares, 0..10000 scale).
+# ---------------------------------------------------------------------------
+@register(
+    "q144_supplier_concentration",
+    """
+    WITH rev AS (
+      SELECT year(l_shipdate) AS yr, l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT yr, round(sum(r), 2) AS t, count(*) AS n_suppliers
+      FROM rev GROUP BY yr)
+    SELECT rev.yr, n_suppliers,
+           floor(sum((r / t) * (r / t)) * 10000000) / 1000.0 AS hhi
+    FROM rev JOIN tot USING (yr)
+    WHERE t > 0
+    GROUP BY rev.yr, n_suppliers
+    """,
+    doc="HHI per ship year: squared revenue shares summed -- the "
+    "concentration metric regulators use (x10000 scale; 1/n at perfect "
+    "competition). Shares derive from 2-decimal-rounded sums so both "
+    "engines square identical doubles; the cross-share sum is truncated "
+    "at 1e-3 of the 10000 scale, far above summation-order noise. Two "
+    "hash aggregates; the per-year totals broadcast back.",
+)
+def q144_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    rev = li.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_suppkey"
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("r")
+    )
+    tot = rev.groupBy("yr").agg(
+        F.round(F.sum("r"), 2).alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share2 = (F.col("r") / F.col("t")) * (F.col("r") / F.col("t"))
+    return (
+        rev.join(F.broadcast(tot), "yr")
+        .filter(F.col("t") > 0)
+        .groupBy("yr", "n_suppliers")
+        .agg((F.floor(F.sum(share2) * 10000000) / 1000.0).alias("hhi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law screening on order values: the first-digit distribution of
+# organic money amounts follows log10(1 + 1/d) -- deviations flag synthetic
+# or manipulated data (the audit/forensics standard).
+# ---------------------------------------------------------------------------
+@register(
+    "q145_benford_order_values",
+    """
+    WITH digits AS (
+      -- floor before the int cast: DuckDB CAST(double AS BIGINT)
+      -- ROUNDS while Spark's cast truncates (8999.9 -> 9000 vs 8999)
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+    c AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+    SELECT d, CAST(n AS BIGINT) AS n,
+           floor((n / CAST(t AS DOUBLE)) * 1000000) / 1000000.0 AS share_t,
+           floor(log10(1.0 + 1.0 / d) * 1000000) / 1000000.0 AS benford_t,
+           floor(abs(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d))
+                 * 1000000) / 1000000.0 AS abs_dev_t
+    FROM c CROSS JOIN tot
+    """,
+    doc="first-digit (Benford) screen on order values: digit from the "
+    "integer part's decimal rendering (exact -- no float formatting "
+    "ambiguity; sub-1 and NULL amounts excluded on both sides), "
+    "expected share log10(1+1/d) computed from identical rationals "
+    "(q73 log discipline), shares and deviations floor-truncated. One "
+    "narrow projection + one tiny aggregate -- a full-corpus data-"
+    "quality screen at scan cost.",
+)
+def q145_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") >= 1)
+    )
+    d = F.substring(
+        F.col("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = orders.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    share = F.col("n") / F.col("t").cast("double")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(share * 1000000) / 1000000).alias("share_t"),
+        (F.floor(benford * 1000000) / 1000000).alias("benford_t"),
+        (F.floor(F.abs(share - benford) * 1000000) / 1000000).alias(
+            "abs_dev_t"
+        ),
+    )
