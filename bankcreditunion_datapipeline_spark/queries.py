@@ -6711,3 +6711,71 @@ def q145_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_dev_t"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis: how many customers cover 80% of a year's revenue?
+# ---------------------------------------------------------------------------
+@register(
+    "q146_revenue_pareto",
+    """
+    WITH rev AS (
+      SELECT year(o_orderdate) AS yr, o_custkey,
+             round(sum(o_totalprice), 2) AS r
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT yr, o_custkey, r,
+             sum(r) OVER (PARTITION BY yr
+                          ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(r) OVER (PARTITION BY yr) AS tot,
+             count(*) OVER (PARTITION BY yr) AS n_cust
+      FROM rev),
+    hit AS (
+      SELECT yr, n_cust, cum, tot FROM ranked
+      WHERE 10 * cum >= 8 * tot)
+    SELECT yr,
+           CAST(min(n_cust) AS BIGINT) AS n_customers,
+           CAST(min(n_cust) - count(*) + 1 AS BIGINT) AS n_top,
+           floor((min(cum) / min(tot)) * 1000000) / 1000000.0 AS top_share_t
+    FROM hit GROUP BY yr
+    """,
+    doc="ABC/Pareto cut per order year: rank customers by revenue desc "
+    "(unique-key tiebreak), running share until the 80% line, report the "
+    "head count (n_cust - |crossing set| + 1: every row past the first "
+    "crossing also crosses, since cum is monotone) and the exact share "
+    "at the crossing. The crossing test is the INTEGER-SCALED inequality "
+    "10*cum >= 8*tot over 2-decimal sums -- no float threshold to flip; "
+    "the share itself floor-truncates.",
+)
+def q146_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    rev = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("r"))
+    w_cum = (
+        Window.partitionBy("yr")
+        .orderBy(F.desc("r"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("yr")
+    ranked = rev.select(
+        "yr",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    hit = ranked.filter(10 * F.col("cum") >= 8 * F.col("tot"))
+    return hit.groupBy("yr").agg(
+        F.min("n_cust").cast("long").alias("n_customers"),
+        (F.min("n_cust") - F.count(F.lit(1)) + 1).cast("long").alias("n_top"),
+        (F.floor((F.min("cum") / F.min("tot")) * 1000000) / 1000000).alias(
+            "top_share_t"
+        ),
+    )
