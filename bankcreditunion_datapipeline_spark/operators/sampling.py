@@ -260,10 +260,12 @@ def pack_sequences(
         base.join(F.broadcast(offsets), "__bkt")
         .withColumn("__cum", F.col("__off") + F.sum("__nt").over(cum_w))
         .withColumn(
+            # Pure long arithmetic: a double division here silently loses
+            # integer precision once cumulative token offsets pass 2^53
+            # (real at 100 TB corpus scale) and can misassign sequence
+            # ids. Offsets are non-negative, so `div` == floor division.
             seq_col,
-            F.floor((F.col("__cum") - F.col("__nt")) / F.lit(float(seq_len))).cast(
-                "long"
-            ),
+            F.expr(f"(__cum - __nt) div {int(seq_len)}").cast("long"),
         )
         .drop("__ok", "__bkt", "__off", "__cum", "__nt")
     )

@@ -247,12 +247,20 @@ def label_centroids(
     engine-portable constant: float summation order across rows differs
     between engines/partitionings by ~1e-16, and rounding far above that
     noise floor makes downstream distance math reproducible.
+
+    NULL labels name no centroid: the NULL group is dropped at the
+    source. Otherwise kmeans_assign can emit cell=NULL assignments,
+    which a partitionBy('cell') index write routes to the default
+    partition that probe-time `cell.isin(...)` can never match (NULL
+    fails isin) -- indexed vectors would become silently unsearchable
+    (and the phantom centroid could eat an nprobe slot). Same contract
+    pq_subspace_codebooks applies to its codebook codes.
     """
     aggs = [
         F.round(F.avg(F.col(vec_col).getItem(i).cast("double")), decimals).alias(f"_c{i}")
         for i in range(dim)
     ]
-    cent = df.groupBy(label_col).agg(*aggs)
+    cent = df.filter(F.col(label_col).isNotNull()).groupBy(label_col).agg(*aggs)
     return cent.select(
         F.col(label_col).alias("centroid_label"),
         F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
@@ -291,6 +299,10 @@ def kmeans_assign(
     left = df.filter(F.col(vec_col).isNotNull()).select(
         id_col, *keep_cols, vec_col, dot(F.col(vec_col), F.col(vec_col)).alias("__a_sq")
     )
+    # Defensive twin of the label_centroids contract: a NULL-labeled
+    # centroid would assign cell=NULL (unsearchable under partition
+    # pruning) and NULL poisons the argmin struct ordering.
+    centroids = centroids.filter(F.col("centroid_label").isNotNull())
     cent = centroids.select(
         "centroid_label",
         "centroid",
@@ -625,14 +637,25 @@ def pq_encode_arrow(
                 continue
             vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             outs = []
+            scale = 10.0 ** decimals
             for si, s in enumerate(subs):
                 v = vecs[:, s * d0 : (s + 1) * d0]
-                d2 = np.round(
+                raw = (
                     (v * v).sum(axis=1)[:, None]
                     - 2.0 * (v @ mats[si].T)
-                    + csq[si][None, :],
-                    decimals,
+                    + csq[si][None, :]
                 )
+                # HALF_UP (away from zero), matching F.round / the DuckDB
+                # oracle -- np.round is half-to-even and would flip a code
+                # whenever a distance lands exactly on a .5e-6 boundary.
+                # (Residual caveat shared with any binary-double rounding:
+                # Spark rounds the shortest DECIMAL repr, so a distance
+                # whose binary double sits epsilon below a decimal .5
+                # boundary could still differ; the identity's inputs are
+                # 1e-6-rounded centroids so boundary landings are
+                # measure-zero, and the encoder-equality test pins it.)
+                sc = raw * scale
+                d2 = np.where(sc >= 0, np.floor(sc + 0.5), -np.floor(0.5 - sc)) / scale
                 j = np.argmin(d2, axis=1)
                 out = pdf[cols].copy()
                 out["sub"] = np.int32(s)

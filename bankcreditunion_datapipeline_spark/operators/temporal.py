@@ -379,6 +379,14 @@ def ewma_by_key(
     pure IEEE arithmetic in recursion order, so any engine replaying the
     same recursion (e.g. a SQL recursive CTE) reproduces the values
     bit-for-bit -- the oracle technique behind q143.
+
+    NULL contract: a NULL observation is NO observation -- it gets a
+    NULL smoothed value and the recursion state carries unchanged to the
+    next non-null point (never ``astype(float)`` first: that turns NULL
+    into NaN and one NaN poisons every subsequent smoothed value for the
+    key, which is neither SQL's NULL propagation nor a defensible
+    estimate). Mirrored in the q143 oracle by running the recursive CTE
+    over the non-null rows and left-joining the NULL rows back.
     """
     import pandas as pd
 
@@ -392,9 +400,13 @@ def ewma_by_key(
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
         s = None
         acc = []
-        for v in pdf[value_col].astype(float):
-            s = v if s is None else alpha * v + (1.0 - alpha) * s
-            acc.append(s)
+        for v in pdf[value_col]:
+            if pd.isna(v):
+                acc.append(None)
+            else:
+                v = float(v)
+                s = v if s is None else alpha * v + (1.0 - alpha) * s
+                acc.append(s)
         pdf[out] = acc
         return pdf[[key_col, order_col, value_col, out]]
 

@@ -4761,7 +4761,8 @@ _KM_DIMS = ",\n             ".join(
     WITH cent AS (
       SELECT label AS clabel,
              [{_KM_DIMS}]::DOUBLE[] AS centroid
-      FROM embeddings GROUP BY label),
+      -- NULL labels name no centroid (label_centroids contract)
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label),
     d AS (
       SELECT e.vec_id, e.label, c.clabel,
              round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
@@ -6106,7 +6107,8 @@ def q136_order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
       SELECT label AS code,
              [{_KM_DIMS}]::DOUBLE[] AS centroid
-      FROM embeddings GROUP BY label),
+      -- NULL labels name no centroid (label_centroids contract)
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label),
     cb AS (
       -- pq_subspace_codebooks excludes NULL-labeled centroids
       SELECT code, s.sub,
@@ -6196,7 +6198,8 @@ def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
       SELECT label AS code,
              [{_KM_DIMS}]::DOUBLE[] AS centroid
-      FROM embeddings GROUP BY label),
+      -- NULL labels name no centroid (label_centroids contract)
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label),
     ex AS (
       SELECT vec_id, label,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
@@ -6729,12 +6732,22 @@ def q145_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT yr, o_custkey, r,
              sum(r) OVER (PARTITION BY yr
                           ORDER BY r DESC, o_custkey
-                          ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(r) OVER (PARTITION BY yr) AS tot,
-             count(*) OVER (PARTITION BY yr) AS n_cust
+                          ROWS UNBOUNDED PRECEDING) AS cum
       FROM rev),
+    -- tot = the LAST value of the pinned-order running sum, so both
+    -- sides of the 80% inequality come from the identical summation
+    -- order (a bare sum() OVER (PARTITION BY) may fold in any order
+    -- and could flip a crossing row that lands exactly on the line)
+    rtot AS (
+      SELECT yr, cum,
+             last_value(cum) OVER (PARTITION BY yr
+                          ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS tot,
+             count(*) OVER (PARTITION BY yr) AS n_cust
+      FROM ranked),
     hit AS (
-      SELECT yr, n_cust, cum, tot FROM ranked
+      SELECT yr, n_cust, cum, tot FROM rtot
       WHERE 10 * cum >= 8 * tot)
     SELECT yr,
            CAST(min(n_cust) AS BIGINT) AS n_customers,
@@ -6765,13 +6778,21 @@ def q146_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.partitionBy("yr")
-    ranked = rev.select(
+    ranked = rev.select("yr", "o_custkey", "r", F.sum("r").over(w_cum).alias("cum"))
+    # tot from the LAST cum in the same pinned order as cum itself --
+    # identical summation order on both sides of the crossing inequality
+    w_full = (
+        Window.partitionBy("yr")
+        .orderBy(F.desc("r"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rtot = ranked.select(
         "yr",
-        F.sum("r").over(w_cum).alias("cum"),
-        F.sum("r").over(w_all).alias("tot"),
+        "cum",
+        F.last("cum").over(w_full).alias("tot"),
         F.count(F.lit(1)).over(w_all).alias("n_cust"),
     )
-    hit = ranked.filter(10 * F.col("cum") >= 8 * F.col("tot"))
+    hit = rtot.filter(10 * F.col("cum") >= 8 * F.col("tot"))
     return hit.groupBy("yr").agg(
         F.min("n_cust").cast("long").alias("n_customers"),
         (F.min("n_cust") - F.count(F.lit(1)) + 1).cast("long").alias("n_top"),

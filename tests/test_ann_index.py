@@ -103,3 +103,30 @@ def test_incremental_append_equals_full_build(spark, tmp_path):
         .drop("codes").collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_null_label_rows_never_create_unsearchable_cells(spark, tmp_path):
+    """NULL labels name no centroid (label_centroids contract): without
+    the filter, kmeans_assign emits cell=NULL rows that partitionBy woud
+    write to the Hive default partition -- unreachable by the probe's
+    cell.isin(...), i.e. silently unsearchable vectors."""
+    import os
+
+    emb = read_testdata(spark, SF, "embeddings")
+    with_null_labels = emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(F.col("label")),
+    )
+    idx = str(tmp_path / "ann_null")
+    build_ann_index(with_null_labels, idx, keep_cols=["label"])
+
+    # no default-partition directory: every vector landed in a real cell
+    cells = [
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("cell=")
+    ]
+    assert not any("HIVE_DEFAULT" in d for d in cells), cells
+    n_indexed = spark.read.parquet(f"{idx}/vectors").count()
+    assert n_indexed == with_null_labels.filter(F.col("embedding").isNotNull()).count()
+    # and no NULL-label centroid survives to eat an nprobe slot
+    cent = spark.read.parquet(f"{idx}/centroids")
+    assert cent.filter(F.col("centroid_label").isNull()).count() == 0

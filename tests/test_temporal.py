@@ -283,3 +283,23 @@ def test_ewma_by_key_recursion_and_layout_independence(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_ewma_null_values_skip_not_poison(spark):
+    """A NULL observation is no observation: NULL smoothed value, state
+    carries to the next non-null point (regression: astype(float) turned
+    NULL into NaN and NaN-poisoned the rest of the key's series)."""
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        ewma_by_key,
+    )
+
+    rows = [("a", 0, 10.0), ("a", 1, None), ("a", 2, 20.0), ("n", 0, None)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_by_key(df, "k", "t", "v", alpha=0.5).collect()
+    }
+    assert got[("a", 0)] == 10.0
+    assert got[("a", 1)] is None  # not NaN
+    assert got[("a", 2)] == 15.0  # 0.5*20 + 0.5*10: state skipped the NULL
+    assert got[("n", 0)] is None  # all-NULL series stays NULL
