@@ -135,6 +135,51 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(n > 0, F.array_distinct(sh))
 
 
+def word_shingles_flat(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """FLAT (id, __s) word-k-shingle rows -- the same shingle STRINGS as
+    `word_shingles` (whitespace tokens, lowercased; docs with fewer than
+    k tokens contribute their whole text as one shingle; NULL/empty
+    docs contribute nothing) built relationally: posexplode tokens +
+    two lead()s over a per-doc window, instead of an array-HOF
+    transform(slice+concat_ws) that evaluates interpreted per shingle
+    (measured ~6s vs ~1s over 260k shingles at sf0.1). May emit
+    duplicate shingles where word_shingles dedupes; every downstream
+    consumer (min-family signatures, distinct verify sets) is
+    duplicate-insensitive, so callers that need per-doc distinctness
+    must apply it themselves.
+    """
+    from pyspark.sql.window import Window
+
+    assert k >= 2
+    toks = df.select(
+        F.col(id_col),
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+        ).alias("__tk"),
+    ).withColumn("__n", F.size("__tk"))
+    flat = toks.filter(F.col("__n") >= k).select(
+        F.col(id_col), "__n", F.posexplode("__tk").alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    main = (
+        flat.withColumn(
+            "__s",
+            F.concat_ws(
+                " ", "__tok", *[F.lead("__tok", j).over(w) for j in range(1, k)]
+            ),
+        )
+        .filter(F.col("__pos") <= F.col("__n") - k)
+        .select(F.col(id_col), "__s")
+    )
+    short = (
+        toks.filter((F.col("__n") > 0) & (F.col("__n") < k))
+        .select(F.col(id_col), F.concat_ws(" ", "__tk").alias("__s"))
+    )
+    return main.unionByName(short)
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature (array<long>, length num_hashes).
 
@@ -157,6 +202,63 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Colum
             F.array_min(F.transform(hashes, lambda h, i=i: F.xxhash64(F.lit(i), h)))
             for i in range(num_hashes)
         ]
+    )
+
+
+def portable_minhash_signatures(
+    flat: DataFrame, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """(id, __sig) MinHash signatures over a FLAT (id, __h) table of
+    md5-hex base digests, using the portable md5 family that a SQL
+    oracle can replay term for term -- the verifiability path behind
+    q21.
+
+    Family mapping: salt i yields TWO signature terms from one digest --
+    sig[2i]   = md5("i:<h>") hex chars [1..15]   (min over shingles)
+    sig[2i+1] = md5("i:<h>") hex chars [17..31]  (min over shingles)
+    (one md5 = two independent 60-bit lanes; halves the digest count).
+    Family inputs are the 32-char base digest plus a short salt, so k
+    functions never re-scan shingle bytes.
+
+    Plan shape: explode to (id, salt, h) rows and hash ONE digest per
+    row, NOT num_hashes expressions in one projection -- a 32-wide md5
+    projection blows past the whole-stage-codegen method budget and the
+    stage falls back interpreted (measured 10.2s vs ~1s for the same
+    digest count on this corpus). Two-level grouped mins (partial
+    map-side combine both times), then one ordered reassembly into the
+    signature array."""
+    assert num_hashes % 2 == 0, "two lanes per digest: num_hashes must be even"
+    n_salts = num_hashes // 2
+    # Lanes stay 15-char lowercase-hex STRINGS: fixed-width hex compares
+    # lexicographically == numerically on both engines (binary collation),
+    # so no hex->long conversion is ever needed -- F.conv measured ~3s
+    # for 8M calls on this corpus, pure overhead.
+    lanes = flat.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__i"),
+        F.col("__h"),
+    ).select(
+        id_col,
+        "__i",
+        F.md5(
+            F.concat(F.col("__i").cast("string"), F.lit(":"), F.col("__h"))
+        ).alias("__m"),
+    ).select(
+        id_col,
+        "__i",
+        F.substring("__m", 1, 15).alias("__l0"),
+        F.substring("__m", 17, 15).alias("__l1"),
+    )
+    mins = lanes.groupBy(id_col, "__i").agg(
+        F.min("__l0").alias("__m0"), F.min("__l1").alias("__m1")
+    )
+    return mins.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__m0", "__m1"))),
+                lambda s: F.array(s["__m0"], s["__m1"]),
+            )
+        ).alias("__sig")
     )
 
 
@@ -234,21 +336,30 @@ def with_minhash(
 
 
 def lsh_band_table(
-    df: DataFrame, id_col: str, sig_col: str = "minhash", bands: int = 8
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 8,
+    band_hasher=None,
 ) -> DataFrame:
     """Explode a minhash signature into (id, band_id, band_hash) rows.
 
     Two documents share a bucket iff one band of their signatures matches
     exactly -- the classic (b bands x r rows) S-curve. Bucket key is a
     single long, so the subsequent self-join shuffles 16-byte keys only.
+
+    `band_hasher` (Column -> Column over the joined band string) defaults
+    to xxhash64; the portable q21 path passes functions.hashing.md5lane.
     """
+    if band_hasher is None:
+        band_hasher = F.xxhash64
     sig = F.col(sig_col)
     r = F.size(sig) / bands  # rows per band (validated by caller)
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band_id"),
-            F.xxhash64(
+            band_hasher(
                 F.concat_ws(",", F.transform(F.slice(sig, (b * r + 1).cast("int"), r.cast("int")), lambda x: x.cast("string")))
             ).alias("band_hash"),
         ),
@@ -295,33 +406,74 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band ->
     bucket-join -> exact-Jaccard verify. Returns (id_a, id_b, jaccard_sim)
     for verified pairs; only candidate pairs are ever compared exactly.
+
+    ``hash`` picks the lane: "xxhash64" (default -- fastest, Arrow-batched
+    splitmix64 family, the 100 TB path) or "md5" (functions/hashing.py
+    60-bit md5 lanes + md5-derived family/band keys, every term replayable
+    in DuckDB SQL -- the hash-verifiable path graded by q21). Identical
+    pipeline shape either way; only the lane functions differ.
+
+    The verify threshold is applied as an INTEGER inequality
+    (den*inter >= num*union with num/den = round(threshold*10000)/10000),
+    so the cut can't float-flip; jaccard_sim is reported floor-truncated
+    at 1e-6 (the engine-portable division discipline, SCALE.md).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
+    assert hash in ("xxhash64", "md5")
     # One narrow pass computes shingles + signature; persisted because three
     # downstream branches (band table, verify-a, verify-b) would otherwise
     # re-shingle the corpus. At 100 TB this is a checkpointed table.
-    shingled = (
-        ensure_min_partitions(df)
-        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh"))
-        .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
-        .select(id_col, "__hashes")
-    )
-    sigs = attach_minhash_from_hashes(shingled, "__hashes", num_hashes, "__sig").persist()
-    bands_t = lsh_band_table(sigs, id_col, "__sig", bands)
+    if hash == "md5":
+        # Flat-table pipeline: relational shingling (word_shingles_flat),
+        # full-hex md5 base digests on a flat string column (whole-stage
+        # codegen; the array-HOF transform evaluates interpreted),
+        # signatures via the two-level grouped mins in
+        # portable_minhash_signatures, verify arrays reassembled by one
+        # collect_list. Band keys are md5 hex of the joined band string.
+        # Docs with empty/NULL text contribute no shingle rows -- same
+        # exclusion as the xxhash64 path's NULL-signature filter.
+        band_hasher = F.md5
+        flat = (
+            word_shingles_flat(ensure_min_partitions(df), id_col, text_col, shingle_k)
+            .select(F.col(id_col), F.md5(F.col("__s")).alias("__h"))
+            .persist()
+        )
+        bands_src = portable_minhash_signatures(flat, id_col, num_hashes)
+        sigs = flat.groupBy(id_col).agg(F.collect_list("__h").alias("__hashes"))
+    else:
+        band_hasher = F.xxhash64
+        shingled = (
+            ensure_min_partitions(df)
+            .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+            .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+            .select(id_col, "__hashes")
+        )
+        sigs = attach_minhash_from_hashes(shingled, "__hashes", num_hashes, "__sig").persist()
+        bands_src = sigs.filter(F.col("__sig").isNotNull())
+    bands_t = lsh_band_table(bands_src, id_col, "__sig", bands, band_hasher)
     cands = candidate_pairs(bands_t, id_col)
     # Verify on the hashed shingle sets (longs), not the string arrays --
-    # same Jaccard (xxhash64 is injective in practice), smaller rows.
+    # same Jaccard (the 60+-bit lanes are injective in practice), smaller rows.
+    num = int(round(threshold * 10000))
     a = sigs.select(F.col(id_col).alias("id_a"), F.array_distinct("__hashes").alias("__h_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.array_distinct("__hashes").alias("__h_b"))
+    n_inter = F.size(F.array_intersect(F.col("__h_a"), F.col("__h_b")))
+    n_union = F.size(F.array_union(F.col("__h_a"), F.col("__h_b")))
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("__h_a"), F.col("__h_b")), 6))
-        .filter(F.col("jaccard_sim") >= threshold)
+        .withColumn("__ni", n_inter)
+        .withColumn("__nu", n_union)
+        .filter(10000 * F.col("__ni") >= num * F.col("__nu"))
+        .withColumn(
+            "jaccard_sim",
+            F.floor(F.col("__ni").cast("long") * 1000000 / F.col("__nu")) / 1000000,
+        )
         .select("id_a", "id_b", "jaccard_sim")
     )
     return verified
@@ -444,21 +596,34 @@ def simhash(text: Column, prefix_bits: int = 16) -> Column:
 
 
 def attach_simhash(
-    df: DataFrame, id_col: str, text_col: str, out: str = "__sim"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "__sim",
+    token_hasher=None,
+    bits: int = 64,
 ) -> DataFrame:
     """(id, simhash) via the Arrow-batched scale path. Tokenization and the
     one string hash stay JVM-side (identical to `simhash`: distinct
-    whitespace tokens -> xxhash64); the 64-bit majority vote runs as
-    vectorized numpy over the batch's concatenated token hashes (one
-    add.reduceat per bit) instead of a 64-wide interpreted zip_with per
-    token. Bit-identical to the expression form: bit b set iff strictly
-    more token hashes have bit b set than clear."""
+    whitespace tokens -> xxhash64 by default); the `bits`-wide majority
+    vote runs as vectorized numpy over the batch's concatenated token
+    hashes (one add.reduceat per bit) instead of a wide interpreted
+    zip_with per token. Bit-identical to the expression form: bit b set
+    iff strictly more token hashes have bit b set than clear.
+
+    The portable q22 path passes token_hasher=functions.hashing.md5lane
+    with bits=60: 60-bit lanes are non-negative longs whose per-bit
+    extraction ((h >> b) & 1) a DuckDB oracle replays without sign-bit
+    casework, so the whole signature is SQL-twinnable."""
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if token_hasher is None:
+        token_hasher = F.xxhash64
+    assert 0 < bits <= 64
     tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     hashed = df.select(
-        F.col(id_col), F.transform(tokens, lambda t: F.xxhash64(t)).alias("__th")
+        F.col(id_col), F.transform(tokens, lambda t: token_hasher(t)).alias("__th")
     )
     schema = StructType([hashed.schema[id_col], StructField(out, LongType())])
 
@@ -487,7 +652,7 @@ def attach_simhash(
             if len(starts):
                 vlens = lens[valid].astype(np.int64)
                 packed = np.zeros(len(starts), dtype=np.uint64)
-                for b in range(64):
+                for b in range(bits):
                     ones = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
                     counts = np.add.reduceat(ones, starts)
                     packed |= (2 * counts > vlens).astype(np.uint64) << np.uint64(b)
@@ -505,17 +670,31 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole blocking: hamming(a,b) <= k
     implies at least one of (k+1) signature chunks matches exactly, so the
     join is an equi-join on (chunk_id, chunk_value) -- never a cross join.
     Returns (id_a, id_b, hamming) verified pairs.
+
+    ``hash``: "xxhash64" (64-bit signature, fastest) or "md5" (60-bit
+    portable lanes, every bit-vote replayable in DuckDB SQL -- the q22
+    graded path; see functions/hashing.py).
     """
     assert chunks > max_hamming, "need chunks > max_hamming for pigeonhole completeness"
-    bits_per = 64 // chunks
+    assert hash in ("xxhash64", "md5")
+    if hash == "md5":
+        from ..functions.hashing import md5lane
+
+        token_hasher, bits = md5lane, 60
+    else:
+        token_hasher, bits = F.xxhash64, 64
+    bits_per = bits // chunks
     # persist: the signature feeds both join sides; recomputing it doubles
     # the dominant cost.
-    sigd = attach_simhash(ensure_min_partitions(df), id_col, text_col, "__sim").persist()
+    sigd = attach_simhash(
+        ensure_min_partitions(df), id_col, text_col, "__sim", token_hasher, bits
+    ).persist()
     chunk_structs = F.array(
         *[
             F.struct(

@@ -684,32 +684,163 @@ def q20_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup detection (rows-only checks: hash families differ across engines;
-# correctness is pytest-verified against brute-force ground truth instead).
+# Near-dup detection. Graded on the PORTABLE md5-lane hash (functions/
+# hashing.py): both engines implement md5 over identical UTF-8 bytes, so
+# every MinHash signature term, LSH band key, and SimHash bit-vote is
+# replayable in DuckDB SQL -- full value-hash oracles for what were
+# rows-only queries through r4. hash="xxhash64" remains the production
+# lane (same pipeline, faster hash; recall asserted vs exact ground truth
+# in tests/test_dedup.py).
 # ---------------------------------------------------------------------------
+_Q21_HASHES, _Q21_BANDS = 32, 16
+
+
+def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
+    """Replays the md5-lane MinHash-LSH pipeline in DuckDB: word
+    3-shingles (distinct, whitespace-tokenized, empty docs -> no rows,
+    mirroring word_shingles' NULL contract), full-hex md5 base digests,
+    the md5-derived two-lane hash family ("i:<digest>" re-hash), (b x r)
+    hex band keys, the
+    bucket self-join, and the exact-Jaccard verify on distinct digest
+    sets with the 10000-scaled integer threshold and 1e-6 floor
+    truncation -- term-for-term identical hex strings, so the value
+    hash must match."""
+    r = num_hashes // bands
+    # family mapping = portable_minhash_signatures: salt i contributes
+    # sig[2i] (digest hex[1..15]) and sig[2i+1] (hex[17..31]); lanes
+    # stay 15-char hex STRINGS (fixed-width hex: lexicographic min ==
+    # numeric min on both engines, no hex->int conversion to diverge on)
+    terms = []
+    for i in range(num_hashes // 2):
+        dig = f"md5('{i}:'||x)"
+        for off in (1, 17):
+            terms.append(
+                f"list_min(list_transform(h, x -> substr({dig},{off},15)))"
+            )
+    sig_terms = ",\n         ".join(terms)
+    band_str = (
+        f"array_to_string(list_transform(list_slice(sg, band_id*{r}+1, "
+        f"band_id*{r}+{r}), x -> CAST(x AS VARCHAR)), ',')"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+      FROM toks WHERE len(tk) > 0),
+    hs AS (
+      SELECT doc_id, list_transform(s, x -> md5(x)) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+         [{sig_terms}] AS sg
+      FROM hs),
+    bandt AS (
+      SELECT doc_id, b.band_id,
+             md5({band_str}) AS band_hash
+      FROM sig, unnest(range(0, {bands})) AS b(band_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandt a JOIN bandt b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id),
+    hd AS (SELECT doc_id, list_distinct(h) AS hd FROM hs),
+    ver AS (
+      SELECT id_a, id_b,
+             len(list_intersect(ha.hd, hb.hd)) AS ni,
+             len(list_distinct(ha.hd || hb.hd)) AS nu
+      FROM cand
+      JOIN hd ha ON ha.doc_id = cand.id_a
+      JOIN hd hb ON hb.doc_id = cand.id_b)
+    SELECT id_a, id_b,
+           floor(ni * 1000000 / nu) / 1000000.0 AS jaccard_sim
+    FROM ver WHERE 10000 * ni >= 4000 * nu
+    """
+
+
 @register(
     "q21_minhash_near_dups",
-    None,
+    _q21_oracle(),
     doc="MinHash+LSH near-dup pairs: shingle -> signature -> band bucket-join -> "
-    "exact-Jaccard verify; pairwise work bounded to LSH candidates.",
+    "exact-Jaccard verify; pairwise work bounded to LSH candidates. Graded on "
+    "the portable md5 lane (full oracle since r5; xxhash64 is the production "
+    "lane, recall-tested vs q82's exact ground truth).",
 )
 def q21_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_near_dup_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, threshold=0.4, num_hashes=32, bands=16)
+    return minhash_near_dup_pairs(
+        docs, threshold=0.4, num_hashes=_Q21_HASHES, bands=_Q21_BANDS, hash="md5"
+    )
+
+
+def _q22_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:
+    """Replays the md5-lane SimHash in DuckDB: distinct whitespace tokens
+    (NO empty-token removal -- simhash keeps ''-token docs, only NULL
+    text is excluded, mirroring attach_simhash), 60-bit lanes, per-bit
+    majority votes via one unnest + grouped sum, pigeonhole chunk
+    equi-join, hamming <= k verify on bit_count(xor)."""
+    from .functions.hashing import duck_md5lane
+
+    bits_per = bits // chunks
+    mask = (1 << bits_per) - 1
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+      FROM documents WHERE text IS NOT NULL),
+    th AS (
+      SELECT doc_id, list_transform(tk, t -> {duck_md5lane('t')}) AS h
+      FROM toks),
+    tokh AS (SELECT doc_id, unnest(h) AS x FROM th),
+    votes AS (
+      SELECT doc_id, b.b AS bit,
+             sum((x >> CAST(b.b AS INT)) & 1) AS ones,
+             count(*) AS n
+      FROM tokh, unnest(range(0, {bits})) AS b(b)
+      GROUP BY doc_id, b.b),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN 2 * ones > n
+                      THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                      ELSE 0 END) AS BIGINT) AS s
+      FROM votes GROUP BY doc_id),
+    ch AS (
+      SELECT doc_id, s, c.c AS chunk_id,
+             (s >> CAST(c.c * {bits_per} AS INT)) & {mask} AS chunk_val
+      FROM sig, unnest(range(0, {chunks})) AS c(c)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+      FROM ch a JOIN ch b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.s, b.s)) <= {max_hamming})
+    SELECT id_a, id_b, hamming FROM cand
+    """
 
 
 @register(
     "q22_simhash_near_dups",
-    None,
-    doc="SimHash near-dups with pigeonhole chunk blocking (hamming<=3 over 64 bits).",
+    _q22_oracle(),
+    doc="SimHash near-dups with pigeonhole chunk blocking (hamming<=3, 4 chunks). "
+    "Graded on the portable 60-bit md5 lane (full oracle since r5): bit-votes, "
+    "chunk keys, and hamming verify replayed term-for-term in SQL.",
 )
 def q22_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dup_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3, chunks=4)
+    return simhash_near_dup_pairs(docs, max_hamming=3, chunks=4, hash="md5").withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 def _q23_oracle() -> str:

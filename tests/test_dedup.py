@@ -392,3 +392,81 @@ def test_exact_jaccard_max_doc_freq_caps_hot_grams(spark):
     assert ("d3", "d4") in uncapped and ("d3", "d4") not in capped
     for pair, n_inter in capped.items():
         assert n_inter <= uncapped[pair]
+
+
+def test_word_shingles_flat_matches_array_form(spark):
+    """The relational shingle builder (posexplode + lead window) emits
+    exactly the distinct shingle strings word_shingles produces, across
+    the n>=k, 0<n<k, empty, whitespace-only, and NULL-text regimes."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        word_shingles_flat,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "two words"),
+        (3, "one"),
+        (4, ""),
+        (5, "   \t  "),
+        (6, None),
+        (7, "a b c a b c a b c"),  # duplicate shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = {
+        (r["doc_id"], r["__s"])
+        for r in word_shingles_flat(df, "doc_id", "text", 3).collect()
+    }
+    want = set()
+    for r in df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).collect():
+        for s in r.sh or []:
+            want.add((r.doc_id, s))
+    # distinct flat shingles == the array form exactly (flat may repeat
+    # a shingle; the set of (doc, shingle) pairs must be identical)
+    assert flat == want
+
+
+def test_minhash_md5_lane_matches_xxhash_semantics(spark):
+    """The portable md5 lane finds the same verified near-dup pairs as
+    the production xxhash64 lane on high-similarity docs (verification
+    is exact Jaccard either way; only candidate recall could differ)."""
+    df = _docs(spark)
+    md5_pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_near_dup_pairs(
+            df, threshold=0.5, num_hashes=32, bands=16, hash="md5"
+        ).collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            df, threshold=0.5, num_hashes=32, bands=16, hash="xxhash64"
+        ).collect()
+    }
+    assert set(md5_pairs) == xx_pairs
+    # jaccard is exact (verification on full shingle-digest sets), so
+    # the reported sim for the exact-dup pair is 1.0
+    assert md5_pairs[(1, 6)] == 1.0
+
+
+def test_simhash_md5_lane_is_60_bit_and_finds_exact_dups(spark):
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        attach_simhash,
+    )
+    from bankcreditunion_datapipeline_spark.functions.hashing import md5lane
+
+    df = _docs(spark)
+    sigs = {
+        r["doc_id"]: r["__sim"]
+        for r in attach_simhash(df, "doc_id", "text", "__sim", md5lane, 60).collect()
+    }
+    assert all(0 <= s < (1 << 60) for s in sigs.values())  # 60-bit positive
+    assert sigs[1] == sigs[6]  # identical text -> identical signature
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            df, max_hamming=3, chunks=4, hash="md5"
+        ).collect()
+    }
+    assert pairs[(1, 6)] == 0
