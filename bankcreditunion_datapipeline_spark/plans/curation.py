@@ -47,6 +47,7 @@ def curate_documents(
     count_stages: bool = True,
     strip_boilerplate: bool = False,
     group_col: str = "source",
+    near_dup_hash: str = "xxhash64",
 ) -> CurationResult:
     """Run the curation funnel. `count_stages=False` skips the per-stage
     counts for production runs where only the final tables matter; the
@@ -139,8 +140,15 @@ def curate_documents(
 
     exact = stage("exact_dedup", exact_dedup_keep_min(trimmed, id_col, text_col))
 
+    # near_dup_hash="md5" swaps in the portable lane (functions/hashing)
+    # so the whole funnel is SQL-twinnable -- the q49 oracle; xxhash64
+    # stays the production default.
     pairs = minhash_near_dup_pairs(
-        exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+        exact,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=near_dup_threshold,
+        hash=near_dup_hash,
     )
     near = stage("near_dedup", drop_near_dups(exact, pairs, id_col))
 

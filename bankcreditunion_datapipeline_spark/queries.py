@@ -695,21 +695,25 @@ def q20_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q21_HASHES, _Q21_BANDS = 32, 16
 
 
-def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
-    """Replays the md5-lane MinHash-LSH pipeline in DuckDB: word
+def _minhash_md5_ctes(
+    src: str, num_hashes: int, bands: int, thr_num: int, prefix: str = "mh_"
+) -> str:
+    """CTE chain (no leading WITH) replaying the md5-lane MinHash-LSH
+    pipeline over a relation `src` exposing (doc_id, text): word
     3-shingles (distinct, whitespace-tokenized, empty docs -> no rows,
     mirroring word_shingles' NULL contract), full-hex md5 base digests,
     the md5-derived two-lane hash family ("i:<digest>" re-hash), (b x r)
-    hex band keys, the
-    bucket self-join, and the exact-Jaccard verify on distinct digest
-    sets with the 10000-scaled integer threshold and 1e-6 floor
-    truncation -- term-for-term identical hex strings, so the value
-    hash must match."""
+    hex band keys, the bucket self-join, and the exact-Jaccard verify on
+    distinct digest sets with the 10000-scaled integer threshold --
+    term-for-term identical hex strings vs minhash_near_dup_pairs(
+    hash="md5"). Final CTE `{prefix}pairs` has (id_a, id_b, ni, nu).
+
+    Family mapping = portable_minhash_signatures: salt i contributes
+    sig[2i] (digest hex[1..15]) and sig[2i+1] (hex[17..31]); lanes stay
+    15-char hex STRINGS (fixed-width hex: lexicographic min == numeric
+    min on both engines, no hex->int conversion to diverge on)."""
     r = num_hashes // bands
-    # family mapping = portable_minhash_signatures: salt i contributes
-    # sig[2i] (digest hex[1..15]) and sig[2i+1] (hex[17..31]); lanes
-    # stay 15-char hex STRINGS (fixed-width hex: lexicographic min ==
-    # numeric min on both engines, no hex->int conversion to diverge on)
+    p = prefix
     terms = []
     for i in range(num_hashes // 2):
         dig = f"md5('{i}:'||x)"
@@ -722,45 +726,51 @@ def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
         f"array_to_string(list_transform(list_slice(sg, band_id*{r}+1, "
         f"band_id*{r}+{r}), x -> CAST(x AS VARCHAR)), ',')"
     )
-    return f"""
-    WITH toks AS (
+    return f"""{p}toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                          t -> t <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
-    sh AS (
+      FROM {src} WHERE text IS NOT NULL),
+    {p}sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(tk) - 2, 1) + 1),
                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
-      FROM toks WHERE len(tk) > 0),
-    hs AS (
+      FROM {p}toks WHERE len(tk) > 0),
+    {p}hs AS (
       SELECT doc_id, list_transform(s, x -> md5(x)) AS h
-      FROM sh),
-    sig AS (
+      FROM {p}sh),
+    {p}sig AS (
       SELECT doc_id,
          [{sig_terms}] AS sg
-      FROM hs),
-    bandt AS (
+      FROM {p}hs),
+    {p}bandt AS (
       SELECT doc_id, b.band_id,
              md5({band_str}) AS band_hash
-      FROM sig, unnest(range(0, {bands})) AS b(band_id)),
-    cand AS (
+      FROM {p}sig, unnest(range(0, {bands})) AS b(band_id)),
+    {p}cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandt a JOIN bandt b
+      FROM {p}bandt a JOIN {p}bandt b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
       WHERE a.doc_id < b.doc_id),
-    hd AS (SELECT doc_id, list_distinct(h) AS hd FROM hs),
-    ver AS (
+    {p}hd AS (SELECT doc_id, list_distinct(h) AS hd FROM {p}hs),
+    {p}pairs AS (
       SELECT id_a, id_b,
              len(list_intersect(ha.hd, hb.hd)) AS ni,
              len(list_distinct(ha.hd || hb.hd)) AS nu
-      FROM cand
-      JOIN hd ha ON ha.doc_id = cand.id_a
-      JOIN hd hb ON hb.doc_id = cand.id_b)
+      FROM {p}cand
+      JOIN {p}hd ha ON ha.doc_id = {p}cand.id_a
+      JOIN {p}hd hb ON hb.doc_id = {p}cand.id_b
+      WHERE 10000 * len(list_intersect(ha.hd, hb.hd))
+            >= {thr_num} * len(list_distinct(ha.hd || hb.hd)))"""
+
+
+def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
+    return f"""
+    WITH {_minhash_md5_ctes('documents', num_hashes, bands, 4000)}
     SELECT id_a, id_b,
            floor(ni * 1000000 / nu) / 1000000.0 AS jaccard_sim
-    FROM ver WHERE 10000 * ni >= 4000 * nu
+    FROM mh_pairs
     """
 
 
@@ -1830,21 +1840,106 @@ def q48_p95_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Full curation funnel (composition of hygiene -> lang gate -> quality gate
-# -> p95 trim -> exact dedup -> near dedup -> split). Rows-only: lang-ID and
-# quality heuristics aren't SQL-portable; each underlying operator is
-# oracle-checked individually (q16/q18/q17/q48/q44/q21).
+# -> p95 trim -> exact dedup -> near dedup -> split). Full staged-CTE
+# oracle since r5: every stage was already individually oracle-backed
+# (q46/q18/q17/q48/q16/q44), and with the near-dup stage on the portable
+# md5 lane (q21's _minhash_md5_ctes) the COMPOSITION -- stage ordering
+# and funnel counts -- is hash-checked too, not just row-counted.
 # ---------------------------------------------------------------------------
+def _q49_oracle(min_quality: float = 0.2) -> str:
+    """Replays curate_documents stage for stage: clean_text regex chain
+    (the q46 twin), lang-id marker argmax over the CLEANED text (q18
+    twin; allowed_langs=None so the lang gate passes everything),
+    quality_score ((length-sweet-spot * alpha-ratio) * punct-penalty,
+    trunc6 -- pure IEEE over identical doubles), per-lang p95 length
+    trim with a NULL-safe lang join (q48 twin + the r4 silent-drop
+    fix), exact dedup keeping min doc_id per md5 digest, md5-lane
+    MinHash near-dedup at 0.7 (drop the greater id of each verified
+    pair), and the md5-bucket holdout split (q44 twin, rate 0.05)."""
+    clean = """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(text, '<[^>]+>', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+               '\\s+', ' ', 'g'))"""
+    g4 = "greatest(h_en, h_de, h_fr, h_es)"
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536"
+    )
+    return f"""
+    WITH cleaned AS (
+      SELECT doc_id, {clean} AS text FROM documents),
+    padded AS (
+      SELECT doc_id, text, length(text) AS n,
+             ' ' || lower(text) || ' ' AS p
+      FROM cleaned),
+    hits AS (
+      SELECT doc_id, text, n,
+             {_HITS['en']} AS h_en, {_HITS['de']} AS h_de,
+             {_HITS['fr']} AS h_fr, {_HITS['es']} AS h_es
+      FROM padded),
+    feat AS (
+      SELECT doc_id, text,
+             CASE WHEN h_en IS NULL THEN NULL
+                  WHEN {g4} = 0 THEN NULL
+                  WHEN h_fr = {g4} THEN 'fr'
+                  WHEN h_es = {g4} THEN 'es'
+                  WHEN h_en = {g4} THEN 'en'
+                  ELSE 'de' END AS lang,
+             floor(((least(n / 500.0, 1.0)
+               * (CASE WHEN n > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n
+                  ELSE 0.0 END))
+               * greatest(0.0, 1.0
+                 - (CASE WHEN n > 0
+                    THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0 / n
+                    ELSE 0.0 END) * 4)) * 1000000) / 1000000.0 AS q
+      FROM hits),
+    qual AS (SELECT doc_id, text, lang FROM feat WHERE q >= {min_quality}),
+    cut AS (
+      SELECT lang AS cl, quantile_cont(length(text), 0.95) AS c
+      FROM qual GROUP BY lang),
+    trimmed AS (
+      SELECT q.doc_id, q.text
+      FROM qual q JOIN cut ON q.lang IS NOT DISTINCT FROM cut.cl
+      WHERE length(q.text) <= cut.c),
+    keep AS (
+      SELECT md5(text) AS dg, min(doc_id) AS doc_id
+      FROM trimmed GROUP BY md5(text)),
+    exact AS (
+      SELECT t.doc_id, t.text FROM trimmed t
+      JOIN keep k ON md5(t.text) = k.dg AND t.doc_id = k.doc_id),
+    {_minhash_md5_ctes('exact', 32, 8, 7000, 'nd_')},
+    near AS (
+      SELECT e.doc_id FROM exact e
+      WHERE e.doc_id NOT IN (SELECT id_b FROM nd_pairs)),
+    held AS (SELECT count(*) AS h FROM near WHERE {bucket} < 3276),
+    nearn AS (SELECT count(*) AS nn FROM near)
+    SELECT stage, CAST(n_rows AS BIGINT) AS n_rows FROM (
+      SELECT 'input' AS stage, (SELECT count(*) FROM documents) AS n_rows
+      UNION ALL SELECT 'lang_gate', (SELECT count(*) FROM documents)
+      UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM qual)
+      UNION ALL SELECT 'length_gate', (SELECT count(*) FROM trimmed)
+      UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM exact)
+      UNION ALL SELECT 'near_dedup', (SELECT nn FROM nearn)
+      UNION ALL SELECT 'holdout', (SELECT h FROM held)
+      UNION ALL SELECT 'train', (SELECT nn FROM nearn) - (SELECT h FROM held))
+    """
+
+
 @register(
     "q49_curation_funnel",
-    None,
+    _q49_oracle(),
     doc="curate_documents end-to-end: per-stage surviving-row counts "
-    "(observable rejection); train/holdout hash-disjoint by construction.",
+    "(observable rejection); train/holdout hash-disjoint by construction. "
+    "Near-dedup runs the portable md5 lane so the full composition is "
+    "value-hash-checked against the staged-CTE oracle (since r5).",
 )
 def q49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.curation import curate_documents
 
     docs = t(spark, sf_dir, "documents")
-    res = curate_documents(docs, min_quality=0.2)
+    res = curate_documents(docs, min_quality=0.2, near_dup_hash="md5")
     rows = [(k, int(v)) for k, v in res.funnel.items()]
     return spark.createDataFrame(rows, "stage string, n_rows long")
 
