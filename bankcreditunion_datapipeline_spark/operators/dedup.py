@@ -776,6 +776,7 @@ def exact_jaccard_pairs(
     threshold_den: int = 100,
     k: int = 3,
     max_doc_freq: int | None = None,
+    max_pair_rows: int | None = 100_000_000,
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard pairs via an inverted-index self-join --
     the oracle-checkable ground truth that the LSH paths
@@ -797,6 +798,13 @@ def exact_jaccard_pairs(
       are all capped is missed, and surviving pairs' n_inter undercounts
       capped shared grams (never overcounts; n_union is unaffected), so
       reported jaccard_sim is a lower bound. Default None stays exact.
+    - `max_pair_rows` (DEFAULT ON, 1e8): fail-loud budget on the total
+      self-join output, computed exactly from the df table already built
+      for the prune (sum of df*(df-1)/2 over eligible grams). Exactness
+      is never silently traded away -- a heavy-tailed corpus aborts at
+      execution time with the choices spelled out (cap / raise budget /
+      switch to LSH) instead of melting on the hottest posting list.
+      None disables (the unguarded pre-r5 behavior).
 
     The doc-frequency aggregation and the self-join shuffle on the same
     key (the gram hash), so the prune costs one extra hash aggregate on
@@ -823,6 +831,46 @@ def exact_jaccard_pairs(
     eligible = freq.filter(F.col("__df") >= 2)
     if max_doc_freq is not None:
         eligible = eligible.filter(F.col("__df") <= max_doc_freq)
+    if max_pair_rows is not None:
+        # Default heavy-tail guard (fail-loud, exactness-preserving): on a
+        # real heavy-tailed corpus one hot posting list generates
+        # m*(m-1)/2 join rows and melts the job; rather than silently
+        # running it, compute the exact pair-row total from the df table
+        # the prune already built (one extra agg on the exchange the join
+        # needs anyway) and abort AT EXECUTION TIME with the knob to turn.
+        # Lazy: assert_true rides the plan via a broadcast 1-row cross
+        # join, so the operator stays a pure DataFrame transformation.
+        guard = eligible.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr("CAST(__df AS BIGINT) * (CAST(__df AS BIGINT) - 1) div 2")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("__pair_rows")
+        )
+        eligible = (
+            eligible.crossJoin(F.broadcast(guard))
+            .where(
+                F.assert_true(
+                    F.col("__pair_rows") <= F.lit(max_pair_rows),
+                    F.concat(
+                        F.lit(
+                            "exact_jaccard_pairs: inverted-index self-join would "
+                            "generate "
+                        ),
+                        F.col("__pair_rows").cast("string"),
+                        F.lit(
+                            f" pair rows (budget {max_pair_rows}). Set "
+                            "max_doc_freq to cap hot posting lists (lower-bound "
+                            "jaccard semantics, see docstring), raise "
+                            "max_pair_rows, or use the LSH path "
+                            "(minhash_near_dup_pairs)."
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("__pair_rows")
+        )
     posting = grams.join(eligible.select("gh"), "gh")
     a = posting.select(F.col("__id").alias("id_a"), "gh")
     b = posting.select(F.col("__id").alias("id_b"), "gh")

@@ -470,3 +470,43 @@ def test_simhash_md5_lane_is_60_bit_and_finds_exact_dups(spark):
         ).collect()
     }
     assert pairs[(1, 6)] == 0
+
+
+def test_exact_jaccard_pair_row_budget_guard(spark):
+    """One synthetic hot gram: the default guard must abort the self-join
+    at execution with an actionable message instead of generating O(m^2)
+    rows; under budget the results are exact and unchanged; max_doc_freq
+    caps the hot gram back under budget."""
+    import pytest
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    # 60 docs all sharing one hot 3-gram ("common shared prefix"), plus
+    # unique tails: the hot gram alone contributes 60*59/2 = 1770 pairs
+    rows = [
+        (i, f"common shared prefix unique{i} tail{i} word{i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with pytest.raises(Exception, match="pair rows"):
+        exact_jaccard_pairs(
+            df, threshold_num=1, threshold_den=100, max_pair_rows=1000
+        ).count()
+
+    # same corpus, budget satisfied: exact results flow
+    ok = exact_jaccard_pairs(
+        df, threshold_num=1, threshold_den=100, max_pair_rows=10_000
+    )
+    assert ok.count() == 60 * 59 // 2  # every pair shares the hot gram
+
+    # stop-gram cap removes the hot gram -> under the small budget again,
+    # and no pair survives (their only shared gram was capped)
+    capped = exact_jaccard_pairs(
+        df,
+        threshold_num=1,
+        threshold_den=100,
+        max_doc_freq=10,
+        max_pair_rows=1000,
+    )
+    assert capped.count() == 0
