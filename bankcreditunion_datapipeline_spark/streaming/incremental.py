@@ -27,31 +27,87 @@ from pyspark.sql.types import StructType
 
 
 class Watermark:
-    """Durable watermark store (runLog.txt replacement, observable + atomic)."""
+    """Durable watermark store (runLog.txt replacement, observable + atomic).
 
-    def __init__(self, path: str):
+    Storage routing: a scheme-qualified path (``file://``, ``hdfs://``,
+    ``s3a://`` ...) plus a SparkSession routes reads/writes through the
+    Hadoop FileSystem bound to that path -- on a cluster the run state
+    MUST live on shared storage, and a driver-local ``open()`` would
+    silently fork state per driver host. A bare local path keeps the
+    plain-POSIX fast path (mkstemp + atomic ``os.replace``).
+
+    Write protocol on the Hadoop path: write ``<path>.tmp`` fully, then
+    delete-and-rename onto the target. Rename is atomic on HDFS-like
+    stores; the delete/rename window is safe under this store's
+    single-writer contract (one ingest driver advances a given store --
+    the same contract runLog.txt had). Readers see the old state or the
+    new state, never a partial file.
+    """
+
+    def __init__(self, path: str, spark: SparkSession | None = None):
         self.path = path
+        self.spark = spark
 
-    def get(self, key: str, default: str | None = None) -> str | None:
+    def _hadoop(self):
+        """(jvm, fs, path) when routing through Hadoop, else None."""
+        if self.spark is None or "://" not in self.path:
+            return None
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            return jvm, fs, hpath
+        except Exception:  # noqa: BLE001 - e.g. Spark Connect: no JVM handle
+            return None
+
+    def _read_state(self) -> dict:
+        h = self._hadoop()
+        if h is not None:
+            _, fs, hpath = h
+            if not fs.exists(hpath):
+                return {}
+            stream = fs.open(hpath)
+            try:
+                data = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            return json.loads(data.decode("utf-8"))
         if not os.path.exists(self.path):
-            return default
+            return {}
         with open(self.path) as f:
-            return json.load(f).get(key, default)
+            return json.load(f)
 
-    def advance(self, key: str, value: str) -> None:
-        state = {}
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                state = json.load(f)
-        prev = state.get(key)
-        if prev is not None and value < prev:
-            raise ValueError(f"watermark {key} cannot regress: {prev} -> {value}")
-        state[key] = value
+    def _write_state(self, state: dict) -> None:
+        h = self._hadoop()
+        if h is not None:
+            jvm, fs, hpath = h
+            tmp = jvm.org.apache.hadoop.fs.Path(self.path + ".tmp")
+            out = fs.create(tmp, True)
+            try:
+                out.write(bytearray(json.dumps(state).encode("utf-8")))
+            finally:
+                out.close()
+            if fs.exists(hpath):
+                fs.delete(hpath, False)
+            if not fs.rename(tmp, hpath):
+                raise IOError(f"watermark rename failed: {tmp} -> {hpath}")
+            return
         d = os.path.dirname(self.path) or "."
         fd, tmp = tempfile.mkstemp(dir=d)
         with os.fdopen(fd, "w") as f:
             json.dump(state, f)
         os.replace(tmp, self.path)  # atomic on POSIX
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        return self._read_state().get(key, default)
+
+    def advance(self, key: str, value: str) -> None:
+        state = self._read_state()
+        prev = state.get(key)
+        if prev is not None and value < prev:
+            raise ValueError(f"watermark {key} cannot regress: {prev} -> {value}")
+        state[key] = value
+        self._write_state(state)
 
 
 def _storage_path_exists(spark: SparkSession, path: str) -> bool:

@@ -76,6 +76,28 @@ def test_watermark_store(tmp_path):
         pass
 
 
+def test_watermark_store_hadoop_fs_path(spark, tmp_path):
+    """A scheme-qualified URI must route through the Hadoop FileSystem
+    (shared-storage cluster contract), with the same monotonicity guard;
+    file:// proves the routing against the local FS implementation."""
+    import os
+    import pytest
+
+    local = tmp_path / "wm_hadoop.json"
+    wm = Watermark(f"file://{local}", spark)
+    assert wm._hadoop() is not None  # really on the Hadoop route
+    assert wm.get("ncua") is None
+    wm.advance("ncua", "2021-03-31")
+    wm.advance("ncua", "2021-06-30")
+    assert wm.get("ncua") == "2021-06-30"
+    with pytest.raises(ValueError, match="regress"):
+        wm.advance("ncua", "2020-12-31")
+    # state is durable at the underlying location and the tmp file is gone
+    assert local.exists() and not os.path.exists(str(local) + ".tmp")
+    # a fresh store instance (new "driver") reads the same shared state
+    assert Watermark(f"file://{local}", spark).get("ncua") == "2021-06-30"
+
+
 def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_events(spark, src, 0, 60)  # spans several hours at 7-min spacing
