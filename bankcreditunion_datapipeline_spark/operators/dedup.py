@@ -1124,7 +1124,9 @@ def semantic_dedup_keep(
     return df.join(dropped, id_col, "left_anti")
 
 
-def connected_components_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame, max_iters: int = 20, rows_per_partition: int = 500_000
+) -> DataFrame:
     """Connected components via alternating large-star/small-star (the
     MapReduce CC algorithm of Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC 2014): returns (id, component) with
@@ -1201,7 +1203,17 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 20) -> DataFram
 
     sig = _sig(edges)
     for _ in range(max_iters):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
+        # Adaptive coalesce before each checkpoint: the edge set shrinks
+        # monotonically toward the star forest, but the checkpointed RDD
+        # would otherwise keep round 0's partition count forever -- late
+        # rounds on a 1000-executor cluster then scan thousands of
+        # near-empty partitions per round, pure scheduling latency. The
+        # previous round's exact count (already computed for the
+        # convergence probe) bounds this round's output, so target
+        # `rows_per_partition` per task; coalesce is narrow (no extra
+        # shuffle) and clamps itself to the current partition count.
+        parts = max(1, -(-sig[0] // rows_per_partition))
+        new_edges = small_star(large_star(edges)).coalesce(parts).localCheckpoint()
         new_sig = _sig(new_edges)
         edges, sig_prev = new_edges, sig
         sig = new_sig

@@ -105,15 +105,82 @@ def lsh_topk(
     )
 
 
+def kmeanspp_seeds(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 8,
+    decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means||-style seeding, RNG-free and layout-
+    independent -- the replacement for first-k-by-id seeds, whose
+    id-correlation gives unbalanced cells on real data (ids cluster by
+    ingest time/source, so the first k vectors often sit in one blob and
+    every other blob funnels into few hot cells -> skewed probe costs).
+
+    Two phases, mirroring scalable k-means|| (Bahmani et al., VLDB 2012:
+    distributed oversampling then local reclustering):
+
+    1. OVERSAMPLE (distributed, narrow): take the `oversample*k` vectors
+       with the smallest (md5-bucket(id), id) sort key -- the engine's
+       standard RNG-free uniform sampler (operators/sampling.py family):
+       membership is a pure function of the id, so re-runs, appends and
+       repartitioning reproduce the same pool, and md5 destroys any
+       id-order correlation. TakeOrdered, never a full sort.
+    2. RECLUSTER (driver, O(oversample*k*dim)): deterministic
+       farthest-first traversal over the pool -- start at the pool's
+       smallest sort key, then repeatedly take the point farthest (L2)
+       from the chosen set, ties to the earliest pool index. Farthest-
+       first is 2-approx for k-center, exactly the spread property cell
+       balance needs; no RNG, so no seed to disagree on across engines.
+
+    Returns [(label 0..k-1, centroid)] with components rounded to
+    `decimals` (the label_centroids portability discipline). NULL
+    vectors are excluded by contract.
+    """
+    import numpy as np
+
+    key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    pool = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col), key.alias("__r"))
+        .orderBy(F.asc("__r"), F.asc(id_col))
+        .limit(oversample * k)
+        .collect()
+    )
+    if not pool:
+        return []
+    X = np.asarray([[float(x) for x in r[1]] for r in pool], dtype=np.float64)
+    k = min(k, len(pool))
+    chosen = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        j = int(np.argmax(d2))  # ties -> lowest pool index (np.argmax)
+        chosen.append(j)
+        d2 = np.minimum(d2, ((X - X[j]) ** 2).sum(axis=1))
+    return [
+        (lab, [round(float(c), decimals) for c in X[j]])
+        for lab, j in enumerate(chosen)
+    ]
+
+
 def build_ivf_index(
     df: DataFrame,
     k_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeding: str = "kmeanspp",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF coarse index: pick k_cells deterministic seed centroids (first
-    rows by id -- cheap, reproducible; swap for k-means|| offline at scale),
+    """IVF coarse index: pick k_cells deterministic seed centroids,
     assign every vector to its nearest centroid by cosine.
+
+    `seeding`: "kmeanspp" (default -- kmeanspp_seeds' md5-oversampled
+    farthest-first, balanced cells on id-correlated data) or "first"
+    (first k rows by id -- the legacy convention, kept because persisted
+    indexes built with it must keep probing consistently).
 
     Returns (indexed_df with `ivf_cell` column, centroids). At scale,
     write indexed_df partitioned by ivf_cell so probes prune partitions.
@@ -127,8 +194,17 @@ def build_ivf_index(
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    seeds = df.orderBy(F.asc(id_col)).limit(k_cells).select(id_col, vec_col).collect()
-    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds]
+    if seeding == "kmeanspp":
+        centroids = kmeanspp_seeds(df, k_cells, id_col, vec_col)
+    else:
+        seeds = (
+            df.filter(F.col(vec_col).isNotNull())
+            .orderBy(F.asc(id_col))
+            .limit(k_cells)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds]
 
     cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
     norms = np.linalg.norm(cmat, axis=1)
@@ -331,10 +407,14 @@ def kmeans_iterate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    seeding: str = "first",
 ) -> tuple[DataFrame, DataFrame, int]:
-    """Full Lloyd k-means: deterministic seeding (first k vectors by id,
-    the build_ivf_index convention), then assign/recompute rounds until
-    assignments stop changing or `max_iters`.
+    """Full Lloyd k-means: deterministic seeding (`seeding="first"`:
+    first k vectors by id, the legacy convention existing tests and
+    persisted codebooks pin; `seeding="kmeanspp"`: kmeanspp_seeds'
+    md5-oversampled farthest-first -- better-balanced cells on
+    id-correlated data), then assign/recompute rounds until assignments
+    stop changing or `max_iters`.
 
     Returns (assignments, centroids, n_iters). Each round is one
     `kmeans_assign` (broadcast fan-out + hash aggregate) plus one
@@ -345,13 +425,22 @@ def kmeans_iterate(
     O(1) rows to the driver per round (an allowed driver materialization
     like the funnel counts and IVF centroids).
     """
-    seeds = df.orderBy(F.asc(id_col)).limit(k).select(id_col, vec_col).collect()
-    rounded = [
-        [round(float(x), decimals) for x in r[1]] for r in seeds
-    ]
+    if seeding == "kmeanspp":
+        labeled = kmeanspp_seeds(df, k, id_col, vec_col, decimals=decimals)
+    else:
+        seeds = (
+            df.filter(F.col(vec_col).isNotNull())
+            .orderBy(F.asc(id_col))
+            .limit(k)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        labeled = [
+            (i, [round(float(x), decimals) for x in r[1]])
+            for i, r in enumerate(seeds)
+        ]
     centroids = df.sparkSession.createDataFrame(
-        [(i, v) for i, v in enumerate(rounded)],
-        "centroid_label int, centroid array<double>",
+        labeled, "centroid_label int, centroid array<double>"
     )
     assigned = None
     iters = 0

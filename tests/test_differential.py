@@ -47,6 +47,22 @@ SUBSET = [
     "q145_benford_order_values",
     # numpy-vs-sequential sign parity + zero-norm cosine NULL contract
     "q23_embedding_near_dups",
+    # per-key EWMA recursion replay (bit-identical IEEE step-for-step)
+    # + the r5 NULL-skip contract
+    "q143_daily_value_ewma",
+    # median/MAD robust scores (percentile-interpolation parity under
+    # mutated/NULL measures -- the q141 estimator class)
+    "q141_robust_daily_scores",
+    # integer-scaled Pareto crossing with tot from the pinned-order
+    # running sum (one summation order on both sides)
+    "q146_revenue_pareto",
+    # portable md5-lane near-dup twins (hex-string lanes, band keys,
+    # 60-bit simhash votes) -- new r5 oracle classes
+    "q21_minhash_near_dups",
+    "q22_simhash_near_dups",
+    # the staged funnel composition oracle (clean->lang->quality->p95->
+    # dedup->near-dedup->split counts)
+    "q49_curation_funnel",
 ]
 
 

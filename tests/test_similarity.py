@@ -308,3 +308,73 @@ def test_pq_encode_arrow_matches_expression_path(spark, sf_dir):
     for k in expr:
         assert expr[k][0] == arrow[k][0], (k, expr[k], arrow[k])
         assert abs(expr[k][1] - arrow[k][1]) <= 1e-6
+
+
+def test_kmeanspp_seeding_balances_id_correlated_blobs(spark):
+    """Ids correlated with cluster membership (the real-ingest pattern:
+    ids increase by source/time) starve first-k seeding: all k seeds land
+    in the first blob and the other blobs funnel into one hot cell.
+    kmeanspp_seeds' md5-oversample + farthest-first must spread seeds
+    across blobs and cut the max/mean cell-size skew. Deterministic:
+    same seeds on every run/layout."""
+    import math
+    import random
+
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        kmeanspp_seeds,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    # 4 well-separated blobs on ORTHOGONAL axes (the index assigns by
+    # cosine, so blobs must differ in direction), ids ordered by blob
+    for b in range(4):
+        center = [10.0 if d % 4 == b else 0.0 for d in range(8)]
+        for i in range(200):
+            rows.append(
+                (b * 1000 + i, [c + rng.gauss(0, 0.5) for c in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # 1. seed spread: first-k seeds all come from blob 0 (the id
+    # pathology); kmeanspp picks one seed per blob
+    pp = kmeanspp_seeds(df, 4)
+    pp_blobs = {
+        min(range(4), key=lambda b: sum(
+            (c - (10.0 if d % 4 == b else 0.0)) ** 2 for d, c in enumerate(v)
+        ))
+        for _, v in pp
+    }
+    assert pp_blobs == {0, 1, 2, 3}, pp_blobs
+
+    # 2. quantization error (the k-means++ guarantee): mean L2 distance
+    # to the assigned centroid -- with all four first-k seeds inside
+    # blob 0, three whole blobs sit ~14 units from every centroid
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    def mean_dist(seeds) -> float:
+        cents = spark.createDataFrame(
+            seeds, "centroid_label int, centroid array<double>"
+        )
+        return (
+            kmeans_assign(df, cents).agg(F.avg("dist").alias("d")).first()["d"]
+        )
+
+    first_seeds = [
+        (i, [round(float(x), 6) for x in r["embedding"]])
+        for i, r in enumerate(df.orderBy("vec_id").limit(4).collect())
+    ]
+    err_first = mean_dist(first_seeds)
+    err_pp = mean_dist(pp)
+    assert err_first > 5 * err_pp, (err_first, err_pp)
+
+    # 3. balance under kmeanspp: one seed per blob -> near-equal cells
+    indexed, _ = build_ivf_index(df, k_cells=4, seeding="kmeanspp")
+    sizes = [r["count"] for r in indexed.groupBy("ivf_cell").count().collect()]
+    assert len(sizes) == 4 and max(sizes) / (sum(sizes) / 4) < 1.2, sizes
+
+    # 4. determinism: identical seeds across runs and layouts
+    assert pp == kmeanspp_seeds(df.repartition(7), 4)
