@@ -7026,3 +7026,98 @@ def q146_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_t"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality: deterministic INTEGER PageRank over the 1997
+# customer<->supplier purchase graph. Float PageRank can never be
+# value-hash verified (per-node contribution sums have engine-dependent
+# order, amplified per round); with ranks in integer micro-units and
+# floor division everywhere, the recurrence is exact and commutative --
+# the oracle simply unrolls the same iterations in SQL.
+# ---------------------------------------------------------------------------
+_Q147_ITERS = 3
+
+
+def _q147_oracle(iterations: int = _Q147_ITERS) -> str:
+    """Unrolled integer-PageRank replay (operators/graph.pagerank_integer):
+    same node encoding (cust*2 even / supp*2+1 odd), symmetric distinct
+    edge set, base = SCALE // N, teleport = (15*base)//100, per-round
+    r' = teleport + (85 * sum(r//outdeg over in-edges)) // 100. Every
+    operand is a BIGINT (DuckDB's HUGEINT sum re-cast), so any summation
+    order gives identical ranks."""
+    nn = "(SELECT count(*) FROM nodes)"
+    teleport = f"(15 * (1000000000000 // {nn})) // 100"
+    ctes = [
+        f"r0 AS (SELECT node, 1000000000000 // {nn} AS rank FROM nodes)"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT n.node,
+             CAST({teleport}
+               + (85 * coalesce(t.inflow, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // o.outdeg) AS inflow
+        FROM e JOIN outdeg o ON e.src = o.src
+               JOIN r{k - 1} r ON r.node = e.src
+        GROUP BY e.dst) t ON t.node = n.node)""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997
+        AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION SELECT s, c FROM pairs),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    {chain}
+    SELECT (node - 1) // 2 AS l_suppkey,
+           CAST(rank AS BIGINT) AS rank_u
+    FROM r{iterations} WHERE node % 2 = 1
+    ORDER BY rank_u DESC, l_suppkey
+    LIMIT 20
+    """
+
+
+@register(
+    "q147_supplier_pagerank",
+    _q147_oracle(),
+    doc="pagerank_integer (operators/graph.py): PageRank in integer "
+    "micro-units (SCALE 1e12) over the symmetric 1997 customer-supplier "
+    "purchase graph -- floor division for the out-degree split and the "
+    "85/100 damping keeps every operation exact and commutative, so "
+    "ranks are layout-independent AND SQL-replayable (no float PageRank "
+    "is). Per round: one src-keyed join against the persisted edge+degree "
+    "table, one hash aggregate on dst, localCheckpoint'ed ranks -- the "
+    "iterative-join shape that scales to billion-edge graphs.",
+)
+def q147_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_integer
+
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_integer(edges, iterations=_Q147_ITERS)
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.expr("(node - 1) div 2").alias("l_suppkey"),
+            F.col("rank").alias("rank_u"),
+        )
+        .orderBy(F.desc("rank_u"), F.asc("l_suppkey"))
+        .limit(20)
+    )

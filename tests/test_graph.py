@@ -1,0 +1,57 @@
+"""Integer PageRank (operators/graph.py): hand-replayed recurrence,
+layout independence, and symmetry sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.graph import (
+    SCALE,
+    pagerank_integer,
+)
+
+
+def _hand_pagerank(edges, iterations, num=85, den=100):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    base = SCALE // n
+    tele = ((den - num) * base) // den
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {v: base for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for u, v in edges:
+            inflow[v] += r[u] // out[u]
+        r = {v: tele + (num * inflow[v]) // den for v in nodes}
+    return r
+
+
+def test_pagerank_matches_hand_recurrence(spark):
+    raw = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_integer(df, iterations=4).collect()}
+    want = _hand_pagerank(raw, 4)
+    assert got == want
+    # integer teleport floor: total mass stays under SCALE, above 90% of it
+    assert 0.9 * SCALE < sum(got.values()) <= SCALE
+
+
+def test_pagerank_layout_independent_and_hub_ranks_highest(spark):
+    # star: hub 0 <-> spokes 1..6; hub must outrank every spoke
+    raw = []
+    for s in range(1, 7):
+        raw += [(0, s), (s, 0)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    a = {r["node"]: r["rank"] for r in pagerank_integer(df, iterations=5).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            df.repartition(13).orderBy(F.desc("dst")), iterations=5
+        ).collect()
+    }
+    assert a == b  # pure integer arithmetic: no layout to diverge on
+    assert all(a[0] > a[s] for s in range(1, 7))
+    # spokes are symmetric -> identical ranks
+    assert len({a[s] for s in range(1, 7)}) == 1
