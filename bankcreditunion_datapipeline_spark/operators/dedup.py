@@ -136,7 +136,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def word_shingles_flat(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, with_pos: bool = False
 ) -> DataFrame:
     """FLAT (id, __s) word-k-shingle rows -- the same shingle STRINGS as
     `word_shingles` (whitespace tokens, lowercased; docs with fewer than
@@ -149,6 +149,11 @@ def word_shingles_flat(
     consumer (min-family signatures, distinct verify sets) is
     duplicate-insensitive, so callers that need per-doc distinctness
     must apply it themselves.
+
+    `with_pos=True` adds `__pos`, the 0-based shingle index (== starting
+    token index; a short doc's single whole-text shingle gets pos 0) --
+    positional consumers like winnowing need both the repetition and the
+    order that the distinct array form destroys.
     """
     from pyspark.sql.window import Window
 
@@ -171,13 +176,18 @@ def word_shingles_flat(
             ),
         )
         .filter(F.col("__pos") <= F.col("__n") - k)
-        .select(F.col(id_col), "__s")
+        .select(F.col(id_col), "__pos", "__s")
     )
     short = (
         toks.filter((F.col("__n") > 0) & (F.col("__n") < k))
-        .select(F.col(id_col), F.concat_ws(" ", "__tk").alias("__s"))
+        .select(
+            F.col(id_col),
+            F.lit(0).alias("__pos"),
+            F.concat_ws(" ", "__tk").alias("__s"),
+        )
     )
-    return main.unionByName(short)
+    out = main.unionByName(short)
+    return out if with_pos else out.drop("__pos")
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -814,6 +824,39 @@ def exact_jaccard_pairs(
     jaccard >= threshold_num/threshold_den, with the threshold applied
     as an integer inequality so the cut can't float-flip.
     """
+    inter, sa, sb = _gram_pair_counts(
+        df, id_col, text_col, k, max_doc_freq, max_pair_rows
+    )
+    u = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(threshold_den * F.col("n_inter") >= threshold_num * u)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            u.cast("long").alias("n_union"),
+            (F.floor((F.col("n_inter").cast("double") / u) * 10000) / 10000).alias(
+                "jaccard_sim"
+            ),
+        )
+    )
+
+
+def _gram_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_doc_freq: int | None,
+    max_pair_rows: int | None,
+):
+    """Shared inverted-index core of the exact set-overlap family
+    (exact_jaccard_pairs, overlap_coefficient_pairs): distinct word
+    k-gram hashes per doc, df prune + heavy-tail budget guard, the
+    posting self-join, per-pair intersection counts, and the per-doc
+    set sizes. Returns (inter(id_a, id_b, n_inter), sizes_a, sizes_b)."""
     w = F.split(text_col, " ")
     n = F.size(w)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
@@ -882,19 +925,43 @@ def exact_jaccard_pairs(
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("nb"))
-    u = F.col("na") + F.col("nb") - F.col("n_inter")
+    return inter, sa, sb
+
+
+def overlap_coefficient_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+    max_pair_rows: int | None = 100_000_000,
+) -> DataFrame:
+    """EXACT overlap coefficient (Szymkiewicz-Simpson) pairs:
+    n_inter / min(|A|, |B|) >= threshold -- the CONTAINMENT detector.
+    Jaccard is blind to near-subset duplication (a paragraph quoted
+    inside a 100x longer document has jaccard ~0.01 but containment
+    ~1.0); decontamination and quote/excerpt detection need this
+    asymmetric view. Same inverted-index core, guards, and integer
+    threshold discipline as exact_jaccard_pairs; returns
+    (id_a, id_b, n_inter, n_small, overlap_t)."""
+    inter, sa, sb = _gram_pair_counts(
+        df, id_col, text_col, k, max_doc_freq, max_pair_rows
+    )
+    small = F.least(F.col("na"), F.col("nb"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(threshold_den * F.col("n_inter") >= threshold_num * u)
+        .filter(threshold_den * F.col("n_inter") >= threshold_num * small)
         .select(
             "id_a",
             "id_b",
             F.col("n_inter").cast("long").alias("n_inter"),
-            u.cast("long").alias("n_union"),
-            (F.floor((F.col("n_inter").cast("double") / u) * 10000) / 10000).alias(
-                "jaccard_sim"
-            ),
+            small.cast("long").alias("n_small"),
+            (
+                F.floor((F.col("n_inter").cast("double") / small) * 10000) / 10000
+            ).alias("overlap_t"),
         )
     )
 
@@ -1228,3 +1295,69 @@ def connected_components_star(
     ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
     all_nodes.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 -- the
+# MOSS algorithm): the guarantee-carrying middle ground between exact
+# fingerprints (q19, whole-document only) and MinHash (q21, similarity
+# without locality): any shared run of window+k-1 tokens between two
+# documents is certain to share at least one selected fingerprint, yet
+# only ~2/(window+1) of all k-gram hashes are kept.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document: (id, fp).
+
+    fp values are the per-window MINIMUM of the md5-hex k-gram digests
+    (the portable lane: fixed-width hex min is engine-identical, so the
+    whole selection is SQL-replayable -- q148's oracle). Window j covers
+    k-gram positions [j, j+window-1]; only full windows select (a doc
+    with fewer than `window` k-grams keeps its single whole-span
+    minimum). Plan: positional flat shingles (one explode + lead
+    window), one hash, one per-doc ordered frame min, one distinct --
+    everything narrow except the per-doc window shuffle, which any
+    positional text operator needs.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = word_shingles_flat(df, id_col, text_col, k, with_pos=True).select(
+        F.col(id_col), F.col("__pos"), F.md5(F.col("__s")).alias("__h")
+    )
+    wdoc = Window.partitionBy(id_col)
+    wframe = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    sel = (
+        hashed.withColumn("__S", F.count(F.lit(1)).over(wdoc))
+        .withColumn("__wm", F.min("__h").over(wframe))
+        .filter(F.col("__pos") <= F.greatest(F.col("__S") - window, F.lit(0)))
+    )
+    return sel.select(F.col(id_col), F.col("__wm").alias("fp")).distinct()
+
+
+def fingerprint_overlap_pairs(
+    fp: DataFrame, id_col: str = "doc_id", fp_col: str = "fp", min_shared: int = 2
+) -> DataFrame:
+    """(id_a, id_b, n_shared) for document pairs sharing >= min_shared
+    fingerprints -- the winnowing detection join. Same scale guards as
+    exact_jaccard_pairs: singleton fingerprints (df=1) are pruned from
+    the self-join input (lossless -- they can form no pair), and the df
+    aggregation shuffles on the key the join needs anyway.
+    """
+    freq = fp.groupBy(fp_col).agg(F.count(F.lit(1)).alias("__df"))
+    posting = fp.join(freq.filter(F.col("__df") >= 2).select(fp_col), fp_col)
+    a = posting.select(F.col(id_col).alias("id_a"), fp_col)
+    b = posting.select(F.col(id_col).alias("id_b"), fp_col)
+    return (
+        a.join(b, fp_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

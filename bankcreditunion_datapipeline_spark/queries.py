@@ -7121,3 +7121,114 @@ def q147_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_u"), F.asc("l_suppkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS, Schleimer et al. 2003): guaranteed local
+# detection -- any shared run of window+k-1 tokens shares a selected
+# fingerprint -- at ~2/(window+1) storage. The md5-hex lane makes the
+# per-window minimum engine-identical, so selection AND the overlap join
+# are fully oracle-checked.
+# ---------------------------------------------------------------------------
+def _q148_oracle(k: int = 3, window: int = 4, min_shared: int = 2) -> str:
+    """Replays winnow_fingerprints + fingerprint_overlap_pairs: positional
+    k-gram md5 digests (1-based positions; same strings as the Spark
+    flat builder), frame-min over the next `window` rows, keep only full
+    windows (a doc with fewer than `window` grams keeps its single
+    truncated-window min at pos 1), distinct per doc, df>=2 prune,
+    self-join, pair counts >= min_shared."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    shp AS (
+      SELECT doc_id, CAST(i.i AS INT) AS pos,
+             md5(array_to_string(
+               list_slice(tk, CAST(i.i AS INT), CAST(i.i AS INT) + {k - 1}), ' ')) AS h
+      FROM toks, unnest(range(1, greatest(len(tk) - {k - 1}, 1) + 1)) AS i(i)
+      WHERE len(tk) > 0),
+    sel AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wm,
+             count(*) OVER (PARTITION BY doc_id) AS S
+      FROM shp),
+    fp AS (
+      SELECT DISTINCT doc_id, wm AS f
+      FROM sel WHERE pos <= greatest(S - {window}, 0) + 1),
+    freq AS (SELECT f FROM fp GROUP BY f HAVING count(*) >= 2),
+    posting AS (SELECT doc_id, fp.f FROM fp JOIN freq USING (f))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+    FROM posting a JOIN posting b ON a.f = b.f
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_shared}
+    """
+
+
+@register(
+    "q148_winnowing_overlap",
+    _q148_oracle(),
+    doc="winnow_fingerprints + fingerprint_overlap_pairs (operators/"
+    "dedup.py): MOSS winnowing -- per-window minimum of md5-hex 3-gram "
+    "digests (window 4), any shared 6-token run is GUARANTEED to share a "
+    "fingerprint (the locality guarantee MinHash lacks), at ~2/(w+1) of "
+    "the gram hashes. Plan: positional flat shingles, one per-doc frame "
+    "min, distinct, df>=2-pruned inverted-index join -- the q82 scale "
+    "guards on a fingerprint set ~60%% smaller than the gram set.",
+)
+def q148_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import fingerprint_overlap_pairs, winnow_fingerprints
+
+    docs = t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=3, window=4)
+    return fingerprint_overlap_pairs(fp, min_shared=2).withColumn(
+        "n_shared", F.col("n_shared").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment (overlap coefficient): n_inter / min(|A|,|B|). Jaccard is
+# blind to near-subset duplication -- a paragraph quoted inside a 100x
+# longer document scores ~0.01 jaccard but ~1.0 containment. The
+# decontamination / excerpt-detection view of the q82 machinery.
+# ---------------------------------------------------------------------------
+@register(
+    "q149_containment_pairs",
+    """
+    WITH sub AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS g
+      FROM sub, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(least(sa.n, sb.n) AS BIGINT) AS n_small,
+           floor((CAST(n_inter AS DOUBLE) / least(sa.n, sb.n))
+                 * 10000) / 10000.0 AS overlap_t
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 10 * n_inter >= 8 * least(sa.n, sb.n)
+    """,
+    doc="overlap_coefficient_pairs (operators/dedup.py): exact "
+    "Szymkiewicz-Simpson containment >= 0.8 over word 3-grams -- the "
+    "asymmetric dual of q82 on the same inverted-index core (shared "
+    "_gram_pair_counts: df=1 prune, pair-row budget guard, integer "
+    "threshold, trunc4 report).",
+)
+def q149_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import overlap_coefficient_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return overlap_coefficient_pairs(docs, threshold_num=8, threshold_den=10)

@@ -510,3 +510,68 @@ def test_exact_jaccard_pair_row_budget_guard(spark):
         max_pair_rows=1000,
     )
     assert capped.count() == 0
+
+
+def test_winnowing_locality_guarantee_and_selectivity(spark):
+    """The MOSS guarantee: two documents sharing a run of window+k-1
+    tokens MUST share at least one selected fingerprint. And winnowing
+    must select strictly fewer fingerprints than there are k-grams."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+        word_shingles_flat,
+    )
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 = window+k-1 tokens
+    rows = [
+        (1, f"one two three {shared_run} four five six seven"),
+        (2, f"red green blue {shared_run} yellow purple orange pink"),
+        (3, "totally unrelated words with nothing in common here at all"),
+        (4, "tiny doc"),  # < k tokens: single whole-text shingle
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=3, window=4).persist()
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in fingerprint_overlap_pairs(fp, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs  # the guarantee
+    assert not any(3 in p or 5 in p for p in pairs)
+
+    # selectivity: fewer selected fingerprints than grams (doc 1: 11 grams)
+    n_grams = word_shingles_flat(
+        df.filter("doc_id = 1"), "doc_id", "text", 3
+    ).count()
+    n_fp = fp.filter("doc_id = 1").count()
+    assert 0 < n_fp < n_grams
+
+    # short doc still fingerprinted (single truncated window)
+    assert fp.filter("doc_id = 4").count() == 1
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    ~1.0 (all of the short doc's grams appear in the long one) while
+    jaccard is far below any dedup threshold."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        overlap_coefficient_pairs,
+    )
+
+    quote = "the quarterly report shows strong growth in deposits"
+    filler = " ".join(f"filler{i}" for i in range(80))
+    rows = [(1, quote), (2, f"{filler} {quote} {filler}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {
+        (r.id_a, r.id_b): r.overlap_t
+        for r in overlap_coefficient_pairs(
+            df, threshold_num=8, threshold_den=10
+        ).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # full containment
+
+    jac = exact_jaccard_pairs(df, threshold_num=35, threshold_den=100)
+    assert jac.count() == 0  # jaccard is blind to it
