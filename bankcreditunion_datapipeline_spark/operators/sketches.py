@@ -298,3 +298,75 @@ def binned_quantiles(
     return first.select(
         "prob", (F.floor(F.col("__est") * 10000) / 10000).alias("quantile_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) on the portable md5
+# lane: frequency estimation over unbounded key domains in O(depth *
+# width) state. Counters are plain sums, so sketches merge element-wise
+# (the monoid property every rollup here shares), and with the hash
+# rows on functions/hashing.md5lane the ENTIRE sketch -- bucket
+# assignment, counters, min-probe -- replays exactly in SQL (q150's
+# oracle); xxhash64 has no such twin.
+# ---------------------------------------------------------------------------
+
+
+def count_min_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Sparse Count-Min counter table (row, bucket, cnt) over key
+    occurrences. bucket_i(k) = md5lane("i:" || k) % width. One explode
+    to depth rows per occurrence + one hash aggregate; absent buckets
+    are implicit zeros (the probe side coalesces). State is O(depth *
+    width) no matter the key cardinality -- the point of the sketch."""
+    from ..functions.hashing import md5lane
+
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("__k")
+    )
+    return (
+        rows.select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"), "__k"
+        )
+        .select(
+            "row",
+            (
+                md5lane(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("__k")))
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    table: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out: str = "est_n",
+) -> DataFrame:
+    """Point estimates for `keys`: min over the depth counters each key
+    hashes to. Never underestimates (every counter the key touches
+    contains at least its true count); overestimates only on bucket
+    collisions, P <= (e/width)^depth per the CM bound. The probe is a
+    broadcast-sized join against the O(depth*width) table."""
+    from ..functions.hashing import md5lane
+
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).withColumn(
+        "bucket",
+        md5lane(
+            F.concat(F.col("row").cast("string"), F.lit(":"), F.col(key_col).cast("string"))
+        )
+        % width,
+    )
+    return (
+        probes.join(F.broadcast(table), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out))
+    )

@@ -7232,3 +7232,62 @@ def q149_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return overlap_coefficient_pairs(docs, threshold_num=8, threshold_den=10)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch on the portable md5 lane: O(depth*width) frequency
+# state over an unbounded key domain, merged by element-wise sum. The
+# oracle replays bucket assignment, counters, and the min-probe exactly
+# (md5 lane % width on both engines), and joins the true counts so the
+# never-underestimate invariant is part of the graded output.
+# ---------------------------------------------------------------------------
+@register(
+    "q150_countmin_user_counts",
+    """
+    WITH occ AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, user_id
+      FROM events WHERE user_id IS NOT NULL),
+    cm AS (
+      SELECT r.r AS row,
+             CAST(('0x' || substr(md5(r.r || ':' || k), 1, 15)) AS BIGINT) % 256
+               AS bucket,
+             count(*) AS cnt
+      FROM occ, unnest(range(0, 4)) AS r(r)
+      GROUP BY 1, 2),
+    keys AS (
+      SELECT DISTINCT user_id FROM occ WHERE user_id % 5 = 0),
+    probes AS (
+      SELECT user_id, r.r AS row,
+             CAST(('0x' || substr(md5(r.r || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 256 AS bucket
+      FROM keys, unnest(range(0, 4)) AS r(r)),
+    est AS (
+      SELECT user_id, min(coalesce(cm.cnt, 0)) AS est_n
+      FROM probes LEFT JOIN cm USING (row, bucket)
+      GROUP BY user_id),
+    tru AS (
+      SELECT user_id, count(*) AS true_n FROM occ GROUP BY user_id)
+    SELECT k.user_id,
+           CAST(tru.true_n AS BIGINT) AS true_n,
+           CAST(est.est_n AS BIGINT) AS est_n
+    FROM keys k JOIN tru USING (user_id) JOIN est USING (user_id)
+    """,
+    doc="count_min_table + count_min_estimate (operators/sketches.py): "
+    "Count-Min on the portable md5 lane (depth 4 x width 256), estimates "
+    "for the user_id%%5 key sample joined to true counts -- est >= true "
+    "by construction (the CM invariant is graded, not just tested). "
+    "State is O(d*w) regardless of key cardinality; counters merge by "
+    "element-wise sum (the rollup monoid discipline of q63/q66/q114/"
+    "q129/q130).",
+)
+def q150_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import count_min_estimate, count_min_table
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    table = count_min_table(ev, "user_id", depth=4, width=256)
+    keys = ev.filter(F.col("user_id") % 5 == 0).select("user_id").distinct()
+    est = count_min_estimate(table, keys, "user_id", depth=4, width=256)
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    return keys.join(tru, "user_id").join(est, "user_id").select(
+        "user_id", "true_n", "est_n"
+    )

@@ -169,3 +169,38 @@ def test_bin_counts_merge_losslessly_across_groups(spark):
     direct = {(r.bin): r.n for r in
               bin_counts(orders, "o_totalprice", 500.0).collect()}
     assert merged == direct
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    """CM invariants: est >= true for EVERY key, exact when no bucket
+    collisions, and sketches merge by element-wise counter sum
+    (sketch(A) + sketch(B) == sketch(A ++ B))."""
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i % 7}",) for i in range(70)] + [("hot",)] * 30
+    df = spark.createDataFrame(rows, "k string")
+    table = count_min_table(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_n"]
+        for r in count_min_estimate(table, keys, "k", depth=4, width=64).collect()
+    }
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= true[k] for k in true)
+    assert est["hot"] == 30  # 8 keys in 64 buckets x 4 rows: no collisions
+
+    # merge: element-wise sum of two halves == sketch of the union
+    a = spark.createDataFrame(rows[:50], "k string")
+    b = spark.createDataFrame(rows[50:], "k string")
+    merged = (
+        count_min_table(a, "k", depth=4, width=64)
+        .unionByName(count_min_table(b, "k", depth=4, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = count_min_table(df, "k", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
