@@ -7291,3 +7291,116 @@ def q150_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.join(tru, "user_id").join(est, "user_id").select(
         "user_id", "true_n", "est_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionized funnel conversion (view -> click -> purchase IN ORDER
+# within a 30-minute-gap session) -- the product-analytics primitive on
+# top of q26's sessionization. Ordered-step semantics via staged
+# conditional mins (t2 = first click AT OR AFTER the first view, ...):
+# pure joins/aggregates, no per-row state machine.
+# ---------------------------------------------------------------------------
+@register(
+    "q151_session_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ev),
+    s1 AS (
+      SELECT user_id, sid, min(ts) AS t1
+      FROM sess WHERE event_type = 'view' GROUP BY user_id, sid),
+    s2 AS (
+      SELECT s.user_id, s.sid, min(s.ts) AS t2
+      FROM sess s JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+      WHERE s.event_type = 'click' AND s.ts >= s1.t1
+      GROUP BY s.user_id, s.sid),
+    s3 AS (
+      SELECT s.user_id, s.sid, min(s.ts) AS t3
+      FROM sess s JOIN s2 ON s.user_id = s2.user_id AND s.sid = s2.sid
+      WHERE s.event_type = 'purchase' AND s.ts >= s2.t2
+      GROUP BY s.user_id, s.sid)
+    SELECT
+      (SELECT count(DISTINCT (user_id, sid)) FROM sess) AS n_sessions,
+      (SELECT count(*) FROM s1) AS n_view,
+      (SELECT count(*) FROM s2) AS n_view_click,
+      (SELECT count(*) FROM s3) AS n_full_funnel,
+      floor((SELECT count(*) FROM s3) * 1000000
+            / (SELECT count(*) FROM s1)) / 1000000.0 AS conv_t
+    """,
+    doc="ordered funnel over 30-min-gap sessions: staged conditional "
+    "mins (first view, first click >= it, first purchase >= that) -- "
+    "each stage is one filtered aggregate + one equi-join on the "
+    "session key, all shuffling the same (user_id, sid) key, so the "
+    "whole funnel reuses one partitioning. Conversion reported with "
+    "integer-scaled floor truncation.",
+)
+def q151_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            >= 30 * 60
+        )
+    ).cast("int")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    key = ["user_id", "sid"]
+    s1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        sess.filter(F.col("event_type") == "click")
+        .join(s1, key)
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s2, key)
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_sessions = sess.select(*key).distinct().count()
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+    return ev.sparkSession.createDataFrame(
+        [
+            (
+                n_sessions,
+                n1,
+                n2,
+                n3,
+                (n3 * 1000000 // n1) / 1000000.0 if n1 else None,
+            )
+        ],
+        "n_sessions long, n_view long, n_view_click long, "
+        "n_full_funnel long, conv_t double",
+    )
