@@ -7389,18 +7389,143 @@ def q151_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(*key)
         .agg(F.min("ts").alias("t3"))
     )
-    n_sessions = sess.select(*key).distinct().count()
-    n1, n2, n3 = s1.count(), s2.count(), s3.count()
-    return ev.sparkSession.createDataFrame(
-        [
-            (
-                n_sessions,
-                n1,
-                n2,
-                n3,
-                (n3 * 1000000 // n1) / 1000000.0 if n1 else None,
-            )
-        ],
-        "n_sessions long, n_view long, n_view_click long, "
-        "n_full_funnel long, conv_t double",
+    # one lazy aggregate over the joined stage frame + one session
+    # count, cross-joined into the single output row -- no driver-side
+    # .count() choreography
+    stages = s1.join(s2, key, "left").join(s3, key, "left")
+    funnel = stages.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
     )
+    nsess = sess.select(*key).distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return nsess.crossJoin(funnel).select(
+        F.col("n_sessions").cast("long"),
+        F.col("n_view").cast("long"),
+        F.col("n_view_click").cast("long"),
+        F.col("n_full_funnel").cast("long"),
+        F.when(
+            F.col("n_view") > 0,
+            F.floor(F.col("n_full_funnel") * 1000000 / F.col("n_view")) / 1000000,
+        ).alias("conv_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention triangle: users grouped by first-activity month,
+# tracked by months-since-cohort. The classic growth-analytics rollup:
+# two hash aggregates + one broadcast-back join, no windows.
+# ---------------------------------------------------------------------------
+@register(
+    "q152_cohort_retention",
+    """
+    WITH act AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2),
+    cohort AS (
+      SELECT user_id, min(d) AS c0 FROM act GROUP BY user_id),
+    sizes AS (
+      SELECT c0, count(*) AS cohort_n FROM cohort GROUP BY c0),
+    ret AS (
+      SELECT c.c0,
+             date_diff('day', c.c0, a.d) AS day_offset,
+             count(*) AS n_active
+      FROM act a JOIN cohort c USING (user_id)
+      GROUP BY 1, 2)
+    SELECT ret.c0 AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(cohort_n AS BIGINT) AS cohort_n,
+           floor(n_active * 1000000 / cohort_n) / 1000000.0 AS retention_t
+    FROM ret JOIN sizes USING (c0)
+    """,
+    doc="cohort retention triangle: distinct (user, day) activity, "
+    "cohort = first active day, integer day offsets, "
+    "retention floor-truncated. "
+    "Plan: two hash aggregates on user_id (same key -> one exchange "
+    "reused) + a broadcast of the O(months) cohort-size table.",
+)
+def q152_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("d").alias("c0"))
+    sizes = cohort.groupBy("c0").agg(F.count(F.lit(1)).alias("cohort_n"))
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy(F.col("c0"), F.datediff("d", "c0").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "c0").select(
+        F.col("c0").alias("cohort_day"),
+        F.col("day_offset").cast("long"),
+        F.col("n_active").cast("long"),
+        F.col("cohort_n").cast("long"),
+        (
+            F.floor(F.col("n_active") * 1000000 / F.col("cohort_n")) / 1000000
+        ).alias("retention_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transitivity of the near-dup relation: triangle census over the q21
+# pair graph. If "is a near-duplicate of" were an equivalence relation,
+# transitivity would be 1.0; the gap quantifies how often A~B~C fails
+# A~C at the chosen threshold -- the metric that justifies (or indicts)
+# cluster-level dedup policies like drop_near_dups/connected_components.
+# ---------------------------------------------------------------------------
+def _q153_oracle() -> str:
+    return f"""
+    WITH {_minhash_md5_ctes('documents', _Q21_HASHES, _Q21_BANDS, 4000)},
+    eg AS (
+      SELECT id_a AS u, id_b AS v FROM mh_pairs),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM eg UNION ALL SELECT v FROM eg)
+      GROUP BY node),
+    tri AS (
+      SELECT count(*) AS t
+      FROM eg e1 JOIN eg e2 ON e2.u = e1.v
+                 JOIN eg e3 ON e3.u = e1.u AND e3.v = e2.v),
+    agg AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM eg) AS n_edges,
+             (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             (SELECT t FROM tri) AS n_triangles)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN floor(3 * n_triangles * 1000000 / n_wedges) / 1000000.0
+           END AS transitivity_t
+    FROM agg
+    """
+
+
+@register(
+    "q153_near_dup_transitivity",
+    _q153_oracle(),
+    doc="triangle_count (operators/graph.py) over the q21 md5-lane "
+    "near-dup pairs: degree-ordered orientation (Suri-Vassilvitskii) "
+    "bounds wedge generation at m^1.5 -- the hub-safe triangle counter "
+    "-- then one closure semi-join; transitivity = 3*tri/wedges from "
+    "integer operands. The oracle recomputes the pair graph via the "
+    "shared _minhash_md5_ctes and counts a<b<c triangles naively "
+    "(exact at oracle scale).",
+)
+def q153_near_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_near_dup_pairs
+    from .operators.graph import triangle_count
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.4, num_hashes=_Q21_HASHES, bands=_Q21_BANDS, hash="md5"
+    )
+    return triangle_count(pairs)

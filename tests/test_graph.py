@@ -55,3 +55,30 @@ def test_pagerank_layout_independent_and_hub_ranks_highest(spark):
     assert all(a[0] > a[s] for s in range(1, 7))
     # spokes are symmetric -> identical ranks
     assert len({a[s] for s in range(1, 7)}) == 1
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge: 4 nodes, 5 edges, 2 triangles; wedges from
+    degrees (3,3,2,2): 3+3+1+1 = 8; transitivity = 6/8 = 0.75."""
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "id_a long, id_b long"
+    )
+    r = triangle_count(pairs).first()
+    assert (
+        r["n_nodes"],
+        r["n_edges"],
+        r["n_wedges"],
+        r["n_triangles"],
+        r["transitivity_t"],
+    ) == (4, 5, 8, 2, 0.75)
+
+    # duplicate/reversed pairs collapse; hub star has zero triangles
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(3, 0), (4, 0)], "id_a long, id_b long"
+    )
+    s = triangle_count(star).first()
+    assert s["n_edges"] == 5 and s["n_triangles"] == 0 and s["transitivity_t"] == 0.0
