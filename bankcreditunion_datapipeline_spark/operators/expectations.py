@@ -1,0 +1,79 @@
+"""Declarative data-quality expectations: a rule set evaluated in ONE
+pass, with observable (never silent) rejection.
+
+The reference validates ad hoc (drop / fillna / regex gates inline in
+its layer scripts); this generalizes the engine's quarantine discipline
+(operators/clean.py, plans/medallion.py) into the
+Great-Expectations-shaped primitive a lakehouse actually runs nightly:
+a list of named SQL predicates -> per-rule pass/fail counts and a
+quarantine frame tagged with WHICH rules failed.
+
+Scale design: the summary is one conditional aggregation over the input
+(no per-rule jobs, no shuffle beyond the single global agg), and the
+quarantine tagging is a narrow projection -- rule count affects
+expression width only. NULL predicate results count as FAILURES (a rule
+that cannot evaluate did not pass -- three-valued logic must not leak
+rows through a gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Per-rule summary: (rule, n_rows, n_pass, n_fail, pass_t).
+
+    `rules` is [(name, sql_predicate)]. One wide conditional aggregate,
+    then an unpivot via stack() -- a narrow O(rules) reshape of a
+    one-row frame. pass_t floor-truncates at 1e-6 (the division
+    discipline).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, pred) in enumerate(rules):
+        aggs.append(
+            F.sum(F.coalesce(F.expr(pred).cast("int"), F.lit(0))).alias(f"__p{i}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __p{i}" for i, (name, _) in enumerate(rules)
+    )
+    return wide.select(
+        F.expr(f"stack({len(rules)}, {stack_args}) AS (rule, n_pass)"), "__n"
+    ).select(
+        "rule",
+        F.col("__n").cast("long").alias("n_rows"),
+        F.coalesce(F.col("n_pass"), F.lit(0)).cast("long").alias("n_pass"),
+        (F.col("__n") - F.coalesce(F.col("n_pass"), F.lit(0)))
+        .cast("long")
+        .alias("n_fail"),
+        F.when(
+            F.col("__n") > 0,
+            F.floor(
+                F.coalesce(F.col("n_pass"), F.lit(0)) * 1000000 / F.col("__n")
+            )
+            / 1000000,
+        ).alias("pass_t"),
+    )
+
+
+def quarantine_violations(
+    df: DataFrame, rules: list[tuple[str, str]], out: str = "failed_rules"
+) -> DataFrame:
+    """Rows failing AT LEAST ONE rule, tagged with the comma-joined
+    (rule-order) names of every failed rule -- observable rejection, and
+    string-typed so the frame stays oracle-hashable. A narrow filter +
+    projection; pairs with check_expectations the way the medallion
+    quarantine pairs with its silver gates."""
+    fails = [
+        F.when(~F.coalesce(F.expr(pred), F.lit(False)), F.lit(name))
+        for name, pred in rules
+    ]
+    tagged = df.withColumn(
+        out,
+        F.concat_ws(
+            ",", F.filter(F.array(*fails), lambda x: x.isNotNull())
+        ),
+    )
+    return tagged.filter(F.col(out) != "")

@@ -7529,3 +7529,155 @@ def q153_near_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=0.4, num_hashes=_Q21_HASHES, bands=_Q21_BANDS, hash="md5"
     )
     return triangle_count(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations over lineitem: the nightly data-quality
+# summary (one conditional aggregation, per-rule pass counts; NULL
+# predicate = FAIL so three-valued logic can't leak rows through).
+# ---------------------------------------------------------------------------
+_Q154_RULES = [
+    ("qty_positive", "l_quantity > 0"),
+    ("discount_in_range", "l_discount >= 0 AND l_discount <= 1"),
+    ("tax_in_range", "l_tax >= 0 AND l_tax <= 1"),
+    ("shipdate_present", "l_shipdate IS NOT NULL"),
+    ("keys_present", "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL"),
+    ("price_nonnegative", "l_extendedprice >= 0"),
+]
+
+
+def _q154_oracle() -> str:
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS rule, "
+        f"CAST(sum(coalesce(CAST(({pred}) AS INT), 0)) AS BIGINT) AS n_pass, "
+        f"count(*) AS n_rows FROM lineitem"
+        for name, pred in _Q154_RULES
+    )
+    return f"""
+    WITH per_rule AS (
+      {arms})
+    SELECT rule,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           n_pass,
+           CAST(n_rows - n_pass AS BIGINT) AS n_fail,
+           CASE WHEN n_rows > 0
+                THEN floor(n_pass * 1000000 / n_rows) / 1000000.0
+           END AS pass_t
+    FROM per_rule
+    """
+
+
+@register(
+    "q154_lineitem_expectations",
+    _q154_oracle(),
+    doc="check_expectations (operators/expectations.py): named SQL "
+    "predicates evaluated in ONE conditional aggregation (no per-rule "
+    "jobs), unpivoted to a per-rule summary; NULL predicates count as "
+    "failures. The Great-Expectations-shaped generalization of the "
+    "medallion quarantine discipline; quarantine_violations tags "
+    "failing rows with WHICH rules failed.",
+)
+def q154_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import check_expectations
+
+    li = t(spark, sf_dir, "lineitem")
+    return check_expectations(li, _Q154_RULES)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: dangling-foreign-key census across every
+# edge of the star schema -- anti-join counts, the data-contract check
+# that gates a gold publish.
+# ---------------------------------------------------------------------------
+@register(
+    "q155_fk_integrity_audit",
+    """
+    WITH edges AS (
+      SELECT 'lineitem->orders' AS edge,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_dangling
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_partkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_suppkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)))
+    SELECT edge,
+           CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_dangling AS BIGINT) AS n_dangling,
+           CASE WHEN n_child > 0
+                THEN floor(n_dangling * 1000000 / n_child) / 1000000.0
+           END AS dangling_t
+    FROM edges
+    """,
+    doc="dangling-FK census across the star schema: per edge, a "
+    "left-anti join of child keys against the (broadcast) parent key "
+    "set, NULL child keys excluded (NULL is absent-by-contract, not "
+    "dangling). The publish-gate contract check; the adversarial corpus "
+    "plants dangling keys so the nonzero path is exercised.",
+)
+def q155_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+
+    def edge(name, child, key, parent, pkey):
+        dang = (
+            child.filter(F.col(key).isNotNull())
+            .join(
+                parent.select(F.col(pkey).alias(key)).distinct(),
+                key,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_dangling"))
+        )
+        tot = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return tot.crossJoin(dang).select(
+            F.lit(name).alias("edge"),
+            F.col("n_child").cast("long"),
+            F.col("n_dangling").cast("long"),
+            F.when(
+                F.col("n_child") > 0,
+                F.floor(F.col("n_dangling") * 1000000 / F.col("n_child")) / 1000000,
+            ).alias("dangling_t"),
+        )
+
+    frames = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", t(spark, sf_dir, "part"), "p_partkey"),
+        edge(
+            "lineitem->supplier",
+            li,
+            "l_suppkey",
+            t(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+        edge(
+            "orders->customer",
+            orders,
+            "o_custkey",
+            t(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

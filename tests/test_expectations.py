@@ -1,0 +1,53 @@
+"""Declarative expectations engine (operators/expectations.py)."""
+
+from __future__ import annotations
+
+from bankcreditunion_datapipeline_spark.operators.expectations import (
+    check_expectations,
+    quarantine_violations,
+)
+
+
+RULES = [
+    ("positive", "v > 0"),
+    ("named", "name IS NOT NULL"),
+    ("short_name", "length(name) <= 5"),
+]
+
+
+def _df(spark):
+    rows = [
+        (1, 10.0, "ok"),
+        (2, -1.0, "neg"),
+        (3, None, "nullv"),      # NULL predicate must count as FAIL
+        (4, 5.0, None),
+        (5, 2.0, "toolongname"),
+    ]
+    return spark.createDataFrame(rows, "id long, v double, name string")
+
+
+def test_check_expectations_single_pass_counts(spark):
+    out = {
+        r["rule"]: (r["n_rows"], r["n_pass"], r["n_fail"], r["pass_t"])
+        for r in check_expectations(_df(spark), RULES).collect()
+    }
+    assert out["positive"] == (5, 3, 2, 0.6)      # NULL v fails
+    assert out["named"] == (5, 4, 1, 0.8)
+    assert out["short_name"] == (5, 3, 2, 0.6)    # NULL name fails here too
+    # one job, no shuffle wider than the global aggregate
+    plan = check_expectations(_df(spark), RULES)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_quarantine_tags_which_rules_failed(spark):
+    got = {
+        r["id"]: r["failed_rules"]
+        for r in quarantine_violations(_df(spark), RULES).collect()
+    }
+    # rule order preserved in the tag
+    assert got[2] == "positive"
+    assert got[3] == "positive"      # NULL v fails positive; name 'nullv' ok
+    assert got[4] == "named,short_name"  # NULL name fails both name rules
+    assert got[5] == "short_name"
+    assert 1 not in got              # clean row never quarantined
