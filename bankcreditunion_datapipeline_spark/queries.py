@@ -7681,3 +7681,80 @@ def q155_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: every (user, active-day) classified as new (first
+# day), retained (active the previous day), or resurrected (returned
+# after a gap); churn per day derives exactly as yesterday's DAU minus
+# today's retained. One user-partitioned lag + one day aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q156_growth_accounting",
+    """
+    WITH act AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2),
+    cls AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM act),
+    daily AS (
+      SELECT d,
+             count(*) AS dau,
+             CAST(sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN date_diff('day', prev_d, d) = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev_d IS NOT NULL
+                            AND date_diff('day', prev_d, d) > 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM cls GROUP BY d)
+    SELECT t.d AS day,
+           CAST(t.dau AS BIGINT) AS dau,
+           t.n_new, t.n_retained, t.n_resurrected,
+           CAST(y.dau - t.n_retained AS BIGINT) AS n_churned
+    FROM daily t LEFT JOIN daily y ON y.d = t.d - INTERVAL 1 DAY
+    """,
+    doc="growth accounting over daily activity: classification via one "
+    "lag() per user (new / retained / resurrected partition DAU "
+    "exactly), churn(d) = dau(d-1) - retained(d) by identity -- no "
+    "retention cross-join. Days with zero activity have no row (churn "
+    "into an empty day is unreported by construction; the day domain is "
+    "the observed one).",
+)
+def q156_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    cls = act.withColumn("prev_d", F.lag("d").over(w))
+    gap = F.datediff("d", "prev_d")
+    daily = cls.groupBy("d").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.col("prev_d").isNull().cast("long")).alias("n_new"),
+        # NULL gap (first-ever day) must COUNT AS ZERO, not void the sum:
+        # an all-new day would otherwise report n_retained NULL vs the
+        # oracle's CASE ELSE 0
+        F.sum(F.coalesce((gap == 1).cast("long"), F.lit(0))).alias("n_retained"),
+        F.sum((F.col("prev_d").isNotNull() & (gap > 1)).cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    y = daily.select(
+        F.date_add("d", 1).alias("d"), F.col("dau").alias("y_dau")
+    )
+    return daily.join(y, "d", "left").select(
+        F.col("d").alias("day"),
+        F.col("dau").cast("long"),
+        F.col("n_new").cast("long"),
+        F.col("n_retained").cast("long"),
+        F.col("n_resurrected").cast("long"),
+        (F.col("y_dau") - F.col("n_retained")).cast("long").alias("n_churned"),
+    )
