@@ -445,3 +445,62 @@ def remove_boilerplate_segments(
             .alias("n_removed"),
         )
     )
+
+
+def bigram_lm_doc_scores(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Train a corpus bigram LM (Laplace-smoothed) and score each
+    document by mean log2 conditional likelihood -- the context-aware
+    upgrade of unigram_lm_doc_scores, the shape of a KenLM-style fluency
+    filter without the model dependency.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V): all counts integer, so the
+    probability is an integer-derived double (the engine's ln/log2
+    discipline). Plan:
+
+    1. positional bigrams via posexplode + one lead() per doc window --
+       the per-doc shuffle any positional text op needs;
+    2. bigram counts c2(w1,w2): groupBy sized by distinct bigrams. The
+       model table is NOT broadcast -- unlike the unigram table, a real
+       corpus's bigram table outgrows broadcast range, so scoring joins
+       it with a plain shuffle equi-join on (w1, w2) (bucket both sides
+       by (w1, w2) at 100 TB and it co-locates); the CONTEXT counts
+       c1(w1) and the scalar vocab size do broadcast;
+    3. per-doc reduce: sum(log2 p) / n_bigrams.
+
+    Documents with fewer than 2 tokens have no bigrams and no row.
+    Returns id cols + (n_bigrams, avg_ll).
+    """
+    from pyspark.sql.window import Window
+
+    ids = [F.col(c) for c in id_cols]
+    toks = df.select(
+        *ids, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy(*id_cols).orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(*ids, "w1", "w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w1").alias("vv"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(
+                F.log2(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vv"))
+                )
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_ll"),
+    )

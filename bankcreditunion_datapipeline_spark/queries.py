@@ -7758,3 +7758,53 @@ def q156_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_resurrected").cast("long"),
         (F.col("y_dau") - F.col("n_retained")).cast("long").alias("n_churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM fluency scoring: the context-aware upgrade of q109. The
+# bigram model table is deliberately NOT broadcast (real corpora outgrow
+# broadcast range) -- scoring is a shuffle equi-join on (w1, w2).
+# ---------------------------------------------------------------------------
+@register(
+    "q157_bigram_lm_fluency",
+    """
+    WITH sub AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    big AS (
+      SELECT doc_id, source,
+             w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+      FROM sub, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT count(DISTINCT u.w) AS vv FROM (
+            SELECT unnest(w) AS w FROM sub) u),
+    perdoc AS (
+      SELECT doc_id, source, count(*) AS nb,
+             sum(log2((c2 + 1.0) / (c1 + vv))) AS ll
+      FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY doc_id, source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           floor((avg(ll / nb)) * 10000) / 10000.0 AS avg_bigram_ll
+    FROM perdoc GROUP BY source
+    """,
+    doc="bigram_lm_doc_scores (operators/text.py): Laplace-smoothed "
+    "P(w2|w1) = (c2+1)/(c1+V) -- integer-derived doubles under log2 "
+    "(the ln discipline). Training shuffles are bounded by distinct "
+    "bigrams; the bigram table joins by shuffle (NOT broadcast: it "
+    "outgrows broadcast range on real corpora -- bucket both sides at "
+    "100 TB), context counts and vocab broadcast. Per-source rollup "
+    "floored at 1e-4 like q109.",
+)
+def q157_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_lm_doc_scores
+
+    docs = t(spark, sf_dir, "documents")
+    scores = bigram_lm_doc_scores(docs, id_cols=("doc_id", "source"))
+    return scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        (F.floor((F.avg("avg_ll")) * 10000) / 10000).alias("avg_bigram_ll"),
+    )

@@ -249,3 +249,31 @@ def test_remove_boilerplate_preserves_order(spark):
     }
     assert out[1] == "a1 a2 a3 a4 z1 z2 z3 z4"
     assert out[2] == "b1 b2 b3 b4 y1 y2 y3 y4"
+
+
+def test_bigram_lm_scores_hand_corpus(spark):
+    """Hand-checkable Laplace bigram model: corpus 'a b a b' + 'a b c'
+    (+ 'x', which adds no bigram but IS vocabulary); V = |{a,b,c,x}| = 4,
+    contexts c1(a)=3 (a->b x3), c1(b)=2 (b->a, b->c).
+    P(b|a)=(3+1)/(3+4)=4/7; P(a|b)=(1+1)/(2+4)=1/3; P(c|b)=1/3."""
+    import math
+
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        bigram_lm_doc_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_ll"])
+        for r in bigram_lm_doc_scores(df).collect()
+    }
+    # doc 3 (single token) and doc 4 (NULL) have no bigrams -> no row
+    assert set(got) == {1, 2}
+    lab, lxb = math.log2(4 / 7), math.log2(1 / 3)
+    want1 = (lab + lxb + lab) / 3  # doc 1 bigrams: ab, ba, ab
+    want2 = (lab + lxb) / 2        # doc 2 bigrams: ab, bc
+    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-12
+    assert got[2][0] == 2 and abs(got[2][1] - want2) < 1e-12
