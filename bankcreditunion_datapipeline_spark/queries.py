@@ -7808,3 +7808,87 @@ def q157_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bigrams").cast("long").alias("n_bigrams"),
         (F.floor((F.avg("avg_ll")) * 10000) / 10000).alias("avg_bigram_ll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-BEST-per-cluster dedup policy: near-dup clusters (q21 pairs ->
+# connected components) keep their highest-quality member, not the
+# minimal id -- the policy production dedup actually wants (min-id keeps
+# whichever copy was crawled first; quality argmax keeps the cleanest).
+# ---------------------------------------------------------------------------
+def _q158_oracle() -> str:
+    quality = """CAST(floor(((least(length(text) / 500.0, 1.0)
+               * (CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / length(text)
+                  ELSE 0.0 END))
+               * greatest(0.0, 1.0
+                 - (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
+                         / length(text)
+                    ELSE 0.0 END) * 4)) * 1000000) AS BIGINT)"""
+    return f"""
+    WITH RECURSIVE {_minhash_md5_ctes('documents', _Q21_HASHES, _Q21_BANDS, 4000)},
+    ebi AS (
+      SELECT id_a, id_b FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT id_a, id_a FROM ebi
+      UNION
+      SELECT ebi.id_a, reach.r FROM ebi JOIN reach ON ebi.id_b = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id, {quality} AS qint FROM documents),
+    m AS (
+      SELECT comp.id, comp.component, q.qint
+      FROM comp JOIN q ON q.doc_id = comp.id),
+    best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY qint DESC, id ASC) AS rk,
+             count(*) OVER (PARTITION BY component) AS n
+      FROM m)
+    SELECT component, CAST(n AS BIGINT) AS n_members,
+           id AS kept_id, qint / 1000000.0 AS best_q
+    FROM best WHERE rk = 1
+    """
+
+
+@register(
+    "q158_keep_best_per_cluster",
+    _q158_oracle(),
+    doc="composition: q21's md5-lane near-dup pairs -> connected "
+    "components -> per-cluster argmax of the INTEGER-scaled quality "
+    "score (floor at 1e-6 BEFORE comparing, so the winner can't "
+    "float-flip; ties to min id). The keep-best dedup policy vs "
+    "drop_near_dups' keep-min-id; oracle = recursive-CTE closure over "
+    "the shared minhash CTEs + the quality twin.",
+)
+def q158_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import connected_components, minhash_near_dup_pairs
+    from .operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.4, num_hashes=_Q21_HASHES, bands=_Q21_BANDS, hash="md5"
+    )
+    comp = connected_components(pairs)
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        F.floor(quality_score(F.col("text")) * 1000000).cast("long").alias("qint"),
+    )
+    m = comp.join(q, "id")
+    w = Window.partitionBy("component").orderBy(F.desc("qint"), F.asc("id"))
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("n").cast("long").alias("n_members"),
+            F.col("id").alias("kept_id"),
+            (F.col("qint") / 1000000).alias("best_q"),
+        )
+    )
