@@ -7892,3 +7892,90 @@ def q158_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qint") / 1000000).alias("best_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution: minutes from first view to the first
+# at-or-after purchase, per converting session (the q151 stage
+# machinery), summarized with exact percentile parity (q48/q142 class).
+# ---------------------------------------------------------------------------
+@register(
+    "q159_time_to_convert",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ev),
+    s1 AS (
+      SELECT user_id, sid, min(ts) AS t1
+      FROM sess WHERE event_type = 'view' GROUP BY user_id, sid),
+    conv AS (
+      SELECT s.user_id, s.sid,
+             date_diff('second', s1.t1, min(s.ts)) AS secs
+      FROM sess s JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+      WHERE s.event_type = 'purchase' AND s.ts >= s1.t1
+      GROUP BY s.user_id, s.sid, s1.t1)
+    SELECT count(*) AS n_conversions,
+           CAST(min(secs) AS BIGINT) AS min_secs,
+           floor(quantile_cont(secs, 0.5) * 10000) / 10000.0 AS p50_secs,
+           floor(quantile_cont(secs, 0.9) * 10000) / 10000.0 AS p90_secs,
+           CAST(max(secs) AS BIGINT) AS max_secs
+    FROM conv
+    """,
+    doc="conversion latency per session: first view -> first at-or-after "
+    "purchase via the q151 staged-min machinery (integer seconds from "
+    "timestamp arithmetic), summarized with exact interpolated "
+    "percentiles (F.percentile == quantile_cont, the q48 parity class) "
+    "floored at 1e-4. One (user, sid) partitioning reused end to end.",
+)
+def q159_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") >= 30 * 60)
+    ).cast("int")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    key = ["user_id", "sid"]
+    s1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s1, key)
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy(*key, "t1")
+        .agg(F.min("ts").alias("tp"))
+        .select(
+            (F.col("tp").cast("long") - F.col("t1").cast("long")).alias("secs")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("secs").cast("long").alias("min_secs"),
+        (F.floor(F.percentile("secs", F.lit(0.5)) * 10000) / 10000).alias("p50_secs"),
+        (F.floor(F.percentile("secs", F.lit(0.9)) * 10000) / 10000).alias("p90_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )
