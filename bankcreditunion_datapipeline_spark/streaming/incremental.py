@@ -374,3 +374,97 @@ def streaming_near_dedup(
         survivors.unpersist()
 
     incremental_files(spark, source_dir, checkpoint_dir, schema, dedup_batch)
+
+
+# ---------------------------------------------------------------------------
+# Streaming frequency monitor: Count-Min state maintained as per-batch
+# partitions, merged on read (counters are a sum-monoid, so the merged
+# view is the exact sketch of everything ever ingested).
+# ---------------------------------------------------------------------------
+
+
+def streaming_count_min(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    batch_candidates: int = 64,
+) -> None:
+    """Maintain a streaming Count-Min frequency sketch + candidate key
+    set over a file stream (Trigger.AvailableNow, so each run processes
+    exactly the new files).
+
+    State layout is the r4 idempotency discipline: every micro-batch
+    writes its OWN ``batch=<id>`` partition (overwrite semantics), so a
+    redelivered batch REPLACES its partition instead of double-counting
+    -- and because CM counters merge by element-wise sum, the merged
+    read (`streaming_count_min_state`) is always the exact sketch of
+    the exactly-once table contents. No read-modify-write of global
+    state ever happens, which also makes concurrent readers safe.
+
+    Bounded state: the sketch is O(depth * width) per batch; candidates
+    are the per-batch top-`batch_candidates` keys by exact batch count
+    (a key that is globally heavy is heavy in some batch -- the
+    standard CM+candidates top-k recipe; raise `batch_candidates` for
+    adversarially flat streams).
+    """
+    from ..operators.sketches import count_min_table
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        cm = count_min_table(df, key_col, depth, width)
+        cm.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "cm", f"batch={batch_id}")
+        )
+        cand = (
+            df.filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.desc("__n"), F.asc(key_col))
+            .limit(batch_candidates)
+            .select(key_col)
+        )
+        cand.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "cand", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_count_min_state(
+    spark: SparkSession, state_dir: str, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(merged_cm, candidate_keys): the exact element-wise-sum merge of
+    every batch partition, and the distinct candidate set."""
+    cm = (
+        spark.read.parquet(os.path.join(state_dir, "cm"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cand = (
+        spark.read.parquet(os.path.join(state_dir, "cand"))
+        .select(key_col)
+        .distinct()
+    )
+    return cm, cand
+
+
+def streaming_topk_estimates(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Top-k keys by CM estimate over the merged streaming state --
+    estimates never undercount (CM invariant), deterministic tie-break
+    on the key."""
+    from ..operators.sketches import count_min_estimate
+
+    cm, cand = streaming_count_min_state(spark, state_dir, key_col)
+    est = count_min_estimate(cm, cand, key_col, depth, width)
+    return est.orderBy(F.desc("est_n"), F.asc(key_col)).limit(k)

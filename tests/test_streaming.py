@@ -656,3 +656,64 @@ def test_psi_terms_scaffolds_missing_categories(spark):
     assert (2, "z") not in rows
     # every group scaffolds to exactly the reference categories
     assert {k[1] for k in rows} == {"a", "b", "c"}
+
+
+def test_streaming_count_min_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The per-batch-partition CM state merged on read must equal the
+    one-shot batch sketch of all the data (counters are a sum-monoid),
+    its top-k estimates must match batch top-k AND true counts (no
+    collisions at this width), and replaying a batch partition must not
+    double-count."""
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        count_min_table,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_count_min,
+        streaming_count_min_state,
+        streaming_topk_estimates,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # three "days" of events with a known hot key
+    for day in range(3):
+        _write_events(spark, src, day * 100, 40)
+    streaming_count_min(
+        spark, src, ckpt, EVENT_SCHEMA, state, "event_type", width=64
+    )
+
+    full = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    batch_cm = count_min_table(full, "event_type", width=64)
+    merged_cm, cand = streaming_count_min_state(spark, state, "event_type")
+    assert sorted(map(tuple, merged_cm.collect())) == sorted(
+        map(tuple, batch_cm.collect())
+    )
+
+    top = {
+        r["event_type"]: r["est_n"]
+        for r in streaming_topk_estimates(
+            spark, state, "event_type", k=5, width=64
+        ).collect()
+    }
+    true = {
+        r["event_type"]: r["n"]
+        for r in full.filter("event_type IS NOT NULL")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(top[k] >= true[k] for k in top)
+    assert set(top) <= set(true)
+
+    # idempotent redelivery: overwriting batch 0's partition with the
+    # identical recomputed content leaves the merged state bit-identical
+    # (partition REPLACE, never append)
+    import os
+
+    before = sorted(map(tuple, merged_cm.collect()))
+    b0_dir = os.path.join(state, "cm", "batch=0")
+    cm0_rows = spark.read.parquet(b0_dir).collect()  # materialize first
+    spark.createDataFrame(cm0_rows).write.mode("overwrite").parquet(b0_dir)
+    merged_after, _ = streaming_count_min_state(spark, state, "event_type")
+    assert sorted(map(tuple, merged_after.collect())) == before
