@@ -518,10 +518,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     edges = pairs.select("id_a", "id_b").union(
         pairs.select(F.col("id_b"), F.col("id_a")).toDF("id_a", "id_b")
     ).persist()
+    # Size each round to the graph, not the session partitioning (same
+    # measured rationale as connected_components_star / pagerank_integer:
+    # tiny near-dup graphs were paying 32-partition scheduling latency
+    # per checkpointed round)
+    parts = max(1, -(-edges.count() // 500_000))
+    edges = edges.coalesce(parts)
     labels = (
         edges.select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .coalesce(parts)
         .localCheckpoint()
     )
     for _ in range(max_iters):
@@ -556,6 +563,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             )
             .withColumn("__changed", F.col("component") != F.col("__old"))
             .select("id", "component", "__changed")
+            .coalesce(parts)
             .localCheckpoint()  # truncate lineage before the next round
         )
         converged = new_labels.filter(F.col("__changed")).isEmpty()
