@@ -148,6 +148,11 @@ def triangle_count(
         .distinct()
         .persist()
     )
+    # working-set sizing (the pagerank/CC discipline): the wedge and
+    # closure stages over a small pair graph must not inherit the
+    # session's shuffle partitioning
+    n_edges = e.count()
+    e = e.coalesce(max(1, -(-n_edges // 500_000)))
     deg = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -185,7 +190,6 @@ def triangle_count(
             ).alias("n_wedges"),
         ).first()
     )
-    n_edges = e.count()
     n_wedges = int(row["n_wedges"])
     trans = (3 * n_tri * 1000000 // n_wedges) / 1000000.0 if n_wedges else None
     out = pairs.sparkSession.createDataFrame(
