@@ -7997,3 +7997,89 @@ def q159_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.percentile("secs", F.lit(0.9)) * 10000) / 10000).alias("p90_secs"),
         F.max("secs").cast("long").alias("max_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over order baskets: support /
+# confidence / lift for co-purchased part pairs, every metric in
+# integer-scaled arithmetic (floor division of exact counts) so the
+# ranking cannot float-flip between engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q160_association_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    items AS (SELECT l_partkey, count(*) AS n_i FROM b GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS n_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pa, pb, n_ab,
+             (1000000 * n_ab) // n_orders AS support_u,
+             (1000000 * n_ab) // ia.n_i AS conf_ab_u,
+             (1000000 * n_ab) // ib.n_i AS conf_ba_u,
+             (1000000 * n_ab * n_orders) // (ia.n_i * ib.n_i) AS lift_u
+      FROM pairs
+      JOIN items ia ON ia.l_partkey = pa
+      JOIN items ib ON ib.l_partkey = pb
+      CROSS JOIN n
+      WHERE n_ab >= 3)
+    SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(support_u AS BIGINT) AS support_u,
+           CAST(conf_ab_u AS BIGINT) AS conf_ab_u,
+           CAST(conf_ba_u AS BIGINT) AS conf_ba_u,
+           CAST(lift_u AS BIGINT) AS lift_u
+    FROM scored
+    ORDER BY lift_u DESC, pa, pb
+    LIMIT 25
+    """,
+    doc="association rules (support/confidence/lift) over order baskets: "
+    "the pair join is bounded by basket size (never all-parts "
+    "quadratic), metrics are micro-unit integers via floor division of "
+    "exact counts -- (1e6 * n_ab * n_orders) div (n_a * n_b) fits a "
+    "BIGINT at TPC-H scales and makes the lift RANKING engine-exact, "
+    "where a float lift would tie-flip. Top-25 by lift with min-support "
+    "3, deterministic tiebreak.",
+)
+def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    items = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    c = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = items.select(F.col("l_partkey").alias("pa"), F.col("n_i").alias("na"))
+    ib = items.select(F.col("l_partkey").alias("pb"), F.col("n_i").alias("nb"))
+    scored = (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr("(1000000 * n_ab) div n_orders").cast("long").alias("support_u"),
+            F.expr("(1000000 * n_ab) div na").cast("long").alias("conf_ab_u"),
+            F.expr("(1000000 * n_ab) div nb").cast("long").alias("conf_ba_u"),
+            F.expr("(1000000 * n_ab * n_orders) div (na * nb)")
+            .cast("long")
+            .alias("lift_u"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_u"), F.asc("pa"), F.asc("pb")).limit(25)
