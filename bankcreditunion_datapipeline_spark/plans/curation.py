@@ -48,6 +48,8 @@ def curate_documents(
     strip_boilerplate: bool = False,
     group_col: str = "source",
     near_dup_hash: str = "xxhash64",
+    near_dup_hashes: int = 32,
+    near_dup_bands: int = 8,
 ) -> CurationResult:
     """Run the curation funnel. `count_stages=False` skips the per-stage
     counts for production runs where only the final tables matter; the
@@ -148,6 +150,8 @@ def curate_documents(
         id_col=id_col,
         text_col=text_col,
         threshold=near_dup_threshold,
+        num_hashes=near_dup_hashes,
+        bands=near_dup_bands,
         hash=near_dup_hash,
     )
     near = stage("near_dedup", drop_near_dups(exact, pairs, id_col))
