@@ -8091,3 +8091,82 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift_u"), F.asc("pa"), F.asc("pb")).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k WITHOUT a window: per-customer top-3 parts by spend via
+# sorted-struct aggregation. A row_number() window sorts every group's
+# full row set after the shuffle; the aggregate form keeps a k-bounded
+# state per group AND combines map-side, so the shuffle carries at most
+# k structs per (partition, group) -- the right top-k at 100 TB group
+# cardinalities. Spend in exact integer cents so the ranking can't
+# float-flip.
+# ---------------------------------------------------------------------------
+@register(
+    "q161_top_parts_per_customer",
+    """
+    WITH spend AS (
+      SELECT o_custkey, l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT o_custkey, l_partkey, cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cents DESC, l_partkey) AS rk
+      FROM spend)
+    SELECT o_custkey, CAST(rk AS INT) AS rk, l_partkey,
+           round(cents / 100.0, 2) AS spend
+    FROM ranked WHERE rk <= 3 AND o_custkey % 10 = 0
+    """,
+    doc="grouped top-k via slice(array_sort(collect_list(struct)))) "
+    "aggregation instead of a row_number window: partial aggregation "
+    "combines map-side so the exchange carries <= k structs per "
+    "(partition, group) where the window form shuffles and sorts EVERY "
+    "row of every group. Ranking on exact integer cents (ties to min "
+    "partkey); the oracle is the window form -- both must agree "
+    "exactly. Output restricted to custkey%%10=0 to keep the graded "
+    "frame small; the plan shape is the point.",
+)
+def q161_top_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    spend = (
+        orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    # k-bounded per-group state: sort key = (-cents, partkey) so the
+    # ascending struct sort yields descending spend with min-partkey ties
+    topk = (
+        spend.groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cents")).alias("neg"),
+                            F.col("l_partkey").alias("pk"),
+                        )
+                    )
+                ),
+                1,
+                3,
+            ).alias("top")
+        )
+        .filter(F.col("o_custkey") % 10 == 0)
+    )
+    return topk.select(
+        "o_custkey", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "o_custkey",
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        F.col("t.pk").alias("l_partkey"),
+        F.round(-F.col("t.neg") / 100.0, 2).alias("spend"),
+    )
