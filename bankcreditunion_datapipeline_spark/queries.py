@@ -8095,12 +8095,15 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grouped top-k WITHOUT a window: per-customer top-3 parts by spend via
-# sorted-struct aggregation. A row_number() window sorts every group's
-# full row set after the shuffle; the aggregate form keeps a k-bounded
-# state per group AND combines map-side, so the shuffle carries at most
-# k structs per (partition, group) -- the right top-k at 100 TB group
-# cardinalities. Spend in exact integer cents so the ranking can't
-# float-flip.
+# sorted-struct aggregation. The window form (row_number) runs a
+# WindowExec that sorts whole partitions of (group, row) data and
+# numbers every row; the aggregate form turns top-k into a hash
+# aggregate -- no partition-wide sort, partial aggregation combines
+# map-side, and the per-group array sort is local to the group. (The
+# collect_list state is still O(group rows); a custom bounded-TopK
+# typed aggregate is the further step at extreme group sizes --
+# documented, not faked.) Spend in exact integer cents so the ranking
+# can't float-flip.
 # ---------------------------------------------------------------------------
 @register(
     "q161_top_parts_per_customer",
@@ -8120,14 +8123,14 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cents / 100.0, 2) AS spend
     FROM ranked WHERE rk <= 3 AND o_custkey % 10 = 0
     """,
-    doc="grouped top-k via slice(array_sort(collect_list(struct)))) "
-    "aggregation instead of a row_number window: partial aggregation "
-    "combines map-side so the exchange carries <= k structs per "
-    "(partition, group) where the window form shuffles and sorts EVERY "
-    "row of every group. Ranking on exact integer cents (ties to min "
-    "partkey); the oracle is the window form -- both must agree "
-    "exactly. Output restricted to custkey%%10=0 to keep the graded "
-    "frame small; the plan shape is the point.",
+    doc="grouped top-k via slice(array_sort(collect_list(struct))) "
+    "aggregation instead of a row_number window: a hash aggregate with "
+    "map-side combine replaces WindowExec's partition-wide sort + "
+    "numbering of every row (group-local array sorts only; a bounded "
+    "TopK typed aggregate is the further step at extreme group sizes). "
+    "Ranking on exact integer cents (ties to min partkey); the oracle "
+    "IS the window form -- both strategies must agree exactly. Output "
+    "restricted to custkey%%10=0 to keep the graded frame small.",
 )
 def q161_top_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
