@@ -68,6 +68,54 @@ def top_k_per_group(
     )
 
 
+def grouped_topk_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sort_struct: Column,
+    k: int,
+    salt_buckets: int = 32,
+    out: str = "top",
+) -> DataFrame:
+    """Per-group top-k WITHOUT a window and WITHOUT an O(group) buffer:
+    two-stage salted hash aggregation. `sort_struct` is a struct column
+    whose ASCENDING sort order is the wanted ranking (encode descending
+    keys negated, ties by the next field -- the integer-cents
+    discipline); returns one row per group with `out` = the k smallest
+    structs, sorted.
+
+    Why not row_number(): WindowExec sorts whole partitions of
+    (group, row) data and numbers every row. Why not a single
+    slice(array_sort(collect_list())): its aggregation buffer holds
+    EVERY row of a group before sorting -- one degenerate group (a
+    customer with 10^7 distinct parts) is the scale-killer. Here stage
+    1 groups by (keys, salt = pmod(xxhash64(sort_struct), B)) and keeps
+    a local top-k, so a giant group's rows split across B independent
+    buffers (expected size group/B); stage 2 re-aggregates at most B*k
+    survivors per group -- a bounded buffer by construction. Top-k is
+    salt-decomposable (the global top-k is contained in the union of
+    per-bucket top-ks), so ANY salt assignment yields the same result;
+    hashing the struct keeps it deterministic. Both stages are hash
+    aggregates with map-side partial combine; total cost is two
+    shuffles of (keys[, salt]) rows, still cheaper than WindowExec's
+    full-partition sort at scale. The pattern is documented in SCALE.md
+    -- copy THIS form, not the unsalted collect_list."""
+    salt = F.pmod(F.xxhash64(sort_struct), F.lit(salt_buckets))
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias(
+                "__local"
+            )
+        )
+    )
+    return (
+        stage1.select(*keys, F.explode("__local").alias("__t"))
+        .groupBy(*keys)
+        .agg(F.slice(F.array_sort(F.collect_list("__t")), 1, k).alias(out))
+    )
+
+
 def distinct_values(df: DataFrame, col: str, desc: bool = True) -> DataFrame:
     """A2: distinct projection (reference quarter_dates_df,
     goldLayer/BuildGoldLayer.py:77-88)."""

@@ -355,8 +355,11 @@ def lsh_band_table(
     """Explode a minhash signature into (id, band_id, band_hash) rows.
 
     Two documents share a bucket iff one band of their signatures matches
-    exactly -- the classic (b bands x r rows) S-curve. Bucket key is a
-    single long, so the subsequent self-join shuffles 16-byte keys only.
+    exactly -- the classic (b bands x r rows) S-curve. With the default
+    xxhash64 hasher the bucket key is a single long, so the subsequent
+    self-join shuffles 16-byte keys; on the portable md5 path the key is
+    a 32-char hex string (~40+ byte rows -- the portability tax the q21
+    oracle lane pays, production keeps xxhash64).
 
     `band_hasher` (Column -> Column over the joined band string) defaults
     to xxhash64; the portable q21 path passes functions.hashing.md5lane.
@@ -852,6 +855,56 @@ def exact_jaccard_pairs(
     )
 
 
+def attach_pair_budget(
+    gated: DataFrame,
+    freq: DataFrame,
+    count_col: str,
+    max_pair_rows: int,
+    message: str,
+) -> DataFrame:
+    """Fail-loud pair-row budget for pair-generating self-joins (the
+    exact_jaccard_pairs discipline, reusable): compute the EXACT pair
+    total sum(m*(m-1)/2) over `freq[count_col]` (the per-key
+    multiplicity table the caller already builds for its prune) and
+    abort AT EXECUTION TIME if it exceeds `max_pair_rows`, instead of
+    silently generating O(m^2) join rows on a heavy-tailed key.
+
+    The budget rides the plan lazily: assert_true over a broadcast
+    1-row cross join attached to `gated` (an input that feeds the
+    self-join, upstream of the pair explosion -- attach it to the
+    SMALLER input), so the operator stays a pure DataFrame
+    transformation and the check costs one extra aggregate on an
+    exchange the join needs anyway. `message` should name the operator
+    and the knobs to turn; the computed pair total and budget are
+    appended.
+    """
+    guard = freq.agg(
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CAST({count_col} AS BIGINT) * "
+                    f"(CAST({count_col} AS BIGINT) - 1) div 2"
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("__pair_rows")
+    )
+    return (
+        gated.crossJoin(F.broadcast(guard))
+        .where(
+            F.assert_true(
+                F.col("__pair_rows") <= F.lit(max_pair_rows),
+                F.concat(
+                    F.lit(message + " ["),
+                    F.col("__pair_rows").cast("string"),
+                    F.lit(f" pair rows, budget {max_pair_rows}]"),
+                ),
+            ).isNull()
+        )
+        .drop("__pair_rows")
+    )
+
+
 def _gram_pair_counts(
     df: DataFrame,
     id_col: str,
@@ -885,42 +938,19 @@ def _gram_pair_counts(
     if max_pair_rows is not None:
         # Default heavy-tail guard (fail-loud, exactness-preserving): on a
         # real heavy-tailed corpus one hot posting list generates
-        # m*(m-1)/2 join rows and melts the job; rather than silently
-        # running it, compute the exact pair-row total from the df table
-        # the prune already built (one extra agg on the exchange the join
-        # needs anyway) and abort AT EXECUTION TIME with the knob to turn.
-        # Lazy: assert_true rides the plan via a broadcast 1-row cross
-        # join, so the operator stays a pure DataFrame transformation.
-        guard = eligible.agg(
-            F.coalesce(
-                F.sum(
-                    F.expr("CAST(__df AS BIGINT) * (CAST(__df AS BIGINT) - 1) div 2")
-                ),
-                F.lit(0).cast("long"),
-            ).alias("__pair_rows")
-        )
-        eligible = (
-            eligible.crossJoin(F.broadcast(guard))
-            .where(
-                F.assert_true(
-                    F.col("__pair_rows") <= F.lit(max_pair_rows),
-                    F.concat(
-                        F.lit(
-                            "exact_jaccard_pairs: inverted-index self-join would "
-                            "generate "
-                        ),
-                        F.col("__pair_rows").cast("string"),
-                        F.lit(
-                            f" pair rows (budget {max_pair_rows}). Set "
-                            "max_doc_freq to cap hot posting lists (lower-bound "
-                            "jaccard semantics, see docstring), raise "
-                            "max_pair_rows, or use the LSH path "
-                            "(minhash_near_dup_pairs)."
-                        ),
-                    ),
-                ).isNull()
-            )
-            .drop("__pair_rows")
+        # m*(m-1)/2 join rows and melts the job; the shared guard
+        # computes the exact pair-row total from the df table the prune
+        # already built and aborts at execution time with the knob to
+        # turn.
+        eligible = attach_pair_budget(
+            eligible,
+            eligible,
+            "__df",
+            max_pair_rows,
+            "exact set-overlap (_gram_pair_counts): inverted-index "
+            "self-join over budget. Set max_doc_freq to cap hot posting "
+            "lists (lower-bound jaccard semantics, see docstring), raise "
+            "max_pair_rows, or use the LSH path (minhash_near_dup_pairs).",
         )
     posting = grams.join(eligible.select("gh"), "gh")
     a = posting.select(F.col("__id").alias("id_a"), "gh")
@@ -1350,16 +1380,42 @@ def winnow_fingerprints(
 
 
 def fingerprint_overlap_pairs(
-    fp: DataFrame, id_col: str = "doc_id", fp_col: str = "fp", min_shared: int = 2
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+    max_pair_rows: int | None = 100_000_000,
 ) -> DataFrame:
     """(id_a, id_b, n_shared) for document pairs sharing >= min_shared
     fingerprints -- the winnowing detection join. Same scale guards as
     exact_jaccard_pairs: singleton fingerprints (df=1) are pruned from
-    the self-join input (lossless -- they can form no pair), and the df
-    aggregation shuffles on the key the join needs anyway.
+    the self-join input (lossless -- they can form no pair), the df
+    aggregation shuffles on the key the join needs anyway, and the
+    fail-loud `max_pair_rows` budget is ON by default -- winnowing's
+    whole point is catching shared boilerplate, so a fingerprint shared
+    by m documents (m*(m-1)/2 join rows) is the EXPECTED hot case, not
+    an edge. `max_doc_freq` drops fingerprints hotter than the cap from
+    the join (lower-bound n_shared semantics: boilerplate shared by more
+    than max_doc_freq docs stops counting toward pair overlap); None
+    disables either knob.
     """
     freq = fp.groupBy(fp_col).agg(F.count(F.lit(1)).alias("__df"))
-    posting = fp.join(freq.filter(F.col("__df") >= 2).select(fp_col), fp_col)
+    eligible = freq.filter(F.col("__df") >= 2)
+    if max_doc_freq is not None:
+        eligible = eligible.filter(F.col("__df") <= max_doc_freq)
+    if max_pair_rows is not None:
+        eligible = attach_pair_budget(
+            eligible,
+            eligible,
+            "__df",
+            max_pair_rows,
+            "fingerprint_overlap_pairs: winnowing self-join over budget. "
+            "Set max_doc_freq to drop boilerplate fingerprints "
+            "(lower-bound n_shared semantics, see docstring), raise "
+            "max_pair_rows, or use the LSH path (minhash_near_dup_pairs).",
+        )
+    posting = fp.join(eligible.select(fp_col), fp_col)
     a = posting.select(F.col(id_col).alias("id_a"), fp_col)
     b = posting.select(F.col(id_col).alias("id_b"), fp_col)
     return (

@@ -25,11 +25,17 @@ from pyspark.sql import functions as F
 def check_expectations(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
     """Per-rule summary: (rule, n_rows, n_pass, n_fail, pass_t).
 
-    `rules` is [(name, sql_predicate)]. One wide conditional aggregate,
-    then an unpivot via stack() -- a narrow O(rules) reshape of a
-    one-row frame. pass_t floor-truncates at 1e-6 (the division
-    discipline).
+    `rules` is [(name, sql_predicate)] and must be non-empty. One wide
+    conditional aggregate, then an unpivot via stack() -- a narrow
+    O(rules) reshape of a one-row frame. Rule names are quote-escaped
+    before interpolation into the stack() expression. pass_t
+    floor-truncates at 1e-6 (the division discipline).
     """
+    if not rules:
+        raise ValueError(
+            "check_expectations: rules must be a non-empty list of "
+            "(name, sql_predicate) -- an empty rule set has no summary."
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, pred) in enumerate(rules):
         aggs.append(
@@ -37,7 +43,8 @@ def check_expectations(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame
         )
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{name}', __p{i}" for i, (name, _) in enumerate(rules)
+        "'{}', __p{}".format(name.replace("'", "''"), i)
+        for i, (name, _) in enumerate(rules)
     )
     return wide.select(
         F.expr(f"stack({len(rules)}, {stack_args}) AS (rule, n_pass)"), "__n"

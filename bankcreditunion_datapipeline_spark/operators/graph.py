@@ -20,7 +20,8 @@ units per round out of 1e12) is deterministic and harmless for ranking.
 Recurrence (SCALE = 1e12, damping d = num/den, N nodes):
     base   = SCALE div N
     r0(v)  = base
-    contrib(u -> v) = r(u) div outdeg(u)
+    contrib(u -> v) = r(u) div outdeg(u)            (unweighted)
+                    = (r(u) * w(u,v)) div W(u)      (weighted; W = sum out-w)
     r'(v)  = ((den - num) * base) div den
              + (num * sum_in(contrib)) div den
 Dangling nodes are the caller's concern: build the edge set symmetric
@@ -43,28 +44,52 @@ def pagerank_integer(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     rows_per_partition: int = 500_000,
 ) -> DataFrame:
     """(node, rank) after `iterations` rounds of the integer recurrence.
 
     `edges` must be the directed edge list as the caller wants mass to
     flow (pass both directions for an undirected graph -- no dangling
-    nodes, see module docstring). Duplicate edges are deduped.
+    nodes, see module docstring). Without `weight_col`, duplicate edges
+    are deduped and each out-edge receives rank div outdeg. With
+    `weight_col` (a positive INTEGER column -- order counts, volume in
+    whole units), duplicate (src, dst) edges merge by SUMMING weights
+    and u sends (rank * w) div W(u) along each edge, W(u) = total
+    outgoing weight -- still pure BIGINT floor arithmetic, so the
+    weighted recurrence is exactly as engine-replayable as the
+    unweighted one. Weights must satisfy max(w) <= 9e6 so rank * w
+    (rank <= SCALE = 1e12) cannot overflow BIGINT; violating weights
+    raise rather than silently wrap.
 
     Plan shape per round: one join of ranks to the persisted edge set on
     src (co-shuffled after round 1), one hash aggregate on dst -- the
     standard iterative-join PageRank; ranks are localCheckpoint'ed per
     round (the connected_components lineage discipline). Everything is
     BIGINT arithmetic: no float enters the plan, so results are
-    layout-independent AND engine-replayable (the q147 oracle unrolls
-    the same recurrence in SQL).
+    layout-independent AND engine-replayable (the q147/q162 oracles
+    unroll the same recurrences in SQL).
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .persist()
-    )
+    base_cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is None:
+        e = (
+            edges.select(*base_cols)
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .persist()
+        )
+    else:
+        e = (
+            edges.select(*base_cols, F.col(weight_col).cast("long").alias("w"))
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
     # Size the iteration working set to the graph, not to
     # spark.sql.shuffle.partitions: the per-round joins/aggregates over a
     # graph far smaller than the session's partitioning pay pure task-
@@ -72,9 +97,23 @@ def pagerank_integer(
     # edge graph at 32 partitions vs sized). coalesce is narrow and
     # clamps to the current count; big graphs keep full parallelism.
     n_edges = e.count()
+    if n_edges == 0:
+        # empty graph (e.g. a filter matched no rows): empty frame, not
+        # a ZeroDivisionError from SCALE // 0
+        return edges.sparkSession.createDataFrame([], "node long, rank long")
     parts = max(1, -(-n_edges // rows_per_partition))
     e = e.coalesce(parts)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    else:
+        mx = e.agg(F.max("w").alias("m")).first()["m"]
+        if mx > 9_000_000:
+            raise ValueError(
+                f"pagerank_integer: max edge weight {mx} > 9e6 -- rank * w "
+                "would overflow BIGINT (rank <= 1e12). Rescale weights "
+                "(e.g. integer-divide by a unit) before calling."
+            )
+        outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -89,12 +128,17 @@ def pagerank_integer(
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank")).localCheckpoint()
     # src-keyed edge+degree table, built once; every round's join hits it
     ed = e.join(outdeg, "src").persist()
+    contrib_expr = (
+        F.expr("rank div outdeg")
+        if weight_col is None
+        else F.expr("(rank * w) div outdeg")
+    )
     for _ in range(iterations):
         contribs = (
             ranks.join(ed, ranks["node"] == ed["src"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
+                contrib_expr.alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))

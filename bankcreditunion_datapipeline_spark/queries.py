@@ -8065,6 +8065,26 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
     a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
     c = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    # fail-loud pair budget (the exact_jaccard_pairs discipline): TPC-H
+    # baskets are <= 7 lines, but a real retail hot basket with m items
+    # generates m*(m-1)/2 pair rows -- compute the exact total from the
+    # basket-size table (one agg on the exchange the join needs anyway)
+    # and abort at execution rather than melt. 100M rows ~ the largest
+    # per-key pair set worth materializing before switching strategy.
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        attach_pair_budget,
+    )
+
+    basket_sizes = b.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__m"))
+    a = attach_pair_budget(
+        a,
+        basket_sizes,
+        "__m",
+        100_000_000,
+        "q160_association_rules: within-basket pair join over budget. "
+        "Cap basket size upstream or mine frequent itemsets with a "
+        "support-pruned approach (FP-growth class) instead.",
+    )
     pairs = (
         a.join(c, "l_orderkey")
         .filter(F.col("pa") < F.col("pb"))
@@ -8095,15 +8115,16 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grouped top-k WITHOUT a window: per-customer top-3 parts by spend via
-# sorted-struct aggregation. The window form (row_number) runs a
-# WindowExec that sorts whole partitions of (group, row) data and
-# numbers every row; the aggregate form turns top-k into a hash
-# aggregate -- no partition-wide sort, partial aggregation combines
-# map-side, and the per-group array sort is local to the group. (The
-# collect_list state is still O(group rows); a custom bounded-TopK
-# typed aggregate is the further step at extreme group sizes --
-# documented, not faked.) Spend in exact integer cents so the ranking
-# can't float-flip.
+# the two-stage SALTED hash aggregation (grouped_topk_agg). The window
+# form (row_number) runs a WindowExec that sorts whole partitions of
+# (group, row) data and numbers every row; a single
+# slice(array_sort(collect_list())) aggregate avoids the sort but holds
+# O(group rows) in its buffer -- one degenerate customer melts it. The
+# salted form bounds the buffer by construction: local top-3 per
+# (customer, salt-of-struct), then top-3 of <= salt_buckets*3
+# survivors. Spend in exact integer cents so the ranking can't
+# float-flip; the oracle IS the window form, so the two physical
+# strategies must agree exactly.
 # ---------------------------------------------------------------------------
 @register(
     "q161_top_parts_per_customer",
@@ -8123,16 +8144,20 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cents / 100.0, 2) AS spend
     FROM ranked WHERE rk <= 3 AND o_custkey % 10 = 0
     """,
-    doc="grouped top-k via slice(array_sort(collect_list(struct))) "
-    "aggregation instead of a row_number window: a hash aggregate with "
-    "map-side combine replaces WindowExec's partition-wide sort + "
-    "numbering of every row (group-local array sorts only; a bounded "
-    "TopK typed aggregate is the further step at extreme group sizes). "
-    "Ranking on exact integer cents (ties to min partkey); the oracle "
-    "IS the window form -- both strategies must agree exactly. Output "
-    "restricted to custkey%%10=0 to keep the graded frame small.",
+    doc="grouped top-k via the two-stage salted hash aggregate "
+    "(grouped_topk_agg) instead of a row_number window: local top-3 per "
+    "(customer, salt), final top-3 of <= 32*3 survivors -- no WindowExec "
+    "partition-wide sort, and no O(group) collect_list buffer (the "
+    "degenerate-group scale-killer). Ranking on exact integer cents "
+    "(ties to min partkey); the oracle IS the window form -- both "
+    "physical strategies must agree exactly. Output restricted to "
+    "custkey%%10=0 to keep the graded frame small.",
 )
 def q161_top_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        grouped_topk_agg,
+    )
+
     orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
     spend = (
@@ -8144,26 +8169,18 @@ def q161_top_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
-    )
-    # k-bounded per-group state: sort key = (-cents, partkey) so the
-    # ascending struct sort yields descending spend with min-partkey ties
-    topk = (
-        spend.groupBy("o_custkey")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cents")).alias("neg"),
-                            F.col("l_partkey").alias("pk"),
-                        )
-                    )
-                ),
-                1,
-                3,
-            ).alias("top")
-        )
+        # group-key filter pushed BELOW the top-k (same result, 1/10 work)
         .filter(F.col("o_custkey") % 10 == 0)
+    )
+    # sort key = (-cents, partkey): ascending struct order yields
+    # descending spend with min-partkey tiebreak
+    topk = grouped_topk_agg(
+        spend,
+        ["o_custkey"],
+        F.struct(
+            (-F.col("cents")).alias("neg"), F.col("l_partkey").alias("pk")
+        ),
+        k=3,
     )
     return topk.select(
         "o_custkey", F.posexplode("top").alias("pos", "t")

@@ -37,11 +37,16 @@ class Watermark:
     plain-POSIX fast path (mkstemp + atomic ``os.replace``).
 
     Write protocol on the Hadoop path: write ``<path>.tmp`` fully, then
-    delete-and-rename onto the target. Rename is atomic on HDFS-like
-    stores; the delete/rename window is safe under this store's
-    single-writer contract (one ingest driver advances a given store --
-    the same contract runLog.txt had). Readers see the old state or the
-    new state, never a partial file.
+    rename the CURRENT state to ``<path>.bak`` and rename the tmp onto
+    the target. Hadoop's rename won't overwrite, so a swap needs the
+    target clear -- but parking the old state as ``.bak`` (instead of
+    deleting it) means there is NO window in which no state file exists:
+    a crash between the two renames leaves ``.bak``, and ``_read_state``
+    recovers from it when the main file is missing. Writes follow this
+    store's single-writer contract (one ingest driver advances a given
+    store -- the same contract runLog.txt had); readers see the old
+    state or the new state, never a partial file and never an empty
+    store.
     """
 
     def __init__(self, path: str, spark: SparkSession | None = None):
@@ -63,9 +68,15 @@ class Watermark:
     def _read_state(self) -> dict:
         h = self._hadoop()
         if h is not None:
-            _, fs, hpath = h
+            jvm, fs, hpath = h
             if not fs.exists(hpath):
-                return {}
+                # crash-window recovery: the swap parks the previous
+                # state as .bak before renaming the new file in; if the
+                # writer died between the two renames, .bak IS the state
+                bak = jvm.org.apache.hadoop.fs.Path(self.path + ".bak")
+                if not fs.exists(bak):
+                    return {}
+                hpath = bak
             stream = fs.open(hpath)
             try:
                 data = bytes(stream.readAllBytes())
@@ -87,8 +98,16 @@ class Watermark:
                 out.write(bytearray(json.dumps(state).encode("utf-8")))
             finally:
                 out.close()
+            # crash-safe swap: park the old state as .bak (never a
+            # no-state window), then rename the new file in. A stale
+            # .bak is only ever read when the main file is missing --
+            # exactly the crash window where it IS the correct state.
+            bak = jvm.org.apache.hadoop.fs.Path(self.path + ".bak")
             if fs.exists(hpath):
-                fs.delete(hpath, False)
+                if fs.exists(bak):
+                    fs.delete(bak, False)
+                if not fs.rename(hpath, bak):
+                    raise IOError(f"watermark backup failed: {hpath} -> {bak}")
             if not fs.rename(tmp, hpath):
                 raise IOError(f"watermark rename failed: {tmp} -> {hpath}")
             return

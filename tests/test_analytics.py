@@ -105,3 +105,34 @@ def test_hll_sketch_estimate_close_to_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) <= max(2, 0.05 * v), (k, est[k], v)
+
+
+def test_grouped_topk_agg_matches_window_form_with_giant_group(spark):
+    """The two-stage salted top-k (r5 VERDICT #3): one deliberately giant
+    group (20k distinct values) plus small groups; the result must equal
+    the window form exactly, the plan must contain no WindowExec, and
+    stage 1 must aggregate on (keys, salt) -- the bounded-buffer
+    structure -- before the final (keys) aggregate."""
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        grouped_topk_agg,
+    )
+
+    rows = [(0, v, (v * 2654435761) % 1_000_003) for v in range(20_000)]
+    rows += [(g, v, v * 7) for g in (1, 2) for v in range(5)]
+    df = spark.createDataFrame(rows, "g int, item long, score long")
+    sort_struct = F.struct(
+        (-F.col("score")).alias("neg"), F.col("item").alias("it")
+    )
+    got = (
+        grouped_topk_agg(df, ["g"], sort_struct, k=3, salt_buckets=8)
+        .select("g", F.posexplode("top").alias("pos", "t"))
+        .select("g", (F.col("pos") + 1).alias("rk"), "t.it", "t.neg")
+    )
+    want = top_k_per_group(
+        df, ["g"], [F.desc("score"), F.asc("item")], 3, rank_out="rk"
+    ).select("g", "rk", F.col("item").alias("it"), (-F.col("score")).alias("neg"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "__salt" in plan  # stage-1 aggregate really keyed by salt

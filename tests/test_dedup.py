@@ -575,3 +575,32 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
 
     jac = exact_jaccard_pairs(df, threshold_num=35, threshold_den=100)
     assert jac.count() == 0  # jaccard is blind to it
+
+
+def test_fingerprint_overlap_pair_budget_guard(spark):
+    """Winnowing's hot case IS shared boilerplate: a fingerprint shared
+    by m docs generates m*(m-1)/2 join rows. The default fail-loud
+    budget (r5 VERDICT #1) must abort at execution with an actionable
+    message; max_doc_freq drops the boilerplate fingerprint back under
+    budget (lower-bound n_shared semantics)."""
+    import pytest
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    # 40 docs sharing one hot fingerprint (780 pairs), plus per-doc
+    # unique fingerprints that can form no pair
+    rows = [(i, h) for i in range(40) for h in ("boiler", f"unique{i}")]
+    fp = spark.createDataFrame(rows, "doc_id long, fp string")
+
+    with pytest.raises(Exception, match="pair rows"):
+        fingerprint_overlap_pairs(fp, min_shared=1, max_pair_rows=100).count()
+
+    ok = fingerprint_overlap_pairs(fp, min_shared=1, max_pair_rows=1000)
+    assert ok.count() == 40 * 39 // 2
+
+    # boilerplate capped out of the join: nothing left to pair
+    capped = fingerprint_overlap_pairs(
+        fp, min_shared=1, max_doc_freq=10, max_pair_rows=100
+    )
+    assert capped.count() == 0

@@ -51,3 +51,24 @@ def test_quarantine_tags_which_rules_failed(spark):
     assert got[4] == "named,short_name"  # NULL name fails both name rules
     assert got[5] == "short_name"
     assert 1 not in got              # clean row never quarantined
+
+
+def test_expectations_quoted_rule_name_and_empty_rules(spark):
+    """ADVICE r5: a rule name containing a single quote must survive the
+    stack() interpolation, and an empty rule set must raise a clear
+    ValueError instead of stack(0,) analysis garbage."""
+    import pytest
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    out = {
+        r["rule"]: r["n_pass"]
+        for r in check_expectations(
+            _df(spark), [("bob's rule", "v > 0")]
+        ).collect()
+    }
+    assert out == {"bob's rule": 3}
+
+    with pytest.raises(ValueError, match="non-empty"):
+        check_expectations(_df(spark), [])

@@ -82,3 +82,73 @@ def test_triangle_count_hand_graph(spark):
     )
     s = triangle_count(star).first()
     assert s["n_edges"] == 5 and s["n_triangles"] == 0 and s["transitivity_t"] == 0.0
+
+
+def _hand_pagerank_weighted(edges, iterations, num=85, den=100):
+    # edges: [(u, v, w)]; contrib = (r(u) * w) // W(u), W = total out-weight
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    base = SCALE // n
+    tele = ((den - num) * base) // den
+    W = {}
+    for u, _, w in edges:
+        W[u] = W.get(u, 0) + w
+    r = {v: base for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            inflow[v] += (r[u] * w) // W[u]
+        r = {v: tele + (num * inflow[v]) // den for v in nodes}
+    return r
+
+
+def test_pagerank_weighted_matches_hand_and_flips_top_rank(spark):
+    """Weighted recurrence is exactly the hand-replayed integer math, and
+    on a graph where one edge carries 20x the volume the top-ranked node
+    FLIPS versus the unweighted run -- weighting is load-bearing, not
+    cosmetic. Duplicate (src, dst) edges merge by summing weights."""
+    raw = [(1, 2, 1), (2, 1, 1), (3, 1, 1), (4, 1, 1), (1, 3, 20), (3, 4, 1), (4, 3, 1)]
+    df = spark.createDataFrame(raw, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df, iterations=5, weight_col="w").collect()
+    }
+    assert got == _hand_pagerank_weighted(raw, 5)
+    unw = {
+        r["node"]: r["rank"] for r in pagerank_integer(df, iterations=5).collect()
+    }
+    assert max(unw, key=unw.get) == 1 and max(got, key=got.get) == 3
+
+    # duplicate-edge weight merge: splitting the w=20 edge into 8+12
+    # must produce identical ranks
+    split = [e for e in raw if e != (1, 3, 20)] + [(1, 3, 8), (1, 3, 12)]
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            spark.createDataFrame(split, "src long, dst long, w long"),
+            iterations=5,
+            weight_col="w",
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_pagerank_empty_graph_returns_empty_frame(spark):
+    """A filter matching no edges must yield an empty (node, rank) frame,
+    not a ZeroDivisionError (ADVICE r5)."""
+    df = spark.createDataFrame([(1, 2)], "src long, dst long").filter(
+        F.col("src") > 100
+    )
+    out = pagerank_integer(df, iterations=3)
+    assert out.columns == ["node", "rank"] and out.count() == 0
+
+
+def test_pagerank_weight_overflow_guard(spark):
+    """Weights that could overflow rank * w in BIGINT raise loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2, 10_000_000), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank_integer(df, iterations=1, weight_col="w")

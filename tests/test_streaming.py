@@ -717,3 +717,26 @@ def test_streaming_count_min_matches_batch_and_is_idempotent(spark, tmp_path):
     spark.createDataFrame(cm0_rows).write.mode("overwrite").parquet(b0_dir)
     merged_after, _ = streaming_count_min_state(spark, state, "event_type")
     assert sorted(map(tuple, merged_after.collect())) == before
+
+
+def test_watermark_hadoop_crash_window_recovers_from_bak(spark, tmp_path):
+    """ADVICE r5 (medium): the Hadoop-path swap must never have a
+    no-state window. The protocol parks the old state as .bak before
+    renaming the new file in; if the writer dies between the renames
+    (simulated by deleting the main file while .bak exists), a reader
+    recovers the PREVIOUS state instead of silently reprocessing from
+    {}."""
+    import os
+
+    local = tmp_path / "wm_crash.json"
+    wm = Watermark(f"file://{local}", spark)
+    wm.advance("fdic", "2021-03-31")
+    wm.advance("fdic", "2021-06-30")   # parks 03-31 as .bak, installs 06-30
+    assert os.path.exists(str(local) + ".bak")
+    # simulate the crash window: new state never landed, old one parked
+    os.remove(str(local))
+    assert Watermark(f"file://{local}", spark).get("fdic") == "2021-03-31"
+    # and the store heals on the next advance
+    wm2 = Watermark(f"file://{local}", spark)
+    wm2.advance("fdic", "2021-09-30")
+    assert Watermark(f"file://{local}", spark).get("fdic") == "2021-09-30"
