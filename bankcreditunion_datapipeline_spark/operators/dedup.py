@@ -929,6 +929,19 @@ def _gram_pair_counts(
             F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))))
         ).alias("gh"),
     ).distinct()
+    # grams feeds FIVE plan consumers (sizes x2 via sa/sb, freq + the
+    # budget guard, posting x2 via the self-join sides). Catalyst's
+    # ReuseExchange cannot fold them: per-consumer column pruning makes
+    # each subtree physically different, so the scan+explode+distinct
+    # ran 8x (measured: 8 parquet scans, zero ReusedExchange at sf0.01).
+    # An explicit persist makes it one InMemoryRelation shared by every
+    # consumer within the same action; the ContextCleaner unpersists
+    # when the frame is garbage-collected. MEMORY_AND_DISK: the gram
+    # table is bounded by the df-prune discipline, and spilling beats
+    # recomputing the explode at scale.
+    from pyspark.storagelevel import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     # sizes BEFORE any prune: every gram counts toward the union
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
     freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))

@@ -63,6 +63,17 @@ SUBSET = [
     # the staged funnel composition oracle (clean->lang->quality->p95->
     # dedup->near-dedup->split counts)
     "q49_curation_funnel",
+    # r5 divergence classes held as regressions (r5 VERDICT #4):
+    # integer PageRank recurrence replay (floor-div damping, exact)
+    "q147_supplier_pagerank",
+    # Count-Min min-probe (never-underestimate invariant)
+    "q150_countmin_user_counts",
+    # growth accounting's all-new-day NULL-sum class
+    "q156_growth_accounting",
+    # conversion-latency percentile parity
+    "q159_time_to_convert",
+    # grouped top-k: salted aggregate vs window-form oracle agreement
+    "q161_top_parts_per_customer",
 ]
 
 
