@@ -8190,3 +8190,101 @@ def q161_top_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.pk").alias("l_partkey"),
         F.round(-F.col("t.neg") / 100.0, 2).alias("spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED integer PageRank: the 1997 purchase graph again, but each
+# customer<->supplier edge carries the number of orders that realized it
+# -- volume-weighted centrality, the question procurement actually asks
+# (who anchors the flow, not who merely touches it). Same exactness
+# contract as q147: integer micro-units, (rank * w) div W(u) splitting,
+# floor-div damping; the oracle unrolls the WEIGHTED recurrence.
+# ---------------------------------------------------------------------------
+_Q162_ITERS = 3
+
+
+def _q162_oracle(iterations: int = _Q162_ITERS) -> str:
+    """Unrolled WEIGHTED integer-PageRank replay (pagerank_integer with
+    weight_col): edge weight = count of 1997 orders linking (cust, supp),
+    symmetric; W(u) = total outgoing weight; per-round inflow =
+    sum((r * w) // W) -- every operand BIGINT, so any summation order
+    gives identical ranks."""
+    nn = "(SELECT count(*) FROM nodes)"
+    teleport = f"(15 * (1000000000000 // {nn})) // 100"
+    ctes = [
+        f"r0 AS (SELECT node, 1000000000000 // {nn} AS rank FROM nodes)"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT n.node,
+             CAST({teleport}
+               + (85 * coalesce(t.inflow, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum((r.rank * e.w) // o.W) AS inflow
+        FROM e JOIN outw o ON e.src = o.src
+               JOIN r{k - 1} r ON r.node = e.src
+        GROUP BY e.dst) t ON t.node = n.node)""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH pairs AS (
+      SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997
+        AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+      GROUP BY 1, 2),
+    e AS (SELECT c AS src, s AS dst, w FROM pairs
+          UNION ALL SELECT s, c, w FROM pairs),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS W FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    {chain}
+    SELECT (node - 1) // 2 AS l_suppkey,
+           CAST(rank AS BIGINT) AS rank_u
+    FROM r{iterations} WHERE node % 2 = 1
+    ORDER BY rank_u DESC, l_suppkey
+    LIMIT 20
+    """
+
+
+@register(
+    "q162_weighted_supplier_pagerank",
+    _q162_oracle(),
+    doc="pagerank_integer with weight_col (operators/graph.py): each "
+    "1997 customer-supplier edge weighted by its realized order count, "
+    "mass split as (rank * w) div W(u) in pure BIGINT arithmetic -- the "
+    "weighted recurrence is exactly as layout-independent and "
+    "SQL-replayable as q147's unweighted one (no float PageRank is "
+    "either). Same iterative-join plan shape: src-keyed join against "
+    "the persisted edge+weight table, one hash aggregate on dst per "
+    "round, working set coalesced to graph size.",
+)
+def q162_weighted_supplier_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.graph import pagerank_integer
+
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    ranks = pagerank_integer(edges, iterations=_Q162_ITERS, weight_col="w")
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.expr("(node - 1) div 2").alias("l_suppkey"),
+            F.col("rank").alias("rank_u"),
+        )
+        .orderBy(F.desc("rank_u"), F.asc("l_suppkey"))
+        .limit(20)
+    )
