@@ -8288,3 +8288,113 @@ def q162_weighted_supplier_pagerank(
         .orderBy(F.desc("rank_u"), F.asc("l_suppkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated join as a graded strategy: brand revenue via
+# conform.salted_join (left side salted, dimension exploded across
+# buckets). The join OUTPUT is salt-independent by construction, so the
+# plain-SQL oracle grades that the skew-safe physical strategy produces
+# EXACTLY the unsalted answer -- the q161 two-strategies-must-agree
+# discipline applied to joins. Revenue in integer cents.
+# ---------------------------------------------------------------------------
+@register(
+    "q163_salted_brand_revenue",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IS NOT NULL
+    GROUP BY p_brand
+    ORDER BY revenue_cents DESC, p_brand
+    """,
+    doc="salted_join (operators/conform.py): left fact salted with "
+    "rand(42) % B, dimension exploded across B buckets -- the strategy "
+    "for keys too hot for AQE skew-split (one key >> executor memory). "
+    "Join output is salt-independent, so the oracle is the PLAIN join: "
+    "the skew-safe strategy must reproduce it exactly. Discount-adjusted "
+    "revenue summed in integer cents.",
+)
+def q163_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conform import salted_join
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(
+        li.select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        ),
+        part,
+        on=["l_partkey"],
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("p_brand"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-stratum k-sample: k docs per (lang, source) chosen by
+# md5(doc_id) order -- the balanced-sample primitive a curation pipeline
+# uses for eval sets and human review queues (every source represented,
+# reproducible across runs and engines). Runs on grouped_topk_agg, so
+# the selection is a bounded two-stage hash aggregate, not a window
+# sort; the oracle IS the window form.
+# ---------------------------------------------------------------------------
+@register(
+    "q164_stratified_k_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL)
+    SELECT lang, source, CAST(rk AS INT) AS rk, doc_id
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="per-stratum deterministic k-sample via grouped_topk_agg "
+    "(operators/analytics.py): md5-hex of doc_id as the portable sort "
+    "lane (engine-identical lexicographic order), top-5 per "
+    "(lang, source) as the salted two-stage aggregate -- bounded "
+    "buffers, no WindowExec; the oracle replays the window form, so "
+    "both strategies must agree exactly.",
+)
+def q164_stratified_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import grouped_topk_agg
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    topk = grouped_topk_agg(
+        docs,
+        ["lang", "source"],
+        F.struct(
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.col("doc_id").alias("id"),
+        ),
+        k=5,
+    )
+    return topk.select(
+        "lang", "source", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "lang",
+        "source",
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        F.col("t.id").alias("doc_id"),
+    )

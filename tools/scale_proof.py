@@ -1,0 +1,189 @@
+"""Scale-proof harness (r5 VERDICT #2): synthesize an N-times corpus
+from a sf dir by salted replication + hot-key/hot-gram injection, then
+measure the pair/graph query family at 1x and Nx in one session.
+
+The point: the engine's 100 TB claims rest on plan-shape reasoning
+(blocked pair generation, budgets, working-set sizing). One measured
+scaling run either validates them or finds the super-linear melt while
+it's cheap. Near-linear wall-time scaling (ratio ~ N on fixed cores,
+modulo n log n sort terms) = the plan survives growth; a ratio >> N
+flags a quadratic term the small corpus hid.
+
+Corpus construction (linear-by-design, so the MEASUREMENT isolates the
+engine, not the synthesizer):
+- documents: N replicas; replica 0 is verbatim, replica i>0 suffixes
+  every word with _ri -- within-replica near-dup/gram structure is
+  IDENTICAL to the original (workload scales exactly Nx), while
+  cross-replica shingle collisions are zero (a naive copy would near-dup
+  every doc against its 9 clones and explode the pair graph 100x, a
+  property of the synthesizer, not the engine). doc_id offset 1e6/replica.
+- hot-gram injection: +200 docs sharing a 12-token boilerplate run
+  (hot posting lists, df=200 -- the skew case the df-prune and pair
+  budgets exist for; stays under default budgets by design).
+- orders/lineitem: N disjoint replicas (order/cust/supp keys offset per
+  replica) -- the purchase graph becomes N disjoint copies, so the
+  iterative PageRank/CC workload scales Nx without densifying.
+
+Usage: python tools/scale_proof.py [src_sf_dir] [out_dir] [factor]
+Prints one JSON line per query: {"q": ..., "t1": ..., "tN": ..., "ratio": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark import queries as _q
+from bankcreditunion_datapipeline_spark.session import build_session
+from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+FAMILY = [
+    "q21_minhash_near_dups",
+    "q49_curation_funnel",
+    "q82_exact_jaccard_pairs",
+    "q126_dup_components_star",
+    "q147_supplier_pagerank",
+    "q149_containment_pairs",
+    "q153_near_dup_transitivity",
+    "q158_keep_best_per_cluster",
+    "q162_weighted_supplier_pagerank",
+]
+
+
+def build_corpus(spark, src: str, out: str, factor: int) -> None:
+    docs = read_testdata(spark, src, "documents")
+    parts = []
+    for i in range(factor):
+        rep = docs.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            (
+                F.col("text")
+                if i == 0
+                else F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x: F.concat(x, F.lit(f"_r{i}")),
+                    ),
+                )
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(rep)
+    boiler = "shared boilerplate preamble common to every injected document here now"
+    hot = spark.range(200).select(
+        (F.col("id") + 20_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " unique"),
+            F.col("id").cast("string"),
+            F.lit(" tail"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("hotgram").alias("source"),
+        F.lit(100).cast("long").alias("n_chars"),
+    )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.unionByName(hot).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    orders = read_testdata(spark, src, "orders")
+    li = read_testdata(spark, src, "lineitem")
+    o_parts, l_parts = [], []
+    for i in range(factor):
+        o_parts.append(
+            orders.withColumns(
+                {
+                    "o_orderkey": F.col("o_orderkey") + i * 10_000_000,
+                    "o_custkey": F.col("o_custkey") + i * 1_000_000,
+                }
+            )
+        )
+        l_parts.append(
+            li.withColumns(
+                {
+                    "l_orderkey": F.col("l_orderkey") + i * 10_000_000,
+                    "l_suppkey": F.col("l_suppkey") + i * 100_000,
+                    "l_partkey": F.col("l_partkey") + i * 1_000_000,
+                }
+            )
+        )
+    ob, lb = o_parts[0], l_parts[0]
+    for p in o_parts[1:]:
+        ob = ob.unionByName(p)
+    for p in l_parts[1:]:
+        lb = lb.unionByName(p)
+    ob.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    lb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    # small dims some query plans touch transitively
+    for tbl in ("region", "nation", "customer", "supplier", "part"):
+        p = os.path.join(src, f"{tbl}.parquet")
+        if os.path.exists(p):
+            read_testdata(spark, src, tbl).write.mode("overwrite").parquet(
+                os.path.join(out, f"{tbl}.parquet")
+            )
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = build_session(app_name="scale_proof")
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        t0 = time.time()
+        build_corpus(spark, src, out, factor)
+        print(
+            json.dumps({"built": out, "factor": factor, "sec": round(time.time() - t0, 1)}),
+            flush=True,
+        )
+
+    registry = _q.registry()
+    spark.read.parquet(os.path.join(src, "region.parquet")).count()
+    results = []
+    for name in FAMILY:
+        q = registry[name].spark_fn
+        times = {}
+        for label, d in (("t1", src), ("tN", out)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                q(spark, d).collect()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            times[label] = round(best, 2)
+        ratio = round(times["tN"] / times["t1"], 2) if times["t1"] else None
+        rec = {"q": name, **times, "ratio": ratio}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    hot = [r for r in results if r["ratio"] and r["ratio"] > factor * 2]
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "n_queries": len(results),
+                "super_linear": [r["q"] for r in hot],
+            }
+        ),
+        flush=True,
+    )
+    return 1 if hot else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
