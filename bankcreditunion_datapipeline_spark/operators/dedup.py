@@ -1413,6 +1413,14 @@ def fingerprint_overlap_pairs(
     than max_doc_freq docs stops counting toward pair overlap); None
     disables either knob.
     """
+    # fp feeds freq + both self-join sides (3 consumers); the winnowing
+    # selection behind it (positional shingles + per-doc window min) is
+    # the expensive subtree, and per-consumer column pruning defeats
+    # ReuseExchange (the _gram_pair_counts lesson, SCALE.md r6) --
+    # persist so the selection runs once.
+    from pyspark.storagelevel import StorageLevel
+
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     freq = fp.groupBy(fp_col).agg(F.count(F.lit(1)).alias("__df"))
     eligible = freq.filter(F.col("__df") >= 2)
     if max_doc_freq is not None:
