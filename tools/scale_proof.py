@@ -53,6 +53,16 @@ FAMILY = [
     "q153_near_dup_transitivity",
     "q158_keep_best_per_cluster",
     "q162_weighted_supplier_pagerank",
+    # vector family (embeddings replicated by dimension ROTATION:
+    # orthogonal, so within-replica cosines are bit-preserved while
+    # cross-replica vectors decorrelate -- near-dup pair workload scales
+    # Nx, not N^2x; + 200 identical hot vectors stressing the sign-LSH
+    # bucket join)
+    "q20_embedding_topk",
+    "q23_embedding_near_dups",
+    "q111_kmeans_assignment",
+    "q120_semantic_dedup",
+    "q138_ivf_pq_search",
 ]
 
 
@@ -130,6 +140,36 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
     lb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "lineitem.parquet")
     )
+    emb = read_testdata(spark, src, "embeddings")
+    e_parts = []
+    for i in range(factor):
+        if i == 0:
+            rep = emb
+        else:
+            rep = emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
+                    f"slice(embedding, 1, {i}))"
+                ).alias("embedding"),
+                "label",
+            )
+        e_parts.append(rep)
+    eb = e_parts[0]
+    for p_ in e_parts[1:]:
+        eb = eb.unionByName(p_)
+    # 200 identical hot vectors (distinct ids): the sign-LSH bucket join
+    # and any exact-dup vector path must absorb a C(200,2) hot bucket
+    first = emb.orderBy("vec_id").limit(1).select("embedding")
+    hot_v = spark.range(200).select(
+        (F.col("id") + 30_000_000).alias("vec_id"), F.lit(0).alias("hv")
+    ).crossJoin(F.broadcast(first)).select(
+        "vec_id", "embedding", F.lit(0).cast("int").alias("label")
+    )
+    eb.unionByName(hot_v).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
     # small dims some query plans touch transitively
     for tbl in ("region", "nation", "customer", "supplier", "part"):
         p = os.path.join(src, f"{tbl}.parquet")
