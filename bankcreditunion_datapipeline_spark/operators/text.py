@@ -415,6 +415,12 @@ def remove_boilerplate_segments(
     segs = base.select(
         id_col, group_col, "n_seg", F.posexplode(seg_expr).alias("g", "seg")
     )
+    # segs feeds the boilerplate-frequency agg AND the anti-join strip;
+    # per-consumer column pruning defeats ReuseExchange (SCALE.md r6),
+    # so without a persist the tokenize+segment+explode runs twice.
+    from pyspark.storagelevel import StorageLevel
+
+    segs = segs.persist(StorageLevel.MEMORY_AND_DISK)
 
     bp = (
         segs.groupBy(group_col, "seg")
