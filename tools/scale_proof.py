@@ -16,7 +16,7 @@ engine, not the synthesizer):
   IDENTICAL to the original (workload scales exactly Nx), while
   cross-replica shingle collisions are zero (a naive copy would near-dup
   every doc against its 9 clones and explode the pair graph 100x, a
-  property of the synthesizer, not the engine). doc_id offset 1e6/replica.
+  property of the synthesizer, not the engine). doc_id offset 1e6/replica; injected ids start at 5e8 (clear of any replica range up to factor 500).
 - hot-gram injection: +200 docs sharing a 12-token boilerplate run
   (hot posting lists, df=200 -- the skew case the df-prune and pair
   budgets exist for; stays under default budgets by design).
@@ -90,7 +90,7 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
         parts.append(rep)
     boiler = "shared boilerplate preamble common to every injected document here now"
     hot = spark.range(200).select(
-        (F.col("id") + 20_000_000).alias("doc_id"),
+        (F.col("id") + 500_000_000).alias("doc_id"),
         F.concat(
             F.lit(boiler + " unique"),
             F.col("id").cast("string"),
@@ -162,7 +162,7 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
     # and any exact-dup vector path must absorb a C(200,2) hot bucket
     first = emb.orderBy("vec_id").limit(1).select("embedding")
     hot_v = spark.range(200).select(
-        (F.col("id") + 30_000_000).alias("vec_id"), F.lit(0).alias("hv")
+        (F.col("id") + 500_000_000).alias("vec_id"), F.lit(0).alias("hv")
     ).crossJoin(F.broadcast(first)).select(
         "vec_id", "embedding", F.lit(0).cast("int").alias("label")
     )
@@ -183,6 +183,7 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    family = sys.argv[4].split(",") if len(sys.argv) > 4 else FAMILY
 
     spark = build_session(app_name="scale_proof")
     if not os.path.exists(os.path.join(out, "documents.parquet")):
@@ -196,7 +197,7 @@ def main() -> int:
     registry = _q.registry()
     spark.read.parquet(os.path.join(src, "region.parquet")).count()
     results = []
-    for name in FAMILY:
+    for name in family:
         q = registry[name].spark_fn
         times = {}
         for label, d in (("t1", src), ("tN", out)):
