@@ -146,12 +146,22 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
         if i == 0:
             rep = emb
         else:
+            # orthogonal decorrelation with 2*dim distinct transforms:
+            # rotate by i mod dim, sign-flip for i >= dim (rotation and
+            # negation both preserve within-replica cosines exactly)
+            rot = f"({i} % size(embedding))"
+            rolled = (
+                f"concat(slice(embedding, {rot} + 1, size(embedding) - {rot}), "
+                f"slice(embedding, 1, {rot}))"
+            )
+            body = (
+                rolled
+                if i < 64
+                else f"transform({rolled}, x -> -x)"
+            )
             rep = emb.select(
                 (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
-                F.expr(
-                    f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
-                    f"slice(embedding, 1, {i}))"
-                ).alias("embedding"),
+                F.expr(body).alias("embedding"),
                 "label",
             )
         e_parts.append(rep)
@@ -200,25 +210,41 @@ def main() -> int:
     for name in family:
         q = registry[name].spark_fn
         times = {}
+        err = None
         for label, d in (("t1", src), ("tN", out)):
             best = None
             for _ in range(2):
                 t0 = time.time()
-                q(spark, d).collect()
+                try:
+                    q(spark, d).collect()
+                except Exception as e:  # noqa: BLE001 - record, don't abort
+                    # a tripped fail-loud budget at Nx IS a result: the
+                    # guard firing at the melt point is the designed
+                    # behavior, and the remaining queries still measure
+                    err = f"{label}: {str(e).splitlines()[0][:300]}"
+                    break
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
+            if err:
+                break
             times[label] = round(best, 2)
+        if err:
+            rec = {"q": name, **times, "error": err}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+            continue
         ratio = round(times["tN"] / times["t1"], 2) if times["t1"] else None
         rec = {"q": name, **times, "ratio": ratio}
         results.append(rec)
         print(json.dumps(rec), flush=True)
-    hot = [r for r in results if r["ratio"] and r["ratio"] > factor * 2]
+    hot = [r for r in results if r.get("ratio") and r["ratio"] > factor * 2]
     print(
         json.dumps(
             {
                 "factor": factor,
                 "n_queries": len(results),
                 "super_linear": [r["q"] for r in hot],
+                "errors": [r["q"] for r in results if r.get("error")],
             }
         ),
         flush=True,
