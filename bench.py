@@ -85,12 +85,12 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
+    short1 = {k: round(t, 1) for k, t in short.items()}
     if len(line) > 1980:  # stay inside the harness capture window:
         # first degrade per-query precision to 1 decimal (keys unchanged),
         # only then drop the map entirely -- at 159 queries the 2-decimal
         # map measured 1945 chars, so growth must never silently delete
         # the per-query data the judge diffs across rounds.
-        short1 = {k: round(t, 1) for k, t in short.items()}
         line = json.dumps(
             {
                 "metric": "total_query_wall_clock",
@@ -101,6 +101,24 @@ def main() -> None:
                 "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
                 "median_query_sec": median,
                 "queries": short1,
+            },
+            separators=(",", ":"),
+        )
+    if len(line) > 1980:
+        # second rung: drop the "q" prefix from every key ("165":1.2) --
+        # saves n_queries chars while keeping the full per-query map the
+        # judge diffs across rounds (numeric keys still identify queries).
+        short2 = {k.lstrip("q"): t for k, t in short1.items()}
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
+                "median_query_sec": median,
+                "queries": short2,
             },
             separators=(",", ":"),
         )
