@@ -122,3 +122,12 @@ def attach_sign_bits(df, planes: list[list[float]], vec_col: str = "embedding", 
             yield pdf
 
     return df.mapInPandas(fn, schema)
+
+
+def l2_squared(a: Column | list[float], b: Column | list[float]) -> Column:
+    """Squared Euclidean distance in double precision (sequential fold
+    order, same discipline as `dot`). Squared -- not rooted -- because
+    every ranking consumer only needs the monotone order and the oracle
+    twin replays one fewer IEEE op."""
+    diffs = F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)

@@ -754,3 +754,42 @@ def pq_encode_arrow(
             yield pd.concat(outs, ignore_index=True)
 
     return df.select(id_col, *keep_cols, vec_col).mapInPandas(encode, schema)
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rk",
+    k0: int = 60,
+    scale: int = 1_000_000,
+    out: str = "rrf",
+) -> DataFrame:
+    """Integer reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009): fused_score(id) = sum over input rankings of
+    scale // (k0 + rank).
+
+    Fuses heterogeneous retrievers (cosine vs L2, exact vs ANN, text vs
+    vector) using only each list's RANKS, so incomparable score scales
+    never need calibration. Integer floor division instead of float
+    1/(k0+r): the fused ORDERING is engine-exact at any LIMIT boundary
+    (the q160 lift discipline), and with scale=1e6 the k0=60 family's
+    reciprocals are all distinct so no expressiveness is lost.
+
+    Each input frame carries (id_col, rank_col) with 1-based ranks; an id
+    absent from a list contributes 0 from it. Inputs are top-k frames
+    (O(k) rows), so the union + hash aggregate is driver-window sized at
+    any data scale.
+    """
+    from functools import reduce
+
+    scored = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"CAST({scale} div ({k0} + {rank_col}) AS BIGINT)").alias(
+                "__s"
+            ),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda x, y: x.unionByName(y), scored)
+    return u.groupBy(id_col).agg(F.sum("__s").cast("long").alias(out))

@@ -370,3 +370,99 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) on the portable md5 lane: set membership
+# over unbounded key domains in O(m_bits) state. The bitmap is stored
+# as (word, bits) rows -- 60 bits per BIGINT word, never touching bit
+# 63 (DuckDB range-errors on 1<<63 where Java wraps; 60 keeps every
+# shift portable) -- and merges by per-word bit_or, the same rollup
+# monoid as every sketch in this module. False negatives are
+# impossible (every member set all k of its bits); false positives at
+# rate ~(1 - e^(-k*n/m))^k. The whole filter -- bit positions, bitmap
+# words, probe conjunction -- replays exactly in SQL (q165's oracle).
+#
+# 100 TB posture: the build is one explode(k) + hash aggregate over
+# <= m_bits/60 word rows; the probe broadcasts the O(m_bits) bitmap to
+# the probe side (a semi-join prefilter that costs no shuffle of the
+# big table). Reference parity: Spark's own BloomFilterAggregate is
+# JVM-private and not oracle-replayable; this one is.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 60
+
+
+def _bloom_positions(key, m_bits: int, k: int):
+    """k md5-lane bit positions for a (string-cast) key -- the i-th
+    family member hashes "i:<key>" exactly like count_min_table."""
+    from ..functions.hashing import md5lane
+
+    return [
+        md5lane(F.concat(F.lit(f"{i}:"), key.cast("string"))) % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    df: DataFrame, key_col: str, m_bits: int = 16384, k: int = 4
+) -> DataFrame:
+    """Build the (word, bits) bitmap over df's non-NULL keys. NULL keys
+    set no bits (NULL is not a member; probing NULL is the caller's
+    contract to avoid). Words absent from the output are all-zero."""
+    keys = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("__k")
+    )
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col("__k"), m_bits, k))).alias(
+            "pos"
+        )
+    )
+    return (
+        pos.select(
+            F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % _BLOOM_WORD_BITS).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    keys: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    m_bits: int = 16384,
+    k: int = 4,
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe: distinct non-NULL keys -> (key, out) with out=1
+    iff all k bits are set (maybe-member) and 0 otherwise (definitely
+    absent). The bitmap (<= m_bits/60 rows) is broadcast; a missing
+    word row means those bits are zero."""
+    probe = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.array(*_bloom_positions(F.col(key_col), m_bits, k))
+            ).alias("pos"),
+        )
+        .select(
+            key_col,
+            F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % _BLOOM_WORD_BITS).alias("bit"),
+        )
+    )
+    j = probe.join(F.broadcast(bitmap), ["word"], "left")
+    is_set = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        != 0
+    ).cast("int")
+    return (
+        j.groupBy(key_col)
+        .agg(F.min(is_set).cast("int").alias(out))
+    )

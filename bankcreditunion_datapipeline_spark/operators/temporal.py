@@ -13,7 +13,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -411,3 +411,36 @@ def ewma_by_key(
         return pdf[[key_col, order_col, value_col, out]]
 
     return df.groupBy(key_col).applyInPandas(smooth, out_schema)
+
+
+def bucket_checksums(
+    df: DataFrame,
+    key_col: str,
+    digest: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Anti-entropy bucket checksums: (bucket, n, xs) where bucket =
+    pmod(key, n_buckets), n = row count and xs = bit_xor of `digest`
+    (a 60-bit md5-lane row hash supplied by the caller, so the fold --
+    and therefore the whole comparison -- replays exactly in SQL).
+
+    This is the Merkle-leaf primitive for reconciling two copies of a
+    table at scale: comparing replicas row-by-row shuffles both tables
+    in full, while comparing their checksum frames touches n_buckets
+    rows -- only buckets whose (n, xs) differ need the row-level
+    `snapshot_diff` pass, and XOR is order- and partition-independent,
+    so no sort is ever needed. NULL keys are excluded (a keyless row
+    cannot be reconciled; count them separately if they matter).
+    """
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.pmod(F.col(key_col), F.lit(n_buckets)).alias("bucket"),
+            digest.alias("__d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("bit_xor(__d)").alias("xs"),
+        )
+    )

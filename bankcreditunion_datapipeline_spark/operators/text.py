@@ -510,3 +510,46 @@ def bigram_lm_doc_scores(
             / F.count(F.lit(1))
         ).alias("avg_ll"),
     )
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Within-document duplicate n-gram mass -- the Gopher repetition
+    rules (Rae et al. 2021, "Scaling Language Models", table A1 rules
+    for duplicate/top n-gram fractions) that q55's LINE-level signals
+    don't cover: machine-generated and template text repeats short
+    phrases verbatim, which line stats miss when the repeats share a
+    line.
+
+    Returns (id_col, n_grams, top_gram_n, dup_gram_n) per document with
+    at least one token: total k-gram instances, the count of the most
+    frequent k-gram, and the number of instances belonging to k-grams
+    occurring >= 2 times. Callers derive the Gopher fractions as
+    integer permille (1000 * x // n_grams) to stay engine-exact.
+
+    Plan shape: relational flat shingles (posexplode + lead, the q148
+    builder -- multiplicity preserved) -> per-(doc, gram) count -> one
+    per-doc aggregate. Both aggregations partition by doc_id, so the
+    second reuses the first's clustering; nothing is ever corpus-wide,
+    making this embarrassingly scalable.
+    """
+    from .dedup import word_shingles_flat
+
+    grams = word_shingles_flat(
+        df.select(id_col, text_col).filter(F.col(id_col).isNotNull()),
+        id_col,
+        text_col,
+        k=k,
+    )
+    per_gram = grams.groupBy(id_col, "__s").agg(F.count(F.lit(1)).alias("__c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_grams"),
+        F.max("__c").cast("long").alias("top_gram_n"),
+        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("dup_gram_n"),
+    )

@@ -8398,3 +8398,365 @@ def q164_stratified_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("int").alias("rk"),
         F.col("t.id").alias("doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership on the portable md5 lane: the set-membership
+# sketch that completes the mergeable-summary family (SpaceSaving /
+# HLL / theta / bitmap / quantile-bins / Count-Min). 60-bit words keep
+# every shift portable (DuckDB range-errors on 1<<63 where Java wraps);
+# the invariant graded here is the Bloom contract itself -- no member
+# is ever missed (is_member=1 implies bloom_hit=1), non-members may
+# collide to a false positive.
+# ---------------------------------------------------------------------------
+@register(
+    "q165_bloom_membership",
+    """
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL),
+    mpos AS (
+      SELECT CAST(('0x' || substr(md5(i.i || ':' || CAST(k AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16384 AS pos
+      FROM members, unnest(range(0, 4)) AS i(i)),
+    bitmap AS (
+      SELECT pos // 60 AS word,
+             bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS bits
+      FROM mpos GROUP BY 1),
+    probe AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5(i.i || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16384 AS pos
+      FROM customer, unnest(range(0, 4)) AS i(i)
+      WHERE c_custkey IS NOT NULL AND c_custkey % 3 = 0),
+    hit AS (
+      SELECT c_custkey,
+             min(CASE WHEN coalesce(bits, 0)
+                        & (1::BIGINT << CAST(pos % 60 AS INT)) <> 0
+                 THEN 1 ELSE 0 END) AS bloom_hit
+      FROM probe LEFT JOIN bitmap ON pos // 60 = word
+      GROUP BY 1)
+    SELECT h.c_custkey,
+           CAST(h.bloom_hit AS INT) AS bloom_hit,
+           CAST(CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS INT) AS is_member
+    FROM hit h LEFT JOIN members m ON h.c_custkey = m.k
+    """,
+    doc="bloom_bitmap + bloom_might_contain (operators/sketches.py): "
+    "membership of urgent-order customers in m=16384 bits, k=4 md5-lane "
+    "hash family, bitmap as (word, bits) BIGINT rows merging by bit_or "
+    "-- the sketch-module monoid. Probe broadcasts the O(m/60)-row "
+    "bitmap; zero false negatives by construction (graded against the "
+    "exact member set), false positives only on full k-bit collisions. "
+    "At 100 TB this is the shuffle-free semi-join prefilter: ship the "
+    "~2 KB bitmap, not the key set.",
+)
+def q165_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import bloom_bitmap, bloom_might_contain
+
+    members = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bitmap = bloom_bitmap(members, "k", m_bits=16384, k=4)
+    probe = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull() & (F.col("c_custkey") % 3 == 0))
+        .select("c_custkey")
+    )
+    hits = bloom_might_contain(probe, bitmap, "c_custkey", m_bits=16384, k=4)
+    return hits.join(
+        members.select(F.col("k").alias("c_custkey"), F.lit(1).alias("__m")),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        F.col("bloom_hit").cast("int").alias("bloom_hit"),
+        F.coalesce(F.col("__m"), F.lit(0)).cast("int").alias("is_member"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrievers: exact cosine top-20 and
+# exact (squared-)L2 top-20 over the same query vector, fused by
+# integer RRF -- the multi-retriever primitive of hybrid search
+# (vector + lexical, multiple ANN indexes). Ranks -- not scores -- are
+# fused, so the incomparable score scales never need calibration.
+# ---------------------------------------------------------------------------
+@register(
+    "q166_rank_fusion",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL),
+    sc AS (
+      SELECT vec_id,
+             CASE WHEN (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))) <> 0
+                       AND NOT isnan(list_dot_product(e, qv))
+                  THEN CAST(floor(1e6 * (list_dot_product(e, qv)
+                         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv)))))
+                       AS BIGINT) END AS cos_t,
+             CASE WHEN NOT isnan(list_sum(list_transform(range(1, len(e) + 1),
+                                  i -> (e[i] - qv[i]) * (e[i] - qv[i]))))
+                       AND list_sum(list_transform(range(1, len(e) + 1),
+                                  i -> (e[i] - qv[i]) * (e[i] - qv[i]))) < 1e12
+                  THEN CAST(floor(1e6 * list_sum(list_transform(range(1, len(e) + 1),
+                                  i -> (e[i] - qv[i]) * (e[i] - qv[i])))) AS BIGINT)
+                  END AS d2_t
+      FROM base, q),
+    ca AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cos_t DESC, vec_id) AS rk
+      FROM sc WHERE cos_t IS NOT NULL QUALIFY rk <= 20),
+    cb AS (
+      SELECT vec_id, row_number() OVER (ORDER BY d2_t ASC, vec_id) AS rk
+      FROM sc WHERE d2_t IS NOT NULL QUALIFY rk <= 20),
+    u AS (
+      SELECT vec_id, 1000000 // (60 + rk) AS s FROM ca
+      UNION ALL
+      SELECT vec_id, 1000000 // (60 + rk) AS s FROM cb)
+    SELECT vec_id, CAST(sum(s) AS BIGINT) AS rrf
+    FROM u GROUP BY vec_id
+    ORDER BY rrf DESC, vec_id LIMIT 10
+    """,
+    doc="reciprocal_rank_fusion (operators/similarity.py; Cormack et "
+    "al. 2009) over two exact retrievers: floor-truncated 1e6-scaled "
+    "cosine and squared-L2 ranking lanes (ties broken by vec_id), "
+    "top-20 each via TakeOrderedAndProject, RRF = sum of "
+    "1000000 div (60 + rank) in BIGINT so the fused order is "
+    "engine-exact at the LIMIT boundary. NaN/huge/zero-norm vectors "
+    "are excluded from both lanes by the same guards on both engines. "
+    "Scale: candidate lists are O(k); fusion is a k-row hash aggregate "
+    "-- the pattern composes over any retriever set (ANN cells, "
+    "lexical BM25, winnowing overlap).",
+)
+def q166_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import cosine, l2_squared
+    from .operators.similarity import reciprocal_rank_fusion
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cos_d = cosine(F.col("embedding"), qvec)
+    d2_d = l2_squared(F.col("embedding"), qvec)
+    scored = emb.select(
+        "vec_id",
+        F.when(
+            cos_d.isNotNull() & ~F.isnan(cos_d),
+            F.floor(cos_d * 1e6).cast("long"),
+        ).alias("cos_t"),
+        F.when(
+            ~F.isnan(d2_d) & (d2_d < 1e12), F.floor(d2_d * 1e6).cast("long")
+        ).alias("d2_t"),
+    )
+    ca = (
+        scored.filter(F.col("cos_t").isNotNull())
+        .orderBy(F.desc("cos_t"), F.asc("vec_id"))
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_t"), F.asc("vec_id"))
+            ),
+        )
+    )
+    cb = (
+        scored.filter(F.col("d2_t").isNotNull())
+        .orderBy(F.asc("d2_t"), F.asc("vec_id"))
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.asc("d2_t"), F.asc("vec_id"))
+            ),
+        )
+    )
+    fused = reciprocal_rank_fusion([ca, cb], id_col="vec_id")
+    return fused.orderBy(F.desc("rrf"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy reconciliation: compare a table against a drifted
+# replica by 64 bucket checksums instead of row-by-row -- the way two
+# 100 TB copies are actually diffed (Merkle leaves; only mismatched
+# buckets ever see a row-level snapshot_diff). The replica here is a
+# deterministic in-query perturbation (drop keys %997=0, +1.00 price
+# on %499=0) standing in for a lagging downstream copy.
+# ---------------------------------------------------------------------------
+@register(
+    "q167_bucket_checksum_diff",
+    """
+    WITH a0 AS (
+      SELECT o_orderkey AS k,
+             coalesce(CAST(round(o_totalprice * 100) AS BIGINT), -1) AS cents,
+             coalesce(o_orderstatus, '~') AS st,
+             coalesce(o_orderpriority, '~') AS pr,
+             coalesce(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                      + day(o_orderdate), -1) AS d8
+      FROM orders WHERE o_orderkey IS NOT NULL),
+    b0 AS (
+      SELECT k, cents + CASE WHEN k % 499 = 0 THEN 100 ELSE 0 END AS cents,
+             st, pr, d8
+      FROM a0 WHERE k % 997 <> 0),
+    da AS (
+      SELECT ((k % 64) + 64) % 64 AS bucket, count(*) AS n,
+             bit_xor(CAST(('0x' || substr(md5(
+               k || '|' || cents || '|' || st || '|' || pr || '|' || d8
+             ), 1, 15)) AS BIGINT)) AS xs
+      FROM a0 GROUP BY 1),
+    db AS (
+      SELECT ((k % 64) + 64) % 64 AS bucket, count(*) AS n,
+             bit_xor(CAST(('0x' || substr(md5(
+               k || '|' || cents || '|' || st || '|' || pr || '|' || d8
+             ), 1, 15)) AS BIGINT)) AS xs
+      FROM b0 GROUP BY 1)
+    SELECT coalesce(da.bucket, db.bucket) AS bucket,
+           CAST(coalesce(da.n, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(db.n, 0) AS BIGINT) AS n_b,
+           CAST(coalesce(da.xs, 0) AS BIGINT) AS xs_a,
+           CAST(coalesce(db.xs, 0) AS BIGINT) AS xs_b,
+           CAST(CASE WHEN coalesce(da.n, 0) = coalesce(db.n, 0)
+                      AND coalesce(da.xs, 0) = coalesce(db.xs, 0)
+                THEN 1 ELSE 0 END AS INT) AS in_sync
+    FROM da FULL JOIN db ON da.bucket = db.bucket
+    """,
+    doc="bucket_checksums (operators/temporal.py): pmod(key,64) buckets, "
+    "n + bit_xor of a 60-bit md5-lane row digest over (key, cents, "
+    "status, priority, yyyymmdd) with NULL fields coalesced to "
+    "sentinels. XOR is order/partition/layout-independent, so the fold "
+    "needs no sort and replays exactly in SQL; mismatched buckets (and "
+    "only those) would proceed to the row-level snapshot_diff. Scale: "
+    "reconciling two replicas costs one narrow scan each + a 64-row "
+    "compare -- never a cross-table shuffle.",
+)
+def q167_bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5lane
+    from .operators.temporal import bucket_checksums
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.coalesce(
+                F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(-1)
+            ).alias("cents"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("~")).alias("st"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("~")).alias("pr"),
+            F.coalesce(
+                F.year("o_orderdate") * 10000
+                + F.month("o_orderdate") * 100
+                + F.dayofmonth("o_orderdate"),
+                F.lit(-1),
+            ).alias("d8"),
+        )
+    )
+    replica = base.filter(F.col("k") % 997 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("k") % 499 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+
+    def digest():
+        return md5lane(
+            F.concat_ws(
+                "|",
+                F.col("k").cast("string"),
+                F.col("cents").cast("string"),
+                F.col("st"),
+                F.col("pr"),
+                F.col("d8").cast("string"),
+            )
+        )
+
+    ca = bucket_checksums(base, "k", digest(), n_buckets=64)
+    cb = bucket_checksums(replica, "k", digest(), n_buckets=64)
+    j = ca.alias("a").join(cb.alias("b"), "bucket", "full")
+    n_a = F.coalesce(F.col("a.n"), F.lit(0)).cast("long")
+    n_b = F.coalesce(F.col("b.n"), F.lit(0)).cast("long")
+    xs_a = F.coalesce(F.col("a.xs"), F.lit(0)).cast("long")
+    xs_b = F.coalesce(F.col("b.xs"), F.lit(0)).cast("long")
+    return j.select(
+        "bucket",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        xs_a.alias("xs_a"),
+        xs_b.alias("xs_b"),
+        ((n_a == n_b) & (xs_a == xs_b)).cast("int").alias("in_sync"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document duplicate n-gram mass: the Gopher repetition rules
+# (top n-gram fraction, duplicate n-gram fraction) that q55's
+# line-level signals cannot see when repeats share a line -- the
+# standard screen for machine-generated/template text in a training
+# corpus. Fractions reported as integer permille (floor) so both
+# engines agree exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q168_duplicate_ngram_mass",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 5 = 0),
+    g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(tk, CAST(i.i AS INT),
+                                        CAST(i.i AS INT) + 2), ' ') AS s
+      FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i(i)
+      WHERE len(tk) > 0),
+    pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2),
+    st AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(max(c) AS BIGINT) AS topc,
+             CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dupc
+      FROM pc GROUP BY doc_id)
+    SELECT doc_id, n_grams,
+           CAST(1000 * topc // n_grams AS BIGINT) AS top_gram_permille,
+           CAST(1000 * dupc // n_grams AS BIGINT) AS dup_gram_permille
+    FROM st
+    """,
+    doc="ngram_repetition_stats (operators/text.py): per-doc 3-gram "
+    "instance counts from the relational flat-shingle builder "
+    "(multiplicity preserved), top-gram and duplicated-gram mass as "
+    "integer permille of total grams. Both aggregates cluster by "
+    "doc_id, so the plan is two same-key hash aggregates -- nothing "
+    "corpus-wide; the %%5 sample filter pushes below the explode on "
+    "both engines.",
+)
+def q168_duplicate_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import ngram_repetition_stats
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & (F.col("doc_id") % 5 == 0)
+    )
+    stats = ngram_repetition_stats(docs, "doc_id", "text", k=3)
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        F.expr("CAST(1000 * top_gram_n div n_grams AS BIGINT)").alias(
+            "top_gram_permille"
+        ),
+        F.expr("CAST(1000 * dup_gram_n div n_grams AS BIGINT)").alias(
+            "dup_gram_permille"
+        ),
+    )

@@ -378,3 +378,25 @@ def test_kmeanspp_seeding_balances_id_correlated_blobs(spark):
 
     # 4. determinism: identical seeds across runs and layouts
     assert pp == kmeanspp_seeds(df.repartition(7), 4)
+
+
+def test_reciprocal_rank_fusion_hand_computed(spark):
+    """RRF of two 3-item lists: shared ids sum both reciprocal terms,
+    single-list ids get one; integer floor division (scale=1e6, k0=60)."""
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "vec_id long, rk int")
+    b = spark.createDataFrame([(12, 1), (10, 2), (13, 3)], "vec_id long, rk int")
+    out = {
+        r["vec_id"]: r["rrf"]
+        for r in reciprocal_rank_fusion([a, b]).collect()
+    }
+    s = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    assert out == {
+        10: s(1) + s(2),
+        11: s(2),
+        12: s(3) + s(1),
+        13: s(3),
+    }

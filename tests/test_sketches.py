@@ -204,3 +204,48 @@ def test_count_min_never_underestimates_and_merges(spark):
     )
     full = count_min_table(df, "k", depth=4, width=64)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom contract: every inserted key probes 1; the bitmap is a
+    bit_or monoid (bitmap(A) | bitmap(B) == bitmap(A ++ B)); absent
+    keys mostly probe 0 at this load factor."""
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bitmap = bloom_bitmap(members, "k", m_bits=4096, k=4)
+    probes = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    hits = {
+        r["k"]: r["bloom_hit"]
+        for r in bloom_might_contain(
+            probes, bitmap, "k", m_bits=4096, k=4
+        ).collect()
+    }
+    assert all(hits[i] == 1 for i in range(200)), "false negative"
+    fp = sum(hits[i] for i in range(200, 400))
+    # n=200, m=4096, k=4 -> fp ~ (1-e^-0.195)^4 ~ 0.1%; 200 draws
+    assert fp <= 10, f"implausible false-positive count {fp}"
+
+    a = bloom_bitmap(members.filter(F.col("k") < 100), "k", m_bits=4096, k=4)
+    b = bloom_bitmap(members.filter(F.col("k") >= 100), "k", m_bits=4096, k=4)
+    merged = (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, bitmap.collect())
+    )
+
+
+def test_bloom_null_keys_set_no_bits(spark):
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        bloom_bitmap,
+    )
+
+    empty = spark.createDataFrame([(None,)], "k long")
+    assert bloom_bitmap(empty, "k", m_bits=4096, k=4).count() == 0

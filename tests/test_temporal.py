@@ -303,3 +303,33 @@ def test_ewma_null_values_skip_not_poison(spark):
     assert got[("a", 1)] is None  # not NaN
     assert got[("a", 2)] == 15.0  # 0.5*20 + 0.5*10: state skipped the NULL
     assert got[("n", 0)] is None  # all-NULL series stays NULL
+
+
+def test_bucket_checksums_detect_single_row_change(spark):
+    """One changed row flips exactly its bucket's xs (and only that);
+    checksums are layout-independent (repartition changes nothing);
+    NULL keys are excluded."""
+    from bankcreditunion_datapipeline_spark.functions.hashing import md5lane
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        bucket_checksums,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"v{i}") for i in range(100)] + [(None, "ghost")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    dig = md5lane(F.concat_ws("|", F.col("k").cast("string"), F.col("v")))
+    base = {r["bucket"]: (r["n"], r["xs"]) for r in bucket_checksums(df, "k", dig, 16).collect()}
+    assert sum(n for n, _ in base.values()) == 100  # NULL key excluded
+
+    changed = df.withColumn(
+        "v", F.when(F.col("k") == 37, F.lit("mutated")).otherwise(F.col("v"))
+    )
+    after = {r["bucket"]: (r["n"], r["xs"]) for r in bucket_checksums(changed, "k", dig, 16).collect()}
+    diff = [b for b in base if base[b] != after[b]]
+    assert diff == [37 % 16]
+
+    relaid = {
+        r["bucket"]: (r["n"], r["xs"])
+        for r in bucket_checksums(df.repartition(7, "v"), "k", dig, 16).collect()
+    }
+    assert relaid == base

@@ -277,3 +277,32 @@ def test_bigram_lm_scores_hand_corpus(spark):
     want2 = (lab + lxb) / 2        # doc 2 bigrams: ab, bc
     assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-12
     assert got[2][0] == 2 and abs(got[2][1] - want2) < 1e-12
+
+
+def test_ngram_repetition_stats_hand_counts(spark):
+    """'a b c a b c a b c' has 7 3-gram instances ('a b c' x3,
+    'b c a' x2, 'c a b' x2), so top mass is 3 and every instance
+    belongs to a duplicated gram (dup mass 7). A no-repeat doc has dup
+    mass 0; a 2-token doc yields its whole text as the single gram;
+    NULL text contributes no row."""
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        ngram_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),
+            (2, "one two three four"),
+            (3, "tiny doc"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["top_gram_n"], r["dup_gram_n"])
+        for r in ngram_repetition_stats(df).collect()
+    }
+    assert out[1] == (7, 3, 7)
+    assert out[2] == (2, 1, 0)
+    assert out[3] == (1, 1, 0)
+    assert 4 not in out  # NULL text contributes nothing
