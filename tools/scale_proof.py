@@ -141,27 +141,49 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
         os.path.join(out, "lineitem.parquet")
     )
     emb = read_testdata(spark, src, "embeddings")
+    dim = len(
+        emb.filter(F.col("embedding").isNotNull()).select("embedding").first()[0]
+    )
     e_parts = []
     for i in range(factor):
         if i == 0:
             rep = emb
         else:
-            # orthogonal decorrelation with 2*dim distinct transforms:
-            # rotate by i mod dim, sign-flip for i >= dim (rotation and
-            # negation both preserve within-replica cosines exactly)
-            rot = f"({i} % size(embedding))"
-            rolled = (
-                f"concat(slice(embedding, {rot} + 1, size(embedding) - {rot}), "
-                f"slice(embedding, 1, {rot}))"
-            )
-            body = (
-                rolled
-                if i < 64
-                else f"transform({rolled}, x -> -x)"
-            )
+            # per-replica Rademacher diagonal: multiply dimension d by a
+            # deterministic sign s_i[d] in {-1, +1}. Multiplication by
+            # +-1.0 is float-EXACT, so within-replica dot products (and
+            # therefore cosines, LSH signs, k-means cells) are
+            # bit-identical to the original -- the workload per replica
+            # is the workload. Cross-replica cosines become Rademacher-
+            # weighted sums concentrating at 0 (+-1/sqrt(dim)), so even
+            # smooth/periodic/structured vectors decorrelate; dimension
+            # ROTATION (the previous scheme) also measured zero spurious
+            # cross-replica pairs on this Gaussian corpus (factor 80,
+            # verified by exact pair arithmetic), but is blind to
+            # rotation-invariant structure and caps at 2*dim distinct
+            # transforms where sign patterns give 2^dim.
+            import hashlib
+
+            signs = [
+                1.0
+                if hashlib.md5(f"{i}:{d}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for d in range(dim)
+            ]
             rep = emb.select(
-                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
-                F.expr(body).alias("embedding"),
+                # 1e7 spacing: q23 synthesizes its own near-copies at
+                # vec_id + 1e6 INSIDE the query, so a 1e6 replica stride
+                # would collide replica ids with the query's synthetic
+                # ids (measured: the factor-80 totals still matched the
+                # exact arithmetic, but only because the collided rows
+                # happened to reproduce the same pair structure -- make
+                # the id spaces disjoint instead of lucky)
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(s) for s in signs]),
+                    lambda x, s: (x * s).cast("float"),
+                ).alias("embedding"),
                 "label",
             )
         e_parts.append(rep)
@@ -171,8 +193,10 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
     # 200 identical hot vectors (distinct ids): the sign-LSH bucket join
     # and any exact-dup vector path must absorb a C(200,2) hot bucket
     first = emb.orderBy("vec_id").limit(1).select("embedding")
+    # 9e11 base: clear of every replica stride (1e7 x factor <= 9e4) AND
+    # of q23's in-query +1e6 synthetic-copy offset
     hot_v = spark.range(200).select(
-        (F.col("id") + 500_000_000).alias("vec_id"), F.lit(0).alias("hv")
+        (F.col("id") + 900_000_000_000).alias("vec_id"), F.lit(0).alias("hv")
     ).crossJoin(F.broadcast(first)).select(
         "vec_id", "embedding", F.lit(0).cast("int").alias("label")
     )
