@@ -74,6 +74,13 @@ SUBSET = [
     "q159_time_to_convert",
     # grouped top-k: salted aggregate vs window-form oracle agreement
     "q161_top_parts_per_customer",
+    # r6 portable bit-op classes: 60-bit bitmap words + shifts (DuckDB
+    # range-errors on 1<<63 where Java wraps) and bit_xor digest folds
+    "q165_bloom_membership",
+    "q167_bucket_checksum_diff",
+    # integer-RRF fusion of two float-derived rank lanes (floor-truncated
+    # score keys, NaN/huge/zero-norm exclusion parity)
+    "q166_rank_fusion",
 ]
 
 
