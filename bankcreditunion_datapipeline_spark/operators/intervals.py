@@ -82,3 +82,57 @@ def overlapping_interval_pairs(
     # keys + month in the USING list -> a plain hash equi-join; the exact
     # band predicate only ever sees co-bucketed candidates
     return a.join(b, keys + ["__m"]).filter(exact).drop("__m").distinct()
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Union (coalesce) overlapping-or-touching intervals per key -- the
+    islands-and-gaps primitive: coverage windows from raw events, machine
+    uptime from heartbeats, contiguous availability from bookings.
+    `overlapping_interval_pairs` asks which intervals MEET; this asks
+    what their union IS.
+
+    Returns one row per merged island: (key_cols..., start_col = island
+    min start, end_col = island max end). Touching intervals
+    (next.start == prev.end) merge; a strictly greater start opens a new
+    island. Caller guarantees start <= end and non-NULL bounds/keys.
+
+    Plan shape: ONE partitioning by key_cols carries both windows (the
+    running max(end) over preceding rows and the running island-id sum)
+    and the island aggregate -- no self-join, no corpus-wide state, so
+    the operator scales with the widest single key, not the table. The
+    classic sweep-line made relational: new_island = [start > max(end)
+    of all earlier intervals], island_id = running sum of the flag.
+    `tiebreak_col` pins a total order for equal starts (required for a
+    deterministic twin; island RESULTS are tie-order-independent since
+    equal starts always co-merge)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(start_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prev_end.isNull() | (F.col(start_col) > prev_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__isl", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(*key_cols, "__isl")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+        )
+        .drop("__isl")
+    )

@@ -8760,3 +8760,81 @@ def q168_duplicate_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_gram_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval UNION (islands & gaps): merge each user's overlapping
+# 5-minute activity windows into maximal islands and report coverage --
+# the sweep-line primitive q136's pairwise overlap join cannot answer
+# (which intervals MEET vs what their union IS). Uptime from
+# heartbeats, session coverage from events, contiguous availability
+# from bookings are all this one operator.
+# ---------------------------------------------------------------------------
+@register(
+    "q169_activity_coverage",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND user_id % 5 = 0),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pe
+      FROM ev),
+    fl AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS f
+      FROM m),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(f) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS g
+      FROM fl),
+    gi AS (
+      SELECT user_id, g, min(s) AS s0, max(e) AS e1
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+           CAST(max(e1 - s0) AS BIGINT) AS longest_us
+    FROM gi GROUP BY user_id
+    """,
+    doc="merge_intervals (operators/intervals.py): sweep-line interval "
+    "union as two windows + one aggregate over a SINGLE (user_id) "
+    "partitioning -- running max(end) over earlier rows flags island "
+    "starts, a running sum numbers islands, min/max per island merges. "
+    "No self-join, no corpus-wide state; scales with the widest single "
+    "key. All arithmetic in integer epoch-microseconds (unix_micros / "
+    "epoch_us parity); (start, event_id) pins the total order on both "
+    "engines.",
+)
+def q169_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.intervals import merge_intervals
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & (F.col("user_id") % 5 == 0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+        )
+    )
+    islands = merge_intervals(
+        ev, ["user_id"], start_col="s", end_col="e", tiebreak_col="event_id"
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_us"),
+        F.max(F.col("e") - F.col("s")).cast("long").alias("longest_us"),
+    )

@@ -88,3 +88,41 @@ def test_composite_id_tiebreak(spark):
     ).collect()
     assert len(got) == 1
     assert (got[0]["a_id1"], got[0]["a_id2"], got[0]["b_id2"]) == (7, 1, 2)
+
+
+def test_merge_intervals_islands_and_touching(spark):
+    """Overlap and touching merge; a gap opens a new island; keys stay
+    separate; results are layout-independent."""
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    rows = [
+        # key 1: [0,10] + [5,12] + [12,20] -> one island [0,20];
+        # [25,30] -> second island
+        (1, 1, 0, 10),
+        (1, 2, 5, 12),
+        (1, 3, 12, 20),
+        (1, 4, 25, 30),
+        # key 2: nested interval swallowed
+        (2, 5, 0, 100),
+        (2, 6, 10, 20),
+        # key 2: far island
+        (2, 7, 500, 600),
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, s long, e long")
+    out = sorted(
+        (r["k"], r["s"], r["e"])
+        for r in merge_intervals(
+            df, ["k"], start_col="s", end_col="e", tiebreak_col="i"
+        ).collect()
+    )
+    assert out == [(1, 0, 20), (1, 25, 30), (2, 0, 100), (2, 500, 600)]
+
+    relaid = sorted(
+        (r["k"], r["s"], r["e"])
+        for r in merge_intervals(
+            df.repartition(5, "e"), ["k"], "s", "e", "i"
+        ).collect()
+    )
+    assert relaid == out
