@@ -25,31 +25,51 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     how: str = "left",
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    right_ts_as: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach `value_cols` from the
-    LATEST right row with right.ts <= left.ts and equal keys.
+    """As-of join (pandas merge_asof semantics, distributed): for each
+    left row, attach `value_cols` from the LATEST right row with
+    right.ts <= left.ts (direction='backward', the default) or the
+    EARLIEST right row with right.ts >= left.ts (direction='forward'),
+    at equal keys; both directions are inclusive at equal ts.
 
-    Implementation: tag sides, union on (keys, ts), and carry the last
-    right ROW forward with a window `last(..., ignorenulls)` -- the
-    streaming-friendly formulation (one sort-shuffle on the key, no range
-    predicate). Right rows sort before left rows at equal ts, giving the
-    standard >= (inclusive) semantics.
+    Implementation: tag sides, union on (keys, ts), and carry the
+    nearest right ROW across with a window `last(..., ignorenulls)` --
+    the streaming-friendly formulation (ONE sort-shuffle on the key, no
+    range predicate, no per-row probe). 'forward' is the same scan over
+    the reversed ts order. Right rows sort before left rows at equal
+    ts, giving the inclusive semantics.
 
-    The right row's value columns travel packed in ONE struct (non-null as
-    a whole even when every field is NULL), so (a) a left row matched to a
-    right row whose values are legitimately NULL is distinguishable from a
-    left row with no prior right row at all, and (b) the match carries the
-    LATEST right row's values verbatim rather than skipping its NULL field
-    back to some older non-null value.
+    `tolerance` (same units as ts_col, which must be NUMERIC when used
+    -- pass epoch micros) rejects matches farther than that from the
+    left row: the match becomes NULL exactly as if no right row
+    existed. `right_ts_as` additionally exposes the matched right row's
+    ts under that name (NULL when unmatched) -- latency metrics fall
+    out as a subtraction.
 
-    how='inner' drops left rows with no prior right row; 'left' keeps them
-    with NULLs (DuckDB `ASOF [LEFT] JOIN` equivalents).
+    The right row's value columns travel packed in ONE struct (non-null
+    as a whole even when every field is NULL), so (a) a left row
+    matched to a right row whose values are legitimately NULL is
+    distinguishable from a left row with no match at all, and (b) the
+    match carries the nearest right row's values verbatim rather than
+    skipping a NULL field back to some other row's non-null value.
+
+    how='inner' drops unmatched left rows; 'left' keeps them with NULLs
+    (DuckDB `ASOF [LEFT] JOIN` equivalents). With several right rows at
+    the same (keys, ts) the carried one is scan-order-dependent --
+    pre-dedup the right side to one row per (keys, ts) for a
+    deterministic result.
     """
+    assert direction in ("backward", "forward"), direction
     tagged_r = right.select(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
+        F.struct(
+            F.col(ts_col).alias("__rts"), *[F.col(c) for c in value_cols]
+        ).alias("__r"),
     )
     r_struct_type = tagged_r.schema["__r"].dataType
     tagged_l = left.select(
@@ -57,18 +77,36 @@ def asof_join(
         F.lit(None).cast(r_struct_type).alias("__r"),
     )
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
+    if tolerance is not None:
+        delta = (
+            F.col(ts_col) - F.col("__r").getField("__rts")
+            if direction == "backward"
+            else F.col("__r").getField("__rts") - F.col(ts_col)
+        )
+        carried = carried.withColumn(
+            "__r", F.when(delta <= F.lit(tolerance), F.col("__r"))
+        )
     out = carried.filter(F.col("__side") == 1)
     if how == "inner":
         out = out.filter(F.col("__r").isNotNull())
+    extra = (
+        [F.col("__r").getField("__rts").alias(right_ts_as)]
+        if right_ts_as
+        else []
+    )
     return out.select(
         *[c for c in left.columns],
         *[F.col("__r").getField(c).alias(c) for c in value_cols],
+        *extra,
     )
 
 

@@ -8838,3 +8838,81 @@ def q169_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_us"),
         F.max(F.col("e") - F.col("s")).cast("long").alias("longest_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join with tolerance (pandas merge_asof parity): each
+# click attributed to the user's FIRST purchase within the next 2 hours
+# -- the time-to-next-action primitive (q27/q100 grade the backward
+# direction). The oracle states the same semantics declaratively
+# (min purchase ts in the window); the engine computes it as one
+# union + window scan, never a range join.
+# ---------------------------------------------------------------------------
+@register(
+    "q170_click_to_purchase",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS cts
+      FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS pts
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    m AS (
+      SELECT c.user_id, c.event_id, c.cts, min(p.pts) AS mts
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + 7200000000
+      GROUP BY 1, 2, 3)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(mts) AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(mts - cts), 0) AS BIGINT) AS total_latency_us,
+           CAST(max(mts - cts) AS BIGINT) AS max_latency_us
+    FROM m GROUP BY user_id
+    """,
+    doc="asof_join(direction='forward', tolerance=2h, right_ts_as=...) "
+    "(operators/temporal.py): tag-union-window formulation scanned over "
+    "descending ts -- ONE sort-shuffle on user_id, no range predicate; "
+    "tolerance NULLs matches farther than 2h exactly as if absent. "
+    "Right side pre-deduped to one row per (user, ts) for a "
+    "deterministic carry. The oracle replays the semantics as a "
+    "declarative window-min join (quadratic SQL is fine for an oracle; "
+    "the ENGINE plan is the linear scan). Latencies in integer epoch "
+    "micros.",
+)
+def q170_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .distinct()
+        .withColumn("p_seen", F.lit(1))
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "us",
+        ["p_seen"],
+        direction="forward",
+        tolerance=7_200_000_000,
+        right_ts_as="pts",
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.count("pts").cast("long").alias("n_matched"),
+        F.coalesce(F.sum(F.col("pts") - F.col("us")), F.lit(0))
+        .cast("long")
+        .alias("total_latency_us"),
+        F.max(F.col("pts") - F.col("us")).cast("long").alias("max_latency_us"),
+    )

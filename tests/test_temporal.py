@@ -333,3 +333,50 @@ def test_bucket_checksums_detect_single_row_change(spark):
         for r in bucket_checksums(df.repartition(7, "v"), "k", dig, 16).collect()
     }
     assert relaid == base
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """direction='forward' picks the EARLIEST right row at-or-after the
+    left ts (inclusive); tolerance NULLs matches beyond the horizon;
+    right_ts_as exposes the matched ts; backward default unchanged."""
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 250), (1, 400), (2, 10)], "k long, us long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 300, "b"), (1, 1000, "c")], "k long, us long, v string"
+    )
+    fwd = {
+        (r["k"], r["us"]): (r["v"], r["pts"])
+        for r in asof_join(
+            left, right, ["k"], "us", ["v"],
+            direction="forward", right_ts_as="pts",
+        ).collect()
+    }
+    assert fwd[(1, 100)] == ("a", 100)   # inclusive at equal ts
+    assert fwd[(1, 250)] == ("b", 300)   # earliest following
+    assert fwd[(1, 400)] == ("c", 1000)
+    assert fwd[(2, 10)] == (None, None)  # no right rows for key
+
+    tol = {
+        (r["k"], r["us"]): (r["v"], r["pts"])
+        for r in asof_join(
+            left, right, ["k"], "us", ["v"],
+            direction="forward", tolerance=100, right_ts_as="pts",
+        ).collect()
+    }
+    assert tol[(1, 250)] == ("b", 300)
+    assert tol[(1, 400)] == (None, None)  # 1000 - 400 > 100 -> unmatched
+
+    back = {
+        (r["k"], r["us"]): r["v"]
+        for r in asof_join(
+            left, right, ["k"], "us", ["v"], tolerance=100
+        ).collect()
+    }
+    assert back[(1, 100)] == "a"
+    assert back[(1, 250)] is None  # 250 - 100 > 100
+    assert back[(1, 400)] == "b"

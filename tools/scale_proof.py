@@ -140,6 +140,27 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
     lb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "lineitem.parquet")
     )
+    # events: N disjoint replicas (event/user keys offset per replica) --
+    # the funnel/session/cohort/coverage family scales Nx in users with
+    # per-user history shape unchanged (timestamps untouched, so window
+    # density per user is IDENTICAL to the original)
+    ev = read_testdata(spark, src, "events")
+    v_parts = [
+        ev.withColumns(
+            {
+                "event_id": F.col("event_id") + i * 1_000_000_000,
+                "user_id": F.col("user_id") + i * 1_000_000,
+            }
+        )
+        for i in range(factor)
+    ]
+    vb = v_parts[0]
+    for p_ in v_parts[1:]:
+        vb = vb.unionByName(p_)
+    vb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+
     emb = read_testdata(spark, src, "embeddings")
     dim = len(
         emb.filter(F.col("embedding").isNotNull()).select("embedding").first()[0]
