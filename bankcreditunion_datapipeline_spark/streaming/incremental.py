@@ -487,3 +487,47 @@ def streaming_topk_estimates(
     cm, cand = streaming_count_min_state(spark, state_dir, key_col)
     est = count_min_estimate(cm, cand, key_col, depth, width)
     return est.orderBy(F.desc("est_n"), F.asc(key_col)).limit(k)
+
+
+def streaming_bloom(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    key_col: str,
+    m_bits: int = 16384,
+    k: int = 4,
+) -> None:
+    """Maintain a streaming Bloom membership filter over a file stream
+    (Trigger.AvailableNow) -- "have we EVER seen this key" at O(m_bits)
+    state no matter how many keys the stream carries, the first-pass
+    gate in front of exact incremental dedup.
+
+    Same idempotency discipline as streaming_count_min: each micro-batch
+    writes its own ``batch=<id>`` bitmap partition (overwrite), so a
+    redelivered batch REPLACES its partition instead of corrupting
+    state; because bitmaps merge by per-word bit_or -- an idempotent,
+    commutative monoid -- the merged read is always the exact filter of
+    the exactly-once table contents, and double-merging a batch would
+    not even change the answer (OR is idempotent, unlike CM's sums).
+    """
+    from ..operators.sketches import bloom_bitmap
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        bm = bloom_bitmap(df, key_col, m_bits=m_bits, k=k)
+        bm.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "bloom", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged (word, bits) bitmap: per-word bit_or over every batch
+    partition."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "bloom"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )

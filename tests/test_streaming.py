@@ -740,3 +740,53 @@ def test_watermark_hadoop_crash_window_recovers_from_bak(spark, tmp_path):
     wm2 = Watermark(f"file://{local}", spark)
     wm2.advance("fdic", "2021-09-30")
     assert Watermark(f"file://{local}", spark).get("fdic") == "2021-09-30"
+
+
+def test_streaming_bloom_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The per-batch bitmap partitions merged on read must equal the
+    one-shot batch filter of all the data (bit_or monoid); every
+    streamed key must probe 1 on the merged state (no false negatives
+    across batch boundaries); and re-merging a batch partition twice
+    changes nothing (OR is idempotent)."""
+    import os
+
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_bloom,
+        streaming_bloom_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for day in range(3):
+        _write_events(spark, src, day * 100, 40)
+    streaming_bloom(
+        spark, src, ckpt, EVENT_SCHEMA, state, "user_id", m_bits=4096
+    )
+
+    full = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    batch_bm = bloom_bitmap(full, "user_id", m_bits=4096)
+    merged = streaming_bloom_state(spark, state)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, batch_bm.collect())
+    )
+
+    seen = full.filter("user_id IS NOT NULL").select("user_id").distinct()
+    hits = bloom_might_contain(seen, merged, "user_id", m_bits=4096)
+    assert hits.filter("bloom_hit = 0").count() == 0
+
+    # double-merge a batch partition: OR-idempotence means the merged
+    # bitmap is bit-identical even if a partition were read twice
+    b0 = spark.read.parquet(os.path.join(state, "bloom", "batch=0"))
+    doubled = (
+        merged.unionByName(b0)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert sorted(map(tuple, doubled.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
