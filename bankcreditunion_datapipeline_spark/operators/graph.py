@@ -244,3 +244,68 @@ def triangle_count(
     e.unpersist()
     deg.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rows_per_partition: int = 500_000,
+) -> DataFrame:
+    """(node, label) after `iterations` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007) -- community detection where a node
+    adopts the most frequent label among its neighbors each round.
+
+    Classic LPA tie-breaks randomly and updates asynchronously, which
+    no two runs -- let alone two engines -- reproduce. This variant is
+    fully deterministic and therefore SQL-replayable (the q171
+    discipline): synchronous rounds (all nodes update from the SAME
+    previous labeling), votes counted over the DEDUPED symmetric edge
+    set, argmax resolved (count DESC, label ASC) via a single
+    max(struct(c, -label)) hash aggregate -- no WindowExec, no RNG,
+    layout-independent like every iterative operator here.
+
+    `edges` must be symmetric (pass both directions), which also
+    guarantees every node has >= 1 neighbor vote. Plan shape per round:
+    one join of labels to the persisted edge set on src (co-shuffled
+    after round 1), two hash aggregates; working sets coalesce to graph
+    size per the iterative-family contract.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame([], "node long, label long")
+    parts = max(1, -(-n_edges // rows_per_partition))
+    e = e.coalesce(parts)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .coalesce(parts)
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        votes = (
+            labels.join(e, labels["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m").getField("nl")).alias("lab"))
+            .coalesce(parts)
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return labels.select("node", F.col("lab").alias("label"))

@@ -8916,3 +8916,99 @@ def q170_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_latency_us"),
         F.max(F.col("pts") - F.col("us")).cast("long").alias("max_latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synchronous label propagation: communities of the
+# sparse 1997 URGENT-order purchase graph -- the graph-family gap
+# between connected components (too coarse: one giant component) and
+# PageRank (ranks nodes, doesn't group them). Classic LPA tie-breaks
+# randomly; this variant is (count DESC, label ASC)-deterministic, so
+# the oracle can unroll the identical rounds in SQL.
+# ---------------------------------------------------------------------------
+_Q171_ITERS = 2
+
+
+def _q171_oracle(iterations: int = _Q171_ITERS) -> str:
+    """Unrolled synchronous-LPA replay: deduped symmetric edges, initial
+    label = node id, per round count neighbor labels and keep the
+    (count DESC, label ASC) winner -- the window form of the engine's
+    max(struct) hash aggregate (two physical strategies must agree)."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997 AND o_orderpriority = '1-URGENT'
+        AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)""",
+        "e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""v{k} AS (
+      SELECT e.dst AS node, l.lab, count(*) AS c
+      FROM e JOIN l{k - 1} l ON l.node = e.src GROUP BY 1, 2),
+    l{k} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rk
+        FROM v{k}) t WHERE rk = 1)""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT lab AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers
+    FROM l{iterations}
+    GROUP BY lab
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """
+
+
+@register(
+    "q171_purchase_communities",
+    _q171_oracle(),
+    doc="label_propagation (operators/graph.py): deterministic "
+    "synchronous LPA over the deduped symmetric 1997 URGENT "
+    "customer-supplier graph -- vote = neighbor-label count, winner = "
+    "(count DESC, label ASC) via one max(struct(c, -lab)) hash "
+    "aggregate per round (no WindowExec, no RNG; the oracle replays "
+    "the window form). Same iterative plan contract as "
+    "PageRank/CC: persisted edge set, per-round working-set coalesce, "
+    "localCheckpoint lineage cuts. Top-20 communities by size.",
+)
+def q171_purchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1997)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=_Q171_ITERS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum((F.col("node") % 2 == 1).cast("int"))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )

@@ -152,3 +152,32 @@ def test_pagerank_weight_overflow_guard(spark):
     )
     with pytest.raises(ValueError, match="overflow"):
         pagerank_integer(df, iterations=1, weight_col="w")
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge resolve to two
+    communities labeled by each clique's min node id; empty graph
+    yields an empty frame; results survive repartitioning."""
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (11, 12, 13)} == {10}
+    # the two communities stay distinct (the bridge does not merge them)
+    assert out[1] != out[11]
+
+    relaid = {
+        r["node"]: r["label"]
+        for r in label_propagation(df.repartition(7, "dst"), 3).collect()
+    }
+    assert relaid == out
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(empty, 2).count() == 0
