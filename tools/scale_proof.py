@@ -63,6 +63,12 @@ FAMILY = [
     "q111_kmeans_assignment",
     "q120_semantic_dedup",
     "q138_ivf_pq_search",
+    # session/funnel family (events replicas: disjoint user strides,
+    # per-user history shape unchanged) + r6 second-session additions
+    "q151_session_funnel",
+    "q169_activity_coverage",
+    "q168_duplicate_ngram_mass",
+    "q171_purchase_communities",
 ]
 
 
