@@ -165,3 +165,70 @@ def per_group_percent_rank(
     return df.withColumn(
         out, F.floor(F.percent_rank().over(w) * 1000000) / 1000000
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier), both dimensions MINIMIZED: the
+    points no other point beats on both axes (<= on both, < on at
+    least one). Maximize a dimension by negating it first. Inputs must
+    be non-NULL integers (the caller filters/scales -- cents, yyyymmdd,
+    negated ranks); duplicates collapse.
+
+    Distributed shape -- the naive NOT-EXISTS self-join is O(n^2) and a
+    partition-less window sort moves everything to one task; instead:
+    1. range-bucket x into `buckets` integer cells (min/max from one
+       O(1)-row aggregate);
+    2. per-bucket min(y) -> a `buckets`-row frame, joined back
+       broadcast with its EXCLUSIVE running prefix min: any point
+       dominated by an earlier bucket (strictly smaller x there) dies
+       without ever being compared row-to-row;
+    3. survivors reduce to one row per x (min y -- equal x, higher y
+       is dominated) and run the classic sweep WITHIN each bucket:
+       keep iff y < min(y of all strictly-smaller x), where the
+       running min seeds from the bucket-prefix min.
+    Every step is a hash aggregate, a broadcast join of a buckets-row
+    frame, or a window partitioned BY BUCKET -- no global sort, no
+    pairwise join; the frontier comes out exact.
+    """
+    from pyspark.sql.window import Window
+
+    pts = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x")
+        .agg(F.min("y").alias("y"))
+    )
+    rng = pts.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    ).first()
+    if rng["lo"] is None:
+        return df.sparkSession.createDataFrame([], "x long, y long")
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = hi - lo + 1
+    b = pts.withColumn(
+        "bucket", F.expr(f"((x - {lo}) * {buckets}) div {span}")
+    )
+    mins = b.groupBy("bucket").agg(F.min("y").alias("bmin"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = mins.select(
+        "bucket", F.min("bmin").over(wb).alias("pmin")
+    )
+    wx = Window.partitionBy("bucket").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # least() skips NULLs (returns NULL only when BOTH sides are), so
+    # the first point of the first bucket gets a NULL runmin = "nothing
+    # can dominate me yet"
+    swept = b.join(F.broadcast(prefix), "bucket").withColumn(
+        "runmin", F.least(F.min("y").over(wx), F.col("pmin"))
+    )
+    return swept.filter(
+        F.col("runmin").isNull() | (F.col("y") < F.col("runmin"))
+    ).select("x", "y")

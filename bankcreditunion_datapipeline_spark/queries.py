@@ -9012,3 +9012,66 @@ def q171_purchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): the orders no other order beats on
+# BOTH price and recency -- "cheapest for how recent it is". The naive
+# formulation is an O(n^2) NOT-EXISTS self-join (exactly what the
+# oracle states); the engine computes it with grid pruning + per-bucket
+# sweeps -- hash aggregates, a broadcast of a 64-row frame, and windows
+# partitioned BY BUCKET, never a global sort or a pairwise join.
+# ---------------------------------------------------------------------------
+@register(
+    "q172_price_recency_skyline",
+    """
+    WITH pts AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             -CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                   + day(o_orderdate) AS BIGINT) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY 1, 2),
+    rx AS (SELECT x, min(y) AS y FROM pts GROUP BY x),
+    sky AS (
+      SELECT x, y FROM rx p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rx q
+        WHERE q.x <= p.x AND q.y <= p.y
+          AND (q.x < p.x OR q.y < p.y)))
+    SELECT x AS price_cents, CAST(-y AS BIGINT) AS order_d8 FROM sky
+    """,
+    doc="skyline_2d (operators/analytics.py): Pareto frontier with both "
+    "dims minimized (recency maximized via negated yyyymmdd). Engine "
+    "plan: integer range-bucketing on x, per-bucket min(y) broadcast "
+    "with its exclusive prefix min (cross-bucket dominance dies "
+    "without row-to-row compares), then the classic sweep within each "
+    "bucket -- exact frontier, no O(n^2) join, no partition-less "
+    "data-sized window. The oracle IS the O(n^2) NOT-EXISTS dominance "
+    "definition: the declarative spec and the distributed strategy "
+    "must agree exactly.",
+)
+def q172_price_recency_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import skyline_2d
+
+    pts = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            (
+                -(
+                    F.year("o_orderdate") * 10000
+                    + F.month("o_orderdate") * 100
+                    + F.dayofmonth("o_orderdate")
+                ).cast("long")
+            ).alias("y"),
+        )
+    )
+    sky = skyline_2d(pts, "x", "y")
+    return sky.select(
+        F.col("x").alias("price_cents"),
+        (-F.col("y")).cast("long").alias("order_d8"),
+    )

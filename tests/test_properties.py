@@ -376,3 +376,82 @@ def test_pack_sequences_equals_naive_scan(spark, toks, seq_len):
         want[doc_id] = cum // seq_len
         cum += n
     assert got == want
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # key
+        st.integers(min_value=0, max_value=60),   # start
+        st.integers(min_value=0, max_value=30),   # length
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**COMMON)
+@given(rows=INTERVALS)
+def test_merge_intervals_matches_reference_sweep(spark, rows):
+    """merge_intervals == the single-threaded sweep-line reference on
+    arbitrary (possibly duplicated/nested/touching) intervals."""
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    data = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, i long, s long, e long")
+    got = sorted(
+        (r["k"], r["s"], r["e"])
+        for r in merge_intervals(df, ["k"], "s", "e", "i").collect()
+    )
+
+    ref = []
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, _, s, e in data:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        cur_s = cur_e = None
+        for s, e in sorted(ivs):
+            if cur_s is None:
+                cur_s, cur_e = s, e
+            elif s > cur_e:
+                ref.append((k, cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        ref.append((k, cur_s, cur_e))
+    assert got == sorted(ref)
+
+
+POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**COMMON)
+@given(pts=POINTS)
+def test_skyline_2d_matches_brute_force(spark, pts):
+    """Grid-pruned distributed skyline == O(n^2) dominance definition
+    on arbitrary integer points (duplicates, ties, negatives)."""
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+
+    uniq = set(pts)
+    ref = sorted(
+        p
+        for p in uniq
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in uniq
+        )
+    )
+    assert got == ref
