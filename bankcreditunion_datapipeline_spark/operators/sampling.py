@@ -269,3 +269,44 @@ def pack_sequences(
         )
         .drop("__ok", "__bkt", "__off", "__cum", "__nt")
     )
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    weight_col: str,
+    salt: str = "es1",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Efraimidis-Spirakis priority keys for weighted sampling WITHOUT
+    replacement (Inf. Proc. Letters 2006): key = ln(u) / w with u a
+    deterministic per-row uniform; the k rows with the LARGEST keys are
+    an exact weighted sample -- so distributed weighted sampling is
+    just TakeOrdered over one narrow pass, no rejection loops, no
+    global state, trivially mergeable across partitions/batches
+    (max-heap union).
+
+    Determinism/portability: u = (lane48 + 1) / 2^48 where lane48 is a
+    48-bit md5 slice of (salt, id) -- 48 bits so the integer is EXACT
+    in a double on both engines (53-bit mantissa), making u, ln(u) and
+    the ranking replayable in SQL. ln() is the one non-integer op; a
+    selection flip would need two keys within ~1 ulp, measure-zero for
+    continuous keys (and the oracle gate would catch it).
+
+    Adds `__es_key` (double). Rows with NULL or non-positive weight are
+    dropped (they cannot be sampled). Requires `id_col` (defaults to
+    the first column) as the hashed identity.
+    """
+    idc = id_col or df.columns[0]
+    lane48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(idc).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (lane48 + 1) / F.lit(float(2**48))
+    return df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es_key", F.log(u) / F.col(weight_col))

@@ -9075,3 +9075,63 @@ def q172_price_recency_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("price_cents"),
         (-F.col("y")).cast("long").alias("order_d8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): the top-25
+# orders by ln(u)/w priority ARE an exact weighted sample -- the
+# primitive behind revenue-weighted eval sets and importance-sampled
+# training mixes. Distributed cost: one narrow pass + TakeOrdered; the
+# sample merges across partitions/batches by max-heap union, needing no
+# global state (q92's deterministic threshold sampling is the
+# per-stratum UNWEIGHTED sibling).
+# ---------------------------------------------------------------------------
+@register(
+    "q173_weighted_order_sample",
+    """
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (CAST(('0x' || substr(md5('es1:' || CAST(o_orderkey AS VARCHAR)),
+                                   1, 12)) AS BIGINT) + 1) / 281474976710656.0
+               AS u
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_totalprice > 0)
+    SELECT o_orderkey, cents
+    FROM w
+    ORDER BY ln(u) / cents DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="weighted_sample_keys (operators/sampling.py): "
+    "Efraimidis-Spirakis priorities ln(u)/w from a 48-bit md5-lane "
+    "uniform (exact in a double on both engines: 48 < 53 mantissa "
+    "bits), weight = order value in cents; top-25 via "
+    "TakeOrderedAndProject. Selection is engine-replayable because u "
+    "is exact and ln is the only continuous op (a flip needs two "
+    "priorities within ~1 ulp -- measure-zero, and this gate would "
+    "catch it). Output carries ids+weights, never the float key.",
+)
+def q173_weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample_keys
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & (F.col("o_totalprice") > 0)
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    keyed = weighted_sample_keys(
+        orders, "cents", salt="es1", id_col="o_orderkey"
+    )
+    return (
+        keyed.orderBy(F.desc("__es_key"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "cents")
+    )

@@ -208,3 +208,26 @@ def test_pack_sequences_null_tokens_count_zero(spark):
     )
     out = pack_sequences(df, "doc_id", "n_tok", seq_len=8).collect()
     assert len(out) == 3  # NULL-count row still lands in a sequence
+
+
+def test_weighted_sample_keys_prefers_heavy_weights(spark):
+    """Efraimidis-Spirakis top-k: with 100 heavy (w=1000) and 900 light
+    (w=1) rows, a 50-row sample is dominated by heavy rows
+    (deterministic given the fixed hash lane); non-positive and NULL
+    weights are excluded; the sample is duplicate-free."""
+    from pyspark.sql import functions as F
+
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1000)]
+    rows += [(2000, None), (2001, 0), (2002, -5)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    keyed = weighted_sample_keys(df, "w", id_col="id")
+    top = keyed.orderBy(F.desc("__es_key"), F.asc("id")).limit(50).collect()
+    ids = [r["id"] for r in top]
+    assert len(set(ids)) == 50
+    assert all(i < 1000 for i in ids)
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy >= 45, f"only {heavy}/50 heavy rows sampled"
