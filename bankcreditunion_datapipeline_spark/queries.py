@@ -9135,3 +9135,104 @@ def q173_weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", "cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash as a MERGEABLE UNION SKETCH: per-source signatures (per-lane
+# min over every shingle the source ever produced) estimate pairwise
+# source-level Jaccard from 8 lanes instead of the full gram sets.
+# The min is a monoid, so source signatures roll up from per-doc /
+# per-partition / per-day partials exactly like the HLL/theta/CM
+# sketches -- corpus-level similarity without a corpus-level gram join
+# (q21 answers "which DOCS near-dup"; this answers "how similar are
+# whole SOURCES").
+# ---------------------------------------------------------------------------
+_Q174_LANES = 8
+
+
+def _q174_oracle(lanes: int = _Q174_LANES) -> str:
+    lane_cols = ",\n             ".join(
+        f"min(substr(md5('{i}:' || h), 1, 15)) AS s{i}" for i in range(lanes)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(lanes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL AND source IS NOT NULL),
+    g AS (
+      SELECT DISTINCT source,
+             array_to_string(list_slice(tk, CAST(i.i AS INT),
+                                        CAST(i.i AS INT) + 2), ' ') AS s
+      FROM toks, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i(i)
+      WHERE len(tk) > 0),
+    b AS (SELECT source, md5(s) AS h FROM g),
+    sig AS (
+      SELECT source,
+             {lane_cols}
+      FROM b GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST({match_sum} AS BIGINT) AS n_match,
+           CAST(1000 * ({match_sum}) // {lanes} AS BIGINT) AS j_est_permille
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@register(
+    "q174_source_similarity_rollup",
+    _q174_oracle(),
+    doc="portable md5-lane MinHash signatures rolled up to SOURCE grain "
+    "(operators/dedup.py flat shingles + hex-string lanes, the q21 "
+    "discipline): per-lane min is a monoid, so signatures merge from "
+    "any partial grain -- the union-sketch property HLL/theta/CM share. "
+    "Pairwise source Jaccard estimated as matching lanes / 8 (integer "
+    "permille); the 10-source signature table self-joins broadcast. "
+    "Scale: gram explosion stays partitioned by doc, the signature "
+    "aggregate is per-source state of 8 fixed-width strings, and the "
+    "pairwise compare is O(sources^2) over a TINY frame -- never over "
+    "grams.",
+)
+def q174_source_similarity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import word_shingles_flat
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    grams = word_shingles_flat(docs, "doc_id", "text", k=3)
+    src_grams = (
+        grams.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "__s")
+        .distinct()
+        .withColumn("h", F.md5("__s"))
+    )
+    sig = src_grams.groupBy("source").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("h"))), 1, 15)
+            ).alias(f"s{i}")
+            for i in range(_Q174_LANES)
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    n_match = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+        for i in range(_Q174_LANES)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            n_match.cast("long").alias("n_match"),
+            F.expr(
+                "CAST(1000 * n_match div " + str(_Q174_LANES) + " AS BIGINT)"
+            ).alias("j_est_permille"),
+        )
+    )

@@ -604,3 +604,45 @@ def test_fingerprint_overlap_pair_budget_guard(spark):
         fp, min_shared=1, max_doc_freq=10, max_pair_rows=100
     )
     assert capped.count() == 0
+
+
+def test_minhash_lane_signature_is_union_mergeable(spark):
+    """The per-lane min signature of A ++ B equals the element-wise min
+    of the partial signatures -- the union-sketch monoid property that
+    lets source/corpus signatures roll up from per-day partials."""
+    from pyspark.sql import functions as F
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        word_shingles_flat,
+    )
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " + "tok%d " % i * 3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sig(frame):
+        grams = (
+            word_shingles_flat(frame, "doc_id", "text", k=3)
+            .select("__s")
+            .distinct()
+            .withColumn("h", F.md5("__s"))
+        )
+        return grams.agg(
+            *[
+                F.min(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("h"))), 1, 15
+                    )
+                ).alias(f"s{i}")
+                for i in range(8)
+            ]
+        ).first()
+
+    full = sig(df)
+    a = sig(df.filter("doc_id < 10"))
+    b = sig(df.filter("doc_id >= 10"))
+    assert tuple(full) == tuple(
+        min(a[i], b[i]) for i in range(8)
+    )
