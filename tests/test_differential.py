@@ -81,6 +81,9 @@ SUBSET = [
     # integer-RRF fusion of two float-derived rank lanes (floor-truncated
     # score keys, NaN/huge/zero-norm exclusion parity)
     "q166_rank_fusion",
+    # ln over exact 48-bit-lane uniforms: Java Math.log vs libm log
+    # selection parity at the top-k boundary (Efraimidis-Spirakis)
+    "q173_weighted_order_sample",
 ]
 
 
