@@ -1446,3 +1446,139 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Offset-robust duplicate-SPAN removal (sub-document dedup at token
+# granularity).  q102's fixed 20-word chunks dedup only at chunk
+# alignment: a 30-word duplicate starting mid-chunk straddles chunk
+# boundaries on both sides and NO chunk matches exactly, so q102 keeps
+# it twice.  This operator slides a k-gram over every token position --
+# any shared run of >= k tokens shares ALL of its internal k-grams at
+# some offset -- and excises exactly the tokens covered by a gram whose
+# first corpus occurrence lies in an EARLIER document.  The earliest
+# document keeps its text; every later document loses precisely the
+# maximal shared spans (length >= k) it copies.
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Excise every maximal token span of length >= ``k`` that also
+    appears in an earlier document; return one row per input document:
+    ``(id, clean_text, n_tok, n_removed)``.
+
+    Semantics (deterministic, SQL-replayable -- q175's oracle states the
+    identical rule):
+
+    - tokens are the whitespace split of ``trim(text)`` with empties
+      removed; matching is case-insensitive (grams lowercase), but
+      reassembly preserves the ORIGINAL tokens joined by single spaces
+      (so clean_text is whitespace-normalized for every doc, removed or
+      not);
+    - the gram at 0-based token position ``p`` is the md5 of the
+      lowercased ``k`` tokens ``[p, p+k-1]`` joined by one space
+      (md5 hex-string lane: fixed-width, engine-portable);
+    - a gram's FIRST OWNER is the minimum ``order_col`` (default:
+      ``id_col``; must be row-unique for "earlier" to be well defined)
+      over all documents containing it anywhere;
+    - gram-start ``p`` in doc ``d`` is duplicated iff first_owner < d's
+      key; token ``t`` is removed iff some duplicated gram start ``p``
+      covers it (``t-k+1 <= p <= t``).  A shared run of length L >= k
+      yields L-k+1 duplicated grams covering all L tokens, so excision
+      is exactly the maximal shared spans; runs shorter than k are
+      never touched, and within-doc repetition inside the earliest
+      owner is kept (cross-document semantics only).
+
+    Scale shape: one per-doc positional window (lead over token pos)
+    builds grams; the only content-keyed wide op is the gram -> min(key)
+    hash aggregate + join back, both on the same 32-char fixed-width
+    md5 key (near-unique for real text, so no skew); the coverage sweep
+    is a rowsBetween(-(k-1), 0) max over the SAME per-doc partitioning
+    the gram window already established; reassembly groups by doc id.
+    No pair join ever forms -- cost is O(tokens), not O(pairs), so no
+    pair budget applies (contrast fingerprint_overlap_pairs).
+    """
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    assert k >= 2
+    okey = order_col or id_col
+    toks = df.select(
+        F.col(id_col),
+        F.col(okey).alias("__okey"),
+        F.array_remove(
+            F.split(F.trim(F.col(text_col)), r"\s+"), ""
+        ).alias("__tk"),
+    ).withColumn("__n", F.size("__tk"))
+    flat = toks.filter(F.col("__n") > 0).select(
+        F.col(id_col), "__okey", "__n",
+        F.posexplode("__tk").alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # gram hash defined only at valid starts (pos <= n-k); concat_ws
+    # would silently SKIP the null leads past the end and alias short
+    # tails onto genuine shorter grams, hence the explicit gate.
+    gram = F.when(
+        F.col("__pos") <= F.col("__n") - k,
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.lower("__tok"),
+                *[F.lead(F.lower("__tok"), j).over(w) for j in range(1, k)],
+            )
+        ),
+    )
+    g = flat.withColumn("__gh", gram)
+    # g feeds the owner aggregate AND the join probe; per-consumer column
+    # pruning defeats ReuseExchange (SCALE.md r6), so persist or the
+    # tokenize+window subtree runs twice.
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    owners = (
+        g.filter(F.col("__gh").isNotNull())
+        .groupBy("__gh")
+        .agg(F.min("__okey").alias("__first"))
+    )
+    marked = g.join(owners, "__gh", "left").withColumn(
+        "__dup",
+        (
+            F.col("__gh").isNotNull() & (F.col("__first") < F.col("__okey"))
+        ).cast("int"),
+    )
+    cov = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(-(k - 1), 0)
+    # token positions are dense integers, so the rows-frame max IS the
+    # interval-coverage sweep: removed iff a dup gram started in the
+    # last k-1 positions (or here).
+    swept = marked.withColumn("__rm", F.max("__dup").over(cov))
+    out = swept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rm") == 0,
+                            F.struct("__pos", F.col("__tok")),
+                        )
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("__rm").cast("long").alias("n_removed"),
+    )
+    # zero-token docs never reach `flat`; reinstate them with empty
+    # clean_text so the contract is one row per input document.
+    empties = toks.filter(F.col("__n") == 0).select(
+        F.col(id_col),
+        F.lit("").alias("clean_text"),
+        F.lit(0).cast("long").alias("n_tok"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return out.unionByName(empties)

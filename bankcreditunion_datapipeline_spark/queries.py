@@ -9236,3 +9236,87 @@ def q174_source_similarity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("j_est_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Offset-robust duplicate-SPAN removal -- the sub-document dedup q102's
+# fixed 20-word chunks cannot do: a 30-word duplicate starting mid-chunk
+# matches no chunk exactly and survives q102 twice, but shares all of
+# its internal k-grams at SOME offset, so the sliding-gram excision
+# removes it from every document later than the first owner.  The
+# oracle states the identical rule declaratively (gram -> min owner ->
+# coverage sweep -> reassembly).
+# ---------------------------------------------------------------------------
+_Q175_K = 8
+
+
+def _q175_oracle(k: int = _Q175_K) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    toks AS (
+      SELECT doc_id, len(tk) AS n, CAST(i.i AS BIGINT) - 1 AS pos,
+             tk[CAST(i.i AS INT)] AS tok
+      FROM base, unnest(range(1, len(tk) + 1)) AS i(i)
+      WHERE len(tk) > 0),
+    grams AS (
+      SELECT doc_id, CAST(i.i AS BIGINT) - 1 AS pos,
+             md5(lower(array_to_string(
+               list_slice(tk, CAST(i.i AS INT), CAST(i.i AS INT) + {k} - 1),
+               ' '))) AS gh
+      FROM base, unnest(range(1, len(tk) - {k} + 2)) AS i(i)
+      WHERE len(tk) >= {k}),
+    owners AS (SELECT gh, min(doc_id) AS fk FROM grams GROUP BY gh),
+    dup AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN owners o USING (gh)
+      WHERE o.fk < g.doc_id),
+    flag AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS ds
+      FROM toks t LEFT JOIN dup d ON t.doc_id = d.doc_id AND t.pos = d.pos),
+    cov AS (
+      SELECT doc_id, pos, tok,
+             max(ds) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {k} - 1 PRECEDING AND CURRENT ROW)
+               AS rm
+      FROM flag),
+    stats AS (
+      SELECT doc_id, count(*) AS n_tok, CAST(sum(rm) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM cov WHERE rm = 0 GROUP BY doc_id),
+    nonempty AS (
+      SELECT s.doc_id, coalesce(kp.clean_text, '') AS clean_text,
+             s.n_tok, s.n_removed
+      FROM stats s LEFT JOIN kept kp USING (doc_id)),
+    empties AS (
+      SELECT b.doc_id, '' AS clean_text, CAST(0 AS BIGINT) AS n_tok,
+             CAST(0 AS BIGINT) AS n_removed
+      FROM base b WHERE len(b.tk) = 0)
+    SELECT * FROM nonempty UNION ALL SELECT * FROM empties
+    """
+
+
+@register(
+    "q175_duplicate_span_removal",
+    _q175_oracle(),
+    doc="remove_duplicate_spans (operators/dedup.py): offset-robust "
+    "sub-document dedup -- sliding md5 k-gram lane, gram -> min-owner "
+    "hash aggregate, rowsBetween(-(k-1),0) coverage sweep on the SAME "
+    "per-doc partitioning, ordered reassembly. Excises exactly the "
+    "maximal token spans (length >= k) copied from an earlier doc; the "
+    "mid-chunk duplicate q102 provably misses (no 20-word alignment) "
+    "is removed here. Scale: O(tokens), no pair join ever forms; the "
+    "only content-keyed shuffle is the fixed-width gram-key aggregate.",
+)
+def q175_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import remove_duplicate_spans
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    return remove_duplicate_spans(docs, "doc_id", "text", k=_Q175_K)

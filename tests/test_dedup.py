@@ -646,3 +646,113 @@ def test_minhash_lane_signature_is_union_mergeable(spark):
     assert tuple(full) == tuple(
         min(a[i], b[i]) for i in range(8)
     )
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans: offset-robust sub-document dedup
+# ---------------------------------------------------------------------------
+
+
+def _mk_words(prefix, n):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_duplicate_span_removed_where_chunk_dedup_misses(spark):
+    """A 30-word duplicate planted MID-chunk (starting at token 7, so no
+    20-word chunk boundary aligns between the two docs) is provably
+    invisible to fixed-chunk dedup -- zero chunk hashes match -- yet
+    remove_duplicate_spans excises exactly the shared 30 tokens from
+    the later doc and keeps the earlier doc whole."""
+    from pyspark.sql import functions as F
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    dup = _mk_words("dup", 30)
+    # doc 1: duplicate starts at token 5; doc 2: at token 7 -- different
+    # offsets mod 20, so NO 20-word chunk of doc 2 equals any of doc 1.
+    d1 = _mk_words("a", 5) + dup + _mk_words("b", 8)
+    d2 = _mk_words("x", 7) + dup + _mk_words("y", 11)
+    df = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], "doc_id long, text string"
+    )
+
+    # fixed-chunk dedup (q102's shape) sees zero shared chunks
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(20))
+    chunks = df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.xxhash64(F.concat_ws(" ", F.slice(toks, s, 20))),
+            )
+        ).alias("ch"),
+    )
+    shared = (
+        chunks.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+        .count()
+    )
+    assert shared == 0, "planted duplicate must straddle chunk boundaries"
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=8).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == " ".join(d1)
+    assert out[2]["n_removed"] == 30
+    # excision preserves order: prefix then suffix, nothing else touched
+    assert out[2]["clean_text"] == " ".join(_mk_words("x", 7) + _mk_words("y", 11))
+    assert out[2]["n_tok"] == len(d2)
+
+
+def test_duplicate_span_alignment_and_short_runs(spark):
+    """Runs shorter than k survive; spans at the very start/end excise
+    cleanly; the earliest doc always keeps its text; zero-token docs
+    survive with empty clean_text."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    run = _mk_words("r", 8)          # exactly k -- removable
+    short = _mk_words("s", 7)        # k-1 -- never removable
+    d1 = run + _mk_words("m", 4) + short
+    d2 = run + _mk_words("q", 6)                 # span at start
+    d3 = _mk_words("z", 6) + run                 # span at end
+    d4 = short + _mk_words("w", 9)               # only the short run shared
+    df = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3)),
+         (4, " ".join(d4)), (5, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == " ".join(_mk_words("q", 6))
+    assert out[2]["n_removed"] == 8
+    assert out[3]["clean_text"] == " ".join(_mk_words("z", 6))
+    assert out[3]["n_removed"] == 8
+    assert out[4]["n_removed"] == 0, "k-1 run must never be excised"
+    assert out[4]["clean_text"] == " ".join(d4)
+    assert out[5]["clean_text"] == "" and out[5]["n_tok"] == 0
+
+
+def test_duplicate_span_case_insensitive_match_preserves_original(spark):
+    """Gram matching is case-insensitive but the survivor text keeps the
+    ORIGINAL casing; overlapping shared spans merge into one excision."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    dup = _mk_words("dup", 12)
+    d1 = _mk_words("a", 3) + dup
+    d2 = ["KEEP0", "KeEp1"] + [w.upper() for w in dup] + ["Tail0"]
+    df = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[2]["n_removed"] == 12
+    assert out[2]["clean_text"] == "KEEP0 KeEp1 Tail0"

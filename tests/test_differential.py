@@ -84,6 +84,20 @@ SUBSET = [
     # ln over exact 48-bit-lane uniforms: Java Math.log vs libm log
     # selection parity at the top-k boundary (Efraimidis-Spirakis)
     "q173_weighted_order_sample",
+    # r6 divergence classes held as regressions (r6 VERDICT #3):
+    # multiplicity-preserving shingle counts (Gopher dup-gram mass)
+    "q168_duplicate_ngram_mass",
+    # sweep-line island closure (interval union boundary semantics)
+    "q169_activity_coverage",
+    # LPA struct-argmax tiebreak ((count DESC, label ASC) determinism)
+    "q171_purchase_communities",
+    # exclusive bucket-prefix window (skyline dominance at bucket edges)
+    "q172_price_recency_skyline",
+    # signature monoid rollup (per-lane min merge across grains)
+    "q174_source_similarity_rollup",
+    # r7: sliding-gram span excision (coverage-sweep boundary semantics,
+    # case-folded gram lane vs original-token reassembly)
+    "q175_duplicate_span_removal",
 ]
 
 
