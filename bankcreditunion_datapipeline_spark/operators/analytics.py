@@ -75,13 +75,15 @@ def grouped_topk_agg(
     k: int,
     salt_buckets: int = 32,
     out: str = "top",
+    salt_extra: Column | None = None,
 ) -> DataFrame:
-    """Per-group top-k WITHOUT a window and WITHOUT an O(group) buffer:
-    two-stage salted hash aggregation. `sort_struct` is a struct column
-    whose ASCENDING sort order is the wanted ranking (encode descending
-    keys negated, ties by the next field -- the integer-cents
-    discipline); returns one row per group with `out` = the k smallest
-    structs, sorted.
+    """Per-group top-k WITHOUT a window and WITHOUT an O(group) buffer
+    (assuming distinct sort_struct values -- see below): two-stage
+    salted hash aggregation. `sort_struct` is a struct column whose
+    ASCENDING sort order is the wanted ranking (encode descending keys
+    negated, ties by the next field -- the integer-cents discipline);
+    returns one row per group with `out` = the k smallest structs,
+    sorted.
 
     Why not row_number(): WindowExec sorts whole partitions of
     (group, row) data and numbers every row. Why not a single
@@ -97,9 +99,20 @@ def grouped_topk_agg(
     hashing the struct keeps it deterministic. Both stages are hash
     aggregates with map-side partial combine; total cost is two
     shuffles of (keys[, salt]) rows, still cheaper than WindowExec's
-    full-partition sort at scale. The pattern is documented in SCALE.md
-    -- copy THIS form, not the unsalted collect_list."""
-    salt = F.pmod(F.xxhash64(sort_struct), F.lit(salt_buckets))
+    full-partition sort at scale.
+
+    BUFFER-BOUND CAVEAT (copy this form WITH the caveat): salting by
+    hash(sort_struct) spreads DISTINCT values evenly, but every copy of
+    one repeated value lands in the same bucket -- a group dominated by
+    duplicates of a single struct keeps an O(copies) stage-1 buffer.
+    Callers here pre-aggregate to distinct structs (q161/q164), which
+    restores the bound; when duplicates are possible, pass
+    ``salt_extra`` -- any deterministic row-distinguishing column (a
+    row id, a source offset) mixed into the salt hash -- and the bound
+    holds again because salt-decomposability is true for ANY
+    assignment, including ones that split equal values."""
+    salt_inputs = [sort_struct] if salt_extra is None else [sort_struct, salt_extra]
+    salt = F.pmod(F.xxhash64(*salt_inputs), F.lit(salt_buckets))
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -197,12 +210,18 @@ def skyline_2d(
     """
     from pyspark.sql.window import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     pts = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("x")
         .agg(F.min("y").alias("y"))
     )
+    # pts feeds the eager range aggregate AND the bucketed frame; without
+    # a persist the scan+groupBy runs twice (ReuseExchange never fires on
+    # an already-collected .first() subtree).
+    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     rng = pts.agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
     ).first()
@@ -210,9 +229,19 @@ def skyline_2d(
         return df.sparkSession.createDataFrame([], "x long, y long")
     lo, hi = int(rng["lo"]), int(rng["hi"])
     span = hi - lo + 1
-    b = pts.withColumn(
-        "bucket", F.expr(f"((x - {lo}) * {buckets}) div {span}")
-    )
+    # Divide BEFORE multiplying: bucket = (x-lo) div width with width
+    # computed driver-side in exact Python ints, so no BIGINT expression
+    # ever exceeds span-1 -- ((x-lo)*buckets) would silently wrap once
+    # the span passes ~2^57 (epoch-micro-scale domains).  ceil division
+    # keeps the bucket count <= `buckets`.  (x-lo) itself fits iff the
+    # span does, hence the fail-loud guard instead of a wrap.
+    if span - 1 >= (1 << 63):
+        raise ValueError(
+            f"skyline_2d: x span {span} overflows BIGINT arithmetic; "
+            "rescale x (e.g. epoch-micros -> seconds) before calling"
+        )
+    width = -(-span // buckets)
+    b = pts.withColumn("bucket", F.expr(f"(x - {lo}) div {width}"))
     mins = b.groupBy("bucket").agg(F.min("y").alias("bmin"))
     wb = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1

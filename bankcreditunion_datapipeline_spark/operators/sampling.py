@@ -293,8 +293,13 @@ def weighted_sample_keys(
     continuous keys (and the oracle gate would catch it).
 
     Adds `__es_key` (double). Rows with NULL or non-positive weight are
-    dropped (they cannot be sampled). Requires `id_col` (defaults to
-    the first column) as the hashed identity.
+    dropped (they cannot be sampled). `id_col` is the hashed identity
+    and MUST be row-unique: duplicate ids would get IDENTICAL uniforms
+    u, so their priority keys are perfectly correlated and the
+    Efraimidis-Spirakis independence assumption (hence the sampling
+    distribution) breaks -- the default (first column) is only a
+    convenience for frames whose first column is a key; callers should
+    pass it explicitly (q173 does).
     """
     idc = id_col or df.columns[0]
     lane48 = F.conv(

@@ -772,8 +772,11 @@ def reciprocal_rank_fusion(
     vector) using only each list's RANKS, so incomparable score scales
     never need calibration. Integer floor division instead of float
     1/(k0+r): the fused ORDERING is engine-exact at any LIMIT boundary
-    (the q160 lift discipline), and with scale=1e6 the k0=60 family's
-    reciprocals are all distinct so no expressiveness is lost.
+    (the q160 lift discipline). Floored reciprocals stay distinct only
+    while consecutive values differ by >= 1, i.e. for ranks up to about
+    sqrt(scale) - k0 (~940 at the defaults; collisions beyond that
+    flatten the deep tail) -- raise `scale` when fusing lists deeper
+    than that; top-k usage here (k=20, q166) is far inside the bound.
 
     Each input frame carries (id_col, rank_col) with 1-based ranks; an id
     absent from a list contributes 0 from it. Inputs are top-k frames

@@ -110,6 +110,14 @@ class Watermark:
                     raise IOError(f"watermark backup failed: {hpath} -> {bak}")
             if not fs.rename(tmp, hpath):
                 raise IOError(f"watermark rename failed: {tmp} -> {hpath}")
+            # install succeeded: remove the parked .bak so an INTENTIONAL
+            # later reset (operator deletes the main state file) starts
+            # from {} instead of silently resurrecting stale state. A
+            # crash between the two renames still leaves .bak in place
+            # for recovery -- this delete only runs after the new state
+            # is durably the main file.
+            if fs.exists(bak):
+                fs.delete(bak, False)
             return
         d = os.path.dirname(self.path) or "."
         fd, tmp = tempfile.mkstemp(dir=d)

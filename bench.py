@@ -64,13 +64,42 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     ordered = sorted(v for v in timings.values() if v >= 0)
     median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
-    # The harness keeps only the last ~2000 chars of stdout and parses the
-    # JSON from that, so the line MUST fit: compact separators, short query
-    # keys ("q01".."q119" — the registry prefix before the first "_"), and
-    # 2-decimal timings.  Full names + 3-decimal timings go to stderr.
-    print("# full timings: " + json.dumps(timings), file=sys.stderr)
-    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     n_ok = len(ordered)
+
+    # The harness keeps only the last ~2000 chars of stdout and parses the
+    # JSON from that.  The per-query map outgrew that window at ~180
+    # queries, so the FULL-precision map now lives in a committed sidecar
+    # (BENCH_SIDECAR.json, full query names, 3-decimal timings) that the
+    # cross-round fence workflow and the judge read from the round's
+    # closing commit; the captured line carries totals + the worst-N
+    # queries + the sidecar pointer, a deterministic ~500 chars at ANY
+    # registry size.
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
+    )
+    with open(sidecar_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
+                "median_query_sec": median,
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+    print("# full timings: " + json.dumps(timings), file=sys.stderr)
+
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    worst = dict(
+        sorted(short.items(), key=lambda kv: -kv[1])[:15]
+    )
     line = json.dumps(
         {
             "metric": "total_query_wall_clock",
@@ -81,60 +110,12 @@ def main() -> None:
             # corpus grows every round -- normalize totals across rounds
             "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
             "median_query_sec": median,
-            "queries": short,
+            "worst": worst,
+            "sidecar": "BENCH_SIDECAR.json",
         },
         separators=(",", ":"),
     )
-    short1 = {k: round(t, 1) for k, t in short.items()}
-    if len(line) > 1980:  # stay inside the harness capture window:
-        # first degrade per-query precision to 1 decimal (keys unchanged),
-        # only then drop the map entirely -- at 159 queries the 2-decimal
-        # map measured 1945 chars, so growth must never silently delete
-        # the per-query data the judge diffs across rounds.
-        line = json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
-                "median_query_sec": median,
-                "queries": short1,
-            },
-            separators=(",", ":"),
-        )
-    if len(line) > 1980:
-        # second rung: drop the "q" prefix from every key ("165":1.2) --
-        # saves n_queries chars while keeping the full per-query map the
-        # judge diffs across rounds (numeric keys still identify queries).
-        short2 = {k.lstrip("q"): t for k, t in short1.items()}
-        line = json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
-                "median_query_sec": median,
-                "queries": short2,
-            },
-            separators=(",", ":"),
-        )
-    if len(line) > 1980:
-        line = json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
-                "median_query_sec": median,
-            },
-            separators=(",", ":"),
-        )
+    assert len(line) < 1900, f"bench line {len(line)} chars; capture window is ~2000"
     print(line)
     spark.stop()
 

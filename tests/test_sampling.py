@@ -231,3 +231,33 @@ def test_weighted_sample_keys_prefers_heavy_weights(spark):
     assert all(i < 1000 for i in ids)
     heavy = sum(1 for i in ids if i < 100)
     assert heavy >= 45, f"only {heavy}/50 heavy rows sampled"
+
+
+def test_weighted_sample_keys_requires_unique_ids(spark):
+    """ADVICE r6: duplicate ids get IDENTICAL uniforms, so their
+    priority keys are perfectly correlated -- the documented uniqueness
+    precondition. This test pins the hazard (same id + same weight =>
+    same key) and that unique ids give distinct keys."""
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        weighted_sample_keys,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 10.0)], "k long, w double"
+    )
+    keys = [
+        r["__es_key"]
+        for r in weighted_sample_keys(dup, "w", id_col="k")
+        .orderBy("k")
+        .collect()
+    ]
+    assert keys[0] == keys[1], "duplicate ids must expose the correlation"
+    assert keys[0] != keys[2]
+    uniq = spark.createDataFrame(
+        [(i, 10.0) for i in range(50)], "k long, w double"
+    )
+    got = [
+        r["__es_key"]
+        for r in weighted_sample_keys(uniq, "w", id_col="k").collect()
+    ]
+    assert len(set(got)) == 50

@@ -731,15 +731,25 @@ def test_watermark_hadoop_crash_window_recovers_from_bak(spark, tmp_path):
     local = tmp_path / "wm_crash.json"
     wm = Watermark(f"file://{local}", spark)
     wm.advance("fdic", "2021-03-31")
-    wm.advance("fdic", "2021-06-30")   # parks 03-31 as .bak, installs 06-30
-    assert os.path.exists(str(local) + ".bak")
-    # simulate the crash window: new state never landed, old one parked
+    wm.advance("fdic", "2021-06-30")
+    # ADVICE r6: a SUCCESSFUL install removes the parked .bak, so an
+    # intentional reset (operator deletes the main state file) starts
+    # from {} instead of resurrecting stale state.
+    assert not os.path.exists(str(local) + ".bak")
     os.remove(str(local))
-    assert Watermark(f"file://{local}", spark).get("fdic") == "2021-03-31"
-    # and the store heals on the next advance
+    assert Watermark(f"file://{local}", spark).get("fdic") is None
+    # simulate the actual crash window: the writer parked the old state
+    # as .bak and died before renaming the new file in -- the reader
+    # must recover the PREVIOUS state, not reprocess from {}.
+    wm = Watermark(f"file://{local}", spark)
+    wm.advance("fdic", "2021-06-30")
+    os.rename(str(local), str(local) + ".bak")
+    assert Watermark(f"file://{local}", spark).get("fdic") == "2021-06-30"
+    # and the store heals on the next advance (which also clears .bak)
     wm2 = Watermark(f"file://{local}", spark)
     wm2.advance("fdic", "2021-09-30")
     assert Watermark(f"file://{local}", spark).get("fdic") == "2021-09-30"
+    assert not os.path.exists(str(local) + ".bak")
 
 
 def test_streaming_bloom_matches_batch_and_is_idempotent(spark, tmp_path):
