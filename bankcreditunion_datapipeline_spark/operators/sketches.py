@@ -466,3 +466,149 @@ def bloom_might_contain(
         j.groupBy(key_col)
         .agg(F.min(is_set).cast("int").alias(out))
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-range mergeable quantiles (r6 VERDICT #6): binned_quantiles
+# needs a-priori fixed-width bins, which at unknown/streaming ranges
+# means a two-pass or a guess. This is a DDSketch-style relative-error
+# quantile sketch (Masson, Rim & Lee, VLDB 2019) rebuilt on PURE
+# INTEGER arithmetic: bucket = log2 octave x `sub` linear sub-buckets.
+# The bucket family is UNIVERSAL (no range pass, no data-dependent
+# edges), so histograms from any partition/batch/day merge by summing
+# counts -- the same monoid as HLL/theta/CM/Bloom -- and every step
+# (octave via binary-string length, sub-bucket via floor div, rank via
+# integer permille ceil-div, interpolation via floor div) replays
+# exactly in SQL with no ln() anywhere: the boundary-flip risk class of
+# float log bucketing never arises.
+#
+# Guarantee: bucket (e, s) covers [2^e + s*w, 2^e + (s+1)*w) with
+# w = ceil(2^e/sub), so width <= x/sub + 1 for any x in the bucket:
+# the estimate is within relative error 1/sub (+1 absolute) of the
+# true rank statistic. 100 TB posture: state is O(60 * sub) rows max
+# regardless of cardinality; build is one hash aggregate; quantile
+# extraction runs over the summary, never the data.
+# ---------------------------------------------------------------------------
+
+_LOG_HIST_MAX_E = 59  # the portable-shift contract (SCALE.md): never shift past 59
+
+
+def _log_bucket_expr(v: str, sub: int) -> str:
+    """SQL for the integer bucket id of non-negative integer column `v`:
+    -1 for 0, else e*sub + (v - 2^e) div ceil(2^e/sub) with
+    e = floor(log2 v) from the binary-string length (conv -- pure
+    integer lane, no ln). An expression string because shiftleft's
+    PySpark wrapper only takes a literal shift amount."""
+    e = f"(length(conv(CAST({v} AS STRING), 10, 2)) - 1)"
+    p2 = f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+    w = f"(({p2} + {sub} - 1) div {sub})"
+    return (
+        f"CASE WHEN {v} = 0 THEN CAST(-1 AS BIGINT) "
+        f"ELSE CAST({e} AS BIGINT) * {sub} + ({v} - {p2}) div {w} END"
+    )
+
+
+def log_histogram(
+    df: DataFrame, col: str, group_cols: tuple = (), sub: int = 16
+) -> DataFrame:
+    """Mergeable log-bucket histogram (group..., lbin, n) over a
+    NON-NEGATIVE integer column; NULLs drop. Bucket edges are universal
+    (data-independent), so any two histograms with the same `sub` merge
+    by summing n -- across partitions, batches, or time grains. Values
+    must stay below 2^60 (the portable-shift contract); the build
+    asserts it fail-loud per row."""
+    x = F.col(col)
+    guarded = F.when(
+        x < F.lit(1 << (_LOG_HIST_MAX_E + 1)),
+        x,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"log_histogram: value >= 2^{_LOG_HIST_MAX_E + 1} overflows the "
+                "portable bucket lane; rescale the column (e.g. micros -> "
+                "seconds) before sketching"
+            )
+        )
+    )
+    return (
+        df.filter(x.isNotNull())
+        .select(*group_cols, guarded.alias("__v"))
+        .select(
+            *group_cols, F.expr(_log_bucket_expr("__v", sub)).alias("lbin")
+        )
+        .groupBy(*group_cols, "lbin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def log_histogram_quantiles(
+    hist: DataFrame, probs_permille: list[int], sub: int = 16
+) -> DataFrame:
+    """Quantile estimates from a merged (lbin, n) log histogram:
+    (p_permille, quantile_est). rank = ceil(p * total / 1000) computed
+    as (p*total + 999) div 1000 -- INTEGER, so the target row is
+    engine-exact; the estimate interpolates inside the hit bucket with
+    floor div. All arithmetic integer end-to-end; runs over O(buckets)
+    summary rows (the partition-less window is over the summary, the
+    documented safe pattern)."""
+    from pyspark.sql.window import Window
+
+    spark = hist.sparkSession
+    cum = (
+        hist.groupBy("lbin")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("cum", F.sum("n").over(Window.orderBy("lbin")))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    # decode bucket -> [lb, ub) span in integers (expression strings:
+    # shiftleft's PySpark wrapper only takes a literal shift amount)
+    p2 = f"shiftleft(CAST(1 AS BIGINT), CAST(lbin div {sub} AS INT))"
+    w = f"(({p2} + {sub} - 1) div {sub})"
+    lb = (
+        f"CASE WHEN lbin < 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE {p2} + (lbin % {sub}) * {w} END"
+    )
+    ub = (
+        f"CASE WHEN lbin < 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE least({p2} + (lbin % {sub} + 1) * {w}, 2 * {p2}) END"
+    )
+    dec = cum.select(
+        "lbin",
+        "n",
+        "cum",
+        "total",
+        F.expr(lb).alias("lb"),
+        (F.expr(ub) - F.expr(lb)).alias("span"),
+    )
+    p = F.broadcast(
+        spark.createDataFrame(
+            [(int(x),) for x in probs_permille], "p_permille long"
+        )
+    )
+    rank = F.floor((F.col("p_permille") * F.col("total") + 999) / 1000).cast(
+        "long"
+    )
+    hit = p.join(dec, dec["cum"] >= rank)
+    return (
+        hit.groupBy("p_permille")
+        .agg(F.min(F.struct("lbin", "n", "cum", "lb", "span", "total")).alias("s"))
+        .select(
+            "p_permille",
+            (
+                F.col("s.lb")
+                + F.floor(
+                    (
+                        (
+                            F.floor(
+                                (F.col("p_permille") * F.col("s.total") + 999)
+                                / 1000
+                            ).cast("long")
+                            - (F.col("s.cum") - F.col("s.n"))
+                        )
+                        * F.col("s.span")
+                    )
+                    / F.col("s.n")
+                ).cast("long")
+            ).alias("quantile_est"),
+        )
+    )

@@ -9320,3 +9320,89 @@ def q175_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     return remove_duplicate_spans(docs, "doc_id", "text", k=_Q175_K)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-range mergeable quantiles (r6 VERDICT #6): DDSketch-style
+# log-bucket histogram on PURE INTEGER lanes -- log2 octave from the
+# binary-string length (no ln(), so no float boundary-flip class) x
+# linear sub-buckets by floor div. Bucket edges are data-independent,
+# so histograms merge by summing counts with NO range pass -- the
+# HLL/theta/CM/Bloom monoid applied to quantiles. The oracle replays
+# bucket assignment, integer-permille rank targets, and floor-div
+# interpolation verbatim; a second exact-regime check rides in the
+# test suite (error-bound vs true quantiles).
+# ---------------------------------------------------------------------------
+_Q176_SUB = 16
+_Q176_PROBS = [100, 250, 500, 750, 900, 950, 990]
+
+
+def _q176_oracle(sub: int = _Q176_SUB, probs: list[int] = _Q176_PROBS) -> str:
+    plist = ", ".join(f"({p})" for p in probs)
+    return f"""
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    b AS (
+      SELECT CASE WHEN v = 0 THEN CAST(-1 AS BIGINT)
+             ELSE CAST(length(ltrim(bin(v), '0')) - 1 AS BIGINT) * {sub}
+                  + (v - (1::BIGINT << (length(ltrim(bin(v), '0')) - 1)))
+                    // (((1::BIGINT << (length(ltrim(bin(v), '0')) - 1)) + {sub} - 1) // {sub})
+             END AS lbin
+      FROM x),
+    h AS (SELECT lbin, count(*) AS n FROM b GROUP BY lbin),
+    cum AS (
+      SELECT lbin, n,
+             sum(n) OVER (ORDER BY lbin) AS cum,
+             sum(n) OVER () AS total
+      FROM h),
+    dec AS (
+      SELECT lbin, n, cum, total,
+             CASE WHEN lbin < 0 THEN CAST(0 AS BIGINT)
+                  ELSE (1::BIGINT << CAST(lbin // {sub} AS INT))
+                       + (lbin % {sub}) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub})
+             END AS lb,
+             CASE WHEN lbin < 0 THEN CAST(1 AS BIGINT)
+                  ELSE least(
+                    (1::BIGINT << CAST(lbin // {sub} AS INT))
+                      + (lbin % {sub} + 1) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub}),
+                    2 * (1::BIGINT << CAST(lbin // {sub} AS INT)))
+             END AS ub
+      FROM cum),
+    p(p_permille) AS (VALUES {plist}),
+    hit AS (
+      SELECT p.p_permille, d.lbin, d.n, d.cum, d.lb, d.ub - d.lb AS span, d.total
+      FROM p JOIN dec d ON d.cum >= (p.p_permille * d.total + 999) // 1000),
+    best AS (
+      SELECT p_permille,
+             min(struct_pack(lbin := lbin, n := n, cum := cum, lb := lb,
+                             span := span, total := total)) AS s
+      FROM hit GROUP BY p_permille)
+    SELECT p_permille,
+           CAST(s.lb + (((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * s.span) // s.n
+                AS BIGINT) AS quantile_est
+    FROM best
+    """
+
+
+@register(
+    "q176_order_value_log_quantiles",
+    _q176_oracle(),
+    doc="log_histogram + log_histogram_quantiles (operators/sketches.py): "
+    "DDSketch-style mergeable quantile sketch on pure integer lanes -- "
+    "log2 octave via binary-string length (no ln), linear sub-buckets "
+    "via floor div, integer-permille rank targets, floor-div "
+    "interpolation. Bucket edges are universal (no range pass), so "
+    "per-partition/batch/day histograms merge by summing counts -- the "
+    "union-sketch monoid. Scale: one hash aggregate over the data, "
+    "O(60*sub) summary rows, extraction windows run on the summary.",
+)
+def q176_order_value_log_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import log_histogram, log_histogram_quantiles
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    hist = log_histogram(cents, "v", sub=_Q176_SUB)
+    return log_histogram_quantiles(hist, _Q176_PROBS, sub=_Q176_SUB)

@@ -98,6 +98,9 @@ SUBSET = [
     # r7: sliding-gram span excision (coverage-sweep boundary semantics,
     # case-folded gram lane vs original-token reassembly)
     "q175_duplicate_span_removal",
+    # r7: integer log-bucket lane (binary-string log2 vs bin(), shift
+    # parity, integer-permille rank targets, floor-div interpolation)
+    "q176_order_value_log_quantiles",
 ]
 
 

@@ -72,7 +72,15 @@ FAMILY = [
 ]
 
 
-def build_corpus(spark, src: str, out: str, factor: int) -> None:
+def build_corpus(spark, src: str, out: str, factor: int, hub: bool = False) -> None:
+    """hub=True (r6 VERDICT #4): disjoint graph replicas prove
+    linear-in-N but never stress a hot vertex -- additionally wire ONE
+    global supplier (suppkey 1) into every replica by remapping the
+    lineitem rows with l_orderkey % 53 == 0, so its degree grows ~
+    factor * rows/53 (hundreds of times the average supplier degree at
+    factor 10) while total edge count is unchanged. Melt symptom this
+    hunts: a per-dst aggregate or join that doesn't combine map-side
+    turns the hub's in-edges into one reducer's problem."""
     docs = read_testdata(spark, src, "documents")
     parts = []
     for i in range(factor):
@@ -126,11 +134,16 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
                 }
             )
         )
+        supp_i = F.col("l_suppkey") + i * 100_000
+        if hub:
+            supp_i = F.when(F.col("l_orderkey") % 53 == 0, F.lit(1)).otherwise(
+                supp_i
+            )
         l_parts.append(
             li.withColumns(
                 {
                     "l_orderkey": F.col("l_orderkey") + i * 10_000_000,
-                    "l_suppkey": F.col("l_suppkey") + i * 100_000,
+                    "l_suppkey": supp_i,
                     "l_partkey": F.col("l_partkey") + i * 1_000_000,
                 }
             )
@@ -241,17 +254,26 @@ def build_corpus(spark, src: str, out: str, factor: int) -> None:
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    family = sys.argv[4].split(",") if len(sys.argv) > 4 else FAMILY
+    args = [a for a in sys.argv[1:] if a != "--hub"]
+    hub = "--hub" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/scale10x"
+    factor = int(args[2]) if len(args) > 2 else 10
+    family = args[3].split(",") if len(args) > 3 else FAMILY
 
     spark = build_session(app_name="scale_proof")
     if not os.path.exists(os.path.join(out, "documents.parquet")):
         t0 = time.time()
-        build_corpus(spark, src, out, factor)
+        build_corpus(spark, src, out, factor, hub=hub)
         print(
-            json.dumps({"built": out, "factor": factor, "sec": round(time.time() - t0, 1)}),
+            json.dumps(
+                {
+                    "built": out,
+                    "factor": factor,
+                    "hub": hub,
+                    "sec": round(time.time() - t0, 1),
+                }
+            ),
             flush=True,
         )
 
