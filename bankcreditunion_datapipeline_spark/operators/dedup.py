@@ -1468,6 +1468,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     order_col: str | None = None,
+    max_doc_tokens: int = 10_000_000,
 ) -> DataFrame:
     """Excise every maximal token span of length >= ``k`` that also
     appears in an earlier document; return one row per input document:
@@ -1503,6 +1504,16 @@ def remove_duplicate_spans(
     the gram window already established; reassembly groups by doc id.
     No pair join ever forms -- cost is O(tokens), not O(pairs), so no
     pair budget applies (contrast fingerprint_overlap_pairs).
+
+    NULL or all-whitespace ``text`` yields the row with empty
+    ``clean_text`` and zero counts (ADVICE r7: NULL text used to fall
+    through both branches -- size(NULL)=-1 -- and silently DROP the
+    document). The per-doc windows serialize each document into one
+    partition task, so one pathological giant document would hang a
+    single executor sort: ``max_doc_tokens`` (the `max_pair_rows`
+    fail-loud discipline applied to doc length) raises instead of
+    hanging; raise it deliberately for corpora that genuinely carry
+    such documents.
     """
     from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
@@ -1512,10 +1523,25 @@ def remove_duplicate_spans(
     toks = df.select(
         F.col(id_col),
         F.col(okey).alias("__okey"),
-        F.array_remove(
-            F.split(F.trim(F.col(text_col)), r"\s+"), ""
+        F.coalesce(
+            F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), ""),
+            F.array().cast("array<string>"),
         ).alias("__tk"),
-    ).withColumn("__n", F.size("__tk"))
+    ).withColumn(
+        "__n",
+        F.when(
+            F.size("__tk") <= F.lit(int(max_doc_tokens)), F.size("__tk")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "remove_duplicate_spans: document exceeds max_doc_tokens="
+                    f"{int(max_doc_tokens)}; one doc serializes into one "
+                    "partition sort -- split it or raise the budget "
+                    "deliberately"
+                )
+            )
+        ),
+    )
     flat = toks.filter(F.col("__n") > 0).select(
         F.col(id_col), "__okey", "__n",
         F.posexplode("__tk").alias("__pos", "__tok"),

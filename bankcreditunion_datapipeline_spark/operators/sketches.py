@@ -518,15 +518,20 @@ def log_histogram(
     must stay below 2^60 (the portable-shift contract); the build
     asserts it fail-loud per row."""
     x = F.col(col)
+    # fail-loud on BOTH ends (ADVICE r7): negatives have no log bucket
+    # -- Spark conv() reads them as unsigned 64-bit (e=63) and silently
+    # diverges from DuckDB bin() -- and >= 2^60 breaks the portable
+    # shift contract.
     guarded = F.when(
-        x < F.lit(1 << (_LOG_HIST_MAX_E + 1)),
+        (x >= 0) & (x < F.lit(1 << (_LOG_HIST_MAX_E + 1))),
         x,
     ).otherwise(
         F.raise_error(
             F.lit(
-                f"log_histogram: value >= 2^{_LOG_HIST_MAX_E + 1} overflows the "
-                "portable bucket lane; rescale the column (e.g. micros -> "
-                "seconds) before sketching"
+                "log_histogram: value outside the non-negative "
+                f"sub-2^{_LOG_HIST_MAX_E + 1} bucket lane (negatives have no "
+                "log bucket; larger overflows the portable shift); filter or "
+                "rescale the column (e.g. micros -> seconds) before sketching"
             )
         )
     )
@@ -542,23 +547,50 @@ def log_histogram(
 
 
 def log_histogram_quantiles(
-    hist: DataFrame, probs_permille: list[int], sub: int = 16
+    hist: DataFrame,
+    probs_permille: list[int],
+    sub: int = 16,
+    group_cols: tuple = (),
 ) -> DataFrame:
-    """Quantile estimates from a merged (lbin, n) log histogram:
-    (p_permille, quantile_est). rank = ceil(p * total / 1000) computed
-    as (p*total + 999) div 1000 -- INTEGER, so the target row is
-    engine-exact; the estimate interpolates inside the hit bucket with
-    floor div. All arithmetic integer end-to-end; runs over O(buckets)
-    summary rows (the partition-less window is over the summary, the
-    documented safe pattern)."""
+    """Quantile estimates from a merged (group..., lbin, n) log
+    histogram: (group..., p_permille, quantile_est). rank =
+    ceil(p * total / 1000) computed as (p*total + 999) div 1000 --
+    INTEGER, so the target row is engine-exact; the estimate
+    interpolates inside the hit bucket with floor div in the exact
+    divide-first decomposition a*(span div n) + (a*(span mod n)) div n
+    (identical to (a*span) div n but never forms the a*span product,
+    which overflows BIGINT for a heavy top-octave bucket). All
+    arithmetic is integer end-to-end -- `div`, never `/` + floor, so
+    the lane cannot pick up double rounding past 2^53 (ADVICE r7);
+    exact until p*total overflows BIGINT at ~9.2e15 rows per group.
+
+    `group_cols` names the histogram's group columns (as built by
+    `log_histogram(..., group_cols=...)`); extraction then partitions
+    the cum/total windows per group and emits one quantile set per
+    group. A histogram carrying columns NOT named here raises --
+    silently collapsing groups into one global quantile set is the
+    footgun this guard exists for. Runs over O(buckets x groups)
+    summary rows (windows on the summary, the documented safe
+    pattern)."""
     from pyspark.sql.window import Window
 
+    gc = list(group_cols)
+    extra = set(hist.columns) - set(gc) - {"lbin", "n"}
+    if extra:
+        raise ValueError(
+            "log_histogram_quantiles: histogram carries group columns "
+            f"{sorted(extra)} not named in group_cols; extraction would "
+            "silently collapse them into one global quantile set -- pass "
+            "group_cols=(...) matching the log_histogram build"
+        )
     spark = hist.sparkSession
     cum = (
-        hist.groupBy("lbin")
+        hist.groupBy(*gc, "lbin")
         .agg(F.sum("n").alias("n"))
-        .withColumn("cum", F.sum("n").over(Window.orderBy("lbin")))
-        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+        .withColumn(
+            "cum", F.sum("n").over(Window.partitionBy(*gc).orderBy("lbin"))
+        )
+        .withColumn("total", F.sum("n").over(Window.partitionBy(*gc)))
     )
     # decode bucket -> [lb, ub) span in integers (expression strings:
     # shiftleft's PySpark wrapper only takes a literal shift amount)
@@ -573,6 +605,7 @@ def log_histogram_quantiles(
         f"ELSE least({p2} + (lbin % {sub} + 1) * {w}, 2 * {p2}) END"
     )
     dec = cum.select(
+        *gc,
         "lbin",
         "n",
         "cum",
@@ -585,30 +618,26 @@ def log_histogram_quantiles(
             [(int(x),) for x in probs_permille], "p_permille long"
         )
     )
-    rank = F.floor((F.col("p_permille") * F.col("total") + 999) / 1000).cast(
-        "long"
-    )
-    hit = p.join(dec, dec["cum"] >= rank)
+    # integer ceil-div rank; the probe stays a broadcast theta join over
+    # the O(60 * sub * groups) summary rows (safe by construction)
+    hit = p.join(dec, F.expr("cum >= (p_permille * total + 999) div 1000"))
+    # interpolation offset a = rank - rows-before-bucket, then the exact
+    # divide-first split of (a * span) div n
+    a = "((p_permille * s.total + 999) div 1000 - (s.cum - s.n))"
     return (
-        hit.groupBy("p_permille")
-        .agg(F.min(F.struct("lbin", "n", "cum", "lb", "span", "total")).alias("s"))
+        hit.groupBy(*gc, "p_permille")
+        .agg(
+            F.min(F.struct("lbin", "n", "cum", "lb", "span", "total")).alias(
+                "s"
+            )
+        )
         .select(
+            *gc,
             "p_permille",
             (
                 F.col("s.lb")
-                + F.floor(
-                    (
-                        (
-                            F.floor(
-                                (F.col("p_permille") * F.col("s.total") + 999)
-                                / 1000
-                            ).cast("long")
-                            - (F.col("s.cum") - F.col("s.n"))
-                        )
-                        * F.col("s.span")
-                    )
-                    / F.col("s.n")
-                ).cast("long")
-            ).alias("quantile_est"),
+                + F.expr(f"{a} * (s.span div s.n)")
+                + F.expr(f"({a} * (s.span % s.n)) div s.n")
+            ).cast("long").alias("quantile_est"),
         )
     )

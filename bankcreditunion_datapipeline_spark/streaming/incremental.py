@@ -539,3 +539,69 @@ def streaming_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(bits)").alias("bits"))
     )
+
+
+def streaming_log_histogram(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    value_col: str,
+    group_cols: tuple = (),
+    sub: int = 16,
+) -> None:
+    """Maintain a streaming log-bucket quantile sketch over a file
+    stream (Trigger.AvailableNow) -- the r7 VERDICT #4 closure: the
+    q176/q177 histogram's bucket edges are DATA-INDEPENDENT, so
+    per-batch histograms merge by summing counts with no range pass,
+    which makes it the same batch=<id> sum-monoid shape as
+    streaming_count_min (and the last batch-only sketch gets its
+    streaming twin).
+
+    Same idempotency discipline: each micro-batch writes its OWN
+    ``batch=<id>`` partition with overwrite semantics, so a redelivered
+    batch REPLACES its partition instead of double-counting; the merged
+    read (`streaming_log_histogram_state`) is therefore always the
+    exact sketch of the exactly-once table contents. State is
+    O(60 * sub * groups) rows per batch regardless of stream volume.
+    """
+    from ..operators.sketches import log_histogram
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        hist = log_histogram(df, value_col, group_cols=group_cols, sub=sub)
+        hist.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "loghist", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_log_histogram_state(
+    spark: SparkSession, state_dir: str, group_cols: tuple = ()
+) -> DataFrame:
+    """Merged (group..., lbin, n) histogram: sum of every batch
+    partition -- feed straight to `log_histogram_quantiles`."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "loghist"))
+        .groupBy(*group_cols, "lbin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def streaming_quantile_estimates(
+    spark: SparkSession,
+    state_dir: str,
+    probs_permille: list[int],
+    group_cols: tuple = (),
+    sub: int = 16,
+) -> DataFrame:
+    """(group..., p_permille, quantile_est) over the merged streaming
+    state -- identical arithmetic to the batch extractor by
+    construction (it IS the batch extractor)."""
+    from ..operators.sketches import log_histogram_quantiles
+
+    hist = streaming_log_histogram_state(spark, state_dir, group_cols)
+    return log_histogram_quantiles(
+        hist, probs_permille, sub=sub, group_cols=group_cols
+    )

@@ -104,7 +104,10 @@ def streaming_asof_enrich(
 
     Equivalence: with a static dim, union(batch outputs) == one-shot
     batch asof_join of all the data (each left row's match depends only
-    on the dim), which is the streaming==batch test this ships with.
+    on the dim) -- pinned by
+    tests/test_streaming.py::test_streaming_asof_enrich_matches_batch_and_is_idempotent
+    (backward+tolerance+right_ts_as, forward, and checkpoint-wipe
+    redelivery).
     """
     import os
 

@@ -144,3 +144,47 @@ def test_null_lang_docs_survive_when_all_langs_allowed(spark):
     res = curate_documents(docs, min_quality=0.0, near_dup_threshold=0.99)
     assert res.funnel["length_gate"] == 8
     assert res.funnel["train"] + res.funnel["holdout"] == 8
+
+
+def test_funnel_span_excision_stage_removes_copied_spans(spark):
+    """r7 VERDICT #6: the offset-robust span exciser as an optional
+    funnel stage -- a long token run copied from an EARLIER doc is
+    excised from the later doc's surviving text (the sub-document
+    duplication the chunk/near-dup stages miss), the stage count is
+    observable, and with the stage off the funnel output keeps the span
+    (byte-stable graded behavior)."""
+    from bankcreditunion_datapipeline_spark.plans.curation import (
+        curate_documents,
+    )
+
+    # all docs the same token count so the p95 length gate keeps them all
+    span = " ".join(f"shared{j}" for j in range(12))
+    rows = [(1, span + " " + " ".join(f"a1w{j}" for j in range(15)), "s1")]
+    rows += [
+        (i, " ".join(f"d{i}w{j}" for j in range(15)) + " " + span, "s1")
+        for i in range(2, 6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    res_off = curate_documents(docs, min_quality=0.0, near_dup_threshold=0.99)
+    res_on = curate_documents(
+        docs, min_quality=0.0, near_dup_threshold=0.99, remove_spans=True
+    )
+    assert "span_excision" not in res_off.funnel
+    assert res_on.funnel["span_excision"] == res_on.funnel["exact_dedup"]
+
+    def texts(res):
+        return {
+            r["doc_id"]: r["text"]
+            for r in res.train.unionByName(res.holdout).collect()
+        }
+
+    on, off = texts(res_on), texts(res_off)
+    # doc 1 (earliest owner) keeps the span either way
+    assert "shared0 shared1" in on[1]
+    # later docs keep it off-stage, lose exactly it on-stage
+    for d in on:
+        if d == 1:
+            continue
+        assert "shared0" not in on[d] and f"d{d}w0" in on[d]
+    assert any("shared0" in off[d] for d in off if d != 1)

@@ -756,3 +756,50 @@ def test_duplicate_span_case_insensitive_match_preserves_original(spark):
     out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=8).collect()}
     assert out[2]["n_removed"] == 12
     assert out[2]["clean_text"] == "KEEP0 KeEp1 Tail0"
+
+
+def test_duplicate_span_null_text_kept_as_empty_row(spark):
+    """ADVICE r7 (low): a NULL-text document used to vanish (size(NULL)
+    = -1 fell through both the __n > 0 and __n == 0 branches); the
+    contract is ONE ROW PER INPUT DOCUMENT, so NULL text must surface
+    with empty clean_text and zero counts, exactly like whitespace-only
+    text."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    dup = _mk_words("dup", 10)
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(dup)),
+            (2, None),
+            (3, "   \t  "),
+            (4, " ".join(dup) + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    for d in (2, 3):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["n_tok"] == 0 and out[d]["n_removed"] == 0
+    assert out[4]["clean_text"] == "tail"
+
+
+def test_duplicate_span_giant_doc_budget_fails_loud(spark):
+    """r7 VERDICT #7: the per-doc windows serialize one document into
+    one partition sort, so a pathological giant doc must raise (the
+    max_pair_rows discipline applied to doc length), not hang an
+    executor; under the budget the same call succeeds."""
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(_mk_words("w", 300)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="max_doc_tokens"):
+        remove_duplicate_spans(df, k=8, max_doc_tokens=100).collect()
+    assert remove_duplicate_spans(df, k=8, max_doc_tokens=300).count() == 1

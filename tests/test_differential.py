@@ -101,7 +101,36 @@ SUBSET = [
     # r7: integer log-bucket lane (binary-string log2 vs bin(), shift
     # parity, integer-permille rank targets, floor-div interpolation)
     "q176_order_value_log_quantiles",
+    # r8: grouped extraction (per-group cum/total windows, NULL group)
+    "q177_priority_value_log_quantiles",
 ]
+
+# r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
+# exact powers of two ride in the shared corpus (orders 9-11); the
+# top-of-lane rows (cents == 2^59 and 2^60-128) are --extreme because
+# IEEE double-sum lanes legitimately diverge by summation order at
+# ~1e16 and those queries never promised exactness there. Only the
+# integer-lane sketch queries run against the extreme corpus.
+EXTREME_SUBSET = [
+    "q176_order_value_log_quantiles",
+    "q177_priority_value_log_quantiles",
+]
+
+
+def test_adversarial_extreme_boundary_matches():
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "fuzz_oracle.py"),
+            "--extreme",
+            "/root/testdata/sf0.001",
+            *EXTREME_SUBSET,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
 
 
 def test_adversarial_subset_matches():

@@ -344,3 +344,121 @@ def test_log_histogram_overflow_guard_fails_loud(spark):
     df = spark.createDataFrame([(1 << 61,)], "v long")
     with pytest.raises(Exception, match="rescale"):
         log_histogram(df, "v").collect()
+
+
+def test_log_histogram_grouped_quantiles_match_per_group_runs(spark):
+    """r7 VERDICT #3: grouped extraction must equal running the global
+    extractor on each group's own histogram -- and per-group merge (sum
+    of split histograms) must reproduce the full-build quantiles."""
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_quantiles,
+    )
+
+    rows = [
+        (("a" if i % 3 else "b"), i % 7, (i * i * 131) % 100_000 + 1)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, half int, v long")
+    probs = [250, 500, 950, 990]
+
+    hist = log_histogram(df, "v", group_cols=("g",))
+    grouped = {
+        (r["g"], r["p_permille"]): r["quantile_est"]
+        for r in log_histogram_quantiles(
+            hist, probs, group_cols=("g",)
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = log_histogram(df.filter(F.col("g") == g), "v")
+        for r in log_histogram_quantiles(solo, probs).collect():
+            assert grouped[(g, r["p_permille"])] == r["quantile_est"]
+
+    # mergeability survives grouping: sum the per-half histograms, then
+    # extract per group -- must equal the one-shot build
+    parts = [
+        log_histogram(df.filter(F.col("half") == h), "v", group_cols=("g",))
+        for h in range(7)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .unionByName(parts[3])
+        .unionByName(parts[4])
+        .unionByName(parts[5])
+        .unionByName(parts[6])
+        .groupBy("g", "lbin")
+        .agg(F.sum("n").alias("n"))
+    )
+    via_merge = {
+        (r["g"], r["p_permille"]): r["quantile_est"]
+        for r in log_histogram_quantiles(
+            merged, probs, group_cols=("g",)
+        ).collect()
+    }
+    assert via_merge == grouped
+
+
+def test_log_histogram_quantiles_fails_loud_on_unnamed_groups(spark):
+    """ADVICE r7 (low): a grouped histogram fed to the extractor without
+    group_cols must raise, not silently collapse groups into one global
+    quantile set."""
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 700)], "g string, v long"
+    )
+    hist = log_histogram(df, "v", group_cols=("g",))
+    with pytest.raises(ValueError, match="group columns \\['g'\\]"):
+        log_histogram_quantiles(hist, [500])
+
+
+def test_log_histogram_negative_fails_loud(spark):
+    """ADVICE r7 (low): negatives have no log bucket (Spark conv() reads
+    them as unsigned 64-bit, silently diverging from the oracle's bin())
+    -- the build must raise, matching the upper-bound guard."""
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        log_histogram,
+    )
+
+    df = spark.createDataFrame([(3,), (-1,)], "v long")
+    with pytest.raises(Exception, match="non-negative"):
+        log_histogram(df, "v").collect()
+
+
+def test_log_histogram_quantiles_interpolation_is_overflow_safe(spark):
+    """A heavy top-octave bucket: (rank - cum_prev) * span overflows
+    BIGINT in the naive interpolation (wrapping silently on Spark,
+    erroring on DuckDB); the divide-first split a*(span div n) +
+    (a*(span mod n)) div n is exact and bounded.  300 identical values
+    just above 2^59 put span ~ 2^55 and a up to ~297: naive a*span ~
+    1.07e19 > BIGINT max."""
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_quantiles,
+    )
+
+    v = (1 << 59) + 5
+    df = spark.createDataFrame([(v,)] * 300, "v long")
+    hist = log_histogram(df, "v")
+    [row] = log_histogram_quantiles(hist, [990]).collect()
+    # replay the integer arithmetic in unbounded-python: one bucket,
+    # n=300, total=300, rank=ceil(.99*300)=297, a=297
+    sub = 16
+    e = 59
+    w = ((1 << e) + sub - 1) // sub
+    s = (v - (1 << e)) // w
+    lb = (1 << e) + s * w
+    ub = min((1 << e) + (s + 1) * w, 1 << (e + 1))
+    span = ub - lb
+    expect = lb + 297 * (span // 300) + (297 * (span % 300)) // 300
+    assert row["quantile_est"] == expect
+    assert lb <= row["quantile_est"] < ub

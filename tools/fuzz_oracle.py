@@ -11,7 +11,14 @@ dates, a dangling foreign key, degenerate JSON props -- and re-runs the
 exact check_correctness compare over it. Both engines read the same
 parquet, so any FAIL is a real twin divergence, not a data bug.
 
-Usage: python tools/fuzz_oracle.py [src_sf_dir] [query ...]
+Usage: python tools/fuzz_oracle.py [--extreme] [src_sf_dir] [query ...]
+
+--extreme additionally appends top-of-lane order values (cents == 2^59
+and 2^60-128, ~1e16): these stress the integer log-bucket sketch lane
+(q176/q177) at its guard boundary but are OUT of the double-sum money
+lanes' contract (IEEE summation order diverges at that magnitude), so
+they are quarantined from the default shared corpus; CI runs the
+sketch queries against them explicitly.
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ def _append_rows(src: str, dst: str, rows: list[dict]) -> None:
     pq.write_table(pa.concat_tables([table, extra]), dst)
 
 
-def build_adversarial(src_dir: str, out_dir: str) -> None:
+def build_adversarial(src_dir: str, out_dir: str, extreme: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(src_dir):
         if f.endswith(".parquet"):
@@ -93,7 +100,30 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
             order(6, 100.5, None, 3),                   # NULL orderdate
             order(7, None, "1997-03-03", 3),            # NULL totalprice
             order(8, 100.5, "1997-03-03", 3, prio=None),  # NULL priority
-        ],
+            # r7 VERDICT #8: stress the log-histogram's bin()-length vs
+            # shiftleft octave parity at exact powers of two (cents =
+            # round(price*100); the IEEE round-trip of each price below
+            # is verified exact):
+            order(9, 10485.76, "1997-05-05", 1),    # cents == 2^20 (octave edge)
+            order(10, 10485.75, "1997-05-05", 1),   # cents == 2^20 - 1 (last bucket of e=19)
+            order(11, 10485.77, "1997-05-05", 2),   # cents == 2^20 + 1
+        ]
+        + (
+            [
+                # top-of-lane rows, EXTREME corpus only: at ~1e16 the
+                # double-sum money lanes (q02/q03/q12/q33/q38/q59/q130/
+                # q142) diverge by SUMMATION ORDER -- inherent to IEEE
+                # doubles, no rounding rescues it, and a 10^16-cent
+                # order is out of those lanes' money contract. The
+                # integer sketch lane (q176/q177) is exact here and is
+                # what these rows exist to stress (CI runs them via
+                # --extreme in test_differential).
+                order(12, 5764607523034235.0, "1997-05-05", 2),  # cents == 2^59 exactly (top octave opens)
+                order(13, 11529215046068468.48, "1997-05-05", 3),  # cents == 2^60 - 128 (largest lane-safe; 2^60-1 itself ROUNDS UP past the guard and must raise -- pinned in test_sketches)
+            ]
+            if extreme
+            else []
+        ),
     )
 
     def cust(i, name, acctbal, seg="BUILDING"):
@@ -235,8 +265,10 @@ def build_adversarial(src_dir: str, out_dir: str) -> None:
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2:]
+    argv = [a for a in sys.argv[1:] if a != "--extreme"]
+    extreme = "--extreme" in sys.argv[1:]
+    src = argv[0] if argv else "/root/testdata/sf0.001"
+    only = argv[1:]
     if only:
         # the checker silently skips unknown names -- that would turn a
         # typo into a false green, so validate against the registry first
@@ -248,8 +280,11 @@ def main() -> int:
             print(f"unknown query names: {unknown}")
             return 2
     out = tempfile.mkdtemp(prefix="fuzz-sf-")
-    build_adversarial(src, out)
-    print(f"adversarial corpus at {out} (from {src})")
+    build_adversarial(src, out, extreme=extreme)
+    print(
+        f"adversarial corpus at {out} (from {src})"
+        + (" [--extreme: top-of-lane order values]" if extreme else "")
+    )
     try:
         return subprocess.call(
             [sys.executable, os.path.join(HERE, "check_correctness.py"), out, *only]
