@@ -1608,3 +1608,136 @@ def remove_duplicate_spans(
         F.lit(0).cast("long").alias("n_removed"),
     )
     return out.unionByName(empties)
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_permille: int = 600,
+    max_pair_rows: int = 2_000_000,
+    shingle: int = 1,
+) -> DataFrame:
+    """Exact token-set Jaccard >= threshold pairs with PPJoin-style
+    PREFIX FILTERING (Xiao et al., WWW 2008): order every document's
+    distinct lowercased tokens by ascending global document frequency
+    (rarest first, ties on the token string -- a total order), and let
+    only the first ``|d| - ceil(t*|d|) + 1`` tokens of each document
+    (its *prefix*) generate candidates.  Any pair with J >= t must
+    share a token inside BOTH prefixes: if all shared tokens sat in
+    both suffixes, the intersection could be at most
+    min(ceil(t|x|), ceil(t|y|)) - 1 < t*min(|x|,|y|) <= the
+    intersection J >= t forces -- contradiction.  Candidates then
+    verify by EXACT intersection count, so the output is exact, not
+    approximate: (id_a, id_b, jaccard_permille).
+
+    Contrast `exact_jaccard_pairs` (q82): that join generates every
+    shared-token pair and prunes only df=1 tokens -- correct for "any
+    overlap at all" analytics, but for a THRESHOLD query the prefix
+    filter prunes pair formation by t itself: at t=0.6 a 50-token doc
+    exposes 21 of 50 tokens, and only rare-token collisions form
+    candidates at all.  The frequent tokens that explode pair counts
+    are exactly the ones the df-ascending order pushes OUT of every
+    prefix -- the worst key of the gram join becomes the first key
+    pruned.  Jaccard in integer permille with floor div (the settled
+    division lane).
+
+    ``shingle`` > 1 makes the set elements ``shingle``-token n-grams
+    (space-joined) instead of single tokens -- the standard PPJoin
+    configuration for templated corpora whose VOCABULARY is shared even
+    when documents differ: unigram dfs are corpus-sized there (every
+    prefix collides, the pair budget trips by design), while shingles
+    recover selectivity because a shared shingle needs a shared
+    ORDERED RUN. The prefix theorem is set-element-agnostic, so
+    nothing else changes; Jaccard is then over shingle sets.
+
+    Scale shape: df aggregate + per-doc rank window (one shuffle each),
+    prefix self-join on the element key (shingles md5-hashed to fixed
+    32-char width), candidate-driven verification (candidates x their
+    own element lists -- never the full element-pair join), all on
+    bounded-width keys; `attach_pair_budget` rides the prefix-element
+    multiplicity table, ON by default.
+    """
+    from pyspark.sql.window import Window
+
+    assert 0 < threshold_permille <= 1000
+    assert shingle >= 1
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+        ).alias("__w"),
+    )
+    if shingle == 1:
+        elems = F.array_distinct("__w")
+    else:
+        # n-token shingles, md5-hashed to the fixed-width portable lane
+        elems = F.array_distinct(
+            F.expr(
+                f"transform(slice(__w, 1, greatest(size(__w) - {shingle - 1}, 0)), "
+                f"(x, j) -> md5(array_join(slice(__w, j + 1, {shingle}), ' ')))"
+            )
+        )
+    toks = base.select("id", F.explode(elems).alias("tok"))
+    toks = toks.persist()
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(sizes, "id")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "tok")
+            ),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, integer ceil-div
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n")
+        - F.expr(f"({threshold_permille} * n + 999) div 1000")
+        + 1
+    ).select("id", "tok", "n")
+    pfreq = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("m"))
+    a = prefix.select(
+        F.col("id").alias("id_a"), "tok", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "tok", F.col("n").alias("nb")
+    )
+    a = attach_pair_budget(
+        a,
+        pfreq,
+        "m",
+        max_pair_rows,
+        "prefix_filtered_jaccard_pairs: prefix-token pair total exceeds "
+        "the budget -- raise threshold_permille (shorter prefixes) or "
+        "max_pair_rows deliberately",
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    # candidate-driven exact verification: expand each candidate pair by
+    # id_a's token list, probe id_b's tokens on (id, tok)
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard_permille",
+            F.expr("(i * 1000) div (na + nb - i)"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+        .select("id_a", "id_b", "jaccard_permille")
+    )

@@ -309,3 +309,84 @@ def label_propagation(
         )
     e.unpersist()
     return labels.select("node", F.col("lab").alias("label"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+    rows_per_partition: int = 500_000,
+) -> DataFrame:
+    """(node, degree) of the k-core: the maximal subgraph in which every
+    vertex keeps degree >= ``k``, by SYNCHRONOUS peeling (Matula & Beck
+    1983) -- each round simultaneously removes every vertex whose
+    degree within the current surviving subgraph is < k, to fixpoint.
+    Synchronous rounds make the result order- and layout-independent
+    (the q171 LPA discipline), hence SQL-replayable by unrolling the
+    identical rounds; classic asynchronous peeling is
+    visit-order-dependent and no two engines reproduce it.
+
+    ``edges`` must be symmetric (pass both directions); self-loops are
+    dropped (a self-loop would let an isolated vertex count itself
+    toward k). ``degree`` in the output is the vertex's degree within
+    the FINAL core.
+
+    Plan shape per round: the surviving edge set joins the surviving
+    node set on src and on dst (both shrink monotonically), one hash
+    aggregate for degrees, one filter; the working set localCheckpoints
+    and coalesces to graph size per the iterative-family contract, so
+    round r+1 reads round r's materialization, not a growing lineage.
+    Convergence is detected by count equality (the alive set only
+    shrinks, so equal counts == identical sets -- one cheap job per
+    round over the checkpointed frame); a graph that has not converged
+    after ``max_rounds`` raises rather than silently returning a
+    non-core (peeling needs at most |V| rounds; 30 covers any real
+    graph -- a path graph is the adversarial worst case).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    spark = edges.sparkSession
+    if n_edges == 0:
+        e.unpersist()
+        return spark.createDataFrame([], "node long, degree long")
+    parts = max(1, -(-n_edges // rows_per_partition))
+    e = e.coalesce(parts).localCheckpoint()
+    n_alive = None
+    for _ in range(max_rounds):
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        alive = deg.filter(F.col("degree") >= k).select("node")
+        e_next = (
+            e.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .coalesce(parts)
+            .localCheckpoint()
+        )
+        n_next = e_next.count()
+        e = e_next
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+        if n_next == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint after {max_rounds} rounds -- "
+            "pathological chain graph; raise max_rounds deliberately"
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -553,3 +553,62 @@ def ngram_repetition_stats(
         .cast("long")
         .alias("dup_gram_n"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking for retrieval / embedding
+    pipelines: one output row per (document, window) with
+    ``(id, chunk_idx, start_tok, n_tok, chunk_text)``.
+
+    Deterministic spec (SQL-replayable): tokens are the whitespace
+    split of trim(text) with empties removed; chunk ``j`` starts at
+    token ``j * stride`` (stride = chunk_tokens - overlap) for every
+    ``j >= 0`` with ``j * stride < n`` and spans
+    ``min(chunk_tokens, n - start)`` tokens, joined by single spaces.
+    Trailing chunks may be short (>= 1 token); consecutive chunks
+    share exactly ``overlap`` tokens (the boundary-context contract
+    that keeps a span intact in at least one chunk when it is shorter
+    than the overlap). Zero-token docs emit no chunks -- this is a
+    chunk TABLE, not a per-doc projection.
+
+    Scale shape: pure narrow plan -- tokenize, `sequence` over the
+    chunk indices, `transform` + `slice` on the token array,
+    `posexplode` -- ZERO shuffles, no window functions, no joins;
+    chunking 100 TB is embarrassingly parallel and this plan keeps it
+    that way.
+    """
+    assert chunk_tokens > 0 and 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.array_remove(
+                F.split(F.trim(F.col(text_col)), r"\s+"), ""
+            ).alias("__tk"),
+        )
+        .withColumn("__n", F.size("__tk"))
+        .filter(F.col("__n") > 0)
+    )
+    return toks.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (__n - 1) div {stride}), "
+                f"j -> slice(__tk, j * {stride} + 1, {chunk_tokens}))"
+            )
+        ).alias("chunk_idx", "__chunk"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+        F.size("__chunk").cast("long").alias("n_tok"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )

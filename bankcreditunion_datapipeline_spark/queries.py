@@ -9504,3 +9504,438 @@ def q177_priority_value_log_quantiles(
     return log_histogram_quantiles(
         hist, _Q177_PROBS, sub=_Q176_SUB, group_cols=("priority",)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (r8): the graph-quality peel PageRank/LPA/
+# triangles don't cover -- iteratively strip low-degree vertices until
+# every survivor keeps >= k neighbors.  Synchronous peeling is
+# deterministic and layout-independent, so the oracle replays the
+# IDENTICAL rounds unrolled (the q171 LPA discipline); the round count
+# below is validated >= the corpus fixpoint (Spark runs to fixpoint;
+# extra unrolled rounds past the fixpoint are no-ops, so any R >=
+# convergence matches).
+# ---------------------------------------------------------------------------
+_Q178_K = 3
+_Q178_ORACLE_ROUNDS = 10
+
+
+def _q178_oracle(k: int = _Q178_K, rounds: int = _Q178_ORACLE_ROUNDS) -> str:
+    # each round references the previous alive set TWICE (src and dst
+    # membership); MATERIALIZED stops DuckDB's CTE inlining from
+    # doubling the expression tree per round (2^rounds blowup)
+    steps = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"a{r} AS MATERIALIZED (SELECT e.src AS node FROM e "
+            f"JOIN {prev} x ON e.src = x.node "
+            f"JOIN {prev} y ON e.dst = y.node "
+            f"GROUP BY e.src HAVING count(*) >= {k})"
+        )
+        prev = f"a{r}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997
+        AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    {chain}
+    SELECT CASE WHEN n.node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+           CAST(n.node // 2 AS BIGINT) AS entity_key,
+           CAST(n.degree AS BIGINT) AS core_degree
+    FROM (SELECT e.src AS node, count(*) AS degree FROM e
+          JOIN {prev} x ON e.src = x.node
+          JOIN {prev} y ON e.dst = y.node
+          GROUP BY e.src) n
+    """
+
+
+@register(
+    "q178_purchase_graph_kcore",
+    _q178_oracle(),
+    doc="k_core (operators/graph.py): synchronous-peel k-core of the "
+    "symmetric 1997 customer-supplier purchase graph (q147's edge "
+    "construction) -- each round strips EVERY vertex under degree k at "
+    "once, so the result is visit-order- and layout-independent and "
+    "the oracle unrolls the identical rounds. Scale: per round one "
+    "src-join + one dst-join against the monotonically shrinking "
+    "localCheckpoint'ed working set and one hash-aggregate degree "
+    "count; convergence detected by edge-count equality (one cheap "
+    "job per round); fail-loud at max_rounds.",
+)
+def q178_purchase_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import k_core
+
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    core = k_core(edges, k=_Q178_K)
+    return core.select(
+        F.when(F.col("node") % 2 == 1, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("degree").alias("core_degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (r8): the threshold-aware pair
+# pruning q82's inverted-index join doesn't have.  PPJoin's prefix
+# filter (Xiao 2008) bounds WHICH tokens may form candidates by the
+# threshold itself -- the df-ascending global order pushes frequent
+# tokens out of every prefix, so the keys that explode the gram join
+# are exactly the keys that never generate a candidate.  Exact output
+# (candidates verify by true intersection), graded against the
+# brute-force all-shared-token oracle: the two-strategies-must-agree
+# discipline for join rewrites.
+# ---------------------------------------------------------------------------
+_Q179_T = 600
+_Q179_SHINGLE = 3
+
+
+def _q179_oracle(t: int = _Q179_T, sh: int = _Q179_SHINGLE) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    elems AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(
+               list_slice(w, CAST(i.i AS INT), CAST(i.i AS INT) + {sh} - 1),
+               ' ')) AS tok
+      FROM base, unnest(range(1, len(w) - {sh} + 2)) AS i(i)
+      WHERE len(w) >= {sh}),
+    sizes AS (SELECT id, count(*) AS n FROM elems GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM elems a JOIN elems b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT s.id_a, s.id_b,
+           CAST((s.i * 1000) // (sa.n + sb.n - s.i) AS BIGINT)
+             AS jaccard_permille
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.id
+    JOIN sizes sb ON s.id_b = sb.id
+    WHERE (s.i * 1000) // (sa.n + sb.n - s.i) >= {t}
+    """
+
+
+@register(
+    "q179_prefix_jaccard_pairs",
+    _q179_oracle(),
+    doc="prefix_filtered_jaccard_pairs (operators/dedup.py): exact "
+    "3-token-shingle-set Jaccard >= 0.6 pairs via PPJoin prefix "
+    "filtering -- elements ordered by ascending document frequency, "
+    "only the first n - ceil(t*n) + 1 per doc generate candidates (a "
+    "J >= t pair must share an element in BOTH prefixes: the globally "
+    "smallest shared element ranks <= n - i + 1 on each side), "
+    "candidates verify by exact intersection. Shingles, not unigrams: "
+    "the templated corpus shares its whole VOCABULARY, so unigram "
+    "prefixes collide corpus-wide (the pair budget trips by design); "
+    "a shared shingle needs a shared ordered run. The oracle is the "
+    "BRUTE-FORCE all-shared-element join -- the prefix strategy must "
+    "agree with it exactly. Scale: pair formation restricted to "
+    "rare-element collisions on the fixed-width md5 lane; "
+    "attach_pair_budget ON by default; integer-permille floor-div "
+    "threshold.",
+)
+def q179_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filtered_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(
+        docs, "doc_id", "text",
+        threshold_permille=_Q179_T, shingle=_Q179_SHINGLE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (r8): the retrieval/embedding pre-pass --
+# fixed-size overlapping token windows with provenance (doc, index,
+# start offset).  Pure narrow plan (sequence/transform/slice/
+# posexplode), zero shuffles: the one text operator that MUST stay
+# embarrassingly parallel at 100 TB, verified by the plan audit.
+# ---------------------------------------------------------------------------
+_Q180_CHUNK = 48
+_Q180_OVERLAP = 12
+
+
+def _q180_oracle(chunk: int = _Q180_CHUNK, overlap: int = _Q180_OVERLAP) -> str:
+    stride = chunk - overlap
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    nz AS (SELECT doc_id, tk, len(tk) AS n FROM base WHERE len(tk) > 0)
+    SELECT doc_id,
+           CAST(j.j AS BIGINT) AS chunk_idx,
+           CAST(j.j * {stride} AS BIGINT) AS start_tok,
+           CAST(len(list_slice(tk, CAST(j.j * {stride} + 1 AS INT),
+                               CAST(j.j * {stride} + {chunk} AS INT))) AS BIGINT)
+             AS n_tok,
+           array_to_string(list_slice(tk, CAST(j.j * {stride} + 1 AS INT),
+                                      CAST(j.j * {stride} + {chunk} AS INT)), ' ')
+             AS chunk_text
+    FROM nz, unnest(range(0, (n - 1) // {stride} + 1)) AS j(j)
+    """
+
+
+@register(
+    "q180_document_chunks",
+    _q180_oracle(),
+    doc="chunk_documents (operators/text.py): sliding-window chunking "
+    "with overlap for retrieval/embedding pipelines -- chunk j starts "
+    "at j*stride, spans min(chunk, n-start) tokens, consecutive chunks "
+    "share exactly `overlap` tokens. Deterministic slicing spec "
+    "replayed verbatim by the oracle. Scale: ZERO-shuffle narrow plan "
+    "(sequence/transform/slice/posexplode) -- no window, no join.",
+)
+def q180_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text",
+        chunk_tokens=_Q180_CHUNK, overlap=_Q180_OVERLAP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-driven equi-depth range bucketing (r8): the production use the
+# mergeable quantile sketch exists for at 100 TB -- computing BALANCED
+# range-partition boundaries without a full sort.  Boundaries are the
+# q176 sketch's estimates at evenly spaced permilles; every order then
+# assigns to bucket = #boundaries strictly below its value via a
+# BROADCAST of the 7 boundary rows (theta join over O(B) rows, never a
+# sort), and the rollup grades bucket populations + spans.  The oracle
+# embeds the verbatim q176 boundary replay and the same strict-<
+# assignment.
+# ---------------------------------------------------------------------------
+_Q181_PROBS = [125, 250, 375, 500, 625, 750, 875]
+
+
+def _q181_oracle() -> str:
+    inner = _q176_oracle(probs=_Q181_PROBS)
+    return f"""
+    WITH bnd AS MATERIALIZED ({inner}),
+    vals AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    per_v AS (SELECT v, count(*) AS m FROM vals GROUP BY v),
+    assigned AS (
+      SELECT per_v.v, per_v.m, count(bnd.quantile_est) AS bucket
+      FROM per_v LEFT JOIN bnd ON bnd.quantile_est < per_v.v
+      GROUP BY per_v.v, per_v.m)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(m) AS BIGINT) AS n_orders,
+           min(v) AS min_cents,
+           max(v) AS max_cents
+    FROM assigned GROUP BY bucket
+    """
+
+
+@register(
+    "q181_equidepth_value_buckets",
+    _q181_oracle(),
+    doc="log_histogram + log_histogram_quantiles as a RANGE-PARTITION "
+    "PLANNER: boundaries at permilles 125..875 from the mergeable "
+    "sketch (one hash aggregate over the data, extraction on the "
+    "O(60*sub) summary), then bucket = count of boundaries strictly "
+    "below the value via a broadcast of the 7 boundary rows -- "
+    "balanced range partitioning with NO global sort and no second "
+    "full pass, the way 100 TB repartitions should be planned. "
+    "Bucket populations stay within the sketch's 1/16 relative error "
+    "of equal depth.",
+)
+def q181_equidepth_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import log_histogram, log_histogram_quantiles
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    hist = log_histogram(cents, "v", sub=_Q176_SUB)
+    bnd = log_histogram_quantiles(hist, _Q181_PROBS, sub=_Q176_SUB)
+    # assign DISTINCT values (carrying their multiplicity), not rows --
+    # a duplicated v would otherwise multiply its boundary-match count
+    # by its own multiplicity
+    per_v = cents.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+    assigned = (
+        per_v.join(
+            F.broadcast(bnd.select("quantile_est")),
+            F.col("quantile_est") < F.col("v"),
+            "left",
+        )
+        .groupBy("v", "m")
+        .agg(F.count("quantile_est").alias("bucket"))
+    )
+    return assigned.groupBy("bucket").agg(
+        F.sum("m").cast("long").alias("n_orders"),
+        F.min("v").alias("min_cents"),
+        F.max("v").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group quantile drift (r8): the production composition the grouped
+# sketch extraction exists for -- per (event_type, day) p50/p95 from
+# the mergeable log histogram, then day-over-day shift in integer
+# permille with an alert flag.  At 100 TB this is the latency-SLO
+# monitor: per-partition/day histograms merge by summing counts (no
+# raw-data second pass), extraction runs on the O(60*sub*groups)
+# summary, and the drift window runs over ONE row per (type, day, p).
+# ---------------------------------------------------------------------------
+_Q182_PROBS = [500, 950]
+_Q182_ALERT_PERMILLE = 200
+
+
+def _q182_oracle(
+    sub: int = _Q176_SUB,
+    probs: list[int] = _Q182_PROBS,
+    alert: int = _Q182_ALERT_PERMILLE,
+) -> str:
+    plist = ", ".join(f"({p})" for p in probs)
+    return f"""
+    WITH x AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+    b AS (
+      SELECT event_type, day,
+             CASE WHEN v = 0 THEN CAST(-1 AS BIGINT)
+             ELSE CAST(length(ltrim(bin(v), '0')) - 1 AS BIGINT) * {sub}
+                  + (v - (1::BIGINT << (length(ltrim(bin(v), '0')) - 1)))
+                    // (((1::BIGINT << (length(ltrim(bin(v), '0')) - 1)) + {sub} - 1) // {sub})
+             END AS lbin
+      FROM x),
+    h AS (SELECT event_type, day, lbin, count(*) AS n
+          FROM b GROUP BY event_type, day, lbin),
+    cum AS (
+      SELECT event_type, day, lbin, n,
+             sum(n) OVER (PARTITION BY event_type, day ORDER BY lbin) AS cum,
+             sum(n) OVER (PARTITION BY event_type, day) AS total
+      FROM h),
+    dec AS (
+      SELECT event_type, day, lbin, n, cum, total,
+             CASE WHEN lbin < 0 THEN CAST(0 AS BIGINT)
+                  ELSE (1::BIGINT << CAST(lbin // {sub} AS INT))
+                       + (lbin % {sub}) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub})
+             END AS lb,
+             CASE WHEN lbin < 0 THEN CAST(1 AS BIGINT)
+                  ELSE least(
+                    (1::BIGINT << CAST(lbin // {sub} AS INT))
+                      + (lbin % {sub} + 1) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub}),
+                    2 * (1::BIGINT << CAST(lbin // {sub} AS INT)))
+             END AS ub
+      FROM cum),
+    p(p_permille) AS (VALUES {plist}),
+    hit AS (
+      SELECT d.event_type, d.day, p.p_permille, d.lbin, d.n, d.cum, d.lb,
+             d.ub - d.lb AS span, d.total
+      FROM p JOIN dec d ON d.cum >= (p.p_permille * d.total + 999) // 1000),
+    best AS (
+      SELECT event_type, day, p_permille,
+             min(struct_pack(lbin := lbin, n := n, cum := cum, lb := lb,
+                             span := span, total := total)) AS s
+      FROM hit GROUP BY event_type, day, p_permille),
+    est AS (
+      SELECT event_type, day, p_permille,
+             CAST(s.lb
+                  + ((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span // s.n)
+                  + (((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span % s.n)) // s.n
+                  AS BIGINT) AS quantile_est
+      FROM best),
+    drift AS (
+      SELECT event_type, day, p_permille, quantile_est,
+             lag(quantile_est) OVER (PARTITION BY event_type, p_permille
+                                     ORDER BY day) AS prev_est
+      FROM est)
+    SELECT event_type, day, p_permille, quantile_est, prev_est,
+           CASE WHEN prev_est IS NULL THEN NULL
+                ELSE (abs(quantile_est - prev_est) * 1000) // prev_est
+           END AS shift_permille,
+           CASE WHEN prev_est IS NOT NULL
+                 AND (abs(quantile_est - prev_est) * 1000) // prev_est >= {alert}
+                THEN 1 ELSE 0 END AS alert
+    FROM drift
+    """
+
+
+@register(
+    "q182_event_value_quantile_drift",
+    _q182_oracle(),
+    doc="log_histogram(group_cols=(event_type, day)) + grouped "
+    "log_histogram_quantiles + one lag window: the latency-SLO drift "
+    "monitor -- per-group p50/p95 from the mergeable sketch, "
+    "day-over-day shift in integer permille (floor div over the prior "
+    "estimate, cents >= 1 so the divisor is never 0), alert at >= 20% "
+    "shift. Scale: ONE hash aggregate over the raw events; every "
+    "window after it runs on the O(60*sub*groups) summary or the "
+    "per-(type,day,p) drift rows; per-day histograms merge by summing "
+    "counts so the monitor backfills without re-reading history.",
+)
+def q182_event_value_quantile_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.sketches import log_histogram, log_histogram_quantiles
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    hist = log_histogram(ev, "v", group_cols=("event_type", "day"), sub=_Q176_SUB)
+    est = log_histogram_quantiles(
+        hist, _Q182_PROBS, sub=_Q176_SUB, group_cols=("event_type", "day")
+    )
+    w = Window.partitionBy("event_type", "p_permille").orderBy("day")
+    drift = est.withColumn("prev_est", F.lag("quantile_est").over(w))
+    shift = F.expr("(abs(quantile_est - prev_est) * 1000) div prev_est")
+    return drift.select(
+        "event_type",
+        "day",
+        "p_permille",
+        "quantile_est",
+        "prev_est",
+        shift.alias("shift_permille"),
+        F.when(
+            F.col("prev_est").isNotNull()
+            & (shift >= _Q182_ALERT_PERMILLE),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("alert"),
+    )

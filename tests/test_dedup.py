@@ -803,3 +803,64 @@ def test_duplicate_span_giant_doc_budget_fails_loud(spark):
     with pytest.raises(Exception, match="max_doc_tokens"):
         remove_duplicate_spans(df, k=8, max_doc_tokens=100).collect()
     assert remove_duplicate_spans(df, k=8, max_doc_tokens=300).count() == 1
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    """Two-strategies-must-agree: the PPJoin prefix-filtered pairs must
+    equal the full shared-token brute-force join at the same integer
+    permille threshold -- including a pair whose ONLY shared tokens are
+    corpus-frequent (the prefix still catches it via the globally
+    smallest shared token) and excluding sub-threshold pairs."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # J with 1: 8 shared / 12 union = 666 permille >= 600
+        (2, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+        # J with 1: 5/15 -> below threshold
+        (3, "alpha beta gamma delta epsilon one two three four five"),
+        (4, "totally different words nothing shared here at all ok yes"),
+        # exact duplicate of 4 -> J = 1000
+        (5, "totally different words nothing shared here at all ok yes"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_permille"]
+        for r in prefix_filtered_jaccard_pairs(
+            df, threshold_permille=600
+        ).collect()
+    }
+    # brute force in python
+    import itertools
+
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and (i * 1000) // u >= 600:
+            want[(a, b)] = (i * 1000) // u
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got and (1, 3) not in got
+
+
+def test_prefix_jaccard_budget_fails_loud(spark):
+    """The prefix self-join carries attach_pair_budget: a corpus of
+    identical docs (every prefix token collides everywhere) must raise
+    at execution, not generate the quadratic pair set."""
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same tokens in every single document here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="pair"):
+        prefix_filtered_jaccard_pairs(
+            df, threshold_permille=600, max_pair_rows=100
+        ).collect()

@@ -181,3 +181,45 @@ def test_label_propagation_two_cliques(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert label_propagation(empty, 2).count() == 0
+
+
+def test_k_core_peels_cascade(spark):
+    """Hand graph: a 4-clique {1,2,3,4} with a pendant chain 4-5-6.
+    k=3 keeps exactly the clique (degrees 3); the chain peels over
+    CASCADING rounds (6 falls first, then 5) -- the fixpoint loop, not
+    a single degree filter. k=2 keeps clique+5? no: 5's only survivor
+    link is 4, so 5 peels at k=2 too once 6 is gone."""
+    from bankcreditunion_datapipeline_spark.operators.graph import k_core
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(sym, "src long, dst long")
+
+    core3 = {r["node"]: r["degree"] for r in k_core(e, 3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    core2 = {r["node"]: r["degree"] for r in k_core(e, 2).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # single degree filter would KEEP 5 at k=2 (deg 2 initially);
+    # the cascade must remove it -- asserted above by absence
+    core1 = {r["node"]: r["degree"] for r in k_core(e, 1).collect()}
+    assert core1 == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2, 6: 1}
+
+
+def test_k_core_empty_and_overdeep(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import k_core
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert k_core(empty, 2).count() == 0
+    tri = [(1, 2), (2, 3), (3, 1)]
+    e = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    # k above the max degree peels everything
+    assert k_core(e, 3).count() == 0
+    # self-loops must not let a vertex count itself toward k
+    loop = spark.createDataFrame(
+        [(9, 9), (1, 2), (2, 1)], "src long, dst long"
+    )
+    assert {r["node"] for r in k_core(loop, 1).collect()} == {1, 2}

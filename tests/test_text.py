@@ -306,3 +306,32 @@ def test_ngram_repetition_stats_hand_counts(spark):
     assert out[2] == (2, 1, 0)
     assert out[3] == (1, 1, 0)
     assert 4 not in out  # NULL text contributes nothing
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """10 tokens, chunk 4, overlap 1 (stride 3): starts 0/3/6/9 with
+    lengths 4/4/4/1; consecutive full chunks share exactly `overlap`
+    tokens; stitching chunk 0 + each later chunk minus its overlap
+    reconstructs the whitespace-normalized document; NULL/empty docs
+    emit no chunks."""
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, "  " + "  ".join(words) + " "), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["doc_id"] for r in out] == [1, 1, 1, 1]
+    assert [r["start_tok"] for r in out] == [0, 3, 6, 9]
+    assert [r["n_tok"] for r in out] == [4, 4, 4, 1]
+    chunks = [r["chunk_text"].split(" ") for r in out]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[3:] == b[: len(a[3:])]  # shared overlap token
+    stitched = chunks[0] + [t for c in chunks[1:] for t in c[1:]]
+    assert stitched == words
