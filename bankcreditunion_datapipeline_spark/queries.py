@@ -9822,7 +9822,8 @@ def _q182_oracle(
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(round(value * 100) AS BIGINT) AS v
       FROM events
-      WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL AND value >= 0),
     b AS (
       SELECT event_type, day,
              CASE WHEN v = 0 THEN CAST(-1 AS BIGINT)
@@ -9910,6 +9911,11 @@ def q182_event_value_quantile_drift(
             F.col("ts").isNotNull()
             & F.col("event_type").isNotNull()
             & F.col("value").isNotNull()
+            # the monitor's declared domain: non-negative magnitudes
+            # (the sketch lane fail-louds on negatives by design --
+            # out-of-domain rows are excluded HERE, visibly, not
+            # silently inside the operator)
+            & (F.col("value") >= 0)
         )
         .select(
             "event_type",
