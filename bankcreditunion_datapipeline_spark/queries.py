@@ -9945,3 +9945,143 @@ def q182_event_value_quantile_drift(
         .otherwise(F.lit(0))
         .alias("alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct counts from mergeable sketches (r8): 7-day active
+# users per day WITHOUT a 7x re-scan -- one HLL sketch per day, each
+# window then UNIONS seven pre-built sketches (register max, the HLL
+# monoid).  At 100 TB this is the production MAU/WAU shape: daily
+# sketches persist, every rolling window is sketch-merge-only, and
+# backfills never touch raw history.  lgConfigK=16 keeps the sketch in
+# its exact (coupon) regime at this cardinality -- same contract as
+# q66 -- so the oracle checks the EXACT windowed distinct count.
+# ---------------------------------------------------------------------------
+_Q183_LG_K = 16
+_Q183_WINDOW = 7
+
+
+def _q183_oracle(win: int = _Q183_WINDOW) -> str:
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM ev)
+    SELECT d.day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users_7d
+    FROM days d
+    JOIN ev e ON e.day BETWEEN d.day - {win - 1} AND d.day
+    GROUP BY d.day
+    """
+
+
+@register(
+    "q183_rolling_active_users",
+    _q183_oracle(),
+    doc="hll_sketch_agg per day -> per-window hll_union_agg -> "
+    "hll_sketch_estimate: rolling 7-day distinct users where every "
+    "window is a SKETCH MERGE of seven pre-built daily sketches "
+    "(register max monoid), never a re-scan of raw events -- the "
+    "production MAU/WAU shape at 100 TB (daily sketches persist; "
+    "backfills merge, they do not re-read). Window membership via a "
+    "sequence-explode of each day's 7 target days joined to observed "
+    "days. lgConfigK=16 stays in the exact coupon regime at this "
+    "cardinality (the q66 contract), so the oracle checks exact "
+    "windowed distinct counts; the estimator-vs-exact error bound "
+    "rides in tests/test_analytics.py for q66's shared machinery.",
+)
+def q183_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr(f"hll_sketch_agg(user_id, {_Q183_LG_K})").alias("sk")
+    )
+    observed = daily.select(F.col("day").alias("target"))
+    contrib = daily.select(
+        "sk",
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {_Q183_WINDOW - 1}))")
+        ).alias("target"),
+    ).join(observed, "target")
+    return (
+        contrib.groupBy("target")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("active_users_7d")
+        )
+        .select(F.col("target").alias("day"), "active_users_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join (r8): the 100 TB semi-join pushdown -- build a
+# Bloom filter over the SELECTIVE dim's keys (O(m_bits) state), probe
+# the fact's distinct keys against the broadcast bitmap, and only rows
+# that MIGHT match ever enter the join shuffle.  False positives are
+# harmless (the join re-verifies); false negatives cannot happen (the
+# q165 contract), so the result is EXACTLY the plain join -- which is
+# the oracle: two physical strategies, one answer.
+# ---------------------------------------------------------------------------
+def _q184_oracle() -> str:
+    return """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
+      AND o_orderpriority IS NOT NULL
+    GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "q184_bloom_pruned_join",
+    _q184_oracle(),
+    doc="bloom_bitmap + bloom_might_contain (operators/sketches.py) as "
+    "a SEMI-JOIN PUSHDOWN: the selective customer dim (BUILDING, "
+    "acctbal > 7500) builds an O(m_bits) bitmap; the fact's distinct "
+    "keys probe the broadcast bitmap and only maybe-members enter the "
+    "join shuffle. No false negatives (q165 contract) + join "
+    "re-verification => result is EXACTLY the plain join, which IS "
+    "the oracle (two-strategies-must-agree). At 100 TB this is the "
+    "runtime-filter pattern: the fact scan drops non-matching rows "
+    "before the exchange instead of shuffling them to die in the "
+    "join. Revenue summed in integer cents.",
+)
+def q184_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import bloom_bitmap, bloom_might_contain
+
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500)
+        )
+        .select("c_custkey")
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    bitmap = bloom_bitmap(dim, "c_custkey", m_bits=16384, k=4)
+    hits = bloom_might_contain(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        bitmap,
+        "c_custkey",
+        m_bits=16384,
+        k=4,
+    ).filter(F.col("bloom_hit") == 1)
+    pruned = orders.join(
+        F.broadcast(hits.select("c_custkey")),
+        orders["o_custkey"] == hits["c_custkey"],
+    ).drop("c_custkey")
+    joined = pruned.join(dim, pruned["o_custkey"] == dim["c_custkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -103,6 +103,20 @@ SUBSET = [
     "q176_order_value_log_quantiles",
     # r8: grouped extraction (per-group cum/total windows, NULL group)
     "q177_priority_value_log_quantiles",
+    # r8: synchronous-peel round replay (dangling keys mutate the graph)
+    "q178_purchase_graph_kcore",
+    # r8: prefix-filter vs brute-force two-strategy agreement under
+    # degenerate/empty/whitespace text
+    "q179_prefix_jaccard_pairs",
+    # r8: slicing boundary semantics on degenerate text (empty, single
+    # word, whitespace runs)
+    "q180_document_chunks",
+    # r8: declared-domain gate (negative/zero/1e6 values) + date lane
+    "q182_event_value_quantile_drift",
+    # r8: HLL exact-regime contract under mutated days/NULL users
+    "q183_rolling_active_users",
+    # r8: bloom-pruned join == plain join under dangling custkeys
+    "q184_bloom_pruned_join",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
