@@ -9663,9 +9663,14 @@ def q179_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import prefix_filtered_jaccard_pairs
 
     docs = t(spark, sf_dir, "documents")
+    # ~318k prefix-pair rows at sf0.1 growing LINEARLY with the corpus
+    # (shingle prefixes don't collide across replicas); 20M = ~60x
+    # headroom while still failing loud on a super-linear template
+    # collision (the unigram mode's 88M at sf0.1 would trip it)
     return prefix_filtered_jaccard_pairs(
         docs, "doc_id", "text",
         threshold_permille=_Q179_T, shingle=_Q179_SHINGLE,
+        max_pair_rows=20_000_000,
     )
 
 
@@ -10084,4 +10089,162 @@ def q184_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed trending (r8): exponentially decayed daily counts in
+# EXACT integer arithmetic.  Float alpha^age diverges across engines;
+# instead the weight table w(age) = floor(9^age * 1e6 / 10^age) (alpha
+# = 0.9 in micro-units) is computed ONCE in driver Python with
+# unbounded integers and baked into BOTH twins as the same literal
+# table -- a broadcast join against <= 60 rows, no powers evaluated in
+# either engine.  The decayed score is then a plain integer
+# sum-product: layout-independent, replayable, mergeable by day.
+# ---------------------------------------------------------------------------
+_Q185_MAX_AGE = 59
+
+
+def _q185_weights(max_age: int = _Q185_MAX_AGE) -> list[tuple[int, int]]:
+    return [(a, (9**a * 10**6) // 10**a) for a in range(max_age + 1)]
+
+
+def _q185_oracle() -> str:
+    wrows = ", ".join(f"({a}, {w})" for a, w in _q185_weights())
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, day),
+    mx AS (SELECT max(day) AS mday FROM daily),
+    w(age, w_micro) AS (VALUES {wrows}),
+    scored AS (
+      SELECT d.event_type, d.n * w.w_micro AS term
+      FROM daily d, mx
+      JOIN w ON w.age = mday - d.day
+      )
+    SELECT event_type,
+           CAST(sum(term) AS BIGINT) AS decayed_micro
+    FROM scored GROUP BY event_type
+    """
+
+
+@register(
+    "q185_trending_event_types",
+    _q185_oracle(),
+    doc="recency-decayed trending leaderboard in EXACT integers: daily "
+    "type counts x a driver-precomputed weight table w(age) = "
+    "floor(0.9^age * 1e6) (unbounded-int Python, baked into both twins "
+    "as literals -- neither engine evaluates a float power), broadcast "
+    "join on age, integer sum-product. Ages past 59 days weigh 0 (the "
+    "table ends; an inner join drops them - documented cutoff). Scale: "
+    "one hash aggregate to daily grain, then O(types*days) rows; "
+    "per-day partials merge by summing terms.",
+)
+def q185_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    mday = daily.agg(F.max("day").alias("mday"))
+    w = F.broadcast(
+        spark.createDataFrame(_q185_weights(), "age int, w_micro long")
+    )
+    scored = (
+        daily.crossJoin(F.broadcast(mday))
+        .withColumn("age", F.datediff("mday", "day"))
+        .join(w, "age")
+    )
+    return scored.groupBy("event_type").agg(
+        F.sum(F.col("n") * F.col("w_micro")).cast("long").alias("decayed_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (r8): the sequential drift alarm -- but
+# the textbook recursion s_d = max(0, s_{d-1} + (x_d - ref)) has the
+# CLOSED FORM s_d = P_d - min(0, min_{j<=d} P_j) over prefix sums
+# P_d = sum(x_i - ref), so the whole detector is two windows (running
+# sum + running min) on the daily summary: no grouped-pandas
+# recursion, no iteration, layout-independent integers end-to-end
+# (ref = total div n_days, floor).
+# ---------------------------------------------------------------------------
+_Q186_H_PERMILLE = 500
+
+
+def _q186_oracle(h_pm: int = _Q186_H_PERMILLE) -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, day),
+    ref AS (
+      SELECT event_type,
+             sum(x) // count(*) AS r
+      FROM daily GROUP BY event_type),
+    pre AS (
+      SELECT d.event_type, d.day, d.x, r.r,
+             sum(d.x - r.r) OVER (PARTITION BY d.event_type
+                                  ORDER BY d.day) AS p
+      FROM daily d JOIN ref r ON d.event_type = r.event_type),
+    cus AS (
+      SELECT event_type, day, x, r, p,
+             p - least(CAST(0 AS BIGINT),
+                       min(p) OVER (PARTITION BY event_type ORDER BY day))
+               AS s
+      FROM pre)
+    SELECT event_type, day, CAST(x AS BIGINT) AS x, CAST(r AS BIGINT) AS ref,
+           CAST(s AS BIGINT) AS cusum,
+           CASE WHEN s * 1000 >= {h_pm} * r THEN 1 ELSE 0 END AS alarm
+    FROM cus
+    """
+
+
+@register(
+    "q186_event_volume_cusum",
+    _q186_oracle(),
+    doc="CUSUM change-point alarm on daily per-type event volume via "
+    "the closed form s_d = P_d - min(0, running-min of P): two windows "
+    "over the daily summary replace the sequential recursion (the "
+    "q143-class grouped-pandas loop is NOT needed -- max(0, s+y) "
+    "unrolls exactly into prefix sums). ref = per-type floor mean; "
+    "alarm when s >= 50% of ref, integer cross-multiplied. Scale: one "
+    "hash aggregate to daily grain; windows run over O(types*days) "
+    "summary rows.",
+)
+def q186_event_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    ref = daily.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").alias("r")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pre = daily.join(ref, "event_type").withColumn(
+        "p", F.sum(F.col("x") - F.col("r")).over(w)
+    )
+    cus = pre.withColumn(
+        "s",
+        F.col("p")
+        - F.least(F.lit(0).cast("long"), F.min("p").over(w)),
+    )
+    return cus.select(
+        "event_type",
+        "day",
+        F.col("x").cast("long").alias("x"),
+        F.col("r").cast("long").alias("ref"),
+        F.col("s").cast("long").alias("cusum"),
+        F.when(
+            F.col("s") * 1000 >= F.lit(_Q186_H_PERMILLE) * F.col("r"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("alarm"),
     )
