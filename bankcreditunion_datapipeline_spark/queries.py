@@ -10248,3 +10248,121 @@ def q186_event_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source score normalization (r8): make per-source metrics
+# comparable before mixing corpora -- each doc's PER-SOURCE percent
+# rank (integer permille, doc_id tiebreak) maps onto the GLOBAL
+# reference distribution.  The reference is the q176 mergeable sketch,
+# not an exact global sort: at 100 TB the per-source windows partition
+# (scale-fine) but a global rank would be a full sort -- the sketch
+# replaces it with one hash aggregate + an O(60*sub) summary, at 1/16
+# relative error, and stays mergeable for incremental refreshes.
+# ---------------------------------------------------------------------------
+def _q187_oracle(sub: int = _Q176_SUB) -> str:
+    plist = ", ".join(f"({p})" for p in range(1, 1001))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ranked AS (
+      SELECT doc_id, source, len,
+             (CAST(row_number() OVER (PARTITION BY source
+                                      ORDER BY len, doc_id) AS BIGINT)
+              * 1000)
+               // count(*) OVER (PARTITION BY source) AS pct_permille
+      FROM d),
+    b AS (
+      SELECT CASE WHEN len = 0 THEN CAST(-1 AS BIGINT)
+             ELSE CAST(length(ltrim(bin(len), '0')) - 1 AS BIGINT) * {sub}
+                  + (len - (1::BIGINT << (length(ltrim(bin(len), '0')) - 1)))
+                    // (((1::BIGINT << (length(ltrim(bin(len), '0')) - 1)) + {sub} - 1) // {sub})
+             END AS lbin
+      FROM d),
+    h AS (SELECT lbin, count(*) AS n FROM b GROUP BY lbin),
+    cum AS (
+      SELECT lbin, n,
+             sum(n) OVER (ORDER BY lbin) AS cum,
+             sum(n) OVER () AS total
+      FROM h),
+    dec AS (
+      SELECT lbin, n, cum, total,
+             CASE WHEN lbin < 0 THEN CAST(0 AS BIGINT)
+                  ELSE (1::BIGINT << CAST(lbin // {sub} AS INT))
+                       + (lbin % {sub}) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub})
+             END AS lb,
+             CASE WHEN lbin < 0 THEN CAST(1 AS BIGINT)
+                  ELSE least(
+                    (1::BIGINT << CAST(lbin // {sub} AS INT))
+                      + (lbin % {sub} + 1) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub}),
+                    2 * (1::BIGINT << CAST(lbin // {sub} AS INT)))
+             END AS ub
+      FROM cum),
+    p(p_permille) AS (VALUES {plist}),
+    hit AS (
+      SELECT p.p_permille, d2.lbin, d2.n, d2.cum, d2.lb,
+             d2.ub - d2.lb AS span, d2.total
+      FROM p JOIN dec d2 ON d2.cum >= (p.p_permille * d2.total + 999) // 1000),
+    best AS (
+      SELECT p_permille,
+             min(struct_pack(lbin := lbin, n := n, cum := cum, lb := lb,
+                             span := span, total := total)) AS s
+      FROM hit GROUP BY p_permille),
+    ref AS (
+      SELECT p_permille,
+             CAST(s.lb
+                  + ((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span // s.n)
+                  + (((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span % s.n)) // s.n
+                  AS BIGINT) AS quantile_est
+      FROM best)
+    SELECT r.doc_id, r.source, r.len, r.pct_permille,
+           ref.quantile_est AS normalized_len
+    FROM ranked r JOIN ref ON ref.p_permille = r.pct_permille
+    """
+
+
+@register(
+    "q187_cross_source_length_norm",
+    _q187_oracle(),
+    doc="quantile normalization across sources: per-source integer "
+    "percent rank (row_number*1000 div n, doc_id tiebreak; NULL "
+    "source is its own group) joined to the GLOBAL reference "
+    "distribution at that permille -- where the reference is the q176 "
+    "mergeable log-bucket sketch, not a global sort: per-source "
+    "windows partition, the global reference is one hash aggregate + "
+    "extraction over the O(60*sub) summary at 1/16 relative error, "
+    "broadcast back as 1000 rows. The production mixing-prep shape "
+    "(comparable scores across heterogeneous corpora) at 100 TB.",
+)
+def q187_cross_source_length_norm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sketches import log_histogram, log_histogram_quantiles
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id", "source", F.length("text").cast("long").alias("len")
+        )
+    )
+    ranked = d.withColumn(
+        "pct_permille",
+        F.expr(
+            "(CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY len, doc_id) AS BIGINT) * 1000) "
+            "div count(*) OVER (PARTITION BY source)"
+        ),
+    )
+    hist = log_histogram(d.select(F.col("len").alias("v")), "v", sub=_Q176_SUB)
+    ref = log_histogram_quantiles(hist, list(range(1, 1001)), sub=_Q176_SUB)
+    return ranked.join(
+        F.broadcast(
+            ref.select(
+                F.col("p_permille").alias("pct_permille"),
+                F.col("quantile_est").alias("normalized_len"),
+            )
+        ),
+        "pct_permille",
+    ).select("doc_id", "source", "len", "pct_permille", "normalized_len")
