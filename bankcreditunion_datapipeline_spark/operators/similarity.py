@@ -796,3 +796,83 @@ def reciprocal_rank_fusion(
     ]
     u = reduce(lambda x, y: x.unionByName(y), scored)
     return u.groupBy(id_col).agg(F.sum("__s").cast("long").alias(out))
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    pool: int = 20,
+    lam_permille: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): diversified top-k -- greedily pick the candidate
+    maximizing ``lam*rel - (1000-lam)*max_sim_to_already_selected``
+    (permille-weighted), so near-duplicates of an already-chosen result
+    are penalized out. Returns (id, rel_micro, mmr_rank), rank 1..k.
+
+    Distributed/driver split, stated plainly: the DISTRIBUTED work is
+    the exact-cosine scan + TakeOrdered candidate pool (the q20 shape)
+    and the pool's pairwise similarity matrix; the greedy itself is
+    inherently SEQUENTIAL (each pick conditions the next), so it runs
+    driver-side over the O(pool^2) collected matrix -- the k-means
+    seed / PQ-codebook collect class (pool is a constant, never
+    data-sized). Determinism: rel/sim floor-scaled to 1e6 micro-units
+    (the q166 integer ranking lane), every argmax tie broken on
+    ascending id; NULL and zero-norm vectors are excluded up front
+    (cosine undefined -- the q23 contract).
+    """
+    from ..functions.vectors import cosine, norm
+
+    assert 0 <= lam_permille <= 1000 and k >= 1 and pool >= k
+    cand = (
+        df.filter(F.col(vec_col).isNotNull())
+        .filter(norm(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.floor(cosine(F.col(vec_col), query_vec) * 1e6)
+            .cast("long")
+            .alias("rel_micro"),
+        )
+        .orderBy(F.desc("rel_micro"), F.asc("id"))
+        .limit(pool)
+    )
+    cand = cand.persist()
+    a = cand.select(F.col("id").alias("ida"), F.col("v").alias("va"))
+    b = cand.select(F.col("id").alias("idb"), F.col("v").alias("vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.floor(cosine(F.col("va"), F.col("vb")) * 1e6)
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    rels = {r["id"]: r["rel_micro"] for r in cand.select("id", "rel_micro").collect()}
+    sim = {(r["ida"], r["idb"]): r["sim_micro"] for r in sims.collect()}
+    cand.unpersist()
+    selected: list[tuple] = []
+    chosen: set = set()
+    while len(selected) < min(k, len(rels)):
+        best = None
+        for cid, rel in rels.items():
+            if cid in chosen:
+                continue
+            if not chosen:
+                score = rel  # first pick: pure relevance
+            else:
+                ms = max(sim[(cid, s)] for s in chosen)
+                score = lam_permille * rel - (1000 - lam_permille) * ms
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel)
+        selected.append((best[1], best[2], len(selected) + 1))
+        chosen.add(best[1])
+    return df.sparkSession.createDataFrame(
+        selected, "vec_id long, rel_micro long, mmr_rank long"
+    )

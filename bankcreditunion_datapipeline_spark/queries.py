@@ -10366,3 +10366,219 @@ def q187_cross_source_length_norm(
         ),
         "pct_permille",
     ).select("doc_id", "source", "len", "pct_permille", "normalized_len")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (r8): the RAG-stack re-ranker -- exact
+# top-20 relevance pool, then greedy picks that penalize similarity to
+# what's already selected, so near-duplicate hits don't crowd the
+# result.  Greedy selection is inherently sequential: the oracle
+# unrolls the EXACT same 8 picks as MATERIALIZED steps (argmax on the
+# identical integer micro-unit keys with id tiebreaks), the engine
+# runs them driver-side over the O(pool^2) matrix (pool constant --
+# the k-means-seed collect class).
+# ---------------------------------------------------------------------------
+_Q188_K = 8
+_Q188_POOL = 20
+_Q188_LAM = 700
+
+
+def _q188_oracle(
+    k: int = _Q188_K, pool: int = _Q188_POOL, lam: int = _Q188_LAM
+) -> str:
+    steps = [
+        """pick1 AS MATERIALIZED (
+      SELECT id, rel_micro, CAST(1 AS BIGINT) AS mmr_rank
+      FROM pool ORDER BY rel_micro DESC, id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT id FROM pick1)"""
+    ]
+    for r in range(2, k + 1):
+        steps.append(f"""cand{r} AS (
+      SELECT p.id, p.rel_micro, max(s.sim_micro) AS ms
+      FROM pool p
+      JOIN sims s ON s.ida = p.id
+      JOIN sel{r - 1} q ON s.idb = q.id
+      WHERE p.id NOT IN (SELECT id FROM sel{r - 1})
+      GROUP BY p.id, p.rel_micro),
+    pick{r} AS MATERIALIZED (
+      SELECT id, rel_micro, CAST({r} AS BIGINT) AS mmr_rank
+      FROM cand{r}
+      ORDER BY {lam} * rel_micro - {1000 - lam} * ms DESC, id LIMIT 1),
+    sel{r} AS MATERIALIZED (
+      SELECT id FROM sel{r - 1} UNION ALL SELECT id FROM pick{r})""")
+    chain = ",\n    ".join(steps)
+    picks = " UNION ALL ".join(f"SELECT * FROM pick{r}" for r in range(1, k + 1))
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    -- the q23 oracle representation: list_transform(.. CAST) + early
+    -- x IS NOT NULL, never `::DOUBLE[]` under a window --
+    -- list_inner_product on the cast-array lane raises on vector
+    -- layouts the optimizer produces there (left/right 'can not
+    -- contain NULL values' even post-coalesce)
+    base AS (
+      SELECT vec_id AS id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id <> 0),
+    nn AS (
+      SELECT id, v, list_dot_product(v, v) AS nrm
+      FROM base WHERE v IS NOT NULL),
+    scored AS (
+      SELECT id, v,
+             CAST(floor(1e6 * list_dot_product(v, qv)
+                  / nullif(sqrt(nrm)
+                     * sqrt(list_dot_product(qv, qv)), 0))
+               AS BIGINT) AS rel_micro
+      FROM nn, q
+      WHERE nrm > 0),
+    pool AS MATERIALIZED (
+      SELECT id, v, rel_micro FROM (
+        SELECT id, v, rel_micro,
+               row_number() OVER (ORDER BY rel_micro DESC, id) AS rn
+        FROM scored) t WHERE rn <= {pool}),
+    sims AS MATERIALIZED (
+      SELECT a.id AS ida, b.id AS idb,
+             CAST(floor(1e6 * list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT)
+               AS sim_micro
+      FROM pool a JOIN pool b ON a.id <> b.id),
+    {chain}
+    SELECT id AS vec_id, rel_micro, mmr_rank FROM ({picks})
+    """
+
+
+@register(
+    "q188_mmr_diversified_topk",
+    _q188_oracle(),
+    doc="mmr_rerank (operators/similarity.py): Maximal Marginal "
+    "Relevance diversified top-8 from an exact-cosine top-20 pool -- "
+    "greedy picks maximize 0.7*rel - 0.3*max_sim_to_selected on "
+    "floor-1e6 integer micro-keys with id tiebreaks (the q166 "
+    "ranking lane), NULL/zero-norm vectors excluded (q23 contract). "
+    "The oracle unrolls the identical 8 picks as MATERIALIZED steps. "
+    "Scale split stated in the op: distributed exact scan + "
+    "TakeOrdered pool + pairwise matrix; the sequential greedy runs "
+    "driver-side over O(pool^2) constants (k-means-seed collect "
+    "class).",
+)
+def q188_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0),
+        qvec,
+        k=_Q188_K,
+        pool=_Q188_POOL,
+        lam_permille=_Q188_LAM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit (r8): production QA for the dedup stack -- measure
+# MinHash-LSH's recall against exact ground truth, per true-similarity
+# band.  Both sides share ONE shingle space (lower/trim/regex-split,
+# distinct md5 3-shingles): truth is the PPJoin exact join (q179's
+# operator at threshold 0.35), candidates are q21's banded md5-lane
+# MinHash; LSH verifies candidates exactly, so lsh ⊆ truth and recall
+# is a clean subset ratio.  The expected shape: recall ~1000 permille
+# in high-J bands, decaying toward the threshold -- the standard
+# S-curve, now MEASURED per corpus instead of assumed from the (b, r)
+# formula.
+# ---------------------------------------------------------------------------
+_Q189_T = 350
+
+
+def _q189_oracle(t: int = _Q189_T) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 5 = 0),
+    elems AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(
+               list_slice(w, CAST(i.i AS INT), CAST(i.i AS INT) + 2),
+               ' ')) AS tok
+      FROM base, unnest(range(1, len(w) - 1)) AS i(i)
+      WHERE len(w) >= 3),
+    sizes AS (SELECT id, count(*) AS n FROM elems GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM elems a JOIN elems b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id),
+    truth AS (
+      SELECT s.id_a, s.id_b,
+             (s.i * 1000) // (sa.n + sb.n - s.i) AS jp
+      FROM shared s
+      JOIN sizes sa ON s.id_a = sa.id
+      JOIN sizes sb ON s.id_b = sb.id
+      WHERE (s.i * 1000) // (sa.n + sb.n - s.i) >= {t}),
+    aud AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_minhash_md5_ctes('aud', _Q21_HASHES, _Q21_BANDS, t * 10)}
+    SELECT t.jp // 100 AS band,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(m.id_a) AS BIGINT) AS n_found,
+           CAST((count(m.id_a) * 1000) // count(*) AS BIGINT)
+             AS recall_permille
+    FROM truth t
+    LEFT JOIN mh_pairs m ON m.id_a = t.id_a AND m.id_b = t.id_b
+    GROUP BY t.jp // 100
+    """
+
+
+@register(
+    "q189_lsh_recall_audit",
+    _q189_oracle(),
+    doc="dedup-stack QA: MinHash-LSH (q21's banded md5 lane, 32 hashes "
+    "x 16 bands) recall measured against EXACT ground truth (q179's "
+    "prefix-filtered join at the same 0.35 threshold) per "
+    "true-Jaccard band -- one shared shingle space (distinct md5 "
+    "3-shingles of lower/trim/regex-split tokens), so lsh ⊆ truth and "
+    "recall is an exact subset ratio in integer permille. Measures "
+    "the LSH S-curve per corpus instead of trusting the (b,r) "
+    "formula. Scale: both sides are budget-guarded/banded -- no "
+    "unguarded pair join anywhere.",
+)
+def q189_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        minhash_near_dup_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    # deterministic half-corpus audit slice: a recall audit is a QA
+    # SAMPLE, not a production pass -- the exact side is the cost LSH
+    # exists to avoid, so measure it on the doc_id % 5 fifth (portable,
+    # layout-free) and let the S-curve generalize
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    truth = prefix_filtered_jaccard_pairs(
+        docs, "doc_id", "text",
+        threshold_permille=_Q189_T, shingle=3,
+        # t=0.35 prefixes cover ~65% of each doc (vs 40% at 0.6):
+        # ~2.4M prefix-pair rows at sf0.1, still linear in corpus size
+        max_pair_rows=50_000_000,
+    )
+    lsh = minhash_near_dup_pairs(
+        docs,
+        threshold=_Q189_T / 1000,
+        num_hashes=_Q21_HASHES,
+        bands=_Q21_BANDS,
+        hash="md5",
+    ).select("id_a", "id_b", F.lit(1).alias("found"))
+    return (
+        truth.join(lsh, ["id_a", "id_b"], "left")
+        .groupBy(F.expr("jaccard_permille div 100").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("found").alias("n_found"),
+            F.expr("(count(found) * 1000) div count(1)").alias(
+                "recall_permille"
+            ),
+        )
+    )

@@ -117,6 +117,11 @@ SUBSET = [
     "q183_rolling_active_users",
     # r8: bloom-pruned join == plain join under dangling custkeys
     "q184_bloom_pruned_join",
+    # r8: NULL/zero-norm vector exclusion + greedy-pick replay on the
+    # transform-lane vector oracle (the ::DOUBLE[]-under-window class)
+    "q188_mmr_diversified_topk",
+    # r8: shared-shingle-space subset ratio under degenerate text
+    "q189_lsh_recall_audit",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
