@@ -400,3 +400,35 @@ def test_reciprocal_rank_fusion_hand_computed(spark):
         12: s(3) + s(1),
         13: s(3),
     }
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    """Hand vectors: A is most relevant, A2 is a near-copy of A with
+    slightly lower relevance, B/C are orthogonal-ish but less relevant.
+    Pure relevance ranks A, A2, B...; MMR at lambda=0.7 must pick A
+    first and then prefer B/C over the redundant A2."""
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),          # A: rel 1.0
+        (2, [0.999, 0.04, 0.0, 0.0]),       # A2: near-copy, rel ~0.999
+        (3, [0.6, 0.8, 0.0, 0.0]),          # B: rel 0.6, diverse
+        (4, [0.5, 0.0, 0.86, 0.0]),         # C: rel ~0.5, diverse
+        (5, None),                           # NULL vec -> excluded
+        (6, [0.0, 0.0, 0.0, 0.0]),           # zero norm -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [
+        tuple(r)
+        for r in mmr_rerank(
+            df, [1.0, 0.0, 0.0, 0.0], k=3, pool=4, lam_permille=400
+        ).collect()
+    ]
+    order = [r[0] for r in sorted(out, key=lambda r: r[2])]
+    assert order[0] == 1            # pure relevance first
+    assert order[1] in (3, 4)       # diversity beats the near-copy
+    assert 2 not in order[:2]
+    ranks = [r[2] for r in out]
+    assert sorted(ranks) == [1, 2, 3]
