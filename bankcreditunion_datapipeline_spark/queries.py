@@ -10582,3 +10582,108 @@ def q189_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (r8): q100 credits the single LAST touch;
+# linear attribution splits each purchase's value across EVERY touch in
+# the lookback window -- the marketing-analytics shape that needs a
+# purchase x touch range join (a touch may serve several purchases, a
+# purchase several touches).  Credit stays integer: cents div n per
+# touch with the remainder assigned to the LAST touch (ts, event_id
+# tiebreak), so per-purchase credits sum EXACTLY to the purchase cents.
+# Range pairing reuses range_join_buckets (bucket blocking, no
+# all-pairs join).
+# ---------------------------------------------------------------------------
+_Q190_WINDOW_S = 3600
+
+
+def _q190_oracle(w: int = _Q190_WINDOW_S) -> str:
+    return f"""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts IS NOT NULL AND user_id IS NOT NULL),
+    tc AS (
+      SELECT user_id, event_id AS tid, ts AS tts, event_type AS ttype
+      FROM events
+      WHERE event_type IN ('view', 'click')
+        AND ts IS NOT NULL AND user_id IS NOT NULL),
+    pr AS (
+      SELECT p.pid, p.cents, tc.tid, tc.ttype, tc.tts
+      FROM p JOIN tc ON p.user_id = tc.user_id
+       AND abs(date_diff('second', date_trunc('second', p.pts),
+                         date_trunc('second', tc.tts))) <= {w}
+       AND date_trunc('second', tc.tts) <= date_trunc('second', p.pts)),
+    cr AS (
+      SELECT pid, cents, ttype,
+             count(*) OVER (PARTITION BY pid) AS n,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY tts DESC, tid DESC) AS rn
+      FROM pr)
+    SELECT ttype AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_credited,
+           CAST(sum(cents // n
+                    + CASE WHEN rn = 1 THEN cents % n ELSE 0 END) AS BIGINT)
+             AS credited_cents
+    FROM cr GROUP BY ttype
+    """
+
+
+@register(
+    "q190_multitouch_attribution",
+    _q190_oracle(),
+    doc="linear multi-touch attribution via range_join_buckets "
+    "(operators/temporal.py): purchases pair with every view/click of "
+    "the same user in the 1h lookback (bucket-blocked equi-join + "
+    "exact second-truncated re-filter, never all-pairs), then credit "
+    "= cents div n per touch with the remainder to the LAST touch "
+    "(ts, event_id tiebreak) -- per-purchase credits sum EXACTLY to "
+    "the purchase cents, and the rollup is pure integer. q100 is the "
+    "last-touch special case. Scale: replication factor "
+    "2*ceil(w/b)+1 = 3x on the touch side; windows partition by "
+    "purchase id.",
+)
+def q190_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.temporal import range_join_buckets
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tc = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ttype"),
+    )
+    pairs = range_join_buckets(
+        p, tc, "pts", "tts", window_seconds=_Q190_WINDOW_S,
+        key_cols=["user_id"],
+    ).filter(
+        F.unix_timestamp("tts") <= F.unix_timestamp("pts")
+    )
+    wn = Window.partitionBy("pid")
+    wo = Window.partitionBy("pid").orderBy(F.desc("tts"), F.desc("tid"))
+    cr = pairs.withColumn("n", F.count(F.lit(1)).over(wn)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    return cr.groupBy(F.col("ttype").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_credited"),
+        F.sum(
+            F.expr("cents div n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END")
+        )
+        .cast("long")
+        .alias("credited_cents"),
+    )
