@@ -112,3 +112,106 @@ def drift_alerts(
         .agg(F.round(F.sum("psi_term_t"), 6).alias("psi_t"))
         .withColumn("drifted", F.col("psi_t") >= F.lit(threshold))
     )
+
+
+def ks_statistic(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the empirical
+    distributions of an INTEGER value column (callers pre-scale floats
+    to cents/micros -- the repo-wide integer-lane discipline), the
+    rank-based complement to `psi_terms`' binned divergence: KS needs no
+    binning choice and catches shape shifts PSI's categories smooth over.
+
+    D = max over the union support of |F_left(v) - F_right(v)|, computed
+    exactly in integers: with per-value counts c_l, c_r and totals
+    n_l, n_r, the sup runs over cross-multiplied cumulative counts
+    |cum_l * n_r - cum_r * n_l| so no division happens until the single
+    final `ks_e6 = max_diff * 1e6 div (n_l * n_r)` (divide-last keeps
+    the lane exact up to ~9e18 / (n_l*n_r) -- fail-loud guarded).
+
+    Output: one row per group -- (group..., n_left, n_right, ks_e6,
+    ks_at) where ks_at is the SMALLEST value achieving the sup (ties
+    broken low, engine-portable).
+
+    Scale: both inputs first collapse to per-(group, value) counts
+    (map-side partial aggregation), so the cumulative sweep runs over
+    the DISTINCT-value table, not the raw rows. The sweep window
+    partitions by group; for the global (group_cols=None) case it is a
+    single-partition sort over |support| rows -- bound the support
+    first for unbounded domains (pre-bucket through log_histogram /
+    equi-depth boundaries, the sketch-then-compare monitoring split).
+    """
+    group_cols = list(group_cols or [])
+    gv = [*group_cols, value_col]
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(*gv).agg(F.count(F.lit(1)).alias(out))
+
+    both = (
+        counts(left, "__cl")
+        .join(counts(right, "__cr"), gv, "full")
+        .select(
+            *group_cols,
+            value_col,
+            F.coalesce("__cl", F.lit(0)).cast("long").alias("__cl"),
+            F.coalesce("__cr", F.lit(0)).cast("long").alias("__cr"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    cum = both.select(
+        *group_cols,
+        value_col,
+        F.sum("__cl").over(w).alias("__al"),
+        F.sum("__cr").over(w).alias("__ar"),
+    )
+    wg = Window.partitionBy(*group_cols)
+    tot = cum.select(
+        *group_cols,
+        value_col,
+        "__al",
+        "__ar",
+        F.max("__al").over(wg).alias("__nl"),
+        F.max("__ar").over(wg).alias("__nr"),
+    )
+    # |cum_l * n_r - cum_r * n_l| stays < n_l * n_r <= 9.2e18 only while
+    # n_l * n_r fits BIGINT: fail loud past the lane instead of wrapping.
+    guard = F.when(
+        (F.col("__nl") > 0)
+        & (F.col("__nr") > 0)
+        & (F.col("__nr") <= F.expr("9223372036854775807 div __nl")),
+        F.abs(F.col("__al") * F.col("__nr") - F.col("__ar") * F.col("__nl")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "ks_statistic: empty side or n_left*n_right exceeds the "
+                "BIGINT cross-multiplication lane; pre-bucket the values "
+                "(log_histogram / equi-depth) to shrink the support"
+            )
+        )
+    )
+    diffed = tot.select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("__v"),
+        guard.alias("__d"),
+        "__nl",
+        "__nr",
+    )
+    # argmax with ties broken to the SMALLEST value: max(struct(d, -v)).
+    agg = diffed.groupBy(*group_cols).agg(
+        F.max("__nl").alias("n_left"),
+        F.max("__nr").alias("n_right"),
+        F.max(F.struct(F.col("__d"), (-F.col("__v")).alias("__nv"))).alias(
+            "__best"
+        ),
+    )
+    return agg.select(
+        *group_cols,
+        "n_left",
+        "n_right",
+        F.expr("__best.__d * 1000000 div (n_left * n_right)").alias("ks_e6"),
+        (-F.col("__best.__nv")).alias("ks_at"),
+    )

@@ -482,3 +482,49 @@ def bucket_checksums(
             F.expr("bit_xor(__d)").alias("xs"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition table over per-key ordered event
+    sequences: one row per observed (prev_state, next_state) with its
+    count and integer-permille transition probability.
+
+    `order_cols` must be a deterministic total order within each key
+    (ts alone ties under second-resolution data -- append the event id,
+    the q190 tiebreak discipline); rows with a NULL key or NULL order
+    column are the caller's job to filter, visibly, in the query.
+
+    permille = n * 1000 div n_from (floor, repo division discipline), so
+    a state's out-permilles sum to <= 1000 with the deficit carried by
+    truncation -- documented, not redistributed (callers needing exact
+    re-allocation compose `proportional_allocation`).
+
+    Scale: one shuffle for the per-key sequence window (partitioned by
+    key -- sequences never cross partitions), one map-side-combining
+    groupBy over (prev, next) pairs whose cardinality is |states|^2, a
+    dim. The permille join is a broadcast of per-prev totals.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("next_state"),
+            F.lag(F.col(state_col)).over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = pairs.groupBy("prev_state").agg(
+        F.sum("n_trans").alias("__n_from")
+    )
+    return pairs.join(F.broadcast(totals), "prev_state").select(
+        "prev_state",
+        "next_state",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.expr("n_trans * 1000 div __n_from").alias("permille"),
+    )

@@ -10687,3 +10687,100 @@ def q190_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("credited_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transitions over user event streams: the behavioral
+# model a funnel (q151) summarizes -- which state follows which, with
+# integer-permille probabilities.
+# ---------------------------------------------------------------------------
+@register(
+    "q191_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    p AS (
+      SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+             event_type AS next_state
+      FROM s),
+    c AS (
+      SELECT prev_state, next_state, count(*) AS n_trans
+      FROM p WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_state, next_state, CAST(n_trans AS BIGINT) AS n_trans,
+           CAST(n_trans * 1000 //
+                sum(n_trans) OVER (PARTITION BY prev_state) AS BIGINT)
+             AS permille
+    FROM c
+    """,
+    doc="first-order Markov transition matrix via transition_matrix "
+    "(operators/temporal.py): per-user lag window (ts, event_id total "
+    "order) -> (prev, next) counts -> permille = n*1000 div n_from. "
+    "One key-partitioned window shuffle + one |states|^2 aggregate; "
+    "per-prev totals broadcast.",
+)
+def q191_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import transition_matrix
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return transition_matrix(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS distance: exact integer sup over cross-multiplied CDFs.
+# Complements PSI (q135): no binning choice, catches shape shifts.
+# ---------------------------------------------------------------------------
+@register(
+    "q192_ks_price_drift",
+    """
+    WITH l AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL),
+    r AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+      WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL),
+    cl AS (SELECT v, count(*) AS c FROM l GROUP BY v),
+    cr AS (SELECT v, count(*) AS c FROM r GROUP BY v),
+    u AS (
+      SELECT coalesce(cl.v, cr.v) AS v,
+             coalesce(cl.c, 0) AS c_l, coalesce(cr.c, 0) AS c_r
+      FROM cl FULL JOIN cr ON cl.v = cr.v),
+    cum AS (
+      SELECT v, sum(c_l) OVER (ORDER BY v) AS al,
+                sum(c_r) OVER (ORDER BY v) AS ar
+      FROM u),
+    d AS (
+      SELECT v, abs(al * (SELECT count(*) FROM r)
+                  - ar * (SELECT count(*) FROM l)) AS d
+      FROM cum),
+    best AS (SELECT v, d FROM d ORDER BY d DESC, v ASC LIMIT 1)
+    SELECT CAST((SELECT count(*) FROM l) AS BIGINT) AS n_left,
+           CAST((SELECT count(*) FROM r) AS BIGINT) AS n_right,
+           CAST((SELECT d FROM best) * 1000000 //
+                ((SELECT count(*) FROM l) * (SELECT count(*) FROM r))
+             AS BIGINT) AS ks_e6,
+           CAST((SELECT v FROM best) AS BIGINT) AS ks_at
+    """,
+    doc="two-sample Kolmogorov-Smirnov via ks_statistic "
+    "(operators/drift.py): per-value counts (map-side combine) -> "
+    "cumulative sweep over the DISTINCT-value support -> exact integer "
+    "sup |cum_l*n_r - cum_r*n_l|, divide-last ks_e6, smallest-value "
+    "tiebreak. BIGINT overflow fail-loud guarded; unbounded supports "
+    "pre-bucket through the q176/q181 sketches.",
+)
+def q192_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.drift import ks_statistic
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    cents = F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select(cents)
+    right = o.filter(F.col("o_orderpriority") == "5-LOW").select(cents)
+    return ks_statistic(left, right, "v")
