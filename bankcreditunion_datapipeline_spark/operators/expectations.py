@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def check_expectations(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
@@ -84,3 +85,75 @@ def quarantine_violations(
         ),
     )
     return tagged.filter(F.col(out) != "")
+
+
+# Benford first-digit reference, permille, digits 1..9: round(log10(1+1/d)
+# * 1000). Baked as integer literals so NEITHER engine evaluates a float
+# log -- the constants ARE the contract (they sum to 1000).
+BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58,
+                    8: 51, 9: 46}
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit profile of a POSITIVE integer column
+    against Benford's law -- the classic anomaly screen for financial
+    amounts (fabricated figures over-sample mid digits).
+
+    Callers declare the positive domain visibly in the query filter
+    (repo domain discipline); this operator still fail-louds on v <= 0
+    rather than folding sign bits into digits. First digit comes from
+    the decimal string head -- engine-portable, no float log10.
+
+    Output: one row per (group..., digit 1..9), scaffolded so missing
+    digits surface with n = 0 -- (group..., digit, n, obs_permille,
+    exp_permille, dev_permille). obs_permille = n * 1000 div n_group
+    (floor); dev = |obs - exp|.
+
+    Scale: one map-side-combining groupBy to (group, digit) counts --
+    9 x |groups| rows -- then a broadcast scaffold join. Nothing after
+    the first aggregate sees data-sized input.
+    """
+    group_cols = list(group_cols or [])
+    digit = F.when(
+        F.col(value_col) > 0,
+        F.substring(F.col(value_col).cast("string"), 1, 1).cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "benford_profile: non-positive value; filter the domain "
+                "visibly in the query (v > 0) before profiling"
+            )
+        )
+    )
+    counts = df.select(*group_cols, digit.alias("digit")).groupBy(
+        *group_cols, "digit"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    exp = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PERMILLE.items() for x in kv]
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    if group_cols:
+        scaffold = counts.select(*group_cols).distinct().crossJoin(
+            F.broadcast(digits)
+        )
+    else:
+        scaffold = digits
+    keys = [*group_cols, "digit"]
+    full = scaffold.join(counts, keys, "left").select(
+        *keys, F.coalesce("__n", F.lit(0)).cast("long").alias("n")
+    )
+    wg = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    out = full.withColumn("__tot", F.sum("n").over(wg)).select(
+        *keys,
+        "n",
+        F.expr("n * 1000 div __tot").alias("obs_permille"),
+        exp[F.col("digit")].cast("long").alias("exp_permille"),
+    )
+    return out.withColumn(
+        "dev_permille", F.abs(F.col("obs_permille") - F.col("exp_permille"))
+    )

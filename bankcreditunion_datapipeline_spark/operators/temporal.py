@@ -528,3 +528,56 @@ def transition_matrix(
         F.col("n_trans").cast("long").alias("n_trans"),
         F.expr("n_trans * 1000 div __n_from").alias("permille"),
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted mean of a step function: each row's INTEGER value
+    holds from its timestamp until the key's next observation; the mean
+    weights each value by its holding duration in whole seconds --
+    the interval-correct average an unweighted avg() gets wrong whenever
+    observations are irregular (the account-balance / exposure shape).
+
+    Window spans [first_ts, last_ts] per key: the final observation has
+    zero holding time and contributes nothing (it opens the NEXT
+    window); keys with a single observation have an empty span and are
+    omitted. Timestamps truncate to seconds on both sides of the
+    difference (the q190 second-resolution contract). `order_tiebreak`
+    columns break equal-timestamp ties deterministically.
+
+    Output: (key, span_s, twm) with twm = sum(value * dur) div sum(dur)
+    -- floor division, integer end-to-end (value * dur <= 9e18 is the
+    caller's lane budget: cents x seconds spans ~3e14 at century scale).
+
+    Scale: one shuffle -- the per-key lead() window -- then a map-side
+    combining groupBy on the same key (AQE reuses the partitioning).
+    """
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    dur = (
+        F.unix_timestamp(F.lead(ts_col).over(w))
+        - F.unix_timestamp(F.col(ts_col))
+    ).cast("long")
+    stepped = df.select(
+        F.col(key_col),
+        F.col(value_col).alias("__v"),
+        dur.alias("__dur"),
+    ).filter(F.col("__dur").isNotNull())
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.sum("__dur").cast("long").alias("span_s"),
+            F.sum(F.col("__v") * F.col("__dur")).cast("long").alias("__num"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            key_col,
+            "span_s",
+            F.expr("__num div span_s").alias("twm"),
+        )
+    )

@@ -10784,3 +10784,119 @@ def q192_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = o.filter(F.col("o_orderpriority") == "1-URGENT").select(cents)
     right = o.filter(F.col("o_orderpriority") == "5-LOW").select(cents)
     return ks_statistic(left, right, "v")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen over order amounts: the financial-forensics
+# expectation check. Reference permilles are integer literals in BOTH
+# twins (round(log10(1+1/d)*1000), summing to 1000) -- no float log in
+# either engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q193_benford_amounts",
+    """
+    WITH ref(digit, exp_permille) AS (VALUES
+      (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+      (6, 67), (7, 58), (8, 51), (9, 46)),
+    v AS (
+      SELECT o_orderpriority,
+             CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND round(o_totalprice * 100) > 0),
+    c AS (
+      SELECT o_orderpriority, digit, count(*) AS n
+      FROM v GROUP BY 1, 2),
+    sc AS (
+      SELECT g.o_orderpriority, ref.digit, ref.exp_permille,
+             coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT o_orderpriority FROM c) g
+      CROSS JOIN ref
+      LEFT JOIN c ON c.o_orderpriority = g.o_orderpriority
+                 AND c.digit = ref.digit)
+    SELECT o_orderpriority, CAST(digit AS INTEGER) AS digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * 1000 //
+                sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+             AS obs_permille,
+           CAST(exp_permille AS BIGINT) AS exp_permille,
+           CAST(abs(n * 1000 // sum(n) OVER (PARTITION BY o_orderpriority)
+                    - exp_permille) AS BIGINT) AS dev_permille
+    FROM sc
+    """,
+    doc="Benford first-digit profile via benford_profile "
+    "(operators/expectations.py): positive-cents domain declared in the "
+    "query filter, decimal-string head digit (no float log10), per-"
+    "priority scaffold so absent digits surface with n=0. One 9x|groups| "
+    "aggregate; everything downstream is dim-sized.",
+)
+def q193_benford_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import benford_profile
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & (F.round(F.col("o_totalprice") * 100) > 0)
+    )
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return benford_profile(cents, "cents", group_cols=["o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted mean of a step function: per-user purchase-value exposure
+# held until the next purchase -- the interval-correct average that a
+# plain avg() misstates under irregular observation.
+# ---------------------------------------------------------------------------
+@register(
+    "q194_time_weighted_exposure",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts IS NOT NULL AND user_id IS NOT NULL),
+    s AS (
+      SELECT user_id, cents,
+             date_diff('second', date_trunc('second', ts),
+                       date_trunc('second',
+                                  lead(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)))
+               AS dur
+      FROM p),
+    a AS (
+      SELECT user_id, sum(dur) AS span_s, sum(cents * dur) AS num
+      FROM s WHERE dur IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(span_s AS BIGINT) AS span_s,
+           CAST(num // span_s AS BIGINT) AS twm
+    FROM a WHERE span_s > 0
+    """,
+    doc="time-weighted mean via time_weighted_mean "
+    "(operators/temporal.py): per-user lead() step durations in whole "
+    "seconds (q190 second-truncation contract, event_id tiebreak), "
+    "twm = sum(cents*dur) div sum(dur) integer end-to-end. One window "
+    "shuffle; the groupBy reuses the key partitioning.",
+)
+def q194_time_weighted_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import time_weighted_mean
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return time_weighted_mean(
+        p, "user_id", "ts", "cents", order_tiebreak=["event_id"]
+    )
