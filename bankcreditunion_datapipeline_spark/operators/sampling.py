@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 16^4 four-hex-digit buckets
 _BUCKETS = 65536
@@ -315,3 +316,74 @@ def weighted_sample_keys(
     return df.filter(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("__es_key", F.log(u) / F.col(weight_col))
+
+
+def proportional_allocation(
+    counts: DataFrame,
+    group_cols: list[str],
+    n_col: str,
+    total: int,
+    out: str = "alloc",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    quota `total` across groups proportionally to `counts[n_col]` so the
+    allocations are integers that sum EXACTLY to `total` -- the quota
+    planner `mixture_weights` ratios feed when a run needs hard slot
+    counts (shard budgets, sampling quotas) instead of permille weights.
+
+    floor_share = n * total div grand; the `total - sum(floor_share)`
+    leftover slots (< |groups|) go one each to the largest remainders
+    `n * total mod grand`, ties broken by the group columns ascending --
+    fully deterministic, integer end-to-end. Groups with n = 0 get 0.
+
+    Lane: n * total must fit BIGINT -- fail-loud guarded (the repo's
+    divide-first split does not apply: the remainder ORDER matters, so
+    the product must be formed).
+
+    Scale: `counts` is already an aggregate (dim-sized |groups| rows);
+    grand total broadcast-joins back and the remainder ranking is a
+    single-partition window over |groups| -- allocation is a planner,
+    never data-sized.
+    """
+    grand = counts.agg(F.sum(n_col).cast("long").alias("__grand"))
+    guarded = counts.crossJoin(F.broadcast(grand)).select(
+        *group_cols,
+        F.col(n_col).cast("long").alias("__n"),
+        "__grand",
+        F.when(
+            (F.col("__grand") > 0)
+            & (
+                F.col(n_col).cast("long")
+                <= F.expr(f"9223372036854775807 div {int(total)}")
+            ),
+            F.expr(f"CAST({n_col} AS BIGINT) * {int(total)} div __grand"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "proportional_allocation: empty counts or n * total "
+                    "exceeds the BIGINT lane; shrink total or pre-scale "
+                    "the counts"
+                )
+            )
+        )
+        .alias("__floor"),
+        F.expr(f"CAST({n_col} AS BIGINT) * {int(total)} % __grand").alias(
+            "__rem"
+        ),
+    )
+    wr = Window.orderBy(
+        F.desc("__rem"), *[F.asc(c) for c in group_cols]
+    )
+    wall = Window.partitionBy()
+    ranked = guarded.withColumn("__rn", F.row_number().over(wr)).withColumn(
+        "__leftover", F.lit(int(total)) - F.sum("__floor").over(wall)
+    )
+    return ranked.select(
+        *group_cols,
+        F.col("__n").alias(n_col),
+        (
+            F.col("__floor")
+            + F.when(F.col("__rn") <= F.col("__leftover"), 1).otherwise(0)
+        ).alias(out),
+    )

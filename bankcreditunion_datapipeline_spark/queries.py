@@ -10900,3 +10900,56 @@ def q194_time_weighted_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_mean(
         p, "user_id", "ts", "cents", order_tiebreak=["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota planning: integer slot allocation across
+# (source, lang) strata that sums EXACTLY to the quota -- the hard-count
+# companion to q78's mixture permilles.
+# ---------------------------------------------------------------------------
+_Q195_TOTAL = 100_000
+
+
+@register(
+    "q195_training_quota_allocation",
+    f"""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2),
+    g AS (SELECT sum(n) AS grand FROM c),
+    f AS (
+      SELECT source, lang, n,
+             n * {_Q195_TOTAL} // grand AS fl,
+             n * {_Q195_TOTAL} % grand AS rem
+      FROM c, g),
+    l AS (SELECT {_Q195_TOTAL} - sum(fl) AS leftover FROM f),
+    r AS (
+      SELECT *, row_number() OVER (
+               ORDER BY rem DESC, source ASC, lang ASC) AS rn
+      FROM f)
+    SELECT source, lang, CAST(n AS BIGINT) AS n,
+           CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r, l
+    """,
+    doc="Hamilton largest-remainder apportionment via "
+    "proportional_allocation (operators/sampling.py): floor shares + "
+    "remainder-ranked leftovers, allocations sum exactly to the quota, "
+    "ties broken on (source, lang) asc. Planner over the dim-sized "
+    "strata aggregate; BIGINT product fail-loud guarded.",
+)
+def q195_training_quota_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sampling import proportional_allocation
+
+    c = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return proportional_allocation(
+        c, ["source", "lang"], "n", _Q195_TOTAL
+    )
