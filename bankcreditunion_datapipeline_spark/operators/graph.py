@@ -390,3 +390,66 @@ def k_core(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def adamic_adar_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pair_rows: int = 5_000_000,
+) -> DataFrame:
+    """Adamic-Adar link prediction over a bipartite edge set: score every
+    src pair that shares at least one dst neighbor by
+    sum over shared dst of floor(1e6 / ln(deg(dst))) -- rare shared
+    neighbors count more (the 1/log-degree damping), in the repo's
+    integer-micro lane so the per-pair sum is order-independent and
+    value-hash verifiable. ln runs over an integer-derived double
+    (SCALE.md log discipline); dst nodes of degree 1 join no pair and
+    degree >= 2 keeps ln positive.
+
+    Pair generation is a per-dst self-join -- quadratic in hub degree --
+    so `attach_pair_budget` (operators/dedup.py) rides the DISTINCT
+    edge table with the exact sum(d*(d-1)/2) total and aborts at
+    execution time past `max_pair_rows` instead of materializing a hub
+    explosion; prune hot dsts (or cap degree) upstream and the budget
+    documents that decision.
+
+    Output: (src_a, src_b, shared, aa_e6) with src_a < src_b.
+
+    Scale: distinct + degree are map-side-combining aggregates on dst;
+    the self-join shuffles both sides on dst (co-partitioned, no
+    broadcast of data-sized input); the final (src_a, src_b) aggregate
+    is the pair table itself -- which is exactly what the budget bounds.
+    """
+    from .dedup import attach_pair_budget
+
+    e = edges.select(src, dst).distinct()
+    deg = e.groupBy(dst).agg(F.count(F.lit(1)).alias("__deg"))
+    ed = e.join(deg, dst).filter(F.col("__deg") >= 2)
+    ed = attach_pair_budget(
+        ed,
+        deg.filter(F.col("__deg") >= 2),
+        "__deg",
+        max_pair_rows,
+        "adamic_adar_pairs: shared-neighbor pair total exceeds budget; "
+        "cap hub dst degree upstream or raise max_pair_rows",
+    )
+    w_dst = deg.filter(F.col("__deg") >= 2).select(
+        dst,
+        F.floor(F.lit(1_000_000) / F.log(F.col("__deg").cast("double")))
+        .cast("long")
+        .alias("__w"),
+    )
+    a = ed.select(F.col(dst).alias("__d"), F.col(src).alias("src_a"))
+    b = e.select(F.col(dst).alias("__d"), F.col(src).alias("src_b"))
+    pairs = a.join(b, "__d").filter(F.col("src_a") < F.col("src_b"))
+    return (
+        pairs.join(
+            w_dst.withColumnRenamed(dst, "__d"), "__d"
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.sum("__w").cast("long").alias("aa_e6"),
+        )
+    )

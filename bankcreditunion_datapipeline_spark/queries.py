@@ -10953,3 +10953,59 @@ def q195_training_quota_allocation(
     return proportional_allocation(
         c, ["source", "lang"], "n", _Q195_TOTAL
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the 1997 customer-supplier bipartite
+# graph: which customer pairs share rare suppliers (high-quantity lanes)?
+# ---------------------------------------------------------------------------
+@register(
+    "q196_adamic_adar_links",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997 AND l_quantity >= 45
+        AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+    w AS (
+      SELECT s, CAST(floor(1000000 / ln(d)) AS BIGINT) AS w
+      FROM deg WHERE d >= 2),
+    p AS (
+      SELECT a.c AS src_a, b.c AS src_b, w.w
+      FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+      JOIN w ON w.s = a.s),
+    g AS (
+      SELECT src_a, src_b, count(*) AS shared, sum(w) AS aa_e6
+      FROM p GROUP BY 1, 2)
+    SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+           CAST(aa_e6 AS BIGINT) AS aa_e6
+    FROM g ORDER BY aa_e6 DESC, src_a ASC, src_b ASC LIMIT 50
+    """,
+    doc="Adamic-Adar link prediction via adamic_adar_pairs "
+    "(operators/graph.py): per-supplier 1/ln(degree) in integer micros "
+    "(order-independent sums), src<src pair join co-partitioned on the "
+    "shared neighbor, attach_pair_budget bounds the exact "
+    "sum(d*(d-1)/2) pair total at execution time. Deterministic top-50 "
+    "(aa_e6 desc, pair asc).",
+)
+def q196_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import adamic_adar_pairs
+
+    o = t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1997) & F.col("o_custkey").isNotNull()
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 45) & F.col("l_suppkey").isNotNull()
+    )
+    edges = (
+        o.withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+    )
+    scored = adamic_adar_pairs(edges, max_pair_rows=5_000_000)
+    return scored.orderBy(
+        F.desc("aa_e6"), F.asc("src_a"), F.asc("src_b")
+    ).limit(50)
