@@ -612,3 +612,91 @@ def chunk_documents(
         F.size("__chunk").cast("long").alias("n_tok"),
         F.array_join("__chunk", " ").alias("chunk_text"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_tenths: int = 12,
+    b_percent: int = 75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set,
+    in an integer lane so per-document term sums are order-independent
+    and oracle-verifiable (the ranked-retrieval upgrade of q132's
+    TF-IDF: saturating tf and length normalization).
+
+    Parameters are rationals (k1 = k1_tenths/10, b = b_percent/100) so
+    the classic score clears denominators exactly: with integer
+    idf_e6 = floor(1e6 * ln((2N - 2df + 1) / (2df + 1)))    [the BM25+
+    -style positive idf; ln over an integer-derived double ratio,
+    SCALE.md log discipline] the per-(doc, term) contribution is
+
+      idf_e6 * tf * (10 + k1_tenths) * 100 * avgdl
+        div (1000 * tf * avgdl
+             + k1_tenths * ((100 - b_percent) * avgdl + b_percent * dl))
+
+    with avgdl = total_tokens div N (floor, declared). Lane budget:
+    idf_e6 (~2e7 at web scale) * tf * 2200 * avgdl must fit BIGINT --
+    holds to avgdl ~ 1e4 and tf ~ 1e3; longer docs pre-chunk (q180).
+
+    Output: one row per document with >= 1 matching term --
+    (id_col, n_terms, bm25_u). NULL text never matches (no row).
+
+    Scale: tokens explode map-side and immediately filter to the query
+    terms (the stream that shuffles is matches-only); df and corpus
+    stats are term-count / 1-row broadcasts; the per-doc dl table joins
+    the tf table on id -- both are doc-sized aggregates co-partitioned
+    on the same key.
+    """
+    terms = [str(w) for w in query_terms]
+    d = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("__dl"),
+        F.col(text_col).alias("__text"),
+    ).filter(F.col("__text").isNotNull())
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.expr("sum(__dl) div count(1)").alias("__avgdl"),
+    )
+    tf = (
+        d.select(
+            id_col, F.explode(F.split(F.col("__text"), " ")).alias("__w")
+        )
+        .filter(F.col("__w").isin(terms))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__w").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "__w",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (2 * F.col("__n") - 2 * F.col("__df") + 1)
+                    / (2 * F.col("__df") + 1).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("__idf_e6"),
+            "__avgdl",
+        )
+    )
+    k1, b = int(k1_tenths), int(b_percent)
+    contrib = F.expr(
+        f"__idf_e6 * __tf * {(10 + k1) * 100} * __avgdl div "
+        f"(1000 * __tf * __avgdl + {k1} * "
+        f"(({100 - b}) * __avgdl + {b} * __dl))"
+    )
+    return (
+        tf.join(d.select(id_col, "__dl"), id_col)
+        .join(F.broadcast(idf), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(contrib).cast("long").alias("bm25_u"),
+        )
+    )

@@ -11009,3 +11009,56 @@ def q196_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("aa_e6"), F.asc("src_a"), F.asc("src_b")
     ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval: saturating-tf, length-normalized relevance in an
+# integer lane -- the retrieval upgrade of q132's TF-IDF.
+# ---------------------------------------------------------------------------
+_Q197_TERMS = ("spark", "join", "stream")
+
+
+@register(
+    "q197_bm25_retrieval",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS dl, text
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM d),
+    tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM d),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+    dfreq AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
+    idf AS (
+      SELECT w,
+             CAST(floor(1000000 * ln(
+               (2 * st.n - 2 * dfc + 1) / CAST(2 * dfc + 1 AS DOUBLE)))
+               AS BIGINT) AS idf_e6,
+             st.avgdl
+      FROM dfreq, st),
+    sc AS (
+      SELECT tf.doc_id,
+             idf_e6 * tf * 2200 * avgdl //
+               (1000 * tf * avgdl + 12 * (25 * avgdl + 75 * d.dl))
+               AS c
+      FROM tf JOIN d ON tf.doc_id = d.doc_id JOIN idf ON idf.w = tf.w)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(c) AS BIGINT) AS bm25_u
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25_u DESC, doc_id ASC LIMIT 50
+    """,
+    doc="Okapi BM25 via bm25_scores (operators/text.py): integer lane "
+    "with rational k1=1.2, b=0.75 cleared exactly; idf_e6 = floor(1e6 * "
+    "ln((2N-2df+1)/(2df+1))) over an integer-derived double. Token "
+    "stream filters to the query terms BEFORE any shuffle; df/stats are "
+    "broadcasts; deterministic top-50 (score desc, doc_id asc).",
+)
+def q197_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bm25_scores
+
+    docs = t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(_Q197_TERMS))
+    return scored.orderBy(F.desc("bm25_u"), F.asc("doc_id")).limit(50)
