@@ -629,9 +629,11 @@ def bm25_scores(
 
     Parameters are rationals (k1 = k1_tenths/10, b = b_percent/100) so
     the classic score clears denominators exactly: with integer
-    idf_e6 = floor(1e6 * ln((2N - 2df + 1) / (2df + 1)))    [the BM25+
-    -style positive idf; ln over an integer-derived double ratio,
-    SCALE.md log discipline] the per-(doc, term) contribution is
+    idf_e6 = floor(1e6 * ln((2N + 2) / (2df + 1)))    [the Lucene/BM25+
+    positive idf ln((N+1)/(df+0.5)) -- strictly > 0 even at df = N,
+    where the raw Robertson idf goes negative; ln over an
+    integer-derived double ratio, SCALE.md log discipline]
+    the per-(doc, term) contribution is
 
       idf_e6 * tf * (10 + k1_tenths) * 100 * avgdl
         div (1000 * tf * avgdl
@@ -676,7 +678,7 @@ def bm25_scores(
             F.floor(
                 F.lit(1_000_000.0)
                 * F.log(
-                    (2 * F.col("__n") - 2 * F.col("__df") + 1)
+                    (2 * F.col("__n") + 2)
                     / (2 * F.col("__df") + 1).cast("double")
                 )
             )

@@ -11035,7 +11035,7 @@ _Q197_TERMS = ("spark", "join", "stream")
     idf AS (
       SELECT w,
              CAST(floor(1000000 * ln(
-               (2 * st.n - 2 * dfc + 1) / CAST(2 * dfc + 1 AS DOUBLE)))
+               (2 * st.n + 2) / CAST(2 * dfc + 1 AS DOUBLE)))
                AS BIGINT) AS idf_e6,
              st.avgdl
       FROM dfreq, st),
@@ -11052,7 +11052,8 @@ _Q197_TERMS = ("spark", "join", "stream")
     """,
     doc="Okapi BM25 via bm25_scores (operators/text.py): integer lane "
     "with rational k1=1.2, b=0.75 cleared exactly; idf_e6 = floor(1e6 * "
-    "ln((2N-2df+1)/(2df+1))) over an integer-derived double. Token "
+    "ln((2N+2)/(2df+1))) (positive Lucene idf) over an integer-derived "
+    "double. Token "
     "stream filters to the query terms BEFORE any shuffle; df/stats are "
     "broadcasts; deterministic top-50 (score desc, doc_id asc).",
 )

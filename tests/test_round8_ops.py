@@ -1,0 +1,275 @@
+"""Unit tests for the round-8 second-wave operators: transition matrix,
+KS distance, Benford profile, time-weighted mean, largest-remainder
+allocation, Adamic-Adar, BM25. Each is checked against a hand-computed
+ground truth small enough to verify by eye (the oracle gate covers the
+testdata-scale behavior; these pin the edge semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bankcreditunion_datapipeline_spark.operators.drift import ks_statistic
+from bankcreditunion_datapipeline_spark.operators.expectations import (
+    benford_profile,
+)
+from bankcreditunion_datapipeline_spark.operators.graph import (
+    adamic_adar_pairs,
+)
+from bankcreditunion_datapipeline_spark.operators.sampling import (
+    proportional_allocation,
+)
+from bankcreditunion_datapipeline_spark.operators.temporal import (
+    time_weighted_mean,
+    transition_matrix,
+)
+from bankcreditunion_datapipeline_spark.operators.text import bm25_scores
+
+
+def _ts(minutes):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minutes)
+
+
+# -- transition_matrix ------------------------------------------------------
+
+
+def test_transition_matrix_counts_and_permille(spark):
+    rows = [
+        (1, _ts(0), 10, "a"),
+        (1, _ts(1), 11, "b"),
+        (1, _ts(2), 12, "a"),
+        (2, _ts(0), 20, "a"),
+        (2, _ts(1), 21, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, s string"
+    )
+    out = {
+        (r.prev_state, r.next_state): (r.n_trans, r.permille)
+        for r in transition_matrix(df, "k", ["ts", "eid"], "s").collect()
+    }
+    # transitions: a->b (x2), b->a (x1); from 'a' total 2, from 'b' total 1
+    assert out == {("a", "b"): (2, 1000), ("b", "a"): (1, 1000)}
+
+
+def test_transition_matrix_tiebreak_on_equal_ts(spark):
+    # same timestamp: eid orders the sequence deterministically
+    rows = [(1, _ts(0), 2, "y"), (1, _ts(0), 1, "x")]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, s string"
+    )
+    out = transition_matrix(df, "k", ["ts", "eid"], "s").collect()
+    assert [(r.prev_state, r.next_state) for r in out] == [("x", "y")]
+
+
+# -- ks_statistic -----------------------------------------------------------
+
+
+def test_ks_identical_distributions_zero(spark):
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "v long")
+    out = ks_statistic(a, a, "v").collect()[0]
+    assert out.ks_e6 == 0 and out.n_left == 4 and out.n_right == 4
+
+
+def test_ks_disjoint_distributions_full(spark):
+    a = spark.createDataFrame([(1,), (2,)], "v long")
+    b = spark.createDataFrame([(10,), (11,)], "v long")
+    out = ks_statistic(a, b, "v").collect()[0]
+    # CDFs separate completely: D = 1 -> 1_000_000, at the left support max
+    assert out.ks_e6 == 1_000_000 and out.ks_at == 2
+
+
+def test_ks_hand_value_and_smallest_arg(spark):
+    # left {1,1,3}, right {1,3,3}: at v=1 |2*3-1*3|=3; at v=3 |3*3-3*3|=0
+    # D = 3/9 -> 333333, achieved first (and only) at v=1
+    a = spark.createDataFrame([(1,), (1,), (3,)], "v long")
+    b = spark.createDataFrame([(1,), (3,), (3,)], "v long")
+    out = ks_statistic(a, b, "v").collect()[0]
+    assert out.ks_e6 == 333_333 and out.ks_at == 1
+
+
+def test_ks_grouped(spark):
+    a = spark.createDataFrame([("g", 1), ("h", 1)], "g string, v long")
+    b = spark.createDataFrame([("g", 1), ("h", 9)], "g string, v long")
+    out = {
+        r.g: r.ks_e6
+        for r in ks_statistic(a, b, "v", group_cols=["g"]).collect()
+    }
+    assert out == {"g": 0, "h": 1_000_000}
+
+
+def test_ks_empty_side_raises(spark):
+    a = spark.createDataFrame([(1,)], "v long")
+    b = spark.createDataFrame([], "v long")
+    with pytest.raises(Exception, match="ks_statistic"):
+        ks_statistic(a, b, "v").collect()
+
+
+# -- benford_profile --------------------------------------------------------
+
+
+def test_benford_scaffold_and_permille(spark):
+    # 10 values, first digits: 1 x5, 2 x3, 9 x2; digits 3..8 scaffolded 0
+    vals = [1, 10, 19, 100, 150, 2, 25, 299, 9, 95]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1].n == 5 and out[1].obs_permille == 500
+    assert out[2].n == 3 and out[2].obs_permille == 300
+    assert out[9].n == 2 and out[9].obs_permille == 200
+    assert out[3].n == 0 and out[3].obs_permille == 0
+    # dev vs the baked constants
+    assert out[1].dev_permille == abs(500 - 301)
+    assert out[3].dev_permille == 125
+
+
+def test_benford_nonpositive_raises(spark):
+    df = spark.createDataFrame([(0,)], "v long")
+    with pytest.raises(Exception, match="benford_profile"):
+        benford_profile(df, "v").collect()
+
+
+# -- time_weighted_mean -----------------------------------------------------
+
+
+def test_twm_step_function(spark):
+    # value 100 held 60s, then 200 held 180s: twm = (100*60+200*180)/240
+    rows = [(1, _ts(0), 100), (1, _ts(1), 200), (1, _ts(4), 999)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    out = time_weighted_mean(df, "k", "ts", "v").collect()[0]
+    assert out.span_s == 240
+    assert out.twm == (100 * 60 + 200 * 180) // 240
+
+
+def test_twm_single_observation_omitted(spark):
+    df = spark.createDataFrame([(1, _ts(0), 5)], "k long, ts timestamp, v long")
+    assert time_weighted_mean(df, "k", "ts", "v").count() == 0
+
+
+def test_twm_zero_span_omitted(spark):
+    # two observations in the same second: span 0 -> no row (not a div0)
+    df = spark.createDataFrame(
+        [(1, _ts(0), 5, 1), (1, _ts(0), 7, 2)],
+        "k long, ts timestamp, v long, eid long",
+    )
+    assert (
+        time_weighted_mean(df, "k", "ts", "v", order_tiebreak=["eid"]).count()
+        == 0
+    )
+
+
+# -- proportional_allocation ------------------------------------------------
+
+
+def test_allocation_sums_exactly_and_ranks_remainders(spark):
+    # counts 5, 3, 1 over total 10: floors 5,3,1=9... grand=9:
+    # floor = n*10 div 9 -> 5,3,1; sum=9, leftover 1 -> largest rem
+    # rems: 5*10%9=5, 3*10%9=3, 1*10%9=1 -> extra goes to 'a'
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1)], "g string, n long"
+    )
+    out = {
+        r.g: r.alloc
+        for r in proportional_allocation(df, ["g"], "n", 10).collect()
+    }
+    assert out == {"a": 6, "b": 3, "c": 1}
+    assert sum(out.values()) == 10
+
+
+def test_allocation_tie_broken_by_group_asc(spark):
+    # equal counts, total not divisible: leftover goes to the LOWEST group
+    df = spark.createDataFrame(
+        [("b", 1), ("a", 1), ("c", 1)], "g string, n long"
+    )
+    out = {
+        r.g: r.alloc
+        for r in proportional_allocation(df, ["g"], "n", 4).collect()
+    }
+    assert out == {"a": 2, "b": 1, "c": 1}
+
+
+def test_allocation_zero_count_group(spark):
+    df = spark.createDataFrame([("a", 2), ("z", 0)], "g string, n long")
+    out = {
+        r.g: r.alloc
+        for r in proportional_allocation(df, ["g"], "n", 7).collect()
+    }
+    assert out == {"a": 7, "z": 0}
+
+
+# -- adamic_adar_pairs ------------------------------------------------------
+
+
+def test_adamic_adar_hand_graph(spark):
+    import math
+
+    # dst 10 shared by {1,2,3} (deg 3), dst 20 by {1,2} (deg 2),
+    # dst 30 only by {3} (deg 1 -> excluded)
+    edges = [(1, 10), (2, 10), (3, 10), (1, 20), (2, 20), (3, 30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        (r.src_a, r.src_b): (r.shared, r.aa_e6)
+        for r in adamic_adar_pairs(df).collect()
+    }
+    w3 = math.floor(1_000_000 / math.log(3))
+    w2 = math.floor(1_000_000 / math.log(2))
+    assert out[(1, 2)] == (2, w3 + w2)
+    assert out[(1, 3)] == (1, w3)
+    assert out[(2, 3)] == (1, w3)
+    assert len(out) == 3
+
+
+def test_adamic_adar_budget_raises(spark):
+    edges = [(i, 99) for i in range(10)]  # one hub: 45 pairs
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(Exception, match="adamic_adar_pairs"):
+        adamic_adar_pairs(df, max_pair_rows=10).collect()
+
+
+# -- bm25_scores ------------------------------------------------------------
+
+
+def test_bm25_hand_score(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y"),
+            (2, "x z z z"),
+            (3, "w w w w w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_terms, r.bm25_u)
+        for r in bm25_scores(docs, ["x"]).collect()
+    }
+    n, total = 3, 12
+    avgdl = total // n  # 4
+    df_x = 2
+    idf = math.floor(1e6 * math.log((2 * n + 2) / (2 * df_x + 1)))
+
+    def contrib(tf, dl):
+        return (idf * tf * 2200 * avgdl) // (
+            1000 * tf * avgdl + 12 * (25 * avgdl + 75 * dl)
+        )
+
+    assert out[1] == (1, contrib(2, 3))
+    assert out[2] == (1, contrib(1, 4))
+    assert 3 not in out  # no matching term -> no row
+
+
+def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
+    docs = spark.createDataFrame(
+        [(i, "common filler") for i in range(1, 9)]
+        + [(9, "common rare"), (10, "common other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.bm25_u
+        for r in bm25_scores(docs, ["common", "rare"]).collect()
+    }
+    # doc 9 matches both terms; rare's idf dominates every common-only doc
+    assert out[9] > max(v for k, v in out.items() if k != 9)
