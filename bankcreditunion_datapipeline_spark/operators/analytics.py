@@ -261,3 +261,147 @@ def skyline_2d(
     return swept.filter(
         F.col("runmin").isNull() | (F.col("y") < F.col("runmin"))
     ).select("x", "y")
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    z_threshold_e3: int = 3500,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per group: the anomaly screen
+    that survives the outliers it hunts (mean/stddev z-scores are
+    dragged by the very tail they measure; median and MAD have 50%
+    breakdown).
+
+    Integer x2/x4 lanes keep interpolated medians exact: with INTEGER
+    values v, med2 = 2 * percentile(v, 0.5) is an exact integer (the
+    midpoint interpolation lands on halves; doubling clears it -- no
+    float boundary), d2 = |2v - med2|, mad4 = 2 * percentile(d2, 0.5).
+    robust z in permille: z_e3 = d2 * 2000 div mad4 (= |v-med|/MAD *
+    1000, floor). No 1.4826 consistency constant -- thresholds are in
+    MAD units, documented, so the lane stays integer.
+
+    Degenerate mad4 = 0 (a majority-identical group): z_e3 is NULL and
+    any d2 > 0 flags as outlier (infinitely many MADs away).
+
+    Output: one row per input row -- (group..., value_col, z_e3,
+    outlier) with outlier = z_e3 >= z_threshold_e3 (default 3.5 MADs).
+
+    Scale: two grouped percentile aggregates over the data (map-side
+    partial), each joined back on the group key; with no groups the
+    medians are a 1-row broadcast. The data never sorts globally --
+    percentile is an aggregate, not a window.
+    """
+    group_cols = list(group_cols or [])
+
+    def back_join(data: DataFrame, aggd: DataFrame) -> DataFrame:
+        if group_cols:
+            return data.join(F.broadcast(aggd), group_cols)
+        return data.crossJoin(F.broadcast(aggd))
+
+    med = (
+        df.groupBy(*group_cols)
+        if group_cols
+        else df.groupBy()
+    ).agg(
+        (F.lit(2) * F.percentile(value_col, F.lit(0.5)))
+        .cast("long")
+        .alias("__med2")
+    )
+    d = back_join(df, med).withColumn(
+        "__d2", F.abs(2 * F.col(value_col) - F.col("__med2"))
+    )
+    mad = (
+        d.groupBy(*group_cols) if group_cols else d.groupBy()
+    ).agg(
+        (F.lit(2) * F.percentile("__d2", F.lit(0.5)))
+        .cast("long")
+        .alias("__mad4")
+    )
+    z = F.when(
+        F.col("__mad4") > 0, F.expr("__d2 * 2000 div __mad4")
+    )
+    flagged = back_join(d, mad).select(
+        *group_cols,
+        value_col,
+        z.alias("z_e3"),
+        F.when(F.col("__mad4") > 0, z >= F.lit(int(z_threshold_e3)))
+        .otherwise(F.col("__d2") > 0)
+        .alias("outlier"),
+    )
+    return flagged
+
+
+def gini_e6(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient of NON-NEGATIVE integer values in
+    micro-units -- the inequality companion to q144's HHI (HHI squares
+    shares; Gini ranks the whole Lorenz curve).
+
+    Closed form over ranked values (rank i = 1..n ascending by value,
+    `id_col` as the deterministic tiebreak; equal values contribute the
+    same sum over any ordering of their consecutive ranks):
+
+        gini = (2 * sum(i * v_i) - (n + 1) * sum(v)) / (n * sum(v))
+
+    computed integer end-to-end with the permille-split division
+    (r1 = num*1000 div den; gini_e6 = r1*1000 + (num*1000 mod den)*1000
+    div den -- never forms num*1e6, SCALE.md divide-first discipline).
+    Lane guard: num*1000 and den*... stay in BIGINT only while
+    n * sum(v) <= 9.2e15 -- fail-loud past it (pre-aggregate values
+    into coarser units or buckets upstream, visibly).
+
+    Output: one row per group -- (group..., n, total, gini_e6).
+
+    Scale: `df` is expected to be an AGGREGATE already (per-entity
+    revenue, dim-sized); the rank window partitions by group -- the
+    global case is a single-partition sort over entities, a planner-
+    sized frame, not the fact table.
+    """
+    group_cols = list(group_cols or [])
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("__v"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("total"),
+        F.sum(F.col("__i") * F.col("__v")).cast("long").alias("__s1"),
+    )
+    num = F.expr("2 * __s1 - (n + 1) * total")
+    den = F.expr("n * total")
+    guarded = agg.withColumn(
+        "__num",
+        F.when(
+            (F.col("total") > 0)
+            & (F.col("total") <= F.expr("9223372036854775807 div n") )
+            & ((F.col("n") * F.col("total")) <= F.lit(9_200_000_000_000_000)),
+            num,
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "gini_e6: zero total or n*sum(v) exceeds the split-"
+                    "division lane (9.2e15); coarsen the value units or "
+                    "bucket upstream"
+                )
+            )
+        ),
+    ).withColumn("__den", den)
+    return guarded.select(
+        *group_cols,
+        "n",
+        "total",
+        F.expr(
+            "(__num * 1000 div __den) * 1000"
+            " + ((__num * 1000 % __den) * 1000) div __den"
+        ).alias("gini_e6"),
+    )

@@ -11063,3 +11063,115 @@ def q197_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     scored = bm25_scores(docs, list(_Q197_TERMS))
     return scored.orderBy(F.desc("bm25_u"), F.asc("doc_id")).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD robust outlier screen: the anomaly flag that survives its
+# own outliers (mean/std z-scores are dragged by the tail they measure).
+# ---------------------------------------------------------------------------
+@register(
+    "q198_robust_price_outliers",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    m AS (
+      SELECT grp, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+      FROM v GROUP BY grp),
+    d AS (
+      SELECT v.grp, cents, abs(2 * cents - med2) AS d2
+      FROM v JOIN m ON v.grp = m.grp),
+    md AS (
+      SELECT grp, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4
+      FROM d GROUP BY grp),
+    f AS (
+      SELECT d.grp, cents, d2, mad4,
+             CASE WHEN mad4 > 0 THEN d2 * 2000 // mad4 END AS z_e3
+      FROM d JOIN md ON d.grp = md.grp)
+    SELECT grp AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN (mad4 > 0 AND z_e3 >= 3500)
+                          OR (mad4 = 0 AND d2 > 0) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           CAST(max(z_e3) AS BIGINT) AS max_z_e3
+    FROM f GROUP BY grp
+    """,
+    doc="median/MAD robust outliers via robust_outliers "
+    "(operators/analytics.py): x2/x4 integer lanes keep interpolated "
+    "medians exact (2*percentile of integers lands on whole units), "
+    "z_e3 = d2*2000 div mad4, 3.5-MAD threshold; degenerate MAD=0 "
+    "groups flag any deviation. Two grouped percentile aggregates + "
+    "broadcast back-joins -- no global sort.",
+)
+def q198_robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import robust_outliers
+
+    v = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    flagged = robust_outliers(v, "cents", group_cols=["o_orderpriority"])
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("outlier").cast("long")).cast("long").alias("n_outliers"),
+        F.max("z_e3").cast("long").alias("max_z_e3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue: the Lorenz-curve inequality
+# measure (q144's HHI squares shares; Gini ranks the whole curve),
+# integer end-to-end via the ranked closed form + permille-split division.
+# ---------------------------------------------------------------------------
+@register(
+    "q199_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+      GROUP BY o_custkey),
+    rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+      FROM rev),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(i * cents) AS BIGINT) AS s1
+      FROM rk),
+    g AS (
+      SELECT n, total,
+             2 * s1 - (n + 1) * total AS num, n * total AS den
+      FROM a)
+    SELECT n, total,
+           CAST((num * 1000 // den) * 1000
+                + ((num * 1000 % den) * 1000) // den AS BIGINT) AS gini_e6
+    FROM g
+    """,
+    doc="Gini concentration via gini_e6 (operators/analytics.py): "
+    "rank-weighted closed form (2*sum(i*v) - (n+1)*sum(v)) over "
+    "(n*sum(v)), rank ties broken by custkey (equal values sum "
+    "identically under any tie order), permille-split division never "
+    "forms num*1e6 (SCALE.md divide-first), n*sum(v) <= 9.2e15 "
+    "fail-loud lane guard. Ranks a dim-sized revenue aggregate.",
+)
+def q199_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import gini_e6
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull() & F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return gini_e6(rev, "cents", "o_custkey")

@@ -273,3 +273,65 @@ def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
     }
     # doc 9 matches both terms; rare's idf dominates every common-only doc
     assert out[9] > max(v for k, v in out.items() if k != 9)
+
+
+# -- robust_outliers --------------------------------------------------------
+
+
+def test_robust_outliers_flags_tail(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        robust_outliers,
+    )
+
+    vals = [10, 11, 12, 13, 14, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r.v: (r.z_e3, r.outlier) for r in robust_outliers(df, "v").collect()}
+    # median 12.5 -> med2=25; d2 of 1000 = 1975; mads: d2s {5,3,1,1,3,1975}
+    # sorted {1,1,3,3,5,1975} -> mad4 = 2*(3+3)/2 = ... quantile_cont(0.5)=3
+    # mad4=6; z(1000) = 1975*2000//6 = 658333
+    assert out[1000] == (658333, True)
+    assert out[12] == (1 * 2000 // 6, False)
+
+
+def test_robust_outliers_degenerate_mad(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        robust_outliers,
+    )
+
+    df = spark.createDataFrame([(5,)] * 4 + [(9,)], "v long")
+    out = {r.v: (r.z_e3, r.outlier) for r in robust_outliers(df, "v").collect()}
+    assert out[5] == (None, False)
+    assert out[9] == (None, True)
+
+
+# -- gini_e6 ----------------------------------------------------------------
+
+
+def test_gini_perfect_equality_zero(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import gini_e6
+
+    df = spark.createDataFrame([(i, 100) for i in range(1, 6)], "id long, v long")
+    out = gini_e6(df, "v", "id").collect()[0]
+    assert out.gini_e6 == 0 and out.n == 5 and out.total == 500
+
+
+def test_gini_total_concentration(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import gini_e6
+
+    # one holder of everything among n=4: gini = (n-1)/n = 0.75
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 80)], "id long, v long"
+    )
+    out = gini_e6(df, "v", "id").collect()[0]
+    assert out.gini_e6 == 750_000
+
+
+def test_gini_lane_guard_raises(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import gini_e6
+
+    df = spark.createDataFrame(
+        [(1, 9_000_000_000_000_000), (2, 9_000_000_000_000_000)],
+        "id long, v long",
+    )
+    with pytest.raises(Exception, match="gini_e6"):
+        gini_e6(df, "v", "id").collect()
