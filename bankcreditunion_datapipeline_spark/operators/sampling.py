@@ -387,3 +387,41 @@ def proportional_allocation(
             + F.when(F.col("__rn") <= F.col("__leftover"), 1).otherwise(0)
         ).alias(out),
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    alloc: DataFrame,
+    alloc_col: str,
+    id_col: str,
+) -> DataFrame:
+    """EXACT-count deterministic stratified sample: take precisely
+    `alloc[alloc_col]` rows from each stratum -- the executor of
+    `proportional_allocation`'s plan, closing the gap fraction-based
+    sampling can't (`deterministic_hash_sample` hits a RATE; training
+    mixtures need exact slot counts per stratum).
+
+    Selection ranks rows within each stratum by (md5(id), id) -- the
+    repo's portable hash lane -- and keeps rank <= alloc: stable under
+    partitioning, re-runs, and engine choice; adding rows to a stratum
+    only swaps membership where hash order dictates, never reshuffles
+    unrelated strata. A stratum with fewer rows than its quota yields
+    all of them (under-fill surfaces in the count, visibly -- no silent
+    borrowing across strata; re-plan the allocation if that matters).
+
+    Output: the sampled rows of `df`, plus `smp_rank` (1..alloc within
+    the stratum).
+
+    Scale: one rank window partitioned by the stratum columns (the
+    shuffle a stratified operation needs anyway) against a broadcast
+    dim-sized allocation table. Skewed strata sort within their own
+    partitions; no global order.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("smp_rank", F.row_number().over(w))
+    return ranked.join(
+        F.broadcast(alloc.select(*group_cols, alloc_col)), group_cols
+    ).filter(F.col("smp_rank") <= F.col(alloc_col)).drop(alloc_col)

@@ -11175,3 +11175,76 @@ def q199_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gini_e6(rev, "cents", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact-count stratified sample: the largest-remainder plan (q195)
+# EXECUTED -- precisely alloc_g docs per (source, lang) stratum, chosen
+# by the portable md5 hash rank. Plan + execution in one lineage.
+# ---------------------------------------------------------------------------
+_Q200_TOTAL = 1_000
+
+
+@register(
+    "q200_quota_stratified_sample",
+    f"""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2),
+    g AS (SELECT sum(n) AS grand FROM c),
+    f AS (
+      SELECT source, lang, n,
+             n * {_Q200_TOTAL} // grand AS fl,
+             n * {_Q200_TOTAL} % grand AS rem
+      FROM c, g),
+    l AS (SELECT {_Q200_TOTAL} - sum(fl) AS leftover FROM f),
+    r AS (
+      SELECT *, row_number() OVER (
+               ORDER BY rem DESC, source ASC, lang ASC) AS rn
+      FROM f),
+    alloc AS (
+      SELECT source, lang,
+             fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS alloc
+      FROM r, l),
+    rk AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+               AS smp_rank
+      FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL)
+    SELECT rk.doc_id, rk.source, rk.lang,
+           CAST(rk.smp_rank AS BIGINT) AS smp_rank
+    FROM rk JOIN alloc ON rk.source = alloc.source AND rk.lang = alloc.lang
+    WHERE rk.smp_rank <= alloc.alloc
+    """,
+    doc="exact-count stratified sampling via quota_sample + "
+    "proportional_allocation (operators/sampling.py): Hamilton "
+    "allocation of 1000 slots executed by the portable (md5(id), id) "
+    "rank lane -- precisely alloc_g rows per stratum, deterministic "
+    "under partitioning and re-runs. One stratum-partitioned rank "
+    "window + broadcast allocation join.",
+)
+def q200_quota_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sampling import proportional_allocation, quota_sample
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    alloc = proportional_allocation(
+        c, ["source", "lang"], "n", _Q200_TOTAL, out="alloc"
+    )
+    sampled = quota_sample(
+        docs.select("doc_id", "source", "lang"),
+        ["source", "lang"],
+        alloc,
+        "alloc",
+        "doc_id",
+    )
+    return sampled.select(
+        "doc_id", "source", "lang", F.col("smp_rank").cast("long")
+    )

@@ -335,3 +335,26 @@ def test_gini_lane_guard_raises(spark):
     )
     with pytest.raises(Exception, match="gini_e6"):
         gini_e6(df, "v", "id").collect()
+
+
+# -- quota_sample -----------------------------------------------------------
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        quota_sample,
+    )
+
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(100, 103)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    alloc = spark.createDataFrame(
+        [("a", 4), ("b", 5)], "g string, alloc long"
+    )
+    out1 = quota_sample(df, ["g"], alloc, "alloc", "id")
+    got1 = sorted((r.g, r.id) for r in out1.collect())
+    # exact count for 'a'; 'b' under-fills with all 3 rows, no borrowing
+    assert sum(1 for g, _ in got1 if g == "a") == 4
+    assert sum(1 for g, _ in got1 if g == "b") == 3
+    # deterministic: same selection on re-run and under repartition
+    out2 = quota_sample(df.repartition(7), ["g"], alloc, "alloc", "id")
+    assert got1 == sorted((r.g, r.id) for r in out2.collect())
