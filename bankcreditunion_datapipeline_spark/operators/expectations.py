@@ -144,7 +144,17 @@ def benford_profile(
     else:
         scaffold = digits
     keys = [*group_cols, "digit"]
-    full = scaffold.join(counts, keys, "left").select(
+    # Null-safe scaffold join (the psi_terms pattern): a NULL group key is
+    # a legitimate stratum -- a plain equi-join would orphan it from its
+    # own counts, zeroing the group total (caught by the adversarial fuzz
+    # corpus). Re-alias the counts side: scaffold's groups come FROM
+    # counts, so the self-join's attributes must not collide.
+    c = counts.select(
+        *[F.col(k).alias(f"__c_{k}") for k in keys],
+        F.col("__n"),
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"__c_{k}")) for k in keys]
+    full = scaffold.join(c, cond, "left").select(
         *keys, F.coalesce("__n", F.lit(0)).cast("long").alias("n")
     )
     wg = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()

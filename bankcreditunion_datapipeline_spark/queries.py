@@ -10812,7 +10812,8 @@ def q192_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              coalesce(c.n, 0) AS n
       FROM (SELECT DISTINCT o_orderpriority FROM c) g
       CROSS JOIN ref
-      LEFT JOIN c ON c.o_orderpriority = g.o_orderpriority
+      LEFT JOIN c ON c.o_orderpriority IS NOT DISTINCT FROM
+                     g.o_orderpriority
                  AND c.digit = ref.digit)
     SELECT o_orderpriority, CAST(digit AS INTEGER) AS digit,
            CAST(n AS BIGINT) AS n,

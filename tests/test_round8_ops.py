@@ -358,3 +358,18 @@ def test_quota_sample_exact_counts_and_determinism(spark):
     # deterministic: same selection on re-run and under repartition
     out2 = quota_sample(df.repartition(7), ["g"], alloc, "alloc", "id")
     assert got1 == sorted((r.g, r.id) for r in out2.collect())
+
+
+def test_benford_null_group_is_a_stratum(spark):
+    # NULL group key must keep its own counts (null-safe scaffold join);
+    # regression for the adversarial-fuzz DIVIDE_BY_ZERO find
+    df = spark.createDataFrame(
+        [(None, 12), (None, 15), ("g", 9)], "g string, v long"
+    )
+    out = {
+        (r.g, r.digit): (r.n, r.obs_permille)
+        for r in benford_profile(df, "v", group_cols=["g"]).collect()
+    }
+    assert out[(None, 1)] == (2, 1000)
+    assert out[("g", 9)] == (1, 1000)
+    assert out[(None, 9)] == (0, 0)
