@@ -122,6 +122,32 @@ SUBSET = [
     "q188_mmr_diversified_topk",
     # r8: shared-shingle-space subset ratio under degenerate text
     "q189_lsh_recall_audit",
+    # r8: lag-window sequence order under equal timestamps (event_id
+    # tiebreak) + NULL state/key/ts exclusion
+    "q191_event_transitions",
+    # r8: exact integer KS sup (cross-multiplied CDFs, smallest-value
+    # argmax tiebreak) under mutated priority mixes
+    "q192_ks_price_drift",
+    # r8: NULL group stratum in the null-safe scaffold join (the
+    # DIVIDE_BY_ZERO fuzz find) + positive-domain gate
+    "q193_benford_amounts",
+    # r8: second-truncated step durations, zero-span keys dropped
+    "q194_time_weighted_exposure",
+    # r8: largest-remainder determinism (remainder ties -> group order)
+    "q195_training_quota_allocation",
+    # r8: degree-1 neighbor exclusion + ln-lane weights under mutated
+    # hub degrees (budget rides the distinct edge table)
+    "q196_adamic_adar_links",
+    # r8: positive Lucene idf at corpus-dominating df; term-filtered
+    # token stream under degenerate/NULL text
+    "q197_bm25_retrieval",
+    # r8: x2/x4 interpolated-median lanes + degenerate MAD=0 groups
+    "q198_robust_price_outliers",
+    # r8: rank-tie invariance + permille-split division lane
+    "q199_revenue_gini",
+    # r8: quota under-fill (stratum smaller than its slot count) and
+    # md5-rank selection stability on the mutated corpus
+    "q200_quota_stratified_sample",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
