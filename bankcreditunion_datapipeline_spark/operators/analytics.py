@@ -349,19 +349,32 @@ def gini_e6(
 
         gini = (2 * sum(i * v_i) - (n + 1) * sum(v)) / (n * sum(v))
 
-    computed integer end-to-end with the permille-split division
-    (r1 = num*1000 div den; gini_e6 = r1*1000 + (num*1000 mod den)*1000
-    div den -- never forms num*1e6, SCALE.md divide-first discipline).
-    Lane guard: num*1000 and den*... stay in BIGINT only while
-    n * sum(v) <= 9.2e15 -- fail-loud past it (pre-aggregate values
-    into coarser units or buckets upstream, visibly).
+    computed integer end-to-end with six ×10 long-division steps
+    (g_k = g_{k-1}*10 + (r_{k-1}*10) div den; r_k = (r_{k-1}*10) % den
+    -- schoolbook long division one decimal digit at a time, never
+    forming num*1e6: the SCALE.md divide-first discipline taken to its
+    digit-serial limit). Each step multiplies a remainder < den by 10,
+    so the lane needs n * sum(v) <= 9.2e17.
 
-    Output: one row per group -- (group..., n, total, gini_e6).
+    Gini is SCALE-INVARIANT, so the operator keeps that lane at any
+    data size by deterministic unit coarsening: drop the smallest
+    power-of-ten `coarse_pow` from the values such that digits(n) +
+    digits(total) - coarse_pow <= 17 (digit counts via string length
+    -- integer-derived, engine-portable, never forms the overflowing
+    product). Ranks are assigned on the ORIGINAL (value, id) order, so
+    coarsening perturbs only the summand magnitudes: the relative error
+    is < n*c/total <= 1e-16 at the boundary -- below gini_e6's own
+    micro resolution. `coarse_pow` is emitted so the precision trade is
+    visible, and a residual fail-loud guard pins the invariant.
+
+    Output: one row per group -- (group..., n, total, coarse_pow,
+    gini_e6). `total` is the UNcoarsened sum.
 
     Scale: `df` is expected to be an AGGREGATE already (per-entity
     revenue, dim-sized); the rank window partitions by group -- the
     global case is a single-partition sort over entities, a planner-
-    sized frame, not the fact table.
+    sized frame, not the fact table. Two dim-sized aggregates (totals,
+    then coarsened rank sums) + a broadcast back-join.
     """
     group_cols = list(group_cols or [])
     w = Window.partitionBy(*group_cols).orderBy(
@@ -372,36 +385,77 @@ def gini_e6(
         F.col(value_col).cast("long").alias("__v"),
         F.row_number().over(w).cast("long").alias("__i"),
     )
-    agg = ranked.groupBy(*group_cols).agg(
+    totals = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__v").cast("long").alias("total"),
-        F.sum(F.col("__i") * F.col("__v")).cast("long").alias("__s1"),
     )
-    num = F.expr("2 * __s1 - (n + 1) * total")
-    den = F.expr("n * total")
+    totals = totals.withColumn(
+        "coarse_pow",
+        F.greatest(
+            F.lit(0),
+            F.length(F.col("n").cast("string"))
+            + F.length(F.col("total").cast("string"))
+            - F.lit(17),
+        ).cast("int"),
+    ).withColumn(
+        # 10^coarse_pow built on the string lane ('1' || k zeros) -- pure
+        # integer digits, no float pow, engine-portable
+        "__c",
+        F.expr("CAST(concat('1', repeat('0', coarse_pow)) AS BIGINT)"),
+    )
+
+    def back_join(data: DataFrame, aggd: DataFrame) -> DataFrame:
+        if group_cols:
+            return data.join(F.broadcast(aggd), group_cols)
+        return data.crossJoin(F.broadcast(aggd))
+
+    agg = (
+        back_join(ranked, totals)
+        .withColumn("__vc", F.expr("__v div __c"))
+        .groupBy(*group_cols)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("total").alias("total"),
+            F.first("coarse_pow").alias("coarse_pow"),
+            F.sum("__vc").cast("long").alias("__tc"),
+            F.sum(F.col("__i") * F.col("__vc")).cast("long").alias("__s1"),
+        )
+    )
+    num = F.expr("2 * __s1 - (n + 1) * __tc")
+    den = F.expr("n * __tc")
     guarded = agg.withColumn(
         "__num",
         F.when(
-            (F.col("total") > 0)
-            & (F.col("total") <= F.expr("9223372036854775807 div n") )
-            & ((F.col("n") * F.col("total")) <= F.lit(9_200_000_000_000_000)),
+            (F.col("__tc") > 0)
+            & (F.col("__tc") <= F.expr("9223372036854775807 div n") )
+            & ((F.col("n") * F.col("__tc")) <= F.lit(920_000_000_000_000_000)),
             num,
         ).otherwise(
             F.raise_error(
                 F.lit(
-                    "gini_e6: zero total or n*sum(v) exceeds the split-"
-                    "division lane (9.2e15); coarsen the value units or "
-                    "bucket upstream"
+                    "gini_e6: zero coarsened total or n*sum(v) exceeds "
+                    "the long-division lane (9.2e17) despite coarsening; "
+                    "value domain violates the non-negative contract or "
+                    "n itself overflows the lane"
                 )
             )
         ),
     ).withColumn("__den", den)
-    return guarded.select(
+    # six long-division steps: one decimal digit of gini_e6 per step;
+    # materialized as columns (an inline expression would double the
+    # remainder subtree per digit)
+    stepped = guarded.withColumn("__g", F.lit(0).cast("long")).withColumn(
+        "__r", F.col("__num")
+    )
+    for _ in range(6):
+        stepped = stepped.withColumn(
+            "__g2", F.expr("__g * 10 + (__r * 10) div __den")
+        ).withColumn("__r", F.expr("(__r * 10) % __den"))
+        stepped = stepped.drop("__g").withColumnRenamed("__g2", "__g")
+    return stepped.select(
         *group_cols,
         "n",
         "total",
-        F.expr(
-            "(__num * 1000 div __den) * 1000"
-            " + ((__num * 1000 % __den) * 1000) div __den"
-        ).alias("gini_e6"),
+        "coarse_pow",
+        F.col("__g").alias("gini_e6"),
     )

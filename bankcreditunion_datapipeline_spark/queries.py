@@ -10828,8 +10828,10 @@ def q192_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Benford first-digit profile via benford_profile "
     "(operators/expectations.py): positive-cents domain declared in the "
     "query filter, decimal-string head digit (no float log10), per-"
-    "priority scaffold so absent digits surface with n=0. One 9x|groups| "
-    "aggregate; everything downstream is dim-sized.",
+    "priority scaffold so absent digits surface with n=0 (null-safe: a "
+    "NULL stratum keeps its counts). One 9x|groups| aggregate; "
+    "everything downstream is dim-sized. Supersedes q145's global "
+    "float-truncated screen with a grouped pure-integer operator.",
 )
 def q193_benford_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.expectations import benford_profile
@@ -11103,7 +11105,8 @@ def q197_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "medians exact (2*percentile of integers lands on whole units), "
     "z_e3 = d2*2000 div mad4, 3.5-MAD threshold; degenerate MAD=0 "
     "groups flag any deviation. Two grouped percentile aggregates + "
-    "broadcast back-joins -- no global sort.",
+    "broadcast back-joins -- no global sort. Generalizes q141's inline "
+    "daily scoring into a reusable operator with exact integer lanes.",
 )
 def q198_robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import robust_outliers
@@ -11141,26 +11144,55 @@ def q198_robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cents,
              row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
       FROM rev),
-    a AS (
+    a0 AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS total,
-             CAST(sum(i * cents) AS BIGINT) AS s1
+             CAST(sum(cents) AS BIGINT) AS total
       FROM rk),
-    g AS (
+    cc AS (
       SELECT n, total,
-             2 * s1 - (n + 1) * total AS num, n * total AS den
-      FROM a)
-    SELECT n, total,
-           CAST((num * 1000 // den) * 1000
-                + ((num * 1000 % den) * 1000) // den AS BIGINT) AS gini_e6
-    FROM g
+             CAST(greatest(0, length(CAST(n AS VARCHAR))
+                              + length(CAST(total AS VARCHAR)) - 17)
+               AS INTEGER) AS coarse_pow,
+             CAST('1' || repeat('0',
+               CAST(greatest(0, length(CAST(n AS VARCHAR))
+                                + length(CAST(total AS VARCHAR)) - 17)
+                 AS INTEGER)) AS BIGINT) AS c
+      FROM a0),
+    a AS (
+      SELECT n, total, coarse_pow,
+             CAST(sum(cents // c) AS BIGINT) AS tc,
+             CAST(sum(i * (cents // c)) AS BIGINT) AS s1
+      FROM rk, cc GROUP BY 1, 2, 3),
+    g AS (
+      SELECT n, total, coarse_pow,
+             2 * s1 - (n + 1) * tc AS num, n * tc AS den
+      FROM a),
+    d0 AS (SELECT n, total, coarse_pow, den, CAST(0 AS BIGINT) AS g, num AS r
+           FROM g),
+    d1 AS (SELECT n, total, coarse_pow, den,
+                  g*10 + (r*10)//den AS g, (r*10)%den AS r FROM d0),
+    d2 AS (SELECT n, total, coarse_pow, den,
+                  g*10 + (r*10)//den AS g, (r*10)%den AS r FROM d1),
+    d3 AS (SELECT n, total, coarse_pow, den,
+                  g*10 + (r*10)//den AS g, (r*10)%den AS r FROM d2),
+    d4 AS (SELECT n, total, coarse_pow, den,
+                  g*10 + (r*10)//den AS g, (r*10)%den AS r FROM d3),
+    d5 AS (SELECT n, total, coarse_pow, den,
+                  g*10 + (r*10)//den AS g, (r*10)%den AS r FROM d4),
+    d6 AS (SELECT n, total, coarse_pow, den,
+                  g*10 + (r*10)//den AS g, (r*10)%den AS r FROM d5)
+    SELECT n, total, coarse_pow, CAST(g AS BIGINT) AS gini_e6 FROM d6
     """,
     doc="Gini concentration via gini_e6 (operators/analytics.py): "
     "rank-weighted closed form (2*sum(i*v) - (n+1)*sum(v)) over "
     "(n*sum(v)), rank ties broken by custkey (equal values sum "
-    "identically under any tie order), permille-split division never "
-    "forms num*1e6 (SCALE.md divide-first), n*sum(v) <= 9.2e15 "
-    "fail-loud lane guard. Ranks a dim-sized revenue aggregate.",
+    "identically under any tie order), six digit-serial long-division "
+    "steps never form num*1e6 (SCALE.md divide-first at its limit). "
+    "Scale-invariance pays for scale: deterministic unit coarsening "
+    "(string digit counts, integer '1'||zeros power lane) keeps "
+    "n*sum(v) <= 9.2e17 at ANY corpus size with relative error under "
+    "n*c/total <= 1e-16, surfaced as coarse_pow. Ranks a dim-sized "
+    "revenue aggregate.",
 )
 def q199_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import gini_e6

@@ -326,15 +326,26 @@ def test_gini_total_concentration(spark):
     assert out.gini_e6 == 750_000
 
 
-def test_gini_lane_guard_raises(spark):
+def test_gini_coarsens_past_the_lane(spark):
     from bankcreditunion_datapipeline_spark.operators.analytics import gini_e6
 
+    # n*total = 3.6e18 > 9.2e17: the operator must coarsen (digits 1+19
+    # - 17 = 3 -> c=1000), not overflow and not raise; equality still 0
     df = spark.createDataFrame(
-        [(1, 9_000_000_000_000_000), (2, 9_000_000_000_000_000)],
+        [(1, 900_000_000_000_000_000), (2, 900_000_000_000_000_000)],
         "id long, v long",
     )
-    with pytest.raises(Exception, match="gini_e6"):
-        gini_e6(df, "v", "id").collect()
+    out = gini_e6(df, "v", "id").collect()[0]
+    assert out.coarse_pow == 3 and out.gini_e6 == 0
+    assert out.total == 1_800_000_000_000_000_000
+
+
+def test_gini_coarse_pow_zero_on_small_corpus(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import gini_e6
+
+    df = spark.createDataFrame([(i, 100 * i) for i in range(1, 5)], "id long, v long")
+    out = gini_e6(df, "v", "id").collect()[0]
+    assert out.coarse_pow == 0
 
 
 # -- quota_sample -----------------------------------------------------------
