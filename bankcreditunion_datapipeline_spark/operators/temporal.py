@@ -581,3 +581,44 @@ def time_weighted_mean(
             F.expr("__num div span_s").alias("twm"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    order_tiebreak: list[str] | None = None,
+    out: str = "sid",
+) -> DataFrame:
+    """Gap-based sessionization: assign a per-key session id that
+    increments whenever the gap since the previous event reaches
+    `gap_minutes` -- the q151 funnel's inline construction promoted to
+    a reusable operator (q151 keeps its verbatim-oracled inline twin).
+
+    sid is a running sum of session-start flags over the (ts,
+    tiebreak) order, so it is 1-based, dense, and deterministic; the
+    session KEY is (key_col, sid).
+
+    Scale: one shuffle -- both windows (lag and running sum) share the
+    same (key, order) partitioning, so Catalyst plans a single sort +
+    exchange; downstream per-session aggregates reuse the key
+    partitioning.
+    """
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+            >= gap_minutes * 60
+        ),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        out,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -11281,3 +11281,127 @@ def q200_quota_stratified_sample(
     return sampled.select(
         "doc_id", "source", "lang", F.col("smp_rank").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event paths (ordered trigrams): which 3-step behavioral sequences
+# dominate -- q191's transitions extended one hop.
+# ---------------------------------------------------------------------------
+@register(
+    "q201_top_event_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    p AS (
+      SELECT lag(event_type, 2) OVER w AS e1,
+             lag(event_type, 1) OVER w AS e2,
+             event_type AS e3
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM p WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20
+    """,
+    doc="top-20 ordered event trigrams: two lags over the same per-user "
+    "(ts, event_id) window (one sort, one shuffle), |states|^3 "
+    "aggregate, deterministic order (count desc, path asc).",
+)
+def q201_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = s.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+    return (
+        p.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily session health: gap-sessionized engagement stats -- sessions,
+# bounces, durations -- per session-start day.
+# ---------------------------------------------------------------------------
+@register(
+    "q202_daily_session_stats",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL OR
+                  date_diff('second',
+                            date_trunc('second', lag(ts) OVER w),
+                            date_trunc('second', ts)) >= 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+    per AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             date_diff('second', date_trunc('second', min(ts)),
+                       date_trunc('second', max(ts))) AS dur_s,
+             CAST(min(ts) AS DATE) AS day
+      FROM sess GROUP BY user_id, sid)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS bounce_permille,
+           CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+           CAST(sum(dur_s) // count(*) AS BIGINT) AS avg_dur_s
+    FROM per GROUP BY day
+    """,
+    doc="daily session health via sessionize (operators/temporal.py): "
+    "30-min-gap sessions (lag + running-sum share ONE window sort), "
+    "per-(user, sid) aggregates reuse the key partitioning, daily "
+    "rollup with integer-permille bounce rate and floor-div mean "
+    "duration (q190 second-truncation contract).",
+)
+def q202_daily_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import sessionize
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id")
+    s = sessionize(ev, "user_id", "ts", 30, order_tiebreak=["event_id"])
+    per = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+        F.min("ts").cast("date").alias("day"),
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000 "
+            "div count(1) AS BIGINT)"
+        ).alias("bounce_permille"),
+        F.sum("dur_s").cast("long").alias("total_dur_s"),
+        F.expr("sum(dur_s) div count(1)").cast("long").alias("avg_dur_s"),
+    )
