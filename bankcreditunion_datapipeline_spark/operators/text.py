@@ -702,3 +702,45 @@ def bm25_scores(
             F.sum(contrib).cast("long").alias("bm25_u"),
         )
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies -- the candidate
+    scan of one BPE merge step (the tokenizer-training primitive:
+    the highest-count pair becomes the next merge rule).
+
+    Distributed shape is the point: the corpus collapses to the
+    DISTINCT word vocabulary first (one map-side-combining groupBy;
+    Zipf makes the vocab orders of magnitude smaller than the token
+    stream), and the character-pair explode runs over vocab rows only,
+    weighted by word frequency. Pair occurrences inside a word keep
+    multiplicity ('aaa' contributes 'aa' twice). Pair extraction is
+    substring(w, i, 2) over sequence(1, len-1) -- portable, no regex,
+    single-length words guarded out BEFORE the sequence (Spark's
+    sequence(1, 0) descends rather than emptying).
+
+    Output: (pair, n_words, total) -- distinct words containing the
+    pair and the frequency-weighted occurrence total.
+    """
+    words = (
+        df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("__w")
+        )
+        .filter(F.length("__w") >= 2)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__freq"))
+    )
+    pairs = words.select(
+        "__w",
+        "__freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__w") - 1),
+                lambda i: F.substring(F.col("__w"), i, 2),
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.countDistinct("__w").cast("long").alias("n_words"),
+        F.sum("__freq").cast("long").alias("total"),
+    )

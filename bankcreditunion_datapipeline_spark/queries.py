@@ -11405,3 +11405,43 @@ def q202_daily_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_s").cast("long").alias("total_dur_s"),
         F.expr("sum(dur_s) div count(1)").cast("long").alias("avg_dur_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate scan: frequency-weighted adjacent character pairs
+# over the word vocabulary -- the first step of tokenizer training.
+# ---------------------------------------------------------------------------
+@register(
+    "q203_bpe_pair_candidates",
+    """
+    WITH w AS (
+      SELECT unnest(str_split(text, ' ')) AS w FROM documents
+      WHERE text IS NOT NULL),
+    v AS (
+      SELECT w, count(*) AS freq FROM w
+      WHERE length(w) >= 2 GROUP BY w),
+    p AS (
+      SELECT w, freq, substr(w, CAST(i AS INTEGER), 2) AS pair
+      FROM v, unnest(range(1, length(w))) AS t(i))
+    SELECT pair,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS total
+    FROM p GROUP BY pair
+    ORDER BY total DESC, pair ASC LIMIT 30
+    """,
+    doc="BPE merge candidates via bpe_pair_counts (operators/text.py): "
+    "corpus collapses to the DISTINCT word vocabulary before the "
+    "character-pair explode (Zipf makes vocab << token stream), pairs "
+    "keep in-word multiplicity weighted by word frequency; "
+    "substring-over-sequence extraction, no regex. Deterministic "
+    "top-30 (total desc, pair asc).",
+)
+def q203_bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_pair_counts
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        bpe_pair_counts(docs)
+        .orderBy(F.desc("total"), F.asc("pair"))
+        .limit(30)
+    )
