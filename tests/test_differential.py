@@ -148,6 +148,15 @@ SUBSET = [
     # r8: quota under-fill (stratum smaller than its slot count) and
     # md5-rank selection stability on the mutated corpus
     "q200_quota_stratified_sample",
+    # r8: lag-2 trigram windows under equal timestamps (event_id
+    # tiebreak) + NULL event_type exclusion
+    "q201_top_event_paths",
+    # r8: session-boundary arithmetic on second-truncated gaps (the
+    # >= 1800s edge), bounce/duration floor-div lanes, min-ts day
+    "q202_daily_session_stats",
+    # r8: vocab-collapse weighting under mutated text (repeated words,
+    # single-char words guarded out, in-word pair multiplicity)
+    "q203_bpe_pair_candidates",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --

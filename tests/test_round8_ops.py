@@ -384,3 +384,81 @@ def test_benford_null_group_is_a_stratum(spark):
     assert out[(None, 1)] == (2, 1000)
     assert out[("g", 9)] == (1, 1000)
     assert out[(None, 9)] == (0, 0)
+
+
+# -- sessionize (batch, operators/temporal.py) ------------------------------
+
+
+def test_sessionize_gap_and_tiebreak(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        sessionize,
+    )
+
+    # u1: events at 0, 10, 45 min (gap 35 >= 30 starts session 2);
+    # u1 also has two events at the SAME ts — event_id tiebreak keeps
+    # the order (and the sid assignment) deterministic.
+    rows = [
+        ("u1", _ts(0), "e1"),
+        ("u1", _ts(10), "e2"),
+        ("u1", _ts(10), "e3"),
+        ("u1", _ts(45), "e4"),
+        ("u2", _ts(0), "e5"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid string")
+    out = {
+        r.eid: r.sid
+        for r in sessionize(
+            df, "user", "ts", 30, order_tiebreak=["eid"]
+        ).collect()
+    }
+    assert out == {"e1": 1, "e2": 1, "e3": 1, "e4": 2, "e5": 1}
+
+
+def test_sessionize_exact_gap_boundary_starts_new_session(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        sessionize,
+    )
+
+    # gap == threshold (>= semantics): exactly 30 min apart -> new session
+    rows = [("u", _ts(0), "a"), ("u", _ts(30), "b"), ("u", _ts(59), "c")]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid string")
+    out = {
+        r.eid: r.sid
+        for r in sessionize(
+            df, "user", "ts", 30, order_tiebreak=["eid"]
+        ).collect()
+    }
+    assert out == {"a": 1, "b": 2, "c": 2}
+
+
+# -- bpe_pair_counts (operators/text.py) ------------------------------------
+
+
+def test_bpe_pairs_multiplicity_and_frequency_weighting(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    # 'aaa' contributes 'aa' twice per occurrence; the word appears in
+    # two docs (freq 2) -> total 4 but n_words 1. Single-char words are
+    # guarded out before the sequence explode.
+    df = spark.createDataFrame(
+        [("aaa b xy",), ("aaa",)], "text string"
+    )
+    out = {r.pair: (r.n_words, r.total) for r in bpe_pair_counts(df).collect()}
+    assert out["aa"] == (1, 4)
+    assert out["xy"] == (1, 1)
+    assert "b" not in out and " b" not in out
+
+
+def test_bpe_pairs_shared_pair_counts_distinct_words(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    # 'ab' appears in two distinct vocab words -> n_words 2, totals add
+    df = spark.createDataFrame([("abc abd abc",)], "text string")
+    out = {r.pair: (r.n_words, r.total) for r in bpe_pair_counts(df).collect()}
+    assert out["ab"] == (2, 3)
+    assert out["bc"] == (1, 2)
+    assert out["bd"] == (1, 1)
