@@ -167,3 +167,62 @@ def benford_profile(
     return out.withColumn(
         "dev_permille", F.abs(F.col("obs_permille") - F.col("exp_permille"))
     )
+
+
+def column_diff_summary(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join two versions of a table
+    on its grain and summarize the drift in one pass -- rows only in
+    `b` (added), rows only in `a` (removed), rows in both (matched),
+    and per-column change counts among matched rows (IS DISTINCT FROM,
+    so NULL<->value transitions count as changes).
+
+    The column-level companion to bucket_checksums (temporal.py): the
+    checksum tree says WHICH buckets diverge cheaply; this says WHAT
+    changed, with exact counts. Output is long-format (metric, n) so a
+    widening schema never changes the output schema.
+
+    Scale: one shuffle on the key (the join), one global conditional
+    aggregate, one stack() unpivot of a single row -- per-column logic
+    is expression width, not extra passes. Keys must be unique per side
+    (a fan-out join would double-count; enforce upstream with the A1
+    dedup operators).
+    """
+    if not compare_cols:
+        raise ValueError("compare_cols must be non-empty")
+    # presence markers, not key-null probes: with an eqNullSafe join a
+    # NULL key legitimately matches, so key IS NOT NULL cannot stand in
+    # for "this side has a row"
+    aa = a.withColumn("__pa", F.lit(1)).alias("a")
+    bb = b.withColumn("__pb", F.lit(1)).alias("b")
+    cond = [aa[k].eqNullSafe(bb[k]) for k in key_cols]
+    j = aa.join(bb, cond, "full_outer")
+    in_a = F.col("a.__pa").isNotNull()
+    in_b = F.col("b.__pb").isNotNull()
+    aggs = [
+        F.sum((~in_a & in_b).cast("long")).alias("rows_added"),
+        F.sum((in_a & ~in_b).cast("long")).alias("rows_removed"),
+        F.sum((in_a & in_b).cast("long")).alias("rows_matched"),
+    ]
+    for c in compare_cols:
+        aggs.append(
+            F.sum(
+                (
+                    in_a
+                    & in_b
+                    & ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+                ).cast("long")
+            ).alias(f"changed_{c}")
+        )
+    wide = j.agg(*aggs)
+    metrics = ["rows_added", "rows_removed", "rows_matched"] + [
+        f"changed_{c}" for c in compare_cols
+    ]
+    stack_expr = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(
+        f"stack({len(metrics)}, {stack_expr}) AS (metric, n)"
+    )

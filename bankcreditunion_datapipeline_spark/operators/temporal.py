@@ -622,3 +622,44 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def scd2_compact(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction: collapse a per-key
+    event stream into state validity intervals -- one row per state
+    RUN, with [effective_from, effective_to) half-open validity and an
+    is_current flag (effective_to NULL on the open interval).
+
+    The classic warehouse build (Kimball SCD2) from an event log:
+    keep only CHANGE rows (state IS DISTINCT FROM its lag -- null-safe,
+    so NULL states form runs too), then effective_to = lead(ts) over
+    the surviving change rows. Consecutive duplicate states collapse
+    into the earlier interval.
+
+    Scale: both windows share one (key, ts, tiebreak) sort -- a single
+    exchange; output is bounded by the number of state CHANGES, not
+    events. Determinism under equal timestamps requires
+    `order_tiebreak` (same contract as sessionize).
+    """
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    first_row = F.lag(F.lit(1)).over(w).isNull()
+    changed = df.withColumn(
+        "__chg",
+        first_row
+        | ~F.col(state_col).eqNullSafe(F.lag(state_col).over(w)),
+    ).filter(F.col("__chg"))
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return changed.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w2).alias("effective_to"),
+        F.lead(ts_col).over(w2).isNull().cast("long").alias("is_current"),
+    )

@@ -11445,3 +11445,180 @@ def q203_bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total"), F.asc("pair"))
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy name matching over the collapsed
+# name vocabulary (operators/linkage.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q204_fuzzy_name_matches",
+    """
+    WITH v AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n FROM part
+      WHERE p_name IS NOT NULL GROUP BY p_name),
+    b AS (SELECT name, n, str_split(name, ' ')[-1] AS blk FROM v)
+    SELECT a.name AS name_a, c.name AS name_b,
+           CAST(levenshtein(a.name, c.name) AS BIGINT) AS lev,
+           a.n AS n_a, c.n AS n_b
+    FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+    WHERE levenshtein(a.name, c.name) <= 2
+    ORDER BY name_a, name_b
+    """,
+    doc="entity resolution (linkage.py:blocked_levenshtein_pairs): "
+    "corpus collapses to the DISTINCT name vocabulary, candidate pairs "
+    "form only within a blocking key (last name token) under the "
+    "attach_pair_budget fail-loud guard, match = JVM levenshtein <= 2. "
+    "The blocking/matching split every record-linkage system runs; "
+    "pair cost is sum-over-blocks m*(m-1)/2, declared not discovered.",
+)
+def q204_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkage import blocked_levenshtein_pairs
+
+    parts = t(spark, sf_dir, "part")
+    return blocked_levenshtein_pairs(
+        parts,
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=2,
+    ).orderBy("name_a", "name_b")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 compaction: event stream -> state validity intervals
+# (operators/temporal.py:scd2_compact).
+# ---------------------------------------------------------------------------
+@register(
+    "q205_user_state_history",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL AND user_id % 100 = 0),
+    m AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_state,
+             row_number() OVER w AS rn
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM m
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev_state)
+    SELECT user_id, event_type AS state, ts AS effective_from,
+           lead(ts) OVER w2 AS effective_to,
+           CAST(CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Kimball SCD2 build from an event log (temporal.py:scd2_compact): "
+    "null-safe change detection collapses consecutive duplicate states, "
+    "lead() over surviving change rows yields half-open "
+    "[effective_from, effective_to) validity + is_current. Both windows "
+    "share ONE (key, ts, tiebreak) sort; output bounded by state "
+    "CHANGES, not events. user_id % 100 sample lane bounds the grade.",
+)
+def q205_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import scd2_compact
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("user_id") % 100 == 0)
+    )
+    return scd2_compact(
+        ev, "user_id", "event_type", "ts", order_tiebreak=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation: column-level diff summary between two table
+# versions (operators/expectations.py:column_diff_summary) -- the
+# companion to q167's bucket checksums.
+# ---------------------------------------------------------------------------
+@register(
+    "q206_snapshot_column_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority FROM orders),
+    a AS (SELECT * FROM base WHERE o_orderkey % 103 <> 0),
+    b AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'R'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM base WHERE o_orderkey % 101 <> 0),
+    j AS (
+      SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+             a.o_custkey AS ca, b.o_custkey AS cb,
+             a.o_orderstatus AS sa, b.o_orderstatus AS sb,
+             a.o_totalprice AS pa, b.o_totalprice AS pb,
+             a.o_orderpriority AS ra, b.o_orderpriority AS rb
+      FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey),
+    w AS (
+      SELECT
+        CAST(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS rows_added,
+        CAST(sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS rows_removed,
+        CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched,
+        CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND ca IS DISTINCT FROM cb THEN 1 ELSE 0 END) AS BIGINT)
+          AS changed_o_custkey,
+        CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND sa IS DISTINCT FROM sb THEN 1 ELSE 0 END) AS BIGINT)
+          AS changed_o_orderstatus,
+        CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND pa IS DISTINCT FROM pb THEN 1 ELSE 0 END) AS BIGINT)
+          AS changed_o_totalprice,
+        CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND ra IS DISTINCT FROM rb THEN 1 ELSE 0 END) AS BIGINT)
+          AS changed_o_orderpriority
+      FROM j)
+    SELECT 'rows_added' AS metric, rows_added AS n FROM w
+    UNION ALL SELECT 'rows_removed', rows_removed FROM w
+    UNION ALL SELECT 'rows_matched', rows_matched FROM w
+    UNION ALL SELECT 'changed_o_custkey', changed_o_custkey FROM w
+    UNION ALL SELECT 'changed_o_orderstatus', changed_o_orderstatus FROM w
+    UNION ALL SELECT 'changed_o_totalprice', changed_o_totalprice FROM w
+    UNION ALL SELECT 'changed_o_orderpriority', changed_o_orderpriority
+      FROM w
+    """,
+    doc="snapshot reconciliation (expectations.py:column_diff_summary): "
+    "FULL OUTER join on the grain + ONE conditional aggregate -> "
+    "long-format added/removed/matched + per-column change counts "
+    "(IS DISTINCT FROM, NULL<->value counts). Snapshot B is derived "
+    "deterministically from orders on BOTH sides (%101 deletes, %103 "
+    "adds, %97 price bump, %89 status flip). Presence markers, not "
+    "key-null probes, so NULL-key rows reconcile too.",
+)
+def q206_snapshot_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import column_diff_summary
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    snap_a = base.filter(F.col("o_orderkey") % 103 != 0)
+    snap_b = base.filter(F.col("o_orderkey") % 101 != 0).withColumns(
+        {
+            "o_orderstatus": F.when(
+                F.col("o_orderkey") % 89 == 0, F.lit("R")
+            ).otherwise(F.col("o_orderstatus")),
+            "o_totalprice": F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.5
+            ).otherwise(F.col("o_totalprice")),
+        }
+    )
+    return column_diff_summary(
+        snap_a,
+        snap_b,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )

@@ -72,3 +72,63 @@ def test_expectations_quoted_rule_name_and_empty_rules(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         check_expectations(_df(spark), [])
+
+
+# -- column_diff_summary -----------------------------------------------------
+
+
+def test_column_diff_counts_added_removed_changed(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        column_diff_summary,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "CHANGED", 20.0), (4, "new", 40.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r.metric: r.n
+        for r in column_diff_summary(a, b, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        "rows_added": 1,
+        "rows_removed": 1,
+        "rows_matched": 2,
+        "changed_s": 1,
+        "changed_v": 0,
+    }
+
+
+def test_column_diff_null_key_and_null_value_transitions(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        column_diff_summary,
+    )
+
+    # NULL keys reconcile via eqNullSafe; NULL<->value counts as change
+    a = spark.createDataFrame([(None, "x"), (1, None)], "k long, s string")
+    b = spark.createDataFrame([(None, "x"), (1, "now")], "k long, s string")
+    got = {
+        r.metric: r.n
+        for r in column_diff_summary(a, b, ["k"], ["s"]).collect()
+    }
+    assert got == {
+        "rows_added": 0,
+        "rows_removed": 0,
+        "rows_matched": 2,
+        "changed_s": 1,
+    }
+
+
+def test_column_diff_requires_compare_cols(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        column_diff_summary,
+    )
+    import pytest
+
+    a = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        column_diff_summary(a, a, ["k"], [])

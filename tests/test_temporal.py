@@ -380,3 +380,80 @@ def test_asof_join_forward_and_tolerance(spark):
     assert back[(1, 100)] == "a"
     assert back[(1, 250)] is None  # 250 - 100 > 100
     assert back[(1, 400)] == "b"
+
+
+# -- scd2_compact ------------------------------------------------------------
+
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        scd2_compact,
+    )
+    import datetime
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+    rows = [
+        ("u1", "free", ts(0), 1),
+        ("u1", "free", ts(5), 2),   # duplicate run -> collapses
+        ("u1", "paid", ts(10), 3),
+        ("u1", "free", ts(20), 4),  # returns to a PRIOR state -> new row
+        ("u2", "paid", ts(0), 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user string, state string, ts timestamp, eid long"
+    )
+    out = scd2_compact(df, "user", "state", "ts", order_tiebreak=["eid"])
+    got = sorted(
+        (r.user, r.state, r.effective_from, r.effective_to, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        ("u1", "free", ts(0), ts(10), 0),
+        ("u1", "free", ts(20), None, 1),
+        ("u1", "paid", ts(10), ts(20), 0),
+        ("u2", "paid", ts(0), None, 1),
+    ]
+
+
+def test_scd2_null_state_forms_a_run(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        scd2_compact,
+    )
+    import datetime
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+    rows = [
+        ("u", None, ts(0), 1),
+        ("u", None, ts(1), 2),   # null-safe: same run, collapses
+        ("u", "a", ts(2), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user string, state string, ts timestamp, eid long"
+    )
+    out = scd2_compact(df, "user", "state", "ts", order_tiebreak=["eid"])
+    got = sorted(
+        ((r.state, r.effective_from, r.effective_to) for r in out.collect()),
+        key=lambda x: (x[0] is not None, x[0] or ""),
+    )
+    assert got == [(None, ts(0), ts(2)), ("a", ts(2), None)]
+
+
+def test_scd2_same_ts_tiebreak_deterministic(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        scd2_compact,
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("u", "b", t0, 2), ("u", "a", t0, 1)]
+    df = spark.createDataFrame(
+        rows, "user string, state string, ts timestamp, eid long"
+    )
+    out = scd2_compact(df, "user", "state", "ts", order_tiebreak=["eid"])
+    got = sorted((r.state, r.is_current) for r in out.collect())
+    # eid order: 'a' first then 'b'; both at t0, 'b' is current
+    assert got == [("a", 0), ("b", 1)]
