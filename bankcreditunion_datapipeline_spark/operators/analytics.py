@@ -459,3 +459,110 @@ def gini_e6(
         "coarse_pow",
         F.col("__g").alias("gini_e6"),
     )
+
+
+def theil_sen_slope_e6(
+    pts: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_pair_rows: int = 10_000_000,
+) -> DataFrame:
+    """Theil-Sen robust trend estimator over integer points: the median
+    of all pairwise slopes, immune to outlier points that wreck an OLS
+    fit. Slopes live in the integer lane -- slope_e6 = (dy * 1e6) div dx
+    (Spark `div` and DuckDB `//` both truncate toward zero, verified on
+    negative dividends) -- and the median is the LOWER median (rank
+    (n+1) div 2), so the whole estimate is exact and engine-portable.
+
+    Intended for AGGREGATED series (x = period index, y = period total):
+    pair count is n*(n-1)/2 over POINTS, budget-guarded via
+    attach_pair_budget, and the median rank runs as one global sort over
+    pair rows -- fine for thousands of points, not for raw event rows
+    (aggregate first; a year of days is 365 points at any corpus size).
+
+    Output: one row (n_points, n_pairs, ts_slope_e6). Requires distinct
+    x per row and |dy| * 1e6 < 2^63 (document the unit accordingly).
+    """
+    from .dedup import attach_pair_budget
+
+    n_pts = pts.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    gated = attach_pair_budget(
+        pts,
+        n_pts,
+        "__m",
+        max_pair_rows,
+        "theil_sen_slope_e6: too many points -- aggregate the series "
+        "to a coarser period or raise max_pair_rows",
+    )
+    a = gated.select(F.col(x_col).alias("__xa"), F.col(y_col).alias("__ya"))
+    b = gated.select(F.col(x_col).alias("__xb"), F.col(y_col).alias("__yb"))
+    pairs = (
+        a.join(b, F.col("__xa") < F.col("__xb"))
+        .select(
+            F.expr("((__yb - __ya) * 1000000) div (__xb - __xa)").alias(
+                "slope_e6"
+            )
+        )
+    )
+    w = Window.orderBy("slope_e6")
+    ranked = pairs.select(
+        "slope_e6",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("__n"),
+    )
+    n_points = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        ranked.filter(F.expr("__rn = (__n + 1) div 2"))
+        .select(
+            F.col("__n").cast("long").alias("n_pairs"),
+            F.col("slope_e6").alias("ts_slope_e6"),
+        )
+        .crossJoin(F.broadcast(n_points))
+        .select("n_points", "n_pairs", "ts_slope_e6")
+    )
+
+
+def dow_residuals(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    anchor: str = "1970-01-05",
+) -> DataFrame:
+    """Day-of-week seasonal baseline + integer-permille residuals: for
+    each day, how far its value sits from the mean of its weekday --
+    the deseasonalized anomaly screen for daily operational series.
+
+    dow = datediff(day, anchor Monday) % 7 (0=Mon..6=Sun) -- a pure
+    integer lane portable across engines, no locale-dependent dayofweek.
+    resid_permille = (v * dow_cnt * 1000) div dow_total - 1000, one
+    division at the end (never mean-then-divide twice). Window over the
+    dow partition: no join, one exchange over DAILY rows (bounded by
+    calendar days regardless of corpus size).
+
+    Requires non-negative dow_total > 0 per weekday and days on/after
+    the anchor (callers declare the domain in their filters).
+    """
+    withdow = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("long").alias("v"),
+    ).withColumn(
+        "dow",
+        (F.datediff(F.col("day"), F.lit(anchor).cast("date")) % 7).cast(
+            "long"
+        ),
+    )
+    return withdow.select(
+        "day",
+        "dow",
+        "v",
+        F.expr(
+            "sum(v) OVER (PARTITION BY dow) div "
+            "count(1) OVER (PARTITION BY dow)"
+        ).alias("dow_avg"),
+        F.expr(
+            "(v * count(1) OVER (PARTITION BY dow) * 1000) div "
+            "sum(v) OVER (PARTITION BY dow) - 1000"
+        ).alias("resid_permille"),
+    )

@@ -11622,3 +11622,98 @@ def q206_snapshot_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over monthly revenue (operators/analytics.py:
+# theil_sen_slope_e6) -- median-of-pairwise-slopes, exact integer lane.
+# ---------------------------------------------------------------------------
+@register(
+    "q207_revenue_trend_theil_sen",
+    """
+    WITH pts AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS x,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    pr AS (
+      SELECT CAST(((b.y - a.y) * 1000000) // (b.x - a.x) AS BIGINT)
+               AS slope_e6
+      FROM pts a JOIN pts b ON a.x < b.x),
+    r AS (
+      SELECT slope_e6, row_number() OVER (ORDER BY slope_e6) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n FROM pr)
+    SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
+           n AS n_pairs, slope_e6 AS ts_slope_e6
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+    doc="Theil-Sen slope of monthly revenue cents per month index: "
+    "median of all pairwise slopes, outlier-immune where OLS is not. "
+    "slope_e6 = (dy*1e6) div dx -- Spark div == DuckDB // on negative "
+    "dividends (both truncate toward zero, verified), LOWER median at "
+    "rank (n+1) div 2 so the estimate is exact. Pairs form over "
+    "AGGREGATED months (84 points at any corpus size), budget-guarded.",
+)
+def q207_revenue_trend_theil_sen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import theil_sen_slope_e6
+
+    pts = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return theil_sen_slope_e6(pts, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal baseline + residual anomalies
+# (operators/analytics.py:dow_residuals).
+# ---------------------------------------------------------------------------
+@register(
+    "q208_dow_seasonal_residuals",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    d AS (
+      SELECT day,
+             CAST(date_diff('day', DATE '1970-01-05', day) % 7 AS BIGINT)
+               AS dow,
+             v
+      FROM daily WHERE day >= DATE '1970-01-05')
+    SELECT day, dow, v,
+           CAST(sum(v) OVER w // count(*) OVER w AS BIGINT) AS dow_avg,
+           CAST((v * count(*) OVER w * 1000) // sum(v) OVER w - 1000
+                AS BIGINT) AS resid_permille
+    FROM d WINDOW w AS (PARTITION BY dow)
+    """,
+    doc="deseasonalized daily-volume anomaly screen (analytics.py:"
+    "dow_residuals): dow = datediff-from-anchor-Monday % 7 (pure "
+    "integer, no locale dayofweek), per-dow mean via ONE window over "
+    "DAILY rows (bounded by calendar days at any corpus size), "
+    "resid_permille with a single trailing division. Domain (days on/"
+    "after the anchor) declared in the query filter.",
+)
+def q208_dow_seasonal_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import dow_residuals
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .filter(F.col("day") >= F.lit("1970-01-05").cast("date"))
+    )
+    return dow_residuals(daily, "day", "v")

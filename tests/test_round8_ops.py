@@ -462,3 +462,71 @@ def test_bpe_pairs_shared_pair_counts_distinct_words(spark):
     assert out["ab"] == (2, 3)
     assert out["bc"] == (1, 2)
     assert out["bd"] == (1, 1)
+
+
+# -- theil_sen_slope_e6 (operators/analytics.py) -----------------------------
+
+
+def test_theil_sen_outlier_immune(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        theil_sen_slope_e6,
+    )
+
+    # slope 10/step everywhere except one wild outlier point: the
+    # median of pairwise slopes stays 10e6 (an OLS fit would not)
+    pts = spark.createDataFrame(
+        [(0, 0), (1, 10), (2, 20), (3, 1000)], "x long, y long"
+    )
+    row = theil_sen_slope_e6(pts, "x", "y").collect()[0]
+    assert (row.n_points, row.n_pairs, row.ts_slope_e6) == (4, 6, 10_000_000)
+
+
+def test_theil_sen_negative_slope_exact(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        theil_sen_slope_e6,
+    )
+
+    pts = spark.createDataFrame(
+        [(0, 100), (1, 50), (2, 0)], "x long, y long"
+    )
+    row = theil_sen_slope_e6(pts, "x", "y").collect()[0]
+    # negative dividend: div truncates toward zero in BOTH engines
+    assert row.ts_slope_e6 == -50_000_000
+
+
+def test_theil_sen_budget_fires(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        theil_sen_slope_e6,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, i) for i in range(200)], "x long, y long"
+    )
+    with pytest.raises(Exception, match="theil_sen_slope_e6"):
+        theil_sen_slope_e6(pts, "x", "y", max_pair_rows=100).collect()
+
+
+# -- dow_residuals (operators/analytics.py) ----------------------------------
+
+
+def test_dow_residuals_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        dow_residuals,
+    )
+
+    # 2024-01-01 and 2024-01-08 are Mondays (dow 0), 2024-01-02 Tuesday
+    daily = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), 10),
+            (datetime.date(2024, 1, 8), 30),
+            (datetime.date(2024, 1, 2), 5),
+        ],
+        "day date, v long",
+    )
+    got = {
+        r.day: (r.dow, r.dow_avg, r.resid_permille)
+        for r in dow_residuals(daily, "day", "v").collect()
+    }
+    assert got[datetime.date(2024, 1, 1)] == (0, 20, -500)
+    assert got[datetime.date(2024, 1, 8)] == (0, 20, 500)
+    assert got[datetime.date(2024, 1, 2)] == (1, 5, 0)
