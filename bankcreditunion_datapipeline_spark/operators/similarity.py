@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.vectors import attach_sign_bits, cosine, dot, hamming64, random_hyperplanes
 
@@ -875,4 +876,83 @@ def mmr_rerank(
         chosen.add(best[1])
     return df.sparkSession.createDataFrame(
         selected, "vec_id long, rel_micro long, mmr_rank long"
+    )
+
+
+def mutual_nearest_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 5000,
+) -> DataFrame:
+    """Mutual-nearest-neighbor pairs: (a, b) where b is a's exact top-1
+    cosine neighbor AND a is b's -- the high-precision alignment/
+    bitext-mining primitive (a symmetric match is much stronger
+    evidence than a one-directional top-1).
+
+    Exact-audit shape, like q189's ground truth: brute-force over a
+    BOUNDED set (sample or cluster block), fail-loud above `max_rows`
+    (the pair join is O(n^2)); the 100 TB path blocks first (IVF
+    q137 / sign-LSH q23) and runs MNN within blocks. The pair join
+    BROADCASTS the right side (bounded by the same guard), so no
+    shuffle forms; top-1 extraction is one (id, score desc, id asc)
+    window. NULL and zero-norm vectors never rank (cosine NULL-safety
+    + explicit score filter).
+    """
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    )
+    guard = base.agg(F.count(F.lit(1)).alias("__m"))
+    gated = base.crossJoin(F.broadcast(guard)).where(
+        F.assert_true(
+            F.col("__m") <= F.lit(max_rows),
+            F.concat(
+                F.lit("mutual_nearest_pairs: input exceeds max_rows ["),
+                F.col("__m").cast("string"),
+                F.lit(f" rows, budget {max_rows}] -- block first "
+                      "(IVF/LSH) and run MNN within blocks"),
+            ),
+        ).isNull()
+    ).drop("__m")
+    a = gated.select(
+        F.col("__id").alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        F.col("__id").alias("__idb"), F.col("__v").alias("__vb")
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida",
+            "__idb",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias(
+                "__score"
+            ),
+        )
+        .filter(F.col("__score").isNotNull())
+    )
+    w = Window.partitionBy("__ida").orderBy(
+        F.desc("__score"), F.asc("__idb")
+    )
+    nn = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("__ida", "__idb", "__score")
+    )
+    m2 = nn.select(
+        F.col("__ida").alias("__x"), F.col("__idb").alias("__y")
+    )
+    return (
+        nn.join(
+            m2,
+            (F.col("__idb") == F.col("__x"))
+            & (F.col("__y") == F.col("__ida"))
+            & (F.col("__ida") < F.col("__x")),
+        )
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.col("__score").alias("cosine_sim"),
+        )
     )

@@ -744,3 +744,102 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("__w").cast("long").alias("n_words"),
         F.sum("__freq").cast("long").alias("total"),
     )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-`vocab_size` word list -- the tokenizer-coverage screen run
+    before committing a vocabulary (docs with high OOV are the ones a
+    fixed vocab will shred into bytes).
+
+    Vocabulary selection is orderBy(freq desc, word asc).limit(k):
+    Spark plans TakeOrderedAndProject (map-side partial top-k, no
+    global sort materialization), deterministic under ties. The vocab
+    is then BROADCAST to flag tokens -- the probe side never shuffles.
+
+    Output: (id, n_tok, n_oov, oov_permille) for docs with >= 1 token;
+    occurrences count (not distinct words), so a doc repeating one rare
+    word is as OOV as a doc of distinct rare words.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), " "), lambda x: x != ""
+                )
+            ).alias("__w"),
+        )
+    )
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .orderBy(F.desc("__freq"), F.asc("__w"))
+        .limit(vocab_size)
+        .select("__w", F.lit(1).alias("__in"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "__w", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.col("__in").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_permille", F.expr("n_oov * 1000 div n_tok"))
+    )
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    thresholds_permille: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation tuning table: for each candidate quality cutoff, how
+    many documents and how many tokens survive -- the docs-vs-tokens
+    tradeoff curve read before picking a filter threshold.
+
+    ONE conditional-aggregation pass (no threshold x corpus row
+    multiplication): each threshold is two CASE aggregates, then a
+    stack() unpivot of the single wide row. Quality is the engine's
+    quality_score lane (trunc6 -- identical IEEE doubles replay in
+    SQL); the keep test runs on floor(q * 1000) so the comparison is
+    integer-vs-integer, never float-boundary.
+
+    NULL text is excluded UP FRONT (filtered, visibly): quality_score's
+    when/otherwise chain would score it 0 (least() ignores NULL), which
+    would count contentless docs as "kept" at threshold 0 -- the
+    quarantine discipline says they never pass a quality gate.
+    """
+    c = F.col(text_col)
+    prof = df.filter(c.isNotNull()).select(
+        F.floor(quality_score(c) * 1000).alias("__qp"),
+        token_count(c).cast("long").alias("__nt"),
+    )
+    aggs = []
+    for i, thr in enumerate(thresholds_permille):
+        keep = F.col("__qp") >= F.lit(int(thr))
+        aggs.append(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"__d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(keep, F.col("__nt")).otherwise(0))
+            .cast("long")
+            .alias(f"__t{i}")
+        )
+    wide = prof.agg(*aggs)
+    stack_expr = ", ".join(
+        f"{int(thr)}L, __d{i}, __t{i}"
+        for i, thr in enumerate(thresholds_permille)
+    )
+    return wide.selectExpr(
+        f"stack({len(thresholds_permille)}, {stack_expr}) "
+        "AS (thr_permille, docs_kept, tokens_kept)"
+    )

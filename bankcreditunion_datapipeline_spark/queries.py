@@ -11717,3 +11717,155 @@ def q208_dow_seasonal_residuals(
         .filter(F.col("day") >= F.lit("1970-01-05").cast("date"))
     )
     return dow_residuals(daily, "day", "v")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer coverage: OOV rate per doc against the corpus top-1000
+# vocabulary (operators/text.py:oov_stats), rolled up per language.
+# ---------------------------------------------------------------------------
+@register(
+    "q209_oov_by_lang",
+    """
+    WITH d AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    dl AS (SELECT doc_id, min(lang) AS lang FROM d GROUP BY doc_id),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+      FROM d),
+    cnt AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+    voc AS (SELECT w FROM cnt ORDER BY freq DESC, w ASC LIMIT 1000),
+    per AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN voc v ON t.w = v.w
+      GROUP BY t.doc_id)
+    SELECT dl.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(per.n_oov * 1000 // per.n_tok) // count(*) AS BIGINT)
+             AS avg_oov_permille
+    FROM per JOIN dl ON per.doc_id = dl.doc_id
+    GROUP BY dl.lang
+    """,
+    doc="tokenizer-coverage screen (text.py:oov_stats): corpus top-1000 "
+    "vocabulary via TakeOrderedAndProject (map-side partial top-k, "
+    "freq desc + word asc determinism), BROADCAST to flag tokens, "
+    "per-doc oov_permille = n_oov*1000 div n_tok, floor-div language "
+    "average. Occurrence-counted (not distinct words). doc_id domain "
+    "declared; per-doc lang = min(lang) so duplicate ids stay "
+    "deterministic.",
+)
+def q209_oov_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import oov_stats
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    per = oov_stats(d, vocab_size=1000)
+    dl = d.groupBy("doc_id").agg(F.min("lang").alias("lang"))
+    return per.join(dl, "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(n_oov * 1000 div n_tok) div count(1)")
+        .cast("long")
+        .alias("avg_oov_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation tuning: quality-threshold sweep -- docs/tokens surviving each
+# candidate cutoff (operators/text.py:quality_threshold_sweep).
+# ---------------------------------------------------------------------------
+@register(
+    "q210_quality_threshold_sweep",
+    """
+    WITH prof AS (
+      SELECT floor((least(length(text) / 500.0, 1.0)
+               * (CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       * 1.0 / length(text)
+                  ELSE 0.0 END)
+               * greatest(0.0, 1.0
+                 - (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text,
+                         '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                         * 1.0 / length(text)
+                    ELSE 0.0 END) * 4)) * 1000000) / 1000000.0 AS q,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS nt
+      FROM documents WHERE text IS NOT NULL),
+    p2 AS (SELECT floor(q * 1000) AS qp, nt FROM prof)
+    SELECT CAST(t.thr AS BIGINT) AS thr_permille,
+           CAST(sum(CASE WHEN qp >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(sum(CASE WHEN qp >= t.thr THEN nt ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM p2, (SELECT unnest(range(0, 1000, 100)) AS thr) t
+    GROUP BY t.thr
+    """,
+    doc="curation threshold sweep (text.py:quality_threshold_sweep): ONE "
+    "conditional-aggregation pass (each cutoff = two CASE aggregates, "
+    "stack() unpivot -- no threshold x corpus row multiplication); "
+    "keep test on floor(q*1000) integers, never a float boundary. "
+    "Quality is the q49 trunc6 lane replayed verbatim; NULL text is "
+    "excluded up front (least() would score it 0, not NULL).",
+)
+def q210_quality_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import quality_threshold_sweep
+
+    docs = t(spark, sf_dir, "documents")
+    return quality_threshold_sweep(docs, list(range(0, 1000, 100)))
+
+
+# ---------------------------------------------------------------------------
+# Mutual nearest neighbors over embeddings (operators/similarity.py:
+# mutual_nearest_pairs) -- the symmetric-match alignment primitive.
+# ---------------------------------------------------------------------------
+@register(
+    "q211_mutual_nearest_pairs",
+    """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND vec_id % 10 = 0),
+    sc AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(CASE WHEN sqrt(list_dot_product(a.x, a.x))
+                             * sqrt(list_dot_product(b.x, b.x)) <> 0
+                   THEN list_dot_product(a.x, b.x)
+                        / (sqrt(list_dot_product(a.x, a.x))
+                           * sqrt(list_dot_product(b.x, b.x)))
+                   END, 6) AS s
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT ida, idb, s FROM (
+        SELECT ida, idb, s,
+               row_number() OVER (PARTITION BY ida
+                                  ORDER BY s DESC, idb ASC) AS rk
+        FROM sc WHERE s IS NOT NULL) WHERE rk = 1)
+    SELECT m1.ida AS id_a, m1.idb AS id_b, m1.s AS cosine_sim
+    FROM nn m1 JOIN nn m2
+      ON m1.idb = m2.ida AND m2.idb = m1.ida AND m1.ida < m2.ida
+    """,
+    doc="mutual nearest neighbors (similarity.py:mutual_nearest_pairs): "
+    "exact top-1 cosine each direction over a BOUNDED sample "
+    "(vec_id % 10 -- the q189 exact-audit shape), keep symmetric "
+    "matches only. Right side BROADCASTS under a fail-loud max_rows "
+    "guard (no shuffle); scale path blocks first (IVF q137 / LSH q23) "
+    "and runs MNN within blocks. Vector oracle on the list_transform "
+    "lane (the q23/q188 ::DOUBLE[]-under-window class).",
+)
+def q211_mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import mutual_nearest_pairs
+
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.col("vec_id") % 10 == 0)
+    )
+    return mutual_nearest_pairs(emb)

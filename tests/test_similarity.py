@@ -432,3 +432,38 @@ def test_mmr_rerank_demotes_near_duplicates(spark):
     assert 2 not in order[:2]
     ranks = [r[2] for r in out]
     assert sorted(ranks) == [1, 2, 3]
+
+
+# -- mutual_nearest_pairs ----------------------------------------------------
+
+
+def test_mutual_nearest_pairs_symmetric_only(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+
+    # a<->b are each other's top-1; c's top-1 is a, but a's is b -> no
+    # pair for c. d is a zero vector: never ranks.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.1]),
+        (3, [0.7, 0.7]),
+        (4, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r.id_a, r.id_b) for r in mutual_nearest_pairs(df).collect()
+    ]
+    assert got == [(1, 2)]
+
+
+def test_mutual_nearest_pairs_budget_fires(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="mutual_nearest_pairs"):
+        mutual_nearest_pairs(df, max_rows=10).collect()

@@ -335,3 +335,69 @@ def test_chunk_documents_overlap_and_tail(spark):
         assert a[3:] == b[: len(a[3:])]  # shared overlap token
     stitched = chunks[0] + [t for c in chunks[1:] for t in c[1:]]
     assert stitched == words
+
+
+# -- oov_stats ---------------------------------------------------------------
+
+
+def test_oov_stats_counts_occurrences_not_distinct(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import oov_stats
+
+    # vocab_size=2 -> vocab = {'aa','bb'} (freq desc, word asc ties);
+    # doc 3 repeats the OOV word 'zz' twice: both occurrences count
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa"),
+            (2, "aa bb"),
+            (3, "zz zz aa"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tok, r.n_oov, r.oov_permille)
+        for r in oov_stats(df, vocab_size=2).collect()
+    }
+    assert got == {1: (3, 0, 0), 2: (2, 0, 0), 3: (3, 2, 666)}
+
+
+def test_oov_stats_vocab_tiebreak_deterministic(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import oov_stats
+
+    # 'a' and 'b' both freq 1: vocab_size=1 keeps 'a' (word asc)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_oov for r in oov_stats(df, vocab_size=1).collect()
+    }
+    assert got == {1: 0, 2: 1}
+
+
+# -- quality_threshold_sweep -------------------------------------------------
+
+
+def test_quality_sweep_monotone_and_null_never_kept(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        quality_threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("word " * 200,),   # long alpha text: high quality
+            ("!!!???...",),     # pure punctuation: quality 0
+            (None,),            # NULL: kept by NO threshold
+        ],
+        "text string",
+    )
+    rows = {
+        r.thr_permille: (r.docs_kept, r.tokens_kept)
+        for r in quality_threshold_sweep(df, [0, 500]).collect()
+    }
+    # thr 0 keeps both non-null docs (q >= 0); NULL text is filtered
+    # up front (quality_score would score it 0 via least(), not NULL)
+    assert rows[0][0] == 2
+    # docs_kept monotone non-increasing in the threshold
+    assert rows[500][0] <= rows[0][0]
+    # the punct-only doc scores 0 -> only the long doc can survive 500
+    assert rows[500][0] <= 1
+    # tokens follow docs: thr 0 counts both docs' tokens
+    assert rows[0][1] == 200 + 1
