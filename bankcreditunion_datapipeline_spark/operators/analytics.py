@@ -566,3 +566,56 @@ def dow_residuals(
             "sum(v) OVER (PARTITION BY dow) - 1000"
         ).alias("resid_permille"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    amount_cents_col: str,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation -- the
+    classic customer-base cut. Per key: days since last activity
+    (relative to the CORPUS max date, so the segmentation is
+    reproducible from the data alone), activity count, total cents;
+    each scored 1..5 by ntile(5) over a fully deterministic order
+    (metric, key) -- quintile 1 = best (most recent / most frequent /
+    highest spend).
+
+    ntile bucket sizing (larger buckets first) is identical in Spark
+    and DuckDB (verified). The three ntile windows are global sorts
+    over PER-KEY rows -- bounded by distinct customers, not orders; at
+    a scale where even that single-partition sort hurts, derive the
+    cuts from the q181 sketch boundaries instead and join.
+
+    Output: (key, recency_days, frequency, monetary_cents, r_q, f_q,
+    m_q), one row per key.
+    """
+    per = (
+        df.filter(
+            F.col(key_col).isNotNull() & F.col(date_col).isNotNull()
+        )
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.max(date_col).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(amount_cents_col).cast("long").alias("monetary_cents"),
+        )
+    )
+    ref = per.agg(F.max("__last").alias("__ref"))
+    scored = per.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.datediff(F.col("__ref"), F.col("__last")).cast("long"),
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("k"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("k"))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("k"))
+    return scored.select(
+        F.col("k").alias(key_col),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r_q"),
+        F.ntile(5).over(wf).cast("long").alias("f_q"),
+        F.ntile(5).over(wm).cast("long").alias("m_q"),
+    )

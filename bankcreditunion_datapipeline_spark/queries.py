@@ -11869,3 +11869,97 @@ def q211_mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") % 10 == 0)
     )
     return mutual_nearest_pairs(emb)
+
+
+# ---------------------------------------------------------------------------
+# RFM quintile segmentation (operators/analytics.py:rfm_segments).
+# ---------------------------------------------------------------------------
+@register(
+    "q212_rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k, max(o_orderdate) AS last_d,
+             CAST(count(*) AS BIGINT) AS f,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY o_custkey),
+    mx AS (SELECT max(last_d) AS ref FROM per),
+    q AS (
+      SELECT k,
+             CAST(date_diff('day', last_d, ref) AS BIGINT) AS recency_days,
+             f, m,
+             ntile(5) OVER (ORDER BY date_diff('day', last_d, ref) ASC,
+                            k ASC) AS r_q,
+             ntile(5) OVER (ORDER BY f DESC, k ASC) AS f_q,
+             ntile(5) OVER (ORDER BY m DESC, k ASC) AS m_q
+      FROM per, mx)
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m) AS BIGINT) AS total_cents
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+    doc="RFM segmentation (analytics.py:rfm_segments): per-customer "
+    "recency (vs corpus max date -- reproducible from data alone), "
+    "frequency, monetary cents; ntile(5) quintiles over deterministic "
+    "(metric, key) orders -- bucket sizing verified identical Spark/"
+    "DuckDB. Windows sort PER-KEY rows (customers, not orders); the "
+    "sketch-boundary路线 (q181) replaces the global sort at extreme "
+    "key counts. Rolled up to segment counts + spend.",
+)
+def q212_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import rfm_segments
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "__cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    seg = rfm_segments(orders, "o_custkey", "o_orderdate", "__cents")
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood candidate generation graded exactly
+# (operators/linkage.py:sorted_neighborhood_pairs).
+# ---------------------------------------------------------------------------
+@register(
+    "q213_snm_name_candidates",
+    """
+    WITH v AS (
+      SELECT p_name AS name FROM part
+      WHERE p_name IS NOT NULL GROUP BY p_name),
+    s AS (
+      SELECT name,
+             lead(name, 1) OVER w AS n1,
+             lead(name, 2) OVER w AS n2,
+             lead(name, 3) OVER w AS n3
+      FROM v WINDOW w AS (ORDER BY name)),
+    p AS (
+      SELECT name AS name_a, unnest([n1, n2, n3]) AS name_b FROM s)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+    FROM p
+    WHERE name_b IS NOT NULL AND levenshtein(name_a, name_b) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="sorted-neighborhood linkage (linkage.py:sorted_neighborhood_"
+    "pairs): ONE global sort over the collapsed vocabulary, each name "
+    "paired with its next 3 neighbors -- linear pair count by "
+    "construction, the fallback when blocking keys collapse (q204's "
+    "budget refusal case). Match = levenshtein <= 2, same contract as "
+    "q204 (at 3, the adjacent-noun distance on this corpus, so the "
+    "candidate set is non-empty at every sf).",
+)
+def q213_snm_name_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    parts = t(spark, sf_dir, "part")
+    return (
+        sorted_neighborhood_pairs(parts, "p_name", window=3)
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev") <= 3)
+        .orderBy("name_a", "name_b")
+    )

@@ -223,3 +223,48 @@ def test_skyline_2d_span_guard_fails_loud(spark):
     )
     with pytest.raises(ValueError, match="rescale"):
         skyline_2d(df, "x", "y")
+
+
+# -- rfm_segments ------------------------------------------------------------
+
+
+def test_rfm_quintiles_hand_case(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        rfm_segments,
+    )
+    import datetime
+
+    d = datetime.date
+    # 5 customers, one order each except c1 (two orders). Recency ref =
+    # 2024-01-10 (corpus max). ntile(5) over 5 rows = one per bucket.
+    rows = [
+        (1, d(2024, 1, 10), 100),
+        (1, d(2024, 1, 1), 100),
+        (2, d(2024, 1, 8), 500),
+        (3, d(2024, 1, 6), 400),
+        (4, d(2024, 1, 4), 300),
+        (5, d(2024, 1, 2), 200),
+    ]
+    df = spark.createDataFrame(rows, "k long, dt date, cents long")
+    got = {
+        r["k"]: (r.recency_days, r.frequency, r.monetary_cents, r.r_q)
+        for r in rfm_segments(df, "k", "dt", "cents").collect()
+    }
+    assert got[1] == (0, 2, 200, 1)   # most recent -> r_q 1
+    assert got[5] == (8, 1, 200, 5)   # least recent -> r_q 5
+    # frequency quintile: c1 (f=2) is f_q 1
+    out = {r["k"]: r.f_q for r in rfm_segments(df, "k", "dt", "cents").collect()}
+    assert out[1] == 1
+
+
+def test_rfm_null_key_and_date_excluded(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        rfm_segments,
+    )
+    import datetime
+
+    d = datetime.date
+    rows = [(1, d(2024, 1, 1), 10), (None, d(2024, 1, 2), 10), (2, None, 10)]
+    df = spark.createDataFrame(rows, "k long, dt date, cents long")
+    got = rfm_segments(df, "k", "dt", "cents").collect()
+    assert sorted(r["k"] for r in got) == [1]
