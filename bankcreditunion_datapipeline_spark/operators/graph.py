@@ -453,3 +453,73 @@ def adamic_adar_pairs(
             F.sum("__w").cast("long").alias("aa_e6"),
         )
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 2,
+    max_score: int = 1 << 61,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg) hub/authority scores on a directed (typically
+    bipartite) graph, in the EXACT integer lane: hubs start at 1,
+    authority(d) = sum of hub scores over in-edges, hub(s) = sum of
+    authority scores over out-edges, repeated `rounds` times with NO
+    per-round normalization -- the RANKING after r rounds equals
+    normalized HITS (normalization is a positive scalar per round), and
+    unnormalized sums stay engine-portable where float normalization
+    would not (the q147 integer-PageRank discipline).
+
+    Growth is geometric (score_r <= E * max(score_{r-1})), so the
+    operator is fail-loud above `max_score` instead of silently
+    wrapping BIGINT -- the q176 overflow posture. rounds=2 on a graph
+    with 1e12 edges stays under 2^61; raise rounds only with a
+    coarser unit upstream.
+
+    Each half-round is one broadcast-or-shuffle hash join + one
+    map-side-combining aggregate over EDGES -- the same shape as
+    pagerank_integer, so the r7 hub-mode skew proof (map-side partial
+    sums absorb a hot vertex) carries over.
+
+    Returns (authorities, hubs): (node, score) each. Input edges are
+    de-duplicated defensively (multiplicity would double-count).
+    """
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct()
+    h = e.select("__s").distinct().withColumn(
+        "__h", F.lit(1).cast("long")
+    )
+    a = None
+    for _ in range(rounds):
+        a = (
+            e.join(h, "__s")
+            .groupBy("__d")
+            .agg(F.sum("__h").cast("long").alias("__a"))
+        )
+        h = (
+            e.join(a, "__d")
+            .groupBy("__s")
+            .agg(F.sum("__a").cast("long").alias("__h"))
+        )
+    guard_a = a.agg(F.max("__a").alias("__mx"))
+    guarded_a = (
+        a.crossJoin(F.broadcast(guard_a))
+        .where(
+            F.assert_true(
+                F.col("__mx") <= F.lit(max_score),
+                F.concat(
+                    F.lit("hits_scores: authority overflow risk [max "),
+                    F.col("__mx").cast("string"),
+                    F.lit(f", budget {max_score}] -- reduce rounds"),
+                ),
+            ).isNull()
+        )
+        .drop("__mx")
+    )
+    auth = guarded_a.select(
+        F.col("__d").alias("node"), F.col("__a").alias("score")
+    )
+    hubs = h.select(F.col("__s").alias("node"), F.col("__h").alias("score"))
+    return auth, hubs

@@ -843,3 +843,85 @@ def quality_threshold_sweep(
         f"stack({len(thresholds_permille)}, {stack_expr}) "
         "AS (thr_permille, docs_kept, tokens_kept)"
     )
+
+
+def collocation_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    max_total_tokens: int = 9_200_000_000_000,
+) -> DataFrame:
+    """Bigram collocation mining by exact integer LIFT: for each
+    adjacent word pair, lift = P(w1 w2) / (P(w1) P(w2)) -- the
+    association strength behind PMI, but ranked on the RAW RATIO so it
+    never touches ln() (lift ordering == PMI ordering; ln is monotone,
+    and libm last-bit differences across engines are exactly what the
+    integer-lane discipline exists to exclude).
+
+    lift_e6 = (c_xy * N * 1e6) div (c_x * c_y), computed with the
+    divide-first split a*(span div n) + (a*(span mod n)) div n
+    (span = N*1e6, n = c_x*c_y) so no intermediate forms c_xy*N*1e6.
+    Bounds: fail-loud at N > 9.2e12 tokens (span must fit BIGINT);
+    with min_count >= 5 the split terms stay under 2^63 because
+    n >= min_count^2. Beyond that corpus size, coarsen the unit
+    (the q199 gini discipline).
+
+    Scale shape: one token explode -> two hash aggregates (unigrams,
+    bigrams) + a broadcast-sized N -- no self-join, no pair explosion
+    (bigrams are corpus-linear). min_count prunes the heavy tail
+    before the two dictionary joins.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.filter(
+            F.split(F.col(text_col), " "), lambda x: x != ""
+        ).alias("__ws")
+    )
+    uni = toks.select(F.explode("__ws").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    n = uni.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    guarded_n = n.where(
+        F.assert_true(
+            F.col("__n") <= F.lit(max_total_tokens),
+            F.concat(
+                F.lit("collocation_lift: corpus exceeds the e6 lane ["),
+                F.col("__n").cast("string"),
+                F.lit(f" tokens, budget {max_total_tokens}] -- coarsen "
+                      "the unit"),
+            ),
+        ).isNull()
+    )
+    bi = (
+        toks.filter(F.size("__ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__ws", i).alias("w1"),
+                        F.element_at("__ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.w1", "__p.w2")
+    )
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    j = (
+        cb.join(cu.select(F.col("w").alias("w1"), F.col("__c").alias("__cx")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("__c").alias("__cy")), "w2")
+        .crossJoin(F.broadcast(guarded_n))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "cxy",
+        F.expr(
+            "CAST(cxy * ((__n * 1000000) div (__cx * __cy)) "
+            "+ (cxy * ((__n * 1000000) % (__cx * __cy))) "
+            "div (__cx * __cy) AS BIGINT)"
+        ).alias("lift_e6"),
+    )

@@ -11963,3 +11963,96 @@ def q213_snm_name_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the customer->part purchase graph
+# (operators/graph.py:hits_scores) -- integer lane, unrolled oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q214_part_authorities",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+    a1 AS MATERIALIZED (
+      SELECT p, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY p),
+    h1 AS MATERIALIZED (
+      SELECT c, CAST(sum(a1.a) AS BIGINT) AS h
+      FROM e JOIN a1 USING (p) GROUP BY c),
+    a2 AS (
+      SELECT p, CAST(sum(h1.h) AS BIGINT) AS a
+      FROM e JOIN h1 USING (c) GROUP BY p)
+    SELECT p AS node, a AS score FROM a2
+    ORDER BY score DESC, node ASC LIMIT 20
+    """,
+    doc="HITS authorities after 2 rounds (graph.py:hits_scores) on the "
+    "distinct customer->part purchase graph: UNNORMALIZED integer sums "
+    "(per-round normalization is a positive scalar, so the ranking is "
+    "identical and the lane stays exact -- the q147 integer-PageRank "
+    "discipline), fail-loud above 2^61 instead of wrapping. Oracle = "
+    "unrolled half-rounds, MATERIALIZED per the settled CTE-inlining "
+    "contract. Each half-round is join + map-side-combining aggregate "
+    "over edges (the r7 hub-skew-proven shape).",
+)
+def q214_part_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import hits_scores
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    edges = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+    auth, _hubs = hits_scores(edges, "src", "dst", rounds=2)
+    return auth.orderBy(F.desc("score"), F.asc("node")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocation mining by exact integer lift
+# (operators/text.py:collocation_lift).
+# ---------------------------------------------------------------------------
+@register(
+    "q215_collocation_lift",
+    """
+    WITH d AS (
+      SELECT list_filter(str_split(text, ' '), x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL),
+    uni AS (SELECT unnest(ws) AS w FROM d),
+    cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT ws[CAST(i AS INTEGER)] AS w1,
+             ws[CAST(i AS INTEGER) + 1] AS w2
+      FROM d, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2),
+    cb AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+      FROM bi GROUP BY w1, w2 HAVING count(*) >= 5),
+    j AS (
+      SELECT cb.w1, cb.w2, cb.cxy, a.c AS cx, b.c AS cy, nn.n
+      FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w, nn)
+    SELECT w1, w2, cxy,
+           CAST(cxy * ((n * 1000000) // (cx * cy))
+                + (cxy * ((n * 1000000) % (cx * cy))) // (cx * cy)
+                AS BIGINT) AS lift_e6
+    FROM j
+    ORDER BY lift_e6 DESC, w1 ASC, w2 ASC LIMIT 30
+    """,
+    doc="adjacent-bigram collocations ranked by exact integer LIFT "
+    "(text.py:collocation_lift): lift ordering == PMI ordering (ln is "
+    "monotone) with zero libm exposure; divide-first split "
+    "a*(span div n) + (a*(span mod n)) div n, span = N*1e6 fail-loud "
+    "at N > 9.2e12 tokens. One explode, two hash aggregates, broadcast "
+    "N -- bigrams are corpus-linear, no pair join. min_count=5 prunes "
+    "before the dictionary joins.",
+)
+def q215_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import collocation_lift
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        collocation_lift(docs, min_count=5)
+        .orderBy(F.desc("lift_e6"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )

@@ -223,3 +223,45 @@ def test_k_core_empty_and_overdeep(spark):
         [(9, 9), (1, 2), (2, 1)], "src long, dst long"
     )
     assert {r["node"] for r in k_core(loop, 1).collect()} == {1, 2}
+
+
+# -- hits_scores -------------------------------------------------------------
+
+
+def test_hits_hand_graph(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import hits_scores
+
+    # bipartite: c1 -> {p1, p2}, c2 -> {p1}, c3 -> {p1}
+    # a1: p1=3, p2=1. h1: c1=4, c2=3, c3=3. a2: p1=10, p2=4.
+    edges = spark.createDataFrame(
+        [("c1", "p1"), ("c1", "p2"), ("c2", "p1"), ("c3", "p1")],
+        "src string, dst string",
+    )
+    auth, hubs = hits_scores(edges, rounds=2)
+    a = {r.node: r.score for r in auth.collect()}
+    h = {r.node: r.score for r in hubs.collect()}
+    assert a == {"p1": 10, "p2": 4}
+    # h2: c1 = a2(p1)+a2(p2) = 14, c2 = c3 = 10
+    assert h == {"c1": 14, "c2": 10, "c3": 10}
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("c1", "p1"), ("c1", "p1"), ("c2", "p1")], "src string, dst string"
+    )
+    auth, _ = hits_scores(edges, rounds=1)
+    assert {r.node: r.score for r in auth.collect()} == {"p1": 2}
+
+
+def test_hits_overflow_guard_fires(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import hits_scores
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(f"c{i}", "p1") for i in range(10)], "src string, dst string"
+    )
+    auth, _ = hits_scores(edges, rounds=2, max_score=5)
+    with pytest.raises(Exception, match="hits_scores"):
+        auth.collect()

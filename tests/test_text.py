@@ -401,3 +401,41 @@ def test_quality_sweep_monotone_and_null_never_kept(spark):
     assert rows[500][0] <= 1
     # tokens follow docs: thr 0 counts both docs' tokens
     assert rows[0][1] == 200 + 1
+
+
+# -- collocation_lift --------------------------------------------------------
+
+
+def test_collocation_lift_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        collocation_lift,
+    )
+
+    # corpus: "a b" x5 -> N=10, c_a=5, c_b=5, c_ab=5
+    # lift_e6 = 5 * ((10*1e6) div 25) + ... = 5*400000 = 2000000 (lift 2)
+    df = spark.createDataFrame([("a b",)] * 5, "text string")
+    got = {
+        (r.w1, r.w2): (r.cxy, r.lift_e6)
+        for r in collocation_lift(df, min_count=5).collect()
+    }
+    assert got == {("a", "b"): (5, 2_000_000)}
+
+
+def test_collocation_min_count_prunes(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        collocation_lift,
+    )
+
+    df = spark.createDataFrame([("x y",)] * 4, "text string")
+    assert collocation_lift(df, min_count=5).count() == 0
+
+
+def test_collocation_token_guard_fires(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        collocation_lift,
+    )
+    import pytest
+
+    df = spark.createDataFrame([("a b a b a b",)] * 3, "text string")
+    with pytest.raises(Exception, match="collocation_lift"):
+        collocation_lift(df, min_count=1, max_total_tokens=5).collect()
