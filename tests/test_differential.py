@@ -157,6 +157,42 @@ SUBSET = [
     # r8: vocab-collapse weighting under mutated text (repeated words,
     # single-char words guarded out, in-word pair multiplicity)
     "q203_bpe_pair_candidates",
+    # r8: within-block pair orientation + levenshtein parity under
+    # mutated name multiplicities
+    "q204_fuzzy_name_matches",
+    # r8: null-safe state-change detection (NULL event_type excluded by
+    # the declared domain; same-ts tiebreak) + open-interval flag
+    "q205_user_state_history",
+    # r8: full-outer presence markers under %-derived add/delete/change
+    # lanes; IS DISTINCT FROM on a DOUBLE column
+    "q206_snapshot_column_diff",
+    # r8: negative-dividend div/// parity in the slope lane + lower
+    # median rank under mutated month mixes
+    "q207_revenue_trend_theil_sen",
+    # r8: datediff-anchor dow lane + floor-div residuals under mutated
+    # day/NULL-ts mixes
+    "q208_dow_seasonal_residuals",
+    # r8: top-k vocab tiebreak (freq desc, word asc) + occurrence
+    # counting under degenerate/whitespace text
+    "q209_oov_by_lang",
+    # r8: integer keep test at every cutoff; NULL-text exclusion (the
+    # least()-scores-NULL-as-0 class, caught by the unit test)
+    "q210_quality_threshold_sweep",
+    # r8: symmetric top-1 under NULL/zero-norm vectors on the
+    # list_transform oracle lane
+    "q211_mutual_nearest_pairs",
+    # r8: ntile bucket parity + corpus-max recency anchor under mutated
+    # order dates
+    "q212_rfm_segments",
+    # r8: global-sort neighbor windows under mutated vocab (NULL names
+    # dropped by the vocabulary contract)
+    "q213_snm_name_candidates",
+    # r8: unnormalized integer half-rounds vs MATERIALIZED unrolled
+    # oracle under dangling keys
+    "q214_part_authorities",
+    # r8: divide-first lift split + min-count prune under mutated token
+    # streams
+    "q215_collocation_lift",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
