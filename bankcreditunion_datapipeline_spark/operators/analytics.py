@@ -619,3 +619,51 @@ def rfm_segments(
         F.ntile(5).over(wf).cast("long").alias("f_q"),
         F.ntile(5).over(wm).cast("long").alias("m_q"),
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew profile: the pre-flight check before shuffling on
+    a key at scale -- one row with row/key counts, the max and mean
+    multiplicity, skew_permille = max/mean in permille (1000 = no
+    skew), and the heaviest key itself (min key among ties).
+
+    The mechanics the 100 TB planner acts on: skew_permille >> 1000
+    means salt the join (q163) or isolate the hot key; the report is
+    one hash aggregate over the data + one global aggregate over KEY
+    rows + a TakeOrdered(1) for the hitter -- no sort of the data.
+
+    skew rides the divide-first split a*(span div n) + (a*(span mod n))
+    div n with a = max_mult, span = n_keys*1000, n = n_rows: both
+    terms stay under 2^63 for any corpus below 9.2e15 keys because
+    span div n <= 1000. NULL keys are excluded (they don't shuffle to
+    a single partition in a join -- nulls never match).
+    """
+    mult = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    )
+    stats = mult.agg(
+        F.sum("__m").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__m").cast("long").alias("max_mult"),
+    )
+    top = (
+        mult.orderBy(F.desc("__m"), F.asc("__k"))
+        .limit(1)
+        .select(F.col("__k").alias("top_key"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_mult",
+            F.expr("n_rows div n_keys").alias("avg_mult"),
+            F.expr(
+                "max_mult * ((n_keys * 1000) div n_rows) "
+                "+ (max_mult * ((n_keys * 1000) % n_rows)) div n_rows"
+            ).alias("skew_permille"),
+            "top_key",
+        )
+    )

@@ -641,3 +641,59 @@ def log_histogram_quantiles(
             ).cast("long").alias("quantile_est"),
         )
     )
+
+
+def histogram_intersection_permille(
+    hist: DataFrame,
+    group_col: str,
+    bin_col: str = "lbin",
+    n_col: str = "n",
+) -> DataFrame:
+    """Pairwise similarity between groups' NORMALIZED histograms:
+    sim(a, b) = sum over bins of min(share_a, share_b), with shares in
+    integer permille (floor div) -- the histogram-intersection kernel,
+    the cheap mergeable-sketch answer to "which sources look alike"
+    that PSI (q135) and KS (q192) don't give (those are two-sample
+    DISTANCES against a reference; this is an all-pairs similarity
+    matrix).
+
+    Shares are n*1000 div group_total (floor), so sims are exact
+    integers, engine-portable, and bounded by 1000; a bin missing on
+    one side contributes min(x, 0) = 0, so the pair join is INNER.
+    Because the input is a mergeable histogram (q176 contract:
+    data-independent edges, sum-monoid), the all-pairs join runs over
+    O(bins * groups) SUMMARY rows -- never the data.
+
+    Output: (group_a, group_b, sim_permille), group_a < group_b.
+    """
+    pm = hist.select(
+        F.col(group_col).alias("__g"),
+        F.col(bin_col).alias("__b"),
+        F.expr(
+            f"{n_col} * 1000 div sum({n_col}) "
+            f"OVER (PARTITION BY {group_col})"
+        ).alias("__pm"),
+    )
+    a = pm.select(
+        F.col("__g").alias("group_a"),
+        F.col("__b").alias("__ba"),
+        F.col("__pm").alias("__pa"),
+    )
+    b = pm.select(
+        F.col("__g").alias("group_b"),
+        F.col("__b").alias("__bb"),
+        F.col("__pm").alias("__pb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("__ba") == F.col("__bb"))
+            & (F.col("group_a") < F.col("group_b")),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(F.least("__pa", "__pb")).cast("long").alias(
+                "sim_permille"
+            )
+        )
+    )

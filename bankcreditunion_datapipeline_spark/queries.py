@@ -12056,3 +12056,98 @@ def q215_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_e6"), F.asc("w1"), F.asc("w2"))
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-similarity matrix by histogram intersection over the mergeable
+# doc-length log histogram (operators/sketches.py:
+# histogram_intersection_permille).
+# ---------------------------------------------------------------------------
+def _q216_oracle(sub: int = _Q176_SUB) -> str:
+    binexpr = f"""CASE WHEN v = 0 THEN CAST(-1 AS BIGINT)
+             ELSE CAST(length(ltrim(bin(v), '0')) - 1 AS BIGINT) * {sub}
+                  + (v - (1::BIGINT << (length(ltrim(bin(v), '0')) - 1)))
+                    // (((1::BIGINT << (length(ltrim(bin(v), '0')) - 1)) + {sub} - 1) // {sub})
+             END"""
+    return f"""
+    WITH x AS (
+      SELECT source, CAST(length(text) AS BIGINT) AS v FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL),
+    b AS (SELECT source, {binexpr} AS lbin FROM x),
+    h AS (
+      SELECT source, lbin, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY source, lbin),
+    pm AS (
+      SELECT source, lbin,
+             CAST(n * 1000 // sum(n) OVER (PARTITION BY source) AS BIGINT)
+               AS pm
+      FROM h)
+    SELECT a.source AS group_a, b2.source AS group_b,
+           CAST(sum(least(a.pm, b2.pm)) AS BIGINT) AS sim_permille
+    FROM pm a JOIN pm b2 ON a.lbin = b2.lbin AND a.source < b2.source
+    GROUP BY a.source, b2.source
+    """
+
+
+@register(
+    "q216_source_length_similarity",
+    _q216_oracle(),
+    doc="all-pairs source similarity by histogram intersection "
+    "(sketches.py:histogram_intersection_permille) over the q176 "
+    "mergeable doc-length log histogram: shares in floor-div permille, "
+    "sim = sum of per-bin minima (missing bin contributes 0, INNER "
+    "join). The similarity complement to PSI/KS distances; the pair "
+    "join runs over O(bins*groups) SUMMARY rows, never the corpus.",
+)
+def q216_source_length_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sketches import (
+        histogram_intersection_permille,
+        log_histogram,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    lens = docs.select(
+        "source", F.length("text").cast("long").alias("v")
+    )
+    hist = log_histogram(lens, "v", group_cols=("source",), sub=_Q176_SUB)
+    return histogram_intersection_permille(hist, "source")
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (operators/analytics.py:key_skew_report) -- the
+# pre-shuffle planning probe.
+# ---------------------------------------------------------------------------
+@register(
+    "q217_partkey_skew_report",
+    """
+    WITH m AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS mm
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+    s AS (
+      SELECT CAST(sum(mm) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(mm) AS BIGINT) AS max_mult FROM m),
+    tk AS (SELECT k AS top_key FROM m ORDER BY mm DESC, k ASC LIMIT 1)
+    SELECT n_rows, n_keys, max_mult,
+           CAST(n_rows // n_keys AS BIGINT) AS avg_mult,
+           CAST(max_mult * ((n_keys * 1000) // n_rows)
+                + (max_mult * ((n_keys * 1000) % n_rows)) // n_rows
+                AS BIGINT) AS skew_permille,
+           top_key
+    FROM s, tk
+    """,
+    doc="join-key skew profile (analytics.py:key_skew_report) on "
+    "lineitem.l_partkey: max/mean multiplicity in permille via the "
+    "divide-first split (span div n <= 1000 bounds both terms), "
+    "heavy-hitter key via TakeOrdered(1), NULL keys excluded (nulls "
+    "never match in a join). The probe that decides salting (q163) "
+    "before a 100 TB shuffle.",
+)
+def q217_partkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import key_skew_report
+
+    return key_skew_report(t(spark, sf_dir, "lineitem"), "l_partkey")

@@ -268,3 +268,30 @@ def test_rfm_null_key_and_date_excluded(spark):
     df = spark.createDataFrame(rows, "k long, dt date, cents long")
     got = rfm_segments(df, "k", "dt", "cents").collect()
     assert sorted(r["k"] for r in got) == [1]
+
+
+# -- key_skew_report ---------------------------------------------------------
+
+
+def test_key_skew_report_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        key_skew_report,
+    )
+
+    # keys: a x6, b x2, c x2, NULL x3 (excluded)
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_mult, r.avg_mult) == (10, 3, 6, 3)
+    # skew = 6 * 3 * 1000 / 10 = 1800
+    assert r.skew_permille == 1800
+    assert r.top_key == "a"
+
+
+def test_key_skew_top_key_tiebreak(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        key_skew_report,
+    )
+
+    df = spark.createDataFrame([("z",), ("a",)], "k string")
+    assert key_skew_report(df, "k").collect()[0].top_key == "a"

@@ -462,3 +462,37 @@ def test_log_histogram_quantiles_interpolation_is_overflow_safe(spark):
     expect = lb + 297 * (span // 300) + (297 * (span % 300)) // 300
     assert row["quantile_est"] == expect
     assert lb <= row["quantile_est"] < ub
+
+
+# -- histogram_intersection_permille ------------------------------------------
+
+
+def test_histogram_intersection_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        histogram_intersection_permille,
+    )
+
+    # group a: bins {1: 3, 2: 1}; group b: bins {1: 1, 2: 1, 3: 2}
+    # shares a: {1: 750, 2: 250}; b: {1: 250, 2: 250, 3: 500}
+    # sim = min(750,250) + min(250,250) = 500; bin 3 missing in a -> 0
+    hist = spark.createDataFrame(
+        [("a", 1, 3), ("a", 2, 1), ("b", 1, 1), ("b", 2, 1), ("b", 3, 2)],
+        "g string, lbin long, n long",
+    )
+    got = histogram_intersection_permille(hist, "g").collect()
+    assert [(r.group_a, r.group_b, r.sim_permille) for r in got] == [
+        ("a", "b", 500)
+    ]
+
+
+def test_histogram_intersection_identical_groups_near_1000(spark):
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        histogram_intersection_permille,
+    )
+
+    hist = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 2), ("b", 1, 2), ("b", 2, 2)],
+        "g string, lbin long, n long",
+    )
+    got = histogram_intersection_permille(hist, "g").collect()
+    assert got[0].sim_permille == 1000
