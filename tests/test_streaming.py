@@ -1042,3 +1042,91 @@ def test_streaming_log_histogram_matches_batch_and_is_idempotent(spark, tmp_path
     assert sorted(map(tuple, streamed_q.collect())) == sorted(
         map(tuple, batch_q.collect())
     )
+
+
+def test_streaming_scd2_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming SCD2 (merge-on-read): (a) the state extractor over the
+    streamed change log equals batch scd2_compact over the union of all
+    input events -- including an OUT-OF-ORDER second file whose events
+    predate the first file's (per-batch interval closing would get this
+    wrong; compaction-on-read cannot); (b) wiping the checkpoint and
+    re-streaming REPLACES batch partitions, never duplicates."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        scd2_compact,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_scd2,
+        streaming_scd2_state,
+    )
+
+    schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("state", StringType()),
+            StructField("ts", LongType()),
+            StructField("eid", LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    batch1 = [("u1", "free", 100, 1), ("u1", "paid", 300, 2),
+              ("u2", "paid", 50, 3)]
+    # out-of-order: u1 had an earlier state the first file missed
+    batch2 = [("u1", "trial", 10, 4), ("u2", "free", 400, 5)]
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_scd2(
+            spark, src, ckpt, schema, state, "user", "state", "ts",
+            order_tiebreak=["eid"],
+        )
+
+    write(batch1)
+    run()
+    write(batch2)
+    run()
+
+    got = sorted(
+        (r["user"], r.state, r.effective_from, r.effective_to, r.is_current)
+        for r in streaming_scd2_state(
+            spark, state, "user", "state", "ts", order_tiebreak=["eid"]
+        ).collect()
+    )
+    want_df = scd2_compact(
+        spark.createDataFrame(batch1 + batch2, schema),
+        "user", "state", "ts", order_tiebreak=["eid"],
+    )
+    want = sorted(
+        (r["user"], r.state, r.effective_from, r.effective_to, r.is_current)
+        for r in want_df.collect()
+    )
+    assert got == want
+    # the out-of-order event really opened an earlier interval
+    assert ("u1", "trial", 10, 100, 0) in got
+
+    # redelivery: wipe checkpoint, re-stream everything -> partitions
+    # are REPLACED (same state), not appended
+    shutil.rmtree(ckpt)
+    run()
+    again = sorted(
+        (r["user"], r.state, r.effective_from, r.effective_to, r.is_current)
+        for r in streaming_scd2_state(
+            spark, state, "user", "state", "ts", order_tiebreak=["eid"]
+        ).collect()
+    )
+    assert again == want
