@@ -226,3 +226,52 @@ def column_diff_summary(
     return wide.selectExpr(
         f"stack({len(metrics)}, {stack_expr}) AS (metric, n)"
     )
+
+
+def fd_violation_report(
+    df: DataFrame, fds: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency profiling: for each candidate FD
+    (lhs -> rhs), how badly the data violates it -- the schema-
+    discovery / data-quality probe run before trusting a column as a
+    lookup key or a denormalized copy.
+
+    Per FD: n_groups (distinct lhs), n_violating (lhs values mapping
+    to >1 distinct rhs), violation_permille (floor div), and
+    max_distinct_rhs (the worst offender's fan-out). NULL lhs rows are
+    excluded (a NULL key determines nothing); NULL rhs counts as a
+    value (a group mapping to {x, NULL} IS a violation -- count
+    distinct + null-presence flag).
+
+    One hash aggregate per FD over (lhs) -- map-side combining; FD
+    count affects job count, not data passes per FD. Output is
+    long-format (fd, ...) so adding FDs never changes the schema.
+    """
+    if not fds:
+        raise ValueError("fds must be non-empty")
+    out = None
+    for lhs, rhs in fds:
+        per = (
+            df.filter(F.col(lhs).isNotNull())
+            .groupBy(lhs)
+            .agg(
+                (
+                    F.countDistinct(rhs)
+                    + F.max(F.col(rhs).isNull().cast("int"))
+                ).alias("__d")
+            )
+        )
+        rep = per.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("__d") > 1).cast("long"))
+            .cast("long")
+            .alias("n_violating"),
+            F.expr(
+                "CAST(sum(CASE WHEN __d > 1 THEN 1 ELSE 0 END) * 1000 "
+                "div count(1) AS BIGINT)"
+            ).alias("violation_permille"),
+            F.max("__d").cast("long").alias("max_distinct_rhs"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

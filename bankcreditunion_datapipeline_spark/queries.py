@@ -12151,3 +12151,117 @@ def q217_partkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import key_skew_report
 
     return key_skew_report(t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling (operators/expectations.py:
+# fd_violation_report) -- schema discovery before trusting a key.
+# ---------------------------------------------------------------------------
+@register(
+    "q218_fd_violation_report",
+    """
+    WITH g1 AS (
+      SELECT p_name,
+             CAST(count(DISTINCT p_brand)
+                  + max(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
+    r1 AS (
+      SELECT 'p_name->p_brand' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1000
+                  // count(*) AS BIGINT) AS violation_permille,
+             CAST(max(d) AS BIGINT) AS max_distinct_rhs
+      FROM g1),
+    g2 AS (
+      SELECT p_brand,
+             CAST(count(DISTINCT p_type)
+                  + max(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM part WHERE p_brand IS NOT NULL GROUP BY p_brand),
+    r2 AS (
+      SELECT 'p_brand->p_type' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1000
+                  // count(*) AS BIGINT) AS violation_permille,
+             CAST(max(d) AS BIGINT) AS max_distinct_rhs
+      FROM g2)
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    """,
+    doc="functional-dependency profiling (expectations.py:"
+    "fd_violation_report) over part: does p_name determine p_brand, "
+    "does p_brand determine p_type -- violation rate in floor-div "
+    "permille + worst fan-out. NULL lhs excluded (determines nothing); "
+    "NULL rhs counts as a value (countDistinct + null-presence flag, "
+    "so {x, NULL} IS a violation). One map-side-combining aggregate "
+    "per FD; long format so adding FDs never changes the schema.",
+)
+def q218_fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import fd_violation_report
+
+    parts = t(spark, sf_dir, "part")
+    return fd_violation_report(
+        parts, [("p_name", "p_brand"), ("p_brand", "p_type")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup QA: duplicate-cluster size distribution over normalized content
+# fingerprints (text.py:fingerprint, the q19 lane).
+# ---------------------------------------------------------------------------
+@register(
+    "q219_dup_cluster_sizes",
+    """
+    WITH u AS (
+      SELECT text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT '  ' || replace(text, ' ', '   ') || ' ' AS text
+      FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+    f AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM u),
+    c AS (SELECT fp, CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY fp)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * sz AS BIGINT) AS n_docs
+    FROM c GROUP BY sz
+    """,
+    doc="dedup QA: exact-duplicate cluster-size histogram over the q19 "
+    "normalized md5 fingerprint -- the shape that tells you whether "
+    "duplication is a few giant boilerplate clusters (near-dedup "
+    "territory) or a long tail of pairs (exact dedup suffices). "
+    "Whitespace-variant duplicates are PLANTED (doc_id % 7, padded + "
+    "space-tripled) and must collapse -- grading the normalization, "
+    "not just the hash. Two map-side-combining aggregates over 16-byte "
+    "digests; nothing data-sized survives the first.",
+)
+def q219_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("  "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+            F.lit(" "),
+        ).alias("text")
+    )
+    u = docs.select("text").unionByName(planted)
+    clusters = (
+        u.select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    return (
+        clusters.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            F.expr("CAST(n_clusters * sz AS BIGINT)").alias("n_docs"),
+        )
+    )

@@ -132,3 +132,32 @@ def test_column_diff_requires_compare_cols(spark):
     a = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         column_diff_summary(a, a, ["k"], [])
+
+
+# -- fd_violation_report -----------------------------------------------------
+
+
+def test_fd_report_hand_case(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        fd_violation_report,
+    )
+
+    # a->b: key 1 maps to {x}, key 2 maps to {x, y} (violation), key 3
+    # maps to {x, NULL} (violation: NULL counts as a value)
+    rows = [(1, "x"), (2, "x"), (2, "y"), (3, "x"), (3, None), (None, "z")]
+    df = spark.createDataFrame(rows, "a long, b string")
+    r = {x.fd: x for x in fd_violation_report(df, [("a", "b")]).collect()}
+    rep = r["a->b"]
+    assert (rep.n_groups, rep.n_violating, rep.max_distinct_rhs) == (3, 2, 2)
+    assert rep.violation_permille == 666
+
+
+def test_fd_report_requires_fds(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        fd_violation_report,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(1, 1)], "a long, b long")
+    with pytest.raises(ValueError):
+        fd_violation_report(df, [])
