@@ -43,8 +43,27 @@ def write_bucketed(
     """Bucketed table write: co-locates rows by hash(bucket_cols) so joins
     and aggregations between tables bucketed the same way need NO shuffle
     (the Exchange disappears from the plan -- verified in tests). The scale
-    tool for repeated fact-fact joins on a stable key."""
-    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    tool for repeated fact-fact joins on a stable key.
+
+    The repartition on the bucket columns before the write prevents the
+    classic bucketed-write explosion: without it every WRITE TASK emits
+    a file per bucket (tasks x buckets small files).
+
+    MEASURED caveats (pinned in tests/test_sinks_scale.py): Spark 3+/4
+    does NOT elide the SortMergeJoin's per-side Sort from `sortBy`
+    metadata even at one file per bucket -- the win bucketing delivers
+    is the removed EXCHANGE (the network cost); the residual sort is
+    partition-local, and sortBy still pays for itself via parquet
+    min/max skipping. Both sides must agree on (key, num_buckets) or
+    the plan falls back to exchanging; filter-only scans need
+    spark.sql.sources.bucketing.autoBucketedScan.enabled=false for
+    bucket PRUNING to engage."""
+    writer = (
+        df.repartition(num_buckets, *bucket_cols)
+        .write.format(fmt)
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)

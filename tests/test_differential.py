@@ -193,6 +193,17 @@ SUBSET = [
     # r8: divide-first lift split + min-count prune under mutated token
     # streams
     "q215_collocation_lift",
+    # r8: floor-permille shares + NULL source/text exclusion on the
+    # log-bucket lane
+    "q216_source_length_similarity",
+    # r8: divide-first skew split + TakeOrdered hitter under mutated
+    # key multiplicities and NULL keys
+    "q217_partkey_skew_report",
+    # r8: NULL-rhs-counts-as-value contract under mutated part rows
+    "q218_fd_violation_report",
+    # r8: planted whitespace variants must collapse on the mutated
+    # corpus too (normalization under NULL/degenerate text)
+    "q219_dup_cluster_sizes",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --

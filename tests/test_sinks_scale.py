@@ -189,3 +189,67 @@ def test_gold_partition_join_uses_dynamic_pruning(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.count() == 10000 // 7 + 1
+
+
+def test_mismatched_buckets_fall_back_visibly(spark, sf_dir):
+    # negative control for the "both sides must agree" contract: a
+    # 4-bucket x 8-bucket join CANNOT fully co-locate -- the plan must
+    # still be correct and must do extra work (an Exchange or bucket
+    # coalescing) on at least one side.
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    write_bucketed(cust, "b_customer4", ["c_custkey"], 4)
+    write_bucketed(orders, "b_orders8", ["c_custkey"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_customer4").join(
+            spark.table("b_orders8"), "c_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert ("Exchange" in plan) or ("coalesced" in plan.lower()), plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucket_pruning_on_key_equality(spark, sf_dir):
+    # an equality filter on the bucket key scans a SUBSET of buckets.
+    # Pinned knob: autoBucketedScan disables bucketed reads when no
+    # operator benefits, which also hides bucket PRUNING -- a
+    # filter-heavy workload on a bucketed table should turn it off.
+    cust = read_testdata(spark, sf_dir, "customer")
+    write_bucketed(cust, "b_customer_prune", ["c_custkey"], 4)
+    old = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    )
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        df = spark.table("b_customer_prune").filter(F.col("c_custkey") == 7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+        assert df.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
+        )
+
+
+def test_bucketed_write_is_one_file_per_bucket(spark, sf_dir, tmp_path):
+    # the pre-repartition contract: no tasks-x-buckets small-file
+    # explosion -- each bucket is exactly one data file
+    import os
+
+    cust = read_testdata(spark, sf_dir, "customer").repartition(8)
+    write_bucketed(cust, "b_customer_files", ["c_custkey"], 4)
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    files = [
+        f
+        for f in os.listdir(os.path.join(wh, "b_customer_files"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 4, files
