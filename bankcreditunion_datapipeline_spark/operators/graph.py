@@ -485,9 +485,14 @@ def hits_scores(
     Returns (authorities, hubs): (node, score) each. Input edges are
     de-duplicated defensively (multiplicity would double-count).
     """
+    # the deduped edge set feeds every half-round join plus the hub
+    # init (2*rounds + 1 consumers) -- persist per the house mid-plan
+    # discipline, or the upstream join recomputes each time. Left to
+    # the ContextCleaner after the result is consumed (the lazily-
+    # returned-frame pattern, dedup.py:938).
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).distinct()
+    ).distinct().persist()
     h = e.select("__s").distinct().withColumn(
         "__h", F.lit(1).cast("long")
     )
