@@ -275,3 +275,54 @@ def fd_violation_report(
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+def measure_reconciliation(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_val: str,
+    child_val: str,
+) -> DataFrame:
+    """Cross-table MEASURE consistency: does the parent's stored total
+    equal the rollup of its children? The value-level complement to FK
+    integrity (q155 checks the keys exist; this checks the MONEY adds
+    up) -- the nightly check behind every denormalized total.
+
+    One map-side-combining rollup of the child on its key, one LEFT
+    join from the parent (childless parents surface, never vanish),
+    one global conditional aggregate. Values should already be in an
+    exact integer lane (cents) -- float measures must be converted
+    upstream, visibly.
+
+    Output (single row): n_parents, n_childless, n_exact,
+    mismatch_permille (floor div, over ALL parents), and
+    max_abs_delta among parents WITH children.
+    """
+    rolled = child.groupBy(F.col(child_key).alias("__k")).agg(
+        F.sum(child_val).cast("long").alias("__cv")
+    )
+    p = parent.select(
+        F.col(parent_key).alias("__k"),
+        F.col(parent_val).cast("long").alias("__pv"),
+    )
+    j = p.join(rolled, "__k", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parents"),
+        F.sum(F.col("__cv").isNull().cast("long"))
+        .cast("long")
+        .alias("n_childless"),
+        F.sum((F.col("__cv") == F.col("__pv")).cast("long"))
+        .cast("long")
+        .alias("n_exact"),
+        F.expr(
+            "CAST(sum(CASE WHEN __cv IS NOT NULL AND __cv <> __pv "
+            "THEN 1 ELSE 0 END) * 1000 div count(1) AS BIGINT)"
+        ).alias("mismatch_permille"),
+        F.max(
+            F.when(F.col("__cv").isNotNull(), F.abs(F.col("__pv") - F.col("__cv")))
+        )
+        .cast("long")
+        .alias("max_abs_delta"),
+    )

@@ -12265,3 +12265,165 @@ def q219_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_clusters * sz AS BIGINT)").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table measure reconciliation: order totals vs lineitem rollup
+# (operators/expectations.py:measure_reconciliation).
+# ---------------------------------------------------------------------------
+@register(
+    "q220_order_total_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cv
+      FROM lineitem GROUP BY l_orderkey),
+    o AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pv
+      FROM orders),
+    j AS (SELECT o.pv, li.cv FROM o LEFT JOIN li ON o.k = li.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_parents,
+           CAST(sum(CASE WHEN cv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_childless,
+           CAST(sum(CASE WHEN cv = pv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN cv IS NOT NULL AND cv <> pv
+                    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+             AS mismatch_permille,
+           CAST(max(CASE WHEN cv IS NOT NULL THEN abs(pv - cv) END)
+                AS BIGINT) AS max_abs_delta
+    FROM j
+    """,
+    doc="cross-table measure consistency (expectations.py:"
+    "measure_reconciliation): does o_totalprice equal the lineitem "
+    "extendedprice rollup, in exact integer cents -- the value-level "
+    "complement to q155's FK integrity. Child rollup is map-side "
+    "combining; childless parents surface via LEFT join, never "
+    "vanish; one global conditional aggregate.",
+)
+def q220_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.expectations import measure_reconciliation
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pv"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cv"),
+    )
+    return measure_reconciliation(
+        orders, li, "o_orderkey", "l_orderkey", "pv", "cv"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap quantiles per event type: the grouped log-histogram
+# sketch at the latency grain (q176/q177 lane on lead() gaps).
+# ---------------------------------------------------------------------------
+def _loghist_grouped_quantiles_sql(
+    x_cte: str, group: str, probs: list[int], sub: int = _Q176_SUB
+) -> str:
+    """Generalized q177 oracle: full grouped log-bucket quantile replay
+    over any `x` CTE yielding ({group}, v >= 0 BIGINT)."""
+    plist = ", ".join(f"({p})" for p in probs)
+    return f"""
+    WITH x AS ({x_cte}),
+    b AS (
+      SELECT {group},
+             CASE WHEN v = 0 THEN CAST(-1 AS BIGINT)
+             ELSE CAST(length(ltrim(bin(v), '0')) - 1 AS BIGINT) * {sub}
+                  + (v - (1::BIGINT << (length(ltrim(bin(v), '0')) - 1)))
+                    // (((1::BIGINT << (length(ltrim(bin(v), '0')) - 1)) + {sub} - 1) // {sub})
+             END AS lbin
+      FROM x),
+    h AS (SELECT {group}, lbin, count(*) AS n FROM b GROUP BY {group}, lbin),
+    cum AS (
+      SELECT {group}, lbin, n,
+             sum(n) OVER (PARTITION BY {group} ORDER BY lbin) AS cum,
+             sum(n) OVER (PARTITION BY {group}) AS total
+      FROM h),
+    dec AS (
+      SELECT {group}, lbin, n, cum, total,
+             CASE WHEN lbin < 0 THEN CAST(0 AS BIGINT)
+                  ELSE (1::BIGINT << CAST(lbin // {sub} AS INT))
+                       + (lbin % {sub}) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub})
+             END AS lb,
+             CASE WHEN lbin < 0 THEN CAST(1 AS BIGINT)
+                  ELSE least(
+                    (1::BIGINT << CAST(lbin // {sub} AS INT))
+                      + (lbin % {sub} + 1) * (((1::BIGINT << CAST(lbin // {sub} AS INT)) + {sub} - 1) // {sub}),
+                    2 * (1::BIGINT << CAST(lbin // {sub} AS INT)))
+             END AS ub
+      FROM cum),
+    p(p_permille) AS (VALUES {plist}),
+    hit AS (
+      SELECT d.{group}, p.p_permille, d.lbin, d.n, d.cum, d.lb,
+             d.ub - d.lb AS span, d.total
+      FROM p JOIN dec d ON d.cum >= (p.p_permille * d.total + 999) // 1000),
+    best AS (
+      SELECT {group}, p_permille,
+             min(struct_pack(lbin := lbin, n := n, cum := cum, lb := lb,
+                             span := span, total := total)) AS s
+      FROM hit GROUP BY {group}, p_permille)
+    SELECT {group}, p_permille,
+           CAST(s.lb
+                + ((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span // s.n)
+                + (((p_permille * s.total + 999) // 1000 - (s.cum - s.n)) * (s.span % s.n)) // s.n
+                AS BIGINT) AS quantile_est
+    FROM best
+    """
+
+
+_Q221_PROBS = [500, 950, 990]
+
+_Q221_X = """
+      SELECT event_type, v FROM (
+        SELECT event_type,
+               date_diff('second', date_trunc('second', ts),
+                         date_trunc('second',
+                                    lead(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)))
+                 AS v
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL)
+      WHERE v IS NOT NULL"""
+
+
+@register(
+    "q221_event_gap_quantiles",
+    _loghist_grouped_quantiles_sql(_Q221_X, "event_type", _Q221_PROBS),
+    doc="per-event-type inter-event gap p50/p95/p99 via the q176/q177 "
+    "mergeable log-bucket sketch at the LATENCY grain: per-user lead() "
+    "gaps in second-truncated integer seconds (the q194/q202 "
+    "contract), grouped histogram build (one window sort + one hash "
+    "aggregate over events), quantile extraction on O(60*sub*types) "
+    "summary rows. The oracle is the generalized verbatim replay "
+    "(_loghist_grouped_quantiles_sql).",
+)
+def q221_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.sketches import log_histogram, log_histogram_quantiles
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp(F.col("ts"))
+        ).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    hist = log_histogram(gaps, "v", group_cols=("event_type",), sub=_Q176_SUB)
+    return log_histogram_quantiles(
+        hist, _Q221_PROBS, sub=_Q176_SUB, group_cols=("event_type",)
+    )

@@ -161,3 +161,24 @@ def test_fd_report_requires_fds(spark):
     df = spark.createDataFrame([(1, 1)], "a long, b long")
     with pytest.raises(ValueError):
         fd_violation_report(df, [])
+
+
+# -- measure_reconciliation --------------------------------------------------
+
+
+def test_measure_reconciliation_hand_case(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        measure_reconciliation,
+    )
+
+    parent = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, 70)], "k long, pv long"
+    )
+    child = spark.createDataFrame(
+        # order 1 adds up; order 2 is off by 5; order 3 has no children
+        [(1, 60), (1, 40), (2, 45)], "k long, cv long"
+    )
+    r = measure_reconciliation(parent, child, "k", "k", "pv", "cv").collect()[0]
+    assert (r.n_parents, r.n_childless, r.n_exact) == (3, 1, 1)
+    assert r.mismatch_permille == 333
+    assert r.max_abs_delta == 5
