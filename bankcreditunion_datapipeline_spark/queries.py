@@ -12427,3 +12427,87 @@ def q221_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_histogram_quantiles(
         hist, _Q221_PROBS, sub=_Q176_SUB, group_cols=("event_type",)
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter stability: Jaccard of consecutive days' top-10 user sets
+# -- the rank-churn monitor over the q129 SpaceSaving grain.
+# ---------------------------------------------------------------------------
+@register(
+    "q222_topk_user_stability",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2),
+    top AS (
+      SELECT day, user_id FROM (
+        SELECT day, user_id,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY n DESC, user_id ASC) AS rk
+        FROM daily) WHERE rk <= 10),
+    sz AS (SELECT day, CAST(count(*) AS BIGINT) AS m FROM top GROUP BY day),
+    inter AS (
+      SELECT a.day, CAST(count(*) AS BIGINT) AS common
+      FROM top a JOIN top b
+        ON b.day = a.day + INTERVAL 1 DAY AND a.user_id = b.user_id
+      GROUP BY a.day)
+    SELECT s1.day,
+           s1.day + INTERVAL 1 DAY AS next_day,
+           COALESCE(i.common, 0) AS n_common,
+           CAST(COALESCE(i.common, 0) * 1000
+                // (s1.m + s2.m - COALESCE(i.common, 0)) AS BIGINT)
+             AS jaccard_permille
+    FROM sz s1
+    JOIN sz s2 ON s2.day = s1.day + INTERVAL 1 DAY
+    LEFT JOIN inter i ON i.day = s1.day
+    """,
+    doc="rank-churn monitor: Jaccard (floor permille) between "
+    "consecutive days' top-10 user sets -- are the heavy hitters "
+    "stable or rotating. Composes top_k_per_group (deterministic "
+    "(n desc, user asc) tiebreak) with a next-day self-join over "
+    "TOP-K rows only (10/day regardless of corpus size); union size "
+    "uses ACTUAL set sizes so under-10 days stay exact.",
+)
+def q222_topk_user_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import top_k_per_group
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = top_k_per_group(
+        daily, ["day"], [F.desc("n"), F.asc("user_id")], 10
+    ).select("day", "user_id")
+    sz = top.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    a = top.select(F.col("day").alias("d"), "user_id")
+    b = top.select(F.col("day").alias("d2"), F.col("user_id").alias("u2"))
+    inter = (
+        a.join(
+            b,
+            (F.col("d2") == F.date_add(F.col("d"), 1))
+            & (F.col("user_id") == F.col("u2")),
+        )
+        .groupBy(F.col("d").alias("iday"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    s1 = sz.select(F.col("day"), F.col("m").alias("m1"))
+    s2 = sz.select(F.col("day").alias("nday"), F.col("m").alias("m2"))
+    return (
+        s1.join(s2, F.col("nday") == F.date_add(F.col("day"), 1))
+        .join(inter, F.col("iday") == F.col("day"), "left")
+        .select(
+            "day",
+            F.date_add(F.col("day"), 1).alias("next_day"),
+            F.coalesce("common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "CAST(coalesce(common, 0) * 1000 div "
+                "(m1 + m2 - coalesce(common, 0)) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )
