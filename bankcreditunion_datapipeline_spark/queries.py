@@ -12511,3 +12511,133 @@ def q222_topk_user_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law): new distinct words per corpus
+# decile, in ingest (doc_id) order -- the tokenizer-planning statistic.
+# ---------------------------------------------------------------------------
+@register(
+    "q223_vocab_growth_curve",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS r,
+             count(*) OVER () AS nd
+      FROM (SELECT DISTINCT doc_id FROM d)),
+    tw AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+      FROM d),
+    tok AS (
+      SELECT doc_id,
+             ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+               AS w
+      FROM tw, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2),
+    first_doc AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+    bucketed AS (
+      SELECT CAST((ranked.r - 1) * 10 // ranked.nd AS BIGINT) AS decile
+      FROM first_doc JOIN ranked ON first_doc.fd = ranked.doc_id),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS new_words
+      FROM bucketed GROUP BY decile)
+    SELECT decile, new_words,
+           CAST(sum(new_words) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_vocab
+    FROM per
+    """,
+    doc="Heaps'-law vocabulary growth over the BIGRAM vocabulary "
+    "(the q215 lane; unigrams saturate in decile 0 on this corpus -- "
+    "measured -- so the bigram space is the one with a curve): each "
+    "bigram attributed to the corpus DECILE (doc_id ingest order) of "
+    "its first appearance; new + cumulative vocab per decile. A "
+    "flattening curve says train the tokenizer; a linear one says "
+    "keep collecting. min(doc_id) per bigram is one map-side "
+    "aggregate; the decile rank runs over DISTINCT doc ids only.",
+)
+def q223_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    docs = d.select("doc_id").distinct()
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    tw = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    ).filter(F.size("ws") >= 2)
+    tok = tw.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat(
+                    F.element_at("ws", i),
+                    F.lit(" "),
+                    F.element_at("ws", i + 1),
+                ),
+            )
+        ).alias("w"),
+    )
+    first_doc = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    per = (
+        first_doc.join(ranked, first_doc["fd"] == ranked["doc_id"])
+        .select(F.expr("CAST((r - 1) * 10 div nd AS BIGINT)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_words"))
+    )
+    return per.select(
+        "decile",
+        "new_words",
+        F.sum("new_words")
+        .over(Window.orderBy("decile"))
+        .cast("long")
+        .alias("cum_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source exact-duplication rate over the q19 fingerprint lane.
+# ---------------------------------------------------------------------------
+@register(
+    "q224_source_dup_rate",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT
+                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+                AS BIGINT) AS n_distinct,
+           CAST((count(*) - count(DISTINCT
+                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))))
+                * 1000 // count(*) AS BIGINT) AS dup_permille
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+    doc="per-source exact-duplication rate on the q19 normalized "
+    "fingerprint: which ingest sources ship redundant content, in "
+    "floor permille -- the routing signal for where dedup spend goes. "
+    "One aggregate with a distinct-count over 16-byte digests.",
+)
+def q224_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    withfp = docs.select("source", fingerprint(F.col("text")).alias("fp"))
+    return withfp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST((count(1) - count(DISTINCT fp)) * 1000 div count(1) "
+            "AS BIGINT)"
+        ).alias("dup_permille"),
+    )
