@@ -667,3 +667,75 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
             "top_key",
         )
     )
+
+
+def spearman_e6(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    max_rows: int = 16_000,
+) -> DataFrame:
+    """Spearman rank correlation in the EXACT integer lane:
+    rho_e6 = 1e6 - (6 * sum(d^2) * 1e6) div (n * (n^2 - 1)), with
+    ranks = row_number over (value, id) -- the unique tiebreak makes
+    ranks exact and engine-portable. NOTE the contract: tied values
+    take tie-broken DISTINCT ranks (not averaged ranks), so this is
+    the deterministic-tiebreak Spearman variant; on continuous-ish
+    columns the two coincide.
+
+    The monotone-association screen Pearson can't be (no float
+    moments, no outlier drag): does doc length track quality, does
+    spend track frequency -- answered with zero float exposure.
+
+    Bounds: 6 * sum(d^2) * 1e6 <= 9.2e18 exactly at n = 16000
+    (sum(d^2) <= (n^3 - n)/3), so the operator fail-louds above
+    `max_rows` -- at larger n, SAMPLE deterministically first (the
+    md5-rank lane, q44/q200) and say so; rank windows are global
+    sorts, another reason the input is a bounded analytic frame, not
+    a raw corpus. n < 2 yields no row (correlation undefined).
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        F.col(id_col).alias("__i"),
+    )
+    guard = base.agg(F.count(F.lit(1)).alias("__m"))
+    gated = base.crossJoin(F.broadcast(guard)).where(
+        F.assert_true(
+            F.col("__m") <= F.lit(max_rows),
+            F.concat(
+                F.lit("spearman_e6: input exceeds max_rows ["),
+                F.col("__m").cast("string"),
+                F.lit(
+                    f" rows, budget {max_rows}] -- the e6 lane "
+                    "overflows past 16000 ranks; sample "
+                    "deterministically first (md5-rank lane)"
+                ),
+            ),
+        ).isNull()
+    ).drop("__m")
+    wx = Window.orderBy(F.asc("__x"), F.asc("__i"))
+    wy = Window.orderBy(F.asc("__y"), F.asc("__i"))
+    ranked = gated.select(
+        (F.row_number().over(wx) - F.row_number().over(wy))
+        .cast("long")
+        .alias("__d")
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__d") * F.col("__d")).cast("long").alias("sum_d2"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "n",
+            "sum_d2",
+            F.expr(
+                "CAST(1000000 - (6 * sum_d2 * 1000000) "
+                "div (n * (n * n - 1)) AS BIGINT)"
+            ).alias("rho_e6"),
+        )
+    )

@@ -12641,3 +12641,63 @@ def q224_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("dup_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer Spearman: does document length track quality?
+# (operators/analytics.py:spearman_e6)
+# ---------------------------------------------------------------------------
+@register(
+    "q225_length_quality_spearman",
+    """
+    WITH prof AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS x,
+             CAST(floor((least(length(text) / 500.0, 1.0)
+               * (CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       * 1.0 / length(text)
+                  ELSE 0.0 END)
+               * greatest(0.0, 1.0
+                 - (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text,
+                         '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                         * 1.0 / length(text)
+                    ELSE 0.0 END) * 4)) * 1000) AS BIGINT) AS y
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    r AS (
+      SELECT CAST(row_number() OVER (ORDER BY x ASC, doc_id ASC)
+                  - row_number() OVER (ORDER BY y ASC, doc_id ASC)
+                  AS BIGINT) AS d
+      FROM prof)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d * d) AS BIGINT) AS sum_d2,
+           CAST(1000000 - (6 * sum(d * d) * 1000000)
+                // (count(*) * (count(*) * count(*) - 1)) AS BIGINT)
+             AS rho_e6
+    FROM r HAVING count(*) >= 2
+    """,
+    doc="exact-integer Spearman (analytics.py:spearman_e6) between doc "
+    "length and the q49 quality lane (floor permille): ranks are "
+    "row_number over (value, doc_id) -- deterministic tie-broken "
+    "variant, zero float moments, no outlier drag. rho_e6 = 1e6 - "
+    "(6*sum(d^2)*1e6) div (n(n^2-1)); lane is exact through n=16000 "
+    "(fail-loud beyond -- sample via the md5-rank lane first).",
+)
+def q225_length_quality_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import spearman_e6
+    from .operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    prof = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("x"),
+        F.floor(quality_score(F.col("text")) * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    return spearman_e6(prof, "x", "y", "doc_id")

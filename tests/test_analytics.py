@@ -295,3 +295,45 @@ def test_key_skew_top_key_tiebreak(spark):
 
     df = spark.createDataFrame([("z",), ("a",)], "k string")
     assert key_skew_report(df, "k").collect()[0].top_key == "a"
+
+
+# -- spearman_e6 -------------------------------------------------------------
+
+
+def test_spearman_perfect_monotone(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        spearman_e6,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i, i * 10) for i in range(10)], "i long, x long, y long"
+    )
+    r = spearman_e6(df, "x", "y", "i").collect()[0]
+    assert (r.n, r.sum_d2, r.rho_e6) == (10, 0, 1_000_000)
+
+
+def test_spearman_perfect_inverse(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        spearman_e6,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i, -i) for i in range(5)], "i long, x long, y long"
+    )
+    r = spearman_e6(df, "x", "y", "i").collect()[0]
+    assert r.rho_e6 == -1_000_000
+
+
+def test_spearman_budget_and_degenerate(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        spearman_e6,
+    )
+    import pytest
+
+    one = spark.createDataFrame([(1, 1, 1)], "i long, x long, y long")
+    assert spearman_e6(one, "x", "y", "i").count() == 0  # n < 2: no row
+    big = spark.createDataFrame(
+        [(i, i, i) for i in range(30)], "i long, x long, y long"
+    )
+    with pytest.raises(Exception, match="spearman_e6"):
+        spearman_e6(big, "x", "y", "i", max_rows=10).collect()
