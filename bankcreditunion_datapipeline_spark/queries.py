@@ -12665,11 +12665,15 @@ def q224_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * 1.0 / length(text)
                     ELSE 0.0 END) * 4)) * 1000) AS BIGINT) AS y
       FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    samp AS (
+      SELECT * FROM prof
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      LIMIT 4000),
     r AS (
       SELECT CAST(row_number() OVER (ORDER BY x ASC, doc_id ASC)
                   - row_number() OVER (ORDER BY y ASC, doc_id ASC)
                   AS BIGINT) AS d
-      FROM prof)
+      FROM samp)
     SELECT CAST(count(*) AS BIGINT) AS n,
            CAST(sum(d * d) AS BIGINT) AS sum_d2,
            CAST(1000000 - (6 * sum(d * d) * 1000000)
@@ -12681,8 +12685,12 @@ def q224_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length and the q49 quality lane (floor permille): ranks are "
     "row_number over (value, doc_id) -- deterministic tie-broken "
     "variant, zero float moments, no outlier drag. rho_e6 = 1e6 - "
-    "(6*sum(d^2)*1e6) div (n(n^2-1)); lane is exact through n=16000 "
-    "(fail-loud beyond -- sample via the md5-rank lane first).",
+    "(6*sum(d^2)*1e6) div (n(n^2-1)); lane is exact through n=16000, "
+    "fail-loud beyond -- so the query DOES what the guard advises: a "
+    "deterministic md5-rank sample of 4000 docs (the q44/q200 lane, "
+    "TakeOrdered, layout-independent) feeds the ranks at ANY corpus "
+    "size. The 10x scale proof fired the guard before this sample "
+    "existed -- working as designed, fix applied where it belongs.",
 )
 def q225_length_quality_spearman(
     spark: SparkSession, sf_dir: str
@@ -12700,4 +12708,7 @@ def q225_length_quality_spearman(
         .cast("long")
         .alias("y"),
     )
-    return spearman_e6(prof, "x", "y", "doc_id")
+    samp = prof.orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    ).limit(4000)
+    return spearman_e6(samp, "x", "y", "doc_id")

@@ -204,6 +204,21 @@ SUBSET = [
     # r8: planted whitespace variants must collapse on the mutated
     # corpus too (normalization under NULL/degenerate text)
     "q219_dup_cluster_sizes",
+    # r8: childless-parent LEFT-join surface + exact cents equality
+    # under the mutated orders/lineitem mix
+    "q220_order_total_reconciliation",
+    # r8: second-truncated gap lane + grouped log-bucket replay under
+    # NULL ts/user/type
+    "q221_event_gap_quantiles",
+    # r8: top-k tiebreak + actual-set-size Jaccard under mutated days
+    "q222_topk_user_stability",
+    # r8: bigram first-appearance attribution under degenerate text
+    "q223_vocab_growth_curve",
+    # r8: fingerprint distinct-rate under planted/NULL text
+    "q224_source_dup_rate",
+    # r8: deterministic-tiebreak rank difference lane under mutated
+    # lengths (ties abound on degenerate text)
+    "q225_length_quality_spearman",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
