@@ -1717,9 +1717,18 @@ def prefix_filtered_jaccard_pairs(
         "the budget -- raise threshold_permille (shorter prefixes) or "
         "max_pair_rows deliberately",
     )
+    # length filter (canonical PPJoin companion): J >= t forces
+    # min(na,nb)*1000 >= t*max(na,nb) (i <= min and i >= t(na+nb)/(1+t)
+    # combine to min >= t*max) -- size-incompatible candidates never
+    # reach the verify expansion, which is the expensive stage (each
+    # candidate fans out by its full element list)
     cand = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("nb") * 1000 >= F.lit(threshold_permille) * F.col("na"))
+            & (F.col("na") * 1000 >= F.lit(threshold_permille) * F.col("nb"))
+        )
         .select("id_a", "id_b", "na", "nb")
         .distinct()
     )
