@@ -425,3 +425,91 @@ def quota_sample(
     return ranked.join(
         F.broadcast(alloc.select(*group_cols, alloc_col)), group_cols
     ).filter(F.col("smp_rank") <= F.col(alloc_col)).drop(alloc_col)
+
+
+def greedy_coverage_picks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    ngram: int = 1,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick k documents
+    one at a time, each maximizing the count of vocabulary words not
+    covered by earlier picks (ties -> smallest id) -- the classic
+    (1 - 1/e)-approximate submodular selection, here as the
+    coverage-maximizing curation primitive (seed a tokenizer corpus /
+    eval set with the fewest docs that span the vocabulary).
+
+    Execution shape: the distinct (id, word) table persists once;
+    each round is one anti-join against the covered-word set + one
+    map-side-combining count + a TakeOrdered(1). The driver holds
+    ONLY the k picked ids (the O(k) materialization precedent of the
+    k-means seeding sites); the covered set stays a DataFrame. Rounds
+    stop early when no remaining document adds a new word.
+
+    `ngram` sets the covered element space (1 = words, 2 = adjacent
+    bigrams -- the q223 lesson: saturated unigram vocabularies make
+    every pick after the first a no-op; bigrams keep the gain curve
+    alive on templated corpora).
+
+    Output: (pick 1..k, doc_id, marginal_gain).
+    """
+    spark = df.sparkSession
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    if ngram == 1:
+        elems = words
+    else:
+        # guard the short-doc case BEFORE the sequence: Spark's
+        # sequence(1, 0) DESCENDS (yields [1, 0] -> slice(start=0)
+        # raises) rather than emptying -- the documented q203 pitfall,
+        # re-caught here by the adversarial fuzz corpus
+        base_w = words
+        elems = F.when(
+            F.size(base_w) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(base_w) - (ngram - 1)),
+                lambda i: F.concat_ws(" ", F.slice(base_w, i, ngram)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    toks = (
+        df.filter(
+            F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(elems)).alias("__w"),
+        )
+        .distinct()
+        .persist()
+    )
+    covered = None
+    picks = []
+    for i in range(k):
+        remaining = (
+            toks
+            if covered is None
+            else toks.join(covered, "__w", "left_anti")
+        )
+        top = (
+            remaining.groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("long").alias("__g"))
+            .orderBy(F.desc("__g"), F.asc("__id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picks.append((i + 1, top[0]["__id"], top[0]["__g"]))
+        this_words = toks.filter(F.col("__id") == top[0]["__id"]).select(
+            "__w"
+        )
+        covered = (
+            this_words
+            if covered is None
+            else covered.unionByName(this_words).distinct()
+        )
+        covered = covered.persist()
+    return spark.createDataFrame(
+        picks, "pick long, doc_id long, marginal_gain long"
+    )

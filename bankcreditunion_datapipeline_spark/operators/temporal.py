@@ -663,3 +663,43 @@ def scd2_compact(
         F.lead(ts_col).over(w2).alias("effective_to"),
         F.lead(ts_col).over(w2).isNull().cast("long").alias("is_current"),
     )
+
+
+def apply_sum_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for a sum/count rollup: merge a
+    DELTA aggregate into the standing state without recomputing
+    history -- new_state = state FULL OUTER delta on the grain, sums
+    coalesce-added. Sum/count are monoids, so incremental == full
+    recompute EXACTLY (the q226 two-strategy oracle grades that
+    equality); avg/quantiles must be maintained as (sum, count) /
+    sketch state instead (q176), never as finished ratios.
+
+    The nightly-rollup shape at 100 TB: the delta aggregate touches
+    only the new partition; the merge shuffles STATE-GRAIN rows (days,
+    keys), not events. NULL keys merge with eqNullSafe (a NULL group
+    is a legitimate stratum -- the benford scaffold discipline).
+    """
+    st = state.alias("s")
+    dl = delta.alias("d")
+    cond = [
+        F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key_cols
+    ]
+    out_keys = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k)
+        for k in key_cols
+    ]
+    out_sums = [
+        (
+            F.coalesce(F.col(f"s.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        )
+        .cast("long")
+        .alias(c)
+        for c in sum_cols
+    ]
+    return st.join(dl, cond, "full_outer").select(*out_keys, *out_sums)

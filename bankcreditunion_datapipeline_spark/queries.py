@@ -12712,3 +12712,122 @@ def q225_length_quality_spearman(
         F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
     ).limit(4000)
     return spearman_e6(samp, "x", "y", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: daily revenue rollup maintained by
+# delta application (operators/temporal.py:apply_sum_delta) -- the
+# two-strategy oracle is the MONOLITHIC recompute.
+# ---------------------------------------------------------------------------
+_Q226_CUT = "1997-01-01"
+
+
+@register(
+    "q226_incremental_daily_revenue",
+    """
+    SELECT o_orderdate AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY o_orderdate
+    """,
+    doc="incremental view maintenance (temporal.py:apply_sum_delta): "
+    "the Spark side maintains the daily rollup INCREMENTALLY -- "
+    "standing state (days < 1997-01-01) FULL OUTER merged with the "
+    "delta aggregate of the rest, sums coalesce-added -- and must "
+    "equal the oracle's monolithic recompute EXACTLY (sum/count are "
+    "monoids; the q163/q184 two-strategies discipline). At 100 TB the "
+    "delta touches only the new partition and the merge shuffles "
+    "STATE-GRAIN rows, not events.",
+)
+def q226_incremental_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.temporal import apply_sum_delta
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+    )
+    cut = F.lit(_Q226_CUT).cast("date")
+    agg = lambda d: d.groupBy("day").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("c").cast("long").alias("revenue_cents"),
+    )
+    state = agg(base.filter(F.col("day") < cut))
+    delta = agg(base.filter(F.col("day") >= cut))
+    return apply_sum_delta(
+        state, delta, ["day"], ["n_orders", "revenue_cents"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximum-coverage corpus selection (operators/sampling.py:
+# greedy_coverage_picks) -- submodular curation, unrolled oracle.
+# ---------------------------------------------------------------------------
+def _q227_oracle(k: int = 5) -> str:
+    ctes = [
+        """tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_distinct(b)) AS w
+        FROM (
+          SELECT doc_id,
+                 [array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER)+1], ' ')
+                  FOR i IN range(1, len(ws))] AS b
+          FROM (
+            SELECT doc_id,
+                   list_filter(str_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+          WHERE len(ws) >= 2)))""",
+        """p1 AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM tok
+      GROUP BY doc_id ORDER BY g DESC, doc_id ASC LIMIT 1)""",
+        """cov1 AS MATERIALIZED (
+      SELECT DISTINCT w FROM tok JOIN p1 USING (doc_id))""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS g
+      FROM tok t ANTI JOIN cov{i - 1} c ON t.w = c.w
+      GROUP BY t.doc_id ORDER BY g DESC, t.doc_id ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""cov{i} AS MATERIALIZED (
+      SELECT w FROM cov{i - 1}
+      UNION SELECT w FROM tok JOIN p{i} USING (doc_id))"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick, doc_id, g AS marginal_gain "
+        f"FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register(
+    "q227_coverage_corpus_picks",
+    _q227_oracle(),
+    doc="greedy maximum-coverage selection (sampling.py:"
+    "greedy_coverage_picks): 5 documents picked one at a time, each "
+    "maximizing NEW vocabulary covered (ties -> smallest doc_id) -- "
+    "over the BIGRAM element space (unigrams saturate in one pick on "
+    "this corpus -- measured, the q223 lesson); "
+    "the (1-1/e) submodular curation primitive for seeding tokenizer/"
+    "eval corpora. Per round: one anti-join vs the covered set + one "
+    "map-side count + TakeOrdered(1); driver holds only the k picked "
+    "ids (the k-means O(k) materialization precedent). Oracle = "
+    "unrolled MATERIALIZED picks (the q188 greedy-replay class).",
+)
+def q227_coverage_corpus_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import greedy_coverage_picks
+
+    docs = t(spark, sf_dir, "documents")
+    return greedy_coverage_picks(docs, "doc_id", "text", k=5, ngram=2)

@@ -261,3 +261,58 @@ def test_weighted_sample_keys_requires_unique_ids(spark):
         for r in weighted_sample_keys(uniq, "w", id_col="k").collect()
     ]
     assert len(set(got)) == 50
+
+
+# -- greedy_coverage_picks ---------------------------------------------------
+
+
+def test_greedy_coverage_hand_case(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        greedy_coverage_picks,
+    )
+
+    # doc 1 covers {a,b,c}; doc 2 covers {a,b}; doc 3 covers {d}
+    # greedy: pick 1 (gain 3), then 3 (gain 1), then stop (2 adds 0)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "d")], "doc_id long, text string"
+    )
+    got = [
+        (r.pick, r.doc_id, r.marginal_gain)
+        for r in greedy_coverage_picks(df, "doc_id", "text", k=5).collect()
+    ]
+    assert got == [(1, 1, 3), (2, 3, 1)]
+
+
+def test_greedy_coverage_tiebreak_smallest_id(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        greedy_coverage_picks,
+    )
+
+    df = spark.createDataFrame(
+        [(5, "x y"), (2, "p q")], "doc_id long, text string"
+    )
+    got = [
+        (r.pick, r.doc_id)
+        for r in greedy_coverage_picks(df, "doc_id", "text", k=1).collect()
+    ]
+    assert got == [(1, 2)]
+
+
+def test_greedy_coverage_bigram_space(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        greedy_coverage_picks,
+    )
+
+    # same unigram vocab, different bigrams: ngram=2 distinguishes
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a b a")], "doc_id long, text string"
+    )
+    got = [
+        (r.pick, r.doc_id, r.marginal_gain)
+        for r in greedy_coverage_picks(
+            df, "doc_id", "text", k=2, ngram=2
+        ).collect()
+    ]
+    # doc 1 bigrams {a b, b a}; doc 2 {b a, a b} -- identical sets:
+    # pick 1 = doc 1 (gain 2), doc 2 adds nothing
+    assert got == [(1, 1, 2)]

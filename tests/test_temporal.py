@@ -457,3 +457,58 @@ def test_scd2_same_ts_tiebreak_deterministic(spark):
     got = sorted((r.state, r.is_current) for r in out.collect())
     # eid order: 'a' first then 'b'; both at t0, 'b' is current
     assert got == [("a", 0), ("b", 1)]
+
+
+# -- apply_sum_delta ---------------------------------------------------------
+
+
+def test_apply_sum_delta_merges_and_adds(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        apply_sum_delta,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 10, 2), ("b", 5, 1)], "k string, s long, n long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 3, 1), ("c", 7, 4)], "k string, s long, n long"
+    )
+    got = {
+        r.k: (r.s, r.n)
+        for r in apply_sum_delta(state, delta, ["k"], ["s", "n"]).collect()
+    }
+    assert got == {"a": (13, 3), "b": (5, 1), "c": (7, 4)}
+
+
+def test_apply_sum_delta_null_key_is_a_stratum(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        apply_sum_delta,
+    )
+
+    state = spark.createDataFrame([(None, 1)], "k string, s long")
+    delta = spark.createDataFrame([(None, 2)], "k string, s long")
+    got = apply_sum_delta(state, delta, ["k"], ["s"]).collect()
+    assert len(got) == 1 and got[0].s == 3
+
+
+def test_apply_sum_delta_equals_full_recompute(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        apply_sum_delta,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i % 7, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    agg = lambda d: d.groupBy("k").agg(  # noqa: E731
+        F.sum("v").cast("long").alias("s")
+    )
+    inc = apply_sum_delta(
+        agg(df.filter(F.col("v") < 60)),
+        agg(df.filter(F.col("v") >= 60)),
+        ["k"],
+        ["s"],
+    )
+    full = agg(df)
+    assert sorted((r.k, r.s) for r in inc.collect()) == sorted(
+        (r.k, r.s) for r in full.collect()
+    )
