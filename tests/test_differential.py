@@ -219,6 +219,12 @@ SUBSET = [
     # r8: deterministic-tiebreak rank difference lane under mutated
     # lengths (ties abound on degenerate text)
     "q225_length_quality_spearman",
+    # r8: NULL-day stratum in the full-outer delta merge + monolith
+    # equality under the mutated date mix
+    "q226_incremental_daily_revenue",
+    # r8: greedy replay + the sequence(1,0)-descends guard on
+    # single-word docs (caught by this very corpus)
+    "q227_coverage_corpus_picks",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
