@@ -643,6 +643,15 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         .groupBy(F.col(key_col).alias("__k"))
         .agg(F.count(F.lit(1)).cast("long").alias("__m"))
     )
+    return skew_report_from_counts(mult)
+
+
+def skew_report_from_counts(mult: DataFrame) -> DataFrame:
+    """The key_skew_report math over a premade (__k, __m) multiplicity
+    table -- split out so MERGED count state (the streaming monitor's
+    batch=<id> sum-monoid partitions) extracts with the SAME arithmetic
+    as the batch operator (the streaming extractor-is-the-batch-
+    extractor discipline)."""
     stats = mult.agg(
         F.sum("__m").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),

@@ -661,3 +661,47 @@ def streaming_scd2_state(
     return scd2_compact(
         log, key_col, state_col, ts_col, order_tiebreak=order_tiebreak
     )
+
+
+def streaming_key_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    key_col: str,
+) -> None:
+    """Maintain streaming per-key multiplicities for the q217 skew
+    report -- counts are a pure sum monoid, so this is the
+    streaming_count_min/log_histogram shape verbatim: each micro-batch
+    writes its OWN ``batch=<id>`` count partition (overwrite on
+    redelivery -> replace, never double-count); state per batch is
+    bounded by DISTINCT KEYS in the batch, not rows."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        counts = (
+            df.filter(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("__k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__m"))
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "keycounts", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_key_skew_report(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The q217 skew report over the merged streaming count state --
+    identical arithmetic to batch key_skew_report by construction
+    (it IS skew_report_from_counts on the summed partitions)."""
+    from ..operators.analytics import skew_report_from_counts
+
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "keycounts"))
+        .groupBy("__k")
+        .agg(F.sum("__m").cast("long").alias("__m"))
+    )
+    return skew_report_from_counts(merged)

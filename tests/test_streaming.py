@@ -1050,7 +1050,13 @@ def test_streaming_scd2_matches_batch_and_is_idempotent(spark, tmp_path):
     input events -- including an OUT-OF-ORDER second file whose events
     predate the first file's (per-batch interval closing would get this
     wrong; compaction-on-read cannot); (b) wiping the checkpoint and
-    re-streaming REPLACES batch partitions, never duplicates."""
+    re-streaming REPLACES batch partitions, never duplicates -- and
+    even where re-batching leaves a stale partition with duplicate
+    change rows, scd2_compact is DUPLICATION-TOLERANT by construction
+    (identical (ts, tiebreak) rows sort adjacent, the second is never
+    a state change), which is why a full-log replay stays exact where
+    a count monitor's would not (see the skew monitor's redelivery
+    shape below)."""
     import shutil
 
     from pyspark.sql.types import (
@@ -1130,3 +1136,62 @@ def test_streaming_scd2_matches_batch_and_is_idempotent(spark, tmp_path):
         ).collect()
     )
     assert again == want
+
+
+def test_streaming_key_skew_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming skew monitor: merged batch=<id> count partitions must
+    extract the SAME report as batch key_skew_report over the union of
+    all input (counts are a sum monoid); checkpoint-wipe redelivery
+    replaces partitions, never double-counts."""
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        key_skew_report,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_key_counts,
+        streaming_key_skew_report,
+    )
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("x", LongType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    b1 = [("a", 1)] * 5 + [("b", 1)] * 2 + [(None, 1)]
+    b2 = [("a", 1)] * 3 + [("c", 1)] * 4
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_key_counts(spark, src, ckpt, schema, state, "k")
+
+    # batch 0, then redeliver IT (checkpoint wiped while only batch 0
+    # exists -> same files replay as batch 0, the house redelivery
+    # shape): the count partition is REPLACED, not doubled
+    write(b1)
+    run()
+    first = streaming_key_skew_report(spark, state).collect()[0]
+    shutil.rmtree(ckpt)
+    run()
+    assert (
+        streaming_key_skew_report(spark, state).collect()[0].asDict()
+        == first.asDict()
+    )
+
+    write(b2)
+    run()
+    got = streaming_key_skew_report(spark, state).collect()[0]
+    want = key_skew_report(
+        spark.createDataFrame(b1 + b2, schema), "k"
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+    # the cross-batch merge really summed: 'a' has 8 across batches
+    assert got.max_mult == 8 and got.top_key == "a"
