@@ -215,3 +215,54 @@ def ks_statistic(
         F.expr("__best.__d * 1000000 div (n_left * n_right)").alias("ks_e6"),
         (-F.col("__best.__nv")).alias("ks_at"),
     )
+
+
+def change_point_mean_shift(
+    daily: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """Single change-point locator by binary segmentation: the split of
+    an ordered series maximizing the FLOOR-MEAN difference between the
+    two sides -- the "when did the level shift" answer CUSUM (q186)
+    alarms on but does not localize.
+
+    Integer lane end-to-end: prefix sums/counts via one cumulative
+    window over the (bounded, pre-aggregated) series; per-split
+    diff_e6 = (Lsum*1e6 div Lcnt) - (Rsum*1e6 div Rcnt) (floor-div
+    means -- documented contract; exact-rational argmax would need
+    cross-multiplied comparisons that overflow at series scale);
+    argmax |diff_e6| with earliest-point tiebreak. Input must be an
+    AGGREGATED series (days, hours): the window is a global sort over
+    series rows, never events. Requires sum*1e6 within BIGINT
+    (series totals below 9.2e12 -- coarsen the unit otherwise).
+
+    Output (one row): split point (last point of the LEFT side),
+    left/right floor means (e6), abs diff.
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = daily.agg(
+        F.sum(value_col).cast("long").alias("__ts"),
+        F.count(F.lit(1)).cast("long").alias("__tn"),
+    )
+    cum = daily.select(
+        F.col(order_col).alias("split_at"),
+        F.sum(value_col).over(w).cast("long").alias("__ls"),
+        F.count(F.lit(1)).over(w).cast("long").alias("__ln"),
+    ).crossJoin(F.broadcast(tot))
+    scored = cum.filter(F.col("__ln") < F.col("__tn")).select(
+        "split_at",
+        F.expr("(__ls * 1000000) div __ln").alias("left_mean_e6"),
+        F.expr("((__ts - __ls) * 1000000) div (__tn - __ln)").alias(
+            "right_mean_e6"
+        ),
+    ).withColumn(
+        "abs_shift_e6",
+        F.abs(F.col("left_mean_e6") - F.col("right_mean_e6")),
+    )
+    pick = Window.orderBy(F.desc("abs_shift_e6"), F.asc("split_at"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(pick))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

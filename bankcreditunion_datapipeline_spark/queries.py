@@ -12831,3 +12831,144 @@ def q227_coverage_corpus_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return greedy_coverage_picks(docs, "doc_id", "text", k=5, ngram=2)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level conversion: RFM recency tiers x purchase-event funnel
+# (cross-table composition of q212's operator and the events stream).
+# ---------------------------------------------------------------------------
+@register(
+    "q228_segment_conversion",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k, max(o_orderdate) AS last_d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY o_custkey),
+    mx AS (SELECT max(last_d) AS ref FROM per),
+    seg AS (
+      SELECT k,
+             CAST(ntile(5) OVER (
+               ORDER BY date_diff('day', last_d, ref) ASC, k ASC)
+               AS BIGINT) AS r_q
+      FROM per, mx),
+    buyers AS (
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+    SELECT seg.r_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN buyers.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchasers,
+           CAST(sum(CASE WHEN buyers.k IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS conv_permille
+    FROM seg LEFT JOIN buyers ON seg.k = buyers.k
+    GROUP BY seg.r_q
+    """,
+    doc="cross-table segment analytics: q212's recency quintiles joined "
+    "against distinct purchase-event users -- conversion permille per "
+    "tier, the composition every growth team runs (segment table x "
+    "behavioral funnel). Buyer set is distinct-collapsed before the "
+    "LEFT join (never fan-out), floor-div permille.",
+)
+def q228_segment_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    per = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.max("o_orderdate").alias("last_d"))
+    )
+    ref = per.agg(F.max("last_d").alias("ref"))
+    seg = per.crossJoin(F.broadcast(ref)).select(
+        "k",
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.datediff(F.col("ref"), F.col("last_d")).asc(),
+                F.col("k").asc(),
+            )
+        )
+        .cast("long")
+        .alias("r_q"),
+    )
+    buyers = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("__b", F.lit(1))
+    )
+    return (
+        seg.join(buyers, "k", "left")
+        .groupBy("r_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("__b").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_purchasers"),
+            F.expr(
+                "CAST(sum(CASE WHEN __b IS NOT NULL THEN 1 ELSE 0 END) "
+                "* 1000 div count(1) AS BIGINT)"
+            ).alias("conv_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change-point localization: where did the daily event level shift
+# (operators/drift.py:change_point_mean_shift) -- CUSUM alarms (q186),
+# this localizes.
+# ---------------------------------------------------------------------------
+@register(
+    "q229_event_level_change_point",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(v) AS BIGINT) AS ts_, CAST(count(*) AS BIGINT) AS tn
+      FROM daily),
+    cum AS (
+      SELECT day AS split_at,
+             CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS ls,
+             CAST(count(*) OVER (ORDER BY day) AS BIGINT) AS ln
+      FROM daily),
+    scored AS (
+      SELECT split_at,
+             CAST((ls * 1000000) // ln AS BIGINT) AS left_mean_e6,
+             CAST(((tot.ts_ - ls) * 1000000) // (tot.tn - ln) AS BIGINT)
+               AS right_mean_e6
+      FROM cum, tot WHERE ln < tot.tn)
+    SELECT split_at, left_mean_e6, right_mean_e6,
+           CAST(abs(left_mean_e6 - right_mean_e6) AS BIGINT)
+             AS abs_shift_e6
+    FROM scored
+    ORDER BY abs(left_mean_e6 - right_mean_e6) DESC, split_at ASC
+    LIMIT 1
+    """,
+    doc="binary-segmentation change point (drift.py:"
+    "change_point_mean_shift) on daily event volume: the split "
+    "maximizing the floor-mean difference between sides, integer e6 "
+    "lane, earliest-point tiebreak -- localizes what q186's CUSUM "
+    "alarms. One cumulative window over DAILY rows (bounded at any "
+    "corpus size).",
+)
+def q229_event_level_change_point(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.drift import change_point_mean_shift
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    return change_point_mean_shift(daily, "day", "v")

@@ -530,3 +530,31 @@ def test_dow_residuals_hand_values(spark):
     assert got[datetime.date(2024, 1, 1)] == (0, 20, -500)
     assert got[datetime.date(2024, 1, 8)] == (0, 20, 500)
     assert got[datetime.date(2024, 1, 2)] == (1, 5, 0)
+
+
+# -- change_point_mean_shift (operators/drift.py) -----------------------------
+
+
+def test_change_point_locates_the_shift(spark):
+    from bankcreditunion_datapipeline_spark.operators.drift import (
+        change_point_mean_shift,
+    )
+
+    # level 10 for idx 0..4, level 100 for idx 5..9: split at idx 4
+    rows = [(i, 10) for i in range(5)] + [(i, 100) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "idx long, v long")
+    r = change_point_mean_shift(df, "idx", "v").collect()[0]
+    assert r.split_at == 4
+    assert r.left_mean_e6 == 10_000_000
+    assert r.right_mean_e6 == 100_000_000
+    assert r.abs_shift_e6 == 90_000_000
+
+
+def test_change_point_tiebreak_earliest(spark):
+    from bankcreditunion_datapipeline_spark.operators.drift import (
+        change_point_mean_shift,
+    )
+
+    # constant series: every split has diff 0 -> earliest split wins
+    df = spark.createDataFrame([(i, 5) for i in range(4)], "idx long, v long")
+    assert change_point_mean_shift(df, "idx", "v").collect()[0].split_at == 0
