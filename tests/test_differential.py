@@ -225,6 +225,11 @@ SUBSET = [
     # r8: greedy replay + the sequence(1,0)-descends guard on
     # single-word docs (caught by this very corpus)
     "q227_coverage_corpus_picks",
+    # r8: ntile-tier x distinct-buyer LEFT join under mutated events
+    "q228_segment_conversion",
+    # r8: floor-mean split lane + earliest-split tiebreak under
+    # mutated/NULL-ts days
+    "q229_event_level_change_point",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --
