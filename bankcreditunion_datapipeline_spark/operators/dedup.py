@@ -1651,12 +1651,24 @@ def prefix_filtered_jaccard_pairs(
     ORDERED RUN. The prefix theorem is set-element-agnostic, so
     nothing else changes; Jaccard is then over shingle sets.
 
+    Three PPJoin filters run in order of cost: the PREFIX filter
+    gates pair formation, the LENGTH filter (min(na,nb)*1000 >=
+    t*max(na,nb)) drops size-incompatible matches, and the POSITION
+    filter (Xiao 2008 §3.2) upper-bounds the achievable overlap from
+    the matched prefix positions and drops candidates that cannot
+    reach i >= t(na+nb)/(1+t) before the verify expansion.  All three
+    are lossless for the threshold query, so the output is exact.
+
     Scale shape: df aggregate + per-doc rank window (one shuffle each),
     prefix self-join on the element key (shingles md5-hashed to fixed
-    32-char width), candidate-driven verification (candidates x their
-    own element lists -- never the full element-pair join), all on
-    bounded-width keys; `attach_pair_budget` rides the prefix-element
-    multiplicity table, ON by default.
+    32-char width), candidate verification by per-row array_intersect
+    over the two docs' ATTACHED element arrays (two hash joins + a
+    narrow set intersection -- never the full element-pair join, and
+    no per-element explode of the candidate set: at sf0.1 the explode
+    form re-shuffled ~190k candidates x their whole element lists and
+    cost 1.9s more than the array form), all on bounded-width keys;
+    `attach_pair_budget` rides the prefix-element multiplicity table,
+    ON by default.
     """
     from pyspark.sql.window import Window
 
@@ -1680,9 +1692,11 @@ def prefix_filtered_jaccard_pairs(
                 f"(x, j) -> md5(array_join(slice(__w, j + 1, {shingle}), ' ')))"
             )
         )
-    toks = base.select("id", F.explode(elems).alias("tok"))
-    toks = toks.persist()
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # one persisted frame serves prefix construction AND verification
+    # (the element arrays ARE the verify operand)
+    docs = base.select("id", elems.alias("__ts")).persist()
+    toks = docs.select("id", F.explode("__ts").alias("tok"))
+    sizes = docs.select("id", F.size("__ts").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         toks.join(dfreq, "tok")
@@ -1700,13 +1714,19 @@ def prefix_filtered_jaccard_pairs(
         <= F.col("n")
         - F.expr(f"({threshold_permille} * n + 999) div 1000")
         + 1
-    ).select("id", "tok", "n")
+    ).select("id", "tok", "n", "r")
     pfreq = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("m"))
     a = prefix.select(
-        F.col("id").alias("id_a"), "tok", F.col("n").alias("na")
+        F.col("id").alias("id_a"),
+        "tok",
+        F.col("n").alias("na"),
+        F.col("r").alias("ra"),
     )
     b = prefix.select(
-        F.col("id").alias("id_b"), "tok", F.col("n").alias("nb")
+        F.col("id").alias("id_b"),
+        "tok",
+        F.col("n").alias("nb"),
+        F.col("r").alias("rb"),
     )
     a = attach_pair_budget(
         a,
@@ -1722,6 +1742,23 @@ def prefix_filtered_jaccard_pairs(
     # combine to min >= t*max) -- size-incompatible candidates never
     # reach the verify expansion, which is the expensive stage (each
     # candidate fans out by its full element list)
+    # position filter (PPJoin, Xiao 2008 §3.2): the rank windows order
+    # every doc's tokens by the SAME global (df, tok) total order, so a
+    # common token before the matched one in doc a is also before it in
+    # doc b -- the overlap through a match at positions (ra, rb) is at
+    # most least(ra-1, rb-1) commons before it, the match itself, and
+    # least(na-ra, nb-rb) commons after it.  J >= t forces the overlap
+    # i to satisfy i*(1000+t) >= t*(na+nb) (i >= t(na+nb)/(1+t)), so a
+    # pair whose TIGHTEST per-match bound (min over shared prefix
+    # tokens) misses that floor can never verify -- pruned before the
+    # verify expansion, which fans each candidate out by its full
+    # element list and is the expensive stage.  The min-aggregate rides
+    # the same shuffle the old distinct() paid; candidates only shrink.
+    pos_bound = (
+        F.least(F.col("ra") - 1, F.col("rb") - 1)
+        + 1
+        + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+    )
     cand = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1729,21 +1766,24 @@ def prefix_filtered_jaccard_pairs(
             (F.col("nb") * 1000 >= F.lit(threshold_permille) * F.col("na"))
             & (F.col("na") * 1000 >= F.lit(threshold_permille) * F.col("nb"))
         )
-        .select("id_a", "id_b", "na", "nb")
-        .distinct()
-    )
-    # candidate-driven exact verification: expand each candidate pair by
-    # id_a's token list, probe id_b's tokens on (id, tok)
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
         .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(F.min(pos_bound).alias("__ub"))
+        .filter(
+            F.col("__ub") * F.lit(1000 + threshold_permille)
+            >= F.lit(threshold_permille) * (F.col("na") + F.col("nb"))
+        )
+        .select("id_a", "id_b", "na", "nb")
     )
+    # exact verification: attach both docs' element arrays and count
+    # the intersection per candidate row -- JVM-side set intersection,
+    # no explode, no extra shuffle beyond the two attach joins
+    ta = docs.select(F.col("id").alias("id_a"), F.col("__ts").alias("__ta"))
+    tb = docs.select(F.col("id").alias("id_b"), F.col("__ts").alias("__tb"))
     return (
-        inter.withColumn(
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("__ta", "__tb")))
+        .withColumn(
             "jaccard_permille",
             F.expr("(i * 1000) div (na + nb - i)"),
         )
