@@ -1819,6 +1819,14 @@ def idf_weighted_jaccard_pairs(
     df ceiling BEFORE pairing -- with IDF weighting that's safe
     aggression, because a df-10k token contributes wt=100 against
     rare-token weights of ~1e5-1e6 (quantified, not assumed).
+
+    ``max_doc_freq`` REDEFINES THE ELEMENT UNIVERSE, symmetrically:
+    both the intersection sum AND the per-doc union totals are
+    computed over the surviving (df <= cap) tokens, so the output is
+    the exact weighted Jaccard of the FILTERED token sets.  (The
+    alternative -- dropping capped tokens from the intersection but
+    keeping them in the totals -- is not a Jaccard of any pair of
+    sets and systematically underestimates similarity.)
     """
     toks = (
         df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
@@ -1841,13 +1849,15 @@ def idf_weighted_jaccard_pairs(
     weighted = toks.join(dfreq, "__w").select(
         "__id", "__w", F.expr("1000000 div __df").alias("__wt"), "__df"
     )
-    totals = weighted.groupBy("__id").agg(
-        F.sum("__wt").cast("long").alias("__tw")
-    )
     pairing = (
         weighted
         if max_doc_freq is None
         else weighted.filter(F.col("__df") <= max_doc_freq)
+    )
+    # totals over the SAME filtered universe as the intersection --
+    # see the max_doc_freq contract above
+    totals = pairing.groupBy("__id").agg(
+        F.sum("__wt").cast("long").alias("__tw")
     )
     pair_freq = pairing.groupBy("__w").agg(
         F.count(F.lit(1)).alias("__m")

@@ -2,8 +2,10 @@
 matching over a collapsed name vocabulary.
 
 The reference pipeline conforms entity names by EXACT dictionary lookup
-(SURVEY §2 J4 — `pipelineApplication/silverLayer/CleanDataFuncs.py`
-state-name mapping); this module adds the fuzzy half a real ingest
+(SURVEY §2 J4 — the state map at
+`pipelineApplication/silverLayer/StateAbbreviationDict.py:1-61`, applied
+at `pipelineApplication/silverLayer/BuildSilverLayer.py:211`); this
+module adds the fuzzy half a real ingest
 needs, the classic blocking/matching split (Fellegi–Sunter shape)
 expressed as pure DataFrame ops:
 

@@ -12972,3 +12972,91 @@ def q229_event_level_change_point(
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )
     return change_point_mean_shift(daily, "day", "v")
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted near-duplicate pairs (dedup.py:idf_weighted_jaccard_pairs) --
+# weighted set similarity where shared RARE shingles dominate and shared
+# boilerplate barely counts (the ranking plain q82/q179 Jaccard inverts on
+# templated corpora).
+# ---------------------------------------------------------------------------
+_Q230_T = 300
+_Q230_CAP = 6
+
+
+def _q230_oracle() -> str:
+    return f"""
+    WITH sub AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    grams AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                                 ' ')) AS g
+      FROM sub, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3),
+    dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY g),
+    pairing AS (
+      SELECT id, g, CAST(1000000 // df AS BIGINT) AS wt
+      FROM grams JOIN dfreq USING (g) WHERE df <= {_Q230_CAP}),
+    totals AS (
+      SELECT id, CAST(sum(wt) AS BIGINT) AS tw FROM pairing GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.wt) AS BIGINT) AS sh
+      FROM pairing a JOIN pairing b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT s.id_a, s.id_b,
+           CAST((s.sh * 1000) // (ta.tw + tb.tw - s.sh) AS BIGINT)
+             AS wjac_permille
+    FROM shared s
+    JOIN totals ta ON ta.id = s.id_a
+    JOIN totals tb ON tb.id = s.id_b
+    WHERE (s.sh * 1000) // (ta.tw + tb.tw - s.sh) >= {_Q230_T}
+    """
+
+
+@register(
+    "q230_idf_weighted_near_dups",
+    _q230_oracle(),
+    doc="IDF-weighted shingle Jaccard pairs (dedup.py:"
+    "idf_weighted_jaccard_pairs): each distinct 3-token shingle "
+    "carries integer weight 1e6 div df, so shared RARE content "
+    "dominates and shared template mass barely counts -- the "
+    "similarity ranking plain Jaccard (q82/q179) inverts on templated "
+    "corpora. max_doc_freq=6 drops df>6 shingles from BOTH the "
+    "intersection and the union totals (the cap redefines the element "
+    "universe symmetrically -- exact weighted Jaccard of the FILTERED "
+    "sets), which at sf0.1 RAISES the >=0.3 pair count 256 -> 552: "
+    "boilerplate was diluting unions more than it fed intersections. "
+    "Shingles are md5-hashed to the fixed-width lane; pair join runs "
+    "on df-capped posting lists under attach_pair_budget; integer "
+    "permille floor div end-to-end.",
+)
+def q230_idf_weighted_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import idf_weighted_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    # pre-shingle in the QUERY (3-token md5 grams joined by space): the
+    # operator's whitespace tokenizer then sees shingle elements -- the
+    # q179 lesson applied compositionally (unigram vocab here is 31
+    # tokens corpus-wide; every unigram posting list is corpus-sized)
+    shingled = docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(slice(array_remove(split(lower(trim(text)),"
+            " '\\\\s+'), ''), 1, greatest(size(array_remove(split(lower("
+            "trim(text)), '\\\\s+'), '')) - 2, 0)), (x, j) -> md5(array_join("
+            "slice(array_remove(split(lower(trim(text)), '\\\\s+'), ''), "
+            "j + 1, 3), ' '))), ' ')"
+        ).alias("text"),
+    )
+    return idf_weighted_jaccard_pairs(
+        shingled,
+        "doc_id",
+        "text",
+        threshold_permille=_Q230_T,
+        max_doc_freq=_Q230_CAP,
+        max_pair_rows=5_000_000,
+    )

@@ -864,3 +864,82 @@ def test_prefix_jaccard_budget_fails_loud(spark):
         prefix_filtered_jaccard_pairs(
             df, threshold_permille=600, max_pair_rows=100
         ).collect()
+
+
+def test_idf_weighted_jaccard_hand_values(spark):
+    """Weighted Jaccard with integer IDF weights wt = 1e6 div df,
+    hand-computed: d1/d2 share {a, b} (df=2 each, wt=500000), so
+    shared = 1000000 over totals 2000000 each -> union 3000000 ->
+    wjac = 333 permille; d3 shares nothing and must not pair."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    rows = idf_weighted_jaccard_pairs(df, threshold_permille=300).collect()
+    assert {(r["id_a"], r["id_b"], r["wjac_permille"]) for r in rows} == {
+        (1, 2, 333)
+    }
+
+
+def test_idf_weighted_jaccard_cap_is_symmetric(spark):
+    """max_doc_freq redefines the element universe SYMMETRICALLY: with
+    cap=2 dropping the df-3 token 's', d1={t,a} and d2={t,b} share
+    wt(t)=500000 over filtered totals 1500000 each -> union 2500000 ->
+    wjac = 200.  The asymmetric form (capped intersection over
+    UNCAPPED totals, union 3166666) would give 157 -- this pins the
+    exact-Jaccard-of-filtered-sets contract."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s t a"), (2, "s t b"), (3, "s x")],
+        "doc_id long, text string",
+    )
+    rows = idf_weighted_jaccard_pairs(
+        df, threshold_permille=150, max_doc_freq=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["wjac_permille"] for r in rows}
+    assert got[(1, 2)] == 200
+    # d3's only surviving token is x (df=1): no overlap, no pair
+    assert set(got) == {(1, 2)}
+
+
+def test_idf_weighted_jaccard_null_and_dup_tokens(spark):
+    """NULL text/id rows are excluded; repeated tokens in one doc count
+    once (distinct element sets)."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b"), (3, None), (None, "a b")],
+        "doc_id long, text string",
+    )
+    rows = idf_weighted_jaccard_pairs(df, threshold_permille=100).collect()
+    # identical distinct sets {a, b} -> wjac = 1000 exactly
+    assert {(r["id_a"], r["id_b"], r["wjac_permille"]) for r in rows} == {
+        (1, 2, 1000)
+    }
+
+
+def test_idf_weighted_jaccard_budget_fails_loud(spark):
+    """The posting-list pair join rides attach_pair_budget."""
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same words everywhere again") for i in range(60)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="pair"):
+        idf_weighted_jaccard_pairs(
+            df, threshold_permille=300, max_pair_rows=50
+        ).collect()
