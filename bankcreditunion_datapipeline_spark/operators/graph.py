@@ -526,5 +526,31 @@ def hits_scores(
     auth = guarded_a.select(
         F.col("__d").alias("node"), F.col("__a").alias("score")
     )
-    hubs = h.select(F.col("__s").alias("node"), F.col("__h").alias("score"))
+    # the hub frame is the sum of authorities over out-edges, so it can
+    # exceed max_score even when every authority is under it (a hub
+    # with > E/max out-edges at the cap) -- guard it independently
+    guard_h = h.agg(
+        F.max("__h").alias("__mxh"), F.min("__h").alias("__mnh")
+    )
+    hubs = (
+        h.crossJoin(F.broadcast(guard_h))
+        .where(
+            F.assert_true(
+                (F.col("__mxh") <= F.lit(max_score))
+                # scores are sums of nonneg terms: a negative means the
+                # BIGINT sum already wrapped before this guard could see
+                # it -- catch the wrap signature, not just the budget
+                & (F.col("__mnh") >= 0),
+                F.concat(
+                    F.lit("hits_scores: hub overflow risk [max "),
+                    F.col("__mxh").cast("string"),
+                    F.lit(f", min "),
+                    F.col("__mnh").cast("string"),
+                    F.lit(f", budget {max_score}] -- reduce rounds"),
+                ),
+            ).isNull()
+        )
+        .drop("__mxh", "__mnh")
+        .select(F.col("__s").alias("node"), F.col("__h").alias("score"))
+    )
     return auth, hubs

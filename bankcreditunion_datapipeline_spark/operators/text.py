@@ -861,10 +861,12 @@ def collocation_lift(
     lift_e6 = (c_xy * N * 1e6) div (c_x * c_y), computed with the
     divide-first split a*(span div n) + (a*(span mod n)) div n
     (span = N*1e6, n = c_x*c_y) so no intermediate forms c_xy*N*1e6.
-    Bounds: fail-loud at N > 9.2e12 tokens (span must fit BIGINT);
-    with min_count >= 5 the split terms stay under 2^63 because
-    n >= min_count^2. Beyond that corpus size, coarsen the unit
-    (the q199 gini discipline).
+    Bounds, both fail-loud: N > 9.2e12 tokens raises (span must fit
+    BIGINT), and a per-pair guard raises if c_x*c_y or the remainder
+    term c_xy*(span mod c_x*c_y) would exceed BIGINT -- inside the N
+    budget two words with >~3e9 occurrences each can still push the
+    products past 2^63, so the N guard alone is not sufficient.
+    Beyond those bounds, coarsen the unit (the q199 gini discipline).
 
     Scale shape: one token explode -> two hash aggregates (unigrams,
     bigrams) + a broadcast-sized N -- no self-join, no pair explosion
@@ -914,6 +916,33 @@ def collocation_lift(
         cb.join(cu.select(F.col("w").alias("w1"), F.col("__c").alias("__cx")), "w1")
         .join(cu.select(F.col("w").alias("w2"), F.col("__c").alias("__cy")), "w2")
         .crossJoin(F.broadcast(guarded_n))
+    )
+    # the N budget bounds the SPAN term, but not the per-pair products:
+    # two words each with >~3e9 occurrences put cx*cy (and with it the
+    # divide-first remainder term cxy*(span mod cx*cy)) past BIGINT
+    # inside the declared budget.  Guard both products per pair, cheap
+    # row-local integer compares: cx*cy must fit, and cxy must fit
+    # against the remainder (checked only via the already-safe product).
+    maxlong = (1 << 63) - 1
+    j = j.where(
+        F.assert_true(
+            (F.expr(f"__cx <= {maxlong} div __cy"))
+            & (
+                F.expr(
+                    f"cxy <= {maxlong} div "
+                    "greatest((__n * 1000000) % (__cx * __cy), 1)"
+                )
+            ),
+            F.concat(
+                F.lit("collocation_lift: cx*cy product overflow risk [cx "),
+                F.col("__cx").cast("string"),
+                F.lit(", cy "),
+                F.col("__cy").cast("string"),
+                F.lit(", cxy "),
+                F.col("cxy").cast("string"),
+                F.lit("] -- coarsen the unit or raise min_count"),
+            ),
+        ).isNull()
     )
     return j.select(
         "w1",

@@ -265,3 +265,22 @@ def test_hits_overflow_guard_fires(spark):
     auth, _ = hits_scores(edges, rounds=2, max_score=5)
     with pytest.raises(Exception, match="hits_scores"):
         auth.collect()
+
+
+def test_hits_hub_overflow_guard_fires(spark):
+    """The hub frame is guarded independently of the authorities (r8
+    ADVICE): a star hub summing 5 under-budget authorities must raise
+    when the SUM crosses max_score even though every authority is
+    within it (auth max 1 <= 4; hub = 5 > 4)."""
+    from bankcreditunion_datapipeline_spark.operators.graph import hits_scores
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("h", f"p{i}") for i in range(5)], "src string, dst string"
+    )
+    auth, hubs = hits_scores(edges, rounds=1, max_score=4)
+    assert {r.node: r.score for r in auth.collect()} == {
+        f"p{i}": 1 for i in range(5)
+    }
+    with pytest.raises(Exception, match="hub overflow"):
+        hubs.collect()
