@@ -103,21 +103,30 @@ def salted_join(
     return salted_left.join(salted_right, [*on, "__salt"], how).drop("__salt")
 
 
-def key_skew_report(
+def top_key_shares(
     df: DataFrame, key_cols: list[str], top_k: int = 20
 ) -> DataFrame:
-    """Shuffle-key skew diagnostic: per-key row counts for the top_k
-    heaviest keys plus each key's share of the total. Run this BEFORE
-    choosing a join strategy on a new dataset -- a top key holding >~5% of
-    rows predicts straggler tasks and motivates salted_join / AQE skew
-    split. One aggregation pass; output is O(top_k)."""
-    total = df.count()
+    """Per-key row counts for the top_k heaviest keys plus each key's
+    share of the total -- the table companion to the one-row
+    `analytics.key_skew_report` profile (which is the canonical skew
+    PROBE; this is the drill-down naming the heavy keys). A top key
+    holding >~5% of rows predicts straggler tasks and motivates
+    salted_join / AQE skew split.
+
+    One aggregation pass over the data; the total derives from the
+    grouped counts (sum over O(keys) rows broadcast back) rather than
+    a second full `df.count()` scan -- at 100 TB that second pass is
+    a whole extra read of the table. Output is O(top_k)."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("long").alias("__total"))
     return (
-        counts.withColumn(
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
             # floor, not round: n/total int ratios hit exact .5 ties
-            "share", F.floor(F.col("n_rows") / F.lit(total) * 1000000) / 1000000
+            "share",
+            F.floor(F.col("n_rows") / F.col("__total") * 1000000) / 1000000,
         )
+        .drop("__total")
         .orderBy(F.desc("n_rows"), *key_cols)
         .limit(top_k)
     )

@@ -157,7 +157,11 @@ def pagerank_integer(
             .coalesce(parts)
             .localCheckpoint()
         )
+    # ranks is localCheckpoint'ed (eager), so every upstream cache can
+    # release before return -- same discipline as the greedy loop
     ed.unpersist()
+    e.unpersist()
+    nodes.unpersist()
     return ranks
 
 

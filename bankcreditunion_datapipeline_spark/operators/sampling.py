@@ -170,15 +170,18 @@ def epoch_permutation(
     )
 
 
-def key_skew_report(df: DataFrame, key: str) -> DataFrame:
-    """Pre-shuffle skew diagnostics for a join/aggregation key: one row of
-    (n_keys, max_count, p50_count, p99_count, skew_ratio = max/p50).
+def key_multiplicity_profile(df: DataFrame, key: str) -> DataFrame:
+    """Percentile profile of a key's multiplicity distribution: one row
+    of (n_keys, max_count, p50_count, p99_count, skew_ratio = max/p50).
+    The percentile companion to the canonical integer-lane
+    `analytics.key_skew_report` (max/mean permille + heavy key) -- use
+    THAT as the pre-shuffle probe; use this when the p50/p99 shape of
+    the multiplicity distribution is the question (q128).
 
-    Run it BEFORE picking a join strategy at scale: skew_ratio near 1
-    means plain hash partitioning is fine; a hot-key ratio in the
-    hundreds says salt the key (conform.salted_join) or rely on AQE
-    skew-split, and the report's cost is one grouped count (the same
-    shuffle the real query would pay) plus an O(distinct keys) aggregate.
+    skew_ratio near 1 means plain hash partitioning is fine; a hot-key
+    ratio in the hundreds says salt the key (conform.salted_join) or
+    rely on AQE skew-split. Cost: one grouped count (the same shuffle
+    the real query would pay) plus an O(distinct keys) aggregate.
     """
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
     return counts.agg(
@@ -484,6 +487,7 @@ def greedy_coverage_picks(
         .persist()
     )
     covered = None
+    prev = None
     picks = []
     for i in range(k):
         remaining = (
@@ -498,18 +502,32 @@ def greedy_coverage_picks(
             .limit(1)
             .collect()
         )
+        # the collect above materialized the NEWEST covered frame, so
+        # the round-(i-1) cache it was built from is no longer needed:
+        # release it now instead of leaving k cached frames to the
+        # ContextCleaner (this is a driver-side LOOP, not the lazily-
+        # returned-frame pattern -- storage must stay O(1) in k)
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         picks.append((i + 1, top[0]["__id"], top[0]["__g"]))
         this_words = toks.filter(F.col("__id") == top[0]["__id"]).select(
             "__w"
         )
+        prev = covered
         covered = (
             this_words
             if covered is None
             else covered.unionByName(this_words).distinct()
-        )
-        covered = covered.persist()
+        ).persist()
+    # the result is fully driver-side: every cache can release now
+    if prev is not None:
+        prev.unpersist()
+    if covered is not None:
+        covered.unpersist()
+    toks.unpersist()
     return spark.createDataFrame(
         picks, "pick long, doc_id long, marginal_gain long"
     )

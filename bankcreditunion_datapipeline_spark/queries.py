@@ -5839,16 +5839,16 @@ def q127_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((max(n) / quantile_cont(n, 0.5)) * 10000) / 10000.0 AS skew_ratio
     FROM c
     """,
-    doc="key_skew_report (operators/sampling.py): per-key grouped count "
+    doc="key_multiplicity_profile (operators/sampling.py): per-key grouped count "
     "(the same shuffle the real query would pay) + O(distinct keys) "
     "summary -- max/p50/p99 and the skew ratio that decides plain hash "
     "vs salting vs AQE skew-split. Exact interpolated percentiles match "
     "quantile_cont (q35 pattern).",
 )
 def q128_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.sampling import key_skew_report
+    from .operators.sampling import key_multiplicity_profile
 
-    return key_skew_report(t(spark, sf_dir, "events"), "user_id")
+    return key_multiplicity_profile(t(spark, sf_dir, "events"), "user_id")
 
 
 # ---------------------------------------------------------------------------

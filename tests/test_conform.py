@@ -69,11 +69,11 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
-def test_key_skew_report(spark):
-    from bankcreditunion_datapipeline_spark.operators.conform import key_skew_report
+def test_top_key_shares(spark):
+    from bankcreditunion_datapipeline_spark.operators.conform import top_key_shares
 
     rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
     df = spark.createDataFrame(rows, "k string")
-    rep = key_skew_report(df, ["k"], top_k=2).collect()
+    rep = top_key_shares(df, ["k"], top_k=2).collect()
     assert rep[0].k == "hot" and rep[0].n_rows == 80 and abs(rep[0].share - 0.8) < 1e-6
     assert rep[1].k == "warm" and rep[1].n_rows == 15

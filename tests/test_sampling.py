@@ -316,3 +316,27 @@ def test_greedy_coverage_bigram_space(spark):
     # doc 1 bigrams {a b, b a}; doc 2 {b a, a b} -- identical sets:
     # pick 1 = doc 1 (gain 2), doc 2 adds nothing
     assert got == [(1, 1, 2)]
+
+
+def test_greedy_coverage_releases_caches(spark):
+    """The driver-side greedy loop must not accumulate one persisted
+    covered-frame per round (r8 VERDICT): after the call returns, the
+    session's persistent-RDD map is back to its pre-call size."""
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        greedy_coverage_picks,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    n0 = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "c d e f"),
+            (3, "e f g h"),
+            (4, "a b g h"),
+        ],
+        "doc_id long, text string",
+    )
+    out = greedy_coverage_picks(df, "doc_id", "text", k=4)
+    assert out.count() >= 2
+    assert jsc.getPersistentRDDs().size() == n0
