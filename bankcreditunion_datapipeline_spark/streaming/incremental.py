@@ -705,3 +705,66 @@ def streaming_key_skew_report(
         .agg(F.sum("__m").cast("long").alias("__m"))
     )
     return skew_report_from_counts(merged)
+
+
+def streaming_sum_delta(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Streaming incremental view maintenance for a sum/count rollup
+    (the q226 surface): each micro-batch aggregates ITS rows to the
+    state grain (one sum per ``sum_cols`` column per key) and writes
+    its own ``batch=<id>`` delta partition -- overwrite on redelivery
+    means replace, never double-count (the house
+    count_min/log_histogram/key_counts shape verbatim).  Deltas are
+    the canonical streaming input for `apply_sum_delta`: state per
+    batch is bounded by DISTINCT GRAIN KEYS in the batch, not rows.
+    """
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        delta = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "sumdelta", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_sum_delta_state(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge-on-read extraction of the streaming sum-delta state: fold
+    the batch partitions through `apply_sum_delta` itself -- the
+    extractor IS the batch operator (the streaming==batch discipline),
+    so streaming maintenance equals the monolithic recompute EXACTLY
+    by q226's own two-strategy equality.  Sum is a monoid, so the
+    fold order is irrelevant and a production deployment compacts by
+    periodically REPLACING a prefix of batch partitions with their
+    fold (same operator); here the fold is left-to-right over batch
+    ids.  NULL grain keys merge via apply_sum_delta's eqNullSafe."""
+    from ..operators.temporal import apply_sum_delta
+
+    root = os.path.join(state_dir, "sumdelta")
+    all_parts = spark.read.parquet(root)
+    batch_ids = sorted(
+        r["batch"] for r in all_parts.select("batch").distinct().collect()
+    )
+    merged = None
+    for b in batch_ids:
+        part = all_parts.filter(F.col("batch") == b).drop("batch")
+        merged = (
+            part
+            if merged is None
+            else apply_sum_delta(merged, part, key_cols, sum_cols)
+        )
+    return merged

@@ -1195,3 +1195,81 @@ def test_streaming_key_skew_matches_batch_and_is_idempotent(spark, tmp_path):
     assert got.asDict() == want.asDict()
     # the cross-batch merge really summed: 'a' has 8 across batches
     assert got.max_mult == 8 and got.top_key == "a"
+
+
+def test_streaming_sum_delta_equals_batch_and_redelivery(spark, tmp_path):
+    """Streaming incremental view maintenance (q226's apply_sum_delta as
+    the merge-on-read extractor): folding the per-batch delta
+    partitions through apply_sum_delta equals the monolithic groupBy
+    recompute over ALL input; checkpoint-wipe redelivery replaces the
+    batch partition, never double-counts; a NULL grain key is a
+    legitimate stratum that merges across batches."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_sum_delta,
+        streaming_sum_delta_state,
+    )
+
+    schema = StructType(
+        [
+            StructField("day", StringType()),
+            StructField("ones", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    b1 = [("d1", 1, 100), ("d1", 1, 250), ("d2", 1, 40), (None, 1, 7)]
+    b2 = [("d2", 1, 60), ("d3", 1, 500), (None, 1, 3)]
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_sum_delta(
+            spark, src, ckpt, schema, state, ["day"], ["ones", "cents"]
+        )
+
+    def extract():
+        return {
+            r["day"]: (r["ones"], r["cents"])
+            for r in streaming_sum_delta_state(
+                spark, state, ["day"], ["ones", "cents"]
+            ).collect()
+        }
+
+    write(b1)
+    run()
+    first = extract()
+    assert first == {"d1": (2, 350), "d2": (1, 40), None: (1, 7)}
+    # redelivery: wipe the checkpoint while only batch 0 exists -- the
+    # same files replay as batch 0 and must REPLACE its partition
+    shutil.rmtree(ckpt)
+    run()
+    assert extract() == first
+
+    write(b2)
+    run()
+    got = extract()
+    # streaming == batch: the monolithic recompute over all input
+    want = {
+        r["day"]: (r["ones"], r["cents"])
+        for r in spark.createDataFrame(b1 + b2, schema)
+        .groupBy("day")
+        .agg(F.sum("ones").alias("ones"), F.sum("cents").alias("cents"))
+        .collect()
+    }
+    assert got == want
+    assert got[None] == (2, 10) and got["d2"] == (2, 100)
