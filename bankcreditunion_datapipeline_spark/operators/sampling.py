@@ -531,3 +531,75 @@ def greedy_coverage_picks(
     return spark.createDataFrame(
         picks, "pick long, doc_id long, marginal_gain long"
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    splits: tuple[tuple[str, float], ...] = (("train", 0.8), ("val", 0.9)),
+    rest: str = "test",
+    seed: str = "split0",
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: an entire near-duplicate
+    CLUSTER (connected component of ``pairs``) lands in exactly one
+    split.  This prevents at split time the contamination q77 detects
+    after the fact -- a doc's near-twin in the eval set is exactly the
+    leak that inflates benchmark scores.
+
+    Mechanics: label components over the pair graph (min-reachable-id,
+    `dedup.connected_components`), default unpaired docs to their own
+    singleton cluster, then split on md5(cluster_key || ':' || seed)
+    (the q44 deterministic-hash lane applied to the CLUSTER key, not
+    the doc key -- that one substitution is the whole fix). ``splits``
+    are (name, cumulative_rate) cut points on floor(rate * buckets)
+    (floor on BOTH engines so the boundary can't off-by-one, the q103
+    discipline); ``rest`` takes the remainder.  A new ``seed`` is a
+    fresh assignment that still never splits a cluster.
+
+    Returns (id, grp, in_cluster, split) -- one row per non-NULL id.
+    Scale shape: CC is the iterative localCheckpoint loop (graph of
+    NEAR-DUP PAIRS, far smaller than the corpus); the split itself is
+    one broadcast-sized left join + a row-local hash, no extra
+    shuffle of the corpus.
+    """
+    from .dedup import connected_components
+
+    assert all(0.0 < r < 1.0 for _, r in splits)
+    assert tuple(r for _, r in splits) == tuple(
+        sorted(r for _, r in splits)
+    ), "split rates must be cumulative ascending"
+    labels = connected_components(
+        pairs.select(F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b"))
+    )
+    lab = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("grp"),
+            F.col("component").isNotNull().cast("long").alias("in_cluster"),
+        )
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("grp").cast("string"), F.lit(":" + seed))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int") % buckets
+    expr = None
+    for name, rate in splits:
+        cut = int(rate * buckets)
+        cond = v < cut
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    expr = expr.otherwise(rest) if expr is not None else F.lit(rest)
+    return lab.withColumn("split", expr)

@@ -13060,3 +13060,128 @@ def q230_idf_weighted_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_freq=_Q230_CAP,
         max_pair_rows=5_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split (sampling.py:cluster_safe_split) -- the q77
+# contamination failure PREVENTED at split time: near-dup clusters (q60's
+# connected components over the q179 exact pair graph) land wholly in one
+# split, verified by an independent straddle count that must be zero.
+# ---------------------------------------------------------------------------
+def _q231_oracle() -> str:
+    pair_ctes = f"""
+    base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    elems AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(
+               list_slice(w, CAST(i.i AS INT), CAST(i.i AS INT) + {_Q179_SHINGLE} - 1),
+               ' ')) AS tok
+      FROM base, unnest(range(1, len(w) - {_Q179_SHINGLE} + 2)) AS i(i)
+      WHERE len(w) >= {_Q179_SHINGLE}),
+    sizes AS (SELECT id, count(*) AS n FROM elems GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM elems a JOIN elems b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN sizes sa ON s.id_a = sa.id
+      JOIN sizes sb ON s.id_b = sb.id
+      WHERE (s.i * 1000) // (sa.n + sb.n - s.i) >= {_Q179_T})
+    """
+    return f"""
+    WITH RECURSIVE {pair_ctes},
+    ebi AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id AS id,
+             coalesce(c.component, d.doc_id) AS grp,
+             CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END
+               AS in_cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      WHERE d.doc_id IS NOT NULL),
+    assigned AS (
+      SELECT *,
+             CASE
+               WHEN v < CAST(floor(0.8 * 65536) AS INT) THEN 'train'
+               WHEN v < CAST(floor(0.9 * 65536) AS INT) THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5(CAST(grp AS VARCHAR) || ':split0'),
+                                    1, 4)) AS INT) % 65536 AS v
+        FROM lab)),
+    sp AS (
+      SELECT split,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT grp) AS BIGINT) AS n_clusters,
+             CAST(sum(in_cluster) AS BIGINT) AS n_clustered_docs
+      FROM assigned GROUP BY split),
+    str AS (
+      SELECT CAST(count(*) AS BIGINT) AS straddling_pairs
+      FROM pairs p
+      JOIN assigned a ON a.id = p.id_a
+      JOIN assigned b ON b.id = p.id_b
+      WHERE a.split <> b.split)
+    SELECT sp.split, sp.n_docs, sp.n_clusters, sp.n_clustered_docs,
+           str.straddling_pairs
+    FROM sp, str
+    """
+
+
+@register(
+    "q231_cluster_safe_split",
+    _q231_oracle(),
+    doc="leakage-safe train/val/test split (sampling.py:"
+    "cluster_safe_split): connected components over the q179 exact "
+    "near-dup pair graph label every cluster, unpaired docs default "
+    "to singleton clusters, and the 80/10/10 assignment hashes the "
+    "CLUSTER key (md5(grp || ':seed'), floor cut points on both "
+    "engines) -- so a doc's near-twin can never land in a different "
+    "split. The query grades itself: straddling_pairs joins the pair "
+    "graph to both endpoints' splits and must be ZERO (computed "
+    "independently on each engine, not asserted). Prevents at split "
+    "time the q77 contamination check's failure mode. Scale: CC runs "
+    "on the pair graph (tiny vs corpus); the split is one left join "
+    "+ a row-local hash.",
+)
+def q231_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filtered_jaccard_pairs
+    from .operators.sampling import cluster_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold_permille=_Q179_T,
+        shingle=_Q179_SHINGLE,
+        max_pair_rows=20_000_000,
+    ).select("id_a", "id_b")
+    assigned = cluster_safe_split(docs, pairs, "doc_id").persist()
+    sp = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("grp").cast("long").alias("n_clusters"),
+        F.sum("in_cluster").cast("long").alias("n_clustered_docs"),
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("split").alias("__sa"))
+    b = assigned.select(F.col("id").alias("id_b"), F.col("split").alias("__sb"))
+    straddle = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("__sa") != F.col("__sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("straddling_pairs"))
+    )
+    return sp.crossJoin(F.broadcast(straddle))

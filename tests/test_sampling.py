@@ -340,3 +340,70 @@ def test_greedy_coverage_releases_caches(spark):
     out = greedy_coverage_picks(df, "doc_id", "text", k=4)
     assert out.count() >= 2
     assert jsc.getPersistentRDDs().size() == n0
+
+
+def test_cluster_safe_split_planted_near_dups(spark):
+    """A planted near-dup pair must land in ONE split under every seed
+    (the assignment hashes the CLUSTER key), singletons keep their own
+    cluster, and NULL ids drop."""
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x dup"), (3, "solo"), (4, "other"), (None, "n")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    for seed in ("split0", "split1", "epoch7"):
+        rows = {
+            r["id"]: r
+            for r in cluster_safe_split(
+                docs, pairs, "doc_id", seed=seed
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4}
+        # the planted pair: same cluster (min id), same split, flagged
+        assert rows[1]["grp"] == 1 and rows[2]["grp"] == 1
+        assert rows[1]["split"] == rows[2]["split"]
+        assert rows[1]["in_cluster"] == 1 and rows[2]["in_cluster"] == 1
+        # singletons: own cluster, not flagged
+        assert rows[3]["grp"] == 3 and rows[3]["in_cluster"] == 0
+        assert rows[4]["grp"] == 4
+
+
+def test_cluster_safe_split_transitive_chain_one_split(spark):
+    """Transitivity: a chain a-b, b-c is ONE cluster even though (a, c)
+    never paired directly -- all three share a split."""
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    rows = {
+        r["id"]: r for r in cluster_safe_split(docs, pairs, "doc_id").collect()
+    }
+    assert rows[1]["grp"] == rows[2]["grp"] == rows[3]["grp"] == 1
+    assert len({rows[i]["split"] for i in (1, 2, 3)}) == 1
+    assert rows[4]["grp"] == rows[5]["grp"] == 4
+    assert rows[4]["split"] == rows[5]["split"]
+
+
+def test_cluster_safe_split_rate_validation(spark):
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(AssertionError, match="cumulative"):
+        cluster_safe_split(
+            docs, pairs, "doc_id", splits=(("a", 0.9), ("b", 0.5))
+        )
