@@ -748,3 +748,45 @@ def spearman_e6(
             ).alias("rho_e6"),
         )
     )
+
+
+def lagged_autocorrelation(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Calendar-lag autocorrelation of a daily series: for each lag k,
+    Pearson corr between (v_t, v_{t+k}) over all days where BOTH
+    endpoints exist -- the seasonality probe (lag-7 near 1 = strong
+    weekly cycle) that complements q208's dow residuals and q229's
+    change point. Long format: (lag, n_pairs, acf) so adding lags
+    never changes the schema.
+
+    CALENDAR lag, not row lag: the pair join matches day+k exactly, so
+    gap days drop out instead of silently shifting the series (a row
+    `lag()` window would pair across gaps). Each lag is one self-join
+    + co-moment aggregate over the O(days) DAILY frame -- bounded at
+    any corpus size, never a scan of the raw events. corr rides the
+    q108 co-moment lane, rounded at 1e-4 (orders of magnitude above
+    merge noise).
+    """
+    base = df.select(
+        F.col(day_col).alias("__d"), F.col(value_col).alias("__v")
+    ).filter(F.col("__d").isNotNull() & F.col("__v").isNotNull())
+    outs = []
+    for k in lags:
+        a = base.select(F.col("__d").alias("__da"), F.col("__v").alias("__va"))
+        b = base.select(F.col("__d").alias("__db"), F.col("__v").alias("__vb"))
+        paired = a.join(b, F.date_add(F.col("__da"), k) == F.col("__db"))
+        outs.append(
+            paired.agg(
+                F.lit(k).cast("long").alias("lag"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.round(F.corr("__va", "__vb"), 4).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

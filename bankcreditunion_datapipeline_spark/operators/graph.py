@@ -558,3 +558,107 @@ def hits_scores(
         .select(F.col("__s").alias("node"), F.col("__h").alias("score"))
     )
     return auth, hubs
+
+
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    rows_per_partition: int = 500_000,
+) -> DataFrame:
+    """Personalized PageRank in the exact integer lane (the q147
+    pagerank_integer recurrence with the teleport vector restricted to
+    ``seeds``): rank flows back to the SEED SET instead of uniformly,
+    so scores measure proximity to the seeds -- the related-entity /
+    recommendation primitive (Jeh & Widom 2003, "Scaling Personalized
+    Web Search"; public knowledge).
+
+    Recurrence (SCALE = 1e12, floor div end-to-end, engine-replayable):
+    base = SCALE div |S|; r0(v) = base for v in S else 0;
+    r'(v) = [v in S] * ((den-num)*base div den)
+            + (num * sum over in-edges of r(u) div outdeg(u)) div den.
+    No float enters the plan, so ranks are layout-independent and the
+    oracle can unroll the identical rounds in SQL (the q147/q162
+    discipline).  Nodes unreachable from the seed set score 0 and are
+    kept (the caller filters) -- their rows cost nothing material.
+
+    Plan shape per round: identical to pagerank_integer -- one join of
+    ranks to the persisted src-keyed edge+degree table, one hash
+    aggregate on dst, localCheckpoint'ed ranks, working sets coalesced
+    to graph size; caches released before return.
+
+    ``seeds`` must be distinct node ids (column ``seed_col``); seeds
+    absent from the graph still receive teleport mass (they are part
+    of the node set by construction of the union below).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    s = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    n_edges = e.count()
+    n_seeds = s.count()
+    if n_seeds == 0 or n_edges == 0:
+        e.unpersist()
+        s.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank long"
+        )
+    parts = max(1, -(-n_edges // rows_per_partition))
+    e = e.coalesce(parts)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+        .coalesce(parts)
+        .persist()
+    )
+    base = SCALE // n_seeds
+    teleport = ((damping_den - damping_num) * base) // damping_den
+    seed_flag = s.withColumn("__seed", F.lit(1))
+    nodes_flagged = (
+        nodes.join(seed_flag, "node", "left")
+        .select("node", F.coalesce("__seed", F.lit(0)).alias("__seed"))
+        .coalesce(parts)
+        .persist()
+    )
+    ranks = nodes_flagged.select(
+        "node", (F.col("__seed") * F.lit(base)).cast("long").alias("rank")
+    ).localCheckpoint()
+    ed = e.join(outdeg, "src").persist()
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(ed, ranks["node"] == ed["src"])
+            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes_flagged.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("__seed") * F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * coalesce(inflow, 0)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .coalesce(parts)
+            .localCheckpoint()
+        )
+    ed.unpersist()
+    e.unpersist()
+    s.unpersist()
+    nodes.unpersist()
+    nodes_flagged.unpersist()
+    return ranks

@@ -13185,3 +13185,166 @@ def q231_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("straddling_pairs"))
     )
     return sp.crossJoin(F.broadcast(straddle))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (graph.py:personalized_pagerank_integer): proximity
+# to a SEED cohort instead of global centrality -- the related-entity /
+# recommendation primitive, exact integer lane so the oracle replays the
+# identical rounds.
+# ---------------------------------------------------------------------------
+_Q232_ITERS = 3
+_Q232_NATION = 5
+
+
+def _q232_oracle(iterations: int = _Q232_ITERS) -> str:
+    ns = "(SELECT count(*) FROM seeds)"
+    base = f"(1000000000000 // {ns})"
+    teleport = f"((15 * {base}) // 100)"
+    ctes = [
+        f"""r0 AS (
+      SELECT n.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {base} ELSE 0 END
+                  AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node)"""
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT n.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {teleport} ELSE 0 END
+               + (85 * coalesce(t.inflow, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN seeds s ON s.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // o.outdeg) AS inflow
+        FROM e JOIN outdeg o ON e.src = o.src
+               JOIN r{k - 1} r ON r.node = e.src
+        GROUP BY e.dst) t ON t.node = n.node)""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997
+        AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION SELECT s, c FROM pairs),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    seeds AS (
+      SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+      WHERE s_nationkey = {_Q232_NATION} AND s_suppkey IS NOT NULL),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+              UNION SELECT node FROM seeds),
+    {chain}
+    SELECT (node) // 2 AS c_custkey,
+           CAST(rank AS BIGINT) AS ppr_u
+    FROM r{iterations} WHERE node % 2 = 0 AND rank > 0
+    ORDER BY ppr_u DESC, c_custkey
+    LIMIT 20
+    """
+
+
+@register(
+    "q232_seeded_customer_ppr",
+    _q232_oracle(),
+    doc="personalized PageRank (graph.py:personalized_pagerank_integer) "
+    "on the symmetric 1997 purchase graph, teleport vector restricted "
+    "to nation-5 suppliers: top customers by PROXIMITY TO THE SEED "
+    "COHORT, not global centrality (Jeh & Widom 2003). Same exact "
+    "integer recurrence as q147 with a seeded r0/teleport -- floor div "
+    "end-to-end, so the oracle unrolls the identical rounds and ranks "
+    "are layout-independent. Unreached nodes hold rank 0 and are "
+    "filtered. Per round: one src-keyed join against the persisted "
+    "edge+degree table + one hash aggregate, localCheckpoint'ed.",
+)
+def q232_seeded_customer_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import personalized_pagerank_integer
+
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        .join(li, "l_orderkey")
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(
+            (F.col("s_nationkey") == _Q232_NATION)
+            & F.col("s_suppkey").isNotNull()
+        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    ranks = personalized_pagerank_integer(
+        edges, seeds, iterations=_Q232_ITERS
+    )
+    return (
+        ranks.filter((F.col("node") % 2 == 0) & (F.col("rank") > 0))
+        .select(
+            F.expr("node div 2").alias("c_custkey"),
+            F.col("rank").alias("ppr_u"),
+        )
+        .orderBy(F.desc("ppr_u"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-revenue autocorrelation (analytics.py:lagged_autocorrelation) --
+# the calendar-lag seasonality probe.
+# ---------------------------------------------------------------------------
+@register(
+    "q233_revenue_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY o_orderdate),
+    l1 AS (
+      SELECT CAST(1 AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(corr(a.v, b.v), 4) AS acf
+      FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY),
+    l7 AS (
+      SELECT CAST(7 AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(corr(a.v, b.v), 4) AS acf
+      FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 7 DAY),
+    l28 AS (
+      SELECT CAST(28 AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(corr(a.v, b.v), 4) AS acf
+      FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 28 DAY)
+    SELECT * FROM l1 UNION ALL SELECT * FROM l7 UNION ALL SELECT * FROM l28
+    """,
+    doc="calendar-lag autocorrelation of daily revenue (analytics.py:"
+    "lagged_autocorrelation), lags 1/7/28: the seasonality probe "
+    "complementing q208 dow residuals and q229 change point. CALENDAR "
+    "lag via day+k self-join over the O(days) daily aggregate (gap "
+    "days drop; a row-lag window would pair across gaps); cents lane "
+    "for the daily sums; corr on the q108 co-moment lane rounded 1e-4.",
+)
+def q233_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import lagged_autocorrelation
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    return lagged_autocorrelation(daily, "d", "v", lags=(1, 7, 28))

@@ -337,3 +337,52 @@ def test_spearman_budget_and_degenerate(spark):
     )
     with pytest.raises(Exception, match="spearman_e6"):
         spearman_e6(big, "x", "y", "i", max_rows=10).collect()
+
+
+# -- lagged_autocorrelation --------------------------------------------------
+
+
+def test_lagged_autocorrelation_hand_series(spark):
+    """Linear ramp -> lag-1 acf exactly 1.0; calendar gaps DROP pairs
+    (day 5 missing: the 4->5 and 5->6 pairs never form)."""
+    import datetime as dt
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        lagged_autocorrelation,
+    )
+
+    rows = [
+        (dt.date(2024, 1, 1), 1),
+        (dt.date(2024, 1, 2), 2),
+        (dt.date(2024, 1, 3), 3),
+        (dt.date(2024, 1, 4), 4),
+        (dt.date(2024, 1, 6), 10),
+    ]
+    df = spark.createDataFrame(rows, "d date, v long")
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in lagged_autocorrelation(df, "d", "v", lags=(1, 2)).collect()
+    }
+    assert got[1] == (3, 1.0)
+    # lag 2: pairs (1,3),(2,4),(4,6) -> values (1,3),(2,4),(4,10)
+    n, acf = got[2]
+    assert n == 3 and acf is not None
+
+
+def test_lagged_autocorrelation_anticorrelated(spark):
+    import datetime as dt
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        lagged_autocorrelation,
+    )
+
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), 1 if i % 2 == 0 else -1)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "d date, v long")
+    got = {
+        r["lag"]: r["acf"]
+        for r in lagged_autocorrelation(df, "d", "v", lags=(1, 2)).collect()
+    }
+    assert got[1] == -1.0 and got[2] == 1.0

@@ -284,3 +284,54 @@ def test_hits_hub_overflow_guard_fires(spark):
     }
     with pytest.raises(Exception, match="hub overflow"):
         hubs.collect()
+
+
+# -- personalized_pagerank_integer -------------------------------------------
+
+
+def test_personalized_pagerank_hand_values(spark):
+    """2-cycle with seed {1}: r0 = (1e12, 0); teleport 1.5e11 lands on
+    the seed only. r1 = (1.5e11, 8.5e11); r2 = (8.725e11, 1.275e11)."""
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_integer(
+            edges, seeds, iterations=2
+        ).collect()
+    }
+    assert got == {1: 872_500_000_000, 2: 127_500_000_000}
+
+
+def test_personalized_pagerank_empty_seeds(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    assert personalized_pagerank_integer(edges, seeds).count() == 0
+
+
+def test_personalized_pagerank_unreached_zero(spark):
+    """A component disjoint from the seeds holds rank 0 (mass only
+    enters through the teleport vector)."""
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_integer(
+            edges, seeds, iterations=3
+        ).collect()
+    }
+    assert got[3] == 0 and got[4] == 0 and got[1] > 0 and got[2] > 0
