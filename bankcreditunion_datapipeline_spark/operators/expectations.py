@@ -326,3 +326,76 @@ def measure_reconciliation(
         .cast("long")
         .alias("max_abs_delta"),
     )
+
+
+def column_value_overlap(
+    cols: list[tuple[str, DataFrame, str]],
+) -> DataFrame:
+    """Instance-based joinability discovery: pairwise overlap of the
+    DISTINCT value sets of named columns -- the data-discovery probe
+    that finds UNDECLARED join keys (q155 audits declared FKs; this
+    surfaces candidates).  For each column pair with any overlap:
+    (col_a, col_b, n_a, n_b, n_shared, jaccard_permille,
+    containment_a_permille, containment_b_permille) -- containment_a
+    near 1000 reads "a's values are (almost) all present in b", the
+    FK-candidate signature; floor-div permille (the settled lane).
+
+    Values compare as strings (engine-portable canonical form for the
+    key types this probes; NULLs excluded -- they never join).
+
+    Scale shape: one DISTINCT per column first (map-side combining --
+    the value SETS are dimension-sized even when the tables are not),
+    then the pair join runs value-keyed over the union of those sets;
+    a value's posting list is bounded by the number of PROFILED
+    COLUMNS, so pair fan-out is |values| * C(n_cols, 2) worst case --
+    no budget needed at any table size. Zero-overlap pairs are absent
+    from the output by construction (inner value join).
+    """
+    assert len(cols) >= 2
+    assert len({n for n, _, _ in cols}) == len(cols), "names must be unique"
+    parts = [
+        df.select(
+            F.lit(name).alias("__col"),
+            F.col(c).cast("string").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        for name, df, c in cols
+    ]
+    longf = parts[0]
+    for p in parts[1:]:
+        longf = longf.unionByName(p)
+    longf = longf.persist()
+    sizes = longf.groupBy("__col").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = longf.select(F.col("__col").alias("col_a"), "__v")
+    b = longf.select(F.col("__col").alias("col_b"), "__v")
+    inter = (
+        a.join(b, "__v")
+        .filter(F.col("col_a") < F.col("col_b"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("__col").alias("col_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__col").alias("col_b"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(sa, "col_a")
+        .join(sb, "col_b")
+        .select(
+            "col_a",
+            "col_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr(
+                "(n_shared * 1000) div (n_a + n_b - n_shared)"
+            ).alias("jaccard_permille"),
+            F.expr("(n_shared * 1000) div n_a").alias(
+                "containment_a_permille"
+            ),
+            F.expr("(n_shared * 1000) div n_b").alias(
+                "containment_b_permille"
+            ),
+        )
+    )

@@ -13348,3 +13348,277 @@ def q233_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lagged_autocorrelation(daily, "d", "v", lags=(1, 7, 28))
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level language consistency (text.py:chunk_documents + lang_id):
+# mixed-language documents -- the curation signal DOC-level lang-id (q18)
+# structurally cannot see (a 50/50 en/de doc argmaxes to ONE language).
+# ---------------------------------------------------------------------------
+_Q234_CHUNK = 32
+
+
+def _q234_oracle() -> str:
+    c = _Q234_CHUNK
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    nz AS (SELECT doc_id, tk, len(tk) AS n FROM base WHERE len(tk) > 0),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(list_slice(tk, CAST(j.j * {c} + 1 AS INT),
+                                        CAST(j.j * {c} + {c} AS INT)), ' ')
+               AS chunk_text
+      FROM nz, unnest(range(0, (n - 1) // {c} + 1)) AS j(j)),
+    padded AS (
+      SELECT doc_id, ' ' || lower(chunk_text) || ' ' AS p FROM chunks),
+    hits AS (
+      SELECT doc_id,
+             {_HITS['en']} AS h_en, {_HITS['de']} AS h_de,
+             {_HITS['fr']} AS h_fr, {_HITS['es']} AS h_es
+      FROM padded),
+    langs AS (
+      SELECT doc_id,
+             CASE WHEN h_en IS NULL THEN NULL
+                  WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN NULL
+                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                  ELSE 'de' END AS lang
+      FROM hits),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(lang) AS BIGINT) AS n_scored
+      FROM langs GROUP BY doc_id),
+    pdl AS (
+      SELECT doc_id, lang, count(*) AS cnt FROM langs
+      WHERE lang IS NOT NULL GROUP BY doc_id, lang),
+    tp AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS mx,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM pdl GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks, t.n_scored,
+           coalesce(tp.n_langs, 0) AS n_langs,
+           CASE WHEN t.n_scored > 0
+                THEN CAST((tp.mx * 1000) // t.n_scored AS BIGINT)
+           END AS majority_share_permille
+    FROM tot t LEFT JOIN tp ON tp.doc_id = t.doc_id
+    """
+
+
+@register(
+    "q234_chunk_lang_consistency",
+    _q234_oracle(),
+    doc="chunk-level language consistency (text.py:chunk_documents 32/0 "
+    "+ lang_id per chunk): per-doc n_chunks / n_scored / n_langs / "
+    "majority share in floor permille -- the mixed-language curation "
+    "signal a DOC-level argmax (q18) structurally cannot produce. "
+    "Chunking is the zero-shuffle narrow plan; lang-id is row-local "
+    "marker counting; two hash aggregates over chunk rows. Unscored "
+    "docs (no marker hits anywhere) keep n_langs=0 and NULL share; "
+    "tie-break = lexicographically last (the q18 struct-max pin).",
+)
+def q234_chunk_lang_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import chunk_documents, lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_Q234_CHUNK, overlap=0
+    )
+    cl = chunks.select("doc_id", lang_id(F.col("chunk_text")).alias("lang"))
+    tot = cl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count("lang").cast("long").alias("n_scored"),
+    )
+    pdl = (
+        cl.filter(F.col("lang").isNotNull())
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tp = pdl.groupBy("doc_id").agg(
+        F.max("cnt").cast("long").alias("mx"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return tot.join(tp, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        "n_scored",
+        F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+        F.when(
+            F.col("n_scored") > 0, F.expr("(mx * 1000) div n_scored")
+        ).cast("long").alias("majority_share_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key discovery (expectations.py:column_value_overlap): undeclared-FK
+# candidates from distinct-value-set overlap -- q155 audits DECLARED keys,
+# this SURFACES them.
+# ---------------------------------------------------------------------------
+@register(
+    "q235_join_key_discovery",
+    """
+    WITH vals AS (
+      SELECT 'customer.c_custkey' AS col, CAST(c_custkey AS VARCHAR) AS v
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION
+      SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR)
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION
+      SELECT 'supplier.s_suppkey', CAST(s_suppkey AS VARCHAR)
+      FROM supplier WHERE s_suppkey IS NOT NULL
+      UNION
+      SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR)
+      FROM lineitem WHERE l_suppkey IS NOT NULL
+      UNION
+      SELECT 'nation.n_nationkey', CAST(n_nationkey AS VARCHAR)
+      FROM nation WHERE n_nationkey IS NOT NULL
+      UNION
+      SELECT 'customer.c_nationkey', CAST(c_nationkey AS VARCHAR)
+      FROM customer WHERE c_nationkey IS NOT NULL
+      UNION
+      SELECT 'part.p_partkey', CAST(p_partkey AS VARCHAR)
+      FROM part WHERE p_partkey IS NOT NULL
+      UNION
+      SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR)
+      FROM lineitem WHERE l_partkey IS NOT NULL),
+    sizes AS (SELECT col, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY col),
+    inter AS (
+      SELECT a.col AS col_a, b.col AS col_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM vals a JOIN vals b ON a.v = b.v AND a.col < b.col
+      GROUP BY a.col, b.col)
+    SELECT col_a, col_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           CAST((n_shared * 1000) // (sa.n + sb.n - n_shared) AS BIGINT)
+             AS jaccard_permille,
+           CAST((n_shared * 1000) // sa.n AS BIGINT)
+             AS containment_a_permille,
+           CAST((n_shared * 1000) // sb.n AS BIGINT)
+             AS containment_b_permille
+    FROM inter
+    JOIN sizes sa ON sa.col = col_a
+    JOIN sizes sb ON sb.col = col_b
+    """,
+    doc="join-key discovery (expectations.py:column_value_overlap) over "
+    "8 key columns across 6 tables: distinct-value-set Jaccard + both "
+    "containments in floor permille -- containment near 1000 is the "
+    "undeclared-FK signature (orders.o_custkey in customer.c_custkey, "
+    "lineitem.l_partkey in part.p_partkey, nationkey pairs). Distinct "
+    "FIRST (map-side combine -- value sets are dim-sized even when "
+    "tables are not), then a value-keyed join whose posting lists are "
+    "bounded by the profiled-column count; zero-overlap pairs absent "
+    "by construction.",
+)
+def q235_join_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import column_value_overlap
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    nat = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+    return column_value_overlap(
+        [
+            ("customer.c_custkey", cust, "c_custkey"),
+            ("orders.o_custkey", orders, "o_custkey"),
+            ("supplier.s_suppkey", supp, "s_suppkey"),
+            ("lineitem.l_suppkey", li, "l_suppkey"),
+            ("nation.n_nationkey", nat, "n_nationkey"),
+            ("customer.c_nationkey", cust, "c_nationkey"),
+            ("part.p_partkey", part, "p_partkey"),
+            ("lineitem.l_partkey", li, "l_partkey"),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup cluster maintenance (dedup.py:extend_components):
+# yesterday's CLUSTER table + today's pair delta == the monolithic CC over
+# all pairs, exactly -- graded by the oracle running full recursive CC.
+# ---------------------------------------------------------------------------
+_Q236_CUT = 300
+
+
+def _q236_oracle() -> str:
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    elems AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(
+               list_slice(w, CAST(i.i AS INT), CAST(i.i AS INT) + {_Q179_SHINGLE} - 1),
+               ' ')) AS tok
+      FROM base, unnest(range(1, len(w) - {_Q179_SHINGLE} + 2)) AS i(i)
+      WHERE len(w) >= {_Q179_SHINGLE}),
+    sizes AS (SELECT id, count(*) AS n FROM elems GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM elems a JOIN elems b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN sizes sa ON s.id_a = sa.id
+      JOIN sizes sb ON s.id_b = sb.id
+      WHERE (s.i * 1000) // (sa.n + sb.n - s.i) >= {_Q179_T}),
+    ebi AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+             FROM reach GROUP BY id)
+    SELECT id, component FROM comp
+    """
+
+
+@register(
+    "q236_incremental_dup_clusters",
+    _q236_oracle(),
+    doc="incremental near-dup cluster maintenance (dedup.py:"
+    "extend_components): CC labels over pairs wholly below doc_id "
+    f"{_Q236_CUT} (the standing state) extended with the pair DELTA "
+    "(any pair touching the new range) via star contraction -- "
+    "star(CC(old)) UNION delta reconnects to EXACTLY the monolithic "
+    "labeling, representatives included, which the oracle grades by "
+    "running full recursive CC over ALL q179 pairs in SQL. The 100 TB "
+    "shape: the daily delta joins yesterday's CLUSTER table (one star "
+    "edge per clustered doc), never the historical pair set.",
+)
+def q236_incremental_dup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import (
+        connected_components,
+        extend_components,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold_permille=_Q179_T,
+        shingle=_Q179_SHINGLE,
+        max_pair_rows=20_000_000,
+    ).select("id_a", "id_b").persist()
+    old = pairs.filter(
+        (F.col("id_a") < _Q236_CUT) & (F.col("id_b") < _Q236_CUT)
+    )
+    delta = pairs.filter(
+        (F.col("id_a") >= _Q236_CUT) | (F.col("id_b") >= _Q236_CUT)
+    )
+    standing = connected_components(old)
+    return extend_components(standing, delta)

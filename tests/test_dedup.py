@@ -943,3 +943,48 @@ def test_idf_weighted_jaccard_budget_fails_loud(spark):
         idf_weighted_jaccard_pairs(
             df, threshold_permille=300, max_pair_rows=50
         ).collect()
+
+
+def test_extend_components_equals_full_recompute(spark):
+    """Star contraction: extending yesterday's labels with a delta --
+    including an edge that MERGES two standing clusters -- equals the
+    monolithic CC over all edges, representatives included."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components,
+        extend_components,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    delta = spark.createDataFrame(
+        [(3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    standing = connected_components(old)
+    got = {
+        r["id"]: r["component"]
+        for r in extend_components(standing, delta).collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(old.unionByName(delta)).collect()
+    }
+    assert got == want
+    # the delta edge (3, 4) merged clusters {1,2,3} and {4,5} under rep 1
+    assert got[5] == 1 and got[7] == 6
+
+
+def test_extend_components_empty_delta(spark):
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components,
+        extend_components,
+    )
+
+    old = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    delta = spark.createDataFrame([], "id_a long, id_b long")
+    standing = connected_components(old)
+    got = {
+        r["id"]: r["component"]
+        for r in extend_components(standing, delta).collect()
+    }
+    assert got == {1: 1, 2: 1}

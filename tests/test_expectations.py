@@ -182,3 +182,44 @@ def test_measure_reconciliation_hand_case(spark):
     assert (r.n_parents, r.n_childless, r.n_exact) == (3, 1, 1)
     assert r.mismatch_permille == 333
     assert r.max_abs_delta == 5
+
+
+def test_column_value_overlap_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        column_value_overlap,
+    )
+
+    a = spark.createDataFrame([(1,), (2,), (3,), (3,), (None,)], "k int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    c = spark.createDataFrame([(9,)], "k int")
+    rows = {
+        (r["col_a"], r["col_b"]): r
+        for r in column_value_overlap(
+            [("a.k", a, "k"), ("b.k", b, "k"), ("c.k", c, "k")]
+        ).collect()
+    }
+    r = rows[("a.k", "b.k")]
+    # a = {1,2,3} (dup + NULL dropped), b = {2,3,4}: shared 2, union 4
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (3, 3, 2)
+    assert r["jaccard_permille"] == 500
+    assert r["containment_a_permille"] == 666
+    assert r["containment_b_permille"] == 666
+    # zero-overlap pairs are absent by construction
+    assert ("a.k", "c.k") not in rows and ("b.k", "c.k") not in rows
+
+
+def test_column_value_overlap_fk_signature(spark):
+    """A strict subset column reads containment 1000 on the subset
+    side -- the FK-candidate signature."""
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        column_value_overlap,
+    )
+
+    dim = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    fact = spark.createDataFrame([(i % 3,) for i in range(100)], "k int")
+    r = column_value_overlap(
+        [("dim.k", dim, "k"), ("fact.k", fact, "k")]
+    ).collect()[0]
+    assert (r["col_a"], r["col_b"]) == ("dim.k", "fact.k")
+    assert r["n_b"] == 3 and r["containment_b_permille"] == 1000
+    assert r["containment_a_permille"] == 300
