@@ -13622,3 +13622,50 @@ def q236_incremental_dup_clusters(
     )
     standing = connected_components(old)
     return extend_components(standing, delta)
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-day activity streaks (analytics.py:activity_streaks) -- the
+# gaps-and-islands engagement metric.
+# ---------------------------------------------------------------------------
+@register(
+    "q237_user_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    runs AS (
+      SELECT k, d,
+             d - CAST(row_number() OVER (PARTITION BY k ORDER BY d)
+                      AS INT) AS island
+      FROM days),
+    streaks AS (
+      SELECT k, island, CAST(count(*) AS BIGINT) AS len
+      FROM runs GROUP BY k, island),
+    per_key AS (
+      SELECT k, CAST(max(len) AS BIGINT) AS longest_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS n_active_days
+      FROM streaks GROUP BY k)
+    SELECT k AS user_id, longest_streak, n_streaks, n_active_days
+    FROM per_key
+    ORDER BY longest_streak DESC, user_id ASC
+    LIMIT 50
+    """,
+    doc="gaps-and-islands streaks (analytics.py:activity_streaks) over "
+    "event days per user, top 50 by longest run: day minus per-key "
+    "day-rank is constant within a consecutive run and unique across "
+    "runs -- one window over DISTINCT (user, day) rows + two hash "
+    "aggregates, no self-join, no iteration. Distinct-first bounds "
+    "the windowed table by users x days regardless of event volume; "
+    "the window partitions by user (no global sort).",
+)
+def q237_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import activity_streaks
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        activity_streaks(ev, "user_id", "ts")
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+        .limit(50)
+    )

@@ -386,3 +386,34 @@ def test_lagged_autocorrelation_anticorrelated(spark):
         for r in lagged_autocorrelation(df, "d", "v", lags=(1, 2)).collect()
     }
     assert got[1] == -1.0 and got[2] == 1.0
+
+
+# -- activity_streaks --------------------------------------------------------
+
+
+def test_activity_streaks_hand_values(spark):
+    """u1: days 1,2,3, 5,6, 9 -> streaks 3/2/1 (longest 3, n 3, active
+    6); duplicate same-day events collapse; NULL key/date excluded."""
+    import datetime as dt
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        activity_streaks,
+    )
+
+    d = lambda i: dt.datetime(2024, 1, i, 12, 0)  # noqa: E731
+    rows = (
+        [("u1", d(1)), ("u1", d(2)), ("u1", d(2)), ("u1", d(3))]
+        + [("u1", d(5)), ("u1", d(6)), ("u1", d(9))]
+        + [("u2", d(4))]
+        + [(None, d(1)), ("u3", None)]
+    )
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r["user_id"]: (
+            r["longest_streak"],
+            r["n_streaks"],
+            r["n_active_days"],
+        )
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    }
+    assert got == {"u1": (3, 3, 6), "u2": (1, 1, 1)}
