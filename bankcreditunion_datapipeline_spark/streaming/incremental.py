@@ -768,3 +768,31 @@ def streaming_sum_delta_state(
             else apply_sum_delta(merged, part, key_cols, sum_cols)
         )
     return merged
+
+
+def streaming_top_key_shares(
+    spark: SparkSession, state_dir: str, top_k: int = 20
+) -> DataFrame:
+    """The conform.top_key_shares drill-down over the merged streaming
+    key-count state (the q217 monitor's ``batch=<id>`` sum-monoid
+    partitions): per-key totals sum across batches, the total derives
+    from the summed counts (never a second scan), shares floor at 1e-6
+    -- identical arithmetic to the batch operator on the union of all
+    input, by construction."""
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "keycounts"))
+        .groupBy("__k")
+        .agg(F.sum("__m").cast("long").alias("n_rows"))
+    )
+    total = merged.agg(F.sum("n_rows").cast("long").alias("__total"))
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.floor(F.col("n_rows") / F.col("__total") * 1000000) / 1000000,
+        )
+        .drop("__total")
+        .orderBy(F.desc("n_rows"), F.asc("__k"))
+        .limit(top_k)
+        .withColumnRenamed("__k", "k")
+    )

@@ -1273,3 +1273,44 @@ def test_streaming_sum_delta_equals_batch_and_redelivery(spark, tmp_path):
     }
     assert got == want
     assert got[None] == (2, 10) and got["d2"] == (2, 100)
+
+
+def test_streaming_top_key_shares_equals_batch(spark, tmp_path):
+    """The top-key drill-down over merged streaming count state equals
+    batch conform.top_key_shares over the union of all input."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.operators.conform import (
+        top_key_shares,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_key_counts,
+        streaming_top_key_shares,
+    )
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("x", LongType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1 = [("a", 1)] * 6 + [("b", 1)] * 3
+    b2 = [("a", 1)] * 2 + [("c", 1)] * 5
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_key_counts(spark, src, ckpt, schema, state, "k")
+
+    got = [
+        (r["k"], r["n_rows"], r["share"])
+        for r in streaming_top_key_shares(spark, state, top_k=2).collect()
+    ]
+    want = [
+        (r["k"], r["n_rows"], r["share"])
+        for r in top_key_shares(
+            spark.createDataFrame(b1 + b2, schema), ["k"], top_k=2
+        ).collect()
+    ]
+    assert got == want and got[0][0] == "a" and got[0][1] == 8
