@@ -13669,3 +13669,260 @@ def q237_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak"), F.asc("user_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-probes tuning curve (similarity.py machinery): the
+# measurement that PICKS nprobe for the 100 TB ANN deployment -- recall
+# against exact top-k at nprobe 1/2/4, all engine-deterministic.
+# ---------------------------------------------------------------------------
+_Q238_PROBES = (1, 2, 4)
+_Q238_K = 10
+
+
+def _q238_oracle() -> str:
+    k = _Q238_K
+    sels = []
+    for n in _Q238_PROBES:
+        sels.append(f"""
+    sel{n} AS (
+      SELECT vec_id, score FROM (
+        SELECT s.vec_id, s.score,
+               row_number() OVER (ORDER BY s.score DESC, s.vec_id) AS rk
+        FROM scored s
+        JOIN assign a ON a.vec_id = s.vec_id
+        JOIN cr ON cr.code = a.cell
+        WHERE cr.rk <= {n}) WHERE rk <= {k}),
+    r{n} AS (
+      SELECT CAST({n} AS BIGINT) AS nprobe,
+             CAST(count(*) AS BIGINT) AS n_returned,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000 // {k} AS BIGINT) AS recall_permille
+      FROM sel{n} LEFT JOIN truth t USING (vec_id))""")
+    union = " UNION ALL ".join(f"SELECT * FROM r{n}" for n in _Q238_PROBES)
+    return f"""
+    WITH cent AS (
+      SELECT label AS code,
+             [{_KM_DIMS}]::DOUBLE[] AS centroid
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label),
+    ex AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings WHERE embedding IS NOT NULL),
+    qv AS (SELECT x AS q FROM ex WHERE vec_id = 0),
+    cr AS (
+      SELECT code, row_number() OVER (ORDER BY
+               round(list_dot_product(qv.q, qv.q)
+                     - 2 * list_dot_product(qv.q, c.centroid)
+                     + list_dot_product(c.centroid, c.centroid), 6),
+               c.code) AS rk
+      FROM cent c CROSS JOIN qv),
+    assign AS (
+      SELECT vec_id, code AS cell FROM (
+        SELECT ex.vec_id, c.code,
+               row_number() OVER (PARTITION BY ex.vec_id ORDER BY
+                 round(list_dot_product(ex.x, ex.x)
+                       - 2 * list_dot_product(ex.x, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6),
+                 c.code) AS rk
+        FROM ex CROSS JOIN cent c) WHERE rk = 1),
+    scored AS (
+      SELECT ex.vec_id,
+             round(list_dot_product(ex.x, qv.q)
+                   / (sqrt(list_dot_product(ex.x, ex.x))
+                      * sqrt(list_dot_product(qv.q, qv.q))), 6) AS score
+      FROM ex CROSS JOIN qv),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= {k}),
+    {",".join(sels)}
+    {union}
+    """
+
+
+@register(
+    "q238_ivf_recall_curve",
+    _q238_oracle(),
+    doc="IVF recall-vs-nprobe curve (similarity.py:label_centroids + "
+    "kmeans_assign + exact cosine top-10): for nprobe 1/2/4, the "
+    "partial-probe top-k's overlap with the EXACT global top-k in "
+    "floor permille -- the tuning measurement that picks nprobe "
+    "before committing a 100 TB index layout (q39 probes all cells; "
+    "q138 fixes nprobe=2; this grades the tradeoff). Every stage is "
+    "engine-deterministic: centroids are rounded label means, cell "
+    "assignment is the q111 L2 argmin with (dist, label) tiebreak, "
+    "scores rounded 1e-6 with vec_id tiebreak. Probe planning is an "
+    "O(cells) driver-side sort (the codebook-collect class); at scale "
+    "the cell filter is a partition prune.",
+)
+def q238_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import cosine, dot
+    from .operators.similarity import kmeans_assign, label_centroids
+
+    k = _Q238_K
+    emb = t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    assigned = kmeans_assign(emb, cent).select(
+        "vec_id", F.col("assigned").alias("cell")
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    # probe planning: O(cells) driver-side, the same rounded-L2 +
+    # label-tiebreak ordering as the assignment (and the oracle)
+    cents = cent.collect()
+    qq = sum(x * x for x in qvec)
+
+    def cdist(c):
+        cc = sum(x * x for x in c["centroid"])
+        qc = sum(x * y for x, y in zip(qvec, c["centroid"]))
+        return round(qq - 2 * qc + cc, 6)
+
+    order = sorted(cents, key=lambda c: (cdist(c), c["centroid_label"]))
+    scored = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", F.round(cosine(F.col("embedding"), qvec), 6).alias("score")
+    )
+    truth = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.lit(1).alias("__t"))
+    )
+    sels = []
+    for n in _Q238_PROBES:
+        cells = [r["centroid_label"] for r in order[:n]]
+        sel = (
+            scored.join(
+                assigned.filter(F.col("cell").isin(cells)).select("vec_id"),
+                "vec_id",
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(k)
+            .withColumn("nprobe", F.lit(n).cast("long"))
+        )
+        sels.append(sel)
+    u = sels[0]
+    for s in sels[1:]:
+        u = u.unionByName(s)
+    return (
+        u.join(truth, "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.sum(F.coalesce("__t", F.lit(0))).cast("long").alias("n_hits"),
+            F.expr(f"CAST(sum(coalesce(__t, 0)) * 1000 div {k} AS BIGINT)")
+            .alias("recall_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source content overlap (provenance contamination matrix): which
+# source pairs carry the SAME normalized content -- q224 measures how
+# duplicated each source is internally; this measures who copies WHOM.
+# ---------------------------------------------------------------------------
+@register(
+    "q239_cross_source_overlap",
+    """
+    WITH u AS (
+      SELECT source, text FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL
+      UNION ALL
+      SELECT 'mirror' AS source,
+             '  ' || replace(text, ' ', '   ') || ' ' AS text
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id % 11 = 0),
+    fps AS (
+      SELECT DISTINCT source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM u),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           CAST((n_shared * 1000) // (sa.n + sb.n - n_shared) AS BIGINT)
+             AS jaccard_permille,
+           CAST((n_shared * 1000) // sa.n AS BIGINT)
+             AS containment_a_permille,
+           CAST((n_shared * 1000) // sb.n AS BIGINT)
+             AS containment_b_permille
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    doc="cross-source content-overlap matrix over q19 normalized "
+    "fingerprints: per source pair, shared distinct-fingerprint count "
+    "+ Jaccard + both containments (floor permille) -- containment "
+    "near 1000 reads 'source A is largely a copy of B', the provenance "
+    "contamination signal BETWEEN feeds (q224 is within-feed). "
+    "A planted 'mirror' feed (doc_id % 11, whitespace-mangled) MUST "
+    "collapse onto its originals -- grading the normalization, the "
+    "q219 discipline. Distinct (source, fp) first -- 16-byte digests, "
+    "map-side combine; "
+    "the pair join's posting lists are bounded by the source count; "
+    "zero-overlap pairs absent by construction.",
+)
+def q239_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    # planted mirror feed (the q219 discipline): every 11th doc
+    # re-appears under source 'mirror' with mangled whitespace -- the
+    # normalized fingerprint must collapse it, so the query grades the
+    # normalization AND the overlap join, not just schema plumbing
+    mirror = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.lit("mirror").alias("source"),
+        F.concat(
+            F.lit("  "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    u = docs.select("source", "text").unionByName(mirror)
+    fps = (
+        u.select("source", fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .persist()
+    )
+    sizes = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr("(n_shared * 1000) div (n_a + n_b - n_shared)").alias(
+                "jaccard_permille"
+            ),
+            F.expr("(n_shared * 1000) div n_a").alias(
+                "containment_a_permille"
+            ),
+            F.expr("(n_shared * 1000) div n_b").alias(
+                "containment_b_permille"
+            ),
+        )
+    )
