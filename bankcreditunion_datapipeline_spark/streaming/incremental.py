@@ -796,3 +796,60 @@ def streaming_top_key_shares(
         .limit(top_k)
         .withColumnRenamed("__k", "k")
     )
+
+
+def streaming_pair_deltas(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> None:
+    """Streaming near-dup PAIR log for incremental cluster maintenance
+    (the q236 surface): each micro-batch writes its distinct pair
+    delta to its own ``batch=<id>`` partition (overwrite on redelivery
+    -> replace, never duplicate -- harmless for CC either way, but the
+    house contract is replace).  Pairs are the canonical streaming
+    input for `extend_components`: state per batch is bounded by the
+    batch's pair count, not the corpus."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        delta = (
+            df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .select(F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b"))
+            .distinct()
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "pairdelta", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_dup_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge-on-read cluster extraction: fold the batch pair partitions
+    through `extend_components` itself -- labels after batch i extend
+    with batch i+1's delta, so the extractor IS the q236 batch
+    operator and equals the monolithic `connected_components` over all
+    pairs by the star-contraction identity (graded by q236's own
+    oracle discipline; asserted in the streaming test).  A production
+    deployment compacts by replacing a prefix of batch partitions with
+    the star edges of their fold (same operator, same identity)."""
+    from ..operators.dedup import connected_components, extend_components
+
+    root = os.path.join(state_dir, "pairdelta")
+    all_parts = spark.read.parquet(root)
+    batch_ids = sorted(
+        r["batch"] for r in all_parts.select("batch").distinct().collect()
+    )
+    labels = None
+    for b in batch_ids:
+        part = all_parts.filter(F.col("batch") == b).select("id_a", "id_b")
+        labels = (
+            connected_components(part)
+            if labels is None
+            else extend_components(labels, part)
+        )
+    return labels

@@ -1314,3 +1314,66 @@ def test_streaming_top_key_shares_equals_batch(spark, tmp_path):
         ).collect()
     ]
     assert got == want and got[0][0] == "a" and got[0][1] == 8
+
+
+def test_streaming_dup_clusters_equals_batch(spark, tmp_path):
+    """Folding streamed pair deltas through extend_components equals
+    monolithic connected_components over all pairs -- including a
+    late batch that MERGES two standing clusters; checkpoint-wipe
+    redelivery replaces the partition."""
+    import shutil
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_dup_clusters,
+        streaming_pair_deltas,
+    )
+
+    schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1 = [(1, 2), (4, 5)]
+    b2 = [(2, 4), (7, 8)]  # (2,4) merges {1,2} with {4,5}
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_pair_deltas(spark, src, ckpt, schema, state)
+
+    write(b1)
+    run()
+    first = {
+        r["id"]: r["component"]
+        for r in streaming_dup_clusters(spark, state).collect()
+    }
+    assert first == {1: 1, 2: 1, 4: 4, 5: 4}
+    shutil.rmtree(ckpt)
+    run()
+    assert {
+        r["id"]: r["component"]
+        for r in streaming_dup_clusters(spark, state).collect()
+    } == first
+
+    write(b2)
+    run()
+    got = {
+        r["id"]: r["component"]
+        for r in streaming_dup_clusters(spark, state).collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    assert got == want and got[5] == 1 and got[8] == 7
