@@ -13926,3 +13926,90 @@ def q239_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source novelty rate: what fraction of each feed's distinct bigrams is
+# corpus-UNIQUE -- the "is this feed bringing new content or re-serving
+# the corpus" mixture-planning signal (q224 grades duplication, q223
+# grades arrival order; this grades novelty mass).
+# ---------------------------------------------------------------------------
+@register(
+    "q240_source_novelty_rate",
+    """
+    WITH sub AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+    bi AS (
+      SELECT DISTINCT doc_id, source,
+             w[CAST(i AS BIGINT)] || ' ' || w[CAST(i + 1 AS BIGINT)] AS g
+      FROM sub, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM bi GROUP BY g),
+    per_doc AS (
+      SELECT b.doc_id, b.source,
+             CAST(count(*) AS BIGINT) AS n_bi,
+             CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uniq
+      FROM bi b JOIN dfreq d USING (g)
+      GROUP BY b.doc_id, b.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bi) AS BIGINT) AS n_bigrams,
+           CAST(sum(n_uniq) AS BIGINT) AS n_unique,
+           CAST(sum(n_uniq) * 1000 // sum(n_bi) AS BIGINT)
+             AS novelty_permille
+    FROM per_doc GROUP BY source
+    """,
+    doc="per-source novelty rate: the share of each feed's distinct "
+    "bigram mass that appears NOWHERE else in the corpus (df=1), floor "
+    "permille -- the mixture-planning signal for 'is this feed new "
+    "content or a re-serve' (q224 = duplication, q223 = arrival order). "
+    "Two map-side-combining aggregates over distinct (doc, bigram) "
+    "rows + one dictionary join; bigrams are corpus-linear, no pair "
+    "join. Tokenization is the q82 plain space split (doc-level "
+    "windows, no lower/trim -- bigram identity is the raw stream).",
+)
+def q240_source_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("doc_id").isNotNull()
+    )
+    w = F.split(F.col("text"), " ")
+    bi = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 1), "
+                        "i -> concat(element_at(split(text, ' '), i), ' ', "
+                        "element_at(split(text, ' '), i + 1)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+    dfreq = bi.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        bi.join(dfreq, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bi"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_uniq"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bi").cast("long").alias("n_bigrams"),
+        F.sum("n_uniq").cast("long").alias("n_unique"),
+        F.expr("CAST(sum(n_uniq) * 1000 div sum(n_bi) AS BIGINT)").alias(
+            "novelty_permille"
+        ),
+    )
