@@ -838,3 +838,88 @@ def activity_streaks(
         "n_streaks",
         "n_active_days",
     )
+
+
+def km_survival_e6(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator in the EXACT integer-e6 lane:
+    input is one row per SUBJECT with ``duration_col`` (integer time
+    units) and ``event_col`` (1 = event observed / 0 = right-censored);
+    output is one row per distinct duration t with
+    (duration, n_risk, n_events, n_censored, survival_e6) where
+    S_e6 steps by the floor recursion
+    ``S_t = (S_{t-1} * (n_t - d_t)) div n_t`` from S = 1e6 -- every
+    operand BIGINT, so any engine replaying the recursion (the q143
+    recursive-CTE discipline) reproduces it exactly; no float product
+    chain to diverge.
+
+    The churn/retention curve with correct censoring -- subjects still
+    alive at observation end leave the risk set without counting as
+    deaths, which a naive "fraction churned by day t" silently gets
+    wrong.  (Kaplan & Meier 1958; public knowledge.)
+
+    Scale shape: the subject table aggregates to O(distinct durations)
+    summary rows (one hash aggregate + one cumulative window over the
+    SUMMARY); the inherently sequential product recursion then runs as
+    a single-group Arrow batch over those bounded rows -- the q143
+    state-machine shape, with the group being the whole (bounded)
+    summary rather than a key's series.  NULL durations/events are
+    excluded (no calendar position / unknown outcome).
+    """
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    subj = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("long").alias("__e"),
+    )
+    agg = subj.groupBy("__t").agg(
+        F.sum("__e").cast("long").alias("__d"),
+        F.sum(1 - F.col("__e")).cast("long").alias("__c"),
+    )
+    w = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = subj.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    risk = (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("__cum", F.sum(F.col("__d") + F.col("__c")).over(w))
+        .withColumn(
+            "__n_risk", F.col("__n") - F.col("__cum") + F.col("__d") + F.col("__c")
+        )
+        .select("__t", "__d", "__c", "__n_risk")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__t").reset_index(drop=True)
+        s = 1_000_000
+        out = []
+        for _, r in pdf.iterrows():
+            n, d = int(r["__n_risk"]), int(r["__d"])
+            s = (s * (n - d)) // n
+            out.append(s)
+        pdf["survival_e6"] = out
+        return pdf
+
+    folded = (
+        risk.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            fold,
+            "__g int, __t long, __d long, __c long, __n_risk long, "
+            "survival_e6 long",
+        )
+    )
+    return folded.select(
+        F.col("__t").alias("duration"),
+        F.col("__n_risk").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.col("__c").alias("n_censored"),
+        "survival_e6",
+    )

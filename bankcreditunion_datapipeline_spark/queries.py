@@ -14013,3 +14013,73 @@ def q240_source_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier churn survival (analytics.py:km_survival_e6): the retention
+# curve with CORRECT right-censoring -- users still active at corpus end
+# leave the risk set without counting as churn.
+# ---------------------------------------------------------------------------
+@register(
+    "q241_user_churn_survival",
+    """
+    WITH RECURSIVE per_user AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    mx AS (SELECT max(l) AS m FROM per_user),
+    subj AS (
+      SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+             CASE WHEN l <= m - INTERVAL 7 DAY THEN 1 ELSE 0 END AS e
+      FROM per_user, mx),
+    agg AS (
+      SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c,
+             row_number() OVER (ORDER BY t) AS rn
+      FROM subj GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM subj),
+    risk AS (
+      SELECT a.t, a.rn, a.d, a.c,
+             CAST(tot.n - sum(a.d + a.c) OVER (ORDER BY a.t)
+                  + a.d + a.c AS BIGINT) AS n_risk
+      FROM agg a, tot),
+    r AS (
+      SELECT t, rn, d, c, n_risk,
+             CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+      FROM risk WHERE rn = 1
+      UNION ALL
+      SELECT k.t, k.rn, k.d, k.c, k.n_risk,
+             CAST((r.s * (k.n_risk - k.d)) // k.n_risk AS BIGINT)
+      FROM risk k JOIN r ON k.rn = r.rn + 1)
+    SELECT t AS duration, n_risk, d AS n_events, c AS n_censored,
+           s AS survival_e6
+    FROM r
+    """,
+    doc="Kaplan-Meier churn survival (analytics.py:km_survival_e6) over "
+    "per-user activity lifespans (first-to-last event day); users whose "
+    "last activity is within 7 days of corpus end are right-CENSORED -- "
+    "they leave the risk set without counting as churn, the correction "
+    "a naive churned-by-day-t fraction silently lacks. Exact integer "
+    "lane: S steps by (S * (n-d)) div n from 1e6, replayed verbatim by "
+    "the oracle's recursive CTE (the q143 discipline). Subjects "
+    "aggregate to O(distinct durations) summary rows; the sequential "
+    "product folds over that bounded summary as one Arrow batch.",
+)
+def q241_user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import km_survival_e6
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("f"),
+            F.max(F.col("ts").cast("date")).alias("l"),
+        )
+    )
+    mx = per_user.agg(F.max("l").alias("m"))
+    subj = per_user.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").cast("long").alias("t"),
+        (F.col("l") <= F.date_sub(F.col("m"), 7)).cast("long").alias("e"),
+    )
+    return km_survival_e6(subj, "t", "e")

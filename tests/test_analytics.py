@@ -417,3 +417,41 @@ def test_activity_streaks_hand_values(spark):
         for r in activity_streaks(df, "user_id", "ts").collect()
     }
     assert got == {"u1": (3, 3, 6), "u2": (1, 1, 1)}
+
+
+# -- km_survival_e6 ----------------------------------------------------------
+
+
+def test_km_survival_hand_values(spark):
+    """Textbook KM: subjects (1,death),(2,censor),(3,death),(3,death),
+    (4,censor) -> S = 0.8, 0.8, 0.2666, 0.2666; the censored subject
+    leaves the risk set without a survival drop."""
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        km_survival_e6,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)], "t long, e long"
+    )
+    rows = {
+        r["duration"]: r
+        for r in km_survival_e6(df, "t", "e").collect()
+    }
+    assert rows[1]["n_risk"] == 5 and rows[1]["survival_e6"] == 800000
+    assert rows[2]["n_risk"] == 4 and rows[2]["survival_e6"] == 800000
+    assert rows[2]["n_events"] == 0 and rows[2]["n_censored"] == 1
+    assert rows[3]["n_risk"] == 3 and rows[3]["survival_e6"] == 266666
+    assert rows[4]["n_risk"] == 1 and rows[4]["survival_e6"] == 266666
+
+
+def test_km_survival_all_censored_flat(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        km_survival_e6,
+    )
+
+    df = spark.createDataFrame([(1, 0), (5, 0), (9, 0)], "t long, e long")
+    vals = {
+        r["duration"]: r["survival_e6"]
+        for r in km_survival_e6(df, "t", "e").collect()
+    }
+    assert vals == {1: 1000000, 5: 1000000, 9: 1000000}
