@@ -844,6 +844,7 @@ def km_survival_e6(
     df: DataFrame,
     duration_col: str,
     event_col: str,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Kaplan-Meier survival estimator in the EXACT integer-e6 lane:
     input is one row per SUBJECT with ``duration_col`` (integer time
@@ -868,32 +869,56 @@ def km_survival_e6(
     state-machine shape, with the group being the whole (bounded)
     summary rather than a key's series.  NULL durations/events are
     excluded (no calendar position / unknown outcome).
+
+    ``group_cols`` stratifies: one independent curve per group (the
+    per-segment churn comparison), each group's recursion folding its
+    own summary rows; NULL group values are legitimate strata (the
+    benford scaffold discipline -- groupBy keeps them).
     """
     import pandas as pd
 
     from pyspark.sql.window import Window
 
+    gs = list(group_cols)
     subj = df.filter(
         F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
     ).select(
+        *gs,
         F.col(duration_col).cast("long").alias("__t"),
         F.col(event_col).cast("long").alias("__e"),
     )
-    agg = subj.groupBy("__t").agg(
+    agg = subj.groupBy(*gs, "__t").agg(
         F.sum("__e").cast("long").alias("__d"),
         F.sum(1 - F.col("__e")).cast("long").alias("__c"),
     )
-    w = Window.orderBy("__t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    total = subj.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w = (
+        Window.partitionBy(*gs) if gs else Window.partitionBy()
+    ).orderBy("__t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if gs:
+        total = subj.groupBy(*gs).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        # eqNullSafe: a NULL group value is a legitimate stratum and
+        # must find its own total (the q226 merge discipline) -- a
+        # plain equi-join would orphan it into a NaN risk set
+        tot_renamed = total.select(
+            *[F.col(c).alias(f"__tg_{c}") for c in gs], "__n"
+        )
+        cond = [
+            F.col(c).eqNullSafe(F.col(f"__tg_{c}")) for c in gs
+        ]
+        agg = agg.join(tot_renamed, cond, "left").drop(
+            *[f"__tg_{c}" for c in gs]
+        )
+    else:
+        total = subj.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        agg = agg.crossJoin(F.broadcast(total))
     risk = (
-        agg.crossJoin(F.broadcast(total))
-        .withColumn("__cum", F.sum(F.col("__d") + F.col("__c")).over(w))
+        agg.withColumn("__cum", F.sum(F.col("__d") + F.col("__c")).over(w))
         .withColumn(
             "__n_risk", F.col("__n") - F.col("__cum") + F.col("__d") + F.col("__c")
         )
-        .select("__t", "__d", "__c", "__n_risk")
+        .select(*gs, "__t", "__d", "__c", "__n_risk")
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -907,16 +932,27 @@ def km_survival_e6(
         pdf["survival_e6"] = out
         return pdf
 
-    folded = (
-        risk.withColumn("__g", F.lit(1))
-        .groupBy("__g")
-        .applyInPandas(
+    gs_schema = "".join(
+        f"{c} {subj.schema[c].dataType.simpleString()}, " for c in gs
+    )
+    if gs:
+        folded = risk.groupBy(*gs).applyInPandas(
             fold,
-            "__g int, __t long, __d long, __c long, __n_risk long, "
+            gs_schema + "__t long, __d long, __c long, __n_risk long, "
             "survival_e6 long",
         )
-    )
+    else:
+        folded = (
+            risk.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(
+                fold,
+                "__g int, __t long, __d long, __c long, __n_risk long, "
+                "survival_e6 long",
+            )
+        )
     return folded.select(
+        *gs,
         F.col("__t").alias("duration"),
         F.col("__n_risk").alias("n_risk"),
         F.col("__d").alias("n_events"),

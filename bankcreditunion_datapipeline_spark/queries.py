@@ -14083,3 +14083,82 @@ def q241_user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l") <= F.date_sub(F.col("m"), 7)).cast("long").alias("e"),
     )
     return km_survival_e6(subj, "t", "e")
+
+
+# ---------------------------------------------------------------------------
+# Stratified churn survival: purchaser vs non-purchaser KM curves -- does
+# converting slow churn, with censoring handled correctly per stratum.
+# ---------------------------------------------------------------------------
+@register(
+    "q242_cohort_churn_survival",
+    """
+    WITH RECURSIVE per_user AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchaser
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    mx AS (SELECT max(l) AS m FROM per_user),
+    subj AS (
+      SELECT CASE WHEN purchaser = 1 THEN 'purchaser' ELSE 'browser' END
+               AS cohort,
+             CAST(date_diff('day', f, l) AS BIGINT) AS t,
+             CASE WHEN l <= m - INTERVAL 7 DAY THEN 1 ELSE 0 END AS e
+      FROM per_user, mx),
+    agg AS (
+      SELECT cohort, t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+      FROM subj GROUP BY cohort, t),
+    tot AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n
+            FROM subj GROUP BY cohort),
+    risk AS (
+      SELECT a.cohort, a.t, a.rn, a.d, a.c,
+             CAST(tot.n - sum(a.d + a.c)
+                    OVER (PARTITION BY a.cohort ORDER BY a.t)
+                  + a.d + a.c AS BIGINT) AS n_risk
+      FROM agg a JOIN tot ON tot.cohort = a.cohort),
+    r AS (
+      SELECT cohort, t, rn, d, c, n_risk,
+             CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+      FROM risk WHERE rn = 1
+      UNION ALL
+      SELECT k.cohort, k.t, k.rn, k.d, k.c, k.n_risk,
+             CAST((r.s * (k.n_risk - k.d)) // k.n_risk AS BIGINT)
+      FROM risk k JOIN r ON k.cohort = r.cohort AND k.rn = r.rn + 1)
+    SELECT cohort, t AS duration, n_risk, d AS n_events, c AS n_censored,
+           s AS survival_e6
+    FROM r
+    """,
+    doc="stratified Kaplan-Meier (analytics.py:km_survival_e6 with "
+    "group_cols): independent churn curves for users who ever "
+    "purchased vs never -- the does-converting-slow-churn comparison "
+    "with per-stratum censoring. Each cohort's integer-e6 recursion "
+    "folds its own O(distinct durations) summary (per-group Arrow "
+    "batches, the q143 shape); the oracle's recursive CTE partitions "
+    "the identical recursion by cohort.",
+)
+def q242_cohort_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import km_survival_e6
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("f"),
+            F.max(F.col("ts").cast("date")).alias("l"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias(
+                "purchaser"
+            ),
+        )
+    )
+    mx = per_user.agg(F.max("l").alias("m"))
+    subj = per_user.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("purchaser") == 1, "purchaser")
+        .otherwise("browser")
+        .alias("cohort"),
+        F.datediff("l", "f").cast("long").alias("t"),
+        (F.col("l") <= F.date_sub(F.col("m"), 7)).cast("long").alias("e"),
+    )
+    return km_survival_e6(subj, "t", "e", group_cols=("cohort",))

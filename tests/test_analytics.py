@@ -455,3 +455,29 @@ def test_km_survival_all_censored_flat(spark):
         for r in km_survival_e6(df, "t", "e").collect()
     }
     assert vals == {1: 1000000, 5: 1000000, 9: 1000000}
+
+
+def test_km_survival_grouped_independent_curves(spark):
+    """group_cols: each stratum folds its own recursion -- group A's
+    censoring cannot touch group B's risk set; NULL group is a
+    stratum."""
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        km_survival_e6,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("b", 1, 0), ("b", 2, 1), (None, 3, 1)],
+        "g string, t long, e long",
+    )
+    rows = {
+        (r["g"], r["duration"]): r
+        for r in km_survival_e6(df, "t", "e", group_cols=("g",)).collect()
+    }
+    # a: t=1 d=1 n=2 -> 500000; t=2 d=1 n=1 -> 0
+    assert rows[("a", 1)]["survival_e6"] == 500000
+    assert rows[("a", 2)]["survival_e6"] == 0
+    # b: t=1 censored n=2 -> 1000000; t=2 d=1 n=1 -> 0
+    assert rows[("b", 1)]["survival_e6"] == 1000000
+    assert rows[("b", 2)]["survival_e6"] == 0
+    # NULL stratum present and independent
+    assert rows[(None, 3)]["survival_e6"] == 0 and rows[(None, 3)]["n_risk"] == 1
