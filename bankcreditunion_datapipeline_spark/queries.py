@@ -14162,3 +14162,130 @@ def q242_cohort_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l") <= F.date_sub(F.col("m"), 7)).cast("long").alias("e"),
     )
     return km_survival_e6(subj, "t", "e", group_cols=("cohort",))
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity (q179 pairs + CC per cut): how aggressive a
+# near-dup threshold is before committing a corpus-wide dedup -- pair
+# count, cluster count, clustered-doc count, and largest cluster at each
+# candidate threshold, all from ONE pair computation.
+# ---------------------------------------------------------------------------
+_Q243_CUTS = (600, 700, 800)
+
+
+def _q243_oracle() -> str:
+    blocks = []
+    for cut in _Q243_CUTS:
+        blocks.append(f"""
+    e{cut} AS (
+      SELECT id_a AS s, id_b AS d FROM pairs WHERE j >= {cut}
+      UNION SELECT id_b, id_a FROM pairs WHERE j >= {cut}),
+    reach{cut}(id, r) AS (
+      SELECT s, s FROM e{cut}
+      UNION
+      SELECT e{cut}.s, reach{cut}.r
+      FROM e{cut} JOIN reach{cut} ON e{cut}.d = reach{cut}.id),
+    comp{cut} AS (
+      SELECT id, min(r) AS c FROM reach{cut} GROUP BY id),
+    sz{cut} AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n FROM comp{cut} GROUP BY c),
+    row{cut} AS (
+      SELECT CAST({cut} AS BIGINT) AS threshold_permille,
+             (SELECT CAST(count(*) AS BIGINT) FROM pairs WHERE j >= {cut})
+               AS n_pairs,
+             CAST(coalesce((SELECT count(*) FROM sz{cut}), 0) AS BIGINT)
+               AS n_clusters,
+             CAST(coalesce((SELECT sum(n) FROM sz{cut}), 0) AS BIGINT)
+               AS n_clustered_docs,
+             CAST(coalesce((SELECT max(n) FROM sz{cut}), 0) AS BIGINT)
+               AS largest_cluster)""")
+    union = " UNION ALL ".join(f"SELECT * FROM row{cut}" for cut in _Q243_CUTS)
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    elems AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(
+               list_slice(w, CAST(i.i AS INT), CAST(i.i AS INT) + {_Q179_SHINGLE} - 1),
+               ' ')) AS tok
+      FROM base, unnest(range(1, len(w) - {_Q179_SHINGLE} + 2)) AS i(i)
+      WHERE len(w) >= {_Q179_SHINGLE}),
+    sizes AS (SELECT id, count(*) AS n FROM elems GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM elems a JOIN elems b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT s.id_a, s.id_b,
+             (s.i * 1000) // (sa.n + sb.n - s.i) AS j
+      FROM shared s
+      JOIN sizes sa ON s.id_a = sa.id
+      JOIN sizes sb ON s.id_b = sb.id
+      WHERE (s.i * 1000) // (sa.n + sb.n - s.i) >= {min(_Q243_CUTS)}),
+    {",".join(blocks)}
+    {union}
+    """
+
+
+@register(
+    "q243_dedup_threshold_curve",
+    _q243_oracle(),
+    doc="dedup threshold sensitivity: q179's exact shingle-Jaccard "
+    "pairs computed ONCE at the loosest cut (0.6), then per candidate "
+    "threshold 600/700/800 the pair graph re-filters and CC re-labels "
+    "-- (n_pairs, n_clusters, n_clustered_docs, largest_cluster) per "
+    "cut, the how-aggressive-before-we-commit curve a corpus-wide "
+    "dedup decision needs (q210 sweeps quality cuts; this sweeps "
+    "SIMILARITY cuts). Pairs persist across cuts; each CC rides the "
+    "(tiny) filtered pair graph.",
+)
+def q243_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        connected_components,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold_permille=min(_Q243_CUTS),
+        shingle=_Q179_SHINGLE,
+        max_pair_rows=20_000_000,
+    ).persist()
+    rows = []
+    for cut in _Q243_CUTS:
+        sub = pairs.filter(F.col("jaccard_permille") >= cut)
+        comp = connected_components(sub)
+        sz = comp.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        stats = sz.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0))
+            .cast("long")
+            .alias("n_clusters"),
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("long")
+            .alias("n_clustered_docs"),
+            F.coalesce(F.max("n"), F.lit(0))
+            .cast("long")
+            .alias("largest_cluster"),
+        )
+        npairs = sub.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        rows.append(
+            npairs.crossJoin(F.broadcast(stats)).select(
+                F.lit(cut).cast("long").alias("threshold_permille"),
+                "n_pairs",
+                "n_clusters",
+                "n_clustered_docs",
+                "largest_cluster",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
