@@ -14289,3 +14289,154 @@ def q243_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation (precision@k / MRR@k / nDCG@k) of the q197 BM25
+# ranking against deterministic all-terms binary relevance -- the
+# eval-harness side of the retrieval lane (q238 grades the ANN lane).
+# ---------------------------------------------------------------------------
+_Q244_KS = (5, 10, 20)
+
+
+def _q244_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _Q197_TERMS)
+    nt = len(_Q197_TERMS)
+    rows = []
+    for k in _Q244_KS:
+        rows.append(f"""
+    m{k} AS (
+      SELECT CAST({k} AS BIGINT) AS k,
+             (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_relevant,
+             CAST(coalesce(sum(CASE WHEN r.rel THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS hits,
+             CAST(coalesce(sum(CASE WHEN r.rel THEN 1 ELSE 0 END), 0)
+                  * 1000 // {k} AS BIGINT) AS precision_permille,
+             CAST(coalesce(1000000 // min(CASE WHEN r.rel THEN r.rk END), 0)
+               AS BIGINT) AS mrr_e6,
+             round(
+               coalesce(sum(CASE WHEN r.rel
+                            THEN 1.0 / log2(r.rk + 1) END), 0)
+               / (SELECT sum(1.0 / log2(i + 1))
+                  FROM generate_series(1, {k}) AS g(i)
+                  WHERE i <= (SELECT count(*) FROM rel)), 4) AS ndcg
+      FROM ranked r WHERE r.rk <= {k})""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in _Q244_KS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS dl, text
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM d),
+    tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM d),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ({terms}) GROUP BY 1, 2),
+    dfreq AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
+    idf AS (
+      SELECT w,
+             CAST(floor(1000000 * ln(
+               (2 * st.n + 2) / CAST(2 * dfc + 1 AS DOUBLE)))
+               AS BIGINT) AS idf_e6,
+             st.avgdl
+      FROM dfreq, st),
+    sc AS (
+      SELECT tf.doc_id,
+             idf_e6 * tf * 2200 * avgdl //
+               (1000 * tf * avgdl + 12 * (25 * avgdl + 75 * d.dl))
+               AS c
+      FROM tf JOIN d ON tf.doc_id = d.doc_id JOIN idf ON idf.w = tf.w),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(c) AS BIGINT) AS bm25_u
+      FROM sc GROUP BY doc_id),
+    rel AS (SELECT doc_id FROM scored WHERE n_terms = {nt}),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_u DESC, doc_id ASC) AS rk,
+             doc_id IN (SELECT doc_id FROM rel) AS rel
+      FROM scored
+      QUALIFY rk <= {max(_Q244_KS)}),
+    {",".join(rows)}
+    {union}
+    """
+
+
+@register(
+    "q244_bm25_eval_metrics",
+    _q244_oracle(),
+    doc="retrieval evaluation of the q197 BM25 ranking: precision@k "
+    "(floor permille), MRR@k (1e6 div first-relevant rank, 0 when "
+    "none), and binary-relevance nDCG@k (round 4) at k=5/10/20, "
+    "against the deterministic ALL-query-terms relevance set. log2 "
+    "runs only over integer ranks (the settled integer-derived-double "
+    "lane); DCG sums <= 20 terms so the 1e-16 summation-order noise "
+    "sits 12 orders under the rounding. The eval harness the retrieval "
+    "lane needs before anyone tunes k1/b -- q238 is the same artifact "
+    "for the ANN lane.",
+)
+def q244_bm25_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import bm25_scores
+
+    docs = t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(_Q197_TERMS))
+    nt = len(_Q197_TERMS)
+    kmax = max(_Q244_KS)
+    rel_total = scored.filter(F.col("n_terms") == nt).agg(
+        F.count(F.lit(1)).cast("long").alias("__R")
+    )
+    ranked = (
+        scored.orderBy(F.desc("bm25_u"), F.asc("doc_id"))
+        .limit(kmax)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25_u"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("rel", F.col("n_terms") == nt)
+        .crossJoin(F.broadcast(rel_total))
+        .persist()
+    )
+    outs = []
+    for k in _Q244_KS:
+        outs.append(
+            ranked.filter(F.col("rk") <= k).agg(
+                F.lit(k).cast("long").alias("k"),
+                F.first("__R").alias("n_relevant"),
+                F.coalesce(F.sum(F.col("rel").cast("long")), F.lit(0))
+                .cast("long")
+                .alias("hits"),
+                F.expr(
+                    f"CAST(coalesce(sum(CAST(rel AS BIGINT)), 0) "
+                    f"* 1000 div {k} AS BIGINT)"
+                ).alias("precision_permille"),
+                F.expr(
+                    "CAST(coalesce(1000000 div "
+                    "min(CASE WHEN rel THEN rk END), 0) AS BIGINT)"
+                ).alias("mrr_e6"),
+                F.round(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("rel"),
+                                F.lit(1.0) / F.log2(F.col("rk") + 1),
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                    / F.expr(
+                        f"aggregate(sequence(1, least({k}, first(__R))), "
+                        "CAST(0 AS DOUBLE), (acc, i) -> acc + 1.0 / log2(i + 1))"
+                    ),
+                    4,
+                ).alias("ndcg"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
