@@ -959,3 +959,195 @@ def km_survival_e6(
         F.col("__c").alias("n_censored"),
         "survival_e6",
     )
+
+
+def auc_exact_e6(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U with midrank tie handling) in the
+    integer-e6 lane, optionally per group: the probability that a
+    random positive outranks a random negative, ties counted half.
+
+    Input grain: one row per subject with an integer (or otherwise
+    totally ordered, exactly comparable) ``score_col`` and a 0/1
+    ``label_col``. NULL score or label rows are excluded (undefined
+    rank / undefined class).
+
+    Math, all BIGINT: collapse to per-(group, score) counts
+    (n, n_pos); ``below`` = running count of strictly-smaller scores
+    (a window over the O(distinct scores) summary, not the subjects);
+    the doubled midrank of a tie group is ``2*below + n + 1``, so
+    R2 = sum(n_pos * (2*below + n + 1)) is twice the positive rank
+    sum and AUC = (R2 - P*(P+1)) / (2*P*N). The e6 scaling rides a
+    x1000 two-limb ladder (the divide-first SCALE.md discipline):
+    floor(num*1e6/D) = a*1000 + (r*1000) div D with
+    a = (num*1000) div D, r = (num*1000) mod D -- exact, and every
+    intermediate fits BIGINT while P*N <= 4.6e15 (~68M balanced
+    subjects); past that the operator fail-louds (sample
+    deterministically first, the md5-rank lane). Degenerate groups
+    (P == 0 or N == 0) also fail loud: AUC is undefined there and a
+    silent NULL would read as data.
+
+    Scale: one shuffle to the score summary, one window + aggregate
+    per group over summary rows. Subjects never sort globally.
+    """
+    groups = [F.col(c) for c in group_cols]
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    g = base.groupBy(*group_cols, "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__np"),
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.asc("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = g.select(
+        *group_cols,
+        "__n",
+        "__np",
+        (
+            F.col("__np")
+            * (2 * F.coalesce(F.sum("__n").over(w), F.lit(0)) + F.col("__n") + 1)
+        ).alias("__r2"),
+    )
+    agg = contrib.groupBy(*group_cols).agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        (F.sum("__n") - F.sum("__np")).cast("long").alias("n_neg"),
+        F.sum("__r2").cast("long").alias("__R2"),
+    )
+    guarded = agg.where(
+        F.assert_true(
+            (F.col("n_pos") >= 1)
+            & (F.col("n_neg") >= 1)
+            & (F.col("n_pos") * F.col("n_neg") <= F.lit(4_600_000_000_000_000))
+            # P+N <= 2e9 keeps R2 (<= P*(2*(P+N)+1)) and P*(P+1) in
+            # BIGINT even for wildly unbalanced groups
+            & (F.col("n_pos") + F.col("n_neg") <= F.lit(2_000_000_000)),
+            F.concat(
+                F.lit("auc_exact_e6: undefined or over-budget group [P="),
+                F.col("n_pos").cast("string"),
+                F.lit(", N="),
+                F.col("n_neg").cast("string"),
+                F.lit(
+                    "] -- AUC needs both classes present and "
+                    "P*N <= 4.6e15 for the exact e6 ladder; sample "
+                    "deterministically first (md5-rank lane)"
+                ),
+            ),
+        ).isNull()
+    )
+    return guarded.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(((__R2 - n_pos * (n_pos + 1)) * 1000) "
+            "div (2 * n_pos * n_neg) * 1000 "
+            "+ (((__R2 - n_pos * (n_pos + 1)) * 1000) "
+            "% (2 * n_pos * n_neg) * 1000) "
+            "div (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_e6"),
+    )
+
+
+def score_decile_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration / cumulative-gains table for a ranking score against
+    a 0/1 label: ntile bins over (score DESC, id ASC) -- best scores in
+    bin 1 -- with per-bin positive rate, cumulative gain (share of ALL
+    positives captured by bins 1..b) and lift vs the base rate, every
+    ratio exact integer permille.
+
+    The model-evaluation companion to auc_exact_e6: AUC summarizes the
+    whole ranking in one number; this shows WHERE the ranking earns it
+    (is the top decile 3x base rate? do gains saturate by bin 4?).
+
+    lift_permille = (np * total) * 1000 div (n * P) rides the x1000
+    two-limb ladder; its precondition (every intermediate in BIGINT)
+    holds while total <= 4e8 subjects, and the operator fail-louds past
+    that (the eval frame is subject-grain -- md5-sample first, q44
+    lane). P == 0 also fails loud (gains undefined). NULL score or
+    label rows are excluded before binning. The ntile is a global sort
+    over the SUBJECT summary (one row per subject), the rfm_segments
+    class -- bounded analytics frames, not raw corpora; Spark and
+    DuckDB ntile split remainders identically (pinned by the q212
+    parity tests).
+    """
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(id_col).alias("__i"),
+    )
+    binned = base.select(
+        F.ntile(n_bins)
+        .over(Window.orderBy(F.desc("__s"), F.asc("__i")))
+        .cast("long")
+        .alias("bin"),
+        "__y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_bin.select(
+        "bin",
+        "n_subjects",
+        "n_pos",
+        F.sum("n_subjects").over(wall).alias("__nt"),
+        F.sum("n_pos").over(wall).alias("__p"),
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+    )
+    guarded = tot.where(
+        F.assert_true(
+            (F.col("__p") >= 1) & (F.col("__nt") <= F.lit(400_000_000)),
+            F.concat(
+                F.lit("score_decile_calibration: undefined or over-budget "
+                      "[P="),
+                F.col("__p").cast("string"),
+                F.lit(", total="),
+                F.col("__nt").cast("string"),
+                F.lit(
+                    "] -- needs >= 1 positive and total <= 4e8 for the "
+                    "exact permille ladder; sample deterministically "
+                    "first (md5-rank lane)"
+                ),
+            ),
+        ).isNull()
+    )
+    return guarded.select(
+        "bin",
+        "n_subjects",
+        "n_pos",
+        F.expr("CAST(n_pos * 1000 div n_subjects AS BIGINT)").alias(
+            "pos_rate_permille"
+        ),
+        F.expr("CAST(cum_pos * 1000 div __p AS BIGINT)").alias(
+            "cum_gain_permille"
+        ),
+        F.expr(
+            "CAST((n_pos * __nt) div (n_subjects * __p) * 1000 "
+            "+ ((n_pos * __nt) % (n_subjects * __p) * 1000) "
+            "div (n_subjects * __p) AS BIGINT)"
+        ).alias("lift_permille"),
+    )

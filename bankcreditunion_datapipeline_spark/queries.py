@@ -14440,3 +14440,544 @@ def q244_bm25_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC per behavioural predictor (r9): does click/view/signup/
+# error volume predict above-average purchasing?  Mann-Whitney with
+# midrank ties in the integer-e6 lane -- the classifier-evaluation
+# primitive the curation stack scores its quality filters with, graded
+# here on a label both engines derive identically (count*users >= total,
+# the cross-multiplied above-mean test; no float means anywhere).
+# ---------------------------------------------------------------------------
+@register(
+    "q245_behaviour_auc",
+    """
+    WITH perusr AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purch
+      FROM events GROUP BY user_id),
+    lab AS (
+      SELECT user_id,
+             CASE WHEN n_purch * (SELECT count(*) FROM perusr)
+                       >= (SELECT sum(n_purch) FROM perusr)
+                  THEN 1 ELSE 0 END AS y
+      FROM perusr),
+    sc AS (
+      SELECT event_type, user_id, count(*) AS score
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY event_type, user_id),
+    j AS (SELECT s.event_type, s.score, l.y
+          FROM sc s JOIN lab l USING (user_id)),
+    g AS (SELECT event_type, score, count(*) AS n, sum(y) AS np
+          FROM j GROUP BY 1, 2),
+    wprev AS (
+      SELECT event_type, n, np,
+             coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM g),
+    agg AS (
+      SELECT event_type,
+             sum(np) AS p,
+             sum(n) - sum(np) AS nn,
+             sum(np * (2 * below + n + 1)) AS r2
+      FROM wprev GROUP BY event_type)
+    SELECT event_type,
+           CAST(p AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CAST((r2 - p * (p + 1)) * 1000000 // (2 * p * nn) AS BIGINT)
+               AS auc_e6
+    FROM agg
+    """,
+    doc="auc_exact_e6 (operators/analytics.py): label = above-mean "
+    "purchase count (cross-multiplied, integer-exact on both engines); "
+    "score = the user's event count per non-purchase type; population "
+    "per predictor = users with >= 1 event of that type. Midrank ties "
+    "via 2*below+n+1 over the O(distinct scores) summary; the e6 value "
+    "rides the x1000 two-limb ladder where DuckDB just promotes to "
+    "HUGEINT -- same exact floor. Scale: subjects never sort globally; "
+    "one shuffle to the (type, score) summary.",
+)
+def q245_behaviour_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import auc_exact_e6
+
+    ev = t(spark, sf_dir, "events")
+    perusr = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purch"
+        )
+    )
+    tot = perusr.agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum("n_purch").cast("long").alias("__t"),
+    )
+    lab = perusr.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        (F.col("n_purch") * F.col("__c") >= F.col("__t"))
+        .cast("long")
+        .alias("y"),
+    )
+    sc = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    j = sc.join(lab, "user_id").select("event_type", "score", "y")
+    return auc_exact_e6(j, "score", "y", group_cols=("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# Propensity calibration / cumulative gains (r9): decile the users by
+# non-purchase activity, grade each decile's above-mean-purchaser rate,
+# cumulative gain and lift -- WHERE the q245 AUC earns its value.  The
+# targeting artifact (mail the top 3 deciles) and the quality-filter
+# calibration artifact (is the top score band actually enriched?).
+# ---------------------------------------------------------------------------
+@register(
+    "q246_propensity_gains",
+    """
+    WITH perusr AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purch,
+             sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                 AS activity
+      FROM events GROUP BY user_id),
+    lab AS (
+      SELECT user_id, activity,
+             CASE WHEN n_purch * (SELECT count(*) FROM perusr)
+                       >= (SELECT sum(n_purch) FROM perusr)
+                  THEN 1 ELSE 0 END AS y
+      FROM perusr),
+    binned AS (
+      SELECT ntile(10) OVER (ORDER BY activity DESC, user_id ASC) AS bin, y
+      FROM lab),
+    per_bin AS (
+      SELECT bin, count(*) AS n, sum(y) AS np FROM binned GROUP BY bin),
+    tot AS (
+      SELECT bin, n, np,
+             sum(n) OVER () AS nt,
+             sum(np) OVER () AS p,
+             sum(np) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_pos
+      FROM per_bin)
+    SELECT bin,
+           CAST(n AS BIGINT) AS n_subjects,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(np * 1000 // n AS BIGINT) AS pos_rate_permille,
+           CAST(cum_pos * 1000 // p AS BIGINT) AS cum_gain_permille,
+           CAST((np * nt * 1000) // (n * p) AS BIGINT) AS lift_permille
+    FROM tot
+    """,
+    doc="score_decile_calibration (operators/analytics.py): ntile(10) "
+    "over (activity DESC, user_id ASC) -- remainder deciles split "
+    "identically on both engines (q212-pinned parity); per-bin positive "
+    "rate, cumulative gain and lift in exact integer permille (the "
+    "x1000 two-limb ladder vs DuckDB HUGEINT promotion -- same floor). "
+    "Label is q245's cross-multiplied above-mean purchase test. The "
+    "ntile sorts the USER summary, not raw events.",
+)
+def q246_propensity_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import score_decile_calibration
+
+    ev = t(spark, sf_dir, "events")
+    perusr = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purch"
+        ),
+        F.sum((F.col("event_type") != "purchase").cast("long")).alias(
+            "activity"
+        ),
+    )
+    tot = perusr.agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum("n_purch").cast("long").alias("__t"),
+    )
+    lab = perusr.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "activity",
+        (F.col("n_purch") * F.col("__c") >= F.col("__t"))
+        .cast("long")
+        .alias("y"),
+    )
+    return score_decile_calibration(
+        lab, "activity", "y", "user_id", n_bins=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per feed (r9): exact Gini-Simpson in integer e6 --
+# the probability two random tokens differ.  The CONCENTRATION mixture
+# signal (template-heavy feeds score low) next to q240's NOVELTY mass
+# and q224's duplication rate; entropy without ln (SCALE.md lane).
+# ---------------------------------------------------------------------------
+@register(
+    "q247_source_lexical_diversity",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    tf AS (
+      SELECT source, w, count(*) AS c FROM toks WHERE w <> ''
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT source, sum(c) AS t, count(*) AS nd, sum(c * c) AS sq
+      FROM tf GROUP BY source)
+    SELECT source,
+           CAST(t AS BIGINT) AS n_tokens,
+           CAST(nd AS BIGINT) AS n_distinct,
+           CAST((t * t - sq) * 1000000 // (t * t) AS BIGINT)
+               AS diversity_e6
+    FROM agg
+    ORDER BY source
+    """,
+    doc="gini_simpson_diversity (operators/text.py): 1 - sum(c^2)/T^2 "
+    "over per-(source, token) counts, exact via the x1000 two-limb "
+    "ladder (DuckDB promotes to HUGEINT -- same floor). Map-side "
+    "combine collapses the Zipf head before any shuffle; the final "
+    "pass aggregates O(distinct tokens) summary rows. Token budget "
+    "9e7 per group fail-loud (T^2 must fit BIGINT); beyond it, shard "
+    "and combine the sum-monoid (T, sum c^2) partials.",
+)
+def q247_source_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import gini_simpson_diversity
+
+    docs = t(spark, sf_dir, "documents")
+    return gini_simpson_diversity(docs, "text", group_cols=("source",))
+
+
+# ---------------------------------------------------------------------------
+# k-means training curve (r9): THREE unrolled Lloyd rounds over the
+# embedding table -- per-round cluster sizes + inertia.  Upgrades the
+# Lloyd loop from pytest-graded (kmeans_iterate's data-dependent early
+# stop) to oracle-graded: a fixed round count is exactly expressible as
+# unrolled SQL stages.  The codebook-training artifact upstream of the
+# q238 recall curve.
+# ---------------------------------------------------------------------------
+_Q248_ROUNDS = 3
+_Q248_DIMS = ",\n               ".join(
+    f"round(avg(e[{i + 1}]), 6)" for i in range(64)
+)
+
+
+def _q248_oracle() -> str:
+    parts = [
+        """
+    emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS clabel,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 8))"""
+    ]
+    for r in range(_Q248_ROUNDS):
+        parts.append(
+            f"""
+    d{r} AS (
+      SELECT v.vec_id, c.clabel,
+             round(list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.c)
+                   + list_dot_product(c.c, c.c), 6) AS dist
+      FROM emb v CROSS JOIN c{r} c),
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, clabel, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, clabel) AS rk
+      FROM d{r}),
+    r{r} AS (
+      SELECT {r} AS round, clabel AS assigned, count(*) AS n_vecs,
+             floor(avg(dist) * 10000) / 10000.0 AS mean_dist
+      FROM a{r} WHERE rk = 1 GROUP BY clabel)"""
+        )
+        if r < _Q248_ROUNDS - 1:
+            parts.append(
+                f"""
+    c{r + 1} AS (
+      SELECT a.clabel,
+             [{_Q248_DIMS}]::DOUBLE[] AS c
+      FROM a{r} a JOIN emb v USING (vec_id)
+      WHERE a.rk = 1 GROUP BY a.clabel)"""
+            )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM r{r}" for r in range(_Q248_ROUNDS)
+    )
+    return (
+        "WITH"
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(assigned AS BIGINT) AS assigned,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           mean_dist
+    FROM ({union})
+    """
+    )
+
+
+@register(
+    "q248_kmeans_training_curve",
+    _q248_oracle(),
+    doc="kmeans_training_curve (operators/similarity.py): seeds = first "
+    "8 non-NULL vectors by id, components F.round-ed to 1e-6 (the "
+    "label_centroids portability constant); per round one kmeans_assign "
+    "(broadcast 8-row fan-out, q20-proven dot-identity parity with "
+    "DuckDB list_dot_product, argmin = min(struct(dist, label))) and "
+    "one grouped per-dim avg recompute. Inertia = floor(avg(dist)*1e4) "
+    "per cluster per round, the q111 lane. Emptied clusters drop from "
+    "the next round on both engines (GROUP BY emits no row). Scale: "
+    "vectors stream against broadcast centroids; embeddings never "
+    "shuffle; no global sort (seed frame is TakeOrdered k rows).",
+)
+def q248_kmeans_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_training_curve
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_training_curve(emb, k=8, dim=64, rounds=_Q248_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# B-cubed cluster-quality evaluation (r9): grade the LSH near-dup
+# CLUSTERING (pairs -> connected components) against the exact-Jaccard
+# truth clustering at the same cut.  q189 grades pair-level recall;
+# transitive closure can still merge clusters LSH shouldn't (one false
+# band collision chains two true clusters) or split ones it misses --
+# B-cubed is the item-level metric that sees both.  Completes the dedup
+# measurement set: q189 pair recall, q243 threshold curve, q249 cluster
+# quality.
+# ---------------------------------------------------------------------------
+_Q249_CUT = 400  # permille, matching the 0.4 LSH family threshold
+
+
+def _q249_oracle() -> str:
+    return f"""
+    WITH RECURSIVE d5 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    {_minhash_md5_ctes('d5', _Q21_HASHES, _Q21_BANDS, _Q249_CUT * 10)},
+    pe AS (SELECT id_a, id_b FROM mh_pairs
+           UNION SELECT id_b, id_a FROM mh_pairs),
+    preach(id, r) AS (
+      SELECT id_a, id_a FROM pe
+      UNION
+      SELECT pe.id_a, preach.r FROM pe JOIN preach ON pe.id_b = preach.id),
+    pcomp AS (SELECT id, min(r) AS c FROM preach GROUP BY id),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh_hd a JOIN mh_hd b ON a.doc_id < b.doc_id
+      WHERE 10000 * len(list_intersect(a.hd, b.hd))
+            >= {_Q249_CUT * 10} * len(list_distinct(a.hd || b.hd))),
+    te AS (SELECT id_a, id_b FROM tp UNION SELECT id_b, id_a FROM tp),
+    treach(id, r) AS (
+      SELECT id_a, id_a FROM te
+      UNION
+      SELECT te.id_a, treach.r FROM te JOIN treach ON te.id_b = treach.id),
+    tcomp AS (SELECT id, min(r) AS c FROM treach GROUP BY id),
+    items AS (
+      SELECT u.doc_id,
+             coalesce(p.c, u.doc_id) AS pc,
+             coalesce(t.c, u.doc_id) AS tc
+      FROM (SELECT doc_id FROM mh_hd) u
+      LEFT JOIN pcomp p ON p.id = u.doc_id
+      LEFT JOIN tcomp t ON t.id = u.doc_id),
+    g AS (SELECT pc, tc, count(*) AS n FROM items GROUP BY 1, 2),
+    ps AS (SELECT pc, sum(n) AS s FROM g GROUP BY pc),
+    tss AS (SELECT tc, sum(n) AS s FROM g GROUP BY tc),
+    sums AS (
+      SELECT sum(g.n) AS nn,
+             sum((g.n * g.n * 1000000) // ps.s) AS psum,
+             sum((g.n * g.n * 1000000) // tss.s) AS rsum,
+             count(DISTINCT g.pc) AS npc,
+             count(DISTINCT g.tc) AS ntc
+      FROM g JOIN ps USING (pc) JOIN tss USING (tc))
+    SELECT CAST(nn AS BIGINT) AS n_items,
+           CAST(npc AS BIGINT) AS n_pred_clusters,
+           CAST(ntc AS BIGINT) AS n_true_clusters,
+           CAST(psum // nn AS BIGINT) AS precision_e6,
+           CAST(rsum // nn AS BIGINT) AS recall_e6,
+           CAST(CASE WHEN psum // nn + rsum // nn = 0 THEN 0
+                ELSE 2 * (psum // nn) * (rsum // nn)
+                     // (psum // nn + rsum // nn) END AS BIGINT) AS f1_e6
+    FROM sums
+    """
+
+
+@register(
+    "q249_lsh_bcubed_quality",
+    _q249_oracle(),
+    doc="composition: q21's md5-lane LSH pairs and q179's exact "
+    "prefix-filtered pairs at the SAME 0.4 cut over the SAME lowercased "
+    "3-shingle sets (q189's alignment), both closed to clusters by "
+    "connected_components; singletons are their own cluster "
+    "(coalesce(component, id) -- the min-id convention extended). "
+    "B-cubed with the floor-contribution convention: per (pred, true) "
+    "cell n, precision mass = (n^2 * 1e6) div pred_size summed then "
+    "div N -- exact integers on both engines. Audit runs on a "
+    "doc_id %% 2 slice, the q189 sampling posture but wider: the "
+    "%% 5 slice has ZERO pairs at this cut and an audit needs "
+    "clusters to grade. Scale: metric aggregates ride "
+    "O(cells) summary rows; both pair passes are budget-guarded.",
+)
+def q249_lsh_bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+        prefix_filtered_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    truth = prefix_filtered_jaccard_pairs(
+        docs, "doc_id", "text",
+        threshold_permille=_Q249_CUT, shingle=3,
+        max_pair_rows=50_000_000,
+    ).select("id_a", "id_b")
+    pred = minhash_near_dup_pairs(
+        docs,
+        threshold=_Q249_CUT / 1000,
+        num_hashes=_Q21_HASHES,
+        bands=_Q21_BANDS,
+        hash="md5",
+    ).select("id_a", "id_b")
+    pcc = connected_components(pred).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("__pc")
+    )
+    tcc = connected_components(truth).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("__tc")
+    )
+    uni = docs.filter(
+        word_shingles(F.col("text"), 3).isNotNull()
+    ).select("doc_id")
+    items = (
+        uni.join(pcc, "doc_id", "left")
+        .join(tcc, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("__pc"), F.col("doc_id")).alias("pc"),
+            F.coalesce(F.col("__tc"), F.col("doc_id")).alias("tc"),
+        )
+    )
+    g = items.groupBy("pc", "tc").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ps = g.groupBy("pc").agg(F.sum("n").cast("long").alias("__ps"))
+    ts = g.groupBy("tc").agg(F.sum("n").cast("long").alias("__ts"))
+    cells = g.join(ps, "pc").join(ts, "tc")
+    # n^2 * 1e6 needs n <= 3e6 for BIGINT -- fail loud past it (the
+    # pair budgets upstream make a 3M-doc cluster a broken-cut signal)
+    cells = cells.where(
+        F.assert_true(
+            F.col("n") <= F.lit(3_000_000),
+            F.lit(
+                "q249: a (pred, true) cell exceeds 3e6 items -- the "
+                "e6 contribution lane overflows; raise the cut or "
+                "shard the audit slice"
+            ),
+        ).isNull()
+    )
+    sums = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.expr("(n * n * 1000000) div __ps")
+        ).cast("long").alias("psum"),
+        F.sum(
+            F.expr("(n * n * 1000000) div __ts")
+        ).cast("long").alias("rsum"),
+        F.countDistinct("pc").cast("long").alias("npc"),
+        F.countDistinct("tc").cast("long").alias("ntc"),
+    )
+    return sums.select(
+        F.col("nn").alias("n_items"),
+        F.col("npc").alias("n_pred_clusters"),
+        F.col("ntc").alias("n_true_clusters"),
+        F.expr("CAST(psum div nn AS BIGINT)").alias("precision_e6"),
+        F.expr("CAST(rsum div nn AS BIGINT)").alias("recall_e6"),
+        F.expr(
+            "CAST(CASE WHEN psum div nn + rsum div nn = 0 THEN 0 "
+            "ELSE 2 * (psum div nn) * (rsum div nn) "
+            "div (psum div nn + rsum div nn) END AS BIGINT)"
+        ).alias("f1_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional duplication profile (r9): WHERE inside documents does the
+# duplicated bigram mass sit -- leading / middle / trailing thirds, per
+# feed.  Headers and footers are the classic boilerplate shape: if dup
+# mass concentrates in the edge terciles, q175's span excision and
+# q131's boilerplate strip should target edges; if it is uniform, the
+# corpus is template-duplicated and document-level dedup (q21/q179) is
+# the right tool.  The locator the cleaning stack acts on.
+# ---------------------------------------------------------------------------
+@register(
+    "q250_dup_position_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    fl AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             greatest(len(tk) - 1, 1) AS m,
+             array_to_string(list_slice(tk, i, i + 1), ' ') AS s
+      FROM toks, unnest(range(1, greatest(len(tk) - 1, 1) + 1)) AS u(i)
+      WHERE len(tk) > 0),
+    dfreq AS (
+      SELECT s, count(DISTINCT doc_id) >= 2 AS dup FROM fl GROUP BY s)
+    SELECT fl.source,
+           CAST((3 * fl.pos) // fl.m AS BIGINT) AS tercile,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN dfreq.dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_bigrams,
+           CAST(sum(CASE WHEN dfreq.dup THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS dup_share_permille
+    FROM fl JOIN dfreq USING (s)
+    GROUP BY 1, 2
+    """,
+    doc="word_shingles_flat(k=2, with_pos) -- the winnowing positional "
+    "lane -- + the q224 cross-doc duplication convention (a bigram is "
+    "duplicated when >= 2 DISTINCT docs contain it): tercile = "
+    "(3*pos) div (n_bigrams_in_doc), exact integer; short docs (< 2 "
+    "tokens) contribute their whole text at tercile 0 (the "
+    "word_shingles short-doc contract). Scale: one posexplode + lead "
+    "window per doc, one (bigram -> df) hash aggregate (map-side "
+    "combine over the Zipf head), one dictionary hash join -- "
+    "corpus-linear, no pair joins.",
+)
+def q250_dup_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import word_shingles_flat
+
+    docs = t(spark, sf_dir, "documents")
+    fl = word_shingles_flat(docs, "doc_id", "text", k=2, with_pos=True)
+    m = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    dfreq = (
+        fl.select("doc_id", "__s")
+        .distinct()
+        .groupBy("__s")
+        .agg((F.count(F.lit(1)) >= 2).alias("__dup"))
+    )
+    pos = (
+        fl.join(m, "doc_id")
+        .join(dfreq, "__s")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            F.expr("CAST((3 * __pos) div __m AS BIGINT)").alias("tercile"),
+            F.col("__dup"),
+        )
+    )
+    return pos.groupBy("source", "tercile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.col("__dup").cast("long")).cast("long").alias("dup_bigrams"),
+        F.expr(
+            "CAST(sum(CAST(__dup AS BIGINT)) * 1000 div count(1) AS BIGINT)"
+        ).alias("dup_share_permille"),
+    )

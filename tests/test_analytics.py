@@ -481,3 +481,132 @@ def test_km_survival_grouped_independent_curves(spark):
     assert rows[("b", 2)]["survival_e6"] == 0
     # NULL stratum present and independent
     assert rows[(None, 3)]["survival_e6"] == 0 and rows[(None, 3)]["n_risk"] == 1
+
+
+# -- auc_exact_e6 ------------------------------------------------------------
+
+
+def test_auc_perfect_separation(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        auc_exact_e6,
+    )
+
+    # negatives score 1-3, positives score 4-6: AUC = 1
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "s long, y long"
+    )
+    r = auc_exact_e6(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_e6) == (3, 3, 1_000_000)
+
+
+def test_auc_perfect_inversion_and_all_tied(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        auc_exact_e6,
+    )
+
+    inv = spark.createDataFrame(
+        [(9, 0), (8, 0), (1, 1), (2, 1)], "s long, y long"
+    )
+    assert auc_exact_e6(inv, "s", "y").collect()[0].auc_e6 == 0
+    tied = spark.createDataFrame(
+        [(5, 0), (5, 0), (5, 1), (5, 1)], "s long, y long"
+    )
+    assert auc_exact_e6(tied, "s", "y").collect()[0].auc_e6 == 500_000
+
+
+def test_auc_hand_value_with_ties(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        auc_exact_e6,
+    )
+
+    # scores: neg {1, 2, 2}, pos {2, 3}. Pairs P*N = 6:
+    # (pos 2 vs 1) win, (pos 2 vs 2) tie, (pos 2 vs 2) tie,
+    # (pos 3 vs 1/2/2) 3 wins -> (4 + 2*0.5) / 6 = 5/6 -> 833333
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 0), (2, 1), (3, 1)], "s long, y long"
+    )
+    r = auc_exact_e6(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_e6) == (2, 3, 833_333)
+
+
+def test_auc_groups_and_null_exclusion(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        auc_exact_e6,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0),
+            ("a", 2, 1),
+            ("b", 2, 0),
+            ("b", 1, 1),
+            ("b", None, 1),  # NULL score excluded
+            ("b", 3, None),  # NULL label excluded
+        ],
+        "g string, s long, y long",
+    )
+    rows = {
+        r.g: r for r in auc_exact_e6(df, "s", "y", group_cols=("g",)).collect()
+    }
+    assert rows["a"].auc_e6 == 1_000_000
+    assert rows["b"].auc_e6 == 0
+    assert (rows["b"].n_pos, rows["b"].n_neg) == (1, 1)
+
+
+def test_auc_degenerate_group_fails_loud(spark):
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        auc_exact_e6,
+    )
+
+    allpos = spark.createDataFrame([(1, 1), (2, 1)], "s long, y long")
+    with pytest.raises(Exception, match="auc_exact_e6"):
+        auc_exact_e6(allpos, "s", "y").collect()
+
+
+# -- score_decile_calibration -------------------------------------------------
+
+
+def test_calibration_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        score_decile_calibration,
+    )
+
+    # 4 subjects, 2 bins: scores 40,30 (both pos) in bin 1; 20,10 (one
+    # pos) in bin 2. P=3, NT=4.
+    df = spark.createDataFrame(
+        [(1, 40, 1), (2, 30, 1), (3, 20, 1), (4, 10, 0)],
+        "i long, s long, y long",
+    )
+    rows = {
+        r.bin: r
+        for r in score_decile_calibration(df, "s", "y", "i", n_bins=2)
+        .collect()
+    }
+    b1, b2 = rows[1], rows[2]
+    assert (b1.n_subjects, b1.n_pos) == (2, 2)
+    assert b1.pos_rate_permille == 1000
+    assert b1.cum_gain_permille == 666  # 2/3 of positives in bin 1
+    # lift = (2*4)/(2*3) = 4/3 -> 1333
+    assert b1.lift_permille == 1333
+    assert (b2.n_pos, b2.cum_gain_permille) == (1, 1000)
+    assert b2.lift_permille == 666
+
+
+def test_calibration_null_exclusion_and_no_pos_fails(spark):
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        score_decile_calibration,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, 1), (2, 4, 0), (3, None, 1), (4, 3, None)],
+        "i long, s long, y long",
+    )
+    rows = score_decile_calibration(df, "s", "y", "i", n_bins=2).collect()
+    assert sum(r.n_subjects for r in rows) == 2  # NULLs excluded
+    nopos = spark.createDataFrame([(1, 5, 0), (2, 4, 0)], "i long, s long, y long")
+    with pytest.raises(Exception, match="score_decile_calibration"):
+        score_decile_calibration(nopos, "s", "y", "i", n_bins=2).collect()

@@ -467,3 +467,55 @@ def test_mutual_nearest_pairs_budget_fires(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="mutual_nearest_pairs"):
         mutual_nearest_pairs(df, max_rows=10).collect()
+
+
+# -- kmeans_training_curve -----------------------------------------------------
+
+
+def test_kmeans_curve_separates_blobs_and_inertia_drops(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        kmeans_training_curve,
+    )
+
+    # blob A around (0,0): ids 0-3; blob B around (10,10): ids 4-7.
+    # Seeds (first 2 by id) both start inside blob A.
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]),
+        (4, [10.0, 10.0]), (5, [11.0, 10.0]), (6, [10.0, 11.0]),
+        (7, [11.0, 11.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_training_curve(emb, k=2, dim=2, rounds=3).collect()
+    by_round = {}
+    for r in out:
+        by_round.setdefault(r.round, {})[r.assigned] = r
+    # round 0: seed 0 = (0,0), seed 1 = (1,0); blob B is nearer seed 1
+    assert by_round[0][1].n_vecs == 7 or by_round[0][1].n_vecs == 6
+    # by the last round the blobs are separated 4/4
+    sizes = sorted(v.n_vecs for v in by_round[2].values())
+    assert sizes == [4, 4]
+    # total inertia strictly improves from round 0 to round 2
+    tot = {
+        rnd: sum(v.mean_dist * v.n_vecs for v in cl.values())
+        for rnd, cl in by_round.items()
+    }
+    assert tot[2] < tot[0]
+
+
+def test_kmeans_curve_drops_emptied_cluster_and_nulls(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        kmeans_training_curve,
+    )
+
+    # duplicate seeds: ties break to clabel 0, cluster 1 never gets a
+    # member and must drop from round 1 onward. NULL vector excluded.
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [2.0, 2.0]), (3, None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_training_curve(emb, k=2, dim=2, rounds=2).collect()
+    r0 = [r for r in out if r.round == 0]
+    r1 = [r for r in out if r.round == 1]
+    assert sum(r.n_vecs for r in r0) == 3  # NULL excluded
+    assert {r.assigned for r in r0} == {0}  # ties all to clabel 0
+    assert {r.assigned for r in r1} == {0}

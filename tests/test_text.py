@@ -439,3 +439,56 @@ def test_collocation_token_guard_fires(spark):
     df = spark.createDataFrame([("a b a b a b",)] * 3, "text string")
     with pytest.raises(Exception, match="collocation_lift"):
         collocation_lift(df, min_count=1, max_total_tokens=5).collect()
+
+
+# -- gini_simpson_diversity ----------------------------------------------------
+
+
+def test_gini_simpson_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        gini_simpson_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x x"),          # all same token -> diversity 0
+            ("b", "p q r s"),          # all distinct -> 1 - 4/16 = 0.75
+            ("c", "u u v v"),          # 1 - 8/16 = 0.5
+        ],
+        "source string, text string",
+    )
+    rows = {
+        r.source: r
+        for r in gini_simpson_diversity(df, "text").collect()
+    }
+    assert (rows["a"].n_tokens, rows["a"].diversity_e6) == (4, 0)
+    assert (rows["b"].n_distinct, rows["b"].diversity_e6) == (4, 750_000)
+    assert rows["c"].diversity_e6 == 500_000
+
+
+def test_gini_simpson_whitespace_and_empty(spark):
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        gini_simpson_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "  x \t x\n y  "), ("b", "   "), ("b", None)],
+        "source string, text string",
+    )
+    rows = gini_simpson_diversity(df, "text").collect()
+    assert len(rows) == 1  # group b has zero tokens -> no row
+    r = rows[0]
+    # counts {x:2, y:1}, T=3: 1 - 5/9 = 4/9 -> 444444
+    assert (r.source, r.n_tokens, r.diversity_e6) == ("a", 3, 444_444)
+
+
+def test_gini_simpson_budget_fails_loud(spark):
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        gini_simpson_diversity,
+    )
+
+    df = spark.createDataFrame([("a", "x y z")], "source string, text string")
+    with pytest.raises(Exception, match="gini_simpson_diversity"):
+        gini_simpson_diversity(df, "text", max_group_tokens=2).collect()
