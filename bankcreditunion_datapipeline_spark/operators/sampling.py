@@ -603,3 +603,81 @@ def cluster_safe_split(
         )
     expr = expr.otherwise(rest) if expr is not None else F.lit(rest)
     return lab.withColumn("split", expr)
+
+
+def water_filling_caps(
+    df: DataFrame,
+    key_col: str,
+    mass_col: str,
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Water-filling budget allocation over per-key masses: find the
+    largest integer cap C such that sum(min(mass, C)) <= budget, then
+    allocate min(mass, C) to every key -- the standard fair-cap answer
+    to "we can afford B tokens: keep small sources whole, cap the
+    giants at one common level". The mixture-planning counterpart to
+    proportional_allocation (shares) and mixture_weights (ratios):
+    those scale everyone; water-filling protects the tail.
+
+    budget = (total * budget_num) div budget_den -- a fraction of the
+    observed total, integer cross-multiplied (no float budget).
+
+    Math, all BIGINT over the O(keys) mass summary: sort masses
+    ascending (m_1..m_n, rank window), prefix sums P_i; for each
+    boundary i in 0..n-1 the candidate cap is
+    C_i = (B - P_i) div (n - i), feasible when C_i >= m_i (m_0 = 0);
+    the answer is max over feasible candidates. used(C) is piecewise
+    linear and nondecreasing, a candidate overshooting its own segment
+    is dominated by the true segment's candidate (pinned by the
+    brute-force equivalence tests), so the max IS the water-fill cap.
+    Keys with mass <= C keep everything (kept_permille = 1000).
+
+    Scale: the window runs over the KEY summary (one row per key),
+    never the corpus; the corpus pass is whatever aggregate produced
+    `mass_col`. A zero/negative-mass key is excluded (no tokens to
+    allocate); an empty summary yields no rows.
+    """
+    base = df.filter(F.col(mass_col) > 0).select(
+        F.col(key_col).alias("__k"), F.col(mass_col).cast("long").alias("__m")
+    )
+    w = Window.orderBy(F.asc("__m"), F.asc("__k"))
+    ranked = base.select(
+        "__k",
+        "__m",
+        F.row_number().over(w).cast("long").alias("__i"),
+        (F.sum("__m").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )).cast("long").alias("__p"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__n"),
+        F.sum("__m").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__t"),
+    )
+    # candidate at boundary i-1 (before row i): C = (B - P_{i-1}) div
+    # (n - i + 1), feasible when C >= m_{i-1} (0 for the first row).
+    cand = ranked.select(
+        "__n",
+        "__t",
+        F.expr(
+            f"(__t * {budget_num} div {budget_den} - (__p - __m)) "
+            "div (__n - __i + 1)"
+        ).alias("__c"),
+        (F.lag("__m", 1, 0).over(w)).alias("__prev_m"),
+    ).filter(F.col("__c") >= F.col("__prev_m"))
+    cap = cand.agg(F.max("__c").cast("long").alias("cap"))
+    return base.crossJoin(F.broadcast(cap)).select(
+        F.col("__k").alias(key_col),
+        F.col("__m").alias("mass"),
+        "cap",
+        F.least(F.col("__m"), F.col("cap")).alias("alloc"),
+        F.expr("CAST(least(__m, cap) * 1000 div __m AS BIGINT)").alias(
+            "kept_permille"
+        ),
+    )

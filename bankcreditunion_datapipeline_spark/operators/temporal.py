@@ -703,3 +703,67 @@ def apply_sum_delta(
         for c in sum_cols
     ]
     return st.join(dl, cond, "full_outer").select(*out_keys, *out_sums)
+
+
+def holt_linear_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    out_level: str = "level",
+    out_trend: str = "trend",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per key:
+    ``l_1 = v_1, b_1 = 0``;
+    ``l_t = alpha*v_t + (1-alpha)*(l_{t-1} + b_{t-1})``;
+    ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``.
+    EWMA (ewma_by_key) lags a trending series by construction -- the
+    trend state is what lets a forecast extrapolate (h-step-ahead =
+    l_T + h*b_T), which is the capacity-planning artifact.
+
+    Same contracts as ewma_by_key: a TRUE recursion (no window frame),
+    run as one Arrow batch per key with O(1) state; with alpha/beta
+    exact binary fractions and engine-identical inputs every step is
+    pure IEEE arithmetic in recursion order, so a recursive-CTE replay
+    reproduces the doubles bit-for-bit (the q143 oracle technique --
+    the replay must spell the update expressions with the SAME
+    association: ``a*v + (1-a)*(l + b)`` and
+    ``b*(l_new - l) + (1-b)*b_old``). NULL observations carry state
+    unchanged and emit NULL outputs.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
+        f"{order_col} {df.schema[order_col].dataType.simpleString()}, "
+        f"{value_col} double, {out_level} double, {out_trend} double"
+    )
+    a, b_ = float(alpha), float(beta)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        lv = None
+        tr = 0.0
+        levels, trends = [], []
+        for v in pdf[value_col]:
+            if pd.isna(v):
+                levels.append(None)
+                trends.append(None)
+                continue
+            v = float(v)
+            if lv is None:
+                lv = v
+                tr = 0.0
+            else:
+                new_l = a * v + (1.0 - a) * (lv + tr)
+                tr = b_ * (new_l - lv) + (1.0 - b_) * tr
+                lv = new_l
+            levels.append(lv)
+            trends.append(tr)
+        pdf[out_level] = levels
+        pdf[out_trend] = trends
+        return pdf[[key_col, order_col, value_col, out_level, out_trend]]
+
+    return df.groupBy(key_col).applyInPandas(smooth, out_schema)

@@ -997,6 +997,22 @@ def gini_simpson_diversity(
     counts = toks.groupBy(*group_cols, "__w").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    return diversity_from_counts(
+        counts, group_cols=group_cols, max_group_tokens=max_group_tokens
+    )
+
+
+def diversity_from_counts(
+    counts: DataFrame,
+    group_cols: tuple[str, ...] = ("source",),
+    max_group_tokens: int = 90_000_000,
+) -> DataFrame:
+    """Gini-Simpson diversity from a (group..., __w, __c) token-count
+    summary -- the merge-side half of `gini_simpson_diversity`, split
+    out because (T, sum c^2) is a sum-monoid over per-(group, token)
+    partials: per-shard or per-batch counts SUM to the corpus counts,
+    so a streaming monitor's extractor can be THIS function verbatim
+    (the house extractor-is-the-batch-operator contract)."""
     agg = counts.groupBy(*group_cols).agg(
         F.sum("__c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_distinct"),

@@ -14981,3 +14981,382 @@ def q250_dup_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(__dup AS BIGINT)) * 1000 div count(1) AS BIGINT)"
         ).alias("dup_share_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation (r9): "we can afford 40% of the
+# corpus -- keep small feeds whole, cap the giants at one common level".
+# The fair-cap mixture plan next to q121 (ratios) and q195 (quotas):
+# proportional scaling starves the tail; water-filling protects it.
+# ---------------------------------------------------------------------------
+@register(
+    "q251_token_budget_waterfill",
+    """
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                   '\\s+'),
+                             t -> t <> '')) AS ntok
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT source, sum(ntok) AS mass FROM toks
+      GROUP BY source HAVING sum(ntok) > 0),
+    r AS (
+      SELECT source, mass,
+             row_number() OVER (ORDER BY mass, source) AS i,
+             sum(mass) OVER (ORDER BY mass, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS p,
+             count(*) OVER () AS n,
+             sum(mass) OVER () AS t
+      FROM m),
+    cand AS (
+      SELECT (t * 2 // 5 - (p - mass)) // (n - i + 1) AS c,
+             coalesce(lag(mass) OVER (ORDER BY mass, source), 0) AS prev_m
+      FROM r),
+    cap AS (SELECT max(c) AS cap FROM cand WHERE c >= prev_m)
+    SELECT source,
+           CAST(mass AS BIGINT) AS mass,
+           CAST(cap.cap AS BIGINT) AS cap,
+           CAST(least(mass, cap.cap) AS BIGINT) AS alloc,
+           CAST(least(mass, cap.cap) * 1000 // mass AS BIGINT)
+               AS kept_permille
+    FROM m, cap
+    """,
+    doc="water_filling_caps (operators/sampling.py): largest integer cap "
+    "C with sum(min(mass, C)) <= budget, budget = 40%% of total tokens "
+    "(integer cross-multiply). Candidates C_i = (B - P_i) div (n - i) "
+    "per sorted-prefix boundary, feasible when C_i >= m_i, answer = max "
+    "feasible -- proven equal to the brute-force water line by the unit "
+    "tests. The window rides the O(sources) mass summary, never the "
+    "corpus; masses are one token-count aggregate.",
+)
+def q251_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import water_filling_caps
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    mass = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("long").alias("__ntok"),
+    ).groupBy("source").agg(F.sum("__ntok").cast("long").alias("__mass"))
+    return water_filling_caps(mass, "source", "__mass", 2, 5).select(
+        "source", "mass", "cap", "alloc", "kept_permille"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt level+trend forecast (r9): double exponential smoothing over the
+# daily revenue series per event type, reporting the LAST smoothed
+# state and the 7-day-ahead extrapolation -- the capacity-planning
+# artifact EWMA (q143) cannot produce (no trend state, lags trending
+# series by construction).
+# ---------------------------------------------------------------------------
+@register(
+    "q252_holt_revenue_forecast",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    dd AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily WHERE v IS NOT NULL),
+    r AS (
+      SELECT event_type, day, rn, v, v AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM dd WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.rn, d.v,
+             0.5 * d.v + 0.5 * (r.l + r.b) AS l,
+             0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+                 AS b
+      FROM dd d JOIN r
+        ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+    last AS (
+      SELECT event_type, day, rn, l, b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rn DESC) AS rk
+      FROM r)
+    SELECT event_type,
+           day AS last_day,
+           CAST(rn AS BIGINT) AS n_days,
+           floor(l * 1000000) / 1000000.0 AS level_t,
+           floor(b * 1000000) / 1000000.0 AS trend_t,
+           floor((l + 7 * b) * 1000000) / 1000000.0 AS forecast_7d
+    FROM last WHERE rk = 1
+    """,
+    doc="holt_linear_by_key (operators/temporal.py): l_t = 0.5*v + "
+    "0.5*(l+b), b_t = 0.5*(l_new - l) + 0.5*b over the 2-decimal-rounded "
+    "daily revenue rollup; exact binary coefficients make the Arrow "
+    "recursion and the recursive-CTE replay bit-identical (q143 "
+    "technique, twin accumulators). Forecast = l_T + 7*b_T, floored at "
+    "1e-6. NULL-v days are dropped on both engines BEFORE ranking "
+    "(state would carry, but the replay's rn chain must not skip). "
+    "Scale: the recursion runs per key over the O(days) rollup.",
+)
+def q252_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.temporal import holt_linear_by_key
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    sm = holt_linear_by_key(
+        daily, "event_type", "day", "v", alpha=0.5, beta=0.5
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    wn = Window.partitionBy("event_type")
+    return (
+        sm.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_days", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("last_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            (F.floor(F.col("level") * 1000000) / 1000000).alias("level_t"),
+            (F.floor(F.col("trend") * 1000000) / 1000000).alias("trend_t"),
+            (
+                F.floor((F.col("level") + 7 * F.col("trend")) * 1000000)
+                / 1000000
+            ).alias("forecast_7d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-error audit (r9): q176's mergeable log-histogram quantile
+# ESTIMATES vs the EXACT order statistics of the same cents lane, with
+# the relative error in permille.  The trust-establishing measurement
+# before the sketch replaces the exact pass at 100 TB (q238 is the same
+# artifact for ANN recall; q189 for LSH) -- run once at audit scale,
+# then let the sum-monoid histogram do the fleet-wide work.
+# ---------------------------------------------------------------------------
+@register(
+    "q253_quantile_sketch_audit",
+    f"""
+    WITH est AS (SELECT * FROM ({_q176_oracle()}) t),
+    x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    dv AS (SELECT v, count(*) AS c FROM x GROUP BY v),
+    cumv AS (
+      SELECT v,
+             sum(c) OVER (ORDER BY v) AS cum,
+             sum(c) OVER () AS total
+      FROM dv),
+    p(p_permille) AS (VALUES {", ".join(f"({p})" for p in _Q176_PROBS)}),
+    ex AS (
+      SELECT p.p_permille, min(v) AS exact_cents
+      FROM p JOIN cumv ON cum >= (p.p_permille * total + 999) // 1000
+      GROUP BY p.p_permille)
+    SELECT ex.p_permille,
+           CAST(est.quantile_est AS BIGINT) AS est_cents,
+           CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+           CAST(abs(est.quantile_est - ex.exact_cents) * 1000
+                // greatest(ex.exact_cents, 1) AS BIGINT) AS err_permille
+    FROM ex JOIN est ON est.p_permille = ex.p_permille
+    """,
+    doc="composition: q176's log_histogram + log_histogram_quantiles "
+    "estimates joined against the exact order statistics (same integer "
+    "ceil-div rank rule, computed over the O(distinct cents) value "
+    "summary -- grouped cum window, never a global row_number over raw "
+    "rows). err = |est - exact| * 1000 div max(exact, 1). With sub=16 "
+    "sub-buckets per octave the observed error should sit under ~62 "
+    "permille -- the audit that justifies merging histograms instead "
+    "of re-sorting 100 TB.",
+)
+def q253_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.sketches import log_histogram, log_histogram_quantiles
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    hist = log_histogram(cents, "v", sub=_Q176_SUB)
+    est = log_histogram_quantiles(hist, _Q176_PROBS, sub=_Q176_SUB)
+    dv = cents.groupBy("v").agg(F.count(F.lit(1)).alias("__c"))
+    cumv = dv.select(
+        "v",
+        F.sum("__c").over(Window.orderBy("v")).alias("__cum"),
+        F.sum("__c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    p = F.broadcast(
+        est.sparkSession.createDataFrame(
+            [(int(x),) for x in _Q176_PROBS], "p_permille long"
+        )
+    )
+    ex = (
+        p.join(
+            cumv,
+            F.expr("__cum >= (p_permille * __total + 999) div 1000"),
+        )
+        .groupBy("p_permille")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    return ex.join(est, "p_permille").select(
+        "p_permille",
+        F.col("quantile_est").cast("long").alias("est_cents"),
+        F.col("exact_cents").cast("long").alias("exact_cents"),
+        F.expr(
+            "CAST(abs(quantile_est - exact_cents) * 1000 "
+            "div greatest(exact_cents, 1) AS BIGINT)"
+        ).alias("err_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (r9): for each anchor vector, the top-3 most
+# cosine-similar vectors with a DIFFERENT label, candidates blocked to
+# the anchor's IVF cell -- the contrastive-training data op (easy
+# negatives teach nothing; the hardest negatives live just across the
+# class boundary, and the cell block is how the search stays sub-
+# quadratic at 100 TB).
+# ---------------------------------------------------------------------------
+@register(
+    "q254_hard_negative_mining",
+    f"""
+    WITH cent AS (
+      SELECT label AS clabel,
+             [{_KM_DIMS}]::DOUBLE[] AS centroid
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label, e.embedding, c.clabel,
+             round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                   + list_dot_product(c.centroid, c.centroid), 6) AS dist
+      FROM embeddings e CROSS JOIN cent c WHERE e.embedding IS NOT NULL),
+    asg AS (
+      SELECT vec_id, label, embedding, clabel AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, clabel) AS rk
+      FROM d),
+    base AS (
+      SELECT vec_id, label, embedding, cell,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      -- zero-norm vectors have no cosine direction: excluded (the
+      -- NULL-vector discipline extended; caught by the fuzz sweep)
+      FROM asg WHERE rk = 1 AND label IS NOT NULL
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+             a.label AS anchor_label, c.label AS neg_label,
+             round(list_dot_product(a.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[])
+                   / (a.nrm * c.nrm), 6) AS cos_sim
+      FROM (SELECT * FROM base WHERE vec_id % 17 = 0) a
+      JOIN base c
+        ON a.cell = c.cell AND a.label <> c.label
+           AND a.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, neg_id) AS rnk
+      FROM scored)
+    SELECT anchor_id, CAST(rnk AS BIGINT) AS rank, neg_id,
+           anchor_label, neg_label, cos_sim
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="composition: label_centroids + kmeans_assign (the q111 cell "
+    "lane, broadcast fan-out, min(struct) argmin) block the candidates "
+    "to the anchor's cell; per-vector norms hoisted ONCE before the "
+    "pair join (the q211 discipline -- sqrt(dot) per row, not per "
+    "pair); cosine = round(dot/(na*nb), 6), the q20-proven parity "
+    "lane; top-3 per anchor by (sim DESC, id ASC). Anchors = the "
+    "deterministic vec_id %% 17 slice. Scale: pair work is "
+    "cell-blocked (never all-pairs); anchors are a fixed sample -- "
+    "the production posture mines negatives per training batch, not "
+    "per corpus.",
+)
+def q254_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import dot
+    from .operators.similarity import kmeans_assign, label_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    asg = kmeans_assign(emb, cent, keep_cols=["label"]).select(
+        "vec_id", "label", F.col("assigned").alias("cell")
+    )
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    )
+    base = (
+        asg.join(vecs, "vec_id")
+        .filter(F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias(
+                "__nrm"
+            ),
+        )
+        # zero-norm vectors have no cosine direction: excluded (fuzz)
+        .filter(F.col("__nrm") > 0)
+        # both sides of the cell self-join read this frame -- persist
+        # or the broadcast-assign pipeline runs twice (q214/HITS
+        # discipline; measured 24.7s -> ~6s at the 10x proof)
+        .persist()
+    )
+    a = base.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("cell").alias("__cell"),
+        F.col("embedding").alias("__ea"),
+        F.col("__nrm").alias("__na"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("cell").alias("__cell"),
+        F.col("embedding").alias("__ec"),
+        F.col("__nrm").alias("__nc"),
+    )
+    scored = a.join(c, "__cell").filter(
+        (F.col("anchor_label") != F.col("neg_label"))
+        & (F.col("anchor_id") != F.col("neg_id"))
+    ).select(
+        "anchor_id",
+        "neg_id",
+        "anchor_label",
+        "neg_label",
+        F.round(
+            dot(F.col("__ea"), F.col("__ec"))
+            / (F.col("__na") * F.col("__nc")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "anchor_id", "rank", "neg_id",
+            "anchor_label", "neg_label", "cos_sim",
+        )
+    )

@@ -853,3 +853,64 @@ def streaming_dup_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
             else extend_components(labels, part)
         )
     return labels
+
+
+def streaming_token_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> None:
+    """Streaming (group, token) count partials for the q247 lexical-
+    diversity monitor: each micro-batch tokenizes ITS documents
+    (gini_simpson_diversity's exact tokenizer -- lower/trim/\\s+,
+    empties dropped) and writes per-(group, token) counts to its own
+    ``batch=<id>`` partition (overwrite on redelivery -> replace,
+    never double-count; the house count_min/key_counts shape).
+    (T, sum c^2) is a sum-monoid over these partials, so the merged
+    state reproduces the batch metric exactly at any batch split."""
+    group_cols = list(group_cols or ["source"])
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        toks = df.select(
+            *group_cols,
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("__w"),
+        )
+        counts = toks.groupBy(*group_cols, "__w").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "tokencounts", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_diversity(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge-on-read lexical diversity over the streaming token-count
+    state: sum the per-batch (group, token) partials, then the
+    extractor IS `diversity_from_counts` verbatim -- identical
+    arithmetic to batch gini_simpson_diversity on the union of all
+    input, by construction (collapsed-mode feeds show up as a
+    diversity DROP between state snapshots)."""
+    from ..operators.text import diversity_from_counts
+
+    group_cols = list(group_cols or ["source"])
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "tokencounts"))
+        .groupBy(*group_cols, "__w")
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+    return diversity_from_counts(merged, group_cols=tuple(group_cols))

@@ -407,3 +407,69 @@ def test_cluster_safe_split_rate_validation(spark):
         cluster_safe_split(
             docs, pairs, "doc_id", splits=(("a", 0.9), ("b", 0.5))
         )
+
+
+# -- water_filling_caps --------------------------------------------------------
+
+
+def _brute_waterfill(masses, budget):
+    cap = 0
+    while sum(min(m, cap + 1) for m in masses) <= budget:
+        cap += 1
+    return cap
+
+
+def test_water_filling_hand_and_brute_equivalence(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        water_filling_caps,
+    )
+
+    cases = [
+        [10, 20, 70],        # budget 40: cap 15
+        [5, 5, 5],           # budget 6: cap 2
+        [1, 100],            # budget 40: cap 39
+        [7, 13, 13, 40, 90], # floor edges
+        [3],                 # single key
+        [10, 10, 10, 10, 10],
+    ]
+    for masses in cases:
+        df = spark.createDataFrame(
+            [(f"s{i}", m) for i, m in enumerate(masses)],
+            "k string, m long",
+        )
+        out = water_filling_caps(df, "k", "m", budget_num=2, budget_den=5)
+        rows = out.collect()
+        budget = sum(masses) * 2 // 5
+        want_cap = _brute_waterfill(masses, budget)
+        assert all(r.cap == want_cap for r in rows), (masses, rows)
+        assert sum(r.alloc for r in rows) <= budget
+        for r in rows:
+            assert r.alloc == min(r.mass, want_cap)
+
+
+def test_water_filling_small_sources_kept_whole(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        water_filling_caps,
+    )
+
+    df = spark.createDataFrame(
+        [("tiny", 2), ("small", 8), ("giant", 990)], "k string, m long"
+    )
+    rows = {r.k: r for r in water_filling_caps(df, "k", "m").collect()}
+    # budget = 400: tiny+small whole, giant capped at 390
+    assert rows["tiny"].kept_permille == 1000
+    assert rows["small"].kept_permille == 1000
+    assert rows["giant"].alloc == 390
+    assert rows["giant"].cap == 390
+
+
+def test_water_filling_zero_mass_excluded(spark):
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        water_filling_caps,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 10), ("c", 10)], "k string, m long"
+    )
+    rows = water_filling_caps(df, "k", "m").collect()
+    assert {r.k for r in rows} == {"b", "c"}

@@ -1377,3 +1377,76 @@ def test_streaming_dup_clusters_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got[5] == 1 and got[8] == 7
+
+
+def test_streaming_diversity_equals_batch(spark, tmp_path):
+    """The diversity extractor over merged streaming token-count
+    partials equals batch gini_simpson_diversity over the union of
+    all input -- (T, sum c^2) is a sum-monoid over per-batch counts."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        gini_simpson_diversity,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_diversity,
+        streaming_token_counts,
+    )
+
+    schema = StructType(
+        [StructField("source", StringType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1 = [("a", "x x y"), ("b", "p q")]
+    b2 = [("a", "x z  z"), ("b", None)]
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_token_counts(spark, src, ckpt, schema, state)
+
+    got = sorted(
+        (r.source, r.n_tokens, r.n_distinct, r.diversity_e6)
+        for r in streaming_diversity(spark, state).collect()
+    )
+    want = sorted(
+        (r.source, r.n_tokens, r.n_distinct, r.diversity_e6)
+        for r in gini_simpson_diversity(
+            spark.createDataFrame(b1 + b2, schema), "text"
+        ).collect()
+    )
+    assert got == want
+    # source a: counts {x:3, y:1, z:2}, T=6 -> 1 - 14/36 = 611111
+    assert ("a", 6, 3, 611_111) in got
+
+
+def test_streaming_diversity_redelivery_idempotent(spark, tmp_path):
+    """Checkpoint-wipe redelivery overwrites the batch partition --
+    the merged metric is unchanged (replace, never double-count)."""
+    import shutil
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_diversity,
+        streaming_token_counts,
+    )
+
+    schema = StructType(
+        [StructField("source", StringType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    spark.createDataFrame([("a", "x x y")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    streaming_token_counts(spark, src, ckpt, schema, state)
+    before = sorted(map(tuple, streaming_diversity(spark, state).collect()))
+    shutil.rmtree(ckpt)  # wipe checkpoint -> full redelivery
+    streaming_token_counts(spark, src, ckpt, schema, state)
+    after = sorted(map(tuple, streaming_diversity(spark, state).collect()))
+    assert before == after

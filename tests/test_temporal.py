@@ -512,3 +512,43 @@ def test_apply_sum_delta_equals_full_recompute(spark):
     assert sorted((r.k, r.s) for r in inc.collect()) == sorted(
         (r.k, r.s) for r in full.collect()
     )
+
+
+# -- holt_linear_by_key --------------------------------------------------------
+
+
+def test_holt_hand_recursion(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        holt_linear_by_key,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 2.0), ("k", 2, 4.0), ("k", 3, 6.0)],
+        "k string, t long, v double",
+    )
+    rows = sorted(
+        holt_linear_by_key(df, "k", "t", "v").collect(), key=lambda r: r.t
+    )
+    # l1=2, b1=0; l2=0.5*4+0.5*2=3, b2=0.5*(3-2)=0.5;
+    # l3=0.5*6+0.5*3.5=4.75, b3=0.5*1.75+0.25=1.125
+    assert [(r.level, r.trend) for r in rows] == [
+        (2.0, 0.0), (3.0, 0.5), (4.75, 1.125),
+    ]
+
+
+def test_holt_null_carries_state(spark):
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        holt_linear_by_key,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 2.0), ("k", 2, None), ("k", 3, 4.0), ("j", 1, 9.0)],
+        "k string, t long, v double",
+    )
+    rows = {
+        (r.k, r.t): r for r in holt_linear_by_key(df, "k", "t", "v").collect()
+    }
+    assert rows[("k", 2)].level is None and rows[("k", 2)].trend is None
+    # state carried: l = 0.5*4 + 0.5*(2 + 0) = 3
+    assert (rows[("k", 3)].level, rows[("k", 3)].trend) == (3.0, 0.5)
+    assert (rows[("j", 1)].level, rows[("j", 1)].trend) == (9.0, 0.0)
