@@ -15360,3 +15360,379 @@ def q254_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_label", "neg_label", "cos_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift by label (r9): cosine between the per-label centroids
+# of two deterministic corpus halves -- the embedding-space counterpart
+# of q135's PSI drift.  A label whose half-centroids diverge (cos << 1)
+# is the signal that an encoder change, a feed change, or a poisoned
+# slice moved the class's embedding distribution -- checked BEFORE
+# anyone re-trains an IVF codebook (q248) on the mixed corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q255_embedding_centroid_drift",
+    f"""
+    WITH ca AS (
+      SELECT label, count(*) AS n_a,
+             [{_KM_DIMS}]::DOUBLE[] AS c
+      FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+        AND vec_id % 2 = 0
+      GROUP BY label),
+    cb AS (
+      SELECT label, count(*) AS n_b,
+             [{_KM_DIMS}]::DOUBLE[] AS c
+      FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+        AND vec_id % 2 = 1
+      GROUP BY label)
+    SELECT ca.label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(list_dot_product(ca.c, cb.c)
+                 / (sqrt(list_dot_product(ca.c, ca.c))
+                    * sqrt(list_dot_product(cb.c, cb.c))), 6) AS cos_sim
+    FROM ca JOIN cb ON ca.label = cb.label
+    WHERE list_dot_product(ca.c, ca.c) > 0
+      AND list_dot_product(cb.c, cb.c) > 0
+    """,
+    doc="label_centroids (operators/similarity.py) over the vec_id %% 2 "
+    "halves, centroid components rounded to the 1e-6 portability "
+    "constant, cosine on the q20 parity lane (round(dot/(na*nb), 6)); "
+    "labels missing from either half, and zero-norm centroids, are "
+    "excluded (no direction to compare -- the q254 fuzz contract). "
+    "Scale: two grouped passes + a |labels|-row join; embeddings "
+    "never pair up.",
+)
+def q255_embedding_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions.vectors import dot
+    from .operators.similarity import label_centroids
+
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
+    halves = []
+    for par in (0, 1):
+        h = emb.filter(F.col("vec_id") % 2 == par)
+        cent = label_centroids(h, dim=64).select(
+            F.col("centroid_label").alias("label"),
+            F.col("centroid").alias(f"__c{par}"),
+        )
+        n = h.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{'ab'[par]}")
+        )
+        halves.append(cent.join(n, "label"))
+    j = halves[0].join(halves[1], "label")
+    na = F.sqrt(dot(F.col("__c0"), F.col("__c0")))
+    nb = F.sqrt(dot(F.col("__c1"), F.col("__c1")))
+    return (
+        j.filter((na > 0) & (nb > 0))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                dot(F.col("__c0"), F.col("__c1")) / (na * nb), 6
+            ).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split balance audit (r9): q231 guarantees leakage-safety (clusters
+# never straddle splits) -- this grades the OTHER split property,
+# representativeness: within each split the source composition should
+# match the corpus.  Cluster-keyed hashing CAN skew composition when
+# clusters correlate with a feed (a mirror feed's docs move as one
+# unit), which is exactly what a mixture-sensitive eval would feel.
+# ---------------------------------------------------------------------------
+def _q256_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_md5_ctes('documents', _Q21_HASHES, _Q21_BANDS, 4000)},
+    ebi AS (
+      SELECT id_a AS s, id_b AS d FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id AS id, d.source,
+             coalesce(c.component, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      WHERE d.doc_id IS NOT NULL),
+    assigned AS (
+      SELECT *,
+             CASE
+               WHEN v < CAST(floor(0.8 * 65536) AS INT) THEN 'train'
+               WHEN v < CAST(floor(0.9 * 65536) AS INT) THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5(CAST(grp AS VARCHAR) || ':split0'),
+                                    1, 4)) AS INT) % 65536 AS v
+        FROM lab)),
+    tot AS (SELECT count(*) AS n FROM assigned),
+    srct AS (SELECT source, count(*) AS sn FROM assigned GROUP BY source),
+    spt AS (SELECT split, count(*) AS pn FROM assigned GROUP BY split),
+    cell AS (
+      SELECT split, source, count(*) AS n
+      FROM assigned GROUP BY split, source)
+    SELECT c.split, c.source,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST(c.n * 1000 // spt.pn AS BIGINT) AS split_share_permille,
+           CAST(srct.sn * 1000 // tot.n AS BIGINT)
+               AS corpus_share_permille,
+           CAST(abs(c.n * 1000 // spt.pn - srct.sn * 1000 // tot.n)
+                AS BIGINT) AS dev_permille
+    FROM cell c
+    JOIN spt ON spt.split = c.split
+    JOIN srct ON srct.source = c.source
+    CROSS JOIN tot
+    """
+
+
+@register(
+    "q256_split_balance_audit",
+    _q256_oracle(),
+    doc="composition: q21's md5-lane LSH pairs -> "
+    "cluster_safe_split (sampling.py, the q231 operator -- md5(grp || "
+    "':split0'), floor cut points) -> per-(split, source) composition "
+    "vs the corpus composition, deviation in exact permille (floor "
+    "shares on both engines). The representativeness half of the "
+    "split QA pair: q231 grades leakage (straddles == 0), this grades "
+    "balance. Scale: CC on the pair graph, one left join + row-local "
+    "hash for the split, then O(splits x sources) summary aggregates.",
+)
+def q256_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_near_dup_pairs
+    from .operators.sampling import cluster_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_Q21_HASHES,
+        bands=_Q21_BANDS,
+        hash="md5",
+    ).select("id_a", "id_b")
+    assigned = cluster_safe_split(docs, pairs).select("id", "split")
+    cells = (
+        assigned.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    spt = cells.groupBy("split").agg(F.sum("n_docs").alias("__pn"))
+    srct = cells.groupBy("source").agg(F.sum("n_docs").alias("__sn"))
+    tot = cells.agg(F.sum("n_docs").alias("__n"))
+    return (
+        cells.join(spt, "split")
+        .join(srct, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000 div __pn AS BIGINT)").alias(
+                "split_share_permille"
+            ),
+            F.expr("CAST(__sn * 1000 div __n AS BIGINT)").alias(
+                "corpus_share_permille"
+            ),
+            F.expr(
+                "CAST(abs(n_docs * 1000 div __pn - __sn * 1000 div __n) "
+                "AS BIGINT)"
+            ).alias("dev_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-residual anomaly ranking (r9): one-step-ahead Holt forecast
+# vs actual, top-3 absolute residual days per event type.  CUSUM (q186)
+# finds sustained level shifts and robust-z (q141) finds static
+# outliers; a forecast residual finds days that broke the TREND -- the
+# alert a capacity planner actually pages on.  Rank-based (no median /
+# threshold parity surface): the alarm list is the k worst days.
+# ---------------------------------------------------------------------------
+@register(
+    "q257_forecast_residual_anomalies",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    dd AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily WHERE v IS NOT NULL),
+    r AS (
+      SELECT event_type, day, rn, v, v AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM dd WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.rn, d.v,
+             0.5 * d.v + 0.5 * (r.l + r.b) AS l,
+             0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+                 AS b
+      FROM dd d JOIN r
+        ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+    res AS (
+      SELECT c.event_type, c.day, c.v,
+             p.l + p.b AS pred,
+             c.v - (p.l + p.b) AS resid
+      FROM r c JOIN r p
+        ON c.event_type = p.event_type AND c.rn = p.rn + 1),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(resid) DESC, day) AS rk
+      FROM res)
+    SELECT event_type, day, v,
+           floor(pred * 1000000) / 1000000.0 AS predicted,
+           floor(resid * 1000000) / 1000000.0 AS residual,
+           CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="holt_linear_by_key (operators/temporal.py) + a lag self-join: "
+    "predicted_t = l_(t-1) + b_(t-1) (the one-step Holt forecast), "
+    "residual = v_t - predicted -- every double bit-identical to the "
+    "recursive-CTE replay (q143/q252 contract), so even abs-ranking "
+    "is engine-exact; ties on day. Top-3 worst days per key; floors "
+    "at 1e-6 only on OUTPUT. Scale: recursion + windows ride the "
+    "O(days) rollup.",
+)
+def q257_forecast_residual_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.temporal import holt_linear_by_key
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    sm = holt_linear_by_key(
+        daily, "event_type", "day", "v", alpha=0.5, beta=0.5
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    res = sm.select(
+        "event_type",
+        "day",
+        "v",
+        (F.lag("level").over(w) + F.lag("trend").over(w)).alias("__pred"),
+    ).filter(F.col("__pred").isNotNull()).withColumn(
+        "__resid", F.col("v") - F.col("__pred")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("__resid")).desc(), F.asc("day")
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            "day",
+            "v",
+            (F.floor(F.col("__pred") * 1000000) / 1000000).alias(
+                "predicted"
+            ),
+            (F.floor(F.col("__resid") * 1000000) / 1000000).alias(
+                "residual"
+            ),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-window sensitivity (r9): view -> purchase conversion at
+# 1h / 24h / 7d attribution windows from ONE per-user summary -- the
+# q243-style sensitivity curve for the funnel lane: pick the window
+# from data before hard-coding it into every downstream conversion
+# metric (q151/q159/q170 all assume one).
+# ---------------------------------------------------------------------------
+@register(
+    "q258_conversion_window_curve",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS vmin
+      FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pmin
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.vmin
+      GROUP BY e.user_id),
+    d AS (
+      SELECT v.user_id, date_diff('second', v.vmin, p.pmin) AS dsec
+      FROM v LEFT JOIN p ON p.user_id = v.user_id),
+    w(win_sec) AS (VALUES (3600), (86400), (604800))
+    SELECT CAST(win_sec AS BIGINT) AS win_sec,
+           CAST(count(*) AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN dsec IS NOT NULL AND dsec <= win_sec
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN dsec IS NOT NULL AND dsec <= win_sec
+                    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+               AS conversion_permille
+    FROM d CROSS JOIN w
+    GROUP BY win_sec
+    """,
+    doc="per-user first view + first at-or-after purchase (two hash "
+    "aggregates on user_id), then every window reads the SAME O(users) "
+    "delta summary -- the sweep costs one corpus pass total, not one "
+    "per window (the q210/q243 single-pass sweep discipline). Integer "
+    "second deltas (date_diff vs unix_timestamp under the UTC session "
+    "tz), floor permille rates.",
+)
+def q258_conversion_window_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("__vmin")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("__vmin"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__pmin"))
+    )
+    d = v.join(p, "user_id", "left").select(
+        "user_id",
+        (
+            F.unix_timestamp("__pmin") - F.unix_timestamp("__vmin")
+        ).alias("__dsec"),
+    )
+    wins = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(3600,), (86400,), (604800,)], "win_sec long"
+        )
+    )
+    return d.crossJoin(wins).groupBy("win_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base"),
+        F.sum(
+            (
+                F.col("__dsec").isNotNull()
+                & (F.col("__dsec") <= F.col("win_sec"))
+            ).cast("long")
+        ).cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(sum(CAST(__dsec IS NOT NULL AND __dsec <= win_sec "
+            "AS BIGINT)) * 1000 div count(1) AS BIGINT)"
+        ).alias("conversion_permille"),
+    )
