@@ -7838,8 +7838,9 @@ def q157_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minimal id -- the policy production dedup actually wants (min-id keeps
 # whichever copy was crawled first; quality argmax keeps the cleanest).
 # ---------------------------------------------------------------------------
-def _q158_oracle() -> str:
-    quality = """CAST(floor(((least(length(text) / 500.0, 1.0)
+# integer-scaled quality score (floor(quality_score * 1e6)) -- the SQL
+# twin of text.quality_score, shared by q158 and q262
+_QUALITY_QINT_SQL = """CAST(floor(((least(length(text) / 500.0, 1.0)
                * (CASE WHEN length(text) > 0
                   THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
                        / length(text)
@@ -7849,6 +7850,10 @@ def _q158_oracle() -> str:
                     THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
                          / length(text)
                     ELSE 0.0 END) * 4)) * 1000000) AS BIGINT)"""
+
+
+def _q158_oracle() -> str:
+    quality = _QUALITY_QINT_SQL
     return f"""
     WITH RECURSIVE {_minhash_md5_ctes('documents', _QGRAPH_HASHES, _QGRAPH_BANDS, 4000)},
     ebi AS (
@@ -15735,4 +15740,373 @@ def q258_conversion_window_curve(
             "CAST(sum(CAST(__dsec IS NOT NULL AND __dsec <= win_sec "
             "AS BIGINT)) * 1000 div count(1) AS BIGINT)"
         ).alias("conversion_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free training-example extraction (r9): one row per purchase
+# (the label event) carrying features computed ONLY from the user's
+# STRICTLY EARLIER events -- the exclusive window frame IS the leakage
+# guarantee (q231 protects splits from near-dup leakage; this protects
+# each example from temporal leakage, the other classic eval inflator).
+# ---------------------------------------------------------------------------
+@register(
+    "q259_leakage_free_features",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w AS prior_views,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER w AS prior_clicks,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER w AS prior_errors,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER w AS prior_purchases,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               OVER w AS prior_purchase_cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, ts AS label_ts,
+           CAST(round(value * 100) AS BIGINT) AS label_cents,
+           CAST(coalesce(prior_views, 0) AS BIGINT) AS prior_views,
+           CAST(coalesce(prior_clicks, 0) AS BIGINT) AS prior_clicks,
+           CAST(coalesce(prior_errors, 0) AS BIGINT) AS prior_errors,
+           CAST(coalesce(prior_purchases, 0) AS BIGINT)
+               AS prior_purchases,
+           CAST(coalesce(prior_purchase_cents, 0) AS BIGINT)
+               AS prior_purchase_cents
+    FROM ev WHERE event_type = 'purchase'
+    """,
+    doc="exclusive cumulative window (ROWS UNBOUNDED PRECEDING TO 1 "
+    "PRECEDING over (ts, event_id) -- the unique tiebreak makes "
+    "'strictly earlier' engine-exact even on tied timestamps): five "
+    "conditional sums in ONE window pass, one shuffle on user_id. "
+    "Labels in the integer cents lane. The feature-store extraction "
+    "contract: a feature computed with any frame touching the current "
+    "row would train on its own label. Scale: one keyed shuffle, "
+    "window state is O(1) running sums per user.",
+)
+def q259_leakage_free_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def prior(cond, val=None):
+        x = F.when(cond, val if val is not None else F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        return F.coalesce(F.sum(x).over(w), F.lit(0)).cast("long")
+
+    typ = F.col("event_type")
+    cents = F.round(F.col("value") * 100).cast("long")
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        prior(typ == "view").alias("prior_views"),
+        prior(typ == "click").alias("prior_clicks"),
+        prior(typ == "error").alias("prior_errors"),
+        prior(typ == "purchase").alias("prior_purchases"),
+        prior(typ == "purchase", cents).alias("prior_purchase_cents"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("label_cents"),
+        "prior_views",
+        "prior_clicks",
+        "prior_errors",
+        "prior_purchases",
+        "prior_purchase_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Held-out bigram coverage (r9): train the q157 LM's bigram table on
+# the even-doc half, grade the odd half -- covered-bigram rate and
+# novel-context rate per source.  q209 measures OOV against a FIXED
+# vocabulary; this measures GENERALIZATION: a feed whose held-out
+# bigrams are largely unseen in training is one the LM fluency filter
+# (q157) will misscore, and the split is how you know before shipping
+# the filter.
+# ---------------------------------------------------------------------------
+@register(
+    "q260_heldout_bigram_coverage",
+    """
+    WITH d AS (
+      SELECT doc_id, source, str_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    big AS (
+      SELECT doc_id, source,
+             tk[CAST(u.i AS BIGINT)] AS w1,
+             tk[CAST(u.i AS BIGINT) + 1] AS w2
+      FROM d, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2),
+    trainp AS (
+      SELECT DISTINCT w1, w2 FROM big WHERE doc_id % 2 = 0),
+    trainc AS (
+      SELECT DISTINCT w1 FROM big WHERE doc_id % 2 = 0),
+    held AS (SELECT * FROM big WHERE doc_id % 2 = 1)
+    SELECT h.source,
+           CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN p.w1 IS NOT NULL THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS covered_permille,
+           CAST(sum(CASE WHEN c.w1 IS NULL THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS novel_context_permille
+    FROM held h
+    LEFT JOIN trainp p ON p.w1 = h.w1 AND p.w2 = h.w2
+    LEFT JOIN trainc c ON c.w1 = h.w1
+    GROUP BY h.source
+    """,
+    doc="the q157 bigram construction (space split, posexplode + lead "
+    "-- empty tokens kept, the LM-lane contract) split train/held-out "
+    "on doc_id parity; coverage joins the DISTINCT train pair/context "
+    "sets (existence, not counts -- at 100 TB the pair set is the "
+    "bucket-join side, contexts broadcast). Rates in floor permille "
+    "over held-out bigram OCCURRENCES (mass, not types: the filter "
+    "scores occurrences).",
+)
+def q260_heldout_bigram_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "source", "w1", "w2")
+    )
+    trainp = (
+        big.filter(F.col("doc_id") % 2 == 0)
+        .select("w1", "w2")
+        .distinct()
+        .withColumn("__hasp", F.lit(1))
+    )
+    trainc = (
+        big.filter(F.col("doc_id") % 2 == 0)
+        .select("w1")
+        .distinct()
+        .withColumn("__hasc", F.lit(1))
+    )
+    held = big.filter(F.col("doc_id") % 2 == 1)
+    j = held.join(trainp, ["w1", "w2"], "left").join(
+        F.broadcast(trainc), "w1", "left"
+    )
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr(
+            "CAST(sum(CASE WHEN __hasp IS NOT NULL THEN 1 ELSE 0 END) "
+            "* 1000 div count(1) AS BIGINT)"
+        ).alias("covered_permille"),
+        F.expr(
+            "CAST(sum(CASE WHEN __hasc IS NULL THEN 1 ELSE 0 END) "
+            "* 1000 div count(1) AS BIGINT)"
+        ).alias("novel_context_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup scope planning (r9): are near-dup clusters single-source or
+# cross-source?  Per-source dedup is embarrassingly parallel (each feed
+# shuffles alone); GLOBAL dedup pays the full-corpus shuffle.  This
+# measures whether the cheap plan is safe: the share of multi-doc
+# clusters spanning > 1 source is exactly the duplication a per-source
+# run would MISS (q239 sees pairwise feed overlap; this grades it at
+# the cluster grain where the dedup decision happens).
+# ---------------------------------------------------------------------------
+@register(
+    "q261_dedup_scope_planning",
+    f"""
+    WITH RECURSIVE {_minhash_md5_ctes('documents', _Q21_HASHES, _Q21_BANDS, 4000)},
+    ebi AS (
+      SELECT id_a AS s, id_b AS d FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    m AS (
+      SELECT c.component, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.id),
+    per AS (
+      SELECT component, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources
+      FROM m GROUP BY component)
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_docs) AS BIGINT) AS n_clustered_docs,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_source_clusters,
+           CAST(sum(CASE WHEN n_sources > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS cross_source_docs,
+           CAST(coalesce(sum(CASE WHEN n_sources > 1 THEN n_docs
+                         ELSE 0 END) * 1000 // sum(n_docs), 0) AS BIGINT)
+               AS cross_source_permille
+    FROM per
+    """,
+    doc="composition: q21's md5-lane LSH pairs -> connected_components "
+    "-> per-cluster DISTINCT source count -> one summary row. "
+    "cross_source_permille == 0 licenses per-source dedup (each feed "
+    "dedups alone, no global shuffle); anything above it is missed-dup "
+    "mass the cheap plan leaves in. Scale: CC on the pair graph; the "
+    "source join touches only CLUSTERED docs.",
+)
+def q261_dedup_scope_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, minhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_Q21_HASHES,
+        bands=_Q21_BANDS,
+        hash="md5",
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    m = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    per = m.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_docs").cast("long").alias("n_clustered_docs"),
+        F.sum((F.col("n_sources") > 1).cast("long"))
+        .cast("long")
+        .alias("cross_source_clusters"),
+        F.sum(
+            F.when(F.col("n_sources") > 1, F.col("n_docs")).otherwise(0)
+        )
+        .cast("long")
+        .alias("cross_source_docs"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN n_sources > 1 THEN n_docs "
+            "ELSE 0 END) * 1000 div sum(n_docs), 0) AS BIGINT)"
+        ).alias("cross_source_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality delta (r9): what does the keep-best policy (q158)
+# actually buy?  Mean quality of KEPT vs DROPPED docs across multi-doc
+# near-dup clusters, plus the policy comparison against keep-min-id --
+# the number that justifies running the argmax instead of the cheaper
+# min(id) drop (if the delta is ~0, the cheap policy is fine).
+# ---------------------------------------------------------------------------
+@register(
+    "q262_dedup_quality_delta",
+    f"""
+    WITH RECURSIVE {_minhash_md5_ctes('documents', _QGRAPH_HASHES, _QGRAPH_BANDS, 4000)},
+    ebi AS (
+      SELECT id_a, id_b FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT id_a, id_a FROM ebi
+      UNION
+      SELECT ebi.id_a, reach.r FROM ebi JOIN reach ON ebi.id_b = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id, {_QUALITY_QINT_SQL} AS qint FROM documents),
+    m AS (
+      SELECT comp.id, comp.component, q.qint
+      FROM comp JOIN q ON q.doc_id = comp.id),
+    best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY qint DESC, id ASC) AS rk,
+             min(id) OVER (PARTITION BY component) AS min_id
+      FROM m)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk = 1 THEN qint ELSE 0 END)
+                // sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_mean_q,
+           CAST(sum(CASE WHEN rk > 1 THEN qint ELSE 0 END)
+                // sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped_mean_q,
+           CAST(sum(CASE WHEN id = min_id THEN qint ELSE 0 END)
+                // sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS minid_mean_q
+    FROM best
+    """,
+    doc="composition: the q158 keep-best lane (q21 pairs at the QGRAPH "
+    "family -> CC -> per-cluster argmax of floor(quality*1e6), ties to "
+    "min id) summarized as mean kept / dropped / keep-min-id quality "
+    "(floor-div means over the INTEGER qint lane -- engine-exact). "
+    "kept_mean_q - minid_mean_q is the measured value of the argmax "
+    "policy. Only clustered docs appear (singletons have nothing to "
+    "drop); clusters are multi-doc by construction so neither class "
+    "is empty. Scale: CC on the pair graph; one window + one summary "
+    "aggregate.",
+)
+def q262_dedup_quality_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import connected_components, minhash_near_dup_pairs
+    from .operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_QGRAPH_HASHES,
+        bands=_QGRAPH_BANDS,
+        hash="md5",
+    )
+    comp = connected_components(pairs)
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        F.floor(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("qint"),
+    )
+    m = comp.join(q, "id")
+    wc = Window.partitionBy("component")
+    w = wc.orderBy(F.desc("qint"), F.asc("id"))
+    best = m.withColumn("rk", F.row_number().over(w)).withColumn(
+        "min_id", F.min("id").over(wc)
+    )
+    return best.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("rk") == 1).cast("long"))
+        .cast("long")
+        .alias("n_kept"),
+        F.expr(
+            "CAST(sum(CASE WHEN rk = 1 THEN qint ELSE 0 END) "
+            "div sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("kept_mean_q"),
+        F.expr(
+            "CAST(sum(CASE WHEN rk > 1 THEN qint ELSE 0 END) "
+            "div sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("dropped_mean_q"),
+        F.expr(
+            "CAST(sum(CASE WHEN id = min_id THEN qint ELSE 0 END) "
+            "div sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("minid_mean_q"),
     )
