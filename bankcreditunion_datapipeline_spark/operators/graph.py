@@ -662,3 +662,87 @@ def personalized_pagerank_integer(
     nodes.unpersist()
     nodes_flagged.unpersist()
     return ranks
+
+
+def local_clustering(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient for an
+    undirected pair graph: (node, degree, n_triangles, coeff_permille)
+    with coeff = 2*tri*1000 div (d*(d-1)), NULL below degree 2
+    (undefined, not zero).
+
+    Same degree-ordered orientation as triangle_count (Suri &
+    Vassilvitskii 2011): each triangle closes exactly one oriented
+    wedge, and crediting the wedge CENTER plus both endpoints hands
+    every triangle to each of its three vertices exactly once. Wedge
+    generation stays bounded at m^1.5 by the orientation -- the hub
+    property that keeps power-law graphs tractable.
+
+    The canonical edge set is persisted (read by the wedge join and the
+    closure semi-join -- the lazily-returned-frame house pattern; the
+    ContextCleaner reclaims it).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    e = e.coalesce(max(1, -(-n_edges // 500_000)))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    lower_first = ru < rv
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, rv).otherwise(ru).alias("dr"),
+    )
+    o1 = oriented.select(
+        "src", F.col("dst").alias("x"), F.col("dr").alias("rx")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("y"), F.col("dr").alias("ry")
+    )
+    closed = (
+        o1.join(o2, "src")
+        .filter(F.col("rx") < F.col("ry"))
+        .select(
+            "src",
+            F.least(F.col("x"), F.col("y")).alias("u"),
+            F.greatest(F.col("x"), F.col("y")).alias("v"),
+        )
+        .join(e, ["u", "v"], "left_semi")
+    )
+    credits = (
+        closed.select(F.col("src").alias("node"))
+        .union(closed.select(F.col("u").alias("node")))
+        .union(closed.select(F.col("v").alias("node")))
+    )
+    pernode = credits.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return deg.join(pernode, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+        F.expr(
+            "CASE WHEN degree >= 2 THEN CAST(2 * coalesce(n_triangles, 0) "
+            "* 1000 div (degree * (degree - 1)) AS BIGINT) END"
+        ).alias("coeff_permille"),
+    )

@@ -16110,3 +16110,202 @@ def q262_dedup_quality_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("minid_mean_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fact-to-SCD2 point-in-time enrichment (r9): every purchase joins the
+# user's STATE INTERVAL (runs of the last non-purchase event type,
+# q57's SCD2 construction over all users) valid AT the purchase
+# timestamp -- "what state are users in when they buy".  Two physical
+# strategies, one semantic: Spark rides asof_join (union + last
+# ignorenulls, one keyed sort-shuffle, no range predicate); the oracle
+# is the literal interval-containment join (valid_from <= ts <
+# valid_to) -- agreement proves the as-of rewrite IS the interval join.
+# ---------------------------------------------------------------------------
+@register(
+    "q263_purchase_state_attribution",
+    """
+    WITH np AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS dup
+      FROM events
+      WHERE event_type <> 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    base AS (SELECT user_id, ts, event_type FROM np WHERE dup = 1),
+    flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts) IS DISTINCT FROM
+                       event_type THEN 1 ELSE 0 END AS chg
+      FROM base),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged),
+    dim AS (
+      SELECT user_id, run, min(ts) AS valid_from,
+             min(event_type) AS state,
+             lead(min(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY min(ts)) AS valid_to
+      FROM runs GROUP BY user_id, run),
+    facts AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    j AS (
+      SELECT f.cents, coalesce(d.state, 'none') AS state
+      FROM facts f
+      LEFT JOIN dim d
+        ON d.user_id = f.user_id AND f.ts >= d.valid_from
+           AND (d.valid_to IS NULL OR f.ts < d.valid_to)),
+    tot AS (SELECT count(*) AS n FROM j)
+    SELECT state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS cents_total,
+           CAST(count(*) * 1000 // tot.n AS BIGINT) AS share_permille
+    FROM j, tot
+    GROUP BY state, tot.n
+    """,
+    doc="asof_join (operators/temporal.py) against the q57 SCD2 run "
+    "table built over deduped non-purchase events (per (user, ts) the "
+    "max event_id wins -- the q112 latest-writer convention kills the "
+    "equal-ts as-of ambiguity documented in asof_join). Purchases "
+    "before any state get 'none'. The oracle joins the INTERVALS "
+    "(valid_from <= ts < valid_to) instead -- the two strategies must "
+    "agree row-for-row. Scale: dim build is two window passes on one "
+    "shuffle; the as-of is one more keyed sort-shuffle, never a range "
+    "probe per row.",
+)
+def q263_purchase_state_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    np_ = ev.filter(F.col("event_type") != "purchase")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    base = (
+        np_.withColumn("__dup", F.row_number().over(wdup))
+        .filter(F.col("__dup") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    flagged = base.withColumn(
+        "__chg",
+        (
+            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type"))
+        ).cast("long"),
+    )
+    runs = flagged.withColumn(
+        "run",
+        F.sum("__chg").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dim = runs.groupBy("user_id", "run").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("event_type").alias("state"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    enriched = asof_join(
+        facts,
+        dim.select("user_id", F.col("valid_from").alias("ts"), "state"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["state"],
+    ).withColumn("state", F.coalesce(F.col("state"), F.lit("none")))
+    tot = enriched.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        enriched.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            "n_purchases",
+            "cents_total",
+            F.expr(
+                "CAST(n_purchases * 1000 div __n AS BIGINT)"
+            ).alias("share_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering profile of the near-dup graph (r9): per-degree mean
+# local clustering coefficient.  q153's transitivity is ONE number;
+# the degree profile says WHERE cliquishness lives -- near-dup graphs
+# should be clique-like at every degree (template families), and a
+# low-coefficient hub is the classic false-edge signature (one band
+# collision chaining unrelated cliques -- the q249 failure mode,
+# localized to the node that causes it).
+# ---------------------------------------------------------------------------
+@register(
+    "q264_near_dup_clustering_profile",
+    f"""
+    WITH {_minhash_md5_ctes('documents', _QGRAPH_HASHES, _QGRAPH_BANDS, 4000)},
+    e AS (
+      SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM mh_pairs WHERE id_a <> id_b
+      GROUP BY 1, 2),
+    adj AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+    tri AS (
+      SELECT a.n, count(*) AS t
+      FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m
+      JOIN e ON e.u = a.m AND e.v = b.m
+      GROUP BY a.n),
+    pern AS (
+      SELECT adj.n, count(*) AS d, coalesce(min(tri.t), 0) AS t
+      FROM adj LEFT JOIN tri ON tri.n = adj.n
+      GROUP BY adj.n)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(t) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d >= 2
+                THEN sum(2 * t * 1000 // (d * (d - 1))) // count(*)
+                END AS BIGINT) AS mean_coeff_permille
+    FROM pern GROUP BY d
+    """,
+    doc="local_clustering (operators/graph.py): degree-ordered wedge "
+    "orientation (Suri 2011, the q153 counter) extended to PER-NODE "
+    "credit -- each closed wedge credits its center and both endpoints "
+    "exactly once; coeff = 2t*1000 div (d(d-1)), NULL below degree 2; "
+    "profile = per-degree floor-mean of per-node floor coefficients "
+    "(floor-of-floors, identical on both engines). The oracle counts "
+    "neighbor pairs directly (O(sum d^2), audit-scale); the operator's "
+    "orientation bounds wedges at m^1.5 -- the 100 TB shape. Graph: "
+    "q153's md5-lane LSH family.",
+)
+def q264_near_dup_clustering_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import minhash_near_dup_pairs
+    from .operators.graph import local_clustering
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_QGRAPH_HASHES,
+        bands=_QGRAPH_BANDS,
+        hash="md5",
+    )
+    pern = local_clustering(pairs)
+    return pern.groupBy(F.col("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("n_triangles").cast("long").alias("n_triangles"),
+        F.expr(
+            "CAST(CASE WHEN degree >= 2 THEN sum(coeff_permille) "
+            "div count(1) END AS BIGINT)"
+        ).alias("mean_coeff_permille"),
+    )

@@ -335,3 +335,42 @@ def test_personalized_pagerank_unreached_zero(spark):
         ).collect()
     }
     assert got[3] == 0 and got[4] == 0 and got[1] > 0 and got[2] > 0
+
+
+# -- local_clustering ----------------------------------------------------------
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        local_clustering,
+    )
+
+    # triangle 1-2-3 plus a tail 3-4: node 3 has d=3, 1 triangle ->
+    # coeff 2*1*1000 div 6 = 333; nodes 1,2 have d=2, coeff 1000;
+    # node 4 d=1 -> NULL coeff.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    rows = {r.node: r for r in local_clustering(pairs).collect()}
+    assert (rows[1].degree, rows[1].n_triangles, rows[1].coeff_permille) == (
+        2, 1, 1000,
+    )
+    assert (rows[3].degree, rows[3].n_triangles, rows[3].coeff_permille) == (
+        3, 1, 333,
+    )
+    assert rows[4].n_triangles == 0 and rows[4].coeff_permille is None
+
+
+def test_local_clustering_k4_all_one(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        local_clustering,
+    )
+
+    # K4: every node in 3 triangles, d=3 -> coeff = 2*3*1000 div 6 = 1000
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = local_clustering(pairs).collect()
+    assert all(
+        (r.degree, r.n_triangles, r.coeff_permille) == (3, 3, 1000)
+        for r in rows
+    )
