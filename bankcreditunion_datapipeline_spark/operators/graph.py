@@ -746,3 +746,132 @@ def local_clustering(
             "* 1000 div (degree * (degree - 1)) AS BIGINT) END"
         ).alias("coeff_permille"),
     )
+
+
+def pagerank_convergence_curve(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rows_per_partition: int = 500_000,
+    max_nodes: int = 9_000_000,
+) -> DataFrame:
+    """Per-round convergence diagnostics for the integer PageRank
+    recurrence: (round, l1_delta, n_changed, top_node, top_rank).
+    The q248 training-curve discipline applied to the graph lane: the
+    iteration count every pagerank_integer caller hard-codes is a
+    GUESS until this curve shows where l1_delta flattens and whether
+    the top node has stabilized -- measured once at audit scale before
+    committing N rounds x 100 TB.
+
+    Same recurrence, plan shape and lineage discipline as
+    pagerank_integer (uniform base = SCALE div N, teleport, floor-div
+    inflow; per-round join + hash aggregate, localCheckpoint'ed ranks,
+    graph-sized working sets). All-integer, so l1_delta and n_changed
+    are engine-exact and the oracle unrolls identical rounds.
+    top_node ties break to the smallest node (min over
+    (-rank, node)). l1_delta sums |diff| <= N * SCALE, so the operator
+    fail-louds above `max_nodes` (9e6 keeps the sum in BIGINT); the
+    curve is a diagnostic artifact -- sample the graph first past that.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        e.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [],
+            "round long, l1_delta long, n_changed long, "
+            "top_node long, top_rank long",
+        )
+    parts = max(1, -(-n_edges // rows_per_partition))
+    e = e.coalesce(parts)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .coalesce(parts)
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes > max_nodes:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"pagerank_convergence_curve: {n_nodes} nodes > budget "
+            f"{max_nodes} -- l1_delta (<= N * 1e12) would overflow "
+            "BIGINT; run the curve on a sampled subgraph"
+        )
+    base = SCALE // n_nodes
+    teleport = ((damping_den - damping_num) * base) // damping_den
+    ranks = nodes.select(
+        "node", F.lit(base).cast("long").alias("rank")
+    ).localCheckpoint()
+    ed = e.join(outdeg, "src").persist()
+    out_rows = []
+    for k in range(1, iterations + 1):
+        contribs = (
+            ranks.join(ed, ranks["node"] == ed["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * coalesce(inflow, 0)) "
+                        f"div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .coalesce(parts)
+            .localCheckpoint()
+        )
+        diff = new_ranks.alias("a").join(
+            ranks.alias("b"), F.col("a.node") == F.col("b.node")
+        )
+        out_rows.append(
+            diff.agg(
+                F.lit(k).cast("long").alias("round"),
+                F.sum(F.abs(F.col("a.rank") - F.col("b.rank")))
+                .cast("long")
+                .alias("l1_delta"),
+                F.sum(
+                    (F.col("a.rank") != F.col("b.rank")).cast("long")
+                ).cast("long").alias("n_changed"),
+                F.min(
+                    F.struct(
+                        (-F.col("a.rank")).alias("nr"),
+                        F.col("a.node").alias("n"),
+                    )
+                ).alias("__top"),
+            ).select(
+                "round",
+                "l1_delta",
+                "n_changed",
+                F.col("__top.n").cast("long").alias("top_node"),
+                (-F.col("__top.nr")).cast("long").alias("top_rank"),
+            )
+        )
+        ranks = new_ranks
+    ed.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out

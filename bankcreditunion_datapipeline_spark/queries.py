@@ -16309,3 +16309,161 @@ def q264_near_dup_clustering_profile(
             "div count(1) END AS BIGINT)"
         ).alias("mean_coeff_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank convergence curve (r9): per-round L1 delta + changed-node
+# count + top-node stability over the q147 supplier graph -- the graph
+# lane's q248 training curve.  q147 hard-codes 3 rounds; this is the
+# measurement that says whether 3 was enough (l1 flattens, top node
+# stops moving) before anyone runs N rounds over a 100 TB edge list.
+# ---------------------------------------------------------------------------
+_Q265_ITERS = 4
+
+
+def _q265_oracle() -> str:
+    nn = "(SELECT count(*) FROM nodes)"
+    teleport = f"(15 * (1000000000000 // {nn})) // 100"
+    ctes = [
+        f"r0 AS MATERIALIZED (SELECT node, 1000000000000 // {nn} AS rank "
+        "FROM nodes)"
+    ]
+    finals = []
+    for k in range(1, _Q265_ITERS + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+      SELECT n.node,
+             CAST({teleport}
+               + (85 * coalesce(t.inflow, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // o.outdeg) AS inflow
+        FROM e JOIN outdeg o ON e.src = o.src
+               JOIN r{k - 1} r ON r.node = e.src
+        GROUP BY e.dst) t ON t.node = n.node)""")
+        ctes.append(f"""d{k} AS (
+      SELECT CAST({k} AS BIGINT) AS round,
+             CAST(sum(abs(a.rank - b.rank)) AS BIGINT) AS l1_delta,
+             CAST(sum(CASE WHEN a.rank <> b.rank THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_changed,
+             CAST((SELECT node FROM r{k}
+                   ORDER BY rank DESC, node LIMIT 1) AS BIGINT)
+                 AS top_node,
+             CAST((SELECT rank FROM r{k}
+                   ORDER BY rank DESC, node LIMIT 1) AS BIGINT)
+                 AS top_rank
+      FROM r{k} a JOIN r{k - 1} b ON a.node = b.node)""")
+        finals.append(f"SELECT * FROM d{k}")
+    chain = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(finals)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997
+        AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION SELECT s, c FROM pairs),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    {chain}
+    {union}
+    """
+
+
+@register(
+    "q265_pagerank_convergence",
+    _q265_oracle(),
+    doc="pagerank_convergence_curve (operators/graph.py): the q147 "
+    "integer recurrence instrumented per round -- l1_delta = "
+    "sum|r_k - r_(k-1)| and n_changed are exact BIGINTs (no float "
+    "tolerance games), top node ties to the smallest id. Same graph, "
+    "base, teleport and floor-div arithmetic as q147's oracle, rounds "
+    "unrolled with AS MATERIALIZED (multi-referenced iterative CTEs, "
+    "the settled DuckDB discipline). Fail-loud above 9e6 nodes "
+    "(l1 <= N * SCALE must fit BIGINT).",
+)
+def q265_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_convergence_curve
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(
+            (F.year("o_orderdate") == 1997)
+            & F.col("o_custkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_convergence_curve(edges, iterations=_Q265_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral predictability (r9): Gini-Simpson diversity of the
+# NEXT-event distribution per current event type -- q191 counts the
+# transitions, this grades how concentrated each state's future is
+# (diversity 0 = fully scripted next step; high = anything can follow).
+# The state whose outgoing diversity collapses between releases is the
+# funnel that became a dead end.
+# ---------------------------------------------------------------------------
+@register(
+    "q266_transition_diversity",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    c AS (
+      SELECT event_type, nxt, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY event_type, nxt),
+    agg AS (
+      SELECT event_type, sum(n) AS t, count(*) AS nd, sum(n * n) AS sq
+      FROM c GROUP BY event_type)
+    SELECT event_type,
+           CAST(t AS BIGINT) AS n_transitions,
+           CAST(nd AS BIGINT) AS n_distinct_next,
+           CAST((t * t - sq) * 1000000 // (t * t) AS BIGINT)
+               AS diversity_e6
+    FROM agg
+    """,
+    doc="composition: q191's lead-window transition extraction (unique "
+    "(ts, event_id) order) -> diversity_from_counts (operators/text.py "
+    "-- the q247 sum-monoid math over (state, next) counts; x1000 "
+    "two-limb ladder vs DuckDB HUGEINT, same floor). Scale: one keyed "
+    "window pass, counts collapse map-side, the metric rides O(states "
+    "x event types) summary rows.",
+)
+def q266_transition_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import diversity_from_counts
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("__w")
+    ).filter(F.col("__w").isNotNull())
+    counts = seq.groupBy("event_type", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    return diversity_from_counts(
+        counts, group_cols=("event_type",)
+    ).select(
+        "event_type",
+        F.col("n_tokens").alias("n_transitions"),
+        F.col("n_distinct").alias("n_distinct_next"),
+        "diversity_e6",
+    )
