@@ -16467,3 +16467,148 @@ def q266_transition_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").alias("n_distinct_next"),
         "diversity_e6",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (r9): the full (signup-cohort week x weeks-
+# since) triangle -- q152 grades only w -> w+1; the matrix is the
+# growth artifact that separates "new cohorts are worse" from "all
+# cohorts decay" (mix-shift vs product decay).  Week index is integer
+# day arithmetic (q86's engine-neutral convention).
+# ---------------------------------------------------------------------------
+@register(
+    "q267_cohort_retention_matrix",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) // 7 AS wk
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    cohort AS (SELECT user_id, min(wk) AS c FROM uw GROUP BY user_id),
+    cs AS (SELECT c, count(*) AS n_cohort FROM cohort GROUP BY c),
+    act AS (
+      SELECT cohort.c, uw.wk - cohort.c AS age,
+             count(DISTINCT uw.user_id) AS n_active
+      FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+      GROUP BY cohort.c, uw.wk - cohort.c)
+    SELECT CAST(act.c AS BIGINT) AS cohort_week,
+           CAST(act.age AS BIGINT) AS age_weeks,
+           CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+           CAST(act.n_active AS BIGINT) AS n_active,
+           CAST(act.n_active * 1000 // cs.n_cohort AS BIGINT)
+               AS retained_permille
+    FROM act JOIN cs ON cs.c = act.c
+    """,
+    doc="distinct (user, week) grain FIRST (tiny vs raw events, the "
+    "q86 discipline), cohort = min week per user, one (cohort, age) "
+    "aggregate -- the whole triangle costs two hash aggregates and a "
+    "broadcast-sized cohort join, not a per-age self-join. Week = "
+    "epoch-day div 7: immune to engine week-start conventions. "
+    "Rates floor permille.",
+)
+def q267_cohort_retention_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    uw = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+            "DATE '1970-01-01') AS BIGINT) div 7"
+        ).alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("c"))
+    cs = cohort.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy("c", (F.col("wk") - F.col("c")).alias("age"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    return act.join(cs, "c").select(
+        F.col("c").cast("long").alias("cohort_week"),
+        F.col("age").cast("long").alias("age_weeks"),
+        "n_cohort",
+        "n_active",
+        F.expr("CAST(n_active * 1000 div n_cohort AS BIGINT)").alias(
+            "retained_permille"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (r9): S = sum over day pairs i<j of
+# sign(v_j - v_i) on the daily revenue series per event type -- the
+# nonparametric trend DETECTOR beside q207's Theil-Sen trend ESTIMATOR
+# (same robustness story: no moments, outlier-immune, exact integers).
+# |S| near the pair count = monotone; near 0 = trendless.  Variance
+# normalizing (z-score) needs sqrt, so the artifact reports S, the
+# pair count, and S*1000 div pairs -- a sqrt-free monotonicity index.
+# ---------------------------------------------------------------------------
+@register(
+    "q268_mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(value) * 100) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS s_statistic,
+           CAST(sum(sgn) * 1000 // count(*) AS BIGINT)
+               AS monotonicity_permille
+    FROM p GROUP BY event_type
+    """,
+    doc="cents-lane daily rollup (round(sum)*100 -- integer BEFORE "
+    "comparing, so sign() can't float-flip), then the O(days^2) "
+    "sign-pair join per key. Days grow with the TIME WINDOW, not the "
+    "corpus (~365 rows/key/year -> ~66k pairs), so the quadratic is "
+    "bounded by calendar, not data -- the q233 self-join class. "
+    "Integer div on the possibly-negative S rides the pinned "
+    "Spark-div == DuckDB-// negative-dividend parity.",
+)
+def q268_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("v")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("__da"), F.col("v").alias("__va")
+    )
+    b = daily.select(
+        F.col("event_type").alias("__et"),
+        F.col("day").alias("__db"),
+        F.col("v").alias("__vb"),
+    )
+    p = a.join(
+        b,
+        (F.col("event_type") == F.col("__et"))
+        & (F.col("__da") < F.col("__db")),
+    ).select(
+        "event_type",
+        F.when(F.col("__vb") > F.col("__va"), 1)
+        .when(F.col("__vb") < F.col("__va"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("__sgn"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__sgn").cast("long").alias("s_statistic"),
+        F.expr(
+            "CAST(sum(__sgn) * 1000 div count(1) AS BIGINT)"
+        ).alias("monotonicity_permille"),
+    )
