@@ -16612,3 +16612,170 @@ def q268_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(__sgn) * 1000 div count(1) AS BIGINT)"
         ).alias("monotonicity_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/A experiment harness (r9): hash users into two arms with the q44
+# md5 lane and read out the standard experiment metrics per arm --
+# conversion, events/user, revenue/user.  On an A/A split every delta
+# should be noise; this is the bucketing-validation run every real
+# experiment platform executes BEFORE trusting its A/B deltas (broken
+# hashing / unit-of-randomization bugs show up here, cheaply).
+# ---------------------------------------------------------------------------
+@register(
+    "q269_aa_experiment_readout",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':aa0'),
+                                  1, 4)) AS INT) % 65536 % 2 AS arm,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purch,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                 AS cents
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id)
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchasers,
+           CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS conversion_permille,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(n_events) * 1000 // count(*) AS BIGINT)
+               AS events_per_user_e3,
+           CAST(sum(cents) AS BIGINT) AS cents_total,
+           CAST(sum(cents) // count(*) AS BIGINT) AS cents_per_user
+    FROM u GROUP BY arm
+    """,
+    doc="hash_bucket (operators/sampling.py, the md5 hex lane -- "
+    "engine-portable, reproducible outside Spark) % 2 assigns arms on "
+    "the USER (the unit of randomization; event-level hashing is the "
+    "classic bug this harness catches). One user-grain aggregate, "
+    "then one O(arms) summary; rates and per-user means in exact "
+    "integer lanes.",
+)
+def q269_aa_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_bucket
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purch"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("cents"),
+    ).withColumn(
+        "arm",
+        (
+            hash_bucket(
+                F.concat(F.col("user_id").cast("string"), F.lit(":aa0"))
+            )
+            % 2
+        ).cast("long"),
+    )
+    return u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("n_purch") > 0).cast("long"))
+        .cast("long")
+        .alias("n_purchasers"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 1000 "
+            "div count(1) AS BIGINT)"
+        ).alias("conversion_permille"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(sum(n_events) * 1000 div count(1) AS BIGINT)"
+        ).alias("events_per_user_e3"),
+        F.sum("cents").cast("long").alias("cents_total"),
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias(
+            "cents_per_user"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture weights (r9): alpha = 1/2 sampling
+# probabilities p_i ~ mass_i^alpha -- the multilingual/multi-source
+# rebalancing standard (low-resource sources get upweighted relative
+# to proportional sampling without drowning the head).  Completes the
+# mixture-planning set: q121 proportional ratios, q251 water-filling
+# caps, q270 temperature flattening.
+# ---------------------------------------------------------------------------
+@register(
+    "q270_temperature_mixture_weights",
+    """
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                   '\\s+'),
+                             t -> t <> '')) AS ntok
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT source, sum(ntok) AS mass FROM toks
+      GROUP BY source HAVING sum(ntok) > 0),
+    w AS (
+      SELECT source, mass,
+             CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS wgt
+      FROM m),
+    tot AS (
+      SELECT sum(mass) AS tm, sum(wgt) AS tw FROM w)
+    SELECT source,
+           CAST(mass AS BIGINT) AS mass,
+           CAST(wgt AS BIGINT) AS weight,
+           CAST(mass * 1000 // tot.tm AS BIGINT)
+               AS proportional_permille,
+           CAST(wgt * 1000 // tot.tw AS BIGINT) AS flattened_permille,
+           CAST(wgt * 1000 // tot.tw - mass * 1000 // tot.tm AS BIGINT)
+               AS shift_permille
+    FROM w, tot
+    """,
+    doc="alpha=0.5 temperature sampling: weight = floor(sqrt(mass)) -- "
+    "sqrt over an INTEGER operand is one IEEE op, identical on both "
+    "engines (the q244 integer-derived-double lane), floored BEFORE "
+    "any ratio so shares are exact integers. shift_permille makes the "
+    "rebalancing legible: positive = upweighted tail. One token-count "
+    "aggregate + an O(sources) summary.",
+)
+def q270_temperature_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    mass = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("long").alias("__ntok"),
+    ).groupBy("source").agg(F.sum("__ntok").cast("long").alias("mass"))
+    w = mass.filter(F.col("mass") > 0).withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("mass").cast("double"))).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("mass").alias("__tm"), F.sum("weight").alias("__tw")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "mass",
+        "weight",
+        F.expr("CAST(mass * 1000 div __tm AS BIGINT)").alias(
+            "proportional_permille"
+        ),
+        F.expr("CAST(weight * 1000 div __tw AS BIGINT)").alias(
+            "flattened_permille"
+        ),
+        F.expr(
+            "CAST(weight * 1000 div __tw - mass * 1000 div __tm "
+            "AS BIGINT)"
+        ).alias("shift_permille"),
+    )

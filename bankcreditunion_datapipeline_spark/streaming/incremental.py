@@ -914,3 +914,56 @@ def streaming_diversity(
         .agg(F.sum("__c").cast("long").alias("__c"))
     )
     return diversity_from_counts(merged, group_cols=tuple(group_cols))
+
+
+def streaming_holt_forecast(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+    day_col: str,
+    cents_col: str,
+    horizon: int = 7,
+) -> DataFrame:
+    """Streaming forecast monitor: merge the q226-style sum-delta state
+    (per-(key, day) cents partials -- a sum monoid, so late/split
+    batches land exactly), then the extractor IS holt_linear_by_key on
+    the merged daily series, reporting each key's last level/trend and
+    the `horizon`-day extrapolation.  streaming==batch by construction:
+    the same recursion over the same merged rollup (the values enter
+    the recursion as cents/100 doubles, bit-identical on every engine
+    because the INTEGER cents merged first).
+
+    The capacity alarm that stays cheap under streaming: state is
+    O(keys x days) summary rows, never raw events; the recursion runs
+    per key at read time.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.temporal import holt_linear_by_key
+
+    merged = streaming_sum_delta_state(
+        spark, state_dir, key_cols + [day_col], [cents_col]
+    )
+    daily = merged.select(
+        *key_cols,
+        day_col,
+        (F.col(cents_col) / 100).alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    if len(key_cols) != 1:
+        raise ValueError(
+            "streaming_holt_forecast: exactly one key column "
+            "(holt_linear_by_key contract)"
+        )
+    sm = holt_linear_by_key(daily, key_cols[0], day_col, "__v")
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(day_col))
+    return (
+        sm.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            *key_cols,
+            F.col(day_col).alias("last_day"),
+            "level",
+            "trend",
+            (F.col("level") + horizon * F.col("trend")).alias("forecast"),
+        )
+    )

@@ -1450,3 +1450,70 @@ def test_streaming_diversity_redelivery_idempotent(spark, tmp_path):
     streaming_token_counts(spark, src, ckpt, schema, state)
     after = sorted(map(tuple, streaming_diversity(spark, state).collect()))
     assert before == after
+
+
+def test_streaming_holt_forecast_equals_batch(spark, tmp_path):
+    """The Holt extractor over merged streaming day-cents deltas equals
+    the batch recursion over the union of all input -- cents merge as
+    an exact sum monoid BEFORE the recursion sees doubles."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        holt_linear_by_key,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_holt_forecast,
+        streaming_sum_delta,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("day", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    # batch 2 adds MORE cents to day 2 (late data) and a new day 3
+    b1 = [("a", 1, 200), ("a", 2, 100), ("b", 1, 500)]
+    b2 = [("a", 2, 300), ("a", 3, 600), ("b", 2, 100)]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_sum_delta(spark, src, ckpt, schema, state, ["k", "day"], ["cents"])
+
+    got = {
+        r.k: (r.last_day, r.level, r.trend, r.forecast)
+        for r in streaming_holt_forecast(
+            spark, state, ["k"], "day", "cents", horizon=7
+        ).collect()
+    }
+    # batch equivalent over the union
+    merged = (
+        spark.createDataFrame(b1 + b2, schema)
+        .groupBy("k", "day")
+        .agg((__import__("pyspark").sql.functions.sum("cents") / 100).alias("__v"))
+    )
+    sm = holt_linear_by_key(merged, "k", "day", "__v")
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("day"))
+    want = {
+        r.k: (r.day, r.level, r.trend, r.level + 7 * r.trend)
+        for r in sm.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    assert got == want
+    # hand value: key a days: 1->2.0, 2->4.0, 3->6.0 (cents/100)
+    # l3=4.75, b3=1.125, forecast = 4.75 + 7*1.125 = 12.625
+    assert got["a"] == (3, 4.75, 1.125, 12.625)
