@@ -697,3 +697,65 @@ def histogram_intersection_permille(
             )
         )
     )
+
+
+def weighted_quantiles_exact(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs_permille: list[int],
+    group_cols: tuple = (),
+) -> DataFrame:
+    """EXACT weighted quantiles per group, all-integer: the p-quantile
+    is the smallest value whose cumulative WEIGHT reaches
+    ceil(p * W / 1000) (the q176 integer ceil-rank rule, in weight
+    units).  The unweighted median treats a 1-unit and a 10k-unit row
+    alike; weighted corpora (sampling weights, quantities, token
+    masses) need the weight-mass quantile -- and the log-histogram
+    sketch (q176) answers it only approximately.
+
+    Contract: ``value_col`` and ``weight_col`` must already be INTEGER
+    lanes (cents, counts -- cast upstream, the house discipline);
+    non-positive or NULL weights and NULL values are excluded.  Exact
+    until p * W overflows BIGINT (~9.2e15 weight units per group).
+
+    Scale: one (group, value) hash aggregate collapses duplicates
+    (map-side combine), then cum/total windows run over the O(distinct
+    values x groups) summary -- the q176 extraction shape, not a
+    global row sort.
+    """
+    from pyspark.sql.window import Window
+
+    gc = list(group_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *gc,
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    dv = base.groupBy(*gc, "__v").agg(F.sum("__w").alias("__w"))
+    cum = dv.select(
+        *gc,
+        "__v",
+        F.sum("__w")
+        .over(Window.partitionBy(*[F.col(c) for c in gc]).orderBy("__v"))
+        .alias("__cum"),
+        F.sum("__w")
+        .over(Window.partitionBy(*[F.col(c) for c in gc]))
+        .alias("__total"),
+    )
+    p = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(x),) for x in probs_permille], "p_permille long"
+        )
+    )
+    hit = p.join(
+        cum, F.expr("__cum >= (p_permille * __total + 999) div 1000")
+    )
+    return (
+        hit.groupBy(*gc, "p_permille")
+        .agg(F.min("__v").cast("long").alias("quantile"))
+    )

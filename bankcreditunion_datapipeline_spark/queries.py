@@ -16779,3 +16779,167 @@ def q270_temperature_mixture_weights(
             "AS BIGINT)"
         ).alias("shift_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantity-weighted price quantiles per order priority (r9): "half the
+# shipped UNITS cost at most X" -- the weight-mass quantile the
+# unweighted median (q74) and the log-histogram sketch (q176/q177)
+# cannot answer exactly.  The sampling-weights primitive: any weighted
+# corpus (token masses, inclusion weights) gets its exact quantiles
+# from the same operator.
+# ---------------------------------------------------------------------------
+_Q271_PROBS = [250, 500, 900]
+
+
+@register(
+    "q271_weighted_price_quantiles",
+    f"""
+    WITH base AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_extendedprice IS NOT NULL AND l.l_quantity IS NOT NULL
+        AND l.l_quantity > 0),
+    dv AS (
+      SELECT priority, cents, sum(qty) AS w
+      FROM base GROUP BY priority, cents),
+    cum AS (
+      SELECT priority, cents,
+             sum(w) OVER (PARTITION BY priority ORDER BY cents) AS c,
+             sum(w) OVER (PARTITION BY priority) AS tw
+      FROM dv),
+    p(p_permille) AS (VALUES {", ".join(f"({x})" for x in _Q271_PROBS)})
+    SELECT priority, CAST(p.p_permille AS BIGINT) AS p_permille,
+           CAST(min(cents) AS BIGINT) AS quantile
+    FROM p JOIN cum ON c >= (p.p_permille * tw + 999) // 1000
+    GROUP BY priority, p.p_permille
+    """,
+    doc="weighted_quantiles_exact (operators/sketches.py): smallest "
+    "value whose cumulative WEIGHT reaches the integer ceil-rank "
+    "(p*W+999) div 1000 -- the q176 rank rule in weight units, exact "
+    "to ~9.2e15 weight units per group. Duplicate values collapse "
+    "map-side; the cum window rides the O(distinct cents x priorities) "
+    "summary, never a global sort of lineitem.",
+)
+def q271_weighted_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sketches import weighted_quantiles_exact
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    return weighted_quantiles_exact(
+        base, "cents", "qty", _Q271_PROBS, group_cols=("priority",)
+    ).select("priority", "p_permille", "quantile")
+
+
+# ---------------------------------------------------------------------------
+# Post-dedup token budget (r9): per-source RAW vs KEPT token mass after
+# near-dup dedup (keep-min-id per cluster, the drop_near_dups
+# convention).  q251's water-filling and q270's temperature weights
+# plan on token mass -- the RIGHT mass is the post-dedup one, or the
+# plan double-counts every mirror feed (q239's failure, priced in
+# tokens).
+# ---------------------------------------------------------------------------
+@register(
+    "q272_post_dedup_token_budget",
+    f"""
+    WITH RECURSIVE {_minhash_md5_ctes('documents', _Q21_HASHES, _Q21_BANDS, 4000)},
+    ebi AS (
+      SELECT id_a AS s, id_b AS d FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    dm AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                   '\\s+'),
+                             x -> x <> '')) AS ntok
+      FROM documents WHERE text IS NOT NULL),
+    lab AS (
+      SELECT dm.doc_id, dm.source, dm.ntok,
+             CASE WHEN c.component IS NULL OR c.component = dm.doc_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM dm LEFT JOIN comp c ON c.id = dm.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+           CAST(sum(kept * ntok) AS BIGINT) AS kept_tokens,
+           CAST(CASE WHEN sum(ntok) > 0
+                THEN sum(kept * ntok) * 1000 // sum(ntok)
+                ELSE 0 END AS BIGINT) AS retention_permille
+    FROM lab GROUP BY source
+    """,
+    doc="composition: q21's md5-lane LSH pairs -> connected_components "
+    "-> keep-min-id (the component LABEL is the min reachable id, so "
+    "the kept doc is the one whose id equals its component; singletons "
+    "keep themselves) -> per-source raw vs kept token mass. Feed "
+    "kept_tokens, not raw_tokens, to q251/q270 mixture planning. "
+    "Scale: CC on the pair graph; token counting is one narrow pass.",
+)
+def q272_post_dedup_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import connected_components, minhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_Q21_HASHES,
+        bands=_Q21_BANDS,
+        hash="md5",
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    dm = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("long").alias("ntok"),
+    )
+    lab = dm.join(comp, "doc_id", "left").select(
+        "source",
+        "ntok",
+        (
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        ).cast("long").alias("kept"),
+    )
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("ntok").cast("long").alias("raw_tokens"),
+        F.sum(F.col("kept") * F.col("ntok"))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.expr(
+            "CAST(CASE WHEN sum(ntok) > 0 THEN sum(kept * ntok) * 1000 "
+            "div sum(ntok) ELSE 0 END AS BIGINT)"
+        ).alias("retention_permille"),
+    )

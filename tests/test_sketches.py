@@ -496,3 +496,48 @@ def test_histogram_intersection_identical_groups_near_1000(spark):
     )
     got = histogram_intersection_permille(hist, "g").collect()
     assert got[0].sim_permille == 1000
+
+
+# -- weighted_quantiles_exact ---------------------------------------------------
+
+
+def test_weighted_quantiles_hand_values(spark):
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        weighted_quantiles_exact,
+    )
+
+    # values 1 (w=1), 2 (w=1), 100 (w=8): W=10.
+    # p500 -> rank ceil(5)=5 -> cum: 1:1, 2:2, 100:10 -> 100
+    # p200 -> rank 2 -> value 2; p100 -> rank 1 -> value 1
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (100, 8)], "v long, w long"
+    )
+    rows = {
+        r.p_permille: r.quantile
+        for r in weighted_quantiles_exact(
+            df, "v", "w", [100, 200, 500, 1000]
+        ).collect()
+    }
+    assert rows == {100: 1, 200: 2, 500: 100, 1000: 100}
+
+
+def test_weighted_quantiles_grouped_and_filters(spark):
+    from bankcreditunion_datapipeline_spark.operators.sketches import (
+        weighted_quantiles_exact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 10, 1), ("a", 20, 3),
+            ("b", 5, 2), ("b", 7, 0), ("b", None, 5), ("b", 9, None),
+        ],
+        "g string, v long, w long",
+    )
+    rows = {
+        (r.g, r.p_permille): r.quantile
+        for r in weighted_quantiles_exact(
+            df, "v", "w", [500], group_cols=("g",)
+        ).collect()
+    }
+    # a: W=4, rank 2 -> 20; b: only (5, w=2) survives -> 5
+    assert rows == {("a", 500): 20, ("b", 500): 5}
