@@ -16943,3 +16943,161 @@ def q272_post_dedup_token_budget(
             "div sum(ntok) ELSE 0 END AS BIGINT)"
         ).alias("retention_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift via total variation distance (r9): week-over-week
+# TVD of the event-type mix, exact permille.  PSI (q135) needs ln and
+# a float lane; TVD = half the L1 distance between the two share
+# vectors is the categorical drift metric that stays EXACT integers
+# end-to-end -- the alarm you can threshold without float-tolerance
+# caveats.
+# ---------------------------------------------------------------------------
+@register(
+    "q273_weekly_mix_tvd",
+    """
+    WITH wk AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) // 7 AS w,
+             event_type, count(*) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, event_type),
+    tot AS (SELECT w, sum(c) AS tc FROM wk GROUP BY w),
+    sh AS (
+      SELECT wk.w, wk.event_type, wk.c * 1000000 // tot.tc AS share_e6
+      FROM wk JOIN tot ON tot.w = wk.w),
+    pairs AS (
+      SELECT a.w AS week_a, b.w AS week_b,
+             a.share_e6 AS sa, b.share_e6 AS sb
+      FROM sh a JOIN sh b
+        ON a.event_type = b.event_type AND b.w = a.w + 1)
+    SELECT CAST(week_a AS BIGINT) AS week_a,
+           CAST(week_b AS BIGINT) AS week_b,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(abs(sa - sb)) // 2 AS BIGINT) AS tvd_e6
+    FROM pairs GROUP BY week_a, week_b
+    """,
+    doc="weekly event-type shares in the integer-e6 lane (floor div), "
+    "consecutive weeks matched by a type-keyed self-join; TVD = "
+    "sum|share_a - share_b| div 2 over the matched vector (types "
+    "present both weeks -- a type absent from a week would need the "
+    "full outer union; on this stream every type appears weekly, and "
+    "the oracle matches the same inner semantics). Epoch-day div 7 "
+    "weeks (q86 convention). All summary-row work after one "
+    "(week, type) aggregate.",
+)
+def q273_weekly_mix_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wk = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+            "DATE '1970-01-01') AS BIGINT) div 7"
+        ).alias("w"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = wk.groupBy("w").agg(F.sum("c").alias("tc"))
+    sh = wk.join(tot, "w").select(
+        "w",
+        "event_type",
+        F.expr("CAST(c * 1000000 div tc AS BIGINT)").alias("share_e6"),
+    )
+    a = sh.select(
+        F.col("w").alias("week_a"),
+        F.col("event_type").alias("et"),
+        F.col("share_e6").alias("sa"),
+    )
+    b = sh.select(
+        F.col("w").alias("__wb"),
+        F.col("event_type").alias("__et2"),
+        F.col("share_e6").alias("sb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("et") == F.col("__et2"))
+        & (F.col("__wb") == F.col("week_a") + 1),
+    )
+    return pairs.groupBy(
+        "week_a", F.col("__wb").alias("week_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr("CAST(sum(abs(sa - sb)) div 2 AS BIGINT)").alias("tvd_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (r9): the smallest head vocabulary (tokens
+# ranked by frequency) covering 50% / 90% / 99% of token mass -- the
+# tokenizer vocab-sizing measurement (every OOV budget decision, q209,
+# starts from this curve), and the Zipf-head summary that says how
+# skewed the token distribution actually is.
+# ---------------------------------------------------------------------------
+_Q274_TARGETS = [500, 900, 990]
+
+
+@register(
+    "q274_vocab_coverage_curve",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    ranked AS (
+      SELECT w, c,
+             row_number() OVER (ORDER BY c DESC, w ASC) AS rk,
+             sum(c) OVER (ORDER BY c DESC, w ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS tc
+      FROM tf),
+    p(p_permille) AS (VALUES {", ".join(f"({x})" for x in _Q274_TARGETS)})
+    SELECT CAST(p.p_permille AS BIGINT) AS p_permille,
+           CAST(min(rk) AS BIGINT) AS vocab_size,
+           CAST(min(tc) AS BIGINT) AS total_tokens
+    FROM p JOIN ranked ON cum >= (p.p_permille * tc + 999) // 1000
+    GROUP BY p.p_permille
+    """,
+    doc="token counts -> one (count DESC, token ASC) rank window over "
+    "the O(distinct tokens) summary -> the q176 integer ceil-rank rule "
+    "on cumulative MASS, reporting the covering RANK (vocab size) "
+    "instead of the value -- weighted_quantiles_exact's inverse "
+    "question. Map-side combine collapses the Zipf head before any "
+    "shuffle; the window never touches raw tokens.",
+)
+def q274_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tf = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = tf.select(
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tc"),
+    )
+    p = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(int(x),) for x in _Q274_TARGETS], "p_permille long"
+        )
+    )
+    return (
+        p.join(ranked, F.expr("cum >= (p_permille * tc + 999) div 1000"))
+        .groupBy("p_permille")
+        .agg(
+            F.min("rk").cast("long").alias("vocab_size"),
+            F.min("tc").cast("long").alias("total_tokens"),
+        )
+    )
