@@ -875,3 +875,101 @@ def pagerank_convergence_curve(
     for o in out_rows[1:]:
         out = out.unionByName(o)
     return out
+
+
+def bfs_depth_from_reps(
+    pairs: DataFrame,
+    max_rounds: int = 8,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    rows_per_partition: int = 500_000,
+) -> DataFrame:
+    """Distributed BFS over an undirected pair graph from each
+    connected component's REPRESENTATIVE (its minimum id -- the
+    connected_components label): returns (id, component, depth) with
+    depth = shortest-path hops from the rep, capped at `max_rounds`
+    (nodes still unreached after the cap keep depth = max_rounds; the
+    cap is part of the contract so a fixed unrolled SQL replay can
+    grade it).
+
+    The shortest-path layer the graph kernel lacked: per-cluster MAX
+    depth is the chain-length audit for near-dup clusters -- a
+    high-diameter, low-clustering cluster is the LSH chaining artifact
+    (A~B~C~...~Z with A and Z unrelated), exactly what a cluster-keyed
+    split (q231) silently glues together.
+
+    Plan per round: one join of the frontier to the bi-directed edge
+    set + one min-aggregate against the standing depth frame,
+    localCheckpoint'ed (the CC lineage discipline); working sets
+    coalesced to graph size. Rounds are FIXED (max_rounds), not
+    convergence-probed -- the oracle unrolls the identical relaxation.
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        )
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        e.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            [], "id long, component long, depth long"
+        )
+    parts = max(1, -(-n_edges // rows_per_partition))
+    bi = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .union(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .coalesce(parts)
+        .persist()
+    )
+    from .dedup import connected_components
+
+    comp = connected_components(
+        e.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    ).select(F.col("id"), F.col("component"))
+    depth = comp.select(
+        "id",
+        "component",
+        F.when(F.col("id") == F.col("component"), F.lit(0))
+        .otherwise(F.lit(max_rounds))
+        .cast("long")
+        .alias("depth"),
+    ).coalesce(parts).localCheckpoint()
+    for k in range(1, max_rounds + 1):
+        frontier = depth.filter(F.col("depth") == k - 1)
+        # early exit preserves the fixed-round contract EXACTLY: the
+        # round-k frontier is nodes first reached at k-1, so an empty
+        # frontier means no later round can relax anything -- the
+        # remaining rounds are provably no-ops (O(1)-row driver probe,
+        # the kmeans_iterate convergence class)
+        if frontier.limit(1).count() == 0:
+            break
+        reach = (
+            frontier
+            .join(bi, depth["id"] == bi["s"])
+            .select(F.col("d").alias("id"), F.lit(k).cast("long").alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        depth = (
+            depth.join(reach, "id", "left")
+            .select(
+                "id",
+                "component",
+                F.least(
+                    F.col("depth"), F.coalesce(F.col("nd"), F.lit(max_rounds))
+                ).cast("long").alias("depth"),
+            )
+            .coalesce(parts)
+            .localCheckpoint()
+        )
+    bi.unpersist()
+    e.unpersist()
+    return depth

@@ -17101,3 +17101,195 @@ def q274_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tc").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup chain-depth audit (r9): per-cluster max BFS depth from the
+# cluster rep, histogrammed.  Transitive closure glues A~B~...~Z into
+# one cluster even when A and Z share nothing -- the chaining artifact
+# q264's clustering profile smells and this MEASURES: depth 1 clusters
+# are cliques-ish (true template families), deep clusters are chains a
+# cluster-keyed split (q231) and keep-one dedup should treat with
+# suspicion.
+# ---------------------------------------------------------------------------
+_Q275_ROUNDS = 6
+
+
+def _q275_oracle() -> str:
+    k = _Q275_ROUNDS
+    ctes = [f"""r0 AS MATERIALIZED (
+      SELECT c.id, c.component,
+             CASE WHEN c.id = c.component THEN 0 ELSE {k} END AS depth
+      FROM comp c)"""]
+    for i in range(1, k + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+      SELECT d.id, d.component,
+             least(d.depth, coalesce(t.nd, {k})) AS depth
+      FROM r{i - 1} d LEFT JOIN (
+        SELECT bi.d AS id, {i} AS nd
+        FROM bi JOIN r{i - 1} p ON p.id = bi.s AND p.depth = {i - 1}
+        GROUP BY bi.d) t ON t.id = d.id)"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH RECURSIVE {_minhash_md5_ctes('documents', _Q21_HASHES, _Q21_BANDS, 4000)},
+    e AS (
+      SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM mh_pairs WHERE id_a <> id_b GROUP BY 1, 2),
+    bi AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    ebi AS (SELECT s, d FROM bi),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    {chain},
+    per AS (
+      SELECT component, max(depth) AS max_depth, count(*) AS sz
+      FROM r{k} GROUP BY component)
+    SELECT CAST(max_depth AS BIGINT) AS max_depth,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(max(sz) AS BIGINT) AS largest_cluster
+    FROM per GROUP BY max_depth
+    """
+
+
+@register(
+    "q275_dup_chain_depth_audit",
+    _q275_oracle(),
+    doc="bfs_depth_from_reps (operators/graph.py): fixed-round BFS "
+    "relaxation from each component's min-id rep over the q21 md5-lane "
+    "pair graph (depth capped at 6, part of the contract so the "
+    "unrolled AS MATERIALIZED oracle replays it exactly); per-cluster "
+    "max depth histogrammed. Plan per round: frontier join + "
+    "min-aggregate, localCheckpoint'ed (the CC discipline). The "
+    "shortest-path layer's first oracle-graded consumer.",
+)
+def q275_dup_chain_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_near_dup_pairs
+    from .operators.graph import bfs_depth_from_reps
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_Q21_HASHES,
+        bands=_Q21_BANDS,
+        hash="md5",
+    ).select("id_a", "id_b")
+    depth = bfs_depth_from_reps(pairs, max_rounds=_Q275_ROUNDS)
+    per = depth.groupBy("component").agg(
+        F.max("depth").alias("max_depth"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    return per.groupBy("max_depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("sz").cast("long").alias("largest_cluster"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the near-dup graph (r9): Spearman rank
+# correlation between endpoint degrees over the bi-directed edge list
+# -- do high-degree docs link to high-degree docs (assortative template
+# families) or to leaves (hub-and-spoke, the false-edge LSH signature
+# q264/q275 profile from other angles)?  Exact integer lane via
+# spearman_e6's deterministic-tiebreak variant.
+# ---------------------------------------------------------------------------
+@register(
+    "q276_dup_graph_assortativity",
+    f"""
+    WITH {_minhash_md5_ctes('documents', _Q21_HASHES, _Q21_BANDS, 4000)},
+    e AS (
+      SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM mh_pairs WHERE id_a <> id_b GROUP BY 1, 2),
+    bi AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT s AS node, count(*) AS dg FROM bi GROUP BY s),
+    pts AS (
+      SELECT a.dg AS x, b.dg AS y,
+             bi.s * 2000000000 + bi.d AS i
+      FROM bi JOIN deg a ON a.node = bi.s JOIN deg b ON b.node = bi.d),
+    capped AS (
+      SELECT x, y, i,
+             row_number() OVER (ORDER BY md5(CAST(i AS VARCHAR)), i) AS mr
+      FROM pts),
+    keep AS (SELECT x, y, i FROM capped WHERE mr <= 8000),
+    rk AS (
+      SELECT row_number() OVER (ORDER BY x, i)
+             - row_number() OVER (ORDER BY y, i) AS dd
+      FROM keep)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dd * dd) AS BIGINT) AS sum_d2,
+           CAST(1000000 - (6 * sum(dd * dd) * 1000000)
+                // (count(*) * (count(*) * count(*) - 1)) AS BIGINT)
+               AS rho_e6
+    FROM rk HAVING count(*) >= 2
+    """,
+    doc="composition: q21 md5-lane pair graph -> bi-directed endpoint "
+    "degree points -> spearman_e6 (operators/analytics.py) with the "
+    "deterministic edge id (s * 2e9 + d) tiebreak -- the "
+    "tie-broken-distinct-ranks Spearman contract, identical on both "
+    "engines. Both directions of every edge enter, so the statistic "
+    "is symmetric. Points ride a deterministic md5-rank 8000-row cap "
+    "(the q225 lane), so spearman_e6's 16k budget holds at any corpus "
+    "size -- the cap FIRED at the first 10x proof and this is the fix.",
+)
+def q276_dup_graph_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import spearman_e6
+    from .operators.dedup import minhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_Q21_HASHES,
+        bands=_Q21_BANDS,
+        hash="md5",
+    )
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # referenced twice by bi and transitively by every join below:
+        # without this the whole LSH pipeline re-runs per reference
+        # (measured 120.9s -> ~8s at the 10x proof)
+        .persist()
+    )
+    bi = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    deg = bi.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    pts = (
+        bi.join(deg.select(F.col("s"), F.col("dg").alias("x")), "s")
+        .join(
+            deg.select(
+                F.col("s").alias("d"), F.col("dg").alias("y")
+            ),
+            "d",
+        )
+        .select(
+            "x",
+            "y",
+            (F.col("s") * 2000000000 + F.col("d")).alias("i"),
+        )
+    )
+    # deterministic md5-rank cap (the q225 lane): the statistic rides
+    # a fixed-size sample, so spearman_e6's 16k budget holds at ANY
+    # corpus size; ranks over the EDGE summary, not the corpus
+    from pyspark.sql.window import Window
+
+    wmr = Window.orderBy(F.md5(F.col("i").cast("string")), F.asc("i"))
+    pts = (
+        pts.withColumn("__mr", F.row_number().over(wmr))
+        .filter(F.col("__mr") <= 8000)
+        .drop("__mr")
+        # spearman_e6 reads its input for the guard and both rank
+        # windows -- persist the capped summary (<= 8000 rows)
+        .persist()
+    )
+    return spearman_e6(pts, "x", "y", "i")

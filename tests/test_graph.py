@@ -374,3 +374,46 @@ def test_local_clustering_k4_all_one(spark):
         (r.degree, r.n_triangles, r.coeff_permille) == (3, 3, 1000)
         for r in rows
     )
+
+
+# -- bfs_depth_from_reps --------------------------------------------------------
+
+
+def test_bfs_depth_chain_and_cap(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        bfs_depth_from_reps,
+    )
+
+    # chain 1-2-3-4-5 (rep 1): depths 0..4; triangle 10-11-12 (rep 10):
+    # depths 0,1,1.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    rows = {r.id: (r.component, r.depth) for r in
+            bfs_depth_from_reps(pairs, max_rounds=8).collect()}
+    assert rows[1] == (1, 0) and rows[5] == (1, 4)
+    assert rows[3] == (1, 2)
+    assert rows[10] == (10, 0) and rows[11] == (10, 1) and rows[12] == (10, 1)
+    # cap: with max_rounds=2, node 5 (true depth 4) reports the cap
+    capped = {r.id: r.depth for r in
+              bfs_depth_from_reps(pairs, max_rounds=2).collect()}
+    assert capped[5] == 2 and capped[4] == 2 and capped[3] == 2
+
+
+def test_pagerank_convergence_curve_monotone(spark):
+    from bankcreditunion_datapipeline_spark.operators.graph import (
+        pagerank_convergence_curve,
+    )
+
+    # star graph: 0 <-> 1..4 (bi-directed)
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = sorted(
+        pagerank_convergence_curve(df, iterations=4).collect(),
+        key=lambda r: r.round,
+    )
+    # center node dominates every round; l1 delta shrinks
+    assert all(r.top_node == 0 for r in rows)
+    assert rows[-1].l1_delta < rows[0].l1_delta
+    assert all(r.n_changed >= 0 for r in rows)
