@@ -17293,3 +17293,217 @@ def q276_dup_graph_assortativity(
         .persist()
     )
     return spearman_e6(pts, "x", "y", "i")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min width sizing curve (r9): mean/max overcount at widths
+# 32 / 64 / 256 -- the q238-style sensitivity sweep for the CM sketch.
+# q150 grades the invariant (est >= true) at ONE width; this measures
+# what each halving of memory costs in overcount, which is the number
+# that sizes the sketch before a fleet deployment multiplies it by
+# every (executor, key-domain) pair.
+# ---------------------------------------------------------------------------
+_Q277_WIDTHS = [32, 64, 256]
+
+
+def _q277_oracle() -> str:
+    parts = []
+    for w in _Q277_WIDTHS:
+        parts.append(f"""
+    cm{w} AS (
+      SELECT r.r AS row,
+             CAST(('0x' || substr(md5(r.r || ':' || k), 1, 15)) AS BIGINT)
+               % {w} AS bucket,
+             count(*) AS cnt
+      FROM occ, unnest(range(0, 4)) AS r(r)
+      GROUP BY 1, 2),
+    est{w} AS (
+      SELECT t.user_id, t.true_n, min(cm{w}.cnt) AS est_n
+      FROM (
+        SELECT user_id, k, r.r AS row,
+               CAST(('0x' || substr(md5(r.r || ':' || k), 1, 15)) AS BIGINT)
+                 % {w} AS bucket
+        FROM keys, unnest(range(0, 4)) AS r(r)) p
+      JOIN cm{w} USING (row, bucket)
+      JOIN tru t ON t.user_id = p.user_id
+      GROUP BY t.user_id, t.true_n),
+    m{w} AS (
+      SELECT CAST({w} AS BIGINT) AS width,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum((est_n - true_n) * 1000 // true_n) // count(*)
+                  AS BIGINT) AS mean_overcount_permille,
+             CAST(max((est_n - true_n) * 1000 // true_n) AS BIGINT)
+                 AS max_overcount_permille
+      FROM est{w})""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{w}" for w in _Q277_WIDTHS)
+    return f"""
+    WITH occ AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, user_id
+      FROM events WHERE user_id IS NOT NULL),
+    tru AS (SELECT user_id, count(*) AS true_n FROM occ GROUP BY user_id),
+    keys AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k
+             FROM occ),
+    {",".join(parts)}
+    {union}
+    """
+
+
+@register(
+    "q277_cm_width_sizing_curve",
+    _q277_oracle(),
+    doc="count_min_table + count_min_estimate (operators/sketches.py, "
+    "the q150 md5 lane, depth 4) swept over widths 32/64/256; every "
+    "key probed, overcount = (est - true) * 1000 div true, floor-mean "
+    "per width (est >= true by the CM invariant, so the overcount is "
+    "never negative). Each width is one O(keys x depth) aggregate "
+    "over the same occurrence table -- the sweep reads the corpus "
+    "once per width, state stays O(d x w).",
+)
+def q277_cm_width_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import count_min_estimate, count_min_table
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    occ = ev.select(F.col("user_id").cast("string").alias("k"), "user_id")
+    tru = occ.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    keys = tru.select(
+        "user_id", F.col("user_id").cast("string").alias("k"), "true_n"
+    ).persist()
+    outs = []
+    for w in _Q277_WIDTHS:
+        cm = count_min_table(occ, "k", depth=4, width=w)
+        est = count_min_estimate(cm, keys.select("k"), "k", depth=4, width=w)
+        joined = keys.join(est, "k").select(
+            "user_id",
+            "true_n",
+            F.col("est_n").cast("long").alias("est_n"),
+        )
+        outs.append(
+            joined.agg(
+                F.lit(w).cast("long").alias("width"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.expr(
+                    "CAST(sum((est_n - true_n) * 1000 div true_n) "
+                    "div count(1) AS BIGINT)"
+                ).alias("mean_overcount_permille"),
+                F.expr(
+                    "CAST(max((est_n - true_n) * 1000 div true_n) "
+                    "AS BIGINT)"
+                ).alias("max_overcount_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Context-length fragmentation curve (r9): at sequence lengths 256 /
+# 512 / 1024 / 2048, how many documents straddle a cut boundary under
+# GPT-style concatenate-then-chop packing (q133)?  Longer contexts
+# break fewer documents but cost quadratic attention -- this curve is
+# the data half of that tradeoff, computed from ONE corpus layout (the
+# q210/q243/q258 single-pass sweep discipline: every length reads the
+# same start-offset frame).
+# ---------------------------------------------------------------------------
+_Q278_LENS = [256, 512, 1024, 2048]
+
+
+def _q278_oracle() -> str:
+    rows = []
+    for ln in _Q278_LENS:
+        rows.append(f"""
+    m{ln} AS (
+      SELECT CAST({ln} AS BIGINT) AS seq_len,
+             CAST((SELECT (sum(n_tok) + {ln} - 1) // {ln} FROM d)
+                  AS BIGINT) AS n_sequences,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n_tok > 0
+                      AND start // {ln} <> (start + n_tok - 1) // {ln}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS straddling_docs,
+             CAST(sum(CASE WHEN n_tok > 0
+                      AND start // {ln} <> (start + n_tok - 1) // {ln}
+                      THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+                 AS straddle_permille
+      FROM offs)""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{ln}" for ln in _Q278_LENS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(len(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0)
+               AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents),
+    offs AS (
+      SELECT n_tok,
+             sum(n_tok) OVER (ORDER BY okey ROWS UNBOUNDED PRECEDING)
+               - n_tok AS start
+      FROM d),
+    {",".join(rows)}
+    {union}
+    """
+
+
+@register(
+    "q278_context_length_curve",
+    _q278_oracle(),
+    doc="pack_sequences (operators/sampling.py) at seq_len=1 IS the "
+    "exact distributed start-offset prefix sum (seq_id == start when "
+    "the cut is every token) -- the two-level 256-bucket decomposition, "
+    "no single-partition window; the oracle's naive global cum proves "
+    "it again. Every length then reads the SAME persisted offset "
+    "frame: a doc straddles when start div L != (start + n - 1) div L. "
+    "Zero-token docs never straddle.",
+)
+def q278_context_length_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).cast("long"),
+            F.lit(0),
+        ).alias("n_tok"),
+    )
+    offs = (
+        pack_sequences(d, "doc_id", "n_tok", seq_len=1)
+        .select(F.col("n_tok"), F.col("seq_id").alias("start"))
+        .persist()
+    )
+    tot = offs.agg(F.sum("n_tok").alias("__t"))
+    outs = []
+    for ln in _Q278_LENS:
+        straddle = (
+            (F.col("n_tok") > 0)
+            & (
+                F.expr(f"start div {ln}")
+                != F.expr(f"(start + n_tok - 1) div {ln}")
+            )
+        ).cast("long")
+        outs.append(
+            offs.crossJoin(F.broadcast(tot)).agg(
+                F.lit(ln).cast("long").alias("seq_len"),
+                F.expr(f"CAST((first(__t) + {ln} - 1) div {ln} AS BIGINT)")
+                .alias("n_sequences"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(straddle).cast("long").alias("straddling_docs"),
+                F.expr(
+                    "CAST(sum(CAST(n_tok > 0 AND "
+                    f"start div {ln} != (start + n_tok - 1) div {ln} "
+                    "AS BIGINT)) * 1000 div count(1) AS BIGINT)"
+                ).alias("straddle_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
