@@ -14675,8 +14675,16 @@ def _q248_oracle() -> str:
     parts = [
         """
     emb AS (
+      -- magnitude clip (|x| <= 100 per component): outlier vectors
+      -- both wreck Lloyd centroids AND push parallel-avg summation
+      -- noise past the 1e-6 rounding portability boundary (the fuzz
+      -- [1e6]*64 vector made DuckDB's parallel avg nondeterministic
+      -- at round(_, 6)). NaN components fail the predicate too.
       SELECT vec_id, embedding::DOUBLE[] AS e
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_max(list_transform(embedding::DOUBLE[],
+                                    x -> abs(x))) <= 100),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                  AS clabel,
@@ -14739,12 +14747,29 @@ def _q248_oracle() -> str:
     "per cluster per round, the q111 lane. Emptied clusters drop from "
     "the next round on both engines (GROUP BY emits no row). Scale: "
     "vectors stream against broadcast centroids; embeddings never "
-    "shuffle; no global sort (seed frame is TakeOrdered k rows).",
+    "shuffle; no global sort (seed frame is TakeOrdered k rows). "
+    "Vectors are magnitude-clipped (|x| <= 100) before training -- "
+    "outlier vectors wreck centroids and push parallel-avg noise "
+    "past the 1e-6 rounding boundary (fuzz catch).",
 )
 def q248_kmeans_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_training_curve
 
     emb = t(spark, sf_dir, "embeddings")
+    # magnitude clip mirroring the oracle (see the emb CTE comment):
+    # outlier vectors are excluded BEFORE training on both engines
+    emb = emb.filter(
+        F.col("embedding").isNotNull()
+        & (
+            F.array_max(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.abs(x.cast("double")),
+                )
+            )
+            <= 100
+        )
+    )
     return kmeans_training_curve(emb, k=8, dim=64, rounds=_Q248_ROUNDS)
 
 
