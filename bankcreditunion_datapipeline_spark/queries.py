@@ -17532,3 +17532,67 @@ def q278_context_length_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution monitor (r9): weekly first-appearance of event-prop
+# keys -- the semi-structured column's schema DRIFT over time.  q68
+# profiles the key population once; this says WHEN each key arrived
+# and how much genuinely-new schema each week introduces (a burst of
+# new keys = an upstream deploy changed the event contract; silent
+# schema drift is how pipelines rot).
+# ---------------------------------------------------------------------------
+@register(
+    "q279_prop_schema_drift",
+    """
+    WITH kv AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) // 7 AS w,
+             unnest(json_keys(props)) AS k
+      FROM events
+      WHERE ts IS NOT NULL AND json_valid(props)),
+    wk AS (SELECT DISTINCT w, k FROM kv),
+    first_wk AS (SELECT k, min(w) AS fw FROM wk GROUP BY k)
+    SELECT CAST(wk.w AS BIGINT) AS week,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN first_wk.fw = wk.w THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_keys,
+           CAST(sum(CASE WHEN first_wk.fw = wk.w THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS new_share_permille
+    FROM wk JOIN first_wk ON first_wk.k = wk.k
+    GROUP BY wk.w
+    """,
+    doc="q68's PERMISSIVE parse lane (from_json map vs json_valid + "
+    "json_keys -- malformed/NULL props contribute no keys on either "
+    "engine) reduced to the DISTINCT (week, key) grain first (tiny vs "
+    "events), then first-appearance = min week per key. Epoch-day div "
+    "7 weeks (q86 convention). One parse pass, summary-row joins.",
+)
+def q279_prop_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    m = F.from_json(F.col("props"), "map<string,string>")
+    wk = (
+        ev.select(
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+                "DATE '1970-01-01') AS BIGINT) div 7"
+            ).alias("w"),
+            F.explode(F.map_keys(m)).alias("k"),
+        )
+        .distinct()
+    )
+    first_wk = wk.groupBy("k").agg(F.min("w").alias("fw"))
+    return (
+        wk.join(first_wk, "k")
+        .groupBy(F.col("w").alias("week"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum((F.col("fw") == F.col("w")).cast("long"))
+            .cast("long")
+            .alias("new_keys"),
+            F.expr(
+                "CAST(sum(CASE WHEN fw = w THEN 1 ELSE 0 END) * 1000 "
+                "div count(1) AS BIGINT)"
+            ).alias("new_share_permille"),
+        )
+    )
