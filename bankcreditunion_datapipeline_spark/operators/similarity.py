@@ -1058,3 +1058,97 @@ def kmeans_training_curve(
         "round", F.col("assigned").cast("long").alias("assigned"),
         "n_vecs", "mean_dist",
     )
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    dim: int,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    clip: float = 100.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Dominant direction of the (uncentered) second-moment matrix
+    M = sum_r x_r x_r^T by FIXED-round power iteration, max-normalized
+    -- the top right singular direction of the embedding matrix, which
+    is the axis PCA whitening removes first and embedding-drift
+    investigations look along. sqrt-free: normalization divides by
+    max|y| instead of the L2 norm, so every step stays inside the
+    portable-rounding contract.
+
+    Portability ladder (each step rounded to `decimals`):
+    1. vectors magnitude-clipped at `clip` (the q248 contract -- an
+       extreme vector pushes parallel-sum noise past the rounding
+       boundary AND wrecks the moment matrix);
+    2. M_ij = round(sum(x_i * x_j), 6): parallel-sum noise ~1e-13 at
+       clipped magnitudes, 7 orders under the boundary;
+    3. per round: y = round(M x, 6) (64-term sums), then
+       x = round(y / max|y|, 6) -- division of two identically-rounded
+       doubles is one IEEE op, same on both engines.
+    A fixed round count makes every step an unrolled SQL stage (the
+    q248/q265 training-curve discipline). Starting vector = all ones.
+
+    Returns (dim, component, max_norm) -- `dim` is 1-based, matching
+    SQL array indexing; `max_norm` (the last round's max|y|) is the
+    eigenvalue estimate under the max-norm scaling. Empty input yields
+    no rows. Scale: ONE pass builds the O(dim^2) moment table (the
+    explode is dim^2 per row -- bounded by dim, not the corpus); every
+    iteration is a join + aggregate over 4096 + 64 summary rows.
+    """
+    from pyspark.sql.window import Window  # noqa: F401
+
+    emb = df.filter(
+        F.col(vec_col).isNotNull()
+        & (
+            F.array_max(
+                F.transform(
+                    F.col(vec_col), lambda x: F.abs(x.cast("double"))
+                )
+            )
+            <= clip
+        )
+    ).select(F.col(vec_col).alias("__e"))
+    cells = (
+        emb.select(
+            "__e", F.posexplode("__e").alias("__i0", "__vi")
+        )
+        .select(
+            (F.col("__i0") + 1).alias("i"),
+            F.col("__vi").cast("double").alias("vi"),
+            F.posexplode("__e").alias("__j0", "__vj"),
+        )
+        .select(
+            "i",
+            (F.col("__j0") + 1).alias("j"),
+            (F.col("vi") * F.col("__vj").cast("double")).alias("__p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("__p"), decimals).alias("v"))
+        .persist()
+    )
+    spark = df.sparkSession
+    x = spark.createDataFrame(
+        [(i, 1.0) for i in range(1, dim + 1)], "xi int, val double"
+    )
+    mx = None
+    for _ in range(rounds):
+        y = (
+            cells.join(x, cells["j"] == x["xi"])
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("v") * F.col("val")), decimals).alias("y"))
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("__mx"))
+        x = (
+            y.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("xi"),
+                F.round(F.col("y") / F.col("__mx"), decimals).alias("val"),
+            )
+            .localCheckpoint()
+        )
+    out = x.crossJoin(F.broadcast(mx)).select(
+        F.col("xi").cast("long").alias("dim"),
+        F.col("val").alias("component"),
+        F.col("__mx").alias("max_norm"),
+    )
+    return out

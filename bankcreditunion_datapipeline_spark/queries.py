@@ -17596,3 +17596,166 @@ def q279_prop_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_share_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means robust revenue estimate (r9): split order values into
+# 32 deterministic md5 buckets, take each bucket's floor-mean, report
+# the exact MEDIAN of the 32 bucket means next to the plain mean --
+# the heavy-tail-robust estimator that parallelizes where a true
+# median of raw values needs a global sort: bucket means are one hash
+# aggregate, the median runs over 32 summary rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q280_median_of_means_revenue",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':mom0'),
+                                  1, 4)) AS INT) % 65536 % 32 AS b
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+    bm AS (
+      SELECT b, count(*) AS n, sum(cents) // count(*) AS bmean
+      FROM v GROUP BY b),
+    r AS (
+      SELECT bmean,
+             row_number() OVER (ORDER BY bmean, b) AS rk,
+             count(*) OVER () AS nb
+      FROM bm)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_orders,
+           CAST((SELECT count(*) FROM bm) AS BIGINT) AS n_buckets,
+           CAST((SELECT sum(cents) // count(*) FROM v) AS BIGINT)
+               AS plain_mean_cents,
+           CAST((SELECT min(bmean) FROM r WHERE rk >= (nb + 1) // 2)
+               AS BIGINT) AS mom_cents
+    FROM (SELECT 1) one
+    """,
+    doc="median-of-means on the q44 md5 bucket lane (bucket = "
+    "md5(orderkey || ':mom0') % 32, engine-portable): per-bucket "
+    "floor-means (integer cents), median = the ceil(nb/2)-ranked "
+    "bucket mean with a bucket-id tiebreak -- all-integer, and the "
+    "median runs over 32 SUMMARY rows, never a global value sort. "
+    "The robust-mean primitive for heavy-tailed measures at stream "
+    "scale (one outlier corrupts at most one bucket mean).",
+)
+def q280_median_of_means_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.sampling import hash_bucket
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            hash_bucket(
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit(":mom0")
+                )
+            )
+            % 32
+        ).alias("b"),
+    )
+    bm = v.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cents) div count(1)").alias("bmean"),
+    )
+    r = bm.select(
+        "bmean",
+        F.row_number()
+        .over(Window.orderBy(F.asc("bmean"), F.asc("b")))
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nb"),
+    )
+    mom = r.filter(F.col("rk") >= F.expr("(nb + 1) div 2")).agg(
+        F.min("bmean").cast("long").alias("mom_cents")
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias(
+            "plain_mean_cents"
+        ),
+    )
+    nb = bm.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    return (
+        tot.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(mom))
+        .select("n_orders", "n_buckets", "plain_mean_cents", "mom_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction of the embedding corpus (r9): three unrolled
+# power-iteration rounds over the 64x64 second-moment matrix,
+# max-normalized (sqrt-free) -- the axis whitening removes first, the
+# direction drift investigations project onto, and the q248/q265
+# training-curve discipline applied to linear algebra: a FIXED round
+# count makes every matvec an unrolled SQL stage.
+# ---------------------------------------------------------------------------
+_Q281_ROUNDS = 3
+
+
+def _q281_oracle() -> str:
+    ctes = ["""x0 AS (SELECT i.i AS xi, CAST(1.0 AS DOUBLE) AS val
+           FROM unnest(range(1, 65)) AS i(i))"""]
+    for r in range(1, _Q281_ROUNDS + 1):
+        ctes.append(f"""y{r} AS (
+      SELECT cells.i, round(sum(cells.v * x{r - 1}.val), 6) AS y
+      FROM cells JOIN x{r - 1} ON x{r - 1}.xi = cells.j
+      GROUP BY cells.i),
+    m{r} AS (SELECT max(abs(y)) AS mx FROM y{r}),
+    x{r} AS (
+      SELECT i AS xi, round(y / m{r}.mx, 6) AS val
+      FROM y{r}, m{r})""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH emb AS (
+      SELECT embedding::DOUBLE[] AS e
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_max(list_transform(embedding::DOUBLE[],
+                                    x -> abs(x))) <= 100),
+    cells AS (
+      SELECT i.i AS i, j.j AS j,
+             round(sum(e[CAST(i.i AS BIGINT)]
+                       * e[CAST(j.j AS BIGINT)]), 6) AS v
+      FROM emb, unnest(range(1, 65)) AS i(i), unnest(range(1, 65)) AS j(j)
+      GROUP BY i.i, j.j),
+    {chain}
+    SELECT CAST(x{_Q281_ROUNDS}.xi AS BIGINT) AS dim,
+           x{_Q281_ROUNDS}.val AS component,
+           m{_Q281_ROUNDS}.mx AS max_norm
+    FROM x{_Q281_ROUNDS}, m{_Q281_ROUNDS}
+    """
+
+
+@register(
+    "q281_embedding_top_component",
+    _q281_oracle(),
+    doc="power_iteration_top_component (operators/similarity.py): "
+    "vectors magnitude-clipped (the q248 contract), M_ij rounded to "
+    "1e-6 (clipped parallel-sum noise sits 7 orders below), each "
+    "matvec and max-norm division rounded to 1e-6 -- every double "
+    "bit-identical across engines, so a FLOAT iterative algorithm "
+    "grades under the exact value-hash like the integer ones. "
+    "Start = all-ones, 3 unrolled rounds. Scale: the moment table is "
+    "one dim^2-bounded pass; iterations ride 4096 + 64 summary rows.",
+)
+def q281_embedding_top_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.similarity import power_iteration_top_component
+
+    emb = t(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(
+        emb, dim=64, rounds=_Q281_ROUNDS
+    )

@@ -519,3 +519,46 @@ def test_kmeans_curve_drops_emptied_cluster_and_nulls(spark):
     assert sum(r.n_vecs for r in r0) == 3  # NULL excluded
     assert {r.assigned for r in r0} == {0}  # ties all to clabel 0
     assert {r.assigned for r in r1} == {0}
+
+
+# -- power_iteration_top_component ----------------------------------------------
+
+
+def test_power_iteration_finds_dominant_axis(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    # corpus dominated by the second axis: second-moment matrix is
+    # diag-heavy on dim 2 -> the max-normalized component there is 1.0
+    rows = [
+        (0, [1.0, 9.0, 0.0]),
+        (1, [-1.0, 8.0, 0.5]),
+        (2, [0.5, 9.5, -0.5]),
+        (3, [0.0, 10.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: r for r in
+           power_iteration_top_component(emb, dim=3, rounds=4).collect()}
+    assert abs(out[2].component) == 1.0
+    assert abs(out[1].component) < 0.2 and abs(out[3].component) < 0.2
+    assert out[2].max_norm > 0
+
+
+def test_power_iteration_clips_outliers_and_empty(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1e6, 1e6]),  # clipped out
+        (2, None),        # NULL excluded
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: r for r in
+           power_iteration_top_component(emb, dim=2, rounds=2).collect()}
+    # only [1.0, 0.0] survives: dominant axis is dim 1
+    assert out[1].component == 1.0 and out[2].component == 0.0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert power_iteration_top_component(empty, dim=2, rounds=2).count() == 0
