@@ -17759,3 +17759,210 @@ def q281_embedding_top_component(
     return power_iteration_top_component(
         emb, dim=64, rounds=_Q281_ROUNDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Principal-axis label probe (r9): project every embedding onto q281's
+# dominant direction and summarize the projection distribution per
+# label -- exact quartiles over the rounded-projection summary.  If one
+# label owns the axis, the "nuisance direction" whitening would remove
+# is actually the class signal; if labels overlap, the axis is
+# corpus-wide gain and safe to normalize away.  The supervised probe
+# that decides the whitening question q281 raises.
+# ---------------------------------------------------------------------------
+@register(
+    "q282_principal_axis_probe",
+    f"""
+    WITH emb AS (
+      SELECT label, embedding::DOUBLE[] AS e
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+        AND list_max(list_transform(embedding::DOUBLE[],
+                                    x -> abs(x))) <= 100),
+    comp AS (SELECT dim, component FROM ({_q281_oracle()}) t),
+    dvec AS (SELECT list(component ORDER BY dim) AS d FROM comp),
+    proj AS (
+      -- list_dot_product = the q20-proven sequential-fold parity lane;
+      -- also avoids GROUP BY e, which would collapse duplicate vectors
+      SELECT label, round(list_dot_product(e, dvec.d), 6) AS p
+      FROM emb, dvec),
+    dv AS (SELECT label, p, count(*) AS c FROM proj GROUP BY label, p),
+    cum AS (
+      SELECT label, p,
+             sum(c) OVER (PARTITION BY label ORDER BY p) AS cm,
+             sum(c) OVER (PARTITION BY label) AS tc
+      FROM dv),
+    q(p_permille) AS (VALUES (250), (500), (750))
+    SELECT label, CAST(q.p_permille AS BIGINT) AS p_permille,
+           min(cum.p) AS projection_q
+    FROM q JOIN cum ON cm >= (q.p_permille * tc + 999) // 1000
+    GROUP BY label, q.p_permille
+    """,
+    doc="composition: q281's unrolled power-iteration direction "
+    "(broadcast 64 rows) dotted against every clipped labeled vector "
+    "-- the dot is a 64-term rounded sum, bit-identical across "
+    "engines; per-label quartiles via the integer ceil-rank rule over "
+    "the DISTINCT rounded-projection summary (weighted_quantiles_exact "
+    "shape, weight 1). Scale: one broadcast fan-in pass for the "
+    "projection, windows on the per-label value summary.",
+)
+def q282_principal_axis_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import dot
+    from .operators.similarity import power_iteration_top_component
+
+    emb = t(spark, sf_dir, "embeddings")
+    direction = power_iteration_top_component(
+        emb, dim=64, rounds=_Q281_ROUNDS
+    ).select("dim", "component")
+    dvec = F.broadcast(
+        direction.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "component"))
+            ).alias("__dc")
+        ).select(
+            F.transform(F.col("__dc"), lambda s: s["component"]).alias(
+                "__d"
+            )
+        )
+    )
+    base = emb.filter(
+        F.col("embedding").isNotNull()
+        & F.col("label").isNotNull()
+        & (
+            F.array_max(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.abs(x.cast("double")),
+                )
+            )
+            <= 100
+        )
+    )
+    proj = base.crossJoin(dvec).select(
+        "label",
+        F.round(dot(F.col("embedding"), F.col("__d")), 6).alias("p"),
+    )
+    dv = proj.groupBy("label", "p").agg(F.count(F.lit(1)).alias("c"))
+    cum = dv.select(
+        "label",
+        "p",
+        F.sum("c")
+        .over(Window.partitionBy("label").orderBy("p"))
+        .alias("cm"),
+        F.sum("c").over(Window.partitionBy("label")).alias("tc"),
+    )
+    q = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(250,), (500,), (750,)], "p_permille long"
+        )
+    )
+    return (
+        q.join(cum, F.expr("cm >= (p_permille * tc + 999) div 1000"))
+        .groupBy("label", "p_permille")
+        .agg(F.min("p").alias("projection_q"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Char-level audit of token-level near-dups (r9): levenshtein distance
+# over 120-char prefixes of every q179 exact-Jaccard pair, summarized
+# by jaccard band.  Token-set similarity is blind to ORDER and
+# CHARACTER edits -- two docs can share every shingle yet differ in
+# ways that matter to exact-substring consumers (winnowing, span
+# excision).  A band whose mean char-distance is high flags pairs the
+# set metric overrates; the cross-check between the two similarity
+# families the engine maintains.
+# ---------------------------------------------------------------------------
+@register(
+    "q283_near_dup_edit_audit",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w,
+             substr(lower(trim(text)), 1, 120) AS pref
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    elems AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(
+               list_slice(w, CAST(i.i AS INT), CAST(i.i AS INT) + 2),
+               ' ')) AS tok
+      FROM base, unnest(range(1, len(w) - 1)) AS i(i)
+      WHERE len(w) >= 3),
+    sizes AS (SELECT id, count(*) AS n FROM elems GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM elems a JOIN elems b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT s.id_a, s.id_b,
+             (s.i * 1000) // (sa.n + sb.n - s.i) AS jac
+      FROM shared s
+      JOIN sizes sa ON s.id_a = sa.id
+      JOIN sizes sb ON s.id_b = sb.id
+      WHERE (s.i * 1000) // (sa.n + sb.n - s.i) >= 600),
+    d AS (
+      SELECT pairs.jac // 100 AS band,
+             levenshtein(pa.pref, pb.pref) AS ed
+      FROM pairs
+      JOIN base pa ON pa.id = pairs.id_a
+      JOIN base pb ON pb.id = pairs.id_b)
+    SELECT CAST(band AS BIGINT) AS jaccard_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ed) // count(*) AS BIGINT) AS mean_edit_distance,
+           CAST(max(ed) AS BIGINT) AS max_edit_distance
+    FROM d GROUP BY band
+    """,
+    doc="composition: q179's exact shingle-Jaccard pairs at cut 400 "
+    "(prefix_filtered_jaccard_pairs at the q179-standard 600 cut -- "
+    "budget ON; at 400 the laxer prefix filter pushed the 10x ratio to "
+    "9.9, at 600 the audit inherits q179's own documented pair-pass "
+    "profile, ratio 6.9) verified at the CHAR "
+    "level with JVM levenshtein over 120-char lowercased prefixes (the "
+    "q204 linkage lane: fixed-width operands bound the O(n*m) cost per "
+    "pair; both engines implement the same DP distance). Banded by "
+    "jaccard div 100, floor-mean distances. Pair work is the budgeted "
+    "pair graph; levenshtein runs once per PAIR, not per element.",
+)
+def q283_near_dup_edit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filtered_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(
+        docs, "doc_id", "text",
+        threshold_permille=600, shingle=3,
+        max_pair_rows=50_000_000,
+    ).select("id_a", "id_b", "jaccard_permille")
+    pref = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 120).alias("pref"),
+    )
+    d = (
+        pairs.join(
+            pref.select(
+                F.col("doc_id").alias("id_a"), F.col("pref").alias("__pa")
+            ),
+            "id_a",
+        )
+        .join(
+            pref.select(
+                F.col("doc_id").alias("id_b"), F.col("pref").alias("__pb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.expr("jaccard_permille div 100").alias("jaccard_band"),
+            F.levenshtein(F.col("__pa"), F.col("__pb")).alias("ed"),
+        )
+    )
+    return d.groupBy("jaccard_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(ed) div count(1) AS BIGINT)").alias(
+            "mean_edit_distance"
+        ),
+        F.max("ed").cast("long").alias("max_edit_distance"),
+    )

@@ -967,3 +967,36 @@ def streaming_holt_forecast(
             (F.col("level") + horizon * F.col("trend")).alias("forecast"),
         )
     )
+
+
+def streaming_budget_caps(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str] | None = None,
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Merge-on-read water-filling budget plan over the streaming
+    token-count state (the q247 monitor's ``batch=<id>`` (group, token)
+    partials): per-group masses are sums over the merged counts, then
+    the extractor IS `water_filling_caps` verbatim -- the mixture plan
+    (q251) recomputed from live state as feeds grow, identical
+    arithmetic to the batch operator on the union of all input by
+    construction.  A feed whose cap keeps shrinking between snapshots
+    is outgrowing the budget -- the planning alarm."""
+    from ..operators.sampling import water_filling_caps
+
+    group_cols = list(group_cols or ["source"])
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "tokencounts"))
+        .groupBy(*group_cols)
+        .agg(F.sum("__c").cast("long").alias("__mass"))
+    )
+    if len(group_cols) != 1:
+        raise ValueError(
+            "streaming_budget_caps: exactly one group column "
+            "(water_filling_caps key contract)"
+        )
+    return water_filling_caps(
+        merged, group_cols[0], "__mass", budget_num, budget_den
+    )

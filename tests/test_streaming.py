@@ -1517,3 +1517,43 @@ def test_streaming_holt_forecast_equals_batch(spark, tmp_path):
     # hand value: key a days: 1->2.0, 2->4.0, 3->6.0 (cents/100)
     # l3=4.75, b3=1.125, forecast = 4.75 + 7*1.125 = 12.625
     assert got["a"] == (3, 4.75, 1.125, 12.625)
+
+
+def test_streaming_budget_caps_equals_batch(spark, tmp_path):
+    """Water-filling over merged streaming token counts equals the
+    batch operator over per-group total masses of the union."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        water_filling_caps,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_budget_caps,
+        streaming_token_counts,
+    )
+
+    schema = StructType(
+        [StructField("source", StringType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1 = [("tiny", "a b"), ("giant", " ".join(["x"] * 50))]
+    b2 = [("giant", " ".join(["y"] * 49)), ("small", "p q r s t u v w")]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_token_counts(spark, src, ckpt, schema, state)
+
+    got = sorted(map(tuple, streaming_budget_caps(spark, state).collect()))
+    # batch twin: masses tiny=2, giant=99, small=8 -> budget=43
+    masses = spark.createDataFrame(
+        [("tiny", 2), ("giant", 99), ("small", 8)], "source string, m long"
+    )
+    want = sorted(
+        map(tuple, water_filling_caps(masses, "source", "m").collect())
+    )
+    assert got == want
+    caps = {r[0]: r[2] for r in got}
+    assert caps["giant"] == 33  # 2+8+33 = 43 = floor(109*2/5)
