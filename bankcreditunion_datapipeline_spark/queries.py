@@ -17966,3 +17966,91 @@ def q283_near_dup_edit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("ed").cast("long").alias("max_edit_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus self-similarity index (r9): mean pairwise bigram-set Jaccard
+# over a deterministic 50-doc md5-rank sample -- the self-BLEU-style
+# ONE-NUMBER diversity summary (q247 grades token concentration; this
+# grades DOCUMENT-level redundancy: a templated or mode-collapsed
+# corpus scores high even when every individual pair sits below the
+# q179 dedup cut).  The audit-sample posture makes it corpus-size-
+# independent (the q225/q276 lane).
+# ---------------------------------------------------------------------------
+@register(
+    "q284_self_similarity_index",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ranked AS (
+      SELECT doc_id, w,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS mr
+      FROM base),
+    sampled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+      FROM ranked WHERE mr <= 50 AND len(w) > 0),
+    p AS (
+      SELECT len(list_intersect(a.s, b.s)) * 1000
+             // len(list_distinct(a.s || b.s)) AS jac
+      FROM sampled a JOIN sampled b ON a.doc_id < b.doc_id)
+    SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jac) // count(*) AS BIGINT) AS mean_jaccard_permille,
+           CAST(max(jac) AS BIGINT) AS max_jaccard_permille
+    FROM p
+    """,
+    doc="deterministic md5-rank 50-doc sample (corpus-size-independent, "
+    "the q225 lane) -> distinct bigram sets (word_shingles k=2 "
+    "semantics: lowercased, whole-text shingle for 1-token docs) -> "
+    "all 1225 pairs scored by exact set Jaccard (floor permille). The "
+    "quadratic is over the FIXED sample, never the corpus -- by "
+    "construction, not by budget.",
+)
+def q284_self_similarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    wmr = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    sampled = (
+        docs.withColumn("__mr", F.row_number().over(wmr))
+        .filter(F.col("__mr") <= 50)
+        .select("doc_id", word_shingles(F.col("text"), 2).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .persist()
+    )
+    a = sampled.select(
+        F.col("doc_id").alias("__ida"), F.col("s").alias("__sa")
+    )
+    b = sampled.select(
+        F.col("doc_id").alias("__idb"), F.col("s").alias("__sb")
+    )
+    p = a.join(b, F.col("__ida") < F.col("__idb")).select(
+        F.expr(
+            "size(array_intersect(__sa, __sb)) * 1000 "
+            "div size(array_distinct(concat(__sa, __sb)))"
+        ).alias("jac")
+    )
+    n = sampled.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(jac) div count(1) AS BIGINT)").alias(
+            "mean_jaccard_permille"
+        ),
+        F.max("jac").cast("long").alias("max_jaccard_permille"),
+    ).crossJoin(F.broadcast(n)).select(
+        "n_docs", "n_pairs", "mean_jaccard_permille",
+        "max_jaccard_permille",
+    )
