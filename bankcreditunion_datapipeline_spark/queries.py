@@ -18054,3 +18054,111 @@ def q284_self_similarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_pairs", "mean_jaccard_permille",
         "max_jaccard_permille",
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov absorption probability (r9): under the empirical next-event
+# chain (the q191 transition counts, unique (ts, event_id) order),
+# what is the probability a session in state s reaches 'purchase'
+# within 4 steps?  q190 attributes credit along observed paths; this
+# answers the PLANNING question (which states are close to conversion
+# in probability, not hops).  Exact integer-e6 floor recursion:
+# p_{k+1}(s) = (sum_t c_st * p_k(t)) div c_s with purchase absorbing
+# at 1e6 -- all BIGINT, the q232/q241 recursion class, unrolled in SQL.
+# ---------------------------------------------------------------------------
+_Q285_STEPS = 4
+
+
+def _q285_oracle() -> str:
+    ctes = ["""p0 AS (
+      SELECT s, CAST(CASE WHEN s = 'purchase' THEN 1000000 ELSE 0 END
+                     AS BIGINT) AS p
+      FROM states)"""]
+    for k in range(1, _Q285_STEPS + 1):
+        ctes.append(f"""i{k} AS (
+      SELECT tc.s, sum(tc.n * pp.p) AS num
+      FROM tc JOIN p{k - 1} pp ON pp.s = tc.nxt
+      GROUP BY tc.s),
+    p{k} AS (
+      SELECT st.s,
+             CAST(CASE WHEN st.s = 'purchase' THEN 1000000
+                  ELSE coalesce(i{k}.num // st.cs, 0) END AS BIGINT) AS p
+      FROM states st LEFT JOIN i{k} ON i{k}.s = st.s)""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    tc AS (
+      SELECT s, nxt, count(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY s, nxt),
+    states AS (SELECT s, sum(n) AS cs FROM tc GROUP BY s),
+    {chain}
+    SELECT states.s AS state,
+           CAST(states.cs AS BIGINT) AS n_transitions,
+           p{_Q285_STEPS}.p AS reach_purchase_e6
+    FROM states JOIN p{_Q285_STEPS} ON p{_Q285_STEPS}.s = states.s
+    """
+
+
+@register(
+    "q285_purchase_absorption",
+    _q285_oracle(),
+    doc="composition: q191's transition counts -> the exact integer-e6 "
+    "absorption recursion, 4 unrolled rounds (purchase pinned at 1e6; "
+    "non-absorbing states fold (sum c_st * p_t) div c_s -- BIGINT "
+    "end-to-end, the q232/q241 floor-recursion class; floors compound "
+    "identically on both engines by construction). States with "
+    "transitions only TO them never enter (no outgoing mass to "
+    "recurse). Scale: the recursion rides the O(states^2) transition "
+    "summary; one keyed window pass builds it.",
+)
+def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("s", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    states = tc.groupBy("s").agg(F.sum("n").cast("long").alias("cs"))
+    p = states.select(
+        "s",
+        F.when(F.col("s") == "purchase", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p"),
+    )
+    for _ in range(_Q285_STEPS):
+        inflow = (
+            tc.join(
+                p.select(F.col("s").alias("nxt"), F.col("p").alias("__pn")),
+                "nxt",
+            )
+            .groupBy("s")
+            .agg(F.sum(F.col("n") * F.col("__pn")).alias("__num"))
+        )
+        p = states.join(inflow, "s", "left").select(
+            "s",
+            F.when(F.col("s") == "purchase", F.lit(1000000))
+            .otherwise(
+                F.coalesce(
+                    F.expr("__num div cs"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("p"),
+        ).localCheckpoint()
+    return states.join(p, "s").select(
+        F.col("s").alias("state"),
+        F.col("cs").alias("n_transitions"),
+        F.col("p").alias("reach_purchase_e6"),
+    )
