@@ -18162,3 +18162,173 @@ def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cs").alias("n_transitions"),
         F.col("p").alias("reach_purchase_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness index (r9): variance-to-mean ratio of DAILY event counts
+# per type, exact integer e6.  A Poisson-ish steady stream sits near
+# 1e6; VMR >> 1e6 is burst arrival (campaigns, incidents, retry
+# storms) -- the dispersion context q186's CUSUM level-shift detector
+# does not measure.  VMR = (n*Sxx - Sx^2) div ((n-1) * Sx) on count
+# sums -- no float moments (the q144/q199 integer-moment lane).
+# ---------------------------------------------------------------------------
+@register(
+    "q286_event_burstiness",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    agg AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+      FROM daily GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST((n * sxx - sx * sx) * 1000000 // ((n - 1) * sx) AS BIGINT)
+               AS vmr_e6
+    FROM agg WHERE n >= 2 AND sx > 0
+    """,
+    doc="daily count rollup -> one integer-moment aggregate per type; "
+    "vmr_e6 rides the x1000 two-limb ladder on the Spark side (DuckDB "
+    "HUGEINT-promotes -- same exact floor), with a fail-loud dispersion "
+    "budget (the numerator must fit BIGINT: holds to ~9.6e7 total "
+    "events per type per the ladder bound; shard by time window past "
+    "that and combine (n, Sx, Sxx) -- they are sum-monoids). Types "
+    "with < 2 days or zero events are excluded (VMR undefined).",
+)
+def q286_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).filter((F.col("n") >= 2) & (F.col("sx") > 0))
+    guarded = agg.where(
+        F.assert_true(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            <= F.lit(9_200_000_000_000_000),
+            F.lit(
+                "q286: dispersion numerator exceeds the exact e6 ladder "
+                "budget -- shard the window and combine the (n, Sx, Sxx) "
+                "sum-monoids"
+            ),
+        ).isNull()
+    )
+    return guarded.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "CAST((n * sxx - sx * sx) * 1000 div ((n - 1) * sx) * 1000 "
+            "+ ((n * sxx - sx * sx) * 1000 % ((n - 1) * sx) * 1000) "
+            "div ((n - 1) * sx) AS BIGINT)"
+        ).alias("vmr_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tail-vs-median trend (r9): Theil-Sen slope of the WEEKLY p50 and p90
+# of order value -- "is the tail growing faster than the middle?", the
+# question a mean trend (q207) cannot answer.  Pure composition of two
+# exact-integer operators: weighted_quantiles_exact per week feeds
+# theil_sen_slope_e6 per quantile.
+# ---------------------------------------------------------------------------
+_Q287_PROBS = (500, 900)
+
+
+def _q287_oracle() -> str:
+    parts = []
+    for p_ in _Q287_PROBS:
+        parts.append(f"""
+    pr{p_} AS (
+      SELECT CAST(((b.q - a.q) * 1000000) // (b.w - a.w) AS BIGINT)
+               AS slope_e6
+      FROM wq a JOIN wq b
+        ON a.p_permille = {p_} AND b.p_permille = {p_} AND a.w < b.w),
+    r{p_} AS (
+      SELECT slope_e6, row_number() OVER (ORDER BY slope_e6) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS np FROM pr{p_}),
+    m{p_} AS (
+      SELECT CAST({p_} AS BIGINT) AS p_permille,
+             CAST((SELECT count(DISTINCT w) FROM wq
+                   WHERE p_permille = {p_}) AS BIGINT) AS n_weeks,
+             np AS n_pairs, slope_e6 AS ts_slope_e6
+      FROM r{p_} WHERE rn = (np + 1) // 2)""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{p_}" for p_ in _Q287_PROBS)
+    return f"""
+    WITH v AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) // 7 AS w,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+    dv AS (SELECT w, cents, count(*) AS c FROM v GROUP BY w, cents),
+    cum AS (
+      SELECT w, cents,
+             sum(c) OVER (PARTITION BY w ORDER BY cents) AS cm,
+             sum(c) OVER (PARTITION BY w) AS tc
+      FROM dv),
+    p(p_permille) AS (VALUES {", ".join(f"({x})" for x in _Q287_PROBS)}),
+    wq AS (
+      SELECT w, p.p_permille, min(cents) AS q
+      FROM p JOIN cum ON cm >= (p.p_permille * tc + 999) // 1000
+      GROUP BY w, p.p_permille),
+    {",".join(parts)}
+    {union}
+    """
+
+
+@register(
+    "q287_tail_trend",
+    _q287_oracle(),
+    doc="composition: weighted_quantiles_exact (operators/sketches.py, "
+    "weight 1 -- the integer ceil-rank quantile over per-week value "
+    "summaries) -> theil_sen_slope_e6 (operators/analytics.py) per "
+    "quantile series. Weeks = epoch-day div 7 (q86), slopes = "
+    "(dq*1e6) div dw with the LOWER median -- exact end-to-end. "
+    "p90 slope >> p50 slope = the tail is running away from the "
+    "middle (pricing drift, whale emergence). Pairs form over "
+    "O(weeks) points at any corpus size.",
+)
+def q287_tail_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import theil_sen_slope_e6
+    from .operators.sketches import weighted_quantiles_exact
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    v = orders.select(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), "
+            "DATE '1970-01-01') AS BIGINT) div 7"
+        ).alias("w"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    wq = weighted_quantiles_exact(
+        v, "cents", "one", list(_Q287_PROBS), group_cols=("w",)
+    ).persist()
+    outs = []
+    for p_ in _Q287_PROBS:
+        series = wq.filter(F.col("p_permille") == p_).select(
+            F.col("w").alias("x"), F.col("quantile").alias("y")
+        )
+        ts = theil_sen_slope_e6(series, "x", "y")
+        outs.append(
+            ts.select(
+                F.lit(p_).cast("long").alias("p_permille"),
+                F.col("n_points").cast("long").alias("n_weeks"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("ts_slope_e6").cast("long").alias("ts_slope_e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
