@@ -18332,3 +18332,112 @@ def q287_tail_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Forecast skill benchmark (r9): one-step Holt forecasts vs the
+# seasonal-naive baseline (the value 7 days earlier), MAE per event
+# type in floored cents.  The forecasting-hygiene check every real
+# team runs BEFORE trusting a model: if Holt does not beat "same day
+# last week", ship the naive baseline.  skill_permille < 1000 means
+# the model wins.
+# ---------------------------------------------------------------------------
+@register(
+    "q288_forecast_skill_benchmark",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    dd AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily WHERE v IS NOT NULL),
+    r AS (
+      SELECT event_type, day, rn, v, v AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM dd WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.rn, d.v,
+             0.5 * d.v + 0.5 * (r.l + r.b) AS l,
+             0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+                 AS b
+      FROM dd d JOIN r
+        ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+    err AS (
+      SELECT c.event_type,
+             abs(c.v - (p.l + p.b)) AS holt_ae,
+             abs(c.v - n.v) AS naive_ae
+      FROM r c
+      JOIN r p ON c.event_type = p.event_type AND c.rn = p.rn + 1
+      JOIN r n ON c.event_type = n.event_type AND c.rn = n.rn + 7)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CAST(floor(holt_ae * 100) AS BIGINT)) // count(*)
+                AS BIGINT) AS holt_mae_cents,
+           CAST(sum(CAST(floor(naive_ae * 100) AS BIGINT)) // count(*)
+                AS BIGINT) AS naive_mae_cents,
+           CAST(CASE WHEN sum(CAST(floor(naive_ae * 100) AS BIGINT)) = 0
+                THEN NULL
+                ELSE sum(CAST(floor(holt_ae * 100) AS BIGINT)) * 1000
+                     // sum(CAST(floor(naive_ae * 100) AS BIGINT)) END
+                AS BIGINT) AS skill_permille
+    FROM err GROUP BY event_type
+    """,
+    doc="holt_linear_by_key (q252/q257 bit-replay recursion) scored "
+    "against the rn-7 seasonal-naive baseline on the SAME days (both "
+    "predictions defined: days 8+ of each series). Absolute errors "
+    "floor to integer cents BEFORE summing (identical doubles -> "
+    "identical floors -> exact integer MAEs); skill = holt/naive in "
+    "floor permille, NULL when the naive error is zero. Scale: the "
+    "recursion and both self-joins ride the O(days) rollup.",
+)
+def q288_forecast_skill_benchmark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.temporal import holt_linear_by_key
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    sm = holt_linear_by_key(
+        daily, "event_type", "day", "v", alpha=0.5, beta=0.5
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    err = sm.select(
+        "event_type",
+        "v",
+        (F.lag("level", 1).over(w) + F.lag("trend", 1).over(w)).alias(
+            "__pred"
+        ),
+        F.lag("v", 7).over(w).alias("__naive"),
+    ).filter(F.col("__pred").isNotNull() & F.col("__naive").isNotNull())
+    ae = err.select(
+        "event_type",
+        F.floor(F.abs(F.col("v") - F.col("__pred")) * 100)
+        .cast("long")
+        .alias("__ha"),
+        F.floor(F.abs(F.col("v") - F.col("__naive")) * 100)
+        .cast("long")
+        .alias("__na"),
+    )
+    return ae.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(sum(__ha) div count(1) AS BIGINT)").alias(
+            "holt_mae_cents"
+        ),
+        F.expr("CAST(sum(__na) div count(1) AS BIGINT)").alias(
+            "naive_mae_cents"
+        ),
+        F.expr(
+            "CAST(CASE WHEN sum(__na) = 0 THEN NULL "
+            "ELSE sum(__ha) * 1000 div sum(__na) END AS BIGINT)"
+        ).alias("skill_permille"),
+    )
