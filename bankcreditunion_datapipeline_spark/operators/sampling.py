@@ -17,6 +17,8 @@ Three tools, by reproducibility requirement:
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -556,8 +558,11 @@ def cluster_safe_split(
     (the q44 deterministic-hash lane applied to the CLUSTER key, not
     the doc key -- that one substitution is the whole fix). ``splits``
     are (name, cumulative_rate) cut points on floor(rate * buckets)
-    (floor on BOTH engines so the boundary can't off-by-one, the q103
-    discipline); ``rest`` takes the remainder.  A new ``seed`` is a
+    with ``rate`` read as its DECIMAL value (Fraction(str(rate)),
+    exact -- float multiplication truncates binary noise downward and
+    silently shifts boundaries like 0.57*10000 by one bucket); floor
+    on BOTH engines so the boundary can't off-by-one, the q103
+    discipline; ``rest`` takes the remainder.  A new ``seed`` is a
     fresh assignment that still never splits a cluster.
 
     Returns (id, grp, in_cluster, split) -- one row per non-NULL id.
@@ -596,7 +601,12 @@ def cluster_safe_split(
     ).cast("int") % buckets
     expr = None
     for name, rate in splits:
-        cut = int(rate * buckets)
+        # floor of the DECIMAL value of `rate`, computed exactly:
+        # float(rate)*buckets truncates binary-float noise downward
+        # (0.57*10000 = 5699.999... -> 5699, one bucket short of the
+        # documented floor(rate*buckets) = 5700), so the boundary is
+        # Fraction(str(rate)) -- the user's decimal literal, exact
+        cut = int(Fraction(str(rate)) * buckets)
         cond = v < cut
         expr = (
             F.when(cond, name) if expr is None else expr.when(cond, name)

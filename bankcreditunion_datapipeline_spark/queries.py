@@ -6813,7 +6813,8 @@ def q142_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT d.event_type, d.day, d.rn, d.v, 0.5 * d.v + 0.5 * r.s
       FROM daily d JOIN r
-        ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+        ON d.event_type IS NOT DISTINCT FROM r.event_type
+           AND d.rn = r.rn + 1)
     SELECT event_type, day, v,
            floor(s * 1000000) / 1000000.0 AS ewma_t
     FROM r
@@ -6824,7 +6825,9 @@ def q142_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replay produce bit-identical doubles step for step; inputs are "
     "2-decimal-rounded sums (engine-identical). The per-key Arrow batch "
     "is the sanctioned state-machine shape -- O(1) state, keys "
-    "partition the shuffle.",
+    "partition the shuffle. NULL event_type is a real stratum: the "
+    "replay CTE advances with IS NOT DISTINCT FROM so the NULL group "
+    "does not vanish past rn=1 (km_survival eqNullSafe discipline).",
 )
 def q143_daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.temporal import ewma_by_key
@@ -15108,7 +15111,8 @@ def q251_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
                  AS b
       FROM dd d JOIN r
-        ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+        ON d.event_type IS NOT DISTINCT FROM r.event_type
+           AND d.rn = r.rn + 1),
     last AS (
       SELECT event_type, day, rn, l, b,
              row_number() OVER (PARTITION BY event_type
@@ -15129,6 +15133,10 @@ def q251_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "technique, twin accumulators). Forecast = l_T + 7*b_T, floored at "
     "1e-6. NULL-v days are dropped on both engines BEFORE ranking "
     "(state would carry, but the replay's rn chain must not skip). "
+    "NULL event_type is a real stratum: Spark's groupBy/window keep "
+    "the NULL group, so the replay CTE advances with IS NOT DISTINCT "
+    "FROM (an equality join silently drops the group past rn=1 -- the "
+    "km_survival eqNullSafe discipline). "
     "Scale: the recursion runs per key over the O(days) rollup.",
 )
 def q252_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15612,13 +15620,15 @@ def q256_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
                  AS b
       FROM dd d JOIN r
-        ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+        ON d.event_type IS NOT DISTINCT FROM r.event_type
+           AND d.rn = r.rn + 1),
     res AS (
       SELECT c.event_type, c.day, c.v,
              p.l + p.b AS pred,
              c.v - (p.l + p.b) AS resid
       FROM r c JOIN r p
-        ON c.event_type = p.event_type AND c.rn = p.rn + 1),
+        ON c.event_type IS NOT DISTINCT FROM p.event_type
+           AND c.rn = p.rn + 1),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY event_type
                                    ORDER BY abs(resid) DESC, day) AS rk
@@ -15634,8 +15644,9 @@ def q256_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "residual = v_t - predicted -- every double bit-identical to the "
     "recursive-CTE replay (q143/q252 contract), so even abs-ranking "
     "is engine-exact; ties on day. Top-3 worst days per key; floors "
-    "at 1e-6 only on OUTPUT. Scale: recursion + windows ride the "
-    "O(days) rollup.",
+    "at 1e-6 only on OUTPUT. NULL event_type replays as its own "
+    "stratum (null-safe recursion + lag joins on both engines). "
+    "Scale: recursion + windows ride the O(days) rollup.",
 )
 def q257_forecast_residual_anomalies(
     spark: SparkSession, sf_dir: str
@@ -18077,13 +18088,15 @@ def _q285_oracle() -> str:
     for k in range(1, _Q285_STEPS + 1):
         ctes.append(f"""i{k} AS (
       SELECT tc.s, sum(tc.n * pp.p) AS num
-      FROM tc JOIN p{k - 1} pp ON pp.s = tc.nxt
+      FROM tc JOIN p{k - 1} pp ON pp.s IS NOT DISTINCT FROM tc.nxt
       GROUP BY tc.s),
     p{k} AS (
       SELECT st.s,
              CAST(CASE WHEN st.s = 'purchase' THEN 1000000
+                  WHEN st.cs = 0 THEN 0
                   ELSE coalesce(i{k}.num // st.cs, 0) END AS BIGINT) AS p
-      FROM states st LEFT JOIN i{k} ON i{k}.s = st.s)""")
+      FROM states st
+      LEFT JOIN i{k} ON i{k}.s IS NOT DISTINCT FROM st.s)""")
     chain = ",\n    ".join(ctes)
     return f"""
     WITH seq AS (
@@ -18094,12 +18107,17 @@ def _q285_oracle() -> str:
     tc AS (
       SELECT s, nxt, count(*) AS n FROM seq
       WHERE nxt IS NOT NULL GROUP BY s, nxt),
-    states AS (SELECT s, sum(n) AS cs FROM tc GROUP BY s),
+    outs AS (SELECT s, sum(n) AS cs FROM tc GROUP BY s),
+    states AS (
+      SELECT u.s, CAST(coalesce(outs.cs, 0) AS BIGINT) AS cs
+      FROM (SELECT s FROM tc UNION SELECT nxt AS s FROM tc) u
+      LEFT JOIN outs ON outs.s IS NOT DISTINCT FROM u.s),
     {chain}
     SELECT states.s AS state,
            CAST(states.cs AS BIGINT) AS n_transitions,
            p{_Q285_STEPS}.p AS reach_purchase_e6
-    FROM states JOIN p{_Q285_STEPS} ON p{_Q285_STEPS}.s = states.s
+    FROM states
+    JOIN p{_Q285_STEPS} ON p{_Q285_STEPS}.s IS NOT DISTINCT FROM states.s
     """
 
 
@@ -18110,10 +18128,15 @@ def _q285_oracle() -> str:
     "absorption recursion, 4 unrolled rounds (purchase pinned at 1e6; "
     "non-absorbing states fold (sum c_st * p_t) div c_s -- BIGINT "
     "end-to-end, the q232/q241 floor-recursion class; floors compound "
-    "identically on both engines by construction). States with "
-    "transitions only TO them never enter (no outgoing mass to "
-    "recurse). Scale: the recursion rides the O(states^2) transition "
-    "summary; one keyed window pass builds it.",
+    "identically on both engines by construction). The state universe "
+    "is sources UNION targets, so an absorbing 'purchase' with no "
+    "outgoing transitions still seeds p0 at 1e6 and transitions INTO "
+    "it earn credit (a source-only universe would zero every reach "
+    "probability when purchase is a pure sink); other pure sinks get "
+    "cs = 0 and reach 0 without dividing. NULL event_type replays as "
+    "its own state (null-safe joins end-to-end). Scale: the recursion "
+    "rides the O(states^2) transition summary; one keyed window pass "
+    "builds it.",
 )
 def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -18129,7 +18152,17 @@ def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = seq.groupBy("s", "nxt").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).persist()
-    states = tc.groupBy("s").agg(F.sum("n").cast("long").alias("cs"))
+    outs = tc.groupBy("s").agg(F.sum("n").cast("long").alias("cs")).select(
+        F.col("s").alias("__os"), "cs"
+    )
+    univ = (
+        tc.select("s")
+        .union(tc.select(F.col("nxt").alias("s")))
+        .distinct()
+    )
+    states = univ.join(
+        outs, F.col("s").eqNullSafe(F.col("__os")), "left"
+    ).select("s", F.coalesce("cs", F.lit(0)).cast("long").alias("cs"))
     p = states.select(
         "s",
         F.when(F.col("s") == "purchase", F.lit(1000000))
@@ -18140,15 +18173,19 @@ def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_Q285_STEPS):
         inflow = (
             tc.join(
-                p.select(F.col("s").alias("nxt"), F.col("p").alias("__pn")),
-                "nxt",
+                p.select(F.col("s").alias("__ts"), F.col("p").alias("__pn")),
+                F.col("nxt").eqNullSafe(F.col("__ts")),
             )
             .groupBy("s")
             .agg(F.sum(F.col("n") * F.col("__pn")).alias("__num"))
+            .select(F.col("s").alias("__is"), "__num")
         )
-        p = states.join(inflow, "s", "left").select(
+        p = states.join(
+            inflow, F.col("s").eqNullSafe(F.col("__is")), "left"
+        ).select(
             "s",
             F.when(F.col("s") == "purchase", F.lit(1000000))
+            .when(F.col("cs") == 0, F.lit(0))
             .otherwise(
                 F.coalesce(
                     F.expr("__num div cs"), F.lit(0)
@@ -18157,7 +18194,10 @@ def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("p"),
         ).localCheckpoint()
-    return states.join(p, "s").select(
+    return states.join(
+        p.select(F.col("s").alias("__ps"), "p"),
+        F.col("s").eqNullSafe(F.col("__ps")),
+    ).select(
         F.col("s").alias("state"),
         F.col("cs").alias("n_transitions"),
         F.col("p").alias("reach_purchase_e6"),
@@ -18193,10 +18233,14 @@ def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="daily count rollup -> one integer-moment aggregate per type; "
     "vmr_e6 rides the x1000 two-limb ladder on the Spark side (DuckDB "
     "HUGEINT-promotes -- same exact floor), with a fail-loud dispersion "
-    "budget (the numerator must fit BIGINT: holds to ~9.6e7 total "
-    "events per type per the ladder bound; shard by time window past "
-    "that and combine (n, Sx, Sxx) -- they are sum-monoids). Types "
-    "with < 2 days or zero events are excluded (VMR undefined).",
+    "budget guarded at the FACTOR level (sx <= 3e9 so sx*sx fits, "
+    "sxx <= maxlong div n so n*sxx fits, (n-1)*sx <= 9.2e15 for the "
+    "remainder limb, THEN the numerator <= 9.2e15 -- products checked "
+    "only after their factors provably fit, so a silently wrapped "
+    "BIGINT can never pass its own guard; holds to ~9.6e7 total "
+    "events per type; shard by time window past that and combine "
+    "(n, Sx, Sxx) -- they are sum-monoids). Types with < 2 days or "
+    "zero events are excluded (VMR undefined).",
 )
 def q286_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
@@ -18209,14 +18253,29 @@ def q286_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     ).filter((F.col("n") >= 2) & (F.col("sx") > 0))
+    # factor guards FIRST (the collocation_lift maxlong-div-factor
+    # pattern): sx*sx and n*sxx must provably fit BIGINT before the
+    # numerator guard reads their products, and (n-1)*sx (the ladder
+    # divisor) must leave room for the *1000 remainder limb -- a
+    # conjunct that is false short-circuits the assert to fail-loud,
+    # so a wrapped product can never vouch for itself
     guarded = agg.where(
         F.assert_true(
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            <= F.lit(9_200_000_000_000_000),
+            (F.col("sx") <= F.lit(3_000_000_000))
+            & (F.col("sxx") <= F.expr("9223372036854775807 div n"))
+            & (
+                F.col("sx")
+                <= F.expr("9200000000000000 div greatest(n - 1, 1)")
+            )
+            & (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                <= F.lit(9_200_000_000_000_000)
+            ),
             F.lit(
-                "q286: dispersion numerator exceeds the exact e6 ladder "
-                "budget -- shard the window and combine the (n, Sx, Sxx) "
-                "sum-monoids"
+                "q286: dispersion moments exceed the exact e6 ladder "
+                "budget [sx <= 3e9, sxx <= maxlong div n, (n-1)*sx <= "
+                "9.2e15, numerator <= 9.2e15] -- shard the window and "
+                "combine the (n, Sx, Sxx) sum-monoids"
             ),
         ).isNull()
     )
@@ -18364,14 +18423,17 @@ def q287_tail_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
                  AS b
       FROM dd d JOIN r
-        ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+        ON d.event_type IS NOT DISTINCT FROM r.event_type
+           AND d.rn = r.rn + 1),
     err AS (
       SELECT c.event_type,
              abs(c.v - (p.l + p.b)) AS holt_ae,
              abs(c.v - n.v) AS naive_ae
       FROM r c
-      JOIN r p ON c.event_type = p.event_type AND c.rn = p.rn + 1
-      JOIN r n ON c.event_type = n.event_type AND c.rn = n.rn + 7)
+      JOIN r p ON c.event_type IS NOT DISTINCT FROM p.event_type
+                  AND c.rn = p.rn + 1
+      JOIN r n ON c.event_type IS NOT DISTINCT FROM n.event_type
+                  AND c.day = n.day + 7)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(CAST(floor(holt_ae * 100) AS BIGINT)) // count(*)
@@ -18386,12 +18448,17 @@ def q287_tail_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM err GROUP BY event_type
     """,
     doc="holt_linear_by_key (q252/q257 bit-replay recursion) scored "
-    "against the rn-7 seasonal-naive baseline on the SAME days (both "
-    "predictions defined: days 8+ of each series). Absolute errors "
-    "floor to integer cents BEFORE summing (identical doubles -> "
-    "identical floors -> exact integer MAEs); skill = holt/naive in "
-    "floor permille, NULL when the naive error is zero. Scale: the "
-    "recursion and both self-joins ride the O(days) rollup.",
+    "against the CALENDAR day-7 seasonal-naive baseline (the value on "
+    "day - 7 exactly: a gap day shifts a row-lag off the weekly phase, "
+    "the lagged_autocorrelation pitfall -- so the baseline is a "
+    "day = day - 7 self-join, not lag(7)). Scored days are those with "
+    "BOTH predictions defined (rn >= 2 and an observation 7 calendar "
+    "days earlier). Absolute errors floor to integer cents BEFORE "
+    "summing (identical doubles -> identical floors -> exact integer "
+    "MAEs); skill = holt/naive in floor permille, NULL when the naive "
+    "error is zero. NULL event_type is a real stratum: the recursion "
+    "and joins advance null-safe on both engines (q143/km discipline). "
+    "Scale: the recursion and both self-joins ride the O(days) rollup.",
 )
 def q288_forecast_skill_benchmark(
     spark: SparkSession, sf_dir: str
@@ -18411,13 +18478,23 @@ def q288_forecast_skill_benchmark(
         daily, "event_type", "day", "v", alpha=0.5, beta=0.5
     )
     w = Window.partitionBy("event_type").orderBy("day")
-    err = sm.select(
+    cur = sm.select(
         "event_type",
+        "day",
         "v",
         (F.lag("level", 1).over(w) + F.lag("trend", 1).over(w)).alias(
             "__pred"
         ),
-        F.lag("v", 7).over(w).alias("__naive"),
+    )
+    nai = sm.select(
+        F.col("event_type").alias("__et"),
+        F.date_add("day", 7).alias("__nd"),
+        F.col("v").alias("__naive"),
+    )
+    err = cur.join(
+        nai,
+        F.col("event_type").eqNullSafe(F.col("__et"))
+        & (F.col("day") == F.col("__nd")),
     ).filter(F.col("__pred").isNotNull() & F.col("__naive").isNotNull())
     ae = err.select(
         "event_type",

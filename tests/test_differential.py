@@ -230,6 +230,19 @@ SUBSET = [
     # r8: floor-mean split lane + earliest-split tiebreak under
     # mutated/NULL-ts days
     "q229_event_level_change_point",
+    # r10: NULL event_type is a real daily SERIES in the corpus -- the
+    # per-key recursion oracles must advance the NULL group null-safe
+    # (an equality join silently drops it past rn=1)
+    "q143_daily_value_ewma",
+    "q252_holt_revenue_forecast",
+    # r10: calendar day-7 naive baseline must stay on phase across the
+    # corpus's planted 2-day gap (row-lag-7 slips), + the NULL stratum
+    "q288_forecast_skill_benchmark",
+    # r10: sources-UNION-targets state universe + NULL state replay in
+    # the absorption recursion
+    "q285_purchase_absorption",
+    # r10: factor-guarded dispersion budget over the NULL-type series
+    "q286_event_burstiness",
 ]
 
 # r7 VERDICT #8: the log-bucket lane stressed AT its guard boundary --

@@ -1,0 +1,116 @@
+"""Round-10 ADVICE regressions: data shapes no natural corpus exhibits.
+
+- q285: an ABSORBING 'purchase' (pure sink, no outgoing transitions)
+  must still be credited -- the state universe is sources UNION
+  targets, so p0 carries the purchase=1e6 seed even when purchase
+  never appears as a source.
+- q288: the seasonal-naive baseline is the CALENDAR day-7 value; a
+  gap day must not shift the baseline off the weekly phase the way a
+  row-lag-7 would.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+def test_q285_pure_sink_purchase_credited(spark, tmp_path):
+    """One user walks a -> b -> purchase; purchase has NO outgoing
+    transitions. Every state must reach purchase with probability 1e6
+    within 4 steps (a source-only state universe would report 0 for
+    everything and drop purchase from the output)."""
+    from bankcreditunion_datapipeline_spark.queries import (
+        q285_purchase_absorption,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, t0, 7, "a", 1.0, "{}"),
+            (2, t0 + datetime.timedelta(hours=1), 7, "b", 1.0, "{}"),
+            (3, t0 + datetime.timedelta(hours=2), 7, "purchase", 1.0, "{}"),
+        ],
+    )
+    rows = {
+        r["state"]: r
+        for r in q285_purchase_absorption(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"a", "b", "purchase"}
+    # purchase is target-only: present, pinned at 1e6, zero outgoing
+    assert rows["purchase"]["reach_purchase_e6"] == 1_000_000
+    assert rows["purchase"]["n_transitions"] == 0
+    # b -> purchase directly, a -> b -> purchase within 4 steps
+    assert rows["b"]["reach_purchase_e6"] == 1_000_000
+    assert rows["a"]["reach_purchase_e6"] == 1_000_000
+
+
+def test_q285_non_purchase_sink_reaches_zero(spark, tmp_path):
+    """A pure sink that is NOT the absorbing state (cs = 0, never a
+    source) must report reach 0 without tripping a divide-by-zero."""
+    from bankcreditunion_datapipeline_spark.queries import (
+        q285_purchase_absorption,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, t0, 7, "a", 1.0, "{}"),
+            (2, t0 + datetime.timedelta(hours=1), 7, "deadend", 1.0, "{}"),
+        ],
+    )
+    rows = {
+        r["state"]: r
+        for r in q285_purchase_absorption(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"a", "deadend"}
+    assert rows["deadend"]["n_transitions"] == 0
+    assert rows["deadend"]["reach_purchase_e6"] == 0
+    assert rows["a"]["reach_purchase_e6"] == 0
+
+
+def test_q288_calendar_naive_stays_on_phase_across_gap(spark, tmp_path):
+    """Days 1-5 and 8-14 observed (6-7 missing). The naive baseline for
+    day 14 must be day 7's value -- UNOBSERVED, so day 14 is NOT
+    scored; day 12 scores against day 5. A row-lag-7 would pair day 14
+    with day 5 (9 calendar days apart) and score it anyway."""
+    from bankcreditunion_datapipeline_spark.queries import (
+        q288_forecast_skill_benchmark,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    days = [1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 14]
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (i, base + datetime.timedelta(days=d - 1), 7, "view",
+             float(d) / 4.0, "{}")
+            for i, d in enumerate(days, 1)
+        ],
+    )
+    out = q288_forecast_skill_benchmark(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    # calendar pairs with BOTH day-7 observed and a prior Holt state:
+    # 8->1, 9->2, 10->3, 11->4, 12->5 (14->7 unobserved, dropped)
+    assert row["n_days"] == 5
+    # values are d/4 (exact quarters): naive abs error is always
+    # 7/4 = 1.75 -> 175 cents exactly
+    assert row["naive_mae_cents"] == 175

@@ -409,6 +409,48 @@ def test_cluster_safe_split_rate_validation(spark):
         )
 
 
+def test_cluster_safe_split_exact_decimal_boundary(spark):
+    """The cut point is floor of the DECIMAL rate times buckets: at
+    rate 0.57 / buckets 10000 the float product is 5699.999... and a
+    float floor shifts the boundary down one bucket. Every assignment
+    must match a brute-force Python recompute that floors the exact
+    decimal (Fraction('0.57') * 10000 = 5700)."""
+    import hashlib
+    from fractions import Fraction
+
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    buckets = 10000
+    # 6526 and 9316 hash to bucket 5699 under seed split0 -- the exact
+    # bucket a float cut (5699) excludes and the decimal cut (5700)
+    # keeps in train
+    ids = list(range(2000)) + [6526, 9316]
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in ids], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["id"]: r["split"]
+        for r in cluster_safe_split(
+            docs, pairs, "doc_id",
+            splits=(("train", 0.57),), rest="test", buckets=buckets,
+        ).collect()
+    }
+    cut = int(Fraction("0.57") * buckets)
+    assert cut == 5700  # int(0.57 * 10000) would be 5699
+    hit_boundary = 0
+    for i in ids:
+        b = int(
+            hashlib.md5(f"{i}:split0".encode()).hexdigest()[:4], 16
+        ) % buckets
+        assert got[i] == ("train" if b < cut else "test"), (i, b)
+        if b == cut - 1:
+            hit_boundary += 1  # a doc in the float-vs-exact gap bucket
+    assert hit_boundary >= 2
+
+
 # -- water_filling_caps --------------------------------------------------------
 
 

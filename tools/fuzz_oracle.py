@@ -260,6 +260,16 @@ def build_adversarial(src_dir: str, out_dir: str, extreme: bool = False) -> None
             event(7, None, "view", 1.0, "{}"),                     # NULL ts
             event(8, "2024-06-04 12:00:00", None, 1.0, "{}"),      # NULL type
             event(9, "2024-06-05 12:00:00", "view", 1.0, "{}", user=0),  # NULL user
+        ]
+        # NULL event_type as a real daily SERIES (10 distinct valued
+        # days with a 2-day calendar gap): the q143/q252/q257/q288
+        # NULL-stratum recursions must REPLAY (an equality join drops
+        # the NULL group past rn=1), and q288's calendar day-7 naive
+        # must stay on phase across the gap (row-lag-7 would slip)
+        + [
+            event(9 + i, f"2024-07-{d:02d} 09:00:00", None,
+                  float(7 * i + 1) / 4.0, "{}")
+            for i, d in enumerate([1, 2, 3, 4, 5, 8, 9, 10, 11, 12], 1)
         ],
     )
 
