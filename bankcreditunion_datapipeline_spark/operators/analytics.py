@@ -496,8 +496,12 @@ def theil_sen_slope_e6(
     )
     a = gated.select(F.col(x_col).alias("__xa"), F.col(y_col).alias("__ya"))
     b = gated.select(F.col(x_col).alias("__xb"), F.col(y_col).alias("__yb"))
+    # the right side is O(points) by contract (budget-gated above);
+    # broadcast it EXPLICITLY -- without the hint the planner's choice
+    # between BroadcastNestedLoopJoin and CartesianProduct swings on
+    # size estimates (observed flipping on q287 when stats were stale)
     pairs = (
-        a.join(b, F.col("__xa") < F.col("__xb"))
+        a.join(F.broadcast(b), F.col("__xa") < F.col("__xb"))
         .select(
             F.expr("((__yb - __ya) * 1000000) div (__xb - __xa)").alias(
                 "slope_e6"
@@ -1150,4 +1154,157 @@ def score_decile_calibration(
             "+ ((n_pos * __nt) % (n_subjects * __p) * 1000) "
             "div (n_subjects * __p) AS BIGINT)"
         ).alias("lift_permille"),
+    )
+
+
+def burstiness_vmr_e6(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of integer counts
+    per key, exact e6: VMR = (n*Sxx - Sx^2) * 1e6 div ((n-1) * Sx)
+    over the per-period count column ``x_col``.  A Poisson-ish steady
+    arrival sits near 1e6; VMR >> 1e6 is burst arrival (campaigns,
+    incidents, retry storms) -- the dispersion context a level-shift
+    detector (CUSUM) does not measure.
+
+    All moments are integer sum-monoids (n, Sx, Sxx), so partials from
+    any shard/batch split merge exactly -- this is the extractor for
+    the streaming monitor as well as the q286 batch query.  The e6
+    division rides the x1000 two-limb ladder (DuckDB HUGEINT-promotes,
+    same exact floor).  Fail-loud budget at the FACTOR level, checked
+    BEFORE any product is trusted (a silently wrapped BIGINT must
+    never vouch for itself): Sx <= 3e9 (Sx^2 fits), Sxx <= maxlong
+    div n (n*Sxx fits), (n-1)*Sx <= 9.2e15 (remainder-limb room),
+    then the numerator <= 9.2e15.  Keys with < 2 periods or zero
+    total are excluded (VMR undefined).
+
+    Ref behavior parity: the reference's monitoring rollups are plain
+    grouped count aggregates (goldLayer/BuildGoldLayer.py:92-139's
+    per-status counting loop); the dispersion index is the scale-path
+    addition on top of that rollup shape.
+    """
+    keys = list(key_cols)
+    agg = (
+        daily.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x_col).cast("long").alias("sx"),
+            F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("sxx"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("sx") > 0))
+    )
+    guarded = agg.where(
+        F.assert_true(
+            (F.col("sx") <= F.lit(3_000_000_000))
+            & (F.col("sxx") <= F.expr("9223372036854775807 div n"))
+            & (
+                F.col("sx")
+                <= F.expr("9200000000000000 div greatest(n - 1, 1)")
+            )
+            & (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                <= F.lit(9_200_000_000_000_000)
+            ),
+            F.lit(
+                "burstiness_vmr_e6: dispersion moments exceed the exact "
+                "e6 ladder budget [sx <= 3e9, sxx <= maxlong div n, "
+                "(n-1)*sx <= 9.2e15, numerator <= 9.2e15] -- shard the "
+                "window and combine the (n, Sx, Sxx) sum-monoids"
+            ),
+        ).isNull()
+    )
+    return guarded.select(
+        *keys,
+        F.col("n").alias("n_periods"),
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "CAST((n * sxx - sx * sx) * 1000 div ((n - 1) * sx) * 1000 "
+            "+ ((n * sxx - sx * sx) * 1000 % ((n - 1) * sx) * 1000) "
+            "div ((n - 1) * sx) AS BIGINT)"
+        ).alias("vmr_e6"),
+    )
+
+
+def cross_correlation_e6(
+    x: DataFrame,
+    y: DataFrame,
+    lags: Sequence[int],
+    day_col: str = "day",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Pearson cross-correlation of two integer daily series at a set
+    of CALENDAR lags, e6-floored: for each lag L, pair x(day) with
+    y(day + L) by exact date arithmetic (a row-lag slips off phase at
+    any gap day -- the lagged_autocorrelation discipline), then
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    over the paired days.  argmax over lags answers "which series
+    LEADS" (positive best lag = x leads y by L days) -- the
+    cause-hunting measurement an autocorrelation cannot make.
+
+    Exactness lane: all sums are BIGINT sum-monoids with factor-level
+    overflow guards (|values| <= 3e9 per series so the squared sums
+    fit; n*S products guarded via maxlong div n BEFORE being read).
+    The final division is the sanctioned integer-derived-double lane:
+    num, d1, d2 are exact integers < 2^63 cast to double, and
+    sqrt(d1)*sqrt(d2) is the SAME two exactly-rounded IEEE ops on both
+    engines (d1*d2 could overflow BIGINT; the double product cannot),
+    so floor(num*1e6 / .) is engine-identical.  Lags with a degenerate
+    side (zero variance or < 2 paired days) are excluded.
+
+    Scale: the lag spine is an O(|lags|) broadcast; everything rides
+    the O(days) series summaries, never the event corpus.
+    """
+    spark = x.sparkSession
+    lag_df = spark.createDataFrame(
+        [(int(lv),) for lv in lags], "lag long"
+    )
+    xs = x.select(
+        F.col(day_col).alias("__dx"), F.col(x_col).cast("long").alias("__x")
+    ).crossJoin(F.broadcast(lag_df))
+    ys = y.select(
+        F.col(day_col).alias("__dy"), F.col(y_col).cast("long").alias("__y")
+    )
+    paired = xs.join(
+        ys, F.col("__dy") == F.date_add(F.col("__dx"), F.col("lag").cast("int"))
+    )
+    agg = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("syy"),
+    ).filter(F.col("n") >= 2)
+    guarded = agg.where(
+        F.assert_true(
+            (F.abs(F.col("sx")) <= F.lit(3_000_000_000))
+            & (F.abs(F.col("sy")) <= F.lit(3_000_000_000))
+            & (F.col("sxx") <= F.expr("9223372036854775807 div n"))
+            & (F.col("syy") <= F.expr("9223372036854775807 div n"))
+            & (F.abs(F.col("sxy")) <= F.expr("9223372036854775807 div n")),
+            F.lit(
+                "cross_correlation_e6: series moments exceed the exact "
+                "lane [|Sx|,|Sy| <= 3e9; Sxx,Syy,|Sxy| <= maxlong div n] "
+                "-- coarsen the series units first (the gini_e6 "
+                "coarsening discipline)"
+            ),
+        ).isNull()
+    )
+    return (
+        guarded.withColumn("__num", F.expr("n * sxy - sx * sy"))
+        .withColumn("__d1", F.expr("n * sxx - sx * sx"))
+        .withColumn("__d2", F.expr("n * syy - sy * sy"))
+        .filter((F.col("__d1") > 0) & (F.col("__d2") > 0))
+        .select(
+            "lag",
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CAST(floor(CAST(__num AS DOUBLE) * 1000000.0 / "
+                "(sqrt(CAST(__d1 AS DOUBLE)) * sqrt(CAST(__d2 AS DOUBLE)))"
+                ") AS BIGINT)"
+            ).alias("corr_e6"),
+        )
     )

@@ -399,3 +399,62 @@ def column_value_overlap(
             ),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns:
+    the privacy gate a pipeline runs BEFORE publishing a "de-identified"
+    extract.  Every row whose quasi-identifier combination is shared by
+    fewer than ``k`` rows is re-identifiable by that combination; a
+    cell where every row carries the same sensitive value leaks it even
+    at k (hence l-diversity).
+
+    Returns ONE summary row:
+      n_rows, n_cells (distinct QI combinations; NULL QI values form
+      their own cell -- groupBy is null-safe on both engines),
+      k_min (smallest cell), cells_below_k, rows_below_k,
+      rows_below_k_permille (floor), l_min (the minimum per-cell count
+      of DISTINCT non-NULL sensitive values -- 0 when a cell's
+      sensitive column is all NULL), k_threshold (echo of ``k``).
+
+    Publish gate: rows_below_k_permille == 0 AND l_min >= 2 is the
+    conventional bar; anything else routes to suppression/coarsening.
+
+    Scale: one hash aggregate over the QI grain, one single-row
+    finisher -- no row survives to the output, so the audit itself
+    leaks nothing.  All counts BIGINT; division is the floor `div`
+    lane.
+    """
+    assert k >= 1
+    cells = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct(sensitive_col).cast("long").alias("__l"),
+    )
+    return cells.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("__n").cast("long").alias("k_min"),
+        F.sum((F.col("__n") < k).cast("long")).cast("long").alias(
+            "cells_below_k"
+        ),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k"),
+        F.min("__l").cast("long").alias("l_min"),
+    ).select(
+        "n_rows",
+        "n_cells",
+        "k_min",
+        "cells_below_k",
+        "rows_below_k",
+        F.expr("CAST(rows_below_k * 1000 div n_rows AS BIGINT)").alias(
+            "rows_below_k_permille"
+        ),
+        "l_min",
+        F.lit(int(k)).cast("long").alias("k_threshold"),
+    )

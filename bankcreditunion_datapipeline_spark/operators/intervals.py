@@ -136,3 +136,135 @@ def merge_intervals(
         )
         .drop("__isl")
     )
+
+
+def interval_integrity(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Per-key integrity profile of a set of CLOSED integer intervals
+    [start, end] (epoch days, versions, sequence numbers): the audit a
+    warehouse runs over validity windows and fulfillment spans before
+    trusting them downstream.
+
+    Returns one row per key:
+      n_intervals, n_islands (merge_intervals semantics: touching
+      endpoints merge, a strictly greater start opens a new island),
+      n_gaps = n_islands - 1, span_units = max(end) - min(start) + 1,
+      covered_units = sum of island lengths, gap_units = span -
+      covered, coverage_permille = covered * 1000 div span, and
+      max_concurrency = the maximum number of intervals simultaneously
+      open at any unit (the +1/-1 sweep over half-open [start, end+1)
+      event points; per-point deltas are SUMMED before the running
+      total reads them, so tie order cannot matter).
+
+    Overlap pathology reads as max_concurrency > 1; gap pathology as
+    n_gaps > 0 / coverage_permille < 1000.  Rows with NULL bounds are
+    excluded (no interval to audit); end < start fails loud -- a
+    negative-length interval is a data bug, not a stratum.
+
+    Scale: one partitioning by key carries the island windows (the
+    merge_intervals sweep); the concurrency pass rides the O(2n) point
+    table grouped per (key, point) -- both scale with the widest
+    single key, never the table.  All arithmetic is BIGINT; division
+    is the floor `div` lane.
+    """
+    from pyspark.sql.window import Window
+
+    # the fail-loud guard is a PROJECTION (when/otherwise raise_error,
+    # the gini_e6 shape), not a filter conjunct: a where(assert_true)
+    # can be merged with the caller's own domain filter and evaluated
+    # on rows that filter would have dropped (Catalyst filter
+    # combination -- observed on q291's ship >= orderdate domain)
+    base = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.col(start_col).cast("long").alias("__s"),
+        F.when(
+            F.col(end_col).cast("long") >= F.col(start_col).cast("long"),
+            F.col(end_col).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "interval_integrity: end < start -- negative-length "
+                    "interval is a data bug, not a stratum"
+                )
+            )
+        )
+        .alias("__e"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__s", "__e")
+    prev_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "__new",
+        F.when(
+            prev_end.isNull() | (F.col("__s") > prev_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(*key_cols, "__isl").agg(
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    per_key = islands.groupBy(*key_cols).agg(
+        F.sum("__n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.min("__is").cast("long").alias("__mn"),
+        F.max("__ie").cast("long").alias("__mx"),
+        F.sum(F.col("__ie") - F.col("__is") + 1).cast("long").alias(
+            "covered_units"
+        ),
+    )
+    pts = base.select(
+        *key_cols, F.col("__s").alias("__p"), F.lit(1).alias("__d")
+    ).unionByName(
+        base.select(
+            *key_cols,
+            (F.col("__e") + 1).alias("__p"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    net = pts.groupBy(*key_cols, "__p").agg(F.sum("__d").alias("__nd"))
+    wp = Window.partitionBy(*key_cols).orderBy("__p")
+    conc = (
+        net.withColumn(
+            "__open",
+            F.sum("__nd").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(*key_cols)
+        .agg(F.max("__open").cast("long").alias("max_concurrency"))
+    )
+    join_cond = None
+    conc2 = conc
+    for k in key_cols:
+        conc2 = conc2.withColumnRenamed(k, f"__c_{k}")
+        c = F.col(k).eqNullSafe(F.col(f"__c_{k}"))
+        join_cond = c if join_cond is None else (join_cond & c)
+    return (
+        per_key.join(conc2, join_cond)
+        .select(
+            *key_cols,
+            "n_intervals",
+            "n_islands",
+            (F.col("n_islands") - 1).cast("long").alias("n_gaps"),
+            (F.col("__mx") - F.col("__mn") + 1).cast("long").alias(
+                "span_units"
+            ),
+            "covered_units",
+            (F.col("__mx") - F.col("__mn") + 1 - F.col("covered_units"))
+            .cast("long")
+            .alias("gap_units"),
+            F.expr(
+                "CAST(covered_units * 1000 div (__mx - __mn + 1) "
+                "AS BIGINT)"
+            ).alias("coverage_permille"),
+            "max_concurrency",
+        )
+    )

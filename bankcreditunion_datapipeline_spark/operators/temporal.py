@@ -767,3 +767,83 @@ def holt_linear_by_key(
         return pdf[[key_col, order_col, value_col, out_level, out_trend]]
 
     return df.groupBy(key_col).applyInPandas(smooth, out_schema)
+
+
+def forward_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    out_filled: str = "v_filled",
+    out_observed: str = "observed",
+    out_staleness: str = "staleness_days",
+) -> DataFrame:
+    """Gap-free daily spine per key with last-observation-carried-forward
+    and a staleness age: the series-repair step every forecasting /
+    monitoring consumer needs BEFORE a calendar-lag join or a
+    day-indexed window can be trusted (fill_period_gaps scaffolds
+    missing periods with NULL measures; this operator says what the
+    value WAS and how stale it is).
+
+    Per key: a dense date spine from that key's min observed day to its
+    max (sequence + explode: no cross join against a global calendar,
+    so a key active for a week costs 7 rows no matter how old the
+    corpus); left-join the observations back (null-safe on the key --
+    a NULL key is a real stratum); then one ordered window carries the
+    last non-NULL value forward.  Emits one row per (key, spine day):
+      value_col     -- the observation (NULL on filled days),
+      out_filled    -- last non-NULL value at-or-before the day,
+      out_observed  -- 1 when the day has a non-NULL observation,
+      out_staleness -- days since the last observation (0 on observed
+                       days; NULL before the first observation, which
+                       can only happen when the key's earliest spine
+                       days hold NULL observations).
+
+    A present-but-NULL measurement counts as UNOBSERVED (the fill
+    carries across it) -- the same contract as the Holt/EWMA recursion
+    inputs.  Doubles are COPIED, never recomputed, so the filled lane
+    is exactly as engine-stable as its source.
+
+    Scale: the spine is O(sum over keys of span days) -- the series
+    summary, never the event corpus; one shuffle on the key carries
+    the window.
+    """
+    from pyspark.sql.window import Window
+
+    span = df.groupBy(key_col).agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    spine = span.select(
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence("__d0", "__d1")).alias("__day"),
+    )
+    obs = df.select(
+        F.col(key_col).alias("__ok"),
+        F.col(day_col).alias("__oday"),
+        F.col(value_col).alias("__v"),
+    )
+    j = spine.join(
+        obs,
+        F.col("__k").eqNullSafe(F.col("__ok"))
+        & (F.col("__day") == F.col("__oday")),
+        "left",
+    )
+    w = Window.partitionBy("__k").orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__day").alias(day_col),
+        F.col("__v").alias(value_col),
+        F.last("__v", ignorenulls=True).over(w).alias(out_filled),
+        F.col("__v").isNotNull().cast("long").alias(out_observed),
+        F.datediff(
+            F.col("__day"),
+            F.last(
+                F.when(F.col("__v").isNotNull(), F.col("__day")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .cast("long")
+        .alias(out_staleness),
+    )

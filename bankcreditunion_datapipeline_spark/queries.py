@@ -18243,51 +18243,18 @@ def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero events are excluded (VMR undefined).",
 )
 def q286_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import burstiness_vmr_e6
+
     ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    agg = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-    ).filter((F.col("n") >= 2) & (F.col("sx") > 0))
-    # factor guards FIRST (the collocation_lift maxlong-div-factor
-    # pattern): sx*sx and n*sxx must provably fit BIGINT before the
-    # numerator guard reads their products, and (n-1)*sx (the ladder
-    # divisor) must leave room for the *1000 remainder limb -- a
-    # conjunct that is false short-circuits the assert to fail-loud,
-    # so a wrapped product can never vouch for itself
-    guarded = agg.where(
-        F.assert_true(
-            (F.col("sx") <= F.lit(3_000_000_000))
-            & (F.col("sxx") <= F.expr("9223372036854775807 div n"))
-            & (
-                F.col("sx")
-                <= F.expr("9200000000000000 div greatest(n - 1, 1)")
-            )
-            & (
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                <= F.lit(9_200_000_000_000_000)
-            ),
-            F.lit(
-                "q286: dispersion moments exceed the exact e6 ladder "
-                "budget [sx <= 3e9, sxx <= maxlong div n, (n-1)*sx <= "
-                "9.2e15, numerator <= 9.2e15] -- shard the window and "
-                "combine the (n, Sx, Sxx) sum-monoids"
-            ),
-        ).isNull()
-    )
-    return guarded.select(
+    return burstiness_vmr_e6(daily, ["event_type"], "x").select(
         "event_type",
-        F.col("n").alias("n_days"),
-        F.col("sx").alias("n_events"),
-        F.expr(
-            "CAST((n * sxx - sx * sx) * 1000 div ((n - 1) * sx) * 1000 "
-            "+ ((n * sxx - sx * sx) * 1000 % ((n - 1) * sx) * 1000) "
-            "div ((n - 1) * sx) AS BIGINT)"
-        ).alias("vmr_e6"),
+        F.col("n_periods").alias("n_days"),
+        "n_events",
+        "vmr_e6",
     )
 
 
@@ -18517,4 +18484,621 @@ def q288_forecast_skill_benchmark(
             "CAST(CASE WHEN sum(__na) = 0 THEN NULL "
             "ELSE sum(__ha) * 1000 div sum(__na) END AS BIGINT)"
         ).alias("skill_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled daily revenue (r10): the forward-fill spine the forecast
+# lane consumes -- last observation carried forward per event type with
+# a staleness age, so a calendar-lag join (q233/q288) or a day-indexed
+# window never silently reads a hole as a drop to zero.
+# ---------------------------------------------------------------------------
+@register(
+    "q289_gap_filled_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    span AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM span),
+    j AS (
+      SELECT s.event_type, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type IS NOT DISTINCT FROM s.event_type
+        AND d.day = s.day),
+    f AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day) AS v_filled,
+             last_value(CASE WHEN v IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day) AS lod
+      FROM j)
+    SELECT event_type, day, v, v_filled,
+           CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS observed,
+           CAST(day - lod AS BIGINT) AS staleness_days
+    FROM f
+    """,
+    doc="forward_fill_daily (operators/temporal.py): per-key dense date "
+    "spine (sequence/generate_series from each key's min to max day -- "
+    "O(span) per key, no global calendar cross join), null-safe left "
+    "join back, one ordered window carries the last non-NULL value and "
+    "its day forward. Doubles are COPIED, never recomputed, so the "
+    "filled lane is exactly as engine-stable as the round(sum,2) daily "
+    "rollup feeding it; a present-but-all-NULL day counts as "
+    "UNOBSERVED (the Holt/EWMA input contract). NULL event_type is a "
+    "real stratum (null-safe spine join). staleness_days = 0 on "
+    "observed days, NULL before a key's first observation.",
+)
+def q289_gap_filled_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.temporal import forward_fill_daily
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    return forward_fill_daily(daily, "event_type", "day", "v").select(
+        "event_type", "day", "v", "v_filled", "observed", "staleness_days"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (r10): the privacy gate before
+# publishing a "de-identified" extract -- how many rows are
+# re-identifiable by their quasi-identifier combination, and does any
+# cell leak its sensitive value by uniformity.
+# ---------------------------------------------------------------------------
+_Q290_K = 5
+
+
+@register(
+    "q290_customer_k_anonymity",
+    f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+             count(*) AS n,
+             count(DISTINCT c_acctbal) AS l
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(n) AS BIGINT) AS k_min,
+           CAST(sum(CASE WHEN n < {_Q290_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_below_k,
+           CAST(sum(CASE WHEN n < {_Q290_K} THEN n ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           CAST(sum(CASE WHEN n < {_Q290_K} THEN n ELSE 0 END) * 1000
+                // sum(n) AS BIGINT) AS rows_below_k_permille,
+           CAST(min(l) AS BIGINT) AS l_min,
+           CAST({_Q290_K} AS BIGINT) AS k_threshold
+    FROM cells
+    """,
+    doc="k_anonymity_audit (operators/expectations.py): quasi-identifiers "
+    "(nation, market segment, $1000 account-balance band -- the band on "
+    "the integer-cents lane, round(bal*100) div 100000, exact on both "
+    "engines incl. negative balances per the settled div parity), "
+    "sensitive column = the exact balance. One hash aggregate at the QI "
+    "grain, one single-row finisher: k_min, cells/rows below k=5, floor "
+    "permille, l_min = min per-cell count of DISTINCT non-NULL "
+    "sensitive values (an all-NULL cell scores l=0 on both engines). "
+    "NULL QI values form their own cell (null-safe groupBy). Scale: "
+    "nothing but the summary row leaves the aggregate.",
+)
+def q290_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import k_anonymity_audit
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "band",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+    )
+    return k_anonymity_audit(
+        cust,
+        ["c_nationkey", "c_mktsegment", "band"],
+        "c_acctbal",
+        k=_Q290_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-fulfillment interval integrity (r10): each order's open window
+# [orderdate, last shipdate] per customer -- overlap pathology
+# (max_concurrency > 1 = customers juggling concurrent open orders),
+# gap structure, and span coverage, the audit a warehouse runs over
+# validity/fulfillment windows before trusting them downstream.
+# ---------------------------------------------------------------------------
+@register(
+    "q291_fulfillment_interval_integrity",
+    """
+    WITH li AS (
+      SELECT l_orderkey, max(l_shipdate) AS ship
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY l_orderkey),
+    iv AS (
+      SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+             CAST(ship AS DATE) - DATE '1970-01-01' AS e
+      FROM orders JOIN li ON li.l_orderkey = o_orderkey
+      WHERE o_orderdate IS NOT NULL
+        AND CAST(ship AS DATE) >= CAST(o_orderdate AS DATE)),
+    fl AS (
+      SELECT custkey, s, e,
+             CASE WHEN max(e) OVER w1 IS NULL OR s > max(e) OVER w1
+                  THEN 1 ELSE 0 END AS nw
+      FROM iv
+      WINDOW w1 AS (PARTITION BY custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (
+      SELECT custkey, s, e,
+             sum(nw) OVER (PARTITION BY custkey ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS iid
+      FROM fl),
+    ia AS (
+      SELECT custkey, iid, min(s) AS i0, max(e) AS i1, count(*) AS n
+      FROM isl GROUP BY custkey, iid),
+    pk AS (
+      SELECT custkey,
+             sum(n) AS n_intervals,
+             count(*) AS n_islands,
+             min(i0) AS mn, max(i1) AS mx,
+             sum(i1 - i0 + 1) AS covered
+      FROM ia GROUP BY custkey),
+    pts AS (
+      SELECT custkey, s AS p, 1 AS d FROM iv
+      UNION ALL
+      SELECT custkey, e + 1 AS p, -1 AS d FROM iv),
+    net AS (
+      SELECT custkey, p, sum(d) AS nd FROM pts GROUP BY custkey, p),
+    run AS (
+      SELECT custkey,
+             sum(nd) OVER (PARTITION BY custkey ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS opn
+      FROM net),
+    conc AS (SELECT custkey, max(opn) AS mc FROM run GROUP BY custkey)
+    SELECT pk.custkey,
+           CAST(n_intervals AS BIGINT) AS n_intervals,
+           CAST(n_islands AS BIGINT) AS n_islands,
+           CAST(n_islands - 1 AS BIGINT) AS n_gaps,
+           CAST(mx - mn + 1 AS BIGINT) AS span_units,
+           CAST(covered AS BIGINT) AS covered_units,
+           CAST(mx - mn + 1 - covered AS BIGINT) AS gap_units,
+           CAST(covered * 1000 // (mx - mn + 1) AS BIGINT)
+               AS coverage_permille,
+           CAST(c.mc AS BIGINT) AS max_concurrency
+    FROM pk JOIN conc c ON c.custkey = pk.custkey
+    """,
+    doc="interval_integrity (operators/intervals.py) over per-order "
+    "fulfillment windows [orderdate, max shipdate] in epoch days: the "
+    "merge_intervals island sweep (touching endpoints merge, strictly "
+    "greater start opens an island) + a +1/-1 concurrency sweep over "
+    "half-open [s, e+1) points with per-point deltas SUMMED before the "
+    "running total reads them (tie-order independent by construction; "
+    "island MEMBERSHIP is also tie-independent -- a tied start can "
+    "never open a second island). Domain ship >= orderdate is declared "
+    "in the query (a reversed interval is a data bug the operator "
+    "fails loud on). Scale: both sweeps ride windows partitioned by "
+    "customer -- the widest single key bounds the cost, never the "
+    "table; no self-join anywhere.",
+)
+def q291_fulfillment_interval_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.intervals import interval_integrity
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship"))
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("ship") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).alias("s"),
+            F.datediff(F.col("ship"), F.lit("1970-01-01")).alias("e"),
+        )
+    )
+    return interval_integrity(iv, ["custkey"], "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# View -> purchase cross-correlation lead/lag (r10): Pearson
+# correlation of the two daily count series at calendar lags -3..+3 --
+# "which series LEADS, and by how many days", the cause-hunting
+# measurement q233's autocorrelation cannot make.
+# ---------------------------------------------------------------------------
+_Q292_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@register(
+    "q292_view_purchase_lead_lag",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+      FROM events WHERE ts IS NOT NULL),
+    x AS (SELECT day, count(*) AS x FROM d
+          WHERE event_type = 'view' GROUP BY day),
+    y AS (SELECT day, count(*) AS y FROM d
+          WHERE event_type = 'purchase' GROUP BY day),
+    lags(lag) AS (VALUES {", ".join(f"({lv})" for lv in _Q292_LAGS)}),
+    p AS (
+      SELECT l.lag, x.x, y.y
+      FROM lags l CROSS JOIN x JOIN y ON y.day = x.day + l.lag),
+    a AS (
+      SELECT lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0 /
+                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+               AS corr_e6
+    FROM a
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="cross_correlation_e6 (operators/analytics.py): pair x(day) "
+    "with y(day + L) by exact CALENDAR arithmetic per lag (a row-lag "
+    "slips off phase at gap days -- the lagged_autocorrelation "
+    "discipline), fold integer moments (BIGINT sum-monoids, factor-"
+    "guarded), then the sanctioned integer-derived-double finisher: "
+    "floor(num * 1e6 / (sqrt(d1) * sqrt(d2))) -- sqrt each denominator "
+    "factor separately (d1*d2 could overflow BIGINT; the double "
+    "product cannot) with the identical IEEE op sequence on both "
+    "engines. Positive best lag = views lead purchases by L days. "
+    "Degenerate lags (zero variance, < 2 paired days) are excluded. "
+    "Scale: the lag spine is a 7-row broadcast; everything rides the "
+    "O(days) series summaries.",
+)
+def q292_view_purchase_lead_lag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import cross_correlation_e6
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    x = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("c").alias("x")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("c").alias("y")
+    )
+    return cross_correlation_e6(x, y, _Q292_LAGS)
+
+
+# ---------------------------------------------------------------------------
+# Ship-latency SLA quantiles (r10): order-to-ship latency in days per
+# priority -- exact p50/p90/p99 plus the share of line items beyond a
+# 90-day SLA, the fulfillment dashboard the priority column exists for.
+# ---------------------------------------------------------------------------
+_Q293_PROBS = (500, 900, 990)
+_Q293_SLA_DAYS = 90
+
+
+@register(
+    "q293_ship_latency_sla",
+    f"""
+    WITH base AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                 AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+        AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)),
+    dv AS (SELECT priority, lat, count(*) AS w
+           FROM base GROUP BY priority, lat),
+    cum AS (
+      SELECT priority, lat,
+             sum(w) OVER (PARTITION BY priority ORDER BY lat) AS c,
+             sum(w) OVER (PARTITION BY priority) AS tw
+      FROM dv),
+    sla AS (
+      SELECT priority,
+             count(*) AS n,
+             sum(CASE WHEN lat > {_Q293_SLA_DAYS} THEN 1 ELSE 0 END)
+                 AS over
+      FROM base GROUP BY priority),
+    p(p_permille) AS (VALUES {", ".join(f"({x})" for x in _Q293_PROBS)}),
+    q AS (
+      SELECT priority, p.p_permille, min(lat) AS quantile_days
+      FROM p JOIN cum ON c >= (p.p_permille * tw + 999) // 1000
+      GROUP BY priority, p.p_permille)
+    SELECT q.priority,
+           CAST(q.p_permille AS BIGINT) AS p_permille,
+           CAST(q.quantile_days AS BIGINT) AS quantile_days,
+           CAST(sla.n AS BIGINT) AS n_lines,
+           CAST(sla.over * 1000 // sla.n AS BIGINT)
+               AS over_sla_permille
+    FROM q JOIN sla ON sla.priority = q.priority
+    """,
+    doc="weighted_quantiles_exact (operators/sketches.py, weight 1) over "
+    "integer latency days (shipdate - orderdate) grouped by priority, "
+    "joined to the per-priority SLA exceedance share (> 90 days, floor "
+    "permille). Domain shipdate >= orderdate declared in the query on "
+    "both engines (a negative latency is a data bug, not a stratum). "
+    "Scale: the big join shuffles once on orderkey; the quantile "
+    "windows ride the O(distinct latencies x priorities) summary -- "
+    "latency is bounded (~121 days in TPC-H-shaped data), so the "
+    "summary is tiny at any corpus size.",
+)
+def q293_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import weighted_quantiles_exact
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate").cast("date")
+            >= F.col("o_orderdate").cast("date")
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).cast("long").alias("lat"),
+            F.lit(1).cast("long").alias("one"),
+        )
+        .persist()
+    )
+    q = weighted_quantiles_exact(
+        base, "lat", "one", list(_Q293_PROBS), group_cols=("priority",)
+    ).select(
+        "priority", "p_permille", F.col("quantile").alias("quantile_days")
+    )
+    sla = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            (F.col("lat") > _Q293_SLA_DAYS).cast("long")
+        ).alias("__over"),
+    ).select(
+        F.col("priority").alias("__sp"),
+        "n_lines",
+        F.expr("CAST(__over * 1000 div n_lines AS BIGINT)").alias(
+            "over_sla_permille"
+        ),
+    )
+    return q.join(
+        F.broadcast(sla), F.col("priority") == F.col("__sp")
+    ).select(
+        "priority", "p_permille", "quantile_days", "n_lines",
+        "over_sla_permille",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox stratification audit (r10): does the POOLED
+# comparison of two market segments' order-failure rates reverse once
+# stratified by nation?  The aggregation-bias gate before any pooled
+# rate lands on a dashboard -- exact integer cross-multiplication, no
+# rate division anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q294_segment_rate_paradox_audit",
+    """
+    WITH base AS (
+      SELECT c.c_nationkey AS nation, c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IS NOT NULL AND c.c_nationkey IS NOT NULL),
+    cell AS (
+      SELECT nation, seg, count(*) AS n, sum(f) AS fc
+      FROM base GROUP BY nation, seg),
+    seg AS (
+      SELECT seg, sum(n) AS n, sum(fc) AS fc FROM cell GROUP BY seg),
+    pairs AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             CASE WHEN a.fc * b.n > b.fc * a.n THEN 1
+                  WHEN a.fc * b.n < b.fc * a.n THEN -1
+                  ELSE 0 END AS pooled_cmp
+      FROM seg a JOIN seg b ON a.seg < b.seg),
+    strata AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             count(*) AS n_strata,
+             sum(CASE WHEN a.fc * b.n > b.fc * a.n THEN 1 ELSE 0 END)
+                 AS a_wins,
+             sum(CASE WHEN a.fc * b.n < b.fc * a.n THEN 1 ELSE 0 END)
+                 AS b_wins
+      FROM cell a JOIN cell b
+        ON a.nation = b.nation AND a.seg < b.seg
+      GROUP BY a.seg, b.seg)
+    SELECT p.seg_a, p.seg_b,
+           CAST(p.pooled_cmp AS BIGINT) AS pooled_cmp,
+           CAST(s.n_strata AS BIGINT) AS n_strata,
+           CAST(s.a_wins AS BIGINT) AS a_wins,
+           CAST(s.b_wins AS BIGINT) AS b_wins,
+           CAST(s.n_strata - s.a_wins - s.b_wins AS BIGINT) AS ties,
+           CAST(CASE WHEN (p.pooled_cmp = 1 AND s.b_wins > s.a_wins)
+                       OR (p.pooled_cmp = -1 AND s.a_wins > s.b_wins)
+                THEN 1 ELSE 0 END AS BIGINT) AS simpson_flip
+    FROM pairs p JOIN strata s
+      ON s.seg_a = p.seg_a AND s.seg_b = p.seg_b
+    """,
+    doc="exact integer Simpson detector: per segment pair, the pooled "
+    "failure-rate comparison (f_a * n_b vs f_b * n_a -- cross-multiply, "
+    "never divide) against the per-nation stratum comparisons; "
+    "simpson_flip = the pooled sign opposes the stratum majority. "
+    "Strata = nations where BOTH segments have orders (inner join); "
+    "NULL nation/segment excluded by the declared domain. Counts fit "
+    "the cross-multiply to 3e9 rows per cell (the q286 factor bound); "
+    "at 100 TB the cell table is still O(nations x segments). Scale: "
+    "one shuffle to the (nation, seg) grain, then broadcast-sized "
+    "self-joins over the 125-row summary.",
+)
+def q294_segment_rate_paradox_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isNotNull() & F.col("c_nationkey").isNotNull()
+    )
+    base = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("f"),
+    )
+    cell = base.groupBy("nation", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("f").cast("long").alias("fc"),
+    ).persist()
+    seg = cell.groupBy("seg").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("fc").cast("long").alias("fc"),
+    )
+    sa = seg.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("na"),
+        F.col("fc").alias("fa"),
+    )
+    sb = seg.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("nb"),
+        F.col("fc").alias("fb"),
+    )
+    pairs = sa.join(
+        F.broadcast(sb), F.col("seg_a") < F.col("seg_b")
+    ).select(
+        "seg_a",
+        "seg_b",
+        F.when(F.col("fa") * F.col("nb") > F.col("fb") * F.col("na"), 1)
+        .when(F.col("fa") * F.col("nb") < F.col("fb") * F.col("na"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pooled_cmp"),
+    )
+    ca = cell.select(
+        F.col("nation").alias("__na"),
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("cna"),
+        F.col("fc").alias("cfa"),
+    )
+    cb = cell.select(
+        F.col("nation").alias("__nb"),
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("cnb"),
+        F.col("fc").alias("cfb"),
+    )
+    strata = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("__na") == F.col("__nb"))
+            & (F.col("seg_a") < F.col("seg_b")),
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_strata"),
+            F.sum(
+                (F.col("cfa") * F.col("cnb") > F.col("cfb") * F.col("cna"))
+                .cast("long")
+            ).cast("long").alias("a_wins"),
+            F.sum(
+                (F.col("cfa") * F.col("cnb") < F.col("cfb") * F.col("cna"))
+                .cast("long")
+            ).cast("long").alias("b_wins"),
+        )
+    )
+    return pairs.join(F.broadcast(strata), ["seg_a", "seg_b"]).select(
+        "seg_a",
+        "seg_b",
+        "pooled_cmp",
+        "n_strata",
+        "a_wins",
+        "b_wins",
+        (F.col("n_strata") - F.col("a_wins") - F.col("b_wins"))
+        .cast("long")
+        .alias("ties"),
+        F.when(
+            ((F.col("pooled_cmp") == 1) & (F.col("b_wins") > F.col("a_wins")))
+            | (
+                (F.col("pooled_cmp") == -1)
+                & (F.col("a_wins") > F.col("b_wins"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("simpson_flip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label class weights (r10): the class-balance summary + inverse-
+# frequency loss weights a training run derives from the label
+# distribution -- exact floor permille, the q195/q270 planning lane
+# pointed at supervision instead of sources.
+# ---------------------------------------------------------------------------
+@register(
+    "q295_label_class_weights",
+    """
+    WITH lab AS (
+      SELECT label, count(*) AS n
+      FROM embeddings WHERE label IS NOT NULL
+      GROUP BY label),
+    tot AS (SELECT sum(n) AS t, count(*) AS k FROM lab)
+    SELECT CAST(lab.label AS BIGINT) AS label,
+           CAST(lab.n AS BIGINT) AS n_examples,
+           CAST(lab.n * 1000 // tot.t AS BIGINT) AS share_permille,
+           CAST(tot.t * 1000 // (tot.k * lab.n) AS BIGINT)
+               AS inv_weight_permille
+    FROM lab CROSS JOIN tot
+    """,
+    doc="label distribution over the embeddings table (NULL labels "
+    "excluded by the declared domain): per-class share and the "
+    "inverse-frequency loss weight total * 1000 div (k * n_c) -- a "
+    "perfectly balanced corpus weighs every class at 1000; floor "
+    "integer division end-to-end. The single-row total broadcasts; "
+    "nothing but the O(classes) summary leaves the aggregate.",
+)
+def q295_label_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    lab = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_examples")
+    )
+    tot = lab.agg(
+        F.sum("n_examples").cast("long").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    return lab.crossJoin(F.broadcast(tot)).select(
+        F.col("label").cast("long").alias("label"),
+        "n_examples",
+        F.expr("CAST(n_examples * 1000 div __t AS BIGINT)").alias(
+            "share_permille"
+        ),
+        F.expr(
+            "CAST(__t * 1000 div (__k * n_examples) AS BIGINT)"
+        ).alias("inv_weight_permille"),
     )

@@ -1000,3 +1000,63 @@ def streaming_budget_caps(
     return water_filling_caps(
         merged, group_cols[0], "__mass", budget_num, budget_den
     )
+
+
+def streaming_daily_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+) -> None:
+    """Streaming per-(key, day) event-count partials for the
+    burstiness monitor: each micro-batch counts ITS rows at the
+    (key..., day) grain and writes its own ``batch=<id>`` partition
+    (overwrite on redelivery -> replace, never double-count; the
+    house sum-delta shape).  Counts are a sum monoid, so the merged
+    state reproduces the batch daily rollup exactly at any batch
+    split or late-arrival order.  NULL-ts rows are dropped (no day to
+    attribute -- the q286 batch domain)."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        counts = (
+            df.filter(F.col(ts_col).isNotNull())
+            .groupBy(
+                *[F.col(k) for k in key_cols],
+                F.date_trunc("day", F.col(ts_col)).cast("date").alias(
+                    "__day"
+                ),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "dailycounts", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_vmr(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Merge-on-read burstiness (variance-to-mean) monitor over the
+    streaming daily-count state: sum the per-batch (key, day) count
+    partials, then the extractor IS `burstiness_vmr_e6` verbatim --
+    identical BIGINT moments and the identical e6 ladder as the q286
+    batch query on the union of all input, by construction.  A key
+    whose VMR jumps between state snapshots is developing burst
+    arrival (campaign, incident, retry storm) -- the dispersion alarm
+    CUSUM's level detector cannot raise.  State is O(keys x days)
+    summary rows, never raw events."""
+    from ..operators.analytics import burstiness_vmr_e6
+
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "dailycounts"))
+        .groupBy(*key_cols, "__day")
+        .agg(F.sum("__x").cast("long").alias("__x"))
+    )
+    return burstiness_vmr_e6(merged, key_cols, "__x")

@@ -610,3 +610,101 @@ def test_calibration_null_exclusion_and_no_pos_fails(spark):
     nopos = spark.createDataFrame([(1, 5, 0), (2, 4, 0)], "i long, s long, y long")
     with pytest.raises(Exception, match="score_decile_calibration"):
         score_decile_calibration(nopos, "s", "y", "i", n_bins=2).collect()
+
+
+# -- burstiness_vmr_e6 ---------------------------------------------------------
+
+
+def test_burstiness_vmr_exact_values(spark):
+    """Constant daily counts -> VMR 0; a planted burst matches the
+    hand-computed integer floor; keys with < 2 periods or zero total
+    are excluded."""
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        burstiness_vmr_e6,
+    )
+
+    rows = (
+        [("flat", d, 5) for d in range(4)]
+        + [("burst", 0, 1), ("burst", 1, 1), ("burst", 2, 10)]
+        + [("single", 0, 7)]
+        + [("zero", 0, 0), ("zero", 1, 0)]
+    )
+    df = spark.createDataFrame(rows, "k string, day long, x long")
+    got = {
+        r["k"]: r for r in burstiness_vmr_e6(df, ["k"], "x").collect()
+    }
+    assert set(got) == {"flat", "burst"}
+    assert got["flat"]["vmr_e6"] == 0
+    # burst: n=3, Sx=12, Sxx=102 -> (306-144)*1e6 div (2*12) = 6750000
+    assert got["burst"]["vmr_e6"] == 6_750_000
+    assert got["burst"]["n_periods"] == 3
+    assert got["burst"]["n_events"] == 12
+
+
+def test_burstiness_vmr_null_key_stratum(spark):
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        burstiness_vmr_e6,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 0, 2), (None, 1, 2)], "k string, day long, x long"
+    )
+    rows = burstiness_vmr_e6(df, ["k"], "x").collect()
+    assert len(rows) == 1 and rows[0]["vmr_e6"] == 0
+
+
+# -- cross_correlation_e6 ------------------------------------------------------
+
+
+def test_cross_correlation_finds_the_true_lag(spark):
+    """y is x shifted 2 calendar days with a gap in the middle: the
+    corr at lag +2 is ~1e6 (exact up to one sqrt ulp) and strictly
+    dominates every other lag."""
+    import datetime
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        cross_correlation_e6,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    days = [0, 1, 2, 3, 4, 7, 8, 9, 10, 11]  # gap at 5-6
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    x = spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), v) for d, v in zip(days, vals)],
+        "day date, x long",
+    )
+    y = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(days=d + 2), v)
+            for d, v in zip(days, vals)
+        ],
+        "day date, y long",
+    )
+    got = {
+        r["lag"]: r["corr_e6"]
+        for r in cross_correlation_e6(x, y, range(-3, 4)).collect()
+    }
+    assert got[2] in (999_999, 1_000_000)  # one sqrt ulp of exactly 1
+    assert all(got[lv] < got[2] for lv in got if lv != 2)
+    # lag +2 pairs every day EXCEPT across the gap edges; a row-lag
+    # implementation would misalign after the gap and dilute the peak
+
+
+def test_cross_correlation_excludes_degenerate_lags(spark):
+    import datetime
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        cross_correlation_e6,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    x = spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), d + 1) for d in range(5)],
+        "day date, x long",
+    )
+    y = spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), 7) for d in range(5)],
+        "day date, y long",
+    )
+    # constant y: zero variance at every lag -> nothing qualifies
+    assert cross_correlation_e6(x, y, (-1, 0, 1)).count() == 0

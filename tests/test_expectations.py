@@ -223,3 +223,50 @@ def test_column_value_overlap_fk_signature(spark):
     assert (r["col_a"], r["col_b"]) == ("dim.k", "fact.k")
     assert r["n_b"] == 3 and r["containment_b_permille"] == 1000
     assert r["containment_a_permille"] == 300
+
+
+# -- k_anonymity_audit ---------------------------------------------------------
+
+
+def test_k_anonymity_audit_counts_and_l_diversity(spark):
+    """Cells: (a,x) has 3 rows / 2 distinct sensitive; (a,y) 1 row;
+    (b,x) 1 row with NULL sensitive -> l = 0.  k=2: two cells below,
+    2 of 5 rows re-identifiable."""
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        k_anonymity_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 10.0),
+            ("a", "x", 10.0),
+            ("a", "x", 20.0),
+            ("a", "y", 30.0),
+            ("b", "x", None),
+        ],
+        "q1 string, q2 string, sens double",
+    )
+    row = k_anonymity_audit(df, ["q1", "q2"], "sens", k=2).collect()[0]
+    assert row["n_rows"] == 5
+    assert row["n_cells"] == 3
+    assert row["k_min"] == 1
+    assert row["cells_below_k"] == 2
+    assert row["rows_below_k"] == 2
+    assert row["rows_below_k_permille"] == 400
+    assert row["l_min"] == 0  # the all-NULL-sensitive cell leaks nothing
+    assert row["k_threshold"] == 2
+
+
+def test_k_anonymity_audit_null_qi_is_its_own_cell(spark):
+    from bankcreditunion_datapipeline_spark.operators.expectations import (
+        k_anonymity_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 3.0)],
+        "q1 string, sens double",
+    )
+    row = k_anonymity_audit(df, ["q1"], "sens", k=2).collect()[0]
+    assert row["n_cells"] == 2  # NULL groups together, not per-row
+    assert row["k_min"] == 1
+    assert row["l_min"] == 1

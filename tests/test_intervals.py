@@ -126,3 +126,88 @@ def test_merge_intervals_islands_and_touching(spark):
         ).collect()
     )
     assert relaid == out
+
+
+# -- interval_integrity --------------------------------------------------------
+
+
+def test_interval_integrity_overlaps_gaps_coverage(spark):
+    """Planted shape per key 1: [0,9], [5,14] overlap (concurrency 2),
+    [20,24] after a gap -> 2 islands, covered 20 of span 25."""
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        interval_integrity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 9), (1, 5, 14), (1, 20, 24), (2, 3, 3)],
+        "k long, s long, e long",
+    )
+    rows = {
+        r["k"]: r
+        for r in interval_integrity(df, ["k"], "s", "e").collect()
+    }
+    r1 = rows[1]
+    assert r1["n_intervals"] == 3
+    assert r1["n_islands"] == 2
+    assert r1["n_gaps"] == 1
+    assert r1["span_units"] == 25
+    assert r1["covered_units"] == 20  # [0,14] = 15 + [20,24] = 5
+    assert r1["gap_units"] == 5
+    assert r1["coverage_permille"] == 800
+    assert r1["max_concurrency"] == 2
+    r2 = rows[2]  # degenerate single-point interval
+    assert (
+        r2["n_intervals"],
+        r2["n_islands"],
+        r2["span_units"],
+        r2["covered_units"],
+        r2["max_concurrency"],
+    ) == (1, 1, 1, 1, 1)
+
+
+def test_interval_integrity_touching_merges_plus_one_gap_splits(spark):
+    """merge_intervals semantics: end == next start merges; start ==
+    prev end + 1 opens a new island (closed-interval day semantics
+    would call that contiguous -- the operator documents the contract
+    it inherits)."""
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        interval_integrity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 5, 9), (2, 0, 5), (2, 6, 9)],
+        "k long, s long, e long",
+    )
+    rows = {
+        r["k"]: r
+        for r in interval_integrity(df, ["k"], "s", "e").collect()
+    }
+    assert rows[1]["n_islands"] == 1 and rows[1]["max_concurrency"] == 2
+    assert rows[2]["n_islands"] == 2 and rows[2]["max_concurrency"] == 1
+
+
+def test_interval_integrity_triple_overlap_and_null_key(spark):
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        interval_integrity,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 0, 10), (None, 2, 8), (None, 4, 6), (None, 100, 100)],
+        "k string, s long, e long",
+    )
+    rows = interval_integrity(df, ["k"], "s", "e").collect()
+    assert len(rows) == 1  # NULL key is a real stratum
+    assert rows[0]["max_concurrency"] == 3
+    assert rows[0]["n_islands"] == 2
+
+
+def test_interval_integrity_reversed_interval_fails_loud(spark):
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        interval_integrity,
+    )
+
+    df = spark.createDataFrame([(1, 9, 3)], "k long, s long, e long")
+    with pytest.raises(Exception, match="end < start"):
+        interval_integrity(df, ["k"], "s", "e").collect()

@@ -1557,3 +1557,118 @@ def test_streaming_budget_caps_equals_batch(spark, tmp_path):
     assert got == want
     caps = {r[0]: r[2] for r in got}
     assert caps["giant"] == 33  # 2+8+33 = 43 = floor(109*2/5)
+
+
+def test_streaming_vmr_equals_batch(spark, tmp_path):
+    """The VMR extractor over merged streaming daily-count partials
+    equals batch burstiness_vmr_e6 over the union of all input --
+    (n, Sx, Sxx) are sum-monoids over per-batch (key, day) counts,
+    even when one day's events are SPLIT across batches."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        burstiness_vmr_e6,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_daily_counts,
+        streaming_vmr,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    day = datetime.timedelta(days=1)
+    # day 0 of 'a' is split across the two batches (1 + 2 events);
+    # NULL ts must be dropped, not attributed
+    b1 = [("a", t0), ("a", t0 + day), ("b", t0), ("b", None)]
+    b2 = [("a", t0), ("a", t0), ("a", t0 + 2 * day), ("b", t0 + day)]
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_daily_counts(
+            spark, src, ckpt, schema, state, ["event_type"]
+        )
+
+    got = sorted(
+        map(tuple, streaming_vmr(spark, state, ["event_type"]).collect())
+    )
+    batch_daily = (
+        spark.createDataFrame(b1 + b2, schema)
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    want = sorted(
+        map(
+            tuple,
+            burstiness_vmr_e6(batch_daily, ["event_type"], "x").collect(),
+        )
+    )
+    assert got == want
+    # 'a' days: {0: 3, 1: 1, 2: 1} -> n=3 Sx=5 Sxx=11 ->
+    # (33-25)*1e6 div (2*5) = 800000
+    assert ("a", 3, 5, 800_000) in got
+
+
+def test_streaming_vmr_redelivery_idempotent(spark, tmp_path):
+    """Checkpoint-wipe redelivery overwrites the batch partition --
+    the merged moments are unchanged (replace, never double-count)."""
+    import datetime
+    import shutil
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_daily_counts,
+        streaming_vmr,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [("a", t0), ("a", t0 + datetime.timedelta(days=1))]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    streaming_daily_counts(spark, src, ckpt, schema, state, ["event_type"])
+    before = sorted(
+        map(tuple, streaming_vmr(spark, state, ["event_type"]).collect())
+    )
+    shutil.rmtree(ckpt)
+    streaming_daily_counts(spark, src, ckpt, schema, state, ["event_type"])
+    after = sorted(
+        map(tuple, streaming_vmr(spark, state, ["event_type"]).collect())
+    )
+    assert before == after and len(before) == 1

@@ -552,3 +552,71 @@ def test_holt_null_carries_state(spark):
     # state carried: l = 0.5*4 + 0.5*(2 + 0) = 3
     assert (rows[("k", 3)].level, rows[("k", 3)].trend) == (3.0, 0.5)
     assert (rows[("j", 1)].level, rows[("j", 1)].trend) == (9.0, 0.0)
+
+
+# -- forward_fill_daily --------------------------------------------------------
+
+
+def test_forward_fill_daily_gaps_staleness_null_stratum(spark):
+    """Key 'a': observed days 1, 4 (day 2-3 filled, staleness 1-2);
+    a present-but-NULL measurement (day 3 for 'b') counts as
+    UNOBSERVED; NULL key is a real stratum with its own spine."""
+    import datetime
+
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        forward_fill_daily,
+    )
+
+    d = lambda i: datetime.date(2024, 1, i)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("a", d(1), 10.0),
+            ("a", d(4), 40.0),
+            ("b", d(2), 2.0),
+            ("b", d(3), None),
+            (None, d(1), 7.0),
+            (None, d(3), 9.0),
+        ],
+        "k string, day date, v double",
+    )
+    rows = {
+        (r["k"], r["day"].day): r
+        for r in forward_fill_daily(df, "k", "day", "v").collect()
+    }
+    assert len(rows) == 4 + 2 + 3  # spans: a 1-4, b 2-3, NULL 1-3
+    a2 = rows[("a", 2)]
+    assert a2["observed"] == 0 and a2["v_filled"] == 10.0
+    assert a2["staleness_days"] == 1
+    assert rows[("a", 3)]["staleness_days"] == 2
+    a4 = rows[("a", 4)]
+    assert a4["observed"] == 1 and a4["v_filled"] == 40.0
+    assert a4["staleness_days"] == 0
+    b3 = rows[("b", 3)]  # present-but-NULL: fill carries across it
+    assert b3["observed"] == 0 and b3["v_filled"] == 2.0
+    assert b3["staleness_days"] == 1
+    n2 = rows[(None, 2)]
+    assert n2["v_filled"] == 7.0 and n2["observed"] == 0
+    assert rows[(None, 3)]["v_filled"] == 9.0
+
+
+def test_forward_fill_daily_leading_nulls_have_null_staleness(spark):
+    import datetime
+
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        forward_fill_daily,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime.date(2024, 1, 1), None),
+            ("a", datetime.date(2024, 1, 2), 5.0),
+        ],
+        "k string, day date, v double",
+    )
+    rows = {
+        r["day"].day: r
+        for r in forward_fill_daily(df, "k", "day", "v").collect()
+    }
+    assert rows[1]["v_filled"] is None
+    assert rows[1]["staleness_days"] is None
+    assert rows[2]["v_filled"] == 5.0 and rows[2]["staleness_days"] == 0
