@@ -1152,3 +1152,114 @@ def power_iteration_top_component(
         F.col("__mx").alias("max_norm"),
     )
     return out
+
+
+def knn_label_disagreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    max_rows: int = 5000,
+) -> DataFrame:
+    """Label-noise screen via k-NN majority vote: for every labeled
+    vector, the majority label of its k exact cosine neighbors; a
+    vector whose neighborhood outvotes its own label is a mislabeling
+    CANDIDATE (confident-learning's core signal, reduced to its exact
+    deterministic kernel).  The audit a supervision pipeline runs
+    before training on a new label source.
+
+    Exact-audit shape (the mutual_nearest_pairs contract verbatim):
+    brute-force over a BOUNDED labeled set, fail-loud above
+    ``max_rows``; the 100 TB path samples deterministically (md5-rank)
+    or blocks (IVF/LSH) first.  The pair join BROADCASTS the right
+    side; scores round to 6dp with (score desc, id asc) tiebreaks and
+    the vote breaks ties on (count desc, label asc) -- every rank and
+    vote is engine-exact.  NULL-label rows are excluded (no vote to
+    cast or receive); zero-norm/NULL vectors have no cosine
+    neighborhood and drop from the output (scores NULL-guarded).
+
+    Returns one row per auditable vector: (id, label, majority_label,
+    n_votes, disagree 0/1).
+    """
+    from ..functions.vectors import dot as _dot
+    from ..functions.vectors import norm as _norm
+
+    base = df.filter(
+        F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(label_col).alias("__l"),
+    )
+    guard = base.agg(F.count(F.lit(1)).alias("__m"))
+    gated = base.crossJoin(F.broadcast(guard)).where(
+        F.assert_true(
+            F.col("__m") <= F.lit(max_rows),
+            F.concat(
+                F.lit("knn_label_disagreement: input exceeds max_rows ["),
+                F.col("__m").cast("string"),
+                F.lit(f" rows, budget {max_rows}] -- sample "
+                      "deterministically (md5-rank) or block first"),
+            ),
+        ).isNull()
+    ).drop("__m")
+    a = gated.select(
+        F.col("__id").alias("__ida"),
+        F.col("__l").alias("__la"),
+        F.col("__v").alias("__va"),
+        _norm(F.col("__v")).alias("__na"),
+    )
+    b = base.select(
+        F.col("__id").alias("__idb"),
+        F.col("__l").alias("__lb"),
+        F.col("__v").alias("__vb"),
+        _norm(F.col("__v")).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    scored = (
+        a.join(F.broadcast(b), F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida",
+            "__la",
+            "__idb",
+            "__lb",
+            F.round(
+                F.when(
+                    denom != 0,
+                    _dot(F.col("__va"), F.col("__vb")) / denom,
+                ),
+                6,
+            ).alias("__s"),
+        )
+        .filter(F.col("__s").isNotNull())
+    )
+    wk = Window.partitionBy("__ida").orderBy(
+        F.desc("__s"), F.asc("__idb")
+    )
+    nn = scored.withColumn("__rk", F.row_number().over(wk)).filter(
+        F.col("__rk") <= k
+    )
+    votes = nn.groupBy("__ida", "__la", "__lb").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wv = Window.partitionBy("__ida").orderBy(
+        F.desc("__c"), F.asc("__lb")
+    )
+    wt = Window.partitionBy("__ida")
+    return (
+        votes.withColumn("__vr", F.row_number().over(wv))
+        .withColumn("__nv", F.sum("__c").over(wt))
+        .filter(F.col("__vr") == 1)
+        .select(
+            F.col("__ida").alias(id_col),
+            F.col("__la").alias(label_col),
+            F.col("__lb").alias("majority_label"),
+            F.col("__nv").cast("long").alias("n_votes"),
+            (~F.col("__lb").eqNullSafe(F.col("__la")))
+            .cast("long")
+            .alias("disagree"),
+        )
+    )

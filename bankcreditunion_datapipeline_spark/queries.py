@@ -11913,7 +11913,7 @@ def q211_mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frequency, monetary cents; ntile(5) quintiles over deterministic "
     "(metric, key) orders -- bucket sizing verified identical Spark/"
     "DuckDB. Windows sort PER-KEY rows (customers, not orders); the "
-    "sketch-boundary路线 (q181) replaces the global sort at extreme "
+    "sketch-boundary lane (q181) replaces the global sort at extreme "
     "key counts. Rolled up to segment counts + spend.",
 )
 def q212_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19101,4 +19101,287 @@ def q295_label_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(__t * 1000 div (__k * n_examples) AS BIGINT)"
         ).alias("inv_weight_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog series (r10): open fulfillment windows per day -- the
+# +1/-1 interval sweep turned into the TIME SERIES a capacity planner
+# charts (and feeds to CUSUM/Holt), where q291 reported only each
+# customer's max concurrency.
+# ---------------------------------------------------------------------------
+@register(
+    "q296_order_backlog_series",
+    """
+    WITH li AS (
+      SELECT l_orderkey, max(l_shipdate) AS ship
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY l_orderkey),
+    iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS od, CAST(ship AS DATE) AS sd
+      FROM orders JOIN li ON li.l_orderkey = o_orderkey
+      WHERE o_orderdate IS NOT NULL
+        AND CAST(ship AS DATE) >= CAST(o_orderdate AS DATE)),
+    pts AS (
+      SELECT od AS day, 1 AS opened, 0 AS closed FROM iv
+      UNION ALL
+      SELECT sd + 1 AS day, 0 AS opened, 1 AS closed FROM iv),
+    daily AS (
+      SELECT day, sum(opened) AS opened, sum(closed) AS closed
+      FROM pts GROUP BY day)
+    SELECT day,
+           CAST(opened AS BIGINT) AS opened,
+           CAST(closed AS BIGINT) AS closed,
+           CAST(sum(opened - closed) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS open_count
+    FROM daily
+    """,
+    doc="the interval_integrity +1/-1 sweep as a global time series: "
+    "open_count(d) = orders with orderdate <= d <= last shipdate "
+    "(closures take effect the day AFTER the final ship -- half-open "
+    "[od, ship+1) points, per-day deltas summed before the running "
+    "total reads them, tie-order independent). Only DELTA days appear "
+    "(the series is piecewise constant between them -- forward-fill "
+    "with q289's spine to densify). Domain ship >= orderdate declared "
+    "as in q291. Scale: the sweep rides the O(orders) point table; "
+    "the single global running sum runs over O(distinct days).",
+)
+def q296_order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship"))
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("ship") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("ship").alias("sd"),
+        )
+    )
+    pts = iv.select(
+        F.col("od").alias("day"),
+        F.lit(1).alias("__o"),
+        F.lit(0).alias("__c"),
+    ).unionByName(
+        iv.select(
+            F.date_add("sd", 1).alias("day"),
+            F.lit(0).alias("__o"),
+            F.lit(1).alias("__c"),
+        )
+    )
+    daily = pts.groupBy("day").agg(
+        F.sum("__o").cast("long").alias("opened"),
+        F.sum("__c").cast("long").alias("closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed"))
+        .over(w)
+        .cast("long")
+        .alias("open_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prorated revenue recognition (r10): each order's cents spread evenly
+# across its fulfillment days with the largest-remainder rule (the
+# q195 quota machinery pointed at TIME), so the per-day recognized
+# total reconciles to the order total EXACTLY -- no float proration,
+# no lost cents.
+# ---------------------------------------------------------------------------
+@register(
+    "q297_prorated_daily_recognition",
+    """
+    WITH li AS (
+      SELECT l_orderkey, max(l_shipdate) AS ship
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY l_orderkey),
+    iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(ship AS DATE) - CAST(o_orderdate AS DATE) + 1 AS span
+      FROM orders JOIN li ON li.l_orderkey = o_orderkey
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_totalprice >= 0
+        AND CAST(ship AS DATE) >= CAST(o_orderdate AS DATE)),
+    days AS (
+      SELECT od + CAST(i AS INTEGER) AS day,
+             cents // span
+               + CASE WHEN i < cents % span THEN 1 ELSE 0 END AS rec
+      FROM iv, unnest(range(0, span)) AS u(i))
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_orders_active,
+           CAST(sum(rec) AS BIGINT) AS recognized_cents
+    FROM days GROUP BY day
+    """,
+    doc="largest-remainder proration (the q195 integer-quota rule over "
+    "the fulfillment window): day i of span s gets cents div s + "
+    "(1 when i < cents mod s), so every order's days sum EXACTLY to "
+    "its cents (pinned by unit test) and the daily rollup reconciles "
+    "to the revenue total with zero drift -- the property a float "
+    "spread cannot give. Early days carry the remainder (deterministic "
+    "on both engines; cents >= 0 declared, mod sign never enters). "
+    "Domains: ship >= orderdate, non-negative price. Scale: explode is "
+    "O(orders x span) with span bounded by the fulfillment SLA "
+    "(~121 days in TPC-H-shaped data) -- linear in orders.",
+)
+def q297_prorated_daily_recognition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship"))
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") >= 0)
+    )
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("ship") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+            (
+                F.datediff(F.col("ship"), F.col("o_orderdate").cast("date"))
+                + 1
+            ).cast("long").alias("span"),
+        )
+    )
+    days = iv.select(
+        "od",
+        "cents",
+        "span",
+        F.explode(F.sequence(F.lit(0), F.col("span") - 1)).alias("i"),
+    ).select(
+        F.expr("date_add(od, CAST(i AS INT))").alias("day"),
+        F.expr(
+            "cents div span + CASE WHEN i < cents % span THEN 1 ELSE 0 END"
+        ).alias("rec"),
+    )
+    return days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_active"),
+        F.sum("rec").cast("long").alias("recognized_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-noise screen (r10): per label, how often a vector's
+# 5-nearest cosine neighborhood OUTVOTES its own label -- the
+# mislabeling-candidate rate a supervision pipeline checks before
+# training on a new label source (confident learning's exact
+# deterministic kernel).
+# ---------------------------------------------------------------------------
+_Q298_SAMPLE = 200
+_Q298_K = 5
+
+
+@register(
+    "q298_knn_label_noise",
+    f"""
+    WITH lab AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND label IS NOT NULL),
+    ranked AS (
+      SELECT vec_id, label, x,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS mr
+      FROM lab),
+    base AS (SELECT vec_id, label, x FROM ranked
+             WHERE mr <= {_Q298_SAMPLE}),
+    sc AS (
+      SELECT a.vec_id AS ida, a.label AS la,
+             b.vec_id AS idb, b.label AS lb,
+             round(CASE WHEN sqrt(list_dot_product(a.x, a.x))
+                             * sqrt(list_dot_product(b.x, b.x)) <> 0
+                   THEN list_dot_product(a.x, b.x)
+                        / (sqrt(list_dot_product(a.x, a.x))
+                           * sqrt(list_dot_product(b.x, b.x)))
+                   END, 6) AS s
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT ida, la, lb FROM (
+        SELECT ida, la, idb, lb, s,
+               row_number() OVER (PARTITION BY ida
+                                  ORDER BY s DESC, idb ASC) AS rk
+        FROM sc WHERE s IS NOT NULL) WHERE rk <= {_Q298_K}),
+    votes AS (
+      SELECT ida, la, lb, count(*) AS c FROM nn GROUP BY ida, la, lb),
+    maj AS (
+      SELECT ida, la, lb AS mj FROM (
+        SELECT ida, la, lb, c,
+               row_number() OVER (PARTITION BY ida
+                                  ORDER BY c DESC, lb ASC) AS vr
+        FROM votes) WHERE vr = 1)
+    SELECT CAST(la AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_audited,
+           CAST(sum(CASE WHEN mj <> la THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree,
+           CAST(sum(CASE WHEN mj <> la THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS noise_permille
+    FROM maj GROUP BY la
+    """,
+    doc="knn_label_disagreement (operators/similarity.py) over a "
+    "deterministic md5-rank 200-vector labeled sample (the q225/q284 "
+    "corpus-size-independent lane): exact top-5 cosine neighborhoods "
+    "(round 6dp, (score desc, id asc) rank ties -- the q211 "
+    "discipline), majority vote with (count desc, label asc) ties, "
+    "per-label disagreement rate in floor permille. Zero-norm vectors "
+    "have no cosine neighborhood and drop (NULL-guarded scores, both "
+    "engines). The quadratic is over the FIXED sample; the 100 TB "
+    "path blocks by IVF cell (q137) and audits within blocks. Vector "
+    "oracle on the list_transform lane (the q23/q188 class).",
+)
+def q298_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import knn_label_disagreement
+
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & F.col("label").isNotNull()
+    )
+    wmr = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    sampled = (
+        emb.withColumn("__mr", F.row_number().over(wmr))
+        .filter(F.col("__mr") <= _Q298_SAMPLE)
+        .select("vec_id", "embedding", "label")
+        .persist()
+    )
+    per_vec = knn_label_disagreement(
+        sampled, "vec_id", "embedding", "label", k=_Q298_K
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_audited"),
+        F.sum("disagree").cast("long").alias("n_disagree"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        "n_audited",
+        "n_disagree",
+        F.expr("CAST(n_disagree * 1000 div n_audited AS BIGINT)").alias(
+            "noise_permille"
+        ),
     )

@@ -114,3 +114,57 @@ def test_q288_calendar_naive_stays_on_phase_across_gap(spark, tmp_path):
     # values are d/4 (exact quarters): naive abs error is always
     # 7/4 = 1.75 -> 175 cents exactly
     assert row["naive_mae_cents"] == 175
+
+
+def test_q297_proration_reconciles_exactly(spark, tmp_path):
+    """The largest-remainder spread must reconcile: the sum of all
+    recognized cents equals the sum of all order cents EXACTLY --
+    including awkward spans (7 cents over 3 days, 1 cent over 121
+    days, 0-cent orders)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bankcreditunion_datapipeline_spark.queries import (
+        q297_prorated_daily_recognition,
+    )
+
+    d0 = datetime.date(1995, 1, 1)
+
+    def order(k, price, span_days):
+        return {
+            "o_orderkey": k,
+            "o_custkey": 1,
+            "o_orderstatus": "F",
+            "o_totalprice": price,
+            "o_orderdate": d0,
+            "o_orderpriority": "1-URGENT",
+        }, {
+            "l_orderkey": k,
+            "l_partkey": 1,
+            "l_suppkey": 1,
+            "l_linenumber": 1,
+            "l_quantity": 1.0,
+            "l_extendedprice": price,
+            "l_discount": 0.0,
+            "l_tax": 0.0,
+            "l_returnflag": "N",
+            "l_linestatus": "F",
+            "l_shipdate": d0 + datetime.timedelta(days=span_days - 1),
+        }
+
+    specs = [(1, 0.07, 3), (2, 0.01, 121), (3, 0.0, 5), (4, 123.45, 1)]
+    orows, lrows = zip(*[order(k, p, s) for k, p, s in specs])
+    spark.createDataFrame(list(orows)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(list(lrows)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    out = q297_prorated_daily_recognition(spark, str(tmp_path))
+    total = out.agg(F.sum("recognized_cents")).collect()[0][0]
+    assert total == 7 + 1 + 0 + 12345
+    # 7 cents over 3 days: 3+2+2 front-loaded
+    day_one = out.filter(F.col("day") == d0).collect()[0]
+    assert day_one["n_orders_active"] == 4
+    assert day_one["recognized_cents"] == 3 + 1 + 0 + 12345

@@ -562,3 +562,83 @@ def test_power_iteration_clips_outliers_and_empty(spark):
     assert out[1].component == 1.0 and out[2].component == 0.0
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert power_iteration_top_component(empty, dim=2, rounds=2).count() == 0
+
+
+# -- knn_label_disagreement ----------------------------------------------------
+
+
+def test_knn_label_disagreement_flags_planted_mislabel(spark):
+    """Three tight clusters of 4; one vector in cluster A carries
+    cluster B's label -> its 3-NN majority outvotes it; every clean
+    vector agrees with its neighborhood."""
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        knn_label_disagreement,
+    )
+
+    def v(axis, eps, i):
+        base = [0.0] * 8
+        base[axis] = 1.0
+        base[(axis + 1) % 8] = eps * (i + 1)
+        return base
+
+    rows = []
+    vid = 0
+    for axis, label in ((0, 1), (3, 2), (6, 3)):
+        for i in range(4):
+            rows.append((vid, v(axis, 0.01, i), label))
+            vid += 1
+    rows[2] = (2, rows[2][1], 2)  # plant: cluster-1 vector labeled 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = {
+        r["vec_id"]: r
+        for r in knn_label_disagreement(
+            df, "vec_id", "embedding", "label", k=3
+        ).collect()
+    }
+    assert len(out) == 12
+    assert out[2]["disagree"] == 1 and out[2]["majority_label"] == 1
+    assert all(r["disagree"] == 0 for i, r in out.items() if i != 2)
+    assert all(r["n_votes"] == 3 for r in out.values())
+
+
+def test_knn_label_disagreement_zero_norm_and_nulls_drop(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        knn_label_disagreement,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [0.9, 0.1], 1),
+            (3, [0.8, 0.2], 1),
+            (4, [0.0, 0.0], 2),   # zero norm: no neighborhood
+            (5, None, 2),          # NULL vector: excluded
+            (6, [1.0, 1.0], None),  # NULL label: excluded
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in knn_label_disagreement(
+            df, "vec_id", "embedding", "label", k=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert all(r["disagree"] == 0 for r in out.values())
+
+
+def test_knn_label_disagreement_budget_fails_loud(spark):
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        knn_label_disagreement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], 1) for i in range(30)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    with pytest.raises(Exception, match="max_rows"):
+        knn_label_disagreement(
+            df, "vec_id", "embedding", "label", k=2, max_rows=10
+        ).collect()
