@@ -19385,3 +19385,276 @@ def q298_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noise_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness SLA audit (r10): per event type, how much of the
+# calendar ran on stale data -- the share of spine days whose last
+# observation is > 3 days old, over q289's forward-fill spine.  The
+# monitoring contract a downstream consumer actually signs.
+# ---------------------------------------------------------------------------
+_Q299_SLA_DAYS = 3
+
+
+@register(
+    "q299_freshness_sla_audit",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
+    span AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM span),
+    j AS (
+      SELECT s.event_type, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type IS NOT DISTINCT FROM s.event_type
+        AND d.day = s.day),
+    f AS (
+      SELECT event_type, day,
+             day - last_value(CASE WHEN v IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day) AS stale
+      FROM j)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN stale > {_Q299_SLA_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stale,
+           CAST(sum(CASE WHEN stale > {_Q299_SLA_DAYS} THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS stale_permille,
+           CAST(max(stale) AS BIGINT) AS max_staleness_days
+    FROM f GROUP BY event_type
+    """,
+    doc="composition: forward_fill_daily's staleness lane (q289) "
+    "aggregated to the per-type freshness contract -- spine days whose "
+    "last observation is > 3 days old, floor permille, plus the worst "
+    "gap. Days BEFORE a key's first observation carry NULL staleness: "
+    "they count in n_days but are neither stale (comparison NULL -> "
+    "CASE 0, both engines) nor the max (max ignores NULL). NULL "
+    "event_type audits as its own stratum. Scale: rides the O(spine "
+    "days x types) summary.",
+)
+def q299_freshness_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import forward_fill_daily
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    sp = forward_fill_daily(daily, "event_type", "day", "v")
+    return sp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.when(F.col("staleness_days") > _Q299_SLA_DAYS, 1).otherwise(0)
+        ).cast("long").alias("n_stale"),
+        F.max("staleness_days").cast("long").alias("__mx"),
+    ).select(
+        "event_type",
+        "n_days",
+        "n_stale",
+        F.expr("CAST(n_stale * 1000 div n_days AS BIGINT)").alias(
+            "stale_permille"
+        ),
+        F.col("__mx").alias("max_staleness_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman sample allocation (r10): split a 10k-row audit budget across
+# priorities proportionally to N_h * sd_h -- optimal stratified
+# sampling puts rows where the VARIANCE is, not where the mass is
+# (proportional allocation q195 oversamples homogeneous strata).
+# ---------------------------------------------------------------------------
+_Q300_BUDGET = 10_000
+
+
+@register(
+    "q300_neyman_allocation",
+    f"""
+    WITH v AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS u
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    m AS (
+      SELECT priority, count(*) AS n, sum(u) AS sx, sum(u * u) AS sxx
+      FROM v GROUP BY priority),
+    w AS (
+      SELECT priority, n,
+             CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)))
+                  AS BIGINT) AS wt
+      FROM m),
+    g AS (SELECT sum(wt) AS grand FROM w),
+    f AS (
+      SELECT priority, n, wt,
+             wt * {_Q300_BUDGET} // grand AS fl,
+             wt * {_Q300_BUDGET} % grand AS rem
+      FROM w, g),
+    l AS (SELECT {_Q300_BUDGET} - sum(fl) AS leftover FROM f),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, priority ASC) AS rn
+      FROM f)
+    SELECT priority, CAST(n AS BIGINT) AS n_rows,
+           CAST(wt AS BIGINT) AS neyman_weight,
+           CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+    FROM r, l
+    """,
+    doc="Neyman (optimal) stratified allocation: weight_h = "
+    "floor(sqrt(n*Sxx - Sx^2)) = n_h * sd_h up to the shared constant "
+    "that cancels in apportionment -- ONE sqrt over an exact BIGINT "
+    "moment (the integer-derived-double lane), then "
+    "proportional_allocation's largest-remainder split (sums to the "
+    "budget exactly, ties on priority asc). Values coarsen to $100 "
+    "units (cents div 10000) so the moment lane holds: u <= ~6e3, "
+    "Sx <= 3e9 and n*Sxx <= maxlong to ~3e5 rows/stratum at sf1 -- "
+    "coarsen further at larger scale (the gini_e6 discipline); "
+    "factor-guarded fail-loud. Zero-variance strata weigh 0 (textbook "
+    "Neyman; pair with a +1 floor policy downstream if every stratum "
+    "must be probed). Scale: one pass to O(strata) moments; the "
+    "allocation is a planner over the summary.",
+)
+def q300_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import proportional_allocation
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    v = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) div 10000"
+        ).alias("u"),
+    )
+    m = v.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("sx"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("sxx"),
+    )
+    guarded = m.where(
+        F.assert_true(
+            (F.abs(F.col("sx")) <= F.lit(3_000_000_000))
+            & (F.col("sxx") <= F.expr("9223372036854775807 div n")),
+            F.lit(
+                "q300: stratum moments exceed the exact lane "
+                "[|Sx| <= 3e9, Sxx <= maxlong div n] -- coarsen the "
+                "value units further (gini_e6 discipline)"
+            ),
+        ).isNull()
+    )
+    w = guarded.select(
+        "priority",
+        "n",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) "
+            "AS BIGINT)"
+        ).alias("wt"),
+    )
+    alloc = proportional_allocation(w, ["priority"], "wt", _Q300_BUDGET)
+    return (
+        w.select("priority", F.col("n").alias("n_rows"))
+        .join(alloc.select("priority", F.col("wt").alias("neyman_weight"),
+                           "alloc"), "priority")
+        .select("priority", "n_rows", "neyman_weight", "alloc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging buckets (r10): the AR-aging report -- orders still
+# open at the corpus as-of date (max orderdate), bucketed by age and
+# priority with their cents exposure.  q296 charts the backlog over
+# TIME; this is the point-in-time drill-down a collections/ops team
+# reads.
+# ---------------------------------------------------------------------------
+@register(
+    "q301_open_order_aging",
+    """
+    WITH li AS (
+      SELECT l_orderkey, max(l_shipdate) AS ship
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY l_orderkey),
+    ao AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders
+           WHERE o_orderdate IS NOT NULL),
+    open_o AS (
+      SELECT o_orderpriority AS priority,
+             ao.ref - CAST(o_orderdate AS DATE) AS age,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN li ON li.l_orderkey = o_orderkey
+      CROSS JOIN ao
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        AND CAST(ship AS DATE) >= CAST(o_orderdate AS DATE)
+        AND CAST(ship AS DATE) >= ao.ref),
+    b AS (
+      SELECT priority,
+             CASE WHEN age <= 30 THEN '00-30'
+                  WHEN age <= 60 THEN '31-60'
+                  WHEN age <= 90 THEN '61-90'
+                  ELSE '90+' END AS age_bucket,
+             cents
+      FROM open_o)
+    SELECT priority, age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS open_cents
+    FROM b GROUP BY priority, age_bucket
+    """,
+    doc="point-in-time backlog drill-down: open at as-of = orders whose "
+    "fulfillment window [orderdate, last shipdate] contains the corpus "
+    "max orderdate (reproducible from data alone, the q212 recency "
+    "anchor); age = as-of minus orderdate in exact days, CASE buckets "
+    "(boundaries AT 30/60/90 inclusive-low), cents exposure summed "
+    "exactly. Same ship >= orderdate domain as q291/q296/q297. Scale: "
+    "one orderkey shuffle + a broadcast as-of scalar; output is "
+    "O(priorities x 4).",
+)
+def q301_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship"))
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    asof = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ref")
+    )
+    open_o = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .crossJoin(F.broadcast(asof))
+        .filter(
+            (F.col("ship") >= F.col("o_orderdate").cast("date"))
+            & (F.col("ship") >= F.col("ref"))
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("ref"), F.col("o_orderdate").cast("date")
+            ).cast("long").alias("age"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+    )
+    b = open_o.select(
+        "priority",
+        F.when(F.col("age") <= 30, "00-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+        "cents",
+    )
+    return b.groupBy("priority", "age_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("open_cents"),
+    )
