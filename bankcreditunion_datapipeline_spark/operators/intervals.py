@@ -268,3 +268,61 @@ def interval_integrity(
             "max_concurrency",
         )
     )
+
+
+def interval_deltas(
+    iv: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    day_typed: bool = True,
+) -> DataFrame:
+    """Per-day open/close deltas from CLOSED intervals [start, end]:
+    +1 opened at start, +1 closed at end + 1 (half-open sweep points),
+    grouped to one row per day.  This is the SUM-MONOID half of the
+    backlog series -- per-batch/per-shard delta partials merge exactly
+    by addition, which is what makes the streaming twin trivial.
+
+    ``day_typed`` True treats the bounds as DATEs (end + 1 via
+    date_add); False treats them as integer units.  Returns
+    (day, opened, closed).
+    """
+    nxt = (
+        F.date_add(F.col(end_col), 1)
+        if day_typed
+        else (F.col(end_col) + 1)
+    )
+    pts = iv.select(
+        F.col(start_col).alias("day"),
+        F.lit(1).alias("__o"),
+        F.lit(0).alias("__c"),
+    ).unionByName(
+        iv.select(
+            nxt.alias("day"), F.lit(0).alias("__o"), F.lit(1).alias("__c")
+        )
+    )
+    return pts.groupBy("day").agg(
+        F.sum("__o").cast("long").alias("opened"),
+        F.sum("__c").cast("long").alias("closed"),
+    )
+
+
+def backlog_from_deltas(daily: DataFrame) -> DataFrame:
+    """Finisher for the backlog series: one global running sum of
+    (opened - closed) over the per-day delta summary -- open_count(d)
+    = intervals open during d.  Per-day deltas were already SUMMED
+    (interval_deltas), so the running total is tie-order independent.
+    Runs over O(distinct days), never the interval table; only DELTA
+    days appear (piecewise constant between them -- densify with
+    forward_fill_daily when a consumer needs every day)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed"))
+        .over(w)
+        .cast("long")
+        .alias("open_count"),
+    )

@@ -19148,7 +19148,7 @@ def q295_label_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the single global running sum runs over O(distinct days).",
 )
 def q296_order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .operators.intervals import backlog_from_deltas, interval_deltas
 
     li = (
         t(spark, sf_dir, "lineitem")
@@ -19167,31 +19167,7 @@ def q296_order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ship").alias("sd"),
         )
     )
-    pts = iv.select(
-        F.col("od").alias("day"),
-        F.lit(1).alias("__o"),
-        F.lit(0).alias("__c"),
-    ).unionByName(
-        iv.select(
-            F.date_add("sd", 1).alias("day"),
-            F.lit(0).alias("__o"),
-            F.lit(1).alias("__c"),
-        )
-    )
-    daily = pts.groupBy("day").agg(
-        F.sum("__o").cast("long").alias("opened"),
-        F.sum("__c").cast("long").alias("closed"),
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
-        "day",
-        "opened",
-        "closed",
-        F.sum(F.col("opened") - F.col("closed"))
-        .over(w)
-        .cast("long")
-        .alias("open_count"),
-    )
+    return backlog_from_deltas(interval_deltas(iv, "od", "sd"))
 
 
 # ---------------------------------------------------------------------------
@@ -19657,4 +19633,115 @@ def q301_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("priority", "age_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("open_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backlog CUSUM alarm (r10): q186's closed-form CUSUM pointed at the
+# q296 open-order backlog -- the sustained-growth alarm over the
+# capacity series itself (is the backlog drifting UP, not just
+# spiking).  Pure windows, integers end-to-end.
+# ---------------------------------------------------------------------------
+_Q302_H_PERMILLE = 500
+
+
+@register(
+    "q302_backlog_cusum",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, max(l_shipdate) AS ship
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY l_orderkey),
+    iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS od, CAST(ship AS DATE) AS sd
+      FROM orders JOIN li ON li.l_orderkey = o_orderkey
+      WHERE o_orderdate IS NOT NULL
+        AND CAST(ship AS DATE) >= CAST(o_orderdate AS DATE)),
+    pts AS (
+      SELECT od AS day, 1 AS o, 0 AS c FROM iv
+      UNION ALL
+      SELECT sd + 1 AS day, 0 AS o, 1 AS c FROM iv),
+    daily AS (
+      SELECT day, sum(o) AS o, sum(c) AS c FROM pts GROUP BY day),
+    ser AS (
+      SELECT day,
+             sum(o - c) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS oc
+      FROM daily),
+    ref AS (SELECT sum(oc) // count(*) AS r FROM ser),
+    pre AS (
+      SELECT day, oc, r,
+             sum(oc - r) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS p
+      FROM ser, ref),
+    cus AS (
+      SELECT day, oc, r, p,
+             p - least(CAST(0 AS BIGINT),
+                       min(p) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS s
+      FROM pre)
+    SELECT day,
+           CAST(oc AS BIGINT) AS open_count,
+           CAST(r AS BIGINT) AS ref,
+           CAST(s AS BIGINT) AS cusum,
+           CAST(CASE WHEN s * 1000 >= {_Q302_H_PERMILLE} * r
+                THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM cus
+    """,
+    doc="composition: interval_deltas -> backlog_from_deltas (the q296 "
+    "series) -> the q186 closed-form CUSUM s_d = P_d - min(0, running-"
+    "min P) with ref = floor mean open_count over DELTA days (the "
+    "series is piecewise constant between deltas; a calendar-weighted "
+    "ref would densify with q289 first -- delta-day semantics declared). "
+    "Alarm when s * 1000 >= 500 * ref. No recursion anywhere: two "
+    "running windows over the O(days) summary.",
+)
+def q302_backlog_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.intervals import backlog_from_deltas, interval_deltas
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship"))
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("ship") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("ship").alias("sd"),
+        )
+    )
+    ser = backlog_from_deltas(interval_deltas(iv, "od", "sd")).select(
+        "day", F.col("open_count").alias("oc")
+    )
+    ref = ser.agg(
+        F.expr("CAST(sum(oc) div count(1) AS BIGINT)").alias("r")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = ser.crossJoin(F.broadcast(ref)).withColumn(
+        "p", F.sum(F.col("oc") - F.col("r")).over(w)
+    )
+    cus = pre.withColumn(
+        "s",
+        F.col("p")
+        - F.least(F.lit(0).cast("long"), F.min("p").over(w)),
+    )
+    return cus.select(
+        "day",
+        F.col("oc").cast("long").alias("open_count"),
+        F.col("r").cast("long").alias("ref"),
+        F.col("s").cast("long").alias("cusum"),
+        F.when(
+            F.col("s") * 1000 >= _Q302_H_PERMILLE * F.col("r"), 1
+        ).otherwise(0).cast("long").alias("alarm"),
     )

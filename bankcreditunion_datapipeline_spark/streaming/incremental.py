@@ -1060,3 +1060,56 @@ def streaming_vmr(
         .agg(F.sum("__x").cast("long").alias("__x"))
     )
     return burstiness_vmr_e6(merged, key_cols, "__x")
+
+
+def streaming_interval_deltas(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    start_col: str,
+    end_col: str,
+) -> None:
+    """Streaming per-day open/close delta partials for the backlog
+    monitor: each micro-batch runs `interval_deltas` over ITS interval
+    rows (closed [start, end] dates; +1 opened at start, +1 closed at
+    end + 1) and writes its own ``batch=<id>`` partition (overwrite on
+    redelivery -> replace, never double-count).  (opened, closed) are
+    sum monoids per day, so the merged state reproduces the batch
+    delta table exactly at any batch split.  Rows with NULL or
+    reversed bounds are dropped (the q296 declared domain)."""
+    from ..operators.intervals import interval_deltas
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        iv = df.filter(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) >= F.col(start_col))
+        )
+        interval_deltas(iv, start_col, end_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, "intervaldeltas",
+                               f"batch={batch_id}"))
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_backlog(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge-on-read backlog series over the streaming interval-delta
+    state: sum the per-batch (day, opened, closed) partials, then the
+    extractor IS `backlog_from_deltas` verbatim -- identical windows to
+    the q296 batch query on the union of all input, by construction.
+    The capacity chart that stays cheap under streaming: state is
+    O(distinct days) summary rows, never raw intervals."""
+    from ..operators.intervals import backlog_from_deltas
+
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "intervaldeltas"))
+        .groupBy("day")
+        .agg(
+            F.sum("opened").cast("long").alias("opened"),
+            F.sum("closed").cast("long").alias("closed"),
+        )
+    )
+    return backlog_from_deltas(merged)

@@ -1672,3 +1672,59 @@ def test_streaming_vmr_redelivery_idempotent(spark, tmp_path):
         map(tuple, streaming_vmr(spark, state, ["event_type"]).collect())
     )
     assert before == after and len(before) == 1
+
+
+def test_streaming_backlog_equals_batch(spark, tmp_path):
+    """The backlog extractor over merged streaming interval-delta
+    partials equals batch interval_deltas |> backlog_from_deltas over
+    the union of all input -- per-day (opened, closed) are sum
+    monoids, even when one day's deltas are split across batches."""
+    import datetime
+
+    from pyspark.sql.types import DateType, StructField, StructType
+
+    from bankcreditunion_datapipeline_spark.operators.intervals import (
+        backlog_from_deltas,
+        interval_deltas,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_backlog,
+        streaming_interval_deltas,
+    )
+
+    schema = StructType(
+        [StructField("od", DateType()), StructField("sd", DateType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    d = lambda i: datetime.date(2024, 1, i)  # noqa: E731
+    b1 = [(d(1), d(5)), (d(2), d(3)), (None, d(4)), (d(9), d(2))]
+    b2 = [(d(1), d(2)), (d(4), d(8))]  # day-1 open split across batches
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_interval_deltas(
+            spark, src, ckpt, schema, state, "od", "sd"
+        )
+
+    got = sorted(map(tuple, streaming_backlog(spark, state).collect()))
+    valid = [
+        r
+        for r in b1 + b2
+        if r[0] is not None and r[1] is not None and r[1] >= r[0]
+    ]
+    batch = backlog_from_deltas(
+        interval_deltas(
+            spark.createDataFrame(valid, schema), "od", "sd"
+        )
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    by_day = {r[0]: r for r in got}
+    # days 1-2 have 3 open ([1,5], [2,3] from day 2, [1,2]); day 4:
+    # [1,5] + [4,8] = 2; NULL/reversed rows dropped
+    assert by_day[d(2)][3] == 3
+    assert by_day[d(4)][3] == 2
