@@ -18680,7 +18680,7 @@ def q290_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(covered * 1000 // (mx - mn + 1) AS BIGINT)
                AS coverage_permille,
            CAST(c.mc AS BIGINT) AS max_concurrency
-    FROM pk JOIN conc c ON c.custkey = pk.custkey
+    FROM pk JOIN conc c ON c.custkey IS NOT DISTINCT FROM pk.custkey
     """,
     doc="interval_integrity (operators/intervals.py) over per-order "
     "fulfillment windows [orderdate, max shipdate] in epoch days: the "

@@ -107,6 +107,11 @@ def build_adversarial(src_dir: str, out_dir: str, extreme: bool = False) -> None
             order(9, 10485.76, "1997-05-05", 1),    # cents == 2^20 (octave edge)
             order(10, 10485.75, "1997-05-05", 1),   # cents == 2^20 - 1 (last bucket of e=19)
             order(11, 10485.77, "1997-05-05", 2),   # cents == 2^20 + 1
+            # r10: NULL custkey -- per-customer windows/joins must treat
+            # it as a stratum (null-safe) or drop it SYMMETRICALLY on
+            # both engines (plain equi-joins); q291's final join was
+            # null-safe on one side only until this row gated it
+            order(12, 50.0, "1997-06-06", None),
         ]
         + (
             [
