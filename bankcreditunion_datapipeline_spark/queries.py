@@ -19745,3 +19745,116 @@ def q302_backlog_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s") * 1000 >= _Q302_H_PERMILLE * F.col("r"), 1
         ).otherwise(0).cast("long").alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Backlog Holt forecast (r10): level+trend smoothing over the open-
+# order backlog series and the 7-day-ahead extrapolation -- the
+# capacity FORECAST on top of q296's chart and q302's alarm.  Inputs
+# are exact INTEGER counts, so the q252 bit-replay contract holds with
+# no rounding step at all.
+# ---------------------------------------------------------------------------
+@register(
+    "q303_backlog_forecast",
+    """
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey, max(l_shipdate) AS ship
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY l_orderkey),
+    iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS od, CAST(ship AS DATE) AS sd
+      FROM orders JOIN li ON li.l_orderkey = o_orderkey
+      WHERE o_orderdate IS NOT NULL
+        AND CAST(ship AS DATE) >= CAST(o_orderdate AS DATE)),
+    pts AS (
+      SELECT od AS day, 1 AS o, 0 AS c FROM iv
+      UNION ALL
+      SELECT sd + 1 AS day, 0 AS o, 1 AS c FROM iv),
+    daily AS (
+      SELECT day, sum(o) AS o, sum(c) AS c FROM pts GROUP BY day),
+    dd AS MATERIALIZED (
+      SELECT day,
+             CAST(sum(o - c) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE) AS v,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily),
+    r AS (
+      SELECT day, rn, v, v AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM dd WHERE rn = 1
+      UNION ALL
+      SELECT d.day, d.rn, d.v,
+             0.5 * d.v + 0.5 * (r.l + r.b) AS l,
+             0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+                 AS b
+      FROM dd d JOIN r ON d.rn = r.rn + 1),
+    last AS (
+      SELECT day, rn, l, b,
+             row_number() OVER (ORDER BY rn DESC) AS rk
+      FROM r)
+    SELECT day AS last_day,
+           CAST(rn AS BIGINT) AS n_days,
+           floor(l * 1000000) / 1000000.0 AS level_t,
+           floor(b * 1000000) / 1000000.0 AS trend_t,
+           floor((l + 7 * b) * 1000000) / 1000000.0 AS forecast_7d
+    FROM last WHERE rk = 1
+    """,
+    doc="composition: interval_deltas -> backlog_from_deltas (q296) -> "
+    "holt_linear_by_key (q252's bit-replay recursion, alpha=beta=0.5) "
+    "over the single global backlog series. The recursion inputs are "
+    "exact INTEGER open counts cast to double (every value below 2^53 "
+    "is exactly representable), so the Arrow recursion and the "
+    "recursive-CTE replay are bit-identical with NO rounding lane at "
+    "all; outputs floor at 1e-6 (dd is MATERIALIZED -- the recursion "
+    "references it every round and an inlined dd re-ran the whole "
+    "orders x lineitem upstream per round, 56s -> 13s at sf0.01). "
+    "Forecast = l_T + 7*b_T over DELTA "
+    "days (densify with q289's spine first if calendar-step smoothing "
+    "is wanted -- declared). Scale: recursion over the O(days) series.",
+)
+def q303_backlog_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.intervals import backlog_from_deltas, interval_deltas
+    from .operators.temporal import holt_linear_by_key
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship"))
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("ship") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("ship").alias("sd"),
+        )
+    )
+    ser = backlog_from_deltas(interval_deltas(iv, "od", "sd")).select(
+        F.lit("all").alias("k"),
+        "day",
+        F.col("open_count").cast("double").alias("v"),
+    )
+    sm = holt_linear_by_key(ser, "k", "day", "v", alpha=0.5, beta=0.5)
+    w = Window.partitionBy("k").orderBy(F.desc("day"))
+    wn = Window.partitionBy("k")
+    return (
+        sm.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_days", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("day").alias("last_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            (F.floor(F.col("level") * 1000000) / 1000000).alias("level_t"),
+            (F.floor(F.col("trend") * 1000000) / 1000000).alias("trend_t"),
+            (
+                F.floor((F.col("level") + 7 * F.col("trend")) * 1000000)
+                / 1000000
+            ).alias("forecast_7d"),
+        )
+    )

@@ -1113,3 +1113,35 @@ def streaming_backlog(spark: SparkSession, state_dir: str) -> DataFrame:
         )
     )
     return backlog_from_deltas(merged)
+
+
+def streaming_freshness(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Merge-on-read freshness monitor over the streaming daily-count
+    state (`streaming_daily_counts` partials): per key, the last
+    observed day and its staleness versus the newest day anywhere in
+    the state -- the "is this feed still arriving" alarm, the
+    streaming counterpart of q299's historical freshness share.
+    max() is a monoid, so redelivered/split batches land exactly.
+    State is O(keys x days) summary rows, never raw events."""
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "dailycounts"))
+        .groupBy(*key_cols, "__day")
+        .agg(F.sum("__x").cast("long").alias("__x"))
+    )
+    ref = merged.agg(F.max("__day").alias("__ref"))
+    per_key = merged.groupBy(*key_cols).agg(
+        F.max("__day").alias("last_day"),
+        F.sum("__x").cast("long").alias("n_events"),
+    )
+    return per_key.crossJoin(F.broadcast(ref)).select(
+        *key_cols,
+        "last_day",
+        "n_events",
+        F.datediff(F.col("__ref"), F.col("last_day"))
+        .cast("long")
+        .alias("staleness_days"),
+    )

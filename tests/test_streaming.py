@@ -1728,3 +1728,53 @@ def test_streaming_backlog_equals_batch(spark, tmp_path):
     # [1,5] + [4,8] = 2; NULL/reversed rows dropped
     assert by_day[d(2)][3] == 3
     assert by_day[d(4)][3] == 2
+
+
+def test_streaming_freshness_staleness_vs_state_max(spark, tmp_path):
+    """Per-key last observed day + staleness vs the newest day anywhere
+    in the state; redelivered/split batches land exactly (max is a
+    monoid)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_daily_counts,
+        streaming_freshness,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    day = datetime.timedelta(days=1)
+    b1 = [("a", t0), ("b", t0), ("b", t0 + day)]
+    b2 = [("a", t0 + 5 * day), ("a", t0 + 5 * day)]  # 'a' catches up
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_daily_counts(
+            spark, src, ckpt, schema, state, ["event_type"]
+        )
+
+    got = {
+        r["event_type"]: r
+        for r in streaming_freshness(spark, state, ["event_type"]).collect()
+    }
+    assert got["a"]["staleness_days"] == 0
+    assert got["a"]["n_events"] == 3
+    assert got["b"]["staleness_days"] == 4  # last seen day 1, ref day 5
+    assert got["b"]["n_events"] == 2
