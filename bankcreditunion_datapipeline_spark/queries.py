@@ -19858,3 +19858,76 @@ def q303_backlog_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast_7d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekend-effect readout (r10): is weekend daily revenue STOCHASTICALLY
+# larger than weekday revenue?  Exact Mann-Whitney (the q245 AUC
+# machinery) over the daily cents series -- the distribution-free
+# answer a mean comparison (q84-style) cannot give under heavy tails.
+# ---------------------------------------------------------------------------
+@register(
+    "q304_weekend_effect_auc",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY date_trunc('day', ts)),
+    lab AS (
+      SELECT day, cents,
+             CASE WHEN CAST(date_diff('day', DATE '1970-01-05', day) % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS y
+      FROM daily WHERE cents IS NOT NULL),
+    g AS (SELECT cents, count(*) AS n, sum(y) AS np
+          FROM lab GROUP BY cents),
+    wprev AS (
+      SELECT n, np,
+             coalesce(sum(n) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM g),
+    agg AS (
+      SELECT sum(np) AS p,
+             sum(n) - sum(np) AS nn,
+             sum(np * (2 * below + n + 1)) AS r2
+      FROM wprev)
+    SELECT CAST(p AS BIGINT) AS n_weekend_days,
+           CAST(nn AS BIGINT) AS n_weekday_days,
+           CAST((r2 - p * (p + 1)) * 1000000 // (2 * p * nn) AS BIGINT)
+               AS auc_e6
+    FROM agg
+    """,
+    doc="auc_exact_e6 (operators/analytics.py) with label = weekend "
+    "(dow = datediff-from-anchor-Monday mod 7 in {5, 6} -- the q208 "
+    "portable dow lane; Spark dayofweek and DuckDB dayofweek number "
+    "days differently, the anchor does not) and score = daily revenue "
+    "in EXACT integer cents (each value rounds to cents BEFORE the "
+    "sum, so the score is an integer sum-monoid -- no double-sum "
+    "rank-tie exposure at all). auc_e6 > 500000 reads 'a random "
+    "weekend day out-earns a random weekday' with midrank ties. "
+    "Days with all-NULL values are excluded (no score). Scale: one "
+    "shuffle to the O(distinct cents) summary; days never sort "
+    "globally.",
+)
+def q304_weekend_effect_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import auc_exact_e6
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).filter(F.col("cents").isNotNull())
+    lab = daily.select(
+        "cents",
+        F.expr(
+            "CASE WHEN datediff(day, DATE '1970-01-05') % 7 IN (5, 6) "
+            "THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    return auc_exact_e6(lab, "cents", "y").select(
+        F.col("n_pos").alias("n_weekend_days"),
+        F.col("n_neg").alias("n_weekday_days"),
+        "auc_e6",
+    )
