@@ -19931,3 +19931,164 @@ def q304_weekend_effect_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_neg").alias("n_weekday_days"),
         "auc_e6",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cell-blocked k-NN label-noise audit (r10): q298's mislabeling screen
+# at its documented 100 TB posture -- neighborhoods come from the
+# anchor's IVF cell (the q111/q254 assignment lane), never from an
+# all-pairs join.  Probe = 1 cell; q238's recall curve is the tool
+# that prices that choice.
+# ---------------------------------------------------------------------------
+_Q305_K = 5
+
+
+@register(
+    "q305_cell_blocked_label_noise",
+    f"""
+    WITH cent AS (
+      SELECT label AS clabel,
+             [{_KM_DIMS}]::DOUBLE[] AS centroid
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label, e.embedding, c.clabel,
+             round(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[],
+                                          c.centroid)
+                   + list_dot_product(c.centroid, c.centroid), 6) AS dist
+      FROM embeddings e CROSS JOIN cent c WHERE e.embedding IS NOT NULL),
+    asg AS (
+      SELECT vec_id, label, embedding, clabel AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, clabel) AS rk
+      FROM d),
+    base AS (
+      SELECT vec_id, label, embedding, cell,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM asg WHERE rk = 1 AND label IS NOT NULL
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    sc AS (
+      SELECT a.vec_id AS ida, a.label AS la,
+             b.vec_id AS idb, b.label AS lb,
+             round(list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[])
+                   / (a.nrm * b.nrm), 6) AS s
+      FROM (SELECT * FROM base WHERE vec_id % 7 = 0) a
+      JOIN base b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT ida, la, lb FROM (
+        SELECT ida, la, idb, lb, s,
+               row_number() OVER (PARTITION BY ida
+                                  ORDER BY s DESC, idb ASC) AS rk
+        FROM sc) WHERE rk <= {_Q305_K}),
+    votes AS (
+      SELECT ida, la, lb, count(*) AS c FROM nn GROUP BY ida, la, lb),
+    maj AS (
+      SELECT ida, la, lb AS mj FROM (
+        SELECT ida, la, lb, c,
+               row_number() OVER (PARTITION BY ida
+                                  ORDER BY c DESC, lb ASC) AS vr
+        FROM votes) WHERE vr = 1)
+    SELECT CAST(la AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_audited,
+           CAST(sum(CASE WHEN mj <> la THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree,
+           CAST(sum(CASE WHEN mj <> la THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS noise_permille
+    FROM maj GROUP BY la
+    """,
+    doc="q298's k-NN majority screen at the cell-blocked 100 TB "
+    "posture: label_centroids + kmeans_assign (q111 argmin lane) "
+    "block candidates to the anchor's cell, anchors = the vec_id %% 7 "
+    "deterministic slice, per-vector norms hoisted ONCE (q211/q254 "
+    "discipline), top-5 by (cos desc, id asc), vote ties (count desc, "
+    "label asc). Zero-norm/NULL vectors and NULL labels excluded "
+    "exactly as q298. Probe = 1 cell (q238's recall-vs-nprobe curve "
+    "prices that); an anchor alone in its cell has no neighborhood "
+    "and drops -- declared. Scale: pair volume is sum over cells of "
+    "|anchors_in_cell| x |cell|, never all-pairs; the assignment is "
+    "one broadcast fan-out.",
+)
+def q305_cell_blocked_label_noise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import dot
+    from .operators.similarity import kmeans_assign, label_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, dim=64)
+    asg = kmeans_assign(emb, cent, keep_cols=["label"]).select(
+        "vec_id", "label", F.col("assigned").alias("cell")
+    )
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    )
+    base = (
+        asg.join(vecs, "vec_id")
+        .filter(F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias(
+                "__nrm"
+            ),
+        )
+        .filter(F.col("__nrm") > 0)
+        # both sides of the cell self-join read this frame (q254)
+        .persist()
+    )
+    a = base.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("__ida"),
+        F.col("label").alias("__la"),
+        F.col("cell").alias("__cell"),
+        F.col("embedding").alias("__ea"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("label").alias("__lb"),
+        F.col("cell").alias("__cell"),
+        F.col("embedding").alias("__eb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sc = a.join(b, "__cell").filter(F.col("__ida") != F.col("__idb")).select(
+        "__ida",
+        "__la",
+        "__idb",
+        "__lb",
+        F.round(
+            dot(F.col("__ea"), F.col("__eb"))
+            / (F.col("__na") * F.col("__nb")),
+            6,
+        ).alias("__s"),
+    )
+    wk = Window.partitionBy("__ida").orderBy(F.desc("__s"), F.asc("__idb"))
+    nn = sc.withColumn("__rk", F.row_number().over(wk)).filter(
+        F.col("__rk") <= _Q305_K
+    )
+    votes = nn.groupBy("__ida", "__la", "__lb").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wv = Window.partitionBy("__ida").orderBy(F.desc("__c"), F.asc("__lb"))
+    maj = votes.withColumn("__vr", F.row_number().over(wv)).filter(
+        F.col("__vr") == 1
+    )
+    return maj.groupBy("__la").agg(
+        F.count(F.lit(1)).cast("long").alias("n_audited"),
+        F.sum(
+            (~F.col("__lb").eqNullSafe(F.col("__la"))).cast("long")
+        ).cast("long").alias("n_disagree"),
+    ).select(
+        F.col("__la").cast("long").alias("label"),
+        "n_audited",
+        "n_disagree",
+        F.expr("CAST(n_disagree * 1000 div n_audited AS BIGINT)").alias(
+            "noise_permille"
+        ),
+    )
