@@ -20092,3 +20092,112 @@ def q305_cell_blocked_label_noise(
             "noise_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution-policy comparison (r10): the SAME conversions credited
+# under first-touch, last-touch, and linear (largest-remainder)
+# policies, side by side per channel -- the sensitivity table a
+# marketing analyst reads before arguing about q190's Markov credits.
+# Every policy's credits sum to exactly 1000 permille per conversion.
+# ---------------------------------------------------------------------------
+_Q306_WINDOW_DAYS = 7
+
+
+@register(
+    "q306_attribution_policy_matrix",
+    f"""
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    tch AS (
+      SELECT e.event_type, e.ts, e.event_id, p.pid
+      FROM events e JOIN p ON e.user_id = p.user_id
+      WHERE e.event_type IS NOT NULL AND e.event_type <> 'purchase'
+        AND e.ts IS NOT NULL
+        AND e.ts < p.pts
+        AND e.ts >= p.pts - INTERVAL {_Q306_WINDOW_DAYS} DAY),
+    rk AS (
+      SELECT event_type, pid,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY pid) AS k
+      FROM tch),
+    cr AS (
+      SELECT event_type,
+             CASE WHEN rn = 1 THEN 1000 ELSE 0 END AS fc,
+             CASE WHEN rn = k THEN 1000 ELSE 0 END AS lc,
+             1000 // k + CASE WHEN rn <= 1000 % k THEN 1 ELSE 0 END
+                 AS nc
+      FROM rk)
+    SELECT event_type,
+           CAST(sum(fc) AS BIGINT) AS first_touch_permille,
+           CAST(sum(lc) AS BIGINT) AS last_touch_permille,
+           CAST(sum(nc) AS BIGINT) AS linear_permille
+    FROM cr GROUP BY event_type
+    """,
+    doc="three attribution policies over ONE touch table: touches = "
+    "non-purchase events strictly before the purchase within a 7-day "
+    "window (user equi-join + range filter -- per-user volume bounds "
+    "the fan-out; ts/event_id tiebreaks pin the ranks). first = rank "
+    "1, last = rank k, linear = the q195/q297 largest-remainder rule "
+    "1000 div k + (rn <= 1000 mod k) with EARLIER touches carrying "
+    "the remainder -- each policy credits exactly 1000 permille per "
+    "converted purchase (reconciliation pinned in test), so the "
+    "columns are directly comparable. Conversions with zero preceding "
+    "touches drop (no channel to credit -- declared). NULL "
+    "user/ts/type excluded by domain. Scale: one user-keyed shuffle; "
+    "windows ride the O(touches-in-window) pair table.",
+)
+def q306_attribution_policy_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__u"),
+        F.col("ts").alias("__pts"),
+        F.col("event_id").alias("__pid"),
+    )
+    tch = (
+        ev.filter(
+            F.col("event_type").isNotNull()
+            & (F.col("event_type") != "purchase")
+        )
+        .join(p, F.col("user_id") == F.col("__u"))
+        .filter(
+            (F.col("ts") < F.col("__pts"))
+            & (
+                F.col("ts")
+                >= F.col("__pts") - F.expr(
+                    f"INTERVAL {_Q306_WINDOW_DAYS} DAY"
+                )
+            )
+        )
+        .select("event_type", "ts", "event_id", "__pid")
+    )
+    wr = Window.partitionBy("__pid").orderBy("ts", "event_id")
+    wp = Window.partitionBy("__pid")
+    rk = tch.select(
+        "event_type",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+    )
+    cr = rk.select(
+        "event_type",
+        F.when(F.col("rn") == 1, 1000).otherwise(0).alias("fc"),
+        F.when(F.col("rn") == F.col("k"), 1000).otherwise(0).alias("lc"),
+        F.expr(
+            "1000 div k + CASE WHEN rn <= 1000 % k THEN 1 ELSE 0 END"
+        ).alias("nc"),
+    )
+    return cr.groupBy("event_type").agg(
+        F.sum("fc").cast("long").alias("first_touch_permille"),
+        F.sum("lc").cast("long").alias("last_touch_permille"),
+        F.sum("nc").cast("long").alias("linear_permille"),
+    )

@@ -1145,3 +1145,36 @@ def streaming_freshness(
         .cast("long")
         .alias("staleness_days"),
     )
+
+
+def streaming_lead_lag(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str,
+    x_key: str,
+    y_key: str,
+    lags: list[int] | None = None,
+) -> DataFrame:
+    """Merge-on-read lead/lag monitor over the streaming daily-count
+    state: sum the per-batch (key, day) count partials, split out the
+    two series named by ``x_key``/``y_key``, then the extractor IS
+    `cross_correlation_e6` verbatim -- identical BIGINT moments and
+    double finisher as the q292 batch query on the union of all
+    input, by construction.  The relationship detector that stays
+    cheap under streaming: a best-lag shift between state snapshots
+    means the lead time between the two streams is MOVING.  State is
+    O(keys x days) summary rows, never raw events."""
+    from ..operators.analytics import cross_correlation_e6
+
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "dailycounts"))
+        .groupBy(key_col, "__day")
+        .agg(F.sum("__x").cast("long").alias("__x"))
+    )
+    x = merged.filter(F.col(key_col) == x_key).select(
+        F.col("__day").alias("day"), F.col("__x").alias("x")
+    )
+    y = merged.filter(F.col(key_col) == y_key).select(
+        F.col("__day").alias("day"), F.col("__x").alias("y")
+    )
+    return cross_correlation_e6(x, y, lags or [-3, -2, -1, 0, 1, 2, 3])

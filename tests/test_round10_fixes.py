@@ -168,3 +168,52 @@ def test_q297_proration_reconciles_exactly(spark, tmp_path):
     day_one = out.filter(F.col("day") == d0).collect()[0]
     assert day_one["n_orders_active"] == 4
     assert day_one["recognized_cents"] == 3 + 1 + 0 + 12345
+
+
+def test_q306_every_policy_credits_exactly_1000_per_conversion(
+    spark, tmp_path
+):
+    """Reconciliation: summed over channels, each policy's credit
+    equals 1000 * (number of purchases with >= 1 preceding touch) --
+    including awkward k (3 touches: 334+333+333)."""
+    from pyspark.sql import functions as F
+
+    from bankcreditunion_datapipeline_spark.queries import (
+        q306_attribution_policy_matrix,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # user 1: view, click, view -> purchase (k=3)
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + h, 1, "click", 1.0, "{}"),
+        (3, t0 + 2 * h, 1, "view", 1.0, "{}"),
+        (4, t0 + 3 * h, 1, "purchase", 9.0, "{}"),
+        # user 2: one touch 8 days before -> OUTSIDE the window
+        (5, t0 - datetime.timedelta(days=8), 2, "view", 1.0, "{}"),
+        (6, t0, 2, "purchase", 9.0, "{}"),
+        # user 3: single click -> purchase (k=1)
+        (7, t0, 3, "click", 1.0, "{}"),
+        (8, t0 + h, 3, "purchase", 9.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in q306_attribution_policy_matrix(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # 2 credited conversions (user 2's touch is out of window)
+    for col in (
+        "first_touch_permille",
+        "last_touch_permille",
+        "linear_permille",
+    ):
+        assert sum(r[col] for r in out.values()) == 2000, col
+    # user 1: first = view(t0), last = view(t0+2h); linear 334/333/333
+    assert out["view"]["first_touch_permille"] == 1000
+    assert out["view"]["last_touch_permille"] == 1000
+    assert out["view"]["linear_permille"] == 334 + 333
+    assert out["click"]["linear_permille"] == 333 + 1000
+    assert out["click"]["first_touch_permille"] == 1000  # user 3's k=1

@@ -1778,3 +1778,81 @@ def test_streaming_freshness_staleness_vs_state_max(spark, tmp_path):
     assert got["a"]["n_events"] == 3
     assert got["b"]["staleness_days"] == 4  # last seen day 1, ref day 5
     assert got["b"]["n_events"] == 2
+
+
+def test_streaming_lead_lag_equals_batch(spark, tmp_path):
+    """The lead/lag extractor over merged streaming daily-count
+    partials equals batch cross_correlation_e6 over the union of all
+    input, split-day batches included."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bankcreditunion_datapipeline_spark.operators.analytics import (
+        cross_correlation_e6,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_daily_counts,
+        streaming_lead_lag,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    day = datetime.timedelta(days=1)
+    # y echoes x two days later with proportional volume
+    rows = []
+    for d, n in ((0, 3), (1, 1), (2, 4), (3, 1), (4, 5)):
+        rows += [("view", t0 + d * day)] * n
+        rows += [("purchase", t0 + (d + 2) * day)] * n
+    b1, b2 = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_daily_counts(
+            spark, src, ckpt, schema, state, ["event_type"]
+        )
+
+    got = sorted(
+        map(
+            tuple,
+            streaming_lead_lag(
+                spark, state, "event_type", "view", "purchase"
+            ).collect(),
+        )
+    )
+    daily = (
+        spark.createDataFrame(b1 + b2, schema)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    x = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("c").alias("x")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("c").alias("y")
+    )
+    want = sorted(
+        map(tuple, cross_correlation_e6(x, y, range(-3, 4)).collect())
+    )
+    assert got == want
+    by_lag = {r[0]: r[2] for r in got}
+    assert by_lag[2] in (999_999, 1_000_000)  # exact echo at lag +2
