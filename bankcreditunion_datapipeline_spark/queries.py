@@ -20201,3 +20201,85 @@ def q306_attribution_policy_matrix(
         F.sum("lc").cast("long").alias("last_touch_permille"),
         F.sum("nc").cast("long").alias("linear_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife stratum influence (r10): how much does the global mean
+# order value MOVE if one nation's orders are excluded?  The exact
+# leave-one-stratum-out sensitivity audit -- the deterministic half of
+# the jackknife, and the "is one stratum dragging the headline
+# number" check q141's robust scores answer only pointwise.
+# ---------------------------------------------------------------------------
+@register(
+    "q307_stratum_influence",
+    """
+    WITH base AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice IS NOT NULL AND c.c_nationkey IS NOT NULL),
+    st AS (
+      SELECT nation, count(*) AS ni, sum(cents) AS si
+      FROM base GROUP BY nation),
+    g AS (SELECT sum(ni) AS n, sum(si) AS s FROM st)
+    SELECT nation,
+           CAST(ni AS BIGINT) AS n_orders,
+           CAST(si * 1000 // s AS BIGINT) AS revenue_share_permille,
+           CAST((s * ni - n * si) // (n * (n - ni)) * 1000000
+                + ((s * ni - n * si) % (n * (n - ni))) * 1000000
+                  // (n * (n - ni)) AS BIGINT)
+               AS influence_e6_cents
+    FROM st CROSS JOIN g
+    WHERE n > ni
+    """,
+    doc="leave-one-nation-out delta of the global mean order cents, "
+    "exact: mean_without - mean_global = (S*n_i - N*s_i) / "
+    "(N*(N - n_i)) -- one integer numerator per stratum, e6-scaled by "
+    "the divide-first split a*1e6 + (r*1e6) div D (the q176/SCALE.md "
+    "ladder: r < D <= ~9.2e12 keeps r*1e6 in BIGINT to N ~ 3e6 rows; "
+    "coarsen cents to dollars past that, the gini_e6 discipline -- "
+    "DuckDB just HUGEINT-promotes to the same floor). Positive "
+    "influence = removing the stratum RAISES the mean (the stratum "
+    "drags it down). Strata the size of the corpus (N = n_i) are "
+    "excluded (no leave-out estimate). NULL price/nation out by "
+    "domain. Scale: one broadcast dim join + one O(nations) summary; "
+    "the jackknife never rescans the fact table per stratum.",
+)
+def q307_stratum_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull()
+    )
+    base = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    st = base.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("cents").cast("long").alias("si"),
+    )
+    g = st.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("si").cast("long").alias("s"),
+    )
+    return (
+        st.crossJoin(F.broadcast(g))
+        .filter(F.col("n") > F.col("ni"))
+        .select(
+            "nation",
+            F.col("ni").alias("n_orders"),
+            F.expr("CAST(si * 1000 div s AS BIGINT)").alias(
+                "revenue_share_permille"
+            ),
+            F.expr(
+                "CAST((s * ni - n * si) div (n * (n - ni)) * 1000000 "
+                "+ ((s * ni - n * si) % (n * (n - ni))) * 1000000 "
+                "div (n * (n - ni)) AS BIGINT)"
+            ).alias("influence_e6_cents"),
+        )
+    )
