@@ -20283,3 +20283,88 @@ def q307_stratum_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("influence_e6_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-decile migration (r10): each customer's order-value decile in
+# 1996 vs 1997 -- the segment-migration matrix a retention team reads
+# (who climbed, who churned out of the top bucket).  q212 places
+# customers in static RFM cells; this tracks MOVEMENT between two
+# periods' value deciles.
+# ---------------------------------------------------------------------------
+@register(
+    "q308_value_decile_migration",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k,
+             CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS yr,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+        AND EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1996, 1997)
+      GROUP BY o_custkey, EXTRACT(year FROM CAST(o_orderdate AS DATE))),
+    d AS (
+      SELECT k, yr,
+             ntile(10) OVER (PARTITION BY yr
+                             ORDER BY cents DESC, k ASC) AS dec
+      FROM per),
+    m AS (
+      SELECT a.k, a.dec AS dec_1996, b.dec AS dec_1997
+      FROM d a JOIN d b ON a.k = b.k AND a.yr = 1996 AND b.yr = 1997)
+    SELECT CAST(dec_1996 AS BIGINT) AS dec_1996,
+           CAST(dec_1997 AS BIGINT) AS dec_1997,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY dec_1996, dec_1997
+    """,
+    doc="per-(customer, year) cents totals -> ntile(10) deciles with "
+    "the deterministic (cents DESC, custkey ASC) order (ntile bucket "
+    "sizing verified engine-identical, the q212 lane; decile 1 = top "
+    "value) -> the 1996 x 1997 migration matrix over customers active "
+    "in BOTH years (inner self-join on customer -- single-year "
+    "customers have no transition, declared). Scale: windows sort "
+    "per-year CUSTOMER summaries, never orders; the sketch-boundary "
+    "lane (q181) replaces the per-year sort at extreme customer "
+    "counts.",
+)
+def q308_value_decile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    per = (
+        orders.withColumn(
+            "yr", F.year(F.col("o_orderdate").cast("date")).cast("long")
+        )
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy(F.col("o_custkey").alias("k"), "yr")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("cents"), F.asc("k"))
+    d = per.select("k", "yr", F.ntile(10).over(w).alias("dec"))
+    a = d.filter(F.col("yr") == 1996).select(
+        "k", F.col("dec").alias("dec_1996")
+    )
+    b = d.filter(F.col("yr") == 1997).select(
+        F.col("k").alias("__k"), F.col("dec").alias("dec_1997")
+    )
+    return (
+        a.join(b, F.col("k") == F.col("__k"))
+        .groupBy("dec_1996", "dec_1997")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(
+            F.col("dec_1996").cast("long").alias("dec_1996"),
+            F.col("dec_1997").cast("long").alias("dec_1997"),
+            "n_customers",
+        )
+    )
