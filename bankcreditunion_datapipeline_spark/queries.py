@@ -20368,3 +20368,131 @@ def q308_value_decile_migration(
             "n_customers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-policy agreement (r10): do keep-min-id, keep-best-quality,
+# and keep-longest pick the SAME survivor per near-dup cluster?  The
+# q306-style policy-sensitivity table for the dedup lane: when the
+# policies disagree often, the survivor choice is load-bearing and
+# deserves q262's quality-delta scrutiny; when they agree, any cheap
+# policy does.
+# ---------------------------------------------------------------------------
+@register(
+    "q309_keep_policy_agreement",
+    f"""
+    WITH RECURSIVE {{ctes}},
+    ebi AS (
+      SELECT id_a, id_b FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT id_a, id_a FROM ebi
+      UNION
+      SELECT ebi.id_a, reach.r FROM ebi JOIN reach ON ebi.id_b = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id, {{qint}} AS qint,
+             coalesce(n_chars, 0) AS nch
+      FROM documents),
+    m AS (
+      SELECT comp.id, comp.component, q.qint, q.nch
+      FROM comp JOIN q ON q.doc_id = comp.id),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY id ASC) AS r_min,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY qint DESC, id ASC) AS r_q,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY nch DESC, id ASC) AS r_len
+      FROM m),
+    s AS (
+      SELECT component,
+             max(CASE WHEN r_min = 1 THEN id END) AS s_min,
+             max(CASE WHEN r_q = 1 THEN id END) AS s_q,
+             max(CASE WHEN r_len = 1 THEN id END) AS s_len
+      FROM r GROUP BY component)
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN s_min = s_q THEN 1 ELSE 0 END) AS BIGINT)
+               AS minid_eq_quality,
+           CAST(sum(CASE WHEN s_min = s_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS minid_eq_longest,
+           CAST(sum(CASE WHEN s_q = s_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS quality_eq_longest,
+           CAST(sum(CASE WHEN s_min = s_q AND s_q = s_len
+                    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+               AS all_agree_permille
+    FROM s
+    """.format(
+        ctes=_minhash_md5_ctes(
+            "documents", _QGRAPH_HASHES, _QGRAPH_BANDS, 4000
+        ),
+        qint=_QUALITY_QINT_SQL,
+    ),
+    doc="composition over the q262 cluster lane (q21 pairs at the "
+    "QGRAPH family -> CC): per-cluster survivors under THREE "
+    "deterministic keep policies -- min id, best quality (floor "
+    "qint desc, id asc), longest (n_chars desc, id asc; clustered "
+    "docs always have text so neither rank column is NULL, and "
+    "n_chars coalesces to 0 anyway) -- and the pairwise/all agreement "
+    "counts. Scale: CC on the pair graph; three windows + one summary "
+    "over the O(clustered docs) frame.",
+)
+def q309_keep_policy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import connected_components, minhash_near_dup_pairs
+    from .operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        threshold=0.4,
+        num_hashes=_QGRAPH_HASHES,
+        bands=_QGRAPH_BANDS,
+        hash="md5",
+    )
+    comp = connected_components(pairs)
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        F.floor(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("qint"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("nch"),
+    )
+    m = comp.join(q, "id")
+    wc = Window.partitionBy("component")
+    r = (
+        m.withColumn(
+            "r_min", F.row_number().over(wc.orderBy(F.asc("id")))
+        )
+        .withColumn(
+            "r_q",
+            F.row_number().over(wc.orderBy(F.desc("qint"), F.asc("id"))),
+        )
+        .withColumn(
+            "r_len",
+            F.row_number().over(wc.orderBy(F.desc("nch"), F.asc("id"))),
+        )
+    )
+    s = r.groupBy("component").agg(
+        F.max(F.when(F.col("r_min") == 1, F.col("id"))).alias("s_min"),
+        F.max(F.when(F.col("r_q") == 1, F.col("id"))).alias("s_q"),
+        F.max(F.when(F.col("r_len") == 1, F.col("id"))).alias("s_len"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum((F.col("s_min") == F.col("s_q")).cast("long"))
+        .cast("long")
+        .alias("minid_eq_quality"),
+        F.sum((F.col("s_min") == F.col("s_len")).cast("long"))
+        .cast("long")
+        .alias("minid_eq_longest"),
+        F.sum((F.col("s_q") == F.col("s_len")).cast("long"))
+        .cast("long")
+        .alias("quality_eq_longest"),
+        F.expr(
+            "CAST(sum(CASE WHEN s_min = s_q AND s_q = s_len "
+            "THEN 1 ELSE 0 END) * 1000 div count(1) AS BIGINT)"
+        ).alias("all_agree_permille"),
+    )
