@@ -20496,3 +20496,151 @@ def q309_keep_policy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN 1 ELSE 0 END) * 1000 div count(1) AS BIGINT)"
         ).alias("all_agree_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding class-margin audit (r10): per labeled vector, the gap
+# between its best SAME-label cosine and its best OTHER-label cosine
+# -- the class-separability readout (a contrastive margin) that says
+# whether these embeddings can support a classifier at all, BEFORE
+# anyone trains one.  Negative mean margin = the nearest neighbor is
+# usually from another class (q298 then tells you which labels are
+# noisy).
+# ---------------------------------------------------------------------------
+_Q310_SAMPLE = 200
+
+
+@register(
+    "q310_class_margin_audit",
+    f"""
+    WITH lab AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND label IS NOT NULL
+        AND list_dot_product(embedding::DOUBLE[],
+                             embedding::DOUBLE[]) > 0),
+    ranked AS (
+      SELECT vec_id, label, x,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS mr
+      FROM lab),
+    base AS (SELECT vec_id, label, x FROM ranked
+             WHERE mr <= {_Q310_SAMPLE}),
+    sc AS (
+      SELECT a.vec_id AS ida, a.label AS la, b.label AS lb,
+             round(list_dot_product(a.x, b.x)
+                   / (sqrt(list_dot_product(a.x, a.x))
+                      * sqrt(list_dot_product(b.x, b.x))), 6) AS s
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+    agg AS (
+      SELECT ida, la,
+             max(CASE WHEN lb = la THEN s END) AS best_same,
+             max(CASE WHEN lb <> la THEN s END) AS best_diff
+      FROM sc GROUP BY ida, la),
+    mg AS (
+      SELECT la,
+             CAST(floor((best_same - best_diff) * 1000000) AS BIGINT)
+                 AS margin_e6
+      FROM agg WHERE best_same IS NOT NULL AND best_diff IS NOT NULL)
+    SELECT CAST(la AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(margin_e6) // count(*) AS BIGINT)
+               AS mean_margin_e6,
+           CAST(sum(CASE WHEN margin_e6 > 0 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS positive_margin_permille
+    FROM mg GROUP BY la
+    """,
+    doc="contrastive separability over the q298 md5-rank 200-sample "
+    "lane: per anchor, best same-label minus best other-label cosine "
+    "(round 6dp, the q211 parity lane; max needs no tiebreak), floored "
+    "to e6 -- per label, the floor-div mean margin and the share of "
+    "anchors whose nearest kin beats their nearest impostor. Anchors "
+    "whose label is a singleton in the sample have no same-label "
+    "neighbor and drop (declared); zero-norm/NULL vectors and NULL "
+    "labels are out by the cosine domain. The quadratic is over the "
+    "FIXED sample; the 100 TB path blocks by IVF cell (the q305 "
+    "posture).",
+)
+def q310_class_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import dot
+
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & F.col("label").isNotNull()
+        & (F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v * v)"
+        ) > 0)
+    )
+    wmr = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    base = (
+        emb.withColumn("__mr", F.row_number().over(wmr))
+        .filter(F.col("__mr") <= _Q310_SAMPLE)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias(
+                "__nrm"
+            ),
+        )
+        .persist()
+    )
+    a = base.select(
+        F.col("vec_id").alias("__ida"),
+        F.col("label").alias("__la"),
+        F.col("embedding").alias("__ea"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("label").alias("__lb"),
+        F.col("embedding").alias("__eb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sc = a.join(F.broadcast(b), F.col("__ida") != F.col("__idb")).select(
+        "__ida",
+        "__la",
+        "__lb",
+        F.round(
+            dot(F.col("__ea"), F.col("__eb"))
+            / (F.col("__na") * F.col("__nb")),
+            6,
+        ).alias("__s"),
+    )
+    agg = sc.groupBy("__ida", "__la").agg(
+        F.max(F.when(F.col("__lb") == F.col("__la"), F.col("__s"))).alias(
+            "__bs"
+        ),
+        F.max(F.when(F.col("__lb") != F.col("__la"), F.col("__s"))).alias(
+            "__bd"
+        ),
+    ).filter(F.col("__bs").isNotNull() & F.col("__bd").isNotNull())
+    mg = agg.select(
+        "__la",
+        F.floor((F.col("__bs") - F.col("__bd")) * 1000000)
+        .cast("long")
+        .alias("__m"),
+    )
+    return mg.groupBy("__la").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.expr("CAST(sum(__m) div count(1) AS BIGINT)").alias(
+            "mean_margin_e6"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN __m > 0 THEN 1 ELSE 0 END) * 1000 "
+            "div count(1) AS BIGINT)"
+        ).alias("positive_margin_permille"),
+    ).select(
+        F.col("__la").cast("long").alias("label"),
+        "n_anchors",
+        "mean_margin_e6",
+        "positive_margin_permille",
+    )
