@@ -20644,3 +20644,91 @@ def q310_class_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_margin_e6",
         "positive_margin_permille",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio window energy (r10): the third modality's query surface --
+# extract_audio_windows' mapInPandas plumbing (opaque bytes in, typed
+# feature rows out) graded end-to-end: the deterministic stub's
+# per-4096-byte-window byte-mean "energy" is replayed in SQL via hex
+# expansion, so the WINDOWING arithmetic (count, truncation at 8,
+# ragged last window) is oracle-checked, not just unit-tested.
+# ---------------------------------------------------------------------------
+_Q311_WIN = 4096
+_Q311_MAXW = 8
+
+
+@register(
+    "q311_audio_window_energy",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             hex('RIFF'::BLOB || encode(text)) AS hx,
+             4 + octet_length(encode(text)) AS len
+      FROM documents
+      WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+    w AS (
+      SELECT media_id, hx, len,
+             least({_Q311_MAXW},
+                   greatest(1, (len + {_Q311_WIN} - 1) // {_Q311_WIN}))
+                 AS n_win
+      FROM h),
+    win AS (
+      SELECT media_id, len, n_win, CAST(u.k AS BIGINT) AS window_id,
+             list_sum(list_transform(
+               range(u.k * {_Q311_WIN} + 1,
+                     least((u.k + 1) * {_Q311_WIN}, len) + 1),
+               i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT)))
+                 AS bsum,
+             least((u.k + 1) * {_Q311_WIN}, len) - u.k * {_Q311_WIN}
+                 AS wlen
+      FROM w, unnest(range(0, n_win)) AS u(k))
+    SELECT media_id,
+           CAST(len AS BIGINT) AS n_bytes,
+           CAST(n_win AS BIGINT) AS n_windows,
+           window_id,
+           CAST(floor((CAST(bsum AS DOUBLE) / wlen) * 1000000)
+                AS BIGINT) AS energy_e6
+    FROM win
+    """,
+    doc="extract_audio_windows (operators/multimodal.py, stub decode -- "
+    "no codec libs in container; the wave-PCM real path is golden-"
+    "tested in pytest): payload = RIFF magic + UTF-8 text bytes (the "
+    "q24 construction's wav class), per-window energy = byte mean of "
+    "each 4096-byte window truncated at 8 windows. The oracle replays "
+    "the stub via hex expansion (exact integer byte sums; then the "
+    "IDENTICAL double division and *1e6 floor, tie-free). posexplode "
+    "mirrors the stub's window order. Scale: one Python hop per Arrow "
+    "batch, features are O(min(len div 4096, 8)) per blob -- the "
+    "plumbing shape all three modalities share.",
+)
+def q311_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ensure_min_partitions
+    from .operators.multimodal import extract_audio_windows
+
+    docs = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & F.col("text").isNotNull()
+    )
+    media = ensure_min_partitions(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.lit(b"RIFF"), F.encode(F.col("text"), "UTF-8")
+            ).alias("payload"),
+        )
+    )
+    feats = extract_audio_windows(
+        media, window_bytes=_Q311_WIN, max_windows=_Q311_MAXW
+    )
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.posexplode("window_energy").alias("window_id", "__e"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "n_windows",
+        F.col("window_id").cast("long").alias("window_id"),
+        F.floor(F.col("__e") * 1000000).cast("long").alias("energy_e6"),
+    )
