@@ -4189,7 +4189,8 @@ def q93_event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q94_sliding_windows",
     """
     WITH e AS (
-      SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      SELECT event_type, value, epoch_us(ts) AS us FROM events
+      WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
     x AS (
       SELECT event_type, value,
              (us // 900000000) * 900000000 - k * 900000000 AS start_us
@@ -4208,7 +4209,11 @@ def q93_event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming operator run in batch mode (F.window is the same logical op; "
     "only state management differs). Epoch-aligned [start, end) semantics; "
     "the oracle enumerates each event's 4 covering windows explicitly via "
-    "integer microsecond arithmetic on the 900s grid.",
+    "integer microsecond arithmetic on the 900s grid. Declared domain "
+    "ts >= epoch on both engines: Spark's pre-epoch window alignment "
+    "sits one slide below the floor grid (engine quirk the r10 fuzz "
+    "1969 event caught); the operator excludes pre-epoch rows like it "
+    "mirrors F.window's NULL-ts drop.",
 )
 def q94_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import windowed_event_counts

