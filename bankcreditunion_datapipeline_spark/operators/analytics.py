@@ -587,14 +587,17 @@ def rfm_segments(
     highest spend).
 
     ntile bucket sizing (larger buckets first) is identical in Spark
-    and DuckDB (verified). The three ntile windows are global sorts
-    over PER-KEY rows -- bounded by distinct customers, not orders; at
-    a scale where even that single-partition sort hurts, derive the
-    cuts from the q181 sketch boundaries instead and join.
+    and DuckDB (verified). The three quintile assignments ride
+    distributed_ntile (operators/ranking.py) -- the key grain grows
+    linearly with the corpus, so a plain global ntile window would put
+    every customer through ONE WindowExec task; the range-bucketed
+    two-level form is value-identical (two-strategies-must-agree,
+    tests/test_ranking.py) and never single-partitions the frame.
 
     Output: (key, recency_days, frequency, monetary_cents, r_q, f_q,
     m_q), one row per key.
     """
+    from .ranking import distributed_ntile
     per = (
         df.filter(
             F.col(key_col).isNotNull() & F.col(date_col).isNotNull()
@@ -611,17 +614,23 @@ def rfm_segments(
         "recency_days",
         F.datediff(F.col("__ref"), F.col("__last")).cast("long"),
     )
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("k"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("k"))
-    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("k"))
+    scored = distributed_ntile(
+        scored, 5, [("recency_days", "asc"), ("k", "asc")], out_col="r_q"
+    )
+    scored = distributed_ntile(
+        scored, 5, [("frequency", "desc"), ("k", "asc")], out_col="f_q"
+    )
+    scored = distributed_ntile(
+        scored, 5, [("monetary_cents", "desc"), ("k", "asc")], out_col="m_q"
+    )
     return scored.select(
         F.col("k").alias(key_col),
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(wr).cast("long").alias("r_q"),
-        F.ntile(5).over(wf).cast("long").alias("f_q"),
-        F.ntile(5).over(wm).cast("long").alias("m_q"),
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
     )
 
 
@@ -1086,12 +1095,16 @@ def score_decile_calibration(
     holds while total <= 4e8 subjects, and the operator fail-louds past
     that (the eval frame is subject-grain -- md5-sample first, q44
     lane). P == 0 also fails loud (gains undefined). NULL score or
-    label rows are excluded before binning. The ntile is a global sort
-    over the SUBJECT summary (one row per subject), the rfm_segments
-    class -- bounded analytics frames, not raw corpora; Spark and
-    DuckDB ntile split remainders identically (pinned by the q212
-    parity tests).
+    label rows are excluded before binning. The binning rides
+    distributed_ntile (operators/ranking.py) -- subject grain grows
+    linearly with the corpus, so a plain global ntile window would put
+    every subject through ONE WindowExec task; the range-bucketed
+    two-level form is value-identical (two-strategies-must-agree,
+    tests/test_ranking.py), and Spark and DuckDB ntile split remainders
+    identically (pinned by the q212 parity tests).
     """
+    from .ranking import distributed_ntile
+
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
@@ -1099,13 +1112,9 @@ def score_decile_calibration(
         F.col(label_col).cast("long").alias("__y"),
         F.col(id_col).alias("__i"),
     )
-    binned = base.select(
-        F.ntile(n_bins)
-        .over(Window.orderBy(F.desc("__s"), F.asc("__i")))
-        .cast("long")
-        .alias("bin"),
-        "__y",
-    )
+    binned = distributed_ntile(
+        base, n_bins, [("__s", "desc"), ("__i", "asc")], out_col="bin"
+    ).select(F.col("bin").cast("long").alias("bin"), "__y")
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_subjects"),
         F.sum("__y").cast("long").alias("n_pos"),

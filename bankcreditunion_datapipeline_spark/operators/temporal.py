@@ -804,23 +804,63 @@ def forward_fill_daily(
     inputs.  Doubles are COPIED, never recomputed, so the filled lane
     is exactly as engine-stable as its source.
 
+    INPUT CONTRACT (fail-loud, not silent): at most ONE row per
+    (key, day), and ``day_col`` is never NULL.  A NULL day cannot be
+    placed on a date spine (the span min/max would ignore it and the
+    equi-join would never match it -- a silent drop), and a duplicate
+    (key, day) would duplicate spine rows downstream of the join.
+    Both violations raise (a when/otherwise(raise_error) PROJECTION,
+    never where(assert_true) -- the q291/SCALE.md Catalyst-merge
+    discipline); pre-aggregate to the (key, day) grain first, as
+    q289/q299 do.  A NULL KEY remains a real stratum (null-safe join).
+
     Scale: the spine is O(sum over keys of span days) -- the series
     summary, never the event corpus; one shuffle on the key carries
-    the window.
+    the window (the contract groupBy rides the same key partitioning).
     """
     from pyspark.sql.window import Window
 
-    span = df.groupBy(key_col).agg(
-        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    checked = df.select(
+        F.col(key_col).alias("__ok"),
+        F.when(F.col(day_col).isNotNull(), F.col(day_col))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "forward_fill_daily: NULL day violates the input "
+                    "contract (a NULL day cannot be placed on the date "
+                    "spine and would be silently dropped) -- filter or "
+                    "pre-aggregate upstream"
+                )
+            )
+        )
+        .alias("__oday"),
+        F.col(value_col).alias("__v"),
+    )
+    uniq = checked.groupBy("__ok", "__oday").agg(
+        F.count(F.lit(1)).alias("__c"), F.first("__v").alias("__v")
+    )
+    obs = uniq.select(
+        "__ok",
+        "__oday",
+        F.when(F.col("__c") == 1, F.col("__v"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "forward_fill_daily: duplicate (key, day) rows "
+                    "violate the one-row-per-(key, day) input contract "
+                    "(spine rows would duplicate) -- pre-aggregate to "
+                    "the daily grain first"
+                )
+            )
+        )
+        .alias("__v"),
+    )
+    span = obs.groupBy(F.col("__ok").alias(key_col)).agg(
+        F.min("__oday").alias("__d0"), F.max("__oday").alias("__d1")
     )
     spine = span.select(
         F.col(key_col).alias("__k"),
         F.explode(F.sequence("__d0", "__d1")).alias("__day"),
-    )
-    obs = df.select(
-        F.col(key_col).alias("__ok"),
-        F.col(day_col).alias("__oday"),
-        F.col(value_col).alias("__v"),
     )
     j = spine.join(
         obs,

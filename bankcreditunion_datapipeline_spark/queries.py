@@ -2652,22 +2652,43 @@ def q63_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((avg(pr)) * 10000) / 10000.0 AS avg_pct_rank
     FROM r GROUP BY order_year, decile
     """,
-    doc="ntile + percent_rank windows partitioned by year (bounded "
-    "partitions -- no global sort), deterministic via unique-key "
-    "tiebreak; aggregated into a decile profile.",
+    doc="ntile + percent_rank over RAW orders, both derived from ONE "
+    "distributed_row_number pass (operators/ranking.py: year "
+    "partitions grow linearly with the corpus, so the plain window "
+    "would put each year through one WindowExec task): decile = the "
+    "closed-form ntile sizing from (rank, N), pr = (rn-1)/(N-1) -- "
+    "the exact expression WindowExec evaluates, equal to rank-based "
+    "percent_rank because the (price, orderkey) tiebreak is a total "
+    "order. NULLS FIRST pinned on both engines; aggregated into a "
+    "decile profile.",
 )
 def q64_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.ranking import distributed_row_number, ntile_from_rank
 
     orders = t(spark, sf_dir, "orders").withColumn(
         "order_year", F.year(F.to_date("o_orderdate"))
     )
-    w = Window.partitionBy("order_year").orderBy("o_totalprice", "o_orderkey")
-    r = orders.select(
+    # this frame is RAW ORDERS (not a summary): a per-year ntile window
+    # would put each year -- linear in the corpus -- through one
+    # WindowExec task.  Both ranks ride the two-level distributed form;
+    # percent_rank is its closed form (rn - 1) / (N - 1), the exact
+    # expression WindowExec evaluates.
+    rn = distributed_row_number(
+        orders,
+        [("o_totalprice", "asc"), ("o_orderkey", "asc")],
+        partition_cols=["order_year"],
+        out_col="rn_yr",
+        total_col="n_yr",
+        stabilize_input=False,
+    )
+    dec = rn.withColumn("decile", ntile_from_rank(10, "rn_yr", "n_yr"))
+    r = dec.select(
         "order_year",
         "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pr"),
+        "decile",
+        F.when(F.col("n_yr") > 1, (F.col("rn_yr") - 1) / (F.col("n_yr") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
     )
     return r.groupBy("order_year", "decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -11917,9 +11938,9 @@ def q211_mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recency (vs corpus max date -- reproducible from data alone), "
     "frequency, monetary cents; ntile(5) quintiles over deterministic "
     "(metric, key) orders -- bucket sizing verified identical Spark/"
-    "DuckDB. Windows sort PER-KEY rows (customers, not orders); the "
-    "sketch-boundary lane (q181) replaces the global sort at extreme "
-    "key counts. Rolled up to segment counts + spend.",
+    "DuckDB, assigned via distributed_ntile (operators/ranking.py): "
+    "customer grain grows with the corpus, so no quintile ever "
+    "single-partitions. Rolled up to segment counts + spend.",
 )
 def q212_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import rfm_segments
@@ -12569,19 +12590,23 @@ def q222_topk_user_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its first appearance; new + cumulative vocab per decile. A "
     "flattening curve says train the tokenizer; a linear one says "
     "keep collecting. min(doc_id) per bigram is one map-side "
-    "aggregate; the decile rank runs over DISTINCT doc ids only.",
+    "aggregate; the ingest-order rank runs over DISTINCT doc ids only "
+    "AND rides distributed_row_number (operators/ranking.py) -- doc "
+    "grain grows with the corpus, no single-partition window.",
 )
 def q223_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
+
+    from .operators.ranking import distributed_row_number
 
     d = t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     docs = d.select("doc_id").distinct()
-    ranked = docs.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    # doc-id grain grows with the corpus: the ingest-order rank rides
+    # the two-level distributed form, never one WindowExec task
+    ranked = distributed_row_number(
+        docs, [("doc_id", "asc")], out_col="r", total_col="nd"
     )
     tw = d.select(
         "doc_id",
@@ -14591,7 +14616,8 @@ def q245_behaviour_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rate, cumulative gain and lift in exact integer permille (the "
     "x1000 two-limb ladder vs DuckDB HUGEINT promotion -- same floor). "
     "Label is q245's cross-multiplied above-mean purchase test. The "
-    "ntile sorts the USER summary, not raw events.",
+    "binning rides distributed_ntile (operators/ranking.py) over the "
+    "USER summary, not raw events -- and never single-partitions it.",
 )
 def q246_propensity_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import score_decile_calibration
@@ -19881,7 +19907,8 @@ def q303_backlog_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY date_trunc('day', ts)),
     lab AS (
       SELECT day, cents,
-             CASE WHEN CAST(date_diff('day', DATE '1970-01-05', day) % 7
+             CASE WHEN CAST(((date_diff('day', DATE '1970-01-05', day) % 7)
+                             + 7) % 7
                        AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS y
       FROM daily WHERE cents IS NOT NULL),
     g AS (SELECT cents, count(*) AS n, sum(y) AS np
@@ -19904,9 +19931,15 @@ def q303_backlog_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     doc="auc_exact_e6 (operators/analytics.py) with label = weekend "
-    "(dow = datediff-from-anchor-Monday mod 7 in {5, 6} -- the q208 "
-    "portable dow lane; Spark dayofweek and DuckDB dayofweek number "
-    "days differently, the anchor does not) and score = daily revenue "
+    "(dow = SIGN-SAFE datediff-from-anchor-Monday mod 7 in {5, 6}: "
+    "pmod on Spark, ((x % 7) + 7) % 7 in the oracle -- plain % "
+    "follows the dividend sign on BOTH engines, so a pre-anchor 1969 "
+    "Saturday would land at -1 and silently read weekday on both, an "
+    "agreement the differential gate cannot catch; q208's dow lane "
+    "declares day >= anchor instead, this one keeps pre-anchor days "
+    "and classifies them correctly. Spark dayofweek and DuckDB "
+    "dayofweek number days differently, the anchor does not) and "
+    "score = daily revenue "
     "in EXACT integer cents (each value rounds to cents BEFORE the "
     "sum, so the score is an integer sum-monoid -- no double-sum "
     "rank-tie exposure at all). auc_e6 > 500000 reads 'a random "
@@ -19927,7 +19960,7 @@ def q304_weekend_effect_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = daily.select(
         "cents",
         F.expr(
-            "CASE WHEN datediff(day, DATE '1970-01-05') % 7 IN (5, 6) "
+            "CASE WHEN pmod(datediff(day, DATE '1970-01-05'), 7) IN (5, 6) "
             "THEN 1 ELSE 0 END"
         ).alias("y"),
     )
@@ -20242,7 +20275,10 @@ def q306_attribution_policy_matrix(
     "(N*(N - n_i)) -- one integer numerator per stratum, e6-scaled by "
     "the divide-first split a*1e6 + (r*1e6) div D (the q176/SCALE.md "
     "ladder: r < D <= ~9.2e12 keeps r*1e6 in BIGINT to N ~ 3e6 rows; "
-    "coarsen cents to dollars past that, the gini_e6 discipline -- "
+    "GUARDED fail-loud at the factor level before any product is "
+    "trusted -- |s|, |si| within half-BIGINT of their cofactor, "
+    "n*(n-ni) <= 9.2e12, quotient <= 9.2e12 -- coarsen cents to "
+    "dollars past that, the gini_e6 discipline; "
     "DuckDB just HUGEINT-promotes to the same floor). Positive "
     "influence = removing the stratum RAISES the mean (the stratum "
     "drags it down). Strata the size of the corpus (N = n_i) are "
@@ -20272,6 +20308,45 @@ def q307_stratum_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ni").cast("long").alias("n"),
         F.sum("si").cast("long").alias("s"),
     )
+    # fail-loud overflow guard, FACTOR level, as a PROJECTION (the
+    # q291/SCALE.md discipline: where(assert_true) conjuncts merge past
+    # other filters; when/otherwise(raise_error) cannot): |s|,|si| small
+    # enough that s*ni and n*si each fit in half a BIGINT (so their
+    # difference fits), D = n*(n-ni) <= 9.2e12 (remainder-limb room for
+    # r*1e6), and the exact quotient |num| div D <= 9.2e12 (quotient-
+    # limb room for q*1e6).  DuckDB HUGEINT-promotes to the same floor,
+    # so the oracle needs no mirror.  The n <= ni branch yields NULL
+    # (not an error) because the filter drops those rows -- the guard
+    # must never fire on a row the caller's own domain excludes.
+    _half = "4611686018427387903"
+    influence = (
+        F.when(F.col("n") <= F.col("ni"), F.lit(None).cast("long"))
+        .when(
+            F.expr(f"abs(s) <= {_half} div greatest(ni, 1)")
+            & F.expr(f"abs(si) <= {_half} div greatest(n, 1)")
+            & F.expr("n <= 9200000000000 div greatest(n - ni, 1)")
+            & F.expr(
+                "abs(s * ni - n * si) div (n * (n - ni)) "
+                "<= 9200000000000"
+            ),
+            F.expr(
+                "CAST((s * ni - n * si) div (n * (n - ni)) * 1000000 "
+                "+ ((s * ni - n * si) % (n * (n - ni))) * 1000000 "
+                "div (n * (n - ni)) AS BIGINT)"
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "q307_stratum_influence: jackknife moments exceed "
+                    "the exact e6 ladder budget [|s| <= maxlong/2 div "
+                    "ni, |si| <= maxlong/2 div n, n*(n-ni) <= 9.2e12, "
+                    "|num| div D <= 9.2e12] -- coarsen cents to "
+                    "dollars (the gini_e6 discipline) past ~3e6 orders"
+                )
+            )
+        )
+    )
     return (
         st.crossJoin(F.broadcast(g))
         .filter(F.col("n") > F.col("ni"))
@@ -20281,11 +20356,7 @@ def q307_stratum_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(si * 1000 div s AS BIGINT)").alias(
                 "revenue_share_permille"
             ),
-            F.expr(
-                "CAST((s * ni - n * si) div (n * (n - ni)) * 1000000 "
-                "+ ((s * ni - n * si) % (n * (n - ni))) * 1000000 "
-                "div (n * (n - ni)) AS BIGINT)"
-            ).alias("influence_e6_cents"),
+            influence.alias("influence_e6_cents"),
         )
     )
 
@@ -20328,15 +20399,15 @@ def q307_stratum_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sizing verified engine-identical, the q212 lane; decile 1 = top "
     "value) -> the 1996 x 1997 migration matrix over customers active "
     "in BOTH years (inner self-join on customer -- single-year "
-    "customers have no transition, declared). Scale: windows sort "
-    "per-year CUSTOMER summaries, never orders; the sketch-boundary "
-    "lane (q181) replaces the per-year sort at extreme customer "
-    "counts.",
+    "customers have no transition, declared). Scale: the deciles ride "
+    "distributed_ntile (operators/ranking.py, value-identical to the "
+    "window form by the two-strategies gate) over per-year CUSTOMER "
+    "summaries, never orders -- no year ever single-partitions.",
 )
 def q308_value_decile_migration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .operators.ranking import distributed_ntile
 
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull()
@@ -20355,8 +20426,16 @@ def q308_value_decile_migration(
             )
         )
     )
-    w = Window.partitionBy("yr").orderBy(F.desc("cents"), F.asc("k"))
-    d = per.select("k", "yr", F.ntile(10).over(w).alias("dec"))
+    # year partitions grow linearly with the corpus: the decile rides
+    # distributed_ntile (value-identical to the window form), so no
+    # year ever single-partitions
+    d = distributed_ntile(
+        per,
+        10,
+        [("cents", "desc"), ("k", "asc")],
+        partition_cols=["yr"],
+        out_col="dec",
+    ).select("k", "yr", "dec")
     a = d.filter(F.col("yr") == 1996).select(
         "k", F.col("dec").alias("dec_1996")
     )
@@ -20736,4 +20815,105 @@ def q311_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_windows",
         F.col("window_id").cast("long").alias("window_id"),
         F.floor(F.col("__e") * 1000000).cast("long").alias("energy_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration ledger (r11): per-customer global spend rank
+# and cumulative revenue share -- the Lorenz curve at ENTITY grain
+# ("our top 40 customers carry 61% of revenue", with names), where
+# q146's Pareto gives only the decile rollup.  The direct oracle grade
+# of the distributed_cumsum / distributed_row_number operator pair.
+# ---------------------------------------------------------------------------
+@register(
+    "q312_revenue_concentration_ledger",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY o_custkey),
+    r AS (
+      SELECT k, cents,
+             row_number() OVER (ORDER BY cents DESC, k ASC) AS rnk,
+             sum(cents) OVER (ORDER BY cents DESC, k ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER () AS tot,
+             count(*) OVER () AS n
+      FROM per)
+    SELECT CAST(k AS BIGINT) AS custkey,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(rnk AS BIGINT) AS spend_rank,
+           CAST(rnk * 1000 // n AS BIGINT) AS rank_permille,
+           CAST(cum AS BIGINT) AS cum_cents,
+           CAST(cum * 1000 // tot AS BIGINT) AS cum_share_permille
+    FROM r
+    """,
+    doc="distributed_row_number + distributed_cumsum (operators/"
+    "ranking.py) in ONE pass over the customer spend summary: global "
+    "rank by (cents DESC, custkey ASC), running cents, and the exact "
+    "permille ledger (rank_permille = how deep in the customer base, "
+    "cum_share_permille = how much revenue the base above this line "
+    "carries). The oracle's naive single-partition window proves the "
+    "range-bucketed two-level decomposition exact, row for row -- the "
+    "q133 proof shape generalized from md5 ingest order to a value "
+    "order. Customer grain grows linearly with the corpus: no step "
+    "here single-partitions it (the window form would). cum <= tot "
+    "and rnk <= n, so the x1000 limbs hold while total corpus cents "
+    "<= 9.2e15 ($92T) -- the gini_e6 coarsening discipline applies "
+    "past that; total revenue in cents is guarded fail-loud. NULL "
+    "custkey/price out by domain.",
+)
+def q312_revenue_concentration_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.ranking import distributed_cumsum
+
+    per = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    led = distributed_cumsum(
+        per,
+        [("cents", "desc"), ("k", "asc")],
+        "cents",
+        out_col="cum_cents",
+        rank_col="spend_rank",
+        total_col="tot_cents",
+        count_col="n_keys",
+    )
+    # fail-loud ladder guard as a PROJECTION (q291 discipline): the
+    # x1000 limbs need tot <= 9.2e15; cum <= tot and rnk <= n <= tot
+    # inherit the bound, so one factor check covers all three columns.
+    share = F.when(
+        F.col("tot_cents") <= F.lit(9_200_000_000_000_000),
+        F.expr("CAST(cum_cents * 1000 div tot_cents AS BIGINT)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q312_revenue_concentration_ledger: total corpus cents "
+                "exceed the x1000 permille ladder budget (9.2e15) -- "
+                "coarsen cents to dollars (the gini_e6 discipline)"
+            )
+        )
+    )
+    return led.select(
+        F.col("k").cast("long").alias("custkey"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("spend_rank").cast("long").alias("spend_rank"),
+        F.expr("CAST(spend_rank * 1000 div n_keys AS BIGINT)").alias(
+            "rank_permille"
+        ),
+        F.col("cum_cents").cast("long").alias("cum_cents"),
+        share.alias("cum_share_permille"),
     )

@@ -620,3 +620,49 @@ def test_forward_fill_daily_leading_nulls_have_null_staleness(spark):
     assert rows[1]["v_filled"] is None
     assert rows[1]["staleness_days"] is None
     assert rows[2]["v_filled"] == 5.0 and rows[2]["staleness_days"] == 0
+
+
+def test_forward_fill_daily_null_day_fails_loud(spark):
+    """A NULL day would be silently dropped by the spine min/max and
+    the equi-join; the input contract makes it raise instead."""
+    import datetime
+
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        forward_fill_daily,
+    )
+
+    df = spark.createDataFrame(
+        [("a", datetime.date(2024, 1, 1), 1.0), ("a", None, 2.0)],
+        "k string, day date, v double",
+    )
+    with pytest.raises(Exception, match="NULL day"):
+        forward_fill_daily(df, "k", "day", "v").collect()
+
+
+def test_forward_fill_daily_duplicate_key_day_fails_loud(spark):
+    """Two rows on the same (key, day) would duplicate spine rows;
+    the uniqueness contract raises instead (NULL key included)."""
+    import datetime
+
+    import pytest
+
+    from bankcreditunion_datapipeline_spark.operators.temporal import (
+        forward_fill_daily,
+    )
+
+    d = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", d, 1.0), ("a", d, 2.0)],
+        "k string, day date, v double",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        forward_fill_daily(df, "k", "day", "v").collect()
+
+    dfn = spark.createDataFrame(
+        [(None, d, 1.0), (None, d, None)],
+        "k string, day date, v double",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        forward_fill_daily(dfn, "k", "day", "v").collect()
