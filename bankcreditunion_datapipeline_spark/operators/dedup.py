@@ -747,6 +747,90 @@ def simhash_near_dup_pairs(
     )
 
 
+def hamming_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    width: int,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_pair_rows: int = 5_000_000,
+) -> DataFrame:
+    """Hamming-radius pairs over ANY integer signature column via the
+    pigeonhole chunk blocking simhash_near_dup_pairs uses for text:
+    hamming(a, b) <= k implies at least one of (k+1) or more signature
+    chunks matches exactly, so candidates come from an equi-join on
+    (chunk_id, chunk_value) -- never a cross join.  Factored out so
+    non-text signatures (image dHash q313, any perceptual hash) share
+    one blocked-join discipline.
+
+    `width` = signature bits (must fit a non-negative long, <= 63).
+    Carries attach_pair_budget on the bucket multiplicity table: bucket
+    occupancy grows linearly with the corpus at fixed width, so the
+    pair join is quadratic-per-bucket BY CONSTRUCTION and the budget
+    fails loud instead of silently exploding -- at production widths
+    (>= 48 bits) buckets stay sparse and the budget never fires; gate
+    widths (q313's 24-bit stub lane) hit it first.  Returns verified
+    (id_a, id_b, hamming).
+    """
+    assert 0 < width <= 63, "signature width must fit a non-negative long"
+    assert chunks > max_hamming, (
+        "need chunks > max_hamming for pigeonhole completeness"
+    )
+    from ..functions.vectors import hamming64
+
+    bits_per = (width + chunks - 1) // chunks
+    sigd = df.select(F.col(id_col), F.col(sig_col).alias("__sig"))
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftrightunsigned(F.col("__sig"), c * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1).cast("long"))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = sigd.select(
+        F.col(id_col), F.col("__sig"), F.explode(chunk_structs).alias("ch")
+    ).select(id_col, "__sig", "ch.chunk_id", "ch.chunk_val").persist()
+    freq = chunked.groupBy("chunk_id", "chunk_val").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    a = attach_pair_budget(
+        chunked.select(
+            "chunk_id",
+            "chunk_val",
+            F.col(id_col).alias("id_a"),
+            F.col("__sig").alias("__sig_a"),
+        ),
+        freq,
+        "__m",
+        max_pair_rows,
+        "hamming_blocked_pairs: bucket pair total exceeds the budget -- "
+        "widen the signature (production >= 48 bits) or raise "
+        "max_pair_rows knowingly",
+    )
+    b = chunked.select(
+        "chunk_id",
+        "chunk_val",
+        F.col(id_col).alias("id_b"),
+        F.col("__sig").alias("__sig_b"),
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("__sig_a"), F.col("__sig_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (character n-grams) -- direct, for candidate verification
 # ---------------------------------------------------------------------------

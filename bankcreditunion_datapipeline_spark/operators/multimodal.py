@@ -163,6 +163,37 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def dhash_from_features(
+    emb_col: str = "embedding",
+    width: int = 24,
+):
+    """Perceptual difference-hash (dHash) over an extracted feature
+    vector, JVM-side: bit i set iff feature[i] > feature[i+1] (the
+    classic gradient hash -- with a real decoder the features are
+    row-major thumbnail pixels and the hash survives resize/re-encode;
+    with the stub decoder they are sha256-derived, so only identical
+    payloads and chance collisions pair).  Needs ``width + 1``
+    features; returns a non-negative long (width <= 63), bit
+    (width-1-i) weighted so the hash reads big-endian like the usual
+    dHash hex.  Strictly monotone feature scaling cannot change the
+    hash (only the > comparisons matter), which is what makes the
+    DuckDB byte-compare replay exact (q313's oracle).
+    """
+    assert 0 < width <= 63, "dhash width must fit a non-negative long"
+    terms = [
+        F.when(
+            F.element_at(F.col(emb_col), i)
+            > F.element_at(F.col(emb_col), i + 1),
+            F.lit(1 << (width - i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(1, width + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def resize_images(
     df: DataFrame,
     payload_col: str = "payload",

@@ -20917,3 +20917,119 @@ def q312_revenue_concentration_ledger(
         F.col("cum_cents").cast("long").alias("cum_cents"),
         share.alias("cum_share_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (r11): dHash over the decoded feature
+# lane + Hamming pigeonhole blocking -- the IMAGE twin of q22's SimHash
+# text dedup, and the multimodal column's entry into the dedup surface.
+# ---------------------------------------------------------------------------
+_Q313_WIDTH = 24
+_Q313_MAXH = 3
+_Q313_CAP = 2000
+
+
+def _q313_oracle(width: int = _Q313_WIDTH, maxh: int = _Q313_MAXH) -> str:
+    # byte j of the stub decode = byte j of sha256(payload || 4 zero
+    # bytes); the dHash bit only needs the BYTE comparison (the
+    # b/255 - 0.5 feature scaling is strictly monotone), so the replay
+    # never touches doubles at all.
+    def byte(j: int) -> str:
+        return f"CAST(('0x' || substr(hx, {2 * j + 1}, 2)) AS INT)"
+
+    terms = " + ".join(
+        f"CASE WHEN {byte(i)} > {byte(i + 1)} "
+        f"THEN {1 << (width - 1 - i)} ELSE 0 END"
+        for i in range(width)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             sha256(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    sig AS (
+      SELECT doc_id, CAST({terms} AS BIGINT) AS dh
+      FROM h),
+    capped AS (
+      SELECT doc_id, dh,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS mr
+      FROM sig),
+    keep AS (SELECT doc_id, dh FROM capped WHERE mr <= {_Q313_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.dh, b.dh)) AS hamming
+      FROM keep a JOIN keep b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= {maxh}
+    """
+
+
+@register(
+    "q313_image_dhash_near_dups",
+    _q313_oracle(),
+    doc="composition: extract_image_features (mapInPandas Arrow lane, "
+    "q25's stubbed decode seam) -> dhash_from_features (multimodal.py: "
+    "bit i = feature[i] > feature[i+1], JVM-side -- with a real "
+    "decoder these are thumbnail pixel gradients and the hash "
+    "survives resize/re-encode) -> hamming_blocked_pairs (dedup.py: "
+    "the q22 pigeonhole chunk blocking factored for ANY integer "
+    "signature, pair-budgeted fail-loud). GATE WIDTH 24 bits so the "
+    "500-distinct-doc corpus yields a nonempty, oracle-checkable pair "
+    "set (the stub's sha-derived features make only identical "
+    "payloads + chance collisions pair; at the production width of "
+    "48-63 bits chance pairs vanish and buckets stay sparse -- the "
+    "documented quadratic-per-bucket budget is the gate-width "
+    "artifact, not the production posture, and a deterministic "
+    "md5-rank 2000-doc cap (the q298/q276 lane, assigned via "
+    "distributed_row_number so the cap itself never "
+    "single-partitions) bounds the 24-bit bucket occupancy at ANY "
+    "corpus size; drop the cap when you raise the width). The oracle "
+    "replays the "
+    "hash as pure BYTE comparisons (feature scaling is strictly "
+    "monotone) and verifies pairs all-pairs-naively at oracle scale. "
+    "Scale: one Arrow pass + equi-join on (chunk_id, chunk_val); no "
+    "cross join anywhere.",
+)
+def q313_image_dhash_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import ensure_min_partitions, hamming_blocked_pairs
+    from .operators.multimodal import dhash_from_features, extract_image_features
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    media = ensure_min_partitions(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    from .operators.ranking import distributed_row_number
+
+    feats = extract_image_features(media, dim=_Q313_WIDTH + 1)
+    sigs = feats.select(
+        "media_id",
+        dhash_from_features("embedding", _Q313_WIDTH).alias("dh"),
+        F.md5(F.col("media_id").cast("string")).alias("__mk"),
+    )
+    keep = (
+        distributed_row_number(
+            sigs, [("__mk", "asc"), ("media_id", "asc")], out_col="__mr"
+        )
+        .filter(F.col("__mr") <= _Q313_CAP)
+        .select("media_id", "dh")
+    )
+    return hamming_blocked_pairs(
+        keep,
+        "media_id",
+        "dh",
+        width=_Q313_WIDTH,
+        max_hamming=_Q313_MAXH,
+        chunks=4,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
