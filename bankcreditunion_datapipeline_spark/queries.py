@@ -21033,3 +21033,245 @@ def q313_image_dhash_near_dups(
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transition latency matrix (r11): exact p50/p90 minutes between
+# consecutive events per (from_type, to_type) pair -- q88/q191 count
+# WHICH transitions happen; this measures HOW LONG they take, the
+# latency the funnel team actually tunes.  q221's per-type gap sketch
+# answers the same-type cadence; the PAIR matrix needs its own grain.
+# ---------------------------------------------------------------------------
+_Q314_PROBS = (500, 900)
+
+
+@register(
+    "q314_transition_latency",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS us,
+             lag(event_type) OVER w AS from_type,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, event_id NULLS FIRST)),
+    g AS (
+      SELECT from_type, event_type AS to_type,
+             (us - prev_us) // 60000000 AS gap_min
+      FROM seq WHERE prev_us IS NOT NULL),
+    dv AS (SELECT from_type, to_type, gap_min, count(*) AS w
+           FROM g GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT from_type, to_type, gap_min,
+             sum(w) OVER (PARTITION BY from_type, to_type
+                          ORDER BY gap_min) AS c,
+             sum(w) OVER (PARTITION BY from_type, to_type) AS tw
+      FROM dv),
+    p(p_permille) AS (VALUES {", ".join(f"({x})" for x in _Q314_PROBS)}),
+    q AS (
+      SELECT from_type, to_type, p.p_permille, min(gap_min) AS gq
+      FROM p JOIN cum ON c >= (p.p_permille * tw + 999) // 1000
+      GROUP BY 1, 2, 3),
+    n AS (SELECT from_type, to_type, count(*) AS nt FROM g GROUP BY 1, 2)
+    SELECT q.from_type, q.to_type,
+           CAST(q.p_permille AS BIGINT) AS p_permille,
+           CAST(q.gq AS BIGINT) AS gap_minutes,
+           CAST(n.nt AS BIGINT) AS n_transitions
+    FROM q JOIN n ON q.from_type IS NOT DISTINCT FROM n.from_type
+                 AND q.to_type IS NOT DISTINCT FROM n.to_type
+    """,
+    doc="per-user consecutive-event pairs (lag over (ts, event_id "
+    "NULLS FIRST) -- the tiebreak and NULL end pinned on both "
+    "engines; 'no previous row' is detected on the NON-NULL prev "
+    "timestamp, so a previous row whose event_type is NULL stays a "
+    "real stratum, the q143/q252 NULL-replay discipline, and the "
+    "final join advances IS NOT DISTINCT FROM / eqNullSafe) -> gap in "
+    "exact integer MINUTES (microsecond difference div 60000000 -- "
+    "grain declared; consecutive-by-ts gaps are non-negative so div "
+    "== floor on both engines) -> weighted_quantiles_exact "
+    "(operators/sketches.py, weight 1) per (from_type, to_type) with "
+    "the q176 integer ceil-rank rule. NULL user_id is one stream on "
+    "both engines (window PARTITION BY groups NULLs). Scale: one "
+    "user-key window over events, then everything rides the "
+    "O(distinct gap-minutes x pairs) summary.",
+)
+def q314_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.sketches import weighted_quantiles_exact
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # ordering by the microsecond lane is the same total preorder as
+    # ts (unix_micros is strictly monotone)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("us"), F.asc_nulls_first("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        F.lag("us").over(w).alias("prev_us"),
+        "us",
+    )
+    g = seq.filter(F.col("prev_us").isNotNull()).select(
+        "from_type",
+        "to_type",
+        F.expr("(us - prev_us) div 60000000").alias("gap_min"),
+        F.lit(1).alias("one"),
+    )
+    q = weighted_quantiles_exact(
+        g,
+        "gap_min",
+        "one",
+        list(_Q314_PROBS),
+        group_cols=("from_type", "to_type"),
+    )
+    n = g.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    return (
+        q.join(
+            n.withColumnRenamed("from_type", "__f").withColumnRenamed(
+                "to_type", "__t"
+            ),
+            q["from_type"].eqNullSafe(F.col("__f"))
+            & q["to_type"].eqNullSafe(F.col("__t")),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            F.col("p_permille").cast("long").alias("p_permille"),
+            F.col("quantile").cast("long").alias("gap_minutes"),
+            "n_transitions",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity by brand (r11): exact-integer OLS slope of
+# quantity on discount basis points -- does discounting MOVE volume,
+# per brand?  q108 reports double-lane corr/cov; q207/q287 fit robust
+# Theil-Sen trends over time; this is the exact least-squares read a
+# pricing team acts on, in the engine's integer ladder.
+# ---------------------------------------------------------------------------
+@register(
+    "q315_discount_elasticity",
+    """
+    WITH base AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(l.l_discount * 10000) AS BIGINT) AS x,
+             CAST(round(l.l_quantity) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_discount IS NOT NULL AND l.l_quantity IS NOT NULL),
+    m AS (
+      SELECT brand,
+             count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx,
+             min(x) AS mnx, max(x) AS mxx
+      FROM base GROUP BY brand),
+    d AS (
+      SELECT brand, n, sx, sy, sxy, sxx,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+      FROM m WHERE mnx < mxx)
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(num * 1000 // den * 1000
+                + (num * 1000 % den) * 1000 // den AS BIGINT)
+               AS slope_e6_qty_per_bp
+    FROM d
+    """,
+    doc="exact OLS slope per brand: beta = (n*Sxy - Sx*Sy) / "
+    "(n*Sxx - Sx^2) over x = discount BASIS POINTS (round(l_discount "
+    "* 10000) -- 2-decimal discounts land exactly) and y = integer "
+    "quantity (round; integral in this corpus) -- all moments BIGINT "
+    "sum-monoids, e6-scaled by the x1000 TWO-LIMB ladder "
+    "(num*1000 div den *1000 + (num*1000 % den)*1000 div den -- the "
+    "burstiness_vmr_e6 shape, negative-dividend lane; the one-limb "
+    "e6 split would cap den at 9.2e12 ~ 10k rows/brand, this one "
+    "holds to 9.2e15 ~ 300k rows/brand at this x-range). Fail-loud "
+    "factor guards BEFORE any product is trusted (the q286 "
+    "discipline): Sx/Sy <= 3e9, "
+    "Sxy/Sxx <= maxlong/2 div n, Sx <= maxlong/2 div Sy, |num| and "
+    "den <= 9.2e15, quotient <= 9.2e12 -- past those, "
+    "shard the brand and merge the moment monoids. Zero-variance "
+    "brands (one discount level) are excluded PRODUCT-FREE on both "
+    "engines (min(x) < max(x), not den > 0 -- the filter must not "
+    "compute the product the guards protect) -- slope undefined, "
+    "declared. Units: quantity per BASIS POINT of "
+    "discount (multiply by 1e4 for per-discount-unit). Scale: one "
+    "broadcast dim join + one hash aggregate to O(brands) rows; the "
+    "ladder runs on the summary.",
+)
+def q315_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(
+        F.broadcast(part), li["l_partkey"] == F.col("p_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    m = base.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+    )
+    _half = "4611686018427387903"
+    guard_ok = (
+        F.expr("sx <= 3000000000 AND sy <= 3000000000")
+        & F.expr(f"sxy <= {_half} div n AND sxx <= {_half} div n")
+        & F.expr(f"sx <= {_half} div greatest(sy, 1)")
+        & F.expr("n * sxx - sx * sx <= 9200000000000000")
+        & F.expr("abs(n * sxy - sx * sy) <= 9200000000000000")
+        & F.expr(
+            "abs(n * sxy - sx * sy) div greatest(n * sxx - sx * sx, 1) "
+            "<= 9200000000000"
+        )
+    )
+    slope = (
+        F.when(
+            guard_ok,
+            F.expr(
+                "CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) "
+                "* 1000 + ((n * sxy - sx * sy) * 1000 "
+                "% (n * sxx - sx * sx)) "
+                "* 1000 div (n * sxx - sx * sx) AS BIGINT)"
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "q315_discount_elasticity: OLS moments exceed the "
+                    "exact e6 ladder budget [Sx/Sy <= 3e9, Sxy/Sxx <= "
+                    "maxlong/2 div n, den <= 9.2e12, quotient <= "
+                    "9.2e12] -- shard the brand and merge the moment "
+                    "monoids"
+                )
+            )
+        )
+    )
+    # degeneracy detected PRODUCT-FREE (min(x) < max(x) <=> variance
+    # > 0 by Cauchy-Schwarz, strict): the den > 0 filter itself would
+    # compute the very product the guards exist to protect
+    return (
+        m.filter(F.col("mnx") < F.col("mxx"))
+        .select(
+            "brand",
+            F.col("n").alias("n_lines"),
+            slope.alias("slope_e6_qty_per_bp"),
+        )
+    )
