@@ -264,6 +264,66 @@ def distributed_cumsum(
     return out.drop("__rn", "__n", "__cum", "__tot")
 
 
+def distributed_cummax_exclusive(
+    df: DataFrame,
+    order: OrderSpec,
+    value_col: str,
+    out_col: str = "prev_max",
+    buckets: Optional[int] = None,
+    stabilize_input: bool = True,
+) -> DataFrame:
+    """``max(value) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` -- the EXCLUSIVE running max (NULL on
+    the first row) -- without a single-partition window.  The same
+    two-level decomposition as the prefix sum, with the max monoid:
+    per-bucket maxima get exclusive prefix maxima over the O(buckets)
+    summary, the per-row exclusive running max runs per bucket, and
+    ``greatest`` (NULL-ignoring on both engines) merges the two.
+
+    The out-of-orderness / watermark-sizing primitive (q316): lateness
+    of an event = how far the already-seen maximum timestamp is ahead
+    of it, in ARRIVAL order.  NULL values are excluded from the max by
+    both window max and this form (max ignores NULL) -- but a NULL in
+    ``value_col`` still occupies a row (its own prev_max is real, it
+    just contributes nothing).  Same total-order contract as the rank
+    operators.
+    """
+    if not order:
+        raise ValueError("distributed_cummax_exclusive: empty order spec")
+    base = df.localCheckpoint(eager=False) if stabilize_input else df
+    rp = (
+        base.repartitionByRange(int(buckets), *_sort_exprs(order))
+        if buckets
+        else base.repartitionByRange(*_sort_exprs(order))
+    )
+    staged = rp.withColumn("__pid", F.spark_partition_id())
+    bmax = staged.groupBy("__pid").agg(F.max(value_col).alias("__bm"))
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bmax.select(
+        F.col("__pid").alias("__opid"),
+        F.max("__bm").over(woff).alias("__boff"),
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*_sort_exprs(order))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        staged.join(
+            F.broadcast(offsets), F.col("__pid") == F.col("__opid")
+        )
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.max(value_col).over(wloc), F.col("__boff")
+            ),
+        )
+        .drop("__pid", "__opid", "__boff")
+    )
+
+
 def ntile_from_rank(n_tiles: int, rank_col: str, total_col: str):
     """Closed-form SQL-standard ``ntile(n)`` from a 1-based rank column
     and the per-partition-key row count: the first ``N mod n`` buckets

@@ -21118,12 +21118,15 @@ def q314_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("us").over(w).alias("prev_us"),
         "us",
     )
+    # g feeds both the quantile pass and the count pass -- persist
+    # (the frame-referenced-twice contract; recompute = the per-user
+    # window over events twice)
     g = seq.filter(F.col("prev_us").isNotNull()).select(
         "from_type",
         "to_type",
         F.expr("(us - prev_us) div 60000000").alias("gap_min"),
         F.lit(1).alias("one"),
-    )
+    ).persist()
     q = weighted_quantiles_exact(
         g,
         "gap_min",
@@ -21274,4 +21277,110 @@ def q315_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_lines"),
             slope.alias("slope_e6_qty_per_bp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-orderness audit (r11): how late do events arrive relative to
+# the maximum timestamp already seen, in ARRIVAL order?  THE
+# measurement that sizes a Structured Streaming watermark (q94's
+# windows and the streaming monitors all assume one) -- before this,
+# the repo could window late data but not TELL YOU how late your data
+# actually runs.
+# ---------------------------------------------------------------------------
+_Q316_PROBS = (500, 990)
+_Q316_LATE_MIN = 60
+
+
+@register(
+    "q316_out_of_orderness",
+    f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+    pm AS (
+      SELECT us,
+             max(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+      FROM e),
+    l AS (
+      SELECT CASE WHEN prev_max IS NULL OR prev_max <= us THEN 0
+                  ELSE (prev_max - us) // 60000000 END AS late_min
+      FROM pm),
+    dv AS (SELECT late_min, count(*) AS w FROM l GROUP BY late_min),
+    cum AS (
+      SELECT late_min,
+             sum(w) OVER (ORDER BY late_min) AS c,
+             sum(w) OVER () AS tw
+      FROM dv),
+    p(p_permille) AS (VALUES {", ".join(f"({x})" for x in _Q316_PROBS)}),
+    q AS (
+      SELECT p.p_permille, min(late_min) AS lq
+      FROM p JOIN cum ON c >= (p.p_permille * tw + 999) // 1000
+      GROUP BY p.p_permille),
+    n AS (
+      SELECT count(*) AS ne,
+             sum(CASE WHEN late_min > {_Q316_LATE_MIN} THEN 1 ELSE 0 END)
+                 * 1000 // count(*) AS ov
+      FROM l)
+    SELECT CAST(q.p_permille AS BIGINT) AS p_permille,
+           CAST(q.lq AS BIGINT) AS late_minutes,
+           CAST(n.ne AS BIGINT) AS n_events,
+           CAST(n.ov AS BIGINT) AS late_over_60min_permille
+    FROM q CROSS JOIN n
+    """,
+    doc="distributed_cummax_exclusive (operators/ranking.py: the "
+    "two-level prefix decomposition with the MAX monoid -- per-bucket "
+    "maxima, exclusive prefix max over the O(buckets) summary, "
+    "NULL-skipping greatest merge; no single-partition window over "
+    "events) in ARRIVAL order (event_id, the corpus's ingest "
+    "sequence -- declared proxy), then lateness = "
+    "max(seen) - ts clamped at 0, exact integer MINUTES -> "
+    "weighted_quantiles_exact p50/p99 + the >60min exceedance "
+    "permille. This corpus arrives perfectly ordered (audit reads "
+    "all-zero -- the correct answer, watermark can be tight); the "
+    "fuzz corpus's pre-epoch/late rows and the planted-disorder unit "
+    "test carry the discriminating shapes (the q285 planted-data "
+    "contract). Scale: one range shuffle of (event_id, us) pairs; "
+    "quantiles ride the O(distinct lateness-minutes) summary.",
+)
+def q316_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import distributed_cummax_exclusive
+    from .operators.sketches import weighted_quantiles_exact
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select("event_id", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    pm = distributed_cummax_exclusive(
+        ev, [("event_id", "asc")], "us", out_col="prev_max"
+    )
+    # late feeds both the quantile pass and the exceedance pass --
+    # persist (the frame-referenced-twice contract; recompute = the
+    # range shuffle + running-max windows twice)
+    late = pm.select(
+        F.when(
+            F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("us")),
+            F.lit(0),
+        )
+        .otherwise(F.expr("(prev_max - us) div 60000000"))
+        .cast("long")
+        .alias("late_min"),
+        F.lit(1).alias("one"),
+    ).persist()
+    q = weighted_quantiles_exact(late, "late_min", "one", list(_Q316_PROBS))
+    n = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr(
+            f"CAST(sum(CASE WHEN late_min > {_Q316_LATE_MIN} THEN 1 "
+            "ELSE 0 END) * 1000 div count(*) AS BIGINT)"
+        ).alias("late_over_60min_permille"),
+    )
+    return q.crossJoin(F.broadcast(n)).select(
+        F.col("p_permille").cast("long").alias("p_permille"),
+        F.col("quantile").cast("long").alias("late_minutes"),
+        "n_events",
+        "late_over_60min_permille",
     )

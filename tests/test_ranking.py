@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bankcreditunion_datapipeline_spark.operators.ranking import (
+    distributed_cummax_exclusive,
     distributed_cumsum,
     distributed_ntile,
     distributed_row_number,
@@ -200,3 +201,23 @@ def test_distributed_cumsum_null_value_fails_loud(spark):
     )
     with pytest.raises(Exception, match="non-NULL integer value"):
         distributed_cumsum(df, [("id", "asc")], "v").collect()
+
+
+def test_distributed_cummax_exclusive_matches_window(spark):
+    df = _frame(spark, n=211)
+    got = {
+        r["id"]: r["pm"]
+        for r in distributed_cummax_exclusive(
+            df, [("id", "asc")], "v", out_col="pm", buckets=6
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["pm"]
+        for r in df.select("id", F.max("v").over(w).alias("pm")).collect()
+    }
+    assert got == want
+    assert got[0] is None  # first row has no prior maximum

@@ -116,3 +116,39 @@ def test_q307_overflow_fails_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="ladder budget"):
         q307_stratum_influence(spark, str(tmp_path)).collect()
+
+
+def test_q316_planted_disorder(spark, tmp_path):
+    """Arrival order (event_id) deliberately disagrees with event time:
+    id 3 carries a timestamp 2h OLDER than the id-2 maximum, so its
+    lateness is 120 minutes; everything else is in order.  The natural
+    corpus is perfectly ordered (audit reads zero), so this planted
+    shape is the discriminating test (q285 contract)."""
+    from bankcreditunion_datapipeline_spark.queries import (
+        q316_out_of_orderness,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + 3 * h, 7, "view", 1.0, "{}"),
+        (3, t0 + 1 * h, 7, "view", 1.0, "{}"),  # 2h late vs id-2 max
+        (4, t0 + 4 * h, 7, "view", 1.0, "{}"),
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["p_permille"]: r
+        for r in q316_out_of_orderness(spark, str(tmp_path)).collect()
+    }
+    assert out[500]["late_minutes"] == 0  # 3 of 4 events on time
+    assert out[990]["late_minutes"] == 120
+    assert out[500]["n_events"] == 4
+    assert out[500]["late_over_60min_permille"] == 250
