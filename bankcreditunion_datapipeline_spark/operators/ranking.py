@@ -98,6 +98,17 @@ def _with_global_rank(
     distributed_cumsum."""
     if not order:
         raise ValueError("distributed rank: empty order spec")
+    reserved = {
+        "__pid", "__opid", "__off", "__rn", "__n", "__cum", "__tot",
+        "__voff", "__val", "__vsum", "__cnt",
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed rank: input columns {sorted(clash)} collide "
+            "with the operator's internal names -- rename them upstream "
+            "(a silent drop would corrupt caller data)"
+        )
     parts = list(partition_cols)
     # repartitionByRange runs a SEPARATE range-boundary sampling job
     # over its input before the shuffle -- the input DAG is computed
@@ -290,6 +301,12 @@ def distributed_cummax_exclusive(
     """
     if not order:
         raise ValueError("distributed_cummax_exclusive: empty order spec")
+    clash = {"__pid", "__opid", "__bm", "__boff"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed_cummax_exclusive: input columns {sorted(clash)} "
+            "collide with internal names -- rename them upstream"
+        )
     base = df.localCheckpoint(eager=False) if stabilize_input else df
     rp = (
         base.repartitionByRange(int(buckets), *_sort_exprs(order))

@@ -1263,3 +1263,173 @@ def knn_label_disagreement(
             .alias("disagree"),
         )
     )
+
+
+def quantization_topk_overlap(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_anchors: int = 150,
+    base_cap: int = 4000,
+    max_rows: int = 6000,
+) -> DataFrame:
+    """Retrieval-degradation audit for int8 scalar quantization: does
+    the q134 [min, max]/255 grid CHANGE a vector's exact top-k cosine
+    neighbors?  q134 reports reconstruction MSE -- a proxy; retrieval
+    overlap is the metric a vector store actually cares about before
+    shipping quantized embeddings.
+
+    Per md5-rank-sampled anchor (deterministic, layout-stable): exact
+    top-k by FLOAT cosine and by QUANTIZED cosine (both sides of each
+    pair dequantized through the identical grid, scores rounded 6dp
+    with (score desc, id asc) tiebreaks -- the q20/q298 lane), then
+    |topk_f intersect topk_q| rolled up per anchor label in exact
+    permille (denominator = float-lane rows actually ranked, so
+    anchors with < k candidates weigh what they have).
+
+    Domain: NULL id/vector out; vectors with non-finite or zero norm
+    out (one norm-lane check covers NaN/inf/huge elements -- a finite
+    norm bounds every element); a constant vector (zero grid step)
+    quantizes to ITSELF (q134's sc > 0 contract); a quantized-to-zero
+    vector has no quantized cosine and drops from the quant lane only
+    (mirrored CASE, both engines).
+
+    Exact-audit shape (the knn_label_disagreement contract): the BASE
+    side is md5-rank-capped at ``base_cap`` (deterministic,
+    layout-stable; the anchors are the first ``n_anchors`` of the SAME
+    md5 order, so anchors are a prefix of the base), with the
+    ``max_rows`` fail-loud guard as the backstop.  At corpus scale the
+    audit stays a fixed-size sample BY CONSTRUCTION -- overlap is a
+    rate, not an enumeration, and a sample estimates it.
+    """
+    from ..functions.vectors import dot as _dot
+    from ..functions.vectors import norm as _norm
+    from .ranking import distributed_row_number
+
+    base0 = df.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(label_col).alias("__l"),
+    )
+    withn = base0.withColumn("__nrm", _norm(F.col("__v"))).filter(
+        F.col("__nrm").isNotNull()
+        & (F.col("__nrm") > 0)
+        & ~F.isnan(F.col("__nrm"))
+        & (F.col("__nrm") < F.lit(float("inf")))
+    )
+    mn = F.array_min("__v")
+    sc = (F.array_max("__v") - F.array_min("__v")) / F.lit(255.0)
+    vq = F.when(
+        (sc > 0) & ~F.isnan(sc),
+        F.transform(
+            F.col("__v"),
+            lambda e: mn + F.floor((e - mn) / sc + F.lit(0.5)) * sc,
+        ),
+    ).otherwise(F.col("__v"))
+    quanted = withn.withColumn("__vq", vq).withColumn(
+        "__nq", _norm(F.col("__vq"))
+    )
+    ranked = distributed_row_number(
+        quanted.withColumn("__mk", F.md5(F.col("__id").cast("string"))),
+        [("__mk", "asc"), ("__id", "asc")],
+        out_col="__mr",
+    ).filter(F.col("__mr") <= base_cap)
+    guard = ranked.agg(F.count(F.lit(1)).alias("__m"))
+    gated = (
+        ranked.crossJoin(F.broadcast(guard))
+        .where(
+            F.assert_true(
+                F.col("__m") <= F.lit(max_rows),
+                F.concat(
+                    F.lit(
+                        "quantization_topk_overlap: base exceeds "
+                        "max_rows ["
+                    ),
+                    F.col("__m").cast("string"),
+                    F.lit(
+                        f" rows, budget {max_rows}] -- md5-sample or "
+                        "IVF-block the base first"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("__m")
+        .persist()
+    )
+    anchors = (
+        gated.filter(F.col("__mr") <= n_anchors)
+        .select(
+            F.col("__id").alias("__ida"),
+            F.col("__l").alias("__la"),
+            F.col("__v").alias("__va"),
+            F.col("__nrm").alias("__na"),
+            F.col("__vq").alias("__vqa"),
+            F.col("__nq").alias("__nqa"),
+        )
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(gated, F.col("__ida") != F.col("__id"))
+        .select(
+            "__ida",
+            "__la",
+            F.col("__id").alias("__idb"),
+            F.round(
+                _dot(F.col("__va"), F.col("__v"))
+                / (F.col("__na") * F.col("__nrm")),
+                6,
+            ).alias("__sf"),
+            F.when(
+                (F.col("__nqa") > 0) & (F.col("__nq") > 0),
+                F.round(
+                    _dot(F.col("__vqa"), F.col("__vq"))
+                    / (F.col("__nqa") * F.col("__nq")),
+                    6,
+                ),
+            ).alias("__sq"),
+        )
+        .persist()
+    )
+    from pyspark.sql.window import Window
+
+    wf = Window.partitionBy("__ida").orderBy(
+        F.desc("__sf"), F.asc("__idb")
+    )
+    wq = Window.partitionBy("__ida").orderBy(
+        F.desc("__sq"), F.asc("__idb")
+    )
+    topf = (
+        pairs.filter(F.col("__sf").isNotNull())
+        .withColumn("__r", F.row_number().over(wf))
+        .filter(F.col("__r") <= k)
+        .select("__ida", "__la", "__idb")
+    )
+    topq = (
+        pairs.filter(F.col("__sq").isNotNull())
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= k)
+        .select(
+            F.col("__ida").alias("__qa"), F.col("__idb").alias("__qb")
+        )
+    )
+    hit = topf.join(
+        topq,
+        (F.col("__ida") == F.col("__qa"))
+        & (F.col("__idb") == F.col("__qb")),
+        "left",
+    ).select(
+        "__ida",
+        "__la",
+        F.col("__qa").isNotNull().cast("long").alias("__hit"),
+    )
+    return hit.groupBy(F.col("__la").alias(label_col)).agg(
+        F.countDistinct("__ida").cast("long").alias("n_anchors"),
+        F.count(F.lit(1)).cast("long").alias("topk_rows"),
+        F.expr(
+            "CAST(sum(__hit) * 1000 div count(*) AS BIGINT)"
+        ).alias("overlap_permille"),
+    )

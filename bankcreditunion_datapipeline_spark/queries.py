@@ -21384,3 +21384,103 @@ def q316_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "late_over_60min_permille",
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantization retrieval audit (r11): does int8 scalar quantization
+# CHANGE the exact top-5 cosine neighbors?  q134 grades the grid by
+# reconstruction MSE -- a proxy; this measures the thing a vector
+# store actually ships on: retrieval overlap after quantization.
+# ---------------------------------------------------------------------------
+@register(
+    "q317_quantization_retrieval_audit",
+    """
+    WITH b0 AS (
+      SELECT vec_id AS id, label AS l,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+    wn AS (
+      SELECT id, l, v, sqrt(list_dot_product(v, v)) AS nn FROM b0),
+    fin AS (
+      SELECT id, l, v, nn FROM wn
+      WHERE nn IS NOT NULL AND nn > 0
+        AND NOT isnan(nn) AND NOT isinf(nn)),
+    grid AS (
+      SELECT id, l, v, nn, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS sc
+      FROM fin),
+    qv AS (
+      SELECT id, l, v, nn,
+             CASE WHEN sc > 0 AND NOT isnan(sc)
+                  THEN list_transform(v,
+                       e -> mn + floor((e - mn) / sc + 0.5) * sc)
+                  ELSE v END AS vq
+      FROM grid),
+    q2 AS (
+      SELECT id, l, v, nn, vq,
+             sqrt(list_dot_product(vq, vq)) AS nq
+      FROM qv),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)),
+                                   id) AS mr
+      FROM q2),
+    keep AS (SELECT id, l, v, nn, vq, nq, mr FROM rk WHERE mr <= 4000),
+    anch AS (SELECT id, l, v, nn, vq, nq FROM keep WHERE mr <= 150),
+    pairs AS (
+      SELECT a.id AS ida, a.l AS la, b.id AS idb,
+             round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS sf,
+             CASE WHEN a.nq > 0 AND b.nq > 0 THEN
+               round(list_dot_product(a.vq, b.vq) / (a.nq * b.nq), 6)
+             END AS sq
+      FROM anch a JOIN keep b ON a.id <> b.id),
+    topf AS (
+      SELECT ida, la, idb FROM (
+        SELECT ida, la, idb,
+               row_number() OVER (PARTITION BY ida
+                                  ORDER BY sf DESC, idb) AS r
+        FROM pairs WHERE sf IS NOT NULL) WHERE r <= 5),
+    topq AS (
+      SELECT qa, qb FROM (
+        SELECT ida AS qa, idb AS qb,
+               row_number() OVER (PARTITION BY ida
+                                  ORDER BY sq DESC, idb) AS r
+        FROM pairs WHERE sq IS NOT NULL) WHERE r <= 5),
+    hit AS (
+      SELECT topf.ida, topf.la,
+             CASE WHEN topq.qa IS NOT NULL THEN 1 ELSE 0 END AS h
+      FROM topf LEFT JOIN topq
+        ON topf.ida = topq.qa AND topf.idb = topq.qb)
+    SELECT la AS label,
+           CAST(count(DISTINCT ida) AS BIGINT) AS n_anchors,
+           CAST(count(*) AS BIGINT) AS topk_rows,
+           CAST(sum(h) * 1000 // count(*) AS BIGINT) AS overlap_permille
+    FROM hit GROUP BY la
+    """,
+    doc="quantization_topk_overlap (operators/similarity.py): md5-rank "
+    "150 anchors (assigned via distributed_row_number, the cap itself "
+    "never single-partitions) x full finite base, exact top-5 by "
+    "FLOAT cosine and by QUANTIZED cosine (q134's [min,max]/255 grid "
+    "on BOTH sides, floor(x+0.5) replayed verbatim; scores round 6dp, "
+    "(score desc, id asc) tiebreaks -- the q20/q298 lane), overlap "
+    "rolled up per anchor label in exact permille (the base side is "
+    "the first 4000 of the SAME md5 order -- the audit is a "
+    "fixed-size sample by construction at any corpus scale, mirrored "
+    "in the oracle). Non-finite/zero "
+    "norms out on ONE norm check (a finite norm bounds every "
+    "element); constant vectors quantize to themselves; a "
+    "quantized-to-zero vector drops from the quant lane only "
+    "(mirrored CASE). Exact-audit shape: brute force fail-loud past "
+    "6000 base rows (the knn_label_disagreement contract) -- "
+    "md5-sample or IVF-block first at corpus scale. Scale: broadcast "
+    "anchors x base, per-anchor windows bounded by the budget.",
+)
+def q317_quantization_retrieval_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.similarity import quantization_topk_overlap
+
+    emb = t(spark, sf_dir, "embeddings")
+    return quantization_topk_overlap(
+        emb, "vec_id", "embedding", "label", k=5, n_anchors=150,
+        max_rows=6000,
+    )
