@@ -887,3 +887,43 @@ def forward_fill_daily(
         .cast("long")
         .alias(out_staleness),
     )
+
+
+def lateness_summary(
+    hist: DataFrame,
+    probs_permille: Sequence[int] = (500, 990),
+    threshold_min: int = 60,
+) -> DataFrame:
+    """Out-of-orderness readout over a (late_min, w) lateness
+    HISTOGRAM: exact weighted quantiles (weighted_quantiles_exact, the
+    q176 integer ceil-rank rule) + the > threshold exceedance
+    permille, one row per requested probability.  Factored out so the
+    q316 batch audit and the streaming lateness monitor extract with
+    the SAME arithmetic over the same histogram shape (the
+    extractor-is-the-batch-operator discipline): per-batch histogram
+    partials are a sum monoid, so the merged state reproduces the
+    batch readout exactly at any batch split.
+
+    Output columns: p_permille, late_minutes, n_events,
+    late_over_{threshold_min}min_permille.
+    """
+    from .sketches import weighted_quantiles_exact
+
+    h = hist.select(
+        F.col("late_min").cast("long").alias("late_min"),
+        F.col("w").cast("long").alias("w"),
+    ).persist()
+    q = weighted_quantiles_exact(h, "late_min", "w", list(probs_permille))
+    n = h.agg(
+        F.sum("w").cast("long").alias("n_events"),
+        F.expr(
+            f"CAST(sum(CASE WHEN late_min > {int(threshold_min)} THEN w "
+            "ELSE 0 END) * 1000 div sum(w) AS BIGINT)"
+        ).alias(f"late_over_{int(threshold_min)}min_permille"),
+    )
+    return q.crossJoin(F.broadcast(n)).select(
+        F.col("p_permille").cast("long").alias("p_permille"),
+        F.col("quantile").cast("long").alias("late_minutes"),
+        "n_events",
+        f"late_over_{int(threshold_min)}min_permille",
+    )

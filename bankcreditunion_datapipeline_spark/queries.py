@@ -21347,7 +21347,7 @@ _Q316_LATE_MIN = 60
 )
 def q316_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import distributed_cummax_exclusive
-    from .operators.sketches import weighted_quantiles_exact
+    from .operators.temporal import lateness_summary
 
     ev = (
         t(spark, sf_dir, "events")
@@ -21357,10 +21357,7 @@ def q316_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm = distributed_cummax_exclusive(
         ev, [("event_id", "asc")], "us", out_col="prev_max"
     )
-    # late feeds both the quantile pass and the exceedance pass --
-    # persist (the frame-referenced-twice contract; recompute = the
-    # range shuffle + running-max windows twice)
-    late = pm.select(
+    hist = pm.select(
         F.when(
             F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("us")),
             F.lit(0),
@@ -21368,21 +21365,11 @@ def q316_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(prev_max - us) div 60000000"))
         .cast("long")
         .alias("late_min"),
-        F.lit(1).alias("one"),
-    ).persist()
-    q = weighted_quantiles_exact(late, "late_min", "one", list(_Q316_PROBS))
-    n = late.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.expr(
-            f"CAST(sum(CASE WHEN late_min > {_Q316_LATE_MIN} THEN 1 "
-            "ELSE 0 END) * 1000 div count(*) AS BIGINT)"
-        ).alias("late_over_60min_permille"),
-    )
-    return q.crossJoin(F.broadcast(n)).select(
-        F.col("p_permille").cast("long").alias("p_permille"),
-        F.col("quantile").cast("long").alias("late_minutes"),
-        "n_events",
-        "late_over_60min_permille",
+    ).groupBy("late_min").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    # finisher IS the streaming monitor's extractor (lateness_summary
+    # persists the histogram it reads twice)
+    return lateness_summary(
+        hist, probs_permille=_Q316_PROBS, threshold_min=_Q316_LATE_MIN
     )
 
 

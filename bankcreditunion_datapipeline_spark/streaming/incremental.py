@@ -1178,3 +1178,109 @@ def streaming_lead_lag(
         F.col("__day").alias("day"), F.col("__x").alias("y")
     )
     return cross_correlation_e6(x, y, lags or [-3, -2, -1, 0, 1, 2, 3])
+
+
+def streaming_lateness(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> None:
+    """Streaming out-of-orderness partials (the q316 watermark-sizing
+    audit as a monitor): each micro-batch computes per-event lateness
+    versus the maximum timestamp ALREADY SEEN -- the exclusive running
+    max within the batch (distributed_cummax_exclusive, arrival order
+    = id within a batch, batch order across batches) merged with the
+    max-so-far STATE from strictly earlier batches -- then writes its
+    lateness-minute histogram partial and its own batch maximum, each
+    to a ``batch=<id>`` partition (overwrite on redelivery -> replace;
+    the prior max reads only batches < this id, so a redelivered batch
+    recomputes identically).  Histogram counts are a sum monoid;
+    max-so-far is a max monoid -- the merged state reproduces the
+    batch q316 readout exactly WHEN batches split the id order (the
+    streaming==batch test shape; on a real stream, batch order IS
+    arrival order, which is precisely what a watermark sees).
+    NULL ts/id rows are dropped (the q316 batch domain)."""
+    from ..operators.ranking import distributed_cummax_exclusive
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        ev = df.filter(
+            F.col(ts_col).isNotNull() & F.col(id_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("__id"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+        )
+        prior = None
+        maxdir = os.path.join(state_dir, "lateness_maxus")
+        try:
+            prior = (
+                spark.read.parquet(maxdir)
+                .filter(F.col("batch") < F.lit(int(batch_id)))
+                .agg(F.max("max_us"))
+                .collect()[0][0]
+            )
+        except Exception:
+            prior = None  # no earlier state -- first batch
+        pm = distributed_cummax_exclusive(
+            ev, [("__id", "asc")], "__us", out_col="__pm"
+        )
+        hist = (
+            pm.withColumn(
+                "__eff",
+                F.greatest(F.col("__pm"), F.lit(prior).cast("long")),
+            )
+            .select(
+                F.when(
+                    F.col("__eff").isNull()
+                    | (F.col("__eff") <= F.col("__us")),
+                    F.lit(0),
+                )
+                # integer div, the exact q316 batch lane (a double
+                # division would round the microsecond difference)
+                .otherwise(F.expr("(__eff - __us) div 60000000"))
+                .cast("long")
+                .alias("late_min")
+            )
+            .groupBy("late_min")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        hist.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "lateness_hist", f"batch={batch_id}")
+        )
+        ev.agg(F.max("__us").alias("max_us")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(maxdir, f"batch={batch_id}"))
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_lateness_summary(
+    spark: SparkSession,
+    state_dir: str,
+    probs_permille: list[int] | None = None,
+    threshold_min: int = 60,
+) -> DataFrame:
+    """Merge-on-read out-of-orderness monitor: sum the per-batch
+    lateness-histogram partials, then the extractor IS
+    `lateness_summary` verbatim -- identical exact quantiles and
+    exceedance permille as the q316 batch audit on the union of all
+    input (when batches split arrival order), by construction.  The
+    p99 lateness IS the watermark you should configure; a p99 that
+    moves between state snapshots means your upstream's disorder is
+    drifting and the watermark needs re-sizing.  State is O(distinct
+    lateness-minutes) summary rows per batch, never raw events."""
+    from ..operators.temporal import lateness_summary
+
+    merged = (
+        spark.read.parquet(os.path.join(state_dir, "lateness_hist"))
+        .groupBy("late_min")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    return lateness_summary(
+        merged,
+        probs_permille=tuple(probs_permille or (500, 990)),
+        threshold_min=threshold_min,
+    )

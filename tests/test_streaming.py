@@ -1856,3 +1856,119 @@ def test_streaming_lead_lag_equals_batch(spark, tmp_path):
     assert got == want
     by_lag = {r[0]: r[2] for r in got}
     assert by_lag[2] in (999_999, 1_000_000)  # exact echo at lag +2
+
+
+def test_streaming_lateness_equals_batch(spark, tmp_path):
+    """The lateness monitor over merged histogram partials equals the
+    batch q316 readout when batches split the arrival (id) order --
+    including a CROSS-BATCH late event whose lateness comes from the
+    max-so-far state, not its own batch."""
+    import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bankcreditunion_datapipeline_spark.queries import (
+        q316_out_of_orderness,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_lateness,
+        streaming_lateness_summary,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    h = datetime.timedelta(hours=1)
+    # batch 1 peaks at t0+5h; batch 2 opens with an event 3h OLDER
+    # than that peak (cross-batch lateness = 180 min) and one in-batch
+    # late event (id 6, 60 min behind id 5's local max)
+    b1 = [(1, t0), (2, t0 + 5 * h), (3, None)]
+    b2 = [(4, t0 + 2 * h), (5, t0 + 6 * h), (6, t0 + 5 * h), (None, t0)]
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        streaming_lateness(spark, src, ckpt, schema, state)
+
+    got = sorted(
+        map(
+            tuple,
+            streaming_lateness_summary(spark, state).collect(),
+        )
+    )
+    # batch oracle: same rows through q316 (events table shape)
+    allrows = [
+        (i, ts, 7, "view", 1.0, "{}")
+        for i, ts in b1 + b2
+    ]
+    spark.createDataFrame(
+        allrows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    want = sorted(
+        map(tuple, q316_out_of_orderness(spark, str(tmp_path)).collect())
+    )
+    assert got == want
+    # the cross-batch event (id 4) is 180 min late: p99 = 180
+    assert any(r[0] == 990 and r[1] == 180 for r in got)
+
+
+def test_streaming_lateness_redelivery_idempotent(spark, tmp_path):
+    """Checkpoint-wipe redelivery overwrites both the histogram and
+    max-so-far batch partitions -- the merged readout is unchanged."""
+    import datetime
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_lateness,
+        streaming_lateness_summary,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    h = datetime.timedelta(hours=1)
+    spark.createDataFrame(
+        [(1, t0 + 2 * h), (2, t0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    streaming_lateness(spark, src, ckpt, schema, state)
+    first = sorted(
+        map(tuple, streaming_lateness_summary(spark, state).collect())
+    )
+    shutil.rmtree(ckpt)  # wipe checkpoint -> full redelivery
+    streaming_lateness(spark, src, ckpt, schema, state)
+    again = sorted(
+        map(tuple, streaming_lateness_summary(spark, state).collect())
+    )
+    assert first == again
+    assert any(r[0] == 990 and r[1] == 120 for r in first)
