@@ -21471,3 +21471,137 @@ def q317_quantization_retrieval_audit(
         emb, "vec_id", "embedding", "label", k=5, n_anchors=150,
         max_rows=6000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-change detection (r11): per-frame perceptual hashes over
+# the q89 frame-sampling lane, scene cut = consecutive-frame Hamming
+# jump.  Completes the video chain: q89 proves the frames cross the
+# Arrow boundary byte-exact; this runs an ANALYSIS over them (the shape
+# a real pipeline uses to pick keyframes / segment clips).
+# ---------------------------------------------------------------------------
+_Q318_WIDTH = 16
+_Q318_THRESH = 5
+
+
+def _q318_oracle(width: int = _Q318_WIDTH, thresh: int = _Q318_THRESH) -> str:
+    def byte(j: int) -> str:
+        return f"CAST(('0x' || substr(hx, {2 * j + 1}, 2)) AS INT)"
+
+    terms = " + ".join(
+        f"CASE WHEN {byte(i)} > {byte(i + 1)} "
+        f"THEN {1 << (width - 1 - i)} ELSE 0 END"
+        for i in range(width)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS len
+      FROM documents
+      WHERE doc_id % 4 = 1 AND text IS NOT NULL
+        AND NOT regexp_matches(text, '[^ -~]')),
+    c AS (
+      SELECT media_id, text, len, greatest(len // 10, 1) AS chunk FROM m),
+    f AS (
+      SELECT media_id, text, chunk,
+             least(4, greatest(len // chunk, 1)) AS nf FROM c),
+    x AS (
+      SELECT media_id, CAST(i - 1 AS BIGINT) AS fi,
+             sha256(substr(text, CAST((i - 1) * chunk + 1 AS INT),
+                           CAST(chunk AS INT))
+                    || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+      FROM f, unnest(generate_series(1, nf)) AS g(i)),
+    sig AS (
+      SELECT media_id, fi, CAST({terms} AS BIGINT) AS dh FROM x),
+    lagged AS (
+      SELECT media_id, fi, dh,
+             lag(dh) OVER (PARTITION BY media_id ORDER BY fi) AS pdh
+      FROM sig),
+    marked AS (
+      SELECT media_id, fi,
+             CASE WHEN pdh IS NULL THEN NULL
+                  WHEN bit_count(xor(dh, pdh)) >= {thresh} THEN 1
+                  ELSE 0 END AS chg
+      FROM lagged)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(chg) AS BIGINT) AS n_transitions,
+           CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+           CAST(min(CASE WHEN chg = 1 THEN fi END) AS BIGINT)
+               AS first_change_frame
+    FROM marked GROUP BY media_id
+    """
+
+
+@register(
+    "q318_video_scene_changes",
+    _q318_oracle(),
+    doc="composition: sample_video_frames (q89's mapInPandas "
+    "one-to-many stub lane, %4 doc slice) -> extract_image_features "
+    "per FRAME (composite id = media_id*100 + frame_index, "
+    "frame_index <= 30 so the packing is lossless and engine-"
+    "replayable) -> dhash_from_features (16-bit) -> consecutive-frame "
+    "Hamming (lag per media over frame_index, bit_count(xor)), scene "
+    "cut at >= 5 of 16 bits. DOMAIN: ASCII-only text declared on both "
+    "engines (regexp '[^ -~]' rejected -- the q89 VARCHAR-substr-"
+    "equals-byte-slice precondition made EXPLICIT rather than assumed; "
+    "the fuzz multibyte doc is excluded by domain, not by luck), text "
+    "NOT NULL. With the stub decoder distinct slices hash near-random "
+    "(most transitions read 'cut'); with a real decoder the same plan "
+    "segments clips. first_change_frame NULL when no cut (single-frame "
+    "videos have zero transitions). Scale: frames fan out 4x media "
+    "rows; one window per media (bounded at max_frames).",
+)
+def q318_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import ensure_min_partitions
+    from .operators.multimodal import (
+        dhash_from_features,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 4 == 1)
+        & F.col("text").isNotNull()
+        & ~F.col("text").rlike("[^ -~]")
+    )
+    media = ensure_min_partitions(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    frames = sample_video_frames(media, every_n=10, max_frames=4)
+    fr = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    feats = extract_image_features(fr, dim=_Q318_WIDTH + 1)
+    sig = feats.select(
+        F.expr("media_id div 100").alias("mid"),
+        F.expr("media_id % 100 div 10").alias("fi"),
+        dhash_from_features("embedding", _Q318_WIDTH).alias("dh"),
+    )
+    from .functions.vectors import hamming64
+
+    w = Window.partitionBy("mid").orderBy("fi")
+    lagged = sig.withColumn("pdh", F.lag("dh").over(w))
+    marked = lagged.select(
+        "mid",
+        "fi",
+        F.when(F.col("pdh").isNull(), F.lit(None).cast("long"))
+        .when(
+            hamming64(F.col("dh"), F.col("pdh")) >= _Q318_THRESH, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    return marked.groupBy(F.col("mid").alias("media_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.count("chg").cast("long").alias("n_transitions"),
+        F.coalesce(F.sum("chg"), F.lit(0)).cast("long").alias("n_changes"),
+        F.min(F.when(F.col("chg") == 1, F.col("fi")))
+        .cast("long")
+        .alias("first_change_frame"),
+    )
