@@ -15242,7 +15242,11 @@ def q252_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "estimates joined against the exact order statistics (same integer "
     "ceil-div rank rule, computed over the O(distinct cents) value "
     "summary -- grouped cum window, never a global row_number over raw "
-    "rows). err = |est - exact| * 1000 div max(exact, 1). With sub=16 "
+    "rows; distinct cents is the grain that still grows with the "
+    "corpus, so at 100x the exact side swaps to q181's sketch-boundary "
+    "bucketing or approx_percentile -- the audit itself needs exactness "
+    "only at calibration scale). err = |est - exact| * 1000 div "
+    "max(exact, 1). With sub=16 "
     "sub-buckets per octave the observed error should sit under ~62 "
     "permille -- the audit that justifies merging histograms instead "
     "of re-sorting 100 TB.",
@@ -21604,4 +21608,253 @@ def q318_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("chg") == 1, F.col("fi")))
         .cast("long")
         .alias("first_change_frame"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality deciles (r11): the GROUPED twin of the
+# distributed-rank operator -- VERDICT r10 #7's "natural graded query".
+# Curation readout: within each source, decile the corpus by quality so
+# mixture policy (keep top-k deciles per source) has exact boundaries.
+# ---------------------------------------------------------------------------
+@register(
+    "q319_source_quality_deciles",
+    f"""
+    WITH q AS (
+      SELECT source, doc_id, {_QUALITY_QINT_SQL} AS qint
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    d AS (
+      SELECT source, qint,
+             ntile(10) OVER (PARTITION BY source
+                             ORDER BY qint ASC, doc_id ASC) AS decile
+      FROM q)
+    SELECT source,
+           CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(qint) AS BIGINT) AS min_qint,
+           CAST(max(qint) AS BIGINT) AS max_qint,
+           CAST(sum(qint) // count(*) AS BIGINT) AS mean_qint
+    FROM d GROUP BY source, decile
+    """,
+    doc="per-source quality deciles via distributed_ntile "
+    "(operators/ranking.py) with partition_cols=[source] -- the "
+    "grouped form of the q212/q246 rewire: sources grow with the "
+    "corpus AND each source's doc count grows, so BOTH a global and a "
+    "per-source ntile window would single-task; the two-level "
+    "range-partition prefix sum never does.  Order (qint ASC, doc_id "
+    "ASC) is total; text IS NOT NULL pins qint non-NULL (the ranking "
+    "contract); NULL source is a real stratum (null-safe offset "
+    "join, PARTITION BY groups NULLs together on both engines).  "
+    "Readout per (source, decile): count + exact integer min/max/"
+    "floor-div mean of qint.  Scale: two shuffles of the doc-grain "
+    "frame + an O(buckets x sources) offsets summary; graded "
+    "two-strategies-must-agree against the unchanged window-form SQL.",
+)
+def q319_source_quality_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.ranking import distributed_ntile
+    from .operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    q = docs.select(
+        "source",
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("qint"),
+    )
+    d = distributed_ntile(
+        q,
+        10,
+        [("qint", "asc"), ("doc_id", "asc")],
+        partition_cols=["source"],
+        out_col="decile",
+    )
+    return d.groupBy("source", F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("qint").cast("long").alias("min_qint"),
+        F.max("qint").cast("long").alias("max_qint"),
+        F.expr("CAST(sum(qint) div count(1) AS BIGINT)").alias("mean_qint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-policy-aware incremental dedup (r11): q309's survivor policies
+# maintained under q236's extend_components delta fold -- the daily
+# survivor refresh reads ONLY the standing survivor table and the pair
+# delta, never the historical members, and must equal the monolithic
+# recompute exactly (dominance proof in dedup.py:
+# incremental_survivor_candidates).
+# ---------------------------------------------------------------------------
+_Q320_CUT = 300
+
+
+def _q320_oracle() -> str:
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    elems AS (
+      SELECT DISTINCT id,
+             md5(array_to_string(
+               list_slice(w, CAST(i.i AS INT), CAST(i.i AS INT) + {_Q179_SHINGLE} - 1),
+               ' ')) AS tok
+      FROM base, unnest(range(1, len(w) - {_Q179_SHINGLE} + 2)) AS i(i)
+      WHERE len(w) >= {_Q179_SHINGLE}),
+    sizes AS (SELECT id, count(*) AS n FROM elems GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM elems a JOIN elems b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN sizes sa ON s.id_a = sa.id
+      JOIN sizes sb ON s.id_b = sb.id
+      WHERE (s.i * 1000) // (sa.n + sb.n - s.i) >= {_Q179_T}),
+    ebi AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+             FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id, {_QUALITY_QINT_SQL} AS qint,
+             coalesce(n_chars, 0) AS nch
+      FROM documents),
+    m AS (
+      SELECT comp.id, comp.component, q.qint, q.nch
+      FROM comp JOIN q ON q.doc_id = comp.id),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY id ASC) AS r_min,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY qint DESC, id ASC) AS r_q,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY nch DESC, id ASC) AS r_len
+      FROM m)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(max(CASE WHEN r_min = 1 THEN id END) AS BIGINT) AS s_min,
+           CAST(max(CASE WHEN r_q = 1 THEN id END) AS BIGINT) AS s_q,
+           CAST(max(CASE WHEN r_len = 1 THEN id END) AS BIGINT) AS s_len
+    FROM r GROUP BY component
+    """
+
+
+@register(
+    "q320_incremental_survivors",
+    _q320_oracle(),
+    doc="keep-policy-aware incremental dedup (dedup.py:"
+    "incremental_survivor_candidates): standing clusters over pairs "
+    f"wholly below doc_id {_Q320_CUT} elect survivors under THREE "
+    "total-order policies (min id; qint DESC, id ASC; n_chars DESC, "
+    "id ASC -- the q309 policy set); the pair DELTA folds in via "
+    "extend_components, and each new component's survivors are "
+    "re-picked from ONLY {standing survivors UNION delta endpoints} "
+    "-- the dominance argument makes that exact, which the oracle "
+    "grades by running the monolithic recursive CC + row_number "
+    "survivors over ALL q179 pairs.  The 100 TB shape: the refresh "
+    "reads the O(clusters) survivor table and the delta, never the "
+    "historical members' attributes; survivor windows run over the "
+    "O(candidates) frame, partitioned by component.",
+)
+def q320_incremental_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import (
+        connected_components,
+        extend_components,
+        incremental_survivor_candidates,
+        prefix_filtered_jaccard_pairs,
+    )
+    from .operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = (
+        prefix_filtered_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            threshold_permille=_Q179_T,
+            shingle=_Q179_SHINGLE,
+            max_pair_rows=20_000_000,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    old = pairs.filter(
+        (F.col("id_a") < _Q320_CUT) & (F.col("id_b") < _Q320_CUT)
+    )
+    delta = pairs.filter(
+        (F.col("id_a") >= _Q320_CUT) | (F.col("id_b") >= _Q320_CUT)
+    )
+    attrs = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.floor(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("qint"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("nch"),
+    )
+
+    def survivors(members: DataFrame) -> DataFrame:
+        wc = Window.partitionBy("component")
+        r = (
+            members.withColumn(
+                "r_min", F.row_number().over(wc.orderBy(F.asc("id")))
+            )
+            .withColumn(
+                "r_q",
+                F.row_number().over(
+                    wc.orderBy(F.desc("qint"), F.asc("id"))
+                ),
+            )
+            .withColumn(
+                "r_len",
+                F.row_number().over(
+                    wc.orderBy(F.desc("nch"), F.asc("id"))
+                ),
+            )
+        )
+        return r.groupBy("component").agg(
+            F.max(F.when(F.col("r_min") == 1, F.col("id")))
+            .cast("long")
+            .alias("s_min"),
+            F.max(F.when(F.col("r_q") == 1, F.col("id")))
+            .cast("long")
+            .alias("s_q"),
+            F.max(F.when(F.col("r_len") == 1, F.col("id")))
+            .cast("long")
+            .alias("s_len"),
+        )
+
+    standing = connected_components(old)
+    s_old = survivors(standing.join(attrs, "id"))
+    old_surv_ids = (
+        s_old.select(F.col("s_min").alias("id"))
+        .unionByName(s_old.select(F.col("s_q").alias("id")))
+        .unionByName(s_old.select(F.col("s_len").alias("id")))
+    )
+    labels_new = extend_components(standing, delta)
+    cands = incremental_survivor_candidates(
+        labels_new, old_surv_ids, delta
+    )
+    return survivors(cands.join(attrs, "id")).select(
+        F.col("component").cast("long").alias("component"),
+        "s_min",
+        "s_q",
+        "s_len",
     )

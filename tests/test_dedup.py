@@ -988,3 +988,100 @@ def test_extend_components_empty_delta(spark):
         for r in extend_components(standing, delta).collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+def test_incremental_survivor_candidates_equal_monolithic(spark):
+    """Dominance property: per-policy argmax over {standing survivors
+    UNION delta endpoints} equals the monolithic per-component argmax.
+    Exercises: a merge of two standing clusters (whose survivors
+    disagree per policy), an old SINGLETON joining a cluster through a
+    delta edge, a brand-new cluster, and an untouched standing cluster.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components,
+        extend_components,
+        incremental_survivor_candidates,
+    )
+
+    # attrs: (id, qint, nch) -- quality argmax and length argmax
+    # deliberately differ from min-id in every cluster
+    attrs = spark.createDataFrame(
+        [
+            (1, 10, 900),
+            (2, 90, 100),
+            (3, 50, 500),
+            (4, 95, 50),
+            (5, 20, 999),
+            (6, 70, 10),   # old singleton, high quality
+            (7, 30, 20),
+            (8, 60, 700),
+            (9, 40, 40),
+            (10, 80, 80),
+            (11, 5, 5),   # historical non-survivor, not a delta endpoint
+        ],
+        "id long, qint long, nch long",
+    )
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (8, 9), (9, 11)], "id_a long, id_b long"
+    )
+    # (3,4) merges two standing clusters; (6,7) pulls the old singleton
+    # 6 into a new 2-cluster; (9,10) extends a standing cluster;
+    # standing cluster {8,9} also stays reachable through 9
+    delta = spark.createDataFrame(
+        [(3, 4), (6, 7), (9, 10)], "id_a long, id_b long"
+    )
+
+    def survivors(members):
+        wc = Window.partitionBy("component")
+        r = (
+            members.withColumn(
+                "r_min", F.row_number().over(wc.orderBy(F.asc("id")))
+            )
+            .withColumn(
+                "r_q",
+                F.row_number().over(wc.orderBy(F.desc("qint"), F.asc("id"))),
+            )
+            .withColumn(
+                "r_len",
+                F.row_number().over(wc.orderBy(F.desc("nch"), F.asc("id"))),
+            )
+        )
+        return r.groupBy("component").agg(
+            F.max(F.when(F.col("r_min") == 1, F.col("id"))).alias("s_min"),
+            F.max(F.when(F.col("r_q") == 1, F.col("id"))).alias("s_q"),
+            F.max(F.when(F.col("r_len") == 1, F.col("id"))).alias("s_len"),
+        )
+
+    standing = connected_components(old)
+    s_old = survivors(standing.join(attrs, "id"))
+    old_ids = (
+        s_old.select(F.col("s_min").alias("id"))
+        .unionByName(s_old.select(F.col("s_q").alias("id")))
+        .unionByName(s_old.select(F.col("s_len").alias("id")))
+    )
+    labels_new = extend_components(standing, delta)
+    cands = incremental_survivor_candidates(labels_new, old_ids, delta)
+
+    got = {
+        r["component"]: (r["s_min"], r["s_q"], r["s_len"])
+        for r in survivors(cands.join(attrs, "id")).collect()
+    }
+    mono = connected_components(old.unionByName(delta))
+    want = {
+        r["component"]: (r["s_min"], r["s_q"], r["s_len"])
+        for r in survivors(mono.join(attrs, "id")).collect()
+    }
+    assert got == want
+    # the merged {1..5} cluster: min-id 1, best quality 4, longest 5;
+    # the singleton-join {6,7}: quality survivor is the OLD singleton 6
+    assert got[1] == (1, 4, 5)
+    assert got[6] == (6, 6, 7)
+    # the incremental win: a historical member that is neither a
+    # standing survivor nor a delta endpoint is never re-read
+    cand_ids = {r["id"] for r in cands.collect()}
+    assert 11 not in cand_ids
+    # while the standing q-survivor of {1,2,3} (id 2) IS a candidate
+    assert 2 in cand_ids

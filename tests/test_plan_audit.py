@@ -1,0 +1,93 @@
+"""plan_audit's unpartitioned-window detector (VERDICT r10 finding #1
+regression-proofing): the detector must flag a no-partition-spec
+WindowExec and stay quiet on a partitioned one, and the five queries
+rewired onto operators/ranking.py (q64/q212/q223/q246/q308) must carry
+ZERO unpartitioned windows in their executed plans -- the class cannot
+silently reappear there.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from plan_audit import (  # noqa: E402
+    audit_plan,
+    count_unpartitioned_windows,
+    unpartitioned_window_lines,
+)
+
+from bankcreditunion_datapipeline_spark import queries as _q  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_detector_flags_unpartitioned_window(spark):
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert count_unpartitioned_windows(_plan(bad)) == 1
+    assert count_unpartitioned_windows(_plan(good)) == 0
+    a = audit_plan(_plan(bad))
+    assert a["unpart_windows"] == 1
+
+
+def test_detector_ignores_window_group_limit_and_pandas_names(spark):
+    # a top-k rank filter introduces WindowGroupLimit alongside Window;
+    # the name-boundary regex must not double-count it.
+    df = spark.range(20).withColumn("g", F.col("id") % 2)
+    topk = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    assert count_unpartitioned_windows(_plan(topk)) == 0
+
+
+def test_detector_ignores_partition_only_window(spark):
+    # a full-frame per-key aggregate window (no ORDER BY) is buckets-way
+    # parallel -- it must not be flagged even though its node also has a
+    # single "], [" separator.
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    part_only = df.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    assert count_unpartitioned_windows(_plan(part_only)) == 0
+
+
+# order columns an unpartitioned window may legitimately ride in the
+# rewired queries: __pid is ranking.py's O(buckets x keys) offsets
+# summary; decile/bin are the O(10)/O(bins) readout cum-sums.
+_BOUNDED_ORDER_COLS = ("__pid#", "decile#", "bin#")
+
+
+def test_rewired_rank_queries_unpart_windows_are_bounded_only(spark, sf_dir):
+    reg = _q.registry()
+    rewired = [
+        n
+        for n in reg
+        if n.startswith(("q64_", "q212_", "q223_", "q246_", "q308_"))
+    ]
+    assert len(rewired) == 5, rewired
+    for name in rewired:
+        plan = _plan(reg[name].spark_fn(spark, sf_dir))
+        for line in unpartitioned_window_lines(plan):
+            order = line.rsplit("], [", 1)[1]
+            assert any(c in order for c in _BOUNDED_ORDER_COLS), (
+                f"{name}: unpartitioned WindowExec over a non-summary "
+                f"order ({order[:80]!r}) -- the entity-grain class "
+                "reappeared; rewire onto operators/ranking.py "
+                "(VERDICT r10 finding #1)"
+            )

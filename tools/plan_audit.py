@@ -14,6 +14,21 @@ Informational (printed, not fatal):
     TakeOrderedAndProject instead)
   - Arrow Python boundaries (MapInPandas / ArrowEvalPython) -- sanctioned
     extension points, listed so additions stay deliberate
+
+Soft violations (printed with a SOFT flag + end-of-run inventory, exit 0):
+  - UNPART_WINDOW: a WindowExec with no partition spec (the physical node
+    reads ``Window [exprs], [order]`` instead of ``Window [exprs], [part],
+    [order]``; its child is an Exchange SinglePartition).  Over a bounded
+    O(groups/days/bins) summary that is survivable; over an entity-grain
+    frame (customers, users, distinct doc ids) it is the one systematic
+    scale-killer this repo has found (VERDICT r10 finding #1), because the
+    whole frame moves through ONE WindowExec task.  The fix pattern is
+    operators/ranking.py (distributed_row_number / distributed_ntile /
+    distributed_cumsum -- the q133 two-level range-partition prefix sum);
+    q64/q212/q223/q246/q308 are the rewired exemplars.  The audit cannot
+    know a frame's grain from the plan alone, so this stays soft: the
+    inventory is the review surface -- every entry must be a summary-grain
+    window or a rewire candidate.
 """
 
 from __future__ import annotations
@@ -28,6 +43,33 @@ from bankcreditunion_datapipeline_spark import queries as _q  # noqa: E402
 from bankcreditunion_datapipeline_spark.session import build_session  # noqa: E402
 
 
+def unpartitioned_window_lines(plan: str) -> list:
+    """Return WindowExec plan lines that have an ORDER spec but no
+    partition spec (the single-task global-window shape).
+
+    The physical node prints ``Window [exprs], [partition], [order]``;
+    with no partitionBy the middle group is absent, leaving exactly one
+    top-level ``], [`` separator AND an order-direction marker (ASC/DESC
+    NULLS) in the final bracket group.  A partition-only window
+    (``Window [exprs], [partition]`` -- e.g. a full-frame count per key)
+    also has one separator but no direction marker and is buckets-way
+    parallel, so it is NOT flagged.  ``WindowGroupLimit`` /
+    ``WindowInPandas`` do not match ``Window \\[`` (no space-bracket).
+    """
+    out = []
+    for line in plan.splitlines():
+        if not re.search(r"\bWindow \[", line) or line.count("], [") != 1:
+            continue
+        tail = re.search(r"\], \[([^\]]*)\]\s*$", line)
+        if tail and re.search(r"\b(ASC|DESC) NULLS", tail.group(1)):
+            out.append(line.strip())
+    return out
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    return len(unpartitioned_window_lines(plan))
+
+
 def audit_plan(plan: str) -> dict:
     return {
         "python_udf": len(re.findall(r"BatchEvalPython", plan)),
@@ -36,6 +78,7 @@ def audit_plan(plan: str) -> dict:
         "global_sorts": len(re.findall(r"\bSort \[.*\], true,", plan)),
         "arrow_python": len(re.findall(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", plan)),
         "take_ordered": len(re.findall(r"TakeOrderedAndProject", plan)),
+        "unpart_windows": count_unpartitioned_windows(plan),
     }
 
 
@@ -43,6 +86,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(app_name="plan-audit")
     failures: list[str] = []
+    soft: list[str] = []
     for name, q in sorted(_q.registry().items()):
         try:
             df = q.spark_fn(spark, sf_dir)
@@ -58,12 +102,22 @@ def main() -> None:
         if a["cartesian"]:
             flags.append(f"CARTESIAN x{a['cartesian']}")
             failures.append(f"{name}: CartesianProduct in plan")
+        if a["unpart_windows"]:
+            flags.append(f"SOFT UNPART_WINDOW x{a['unpart_windows']}")
+            soft.append(f"{name}: x{a['unpart_windows']}")
         info = (
             f"shuffles={a['shuffles']} sorts={a['global_sorts']} "
             f"arrow={a['arrow_python']} topk={a['take_ordered']}"
         )
         print(f"{'FLAG' if flags else 'ok  '}  {name}: {info} {' '.join(flags)}")
     spark.stop()
+    if soft:
+        print(
+            f"\nSOFT: unpartitioned-window inventory ({len(soft)} queries; "
+            "each must be summary-grain or a ranking.py rewire candidate):"
+        )
+        for s in soft:
+            print(" -", s)
     if failures:
         print("\nVIOLATIONS:")
         for f in failures:
