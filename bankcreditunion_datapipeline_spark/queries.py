@@ -21858,3 +21858,195 @@ def q320_incremental_survivors(
         "s_q",
         "s_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# Media dup clusters (r11): the multimodal lane reaches dedup PARITY
+# with the text lane -- q313's dHash pairs -> connected components ->
+# keep-largest-payload survivor, the image-dedup curation step (pick
+# the highest-resolution copy; with the stub decoder, payload bytes
+# stand in for resolution).
+# ---------------------------------------------------------------------------
+@register(
+    "q321_media_dup_clusters",
+    f"""
+    WITH RECURSIVE mpairs AS (SELECT * FROM ({_q313_oracle()}) t),
+    ebi AS (
+      SELECT id_a AS s, id_b AS d FROM mpairs
+      UNION SELECT id_b, id_a FROM mpairs),
+    reach(id, r) AS (
+      SELECT s, s FROM ebi
+      UNION
+      SELECT ebi.s, reach.r FROM ebi JOIN reach ON ebi.d = reach.id),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+             FROM reach GROUP BY id),
+    b AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    m AS (
+      SELECT comp.id, comp.component, b.nb
+      FROM comp JOIN b ON b.doc_id = comp.id),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY nb DESC, id ASC) AS rk
+      FROM m)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS survivor,
+           CAST(max(nb) AS BIGINT) AS max_bytes
+    FROM r GROUP BY component
+    """,
+    doc="multimodal dedup parity: q313's dHash pair lane (Arrow "
+    "feature extraction -> JVM dhash -> pigeonhole Hamming pairs) -> "
+    "connected_components -> keep-largest-payload survivor (payload "
+    "BYTES via octet_length -- multibyte-safe on both engines -- tie "
+    "to min media_id; with a real decoder this keeps the "
+    "highest-resolution copy per duplicate-image cluster). Readout "
+    "per cluster: size, survivor, max bytes. Scale: the pair lane's "
+    "documented posture + CC + one window over the O(clustered "
+    "media) frame, partitioned by component.",
+)
+def q321_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import connected_components
+
+    pairs = q313_image_dhash_near_dups(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    b = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.octet_length("text").cast("long").alias("nb"),
+    )
+    m = comp.join(b, "id")
+    r = m.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("nb"), F.asc("id")
+            )
+        ),
+    )
+    return r.groupBy(F.col("component").cast("long").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.when(F.col("rk") == 1, F.col("id")))
+        .cast("long")
+        .alias("survivor"),
+        F.max("nb").cast("long").alias("max_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram lift collocation mining (r11): corpus-level association table
+# -- which adjacent word pairs co-occur far above chance.  PMI's
+# monotone integer core (lift = P(ab) / (P(a.)P(.b)) as an exact e6
+# ratio of counts -- no log, no cross-engine libm exposure; log of a
+# reported lift is the caller's presentation choice).  q157 SCORES
+# documents against a bigram LM; this MINES the collocation table
+# itself, the phrase-detection step (word2phrase-style) of a corpus
+# pipeline.
+# ---------------------------------------------------------------------------
+_Q322_SUPPORT = 5
+_Q322_TOPK = 50
+
+
+@register(
+    "q322_bigram_collocations",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    bg AS (
+      SELECT w[CAST(i.i AS INT)] AS a, w[CAST(i.i AS INT) + 1] AS b
+      FROM base, unnest(range(1, len(w))) AS i(i)
+      WHERE len(w) >= 2),
+    nab AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b),
+    na AS (SELECT a, count(*) AS n_a FROM bg GROUP BY a),
+    nb AS (SELECT b, count(*) AS n_b FROM bg GROUP BY b),
+    tot AS (SELECT count(*) AS n FROM bg)
+    SELECT nab.a AS w1, nab.b AS w2,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_first,
+           CAST(n_b AS BIGINT) AS n_second,
+           CAST(n_ab * n * 1000000 // (n_a * n_b) AS BIGINT) AS lift_e6
+    FROM nab JOIN na USING (a) JOIN nb USING (b) CROSS JOIN tot
+    WHERE n_ab >= {_Q322_SUPPORT}
+    ORDER BY lift_e6 DESC, w1 ASC, w2 ASC
+    LIMIT {_Q322_TOPK}
+    """,
+    doc="collocation mining by exact integer lift: per adjacent bigram "
+    "(a, b), lift_e6 = n_ab * N * 1e6 div (n_a-as-first * "
+    "n_b-as-second) over the whole corpus's bigram stream (q236's "
+    "token lane; docs under 2 tokens contribute nothing), kept at "
+    f"support >= {_Q322_SUPPORT}, top {_Q322_TOPK} by (lift_e6 DESC, "
+    "w1, w2) -- a total order, so the cut is deterministic and rides "
+    "TakeOrderedAndProject, never a global sort.  The multiply "
+    "is guarded factor-first INSIDE the lift expression (n_ab <= "
+    "9.2e12 div N checked before n_ab * N, so the guard itself cannot "
+    "overflow and fires regardless of conjunct evaluation order -- "
+    "the q307/SCALE.md discipline; DuckDB HUGEINT-promotes, no "
+    "mirror needed).  At 100x the guard trips only when "
+    "n_ab * N > 9.2e12 -- then coarsen to per-shard mining or drop "
+    "the e6 scale.  Scale: three grouped counts + two equi-joins on "
+    "the bigram/vocab grain + one broadcast single-row total; no "
+    "windows, no pair explosion (bigrams are linear in tokens).",
+)
+def q322_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
+        ).alias("w")
+    ).filter(F.size("w") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(w[i-1] AS a, w[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bg = bg.persist()
+    nab = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    na = bg.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    tot = bg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        nab.filter(F.col("n_ab") >= _Q322_SUPPORT)
+        .join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = F.when(
+        F.expr("n_ab <= 9200000000000 div n"),
+        F.expr("CAST(n_ab * n * 1000000 div (n_a * n_b) AS BIGINT)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q322: n_ab * N exceeds the e6 lift ladder "
+                "(9.2e12) -- mine per shard or drop the e6 scale"
+            )
+        )
+    )
+    return (
+        j.withColumn("lift_e6", lift)
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            "n_ab",
+            F.col("n_a").alias("n_first"),
+            F.col("n_b").alias("n_second"),
+            "lift_e6",
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("w1"), F.asc("w2"))
+        .limit(_Q322_TOPK)
+    )

@@ -1284,3 +1284,106 @@ def streaming_lateness_summary(
         probs_permille=tuple(probs_permille or (500, 990)),
         threshold_min=threshold_min,
     )
+
+
+def streaming_source_quality_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+) -> None:
+    """Streaming twin of q319's per-source quality deciles: maintain
+    (source, qint, n) counts over a document file stream.  qint =
+    floor(quality_score * 1e6) is BOUNDED in [0, 1e6], so the state
+    grain is O(min(docs, 1e6) x sources) summary rows per batch, never
+    raw documents -- a sum-monoid with the same ``batch=<id>``
+    overwrite idempotency as streaming_count_min (a redelivered batch
+    REPLACES its partition instead of double-counting).
+
+    Batch finisher: `streaming_quality_decile_boundaries` -- because
+    counts over a bounded value domain determine every order statistic
+    exactly, the stream maintains EXACT per-source decile boundaries
+    (the q253 ceil-div rank rule), not a sketch.
+    """
+    from ..operators.text import quality_score
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        counts = (
+            df.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .select(
+                "source",
+                F.floor(quality_score(F.col("text")) * 1000000)
+                .cast("long")
+                .alias("qint"),
+            )
+            .groupBy("source", "qint")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "srcq", f"batch={batch_id}")
+        )
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_source_quality_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Merged (source, qint, n) counts: sum of every batch partition."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "srcq"))
+        .groupBy("source", "qint")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def quality_decile_boundaries(
+    counts: DataFrame, n_tiles: int = 10
+) -> DataFrame:
+    """(source, tile, boundary_qint) from (source, qint, n) counts:
+    boundary_qint = the exact qint at rank ceil(tile * N / n_tiles)
+    within the source (the q253 ceil-div rank rule -- the value the
+    top of each tile sees).  Shared by the batch path and the
+    streaming finisher so streaming == batch by construction; the cum
+    window is partitioned by source over the O(distinct qint) summary,
+    never raw docs."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("qint")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("__N")
+    )
+    cum = counts.withColumn("cum", F.sum("n").over(w)).join(tot, "source")
+    tiles = cum.select(
+        "source",
+        "qint",
+        "cum",
+        "__N",
+        F.explode(
+            F.expr(f"sequence(1, {int(n_tiles)})")
+        ).alias("tile"),
+    )
+    hit = tiles.filter(
+        F.col("cum") >= F.expr(f"(tile * __N + {int(n_tiles)} - 1) div {int(n_tiles)}")
+    )
+    return (
+        hit.groupBy("source", "tile")
+        .agg(F.min("qint").cast("long").alias("boundary_qint"))
+        .select("source", F.col("tile").cast("long").alias("tile"), "boundary_qint")
+    )
+
+
+def streaming_quality_decile_boundaries(
+    spark: SparkSession, state_dir: str, n_tiles: int = 10
+) -> DataFrame:
+    """Exact per-source decile boundaries over the merged stream state
+    -- identical arithmetic to the batch extractor by construction
+    (it IS `quality_decile_boundaries`)."""
+    return quality_decile_boundaries(
+        streaming_source_quality_state(spark, state_dir), n_tiles=n_tiles
+    )

@@ -1972,3 +1972,133 @@ def test_streaming_lateness_redelivery_idempotent(spark, tmp_path):
     )
     assert first == again
     assert any(r[0] == 990 and r[1] == 120 for r in first)
+
+
+def test_streaming_quality_deciles_match_batch_and_idempotent(spark, tmp_path):
+    """q319's streaming twin: per-(source, qint) counts are a
+    sum-monoid over a BOUNDED value domain, so the merged stream state
+    determines every order statistic exactly -- (a) merged state ==
+    one-shot batch counts, (b) streamed decile boundaries == the
+    shared finisher over the batch counts, (c) a redelivered batch
+    replaces its partition.  The finisher must also agree with a
+    direct per-source ntile: the max qint inside tile k (window form)
+    equals boundary_qint at tile k whenever tile sizes are exact
+    multiples (here 40 docs / 10 tiles per source)."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        quality_score,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        quality_decile_boundaries,
+        streaming_source_quality_counts,
+        streaming_quality_decile_boundaries,
+        streaming_source_quality_state,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def doc(i):
+        # vary length and punctuation so qint spreads
+        body = ("word " * (5 + (i * 7) % 60)).strip()
+        if i % 4 == 0:
+            body += " !!!???"
+        return (i, "s" + str(i % 2), body)
+
+    def write_wave(start, n):
+        rows = [doc(i) for i in range(start, start + n)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_source_quality_counts(spark, src, ckpt, schema, state)
+
+    write_wave(0, 30)
+    run()
+    first = sorted(
+        map(tuple, streaming_source_quality_state(spark, state).collect())
+    )
+    shutil.rmtree(ckpt)
+    run()
+    assert (
+        sorted(
+            map(tuple, streaming_source_quality_state(spark, state).collect())
+        )
+        == first
+    )
+
+    write_wave(30, 50)
+    run()
+
+    full = spark.read.schema(schema).parquet(src)
+    import pyspark.sql.functions as F
+
+    batch_counts = (
+        full.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "source",
+            F.floor(quality_score(F.col("text")) * 1000000)
+            .cast("long")
+            .alias("qint"),
+        )
+        .groupBy("source", "qint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    merged = streaming_source_quality_state(spark, state)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, batch_counts.collect())
+    )
+
+    streamed_b = streaming_quality_decile_boundaries(spark, state)
+    batch_b = quality_decile_boundaries(batch_counts)
+    assert sorted(map(tuple, streamed_b.collect())) == sorted(
+        map(tuple, batch_b.collect())
+    )
+    got = {
+        (r["source"], r["tile"]): r["boundary_qint"]
+        for r in streamed_b.collect()
+    }
+    assert len(got) == 20  # 2 sources x 10 tiles
+
+    # window-form agreement: per-source ntile(10) over (qint, doc_id);
+    # with 40 docs per source every tile has exactly 4 rows, so the
+    # tile's max qint IS the ceil-div boundary
+    from pyspark.sql.window import Window
+
+    per = full.select(
+        "source",
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("qint"),
+    )
+    wf = per.withColumn(
+        "tile",
+        F.ntile(10).over(
+            Window.partitionBy("source").orderBy("qint", "doc_id")
+        ),
+    )
+    want = {
+        (r["source"], r["tile"]): r["b"]
+        for r in wf.groupBy("source", "tile")
+        .agg(F.max("qint").alias("b"))
+        .collect()
+    }
+    assert got == want
