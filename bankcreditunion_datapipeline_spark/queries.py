@@ -22050,3 +22050,168 @@ def q322_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_e6"), F.asc("w1"), F.asc("w2"))
         .limit(_Q322_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention triangle (r11): the classic product-analytics
+# readout this registry somehow never had -- users cohorted by first
+# active week, per (cohort, weeks-since) active share.  q34's
+# two-year INTERSECT is the 2-cell special case; this is the full
+# matrix, exact integer permille.  WEEK grain (not month): both
+# engines date_trunc('week') to Monday, and week-truncated dates
+# differ by exact multiples of 7 days, so k = datediff div 7 is
+# integer-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q323_cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    uw AS (SELECT DISTINCT user_id, w FROM ev),
+    c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id),
+    cs AS (SELECT cw, count(*) AS cohort_size FROM c GROUP BY cw),
+    act AS (
+      SELECT c.cw,
+             date_diff('day', c.cw, uw.w) // 7 AS k,
+             count(*) AS n_active
+      FROM uw JOIN c USING (user_id)
+      GROUP BY c.cw, k)
+    SELECT act.cw AS cohort_week,
+           CAST(k AS BIGINT) AS weeks_since,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           CAST(n_active * 1000 // cohort_size AS BIGINT)
+               AS retention_permille
+    FROM act JOIN cs USING (cw)
+    """,
+    doc="cohort retention triangle over events: cohort = Monday week "
+    "of the user's first event; per (cohort_week, weeks_since) the "
+    "count and permille of cohort members active that week (k = "
+    "datediff div 7, exact -- week-truncated dates differ by "
+    "multiples of 7; week-0 row is the cohort itself at 1000 "
+    "permille).  Scale: one distinct to the (user, week) grain, one "
+    "grouped min per user, two grouped counts; the k-grain is "
+    "O(cohorts x weeks) -- no windows, no per-user sort; user-keyed "
+    "joins shuffle the week-grain summary, never raw events.",
+)
+def q323_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+    ).distinct()
+    c = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    cs = c.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = (
+        uw.join(c, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("k"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return act.join(cs, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("k").cast("long").alias("weeks_since"),
+        "n_active",
+        "cohort_size",
+        F.expr("CAST(n_active * 1000 div cohort_size AS BIGINT)").alias(
+            "retention_permille"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (r11): q323's spend companion -- cumulative revenue
+# per cohort by weeks-since-first-active, the retention triangle's
+# money readout (what a cohort is WORTH k weeks in, per member).
+# ---------------------------------------------------------------------------
+@register(
+    "q324_cohort_ltv_curve",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    c AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id),
+    cs AS (SELECT cw, count(*) AS cohort_size FROM c GROUP BY cw),
+    sp AS (
+      SELECT c.cw,
+             date_diff('day', c.cw, ev.w) // 7 AS k,
+             sum(ev.cents) AS spend_cents
+      FROM ev JOIN c USING (user_id)
+      GROUP BY c.cw, k),
+    cum AS (
+      SELECT cw, k, spend_cents,
+             sum(spend_cents) OVER (PARTITION BY cw ORDER BY k
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_cents
+      FROM sp)
+    SELECT cum.cw AS cohort_week,
+           CAST(k AS BIGINT) AS weeks_since,
+           CAST(coalesce(spend_cents, 0) AS BIGINT) AS spend_cents,
+           CAST(coalesce(cum_cents, 0) AS BIGINT) AS cum_spend_cents,
+           CAST(coalesce(cum_cents, 0) // cohort_size AS BIGINT)
+               AS cum_per_member_cents
+    FROM cum JOIN cs USING (cw)
+    """,
+    doc="cohort LTV: per (cohort_week, weeks_since) the exact integer "
+    "cents spent that week (each value rounds to cents BEFORE the sum "
+    "-- the integer sum-monoid lane), the running total, and the "
+    "floor-div per-member running total.  All-NULL-value cells "
+    "coalesce to 0 (activity without revenue).  Scale: grouped sums "
+    "to the O(cohorts x weeks) grain; the cum window is partitioned "
+    "by cohort over that summary, never raw events; user-keyed join "
+    "moves the per-user week/cents summary.",
+)
+def q324_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    cs = c.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    sp = (
+        ev.join(c, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("k"),
+        )
+        .agg(F.sum("cents").alias("spend_cents"))
+    )
+    wc = (
+        Window.partitionBy("cw")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sp.withColumn("cum_cents", F.sum("spend_cents").over(wc))
+    return cum.join(cs, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("k").cast("long").alias("weeks_since"),
+        F.coalesce(F.col("spend_cents"), F.lit(0))
+        .cast("long")
+        .alias("spend_cents"),
+        F.coalesce(F.col("cum_cents"), F.lit(0))
+        .cast("long")
+        .alias("cum_spend_cents"),
+        F.expr(
+            "CAST(coalesce(cum_cents, 0) div cohort_size AS BIGINT)"
+        ).alias("cum_per_member_cents"),
+    )
