@@ -43,7 +43,12 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         plan = df._jdf.queryExecution().sparkPlan().toString()
     except Exception:  # noqa: BLE001 - e.g. Spark Connect; fall back to probing
         plan = ""
-    if "Exchange" in plan or "InMemory" in plan:
+    # cache hits are "InMemoryRelation"/"InMemoryTableScan"; a bare
+    # FileScan also prints "Location: InMemoryFileIndex(...)", which a
+    # plain "InMemory" substring match caught -- making this function a
+    # silent no-op on exactly the one-small-file case it exists for
+    # (r11 find: the multimodal Arrow lanes ran single-task at sf0.1)
+    if "Exchange" in plan or "InMemoryRelation" in plan or "InMemoryTableScan" in plan:
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -22215,3 +22215,413 @@ def q324_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(coalesce(cum_cents, 0) div cohort_size AS BIGINT)"
         ).alias("cum_per_member_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase lift (r11): market-basket association mining over
+# lineitem -- q322's lift core on the (order, part) basket grain.
+# The pair join is per-ORDER quadratic (basket sizes are bounded in
+# any real catalog), carried under attach_pair_budget fail-loud.
+# ---------------------------------------------------------------------------
+_Q325_SUPPORT = 3
+_Q325_TOPK = 50
+
+
+@register(
+    "q325_copurchase_lift",
+    f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    tot AS (SELECT count(DISTINCT o) AS n FROM b),
+    np AS (SELECT p, count(*) AS n_p FROM b GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b2.p AS pb, count(*) AS n_ab
+      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+      GROUP BY a.p, b2.p),
+    j AS (
+      SELECT pa, pb, n_ab, na.n_p AS n_a, nb.n_p AS n_b, tot.n AS n
+      FROM pairs
+      JOIN np na ON na.p = pairs.pa
+      JOIN np nb ON nb.p = pairs.pb
+      CROSS JOIN tot
+      WHERE n_ab >= {_Q325_SUPPORT})
+    SELECT CAST(pa AS BIGINT) AS part_a,
+           CAST(pb AS BIGINT) AS part_b,
+           CAST(n_ab AS BIGINT) AS n_both,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_ab * n * 1000000 // (n_a * n_b) AS BIGINT) AS lift_e6
+    FROM j
+    ORDER BY lift_e6 DESC, part_a ASC, part_b ASC
+    LIMIT {_Q325_TOPK}
+    """,
+    doc="market-basket association mining: per co-purchased part pair "
+    "(a < b), exact integer lift_e6 = n_both * N_orders * 1e6 div "
+    "(n_a * n_b) over distinct (order, part) baskets, support >= "
+    f"{_Q325_SUPPORT}, deterministic top {_Q325_TOPK} by (lift DESC, "
+    "part_a, part_b) via TakeOrderedAndProject.  The within-order "
+    "pair join runs under attach_pair_budget (exact sum m*(m-1)/2 "
+    "over basket sizes, fail-loud) -- basket size is catalog-bounded, "
+    "so pairs are linear in orders; the lift multiply is guarded "
+    "factor-first INSIDE the expression (n_both <= 9.2e12 div N, the "
+    "q322 conjunct-order-proof placement).  Scale: distinct to the "
+    "basket grain, one budgeted equi-join on orderkey, grouped "
+    "counts, broadcast single-row total.",
+)
+def q325_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import attach_pair_budget
+
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = b.groupBy("o").agg(F.count(F.lit(1)).alias("__m"))
+    tot = b.agg(F.countDistinct("o").cast("long").alias("n"))
+    np_ = b.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_p"))
+    a = attach_pair_budget(
+        b.select(F.col("o"), F.col("p").alias("pa")),
+        sizes,
+        "__m",
+        20_000_000,
+        "q325_copurchase_lift: within-order pair total exceeds the "
+        "budget -- cap basket size upstream or raise max_pair_rows "
+        "deliberately",
+    )
+    pairs = (
+        a.join(b.select("o", F.col("p").alias("pb")), "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _Q325_SUPPORT)
+    )
+    j = (
+        pairs.join(
+            np_.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")),
+            "pa",
+        )
+        .join(
+            np_.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = F.when(
+        F.expr("n_ab <= 9200000000000 div n"),
+        F.expr("CAST(n_ab * n * 1000000 div (n_a * n_b) AS BIGINT)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q325: n_both * N exceeds the e6 lift ladder (9.2e12) "
+                "-- mine per shard or drop the e6 scale"
+            )
+        )
+    )
+    return (
+        j.withColumn("lift_e6", lift)
+        .select(
+            F.col("pa").cast("long").alias("part_a"),
+            F.col("pb").cast("long").alias("part_b"),
+            F.col("n_ab").alias("n_both"),
+            "n_a",
+            "n_b",
+            "lift_e6",
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_Q325_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (r11): is event TYPE independent of WEEKEND?
+# The categorical counterpart of q304's Mann-Whitney -- the q73
+# bounded-cardinality float lane (per-cell doubles derive from integer
+# counts; the sum spans O(types x 2) cells, round 4).  Zero cells are
+# scaffolded (O=0 still contributes E), the drift-monitor discipline.
+# ---------------------------------------------------------------------------
+@register(
+    "q326_type_weekend_chi2",
+    """
+    WITH e AS (
+      SELECT event_type AS et,
+             CAST(((date_diff('day', DATE '1970-01-05',
+                              CAST(date_trunc('day', ts) AS DATE)) % 7)
+                   + 7) % 7 >= 5 AS INT) AS wk
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    c AS (SELECT et, wk, count(*) AS n FROM e GROUP BY et, wk),
+    rt AS (SELECT et, sum(n) AS r FROM c GROUP BY et),
+    ct AS (SELECT wk, sum(n) AS cc FROM c GROUP BY wk),
+    tot AS (SELECT sum(n) AS nn FROM c),
+    cells AS (
+      SELECT g.et, g.wk, coalesce(c.n, 0) AS o,
+             (CAST(g.r AS DOUBLE) * CAST(g.cc AS DOUBLE))
+               / CAST((SELECT nn FROM tot) AS DOUBLE) AS ex
+      FROM (SELECT rt.et, rt.r, ct.wk, ct.cc FROM rt CROSS JOIN ct) g
+      LEFT JOIN c ON c.et = g.et AND c.wk = g.wk)
+    SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT et) AS BIGINT) AS n_types,
+           CAST((count(DISTINCT et) - 1)
+                * (count(DISTINCT wk) - 1) AS BIGINT) AS dof,
+           round(sum((o - ex) * (o - ex) / ex) + 0.0, 4) AS chi2_r4,
+           round(sqrt(sum((o - ex) * (o - ex) / ex)
+                      / CAST((SELECT nn FROM tot) AS DOUBLE)) + 0.0, 4)
+               AS cramers_v_r4
+    FROM cells
+    """,
+    doc="chi-square independence of event_type x weekend (sign-safe "
+    "pmod dow, the q304 lane): X2 = sum over the FULL type-x-column "
+    "grid of (O-E)^2/E with E = row_total * col_total / N -- zero "
+    "cells scaffolded via the margins cross join (O=0 contributes E; "
+    "a column with no events at all drops out of the grid AND the "
+    "dof, correctly).  E computes as CAST-to-double products (never "
+    "a BIGINT multiply that wraps at N^2), per-cell terms derive "
+    "from integer counts so both engines see identical doubles, and "
+    "the sum spans O(types x 2) cells -- the q73 bounded-cardinality "
+    "round-4 float discipline.  Cramer's V = sqrt(X2 / (N * "
+    "min(r-1, c-1))) with c=2.  Scale: one grouped count to the "
+    "contingency grain; everything after is O(cells).",
+)
+def q326_type_weekend_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    e = ev.select(
+        F.col("event_type").alias("et"),
+        F.expr(
+            "CAST(pmod(datediff(CAST(date_trunc('day', ts) AS DATE), "
+            "DATE '1970-01-05'), 7) >= 5 AS INT)"
+        ).alias("wk"),
+    )
+    c = e.groupBy("et", "wk").agg(F.count(F.lit(1)).alias("n"))
+    rt = c.groupBy("et").agg(F.sum("n").alias("r"))
+    ct = c.groupBy("wk").agg(F.sum("n").alias("cc"))
+    tot = c.agg(F.sum("n").alias("nn"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(tot))
+    cells = grid.join(c, ["et", "wk"], "left").select(
+        "et",
+        "wk",
+        F.coalesce(F.col("n"), F.lit(0)).alias("o"),
+        (
+            F.col("r").cast("double")
+            * F.col("cc").cast("double")
+            / F.col("nn").cast("double")
+        ).alias("ex"),
+        "nn",
+    )
+    term = (F.col("o") - F.col("ex")) * (F.col("o") - F.col("ex")) / F.col(
+        "ex"
+    )
+    return cells.agg(
+        F.max("nn").cast("long").alias("n_events"),
+        F.countDistinct("et").cast("long").alias("n_types"),
+        (
+            (F.countDistinct("et") - 1) * (F.countDistinct("wk") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum(term) + F.lit(0.0), 4).alias("chi2_r4"),
+        F.round(
+            F.sqrt(F.sum(term) / F.max("nn").cast("double")) + F.lit(0.0), 4
+        ).alias("cramers_v_r4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (r11): a 95% confidence interval for mean order
+# value WITHOUT resampling-by-shuffling -- each (order, replicate)
+# draws a Poisson(1) weight from a deterministic md5 uniform (the
+# at-scale bootstrap of the Chamandy/Najmi "estimating uncertainty for
+# massive data streams" family), so the whole thing is one narrow
+# explode + one grouped sum, exact integers end to end.  md5 is the
+# portable-but-heavy part, so each 128-bit hash is split into FOUR
+# 32-bit uniforms (25 hashes per row serve B=100 replicates).
+# ---------------------------------------------------------------------------
+_Q327_B = 100
+# floor(CDF_Poisson(1)(k) * 2^32) for k = 0..11 (tail beyond 12
+# truncates: P(K > 11) ~ 3e-9; computed once at 60-digit decimal
+# precision, baked as integer literals so BOTH engines compare the
+# same constants -- no transcendental at runtime)
+_Q327_T = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+    4294962463, 4294966817, 4294967252, 4294967292,
+]
+_Q327_W_SQL = " + ".join(
+    f"CASE WHEN uu >= {t} THEN 1 ELSE 0 END" for t in _Q327_T
+)
+_Q327_LO_RN = (25 * _Q327_B + 999) // 1000   # ceil-div rank, 2.5th pct
+_Q327_HI_RN = (975 * _Q327_B + 999) // 1000  # 97.5th pct
+# replicate 4*(h-1)+j (j=1..4) reads hex digits [8j-7, 8j] of hash h
+_Q327_U_SQL_DUCK = " UNION ALL ".join(
+    f"SELECT cents, 4 * (h2 - 1) + {j} AS b, "
+    f"CAST(('0x' || substr(hx, {8 * (j - 1) + 1}, 8)) AS BIGINT) AS uu "
+    "FROM reps"
+    for j in (1, 2, 3, 4)
+)
+
+
+@register(
+    "q327_bootstrap_mean_ci",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+    reps AS (
+      SELECT cents, CAST(h.h AS BIGINT) AS h2,
+             md5(CAST(k AS VARCHAR) || '|' || CAST(h.h AS VARCHAR)) AS hx
+      FROM o, unnest(range(1, {_Q327_B // 4 + 1})) AS h(h)),
+    u AS ({_Q327_U_SQL_DUCK}),
+    w AS (SELECT b, cents, ({_Q327_W_SQL}) AS wt FROM u),
+    m AS (SELECT b, sum(wt * cents) AS swc, sum(wt) AS sw
+          FROM w GROUP BY b),
+    mm AS (SELECT b, swc // nullif(sw, 0) AS mean_cents FROM m),
+    r AS (SELECT mean_cents,
+                 row_number() OVER (ORDER BY mean_cents, b) AS rn
+          FROM mm),
+    ci AS (SELECT max(CASE WHEN rn = {_Q327_LO_RN} THEN mean_cents END)
+                      AS ci_lo_cents,
+                  max(CASE WHEN rn = {_Q327_HI_RN} THEN mean_cents END)
+                      AS ci_hi_cents
+           FROM r),
+    pt AS (SELECT count(*) AS n_orders,
+                  sum(cents) // count(*) AS point_mean
+           FROM o)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(point_mean AS BIGINT) AS point_mean_cents,
+           CAST(ci_lo_cents AS BIGINT) AS ci_lo_cents,
+           CAST(ci_hi_cents AS BIGINT) AS ci_hi_cents,
+           CAST({_Q327_B} AS BIGINT) AS n_replicates
+    FROM pt CROSS JOIN ci
+    """,
+    doc=f"Poisson bootstrap: replicate b in 1..{_Q327_B} weights each "
+    "order by the Poisson(1) inverse CDF of a 32-bit md5 uniform "
+    "(hash h = md5(key|h), h = 1..25; hex window 8*(b mod 4) -- four "
+    "replicates per hash, the md5 budget is the measured cost), with "
+    "the CDF baked as 12 integer THRESHOLD literals (tail truncated "
+    "at w=12, P ~ 3e-9; no transcendental at query time, both "
+    "engines compare identical integers).  Replicate mean = "
+    "floor-div of exact integer cent sums; CI bounds are the "
+    "ceil-div rank order statistics (ranks 3/98 of 100, tie-broken "
+    "by b) of the replicate means, extracted in ONE pass over the "
+    "O(B) frame; point estimate = full-sample floor-div mean.  "
+    "Scale: the explode is NARROW (x B/4 rows, no shuffle); the "
+    "grouped sum map-side combines to B partials per task; the rank "
+    "window runs over the O(B) replicate frame.  Weighted-sum bound "
+    "documented: w <= 12, so sum(w * cents) fits BIGINT to ~1e9 "
+    "orders at 1e6-cent order values.",
+)
+def q327_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import ensure_min_partitions
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # the x B/4 explode inherits the scan's partitioning (often one
+    # file = one task); spread BEFORE fanning out so the md5 work
+    # parallelizes
+    o = ensure_min_partitions(o)
+    reps = o.select(
+        "cents",
+        F.explode(F.expr(f"sequence(1, {_Q327_B // 4})")).alias("h2"),
+        F.col("k"),
+    ).withColumn(
+        "hx",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("k").cast("string"), F.col("h2").cast("string")
+            )
+        ),
+    )
+    # four 32-bit uniforms per hash, weights computed IN ROW (no x4
+    # row explosion on the corpus-grain frame): uu_j in one projection
+    # (each conv evaluated once as a column), wt_j in the next, then a
+    # grouped sum by h2 whose output is 25 rows x 4 replicate pairs --
+    # the melt to (b, swc, sw) happens on that TINY frame
+    uus = reps.select(
+        "cents",
+        "h2",
+        *[
+            F.conv(F.substring(F.col("hx"), 8 * (j - 1) + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"uu{j}")
+            for j in (1, 2, 3, 4)
+        ],
+    )
+    wts = uus.select(
+        "cents",
+        "h2",
+        *[
+            F.expr(_Q327_W_SQL.replace("uu", f"uu{j}")).alias(f"wt{j}")
+            for j in (1, 2, 3, 4)
+        ],
+    )
+    m4 = wts.groupBy("h2").agg(
+        *[
+            agg
+            for j in (1, 2, 3, 4)
+            for agg in (
+                F.sum(F.col(f"wt{j}") * F.col("cents"))
+                .cast("long")
+                .alias(f"swc{j}"),
+                F.sum(f"wt{j}").cast("long").alias(f"sw{j}"),
+            )
+        ]
+    )
+    mm = m4.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (4 * (F.col("h2") - 1) + j).cast("long").alias("b"),
+                        F.col(f"swc{j}").alias("swc"),
+                        F.col(f"sw{j}").alias("sw"),
+                    )
+                    for j in (1, 2, 3, 4)
+                ]
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.b").alias("b"),
+        F.expr("p.swc div nullif(p.sw, 0)").alias("mean_cents"),
+    )
+    r = mm.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_cents", "b"))
+    )
+    # both CI bounds in ONE pass over the O(B) replicate frame -- two
+    # separate rank filters would execute the whole x B pipeline twice
+    ci = r.agg(
+        F.max(
+            F.when(F.col("rn") == _Q327_LO_RN, F.col("mean_cents"))
+        ).alias("ci_lo_cents"),
+        F.max(
+            F.when(F.col("rn") == _Q327_HI_RN, F.col("mean_cents"))
+        ).alias("ci_hi_cents"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias(
+            "point_mean_cents"
+        ),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        "point_mean_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        F.lit(_Q327_B).cast("long").alias("n_replicates"),
+    )

@@ -1085,3 +1085,32 @@ def test_incremental_survivor_candidates_equal_monolithic(spark):
     assert 11 not in cand_ids
     # while the standing q-survivor of {1,2,3} (id 2) IS a candidate
     assert 2 in cand_ids
+
+
+def test_ensure_min_partitions_spreads_bare_scans(spark, tmp_path, sf_dir):
+    """r11 regression: a bare FileScan's plan string contains
+    'Location: InMemoryFileIndex(...)', which the old plain
+    'InMemory' substring check matched -- silently no-opping the
+    function on exactly the one-small-file case it exists for (the
+    multimodal Arrow lanes ran single-task at sf0.1).  A real CACHE
+    must still be left alone."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        ensure_min_partitions,
+    )
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert scan.rdd.getNumPartitions() == 1
+    spread = ensure_min_partitions(scan)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    cached = spark.read.parquet(p).cache()
+    try:
+        cached.count()
+        # cached relation: partitioning is governed by the cache
+        assert ensure_min_partitions(cached) is cached
+    finally:
+        cached.unpersist()
