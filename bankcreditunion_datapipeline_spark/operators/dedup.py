@@ -2079,3 +2079,42 @@ def incremental_survivor_candidates(
         .distinct()
     )
     return labels_new.join(cands, id_col).select(comp_col, id_col)
+
+
+def pick_survivors(
+    labeled: DataFrame,
+    policies: dict,
+    id_col: str = "id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """One row per component with a survivor column PER keep policy:
+    ``policies`` maps output column name -> order spec (sequence of
+    (column, 'asc'|'desc')); the survivor is the first member under
+    that order.  Specs must be TOTAL orders (end with a unique
+    tiebreak, the q309 (attr DESC, id ASC) discipline) or the pick is
+    partition-arrival-dependent.  Windows are partitioned by
+    component, so the frame parallelizes cluster-wise; callers feeding
+    an incremental candidate set (incremental_survivor_candidates) get
+    the identical result as the monolithic membership by the dominance
+    argument."""
+    from pyspark.sql.window import Window
+
+    cur = labeled
+    aggs = []
+    for name, spec in policies.items():
+        order = [
+            F.col(c).asc() if str(d).lower() == "asc" else F.col(c).desc()
+            for c, d in spec
+        ]
+        cur = cur.withColumn(
+            f"__r_{name}",
+            F.row_number().over(
+                Window.partitionBy(comp_col).orderBy(*order)
+            ),
+        )
+        aggs.append(
+            F.max(
+                F.when(F.col(f"__r_{name}") == 1, F.col(id_col))
+            ).alias(name)
+        )
+    return cur.groupBy(comp_col).agg(*aggs)

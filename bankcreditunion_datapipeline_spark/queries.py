@@ -21771,12 +21771,11 @@ def _q320_oracle() -> str:
 def q320_incremental_survivors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from .operators.dedup import (
         connected_components,
         extend_components,
         incremental_survivor_candidates,
+        pick_survivors,
         prefix_filtered_jaccard_pairs,
     )
     from .operators.text import quality_score
@@ -21810,35 +21809,17 @@ def q320_incremental_survivors(
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("nch"),
     )
 
+    policies = {
+        "s_min": [("id", "asc")],
+        "s_q": [("qint", "desc"), ("id", "asc")],
+        "s_len": [("nch", "desc"), ("id", "asc")],
+    }
+
     def survivors(members: DataFrame) -> DataFrame:
-        wc = Window.partitionBy("component")
-        r = (
-            members.withColumn(
-                "r_min", F.row_number().over(wc.orderBy(F.asc("id")))
-            )
-            .withColumn(
-                "r_q",
-                F.row_number().over(
-                    wc.orderBy(F.desc("qint"), F.asc("id"))
-                ),
-            )
-            .withColumn(
-                "r_len",
-                F.row_number().over(
-                    wc.orderBy(F.desc("nch"), F.asc("id"))
-                ),
-            )
-        )
-        return r.groupBy("component").agg(
-            F.max(F.when(F.col("r_min") == 1, F.col("id")))
-            .cast("long")
-            .alias("s_min"),
-            F.max(F.when(F.col("r_q") == 1, F.col("id")))
-            .cast("long")
-            .alias("s_q"),
-            F.max(F.when(F.col("r_len") == 1, F.col("id")))
-            .cast("long")
-            .alias("s_len"),
+        out = pick_survivors(members, policies)
+        return out.select(
+            "component",
+            *[F.col(n).cast("long").alias(n) for n in policies],
         )
 
     standing = connected_components(old)

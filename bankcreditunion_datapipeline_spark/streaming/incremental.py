@@ -1387,3 +1387,66 @@ def streaming_quality_decile_boundaries(
     return quality_decile_boundaries(
         streaming_source_quality_state(spark, state_dir), n_tiles=n_tiles
     )
+
+
+def streaming_survivor_clusters(
+    spark: SparkSession,
+    state_dir: str,
+    attrs: DataFrame,
+    policies: dict,
+    id_col: str = "id",
+) -> DataFrame:
+    """Keep-policy-aware streaming dedup (q320's stream twin): fold the
+    ``streaming_pair_deltas`` batch partitions keeping only (labels,
+    survivor table) state -- each fold extends the labeling
+    (star-contraction identity) and re-picks survivors from
+    {standing survivors UNION this delta's endpoints} only (the
+    incremental_survivor_candidates dominance argument), so no
+    historical member's attributes are ever re-read and the final
+    table equals `pick_survivors` over the monolithic CC of all pairs
+    (asserted in the streaming test).
+
+    ``attrs`` maps id -> the policy columns (e.g. qint/nch); in
+    production it is the attribute TABLE the policies need, which the
+    candidate join probes by id -- O(candidates) lookups per fold.
+    """
+    from ..operators.dedup import (
+        connected_components,
+        extend_components,
+        incremental_survivor_candidates,
+        pick_survivors,
+    )
+
+    root = os.path.join(state_dir, "pairdelta")
+    all_parts = spark.read.parquet(root)
+    batch_ids = sorted(
+        r["batch"] for r in all_parts.select("batch").distinct().collect()
+    )
+    labels = None
+    surv = None
+    for b in batch_ids:
+        delta = all_parts.filter(F.col("batch") == b).select(
+            "id_a", "id_b"
+        )
+        if labels is None:
+            labels = connected_components(delta)
+            members = labels.join(
+                attrs.withColumnRenamed(id_col, "id"), "id"
+            )
+            surv = pick_survivors(members, policies)
+        else:
+            labels = extend_components(labels, delta)
+            surv_ids = None
+            for name in policies:
+                col = surv.select(F.col(name).alias("id"))
+                surv_ids = (
+                    col if surv_ids is None else surv_ids.unionByName(col)
+                )
+            cands = incremental_survivor_candidates(
+                labels, surv_ids, delta
+            )
+            members = cands.join(
+                attrs.withColumnRenamed(id_col, "id"), "id"
+            )
+            surv = pick_survivors(members, policies)
+    return surv

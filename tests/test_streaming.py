@@ -2102,3 +2102,92 @@ def test_streaming_quality_deciles_match_batch_and_idempotent(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_survivor_clusters_equals_monolithic(spark, tmp_path):
+    """q320's stream twin: folding pair-delta batches with only
+    (labels, survivors) state -- candidates from {standing survivors
+    UNION delta endpoints} -- must equal pick_survivors over the
+    monolithic CC of ALL pairs, per policy; a redelivered batch
+    (checkpoint wiped) must not change the state."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components,
+        pick_survivors,
+    )
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_pair_deltas,
+        streaming_survivor_clusters,
+    )
+
+    schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    attrs = spark.createDataFrame(
+        [
+            (1, 10), (2, 90), (3, 50), (4, 95), (5, 20),
+            (6, 70), (7, 30), (8, 60), (9, 40), (10, 80), (11, 5),
+        ],
+        "id long, q long",
+    )
+    policies = {
+        "s_min": [("id", "asc")],
+        "s_q": [("q", "desc"), ("id", "asc")],
+    }
+
+    def write_wave(pairs):
+        spark.createDataFrame(pairs, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_pair_deltas(spark, src, ckpt, schema, state)
+
+    # wave 1: two clusters + a 3-chain; wave 2 merges them and pulls
+    # in an old singleton; wave 3 is a brand-new cluster
+    write_wave([(1, 2), (2, 3), (4, 5), (8, 9), (9, 11)])
+    run()
+    write_wave([(3, 4), (6, 7), (9, 10)])
+    run()
+    s1 = sorted(
+        map(
+            tuple,
+            streaming_survivor_clusters(
+                spark, state, attrs, policies
+            ).collect(),
+        )
+    )
+    # redelivery: wipe checkpoint, replay everything -- partitions
+    # replaced, state identical
+    shutil.rmtree(ckpt)
+    run()
+    s2 = sorted(
+        map(
+            tuple,
+            streaming_survivor_clusters(
+                spark, state, attrs, policies
+            ).collect(),
+        )
+    )
+    assert s1 == s2
+
+    all_pairs = spark.read.schema(schema).parquet(src)
+    mono = pick_survivors(
+        connected_components(all_pairs).join(attrs, "id"), policies
+    )
+    assert s1 == sorted(map(tuple, mono.collect()))
+    got = {r[0]: (r[1], r[2]) for r in s1}
+    # merged {1..5}: min 1, quality survivor 4; {6,7}: quality 6
+    assert got[1] == (1, 4)
+    assert got[6] == (6, 6)
