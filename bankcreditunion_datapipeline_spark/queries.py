@@ -21890,12 +21890,17 @@ def q320_incremental_survivors(
 def q321_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from .operators.dedup import connected_components
+    from .operators.dedup import connected_components_star
 
     pairs = q313_image_dhash_near_dups(spark, sf_dir).select(
         "id_a", "id_b"
     )
-    comp = connected_components(pairs)
+    # star CC, not min-label propagation: at the 24-bit gate width the
+    # chance-collision pairs form chain-y sparse components (edges <
+    # nodes), where propagation pays O(log diameter) checkpointed
+    # rounds; large-star/small-star converges diameter-independently
+    # (measured 10.5s -> 4.8s on this lane at sf0.1)
+    comp = connected_components_star(pairs)
     b = t(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     ).select(
@@ -22605,4 +22610,236 @@ def q327_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo_cents",
         "ci_hi_cents",
         F.lit(_Q327_B).cast("long").alias("n_replicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact-vs-detail reconciliation (r11): does the order header total
+# equal the recomputed lineitem total?  The arithmetic-consistency
+# audit every warehouse runs between a fact table and its detail;
+# q163/q240 reconcile REPLICAS of one table, this reconciles two
+# GRAINS of one business object.
+# ---------------------------------------------------------------------------
+@register(
+    "q328_order_total_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             sum(CAST(round(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100) AS BIGINT)) AS rc
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+      GROUP BY l_orderkey),
+    o AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+    d AS (
+      SELECT o.k,
+             CASE WHEN li.rc IS NULL THEN CAST(-1 AS BIGINT)
+                  WHEN abs(o.tc - li.rc) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(CAST(abs(o.tc - li.rc) AS VARCHAR))
+                            AS BIGINT)
+             END AS decade
+      FROM o LEFT JOIN li ON li.k = o.k)
+    SELECT decade,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM d GROUP BY decade
+    """,
+    doc="order-header vs lineitem-detail reconciliation: recomputed "
+    "total = sum per item of round(extendedprice * (1 - discount) * "
+    "(1 + tax) * 100) -- the per-item product is ONE double "
+    "expression written identically on both engines (IEEE-identical), "
+    "rounded to integer cents BEFORE the sum (exact monoid).  Readout "
+    "= |header - recomputed| bucketed by DECIMAL DECADE via the "
+    "digit count of the BIGINT's string (engine-identical; no float "
+    "log10), decade 0 = exact match, -1 = order with no lineitems.  "
+    "On this synthetic corpus header totals are independent of "
+    "details, so the audit correctly reports nothing reconciling -- "
+    "the readout IS the finding.  Scale: one grouped sum per grain + "
+    "one keyed join; no windows.",
+)
+def q328_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("long")
+            ).alias("rc")
+        )
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tc"),
+    )
+    d = o.join(li, "k", "left").select(
+        F.when(F.col("rc").isNull(), F.lit(-1).cast("long"))
+        .when(F.abs(F.col("tc") - F.col("rc")) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.length(
+                F.abs(F.col("tc") - F.col("rc")).cast("string")
+            ).cast("long")
+        )
+        .alias("decade")
+    )
+    return d.groupBy("decade").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment-assignment audit (r11): SRM + independence.  Sample-ratio
+# mismatch is the first thing an A/B platform checks -- does the
+# deterministic md5 80/20 user split actually land 80/20 (chi-square
+# vs the design ratio), and is event TYPE independent of the split
+# (a pre-experiment A/A balance check on the q326 machinery)?
+# ---------------------------------------------------------------------------
+@register(
+    "q329_split_srm_audit",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    s AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 4)) AS BIGINT) % 10 < 8
+                  THEN 1 ELSE 0 END AS tr
+      FROM u),
+    cnt AS (SELECT CAST(sum(tr) AS BIGINT) AS n_tr,
+                   CAST(count(*) - sum(tr) AS BIGINT) AS n_te,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s),
+    srm AS (
+      SELECT n, n_tr, n_te,
+             round((n_tr - n * 0.8) * (n_tr - n * 0.8) / (n * 0.8)
+                   + (n_te - n * 0.2) * (n_te - n * 0.2) / (n * 0.2)
+                   + 0.0, 4) AS srm_chi2_r4
+      FROM cnt),
+    ev AS (
+      SELECT e.event_type AS et, s.tr
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type IS NOT NULL),
+    c AS (SELECT et, tr, count(*) AS n FROM ev GROUP BY et, tr),
+    rt AS (SELECT et, sum(n) AS r FROM c GROUP BY et),
+    ct AS (SELECT tr, sum(n) AS cc FROM c GROUP BY tr),
+    tot AS (SELECT sum(n) AS nn FROM c),
+    cells AS (
+      SELECT g.et, g.tr, coalesce(c.n, 0) AS o,
+             (CAST(g.r AS DOUBLE) * CAST(g.cc AS DOUBLE))
+               / CAST((SELECT nn FROM tot) AS DOUBLE) AS ex
+      FROM (SELECT rt.et, rt.r, ct.tr, ct.cc FROM rt CROSS JOIN ct) g
+      LEFT JOIN c ON c.et = g.et AND c.tr = g.tr),
+    indep AS (
+      SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_events,
+             CAST((count(DISTINCT et) - 1)
+                  * (count(DISTINCT tr) - 1) AS BIGINT) AS indep_dof,
+             round(sum((o - ex) * (o - ex) / ex) + 0.0, 4)
+                 AS indep_chi2_r4
+      FROM cells)
+    SELECT srm.n AS n_users, srm.n_tr AS n_train, srm.n_te AS n_test,
+           srm.srm_chi2_r4, indep.n_events, indep.indep_dof,
+           indep.indep_chi2_r4
+    FROM srm CROSS JOIN indep
+    """,
+    doc="A/B assignment audit on the q44 md5-bucket split lane (user "
+    "-> conv(substr(md5, 1, 4)) % 10 < 8): (1) SRM chi-square of the "
+    "observed train/test user counts against the DESIGNED 80/20 (1 "
+    "dof; > ~10 means the assignment hash is broken -- the first "
+    "gate any experiment platform runs), (2) event_type x split "
+    "independence chi-square (the A/A balance check, q326 machinery: "
+    "zero cells scaffolded, E as cast-to-double products, bounded-"
+    "cardinality round-4 float lane).  Scale: one distinct to users, "
+    "one broadcast-able split map join, grouped counts; everything "
+    "after is O(cells).",
+)
+def q329_split_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev0 = t(spark, sf_dir, "events")
+    u = ev0.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
+    s = u.select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("tr"),
+    )
+    cnt = s.agg(
+        F.sum("tr").cast("long").alias("n_tr"),
+        (F.count(F.lit(1)) - F.sum("tr")).cast("long").alias("n_te"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    srm = cnt.select(
+        "n",
+        "n_tr",
+        "n_te",
+        F.round(
+            (F.col("n_tr") - F.col("n") * 0.8)
+            * (F.col("n_tr") - F.col("n") * 0.8)
+            / (F.col("n") * 0.8)
+            + (F.col("n_te") - F.col("n") * 0.2)
+            * (F.col("n_te") - F.col("n") * 0.2)
+            / (F.col("n") * 0.2)
+            + F.lit(0.0),
+            4,
+        ).alias("srm_chi2_r4"),
+    )
+    evs = (
+        ev0.filter(F.col("event_type").isNotNull())
+        .join(s, "user_id")
+        .select(F.col("event_type").alias("et"), "tr")
+    )
+    c = evs.groupBy("et", "tr").agg(F.count(F.lit(1)).alias("n"))
+    rt = c.groupBy("et").agg(F.sum("n").alias("r"))
+    ct = c.groupBy("tr").agg(F.sum("n").alias("cc"))
+    tot = c.agg(F.sum("n").alias("nn"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(tot))
+    cells = grid.join(c, ["et", "tr"], "left").select(
+        "et",
+        "tr",
+        F.coalesce(F.col("n"), F.lit(0)).alias("o"),
+        (
+            F.col("r").cast("double")
+            * F.col("cc").cast("double")
+            / F.col("nn").cast("double")
+        ).alias("ex"),
+        "nn",
+    )
+    term = (F.col("o") - F.col("ex")) * (F.col("o") - F.col("ex")) / F.col(
+        "ex"
+    )
+    indep = cells.agg(
+        F.max("nn").cast("long").alias("n_events"),
+        (
+            (F.countDistinct("et") - 1) * (F.countDistinct("tr") - 1)
+        )
+        .cast("long")
+        .alias("indep_dof"),
+        F.round(F.sum(term) + F.lit(0.0), 4).alias("indep_chi2_r4"),
+    )
+    return srm.crossJoin(F.broadcast(indep)).select(
+        F.col("n").alias("n_users"),
+        F.col("n_tr").alias("n_train"),
+        F.col("n_te").alias("n_test"),
+        "srm_chi2_r4",
+        "n_events",
+        "indep_dof",
+        "indep_chi2_r4",
     )
