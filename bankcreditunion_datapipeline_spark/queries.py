@@ -21926,14 +21926,16 @@ def q321_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Bigram lift collocation mining (r11): corpus-level association table
-# -- which adjacent word pairs co-occur far above chance.  PMI's
-# monotone integer core (lift = P(ab) / (P(a.)P(.b)) as an exact e6
-# ratio of counts -- no log, no cross-engine libm exposure; log of a
-# reported lift is the caller's presentation choice).  q157 SCORES
-# documents against a bigram LM; this MINES the collocation table
-# itself, the phrase-detection step (word2phrase-style) of a corpus
-# pipeline.
+# Bigram lift collocation mining, POSITIONAL margins (r11): q215
+# ranks bigrams by UNIGRAM-margin lift (word2phrase's estimator --
+# P(a), P(b) from the token stream); this one uses the exact 2x2
+# contingency margins for ADJACENCY -- P(a in first slot), P(b in
+# second slot) over the bigram stream -- which penalizes words that
+# are frequent in that slot specifically (sentence-initial/final
+# skew the unigram estimator cannot see).  The two queries are a
+# deliberate estimator pair, the q116/q141 (mean-z vs median-MAD)
+# discipline applied to collocations.  Same integer core: lift as an
+# exact e6 ratio of counts, no log, no libm exposure.
 # ---------------------------------------------------------------------------
 _Q322_SUPPORT = 5
 _Q322_TOPK = 50
@@ -21965,7 +21967,9 @@ _Q322_TOPK = 50
     ORDER BY lift_e6 DESC, w1 ASC, w2 ASC
     LIMIT {_Q322_TOPK}
     """,
-    doc="collocation mining by exact integer lift: per adjacent bigram "
+    doc="collocation mining by exact integer lift under POSITIONAL "
+    "margins (q215's estimator twin -- unigram margins there, the "
+    "2x2 adjacency contingency margins here): per adjacent bigram "
     "(a, b), lift_e6 = n_ab * N * 1e6 div (n_a-as-first * "
     "n_b-as-second) over the whole corpus's bigram stream (q236's "
     "token lane; docs under 2 tokens contribute nothing), kept at "
@@ -22200,129 +22204,6 @@ def q324_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(coalesce(cum_cents, 0) div cohort_size AS BIGINT)"
         ).alias("cum_per_member_cents"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Co-purchase lift (r11): market-basket association mining over
-# lineitem -- q322's lift core on the (order, part) basket grain.
-# The pair join is per-ORDER quadratic (basket sizes are bounded in
-# any real catalog), carried under attach_pair_budget fail-loud.
-# ---------------------------------------------------------------------------
-_Q325_SUPPORT = 3
-_Q325_TOPK = 50
-
-
-@register(
-    "q325_copurchase_lift",
-    f"""
-    WITH b AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-    tot AS (SELECT count(DISTINCT o) AS n FROM b),
-    np AS (SELECT p, count(*) AS n_p FROM b GROUP BY p),
-    pairs AS (
-      SELECT a.p AS pa, b2.p AS pb, count(*) AS n_ab
-      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
-      GROUP BY a.p, b2.p),
-    j AS (
-      SELECT pa, pb, n_ab, na.n_p AS n_a, nb.n_p AS n_b, tot.n AS n
-      FROM pairs
-      JOIN np na ON na.p = pairs.pa
-      JOIN np nb ON nb.p = pairs.pb
-      CROSS JOIN tot
-      WHERE n_ab >= {_Q325_SUPPORT})
-    SELECT CAST(pa AS BIGINT) AS part_a,
-           CAST(pb AS BIGINT) AS part_b,
-           CAST(n_ab AS BIGINT) AS n_both,
-           CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b,
-           CAST(n_ab * n * 1000000 // (n_a * n_b) AS BIGINT) AS lift_e6
-    FROM j
-    ORDER BY lift_e6 DESC, part_a ASC, part_b ASC
-    LIMIT {_Q325_TOPK}
-    """,
-    doc="market-basket association mining: per co-purchased part pair "
-    "(a < b), exact integer lift_e6 = n_both * N_orders * 1e6 div "
-    "(n_a * n_b) over distinct (order, part) baskets, support >= "
-    f"{_Q325_SUPPORT}, deterministic top {_Q325_TOPK} by (lift DESC, "
-    "part_a, part_b) via TakeOrderedAndProject.  The within-order "
-    "pair join runs under attach_pair_budget (exact sum m*(m-1)/2 "
-    "over basket sizes, fail-loud) -- basket size is catalog-bounded, "
-    "so pairs are linear in orders; the lift multiply is guarded "
-    "factor-first INSIDE the expression (n_both <= 9.2e12 div N, the "
-    "q322 conjunct-order-proof placement).  Scale: distinct to the "
-    "basket grain, one budgeted equi-join on orderkey, grouped "
-    "counts, broadcast single-row total.",
-)
-def q325_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import attach_pair_budget
-
-    b = (
-        t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .persist()
-    )
-    sizes = b.groupBy("o").agg(F.count(F.lit(1)).alias("__m"))
-    tot = b.agg(F.countDistinct("o").cast("long").alias("n"))
-    np_ = b.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_p"))
-    a = attach_pair_budget(
-        b.select(F.col("o"), F.col("p").alias("pa")),
-        sizes,
-        "__m",
-        20_000_000,
-        "q325_copurchase_lift: within-order pair total exceeds the "
-        "budget -- cap basket size upstream or raise max_pair_rows "
-        "deliberately",
-    )
-    pairs = (
-        a.join(b.select("o", F.col("p").alias("pb")), "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= _Q325_SUPPORT)
-    )
-    j = (
-        pairs.join(
-            np_.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")),
-            "pa",
-        )
-        .join(
-            np_.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")),
-            "pb",
-        )
-        .crossJoin(F.broadcast(tot))
-    )
-    lift = F.when(
-        F.expr("n_ab <= 9200000000000 div n"),
-        F.expr("CAST(n_ab * n * 1000000 div (n_a * n_b) AS BIGINT)"),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "q325: n_both * N exceeds the e6 lift ladder (9.2e12) "
-                "-- mine per shard or drop the e6 scale"
-            )
-        )
-    )
-    return (
-        j.withColumn("lift_e6", lift)
-        .select(
-            F.col("pa").cast("long").alias("part_a"),
-            F.col("pb").cast("long").alias("part_b"),
-            F.col("n_ab").alias("n_both"),
-            "n_a",
-            "n_b",
-            "lift_e6",
-        )
-        .orderBy(F.desc("lift_e6"), F.asc("part_a"), F.asc("part_b"))
-        .limit(_Q325_TOPK)
     )
 
 
