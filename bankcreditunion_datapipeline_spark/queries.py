@@ -22043,85 +22043,11 @@ def q322_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Cohort retention triangle (r11): the classic product-analytics
-# readout this registry somehow never had -- users cohorted by first
-# active week, per (cohort, weeks-since) active share.  q34's
-# two-year INTERSECT is the 2-cell special case; this is the full
-# matrix, exact integer permille.  WEEK grain (not month): both
-# engines date_trunc('week') to Monday, and week-truncated dates
-# differ by exact multiples of 7 days, so k = datediff div 7 is
-# integer-exact.
-# ---------------------------------------------------------------------------
-@register(
-    "q323_cohort_retention",
-    """
-    WITH ev AS (
-      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
-      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-    uw AS (SELECT DISTINCT user_id, w FROM ev),
-    c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id),
-    cs AS (SELECT cw, count(*) AS cohort_size FROM c GROUP BY cw),
-    act AS (
-      SELECT c.cw,
-             date_diff('day', c.cw, uw.w) // 7 AS k,
-             count(*) AS n_active
-      FROM uw JOIN c USING (user_id)
-      GROUP BY c.cw, k)
-    SELECT act.cw AS cohort_week,
-           CAST(k AS BIGINT) AS weeks_since,
-           CAST(n_active AS BIGINT) AS n_active,
-           CAST(cohort_size AS BIGINT) AS cohort_size,
-           CAST(n_active * 1000 // cohort_size AS BIGINT)
-               AS retention_permille
-    FROM act JOIN cs USING (cw)
-    """,
-    doc="cohort retention triangle over events: cohort = Monday week "
-    "of the user's first event; per (cohort_week, weeks_since) the "
-    "count and permille of cohort members active that week (k = "
-    "datediff div 7, exact -- week-truncated dates differ by "
-    "multiples of 7; week-0 row is the cohort itself at 1000 "
-    "permille).  Scale: one distinct to the (user, week) grain, one "
-    "grouped min per user, two grouped counts; the k-grain is "
-    "O(cohorts x weeks) -- no windows, no per-user sort; user-keyed "
-    "joins shuffle the week-grain summary, never raw events.",
-)
-def q323_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    )
-    uw = ev.select(
-        "user_id",
-        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
-    ).distinct()
-    c = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
-    cs = c.groupBy("cw").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_size")
-    )
-    act = (
-        uw.join(c, "user_id")
-        .groupBy(
-            "cw",
-            (F.datediff(F.col("w"), F.col("cw")) / 7)
-            .cast("long")
-            .alias("k"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-    )
-    return act.join(cs, "cw").select(
-        F.col("cw").alias("cohort_week"),
-        F.col("k").cast("long").alias("weeks_since"),
-        "n_active",
-        "cohort_size",
-        F.expr("CAST(n_active * 1000 div cohort_size AS BIGINT)").alias(
-            "retention_permille"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Cohort LTV curve (r11): q323's spend companion -- cumulative revenue
-# per cohort by weeks-since-first-active, the retention triangle's
-# money readout (what a cohort is WORTH k weeks in, per member).
+# Cohort LTV curve (r11): the SPEND companion of the existing
+# retention lane (q152 daily / q267 weekly count activity only) --
+# cumulative revenue per cohort by weeks-since-first-active, the
+# triangle's money readout (what a cohort is WORTH k weeks in, per
+# member).  No existing query carries the cohort x age money grain.
 # ---------------------------------------------------------------------------
 @register(
     "q324_cohort_ltv_curve",
@@ -22495,96 +22421,13 @@ def q327_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Fact-vs-detail reconciliation (r11): does the order header total
-# equal the recomputed lineitem total?  The arithmetic-consistency
-# audit every warehouse runs between a fact table and its detail;
-# q163/q240 reconcile REPLICAS of one table, this reconciles two
-# GRAINS of one business object.
-# ---------------------------------------------------------------------------
-@register(
-    "q328_order_total_reconciliation",
-    """
-    WITH li AS (
-      SELECT l_orderkey AS k,
-             sum(CAST(round(l_extendedprice * (1 - l_discount)
-                            * (1 + l_tax) * 100) AS BIGINT)) AS rc
-      FROM lineitem WHERE l_orderkey IS NOT NULL
-      GROUP BY l_orderkey),
-    o AS (
-      SELECT o_orderkey AS k,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS tc
-      FROM orders
-      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
-    d AS (
-      SELECT o.k,
-             CASE WHEN li.rc IS NULL THEN CAST(-1 AS BIGINT)
-                  WHEN abs(o.tc - li.rc) = 0 THEN CAST(0 AS BIGINT)
-                  ELSE CAST(length(CAST(abs(o.tc - li.rc) AS VARCHAR))
-                            AS BIGINT)
-             END AS decade
-      FROM o LEFT JOIN li ON li.k = o.k)
-    SELECT decade,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM d GROUP BY decade
-    """,
-    doc="order-header vs lineitem-detail reconciliation: recomputed "
-    "total = sum per item of round(extendedprice * (1 - discount) * "
-    "(1 + tax) * 100) -- the per-item product is ONE double "
-    "expression written identically on both engines (IEEE-identical), "
-    "rounded to integer cents BEFORE the sum (exact monoid).  Readout "
-    "= |header - recomputed| bucketed by DECIMAL DECADE via the "
-    "digit count of the BIGINT's string (engine-identical; no float "
-    "log10), decade 0 = exact match, -1 = order with no lineitems.  "
-    "On this synthetic corpus header totals are independent of "
-    "details, so the audit correctly reports nothing reconciling -- "
-    "the readout IS the finding.  Scale: one grouped sum per grain + "
-    "one keyed join; no windows.",
-)
-def q328_order_total_reconciliation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey").isNotNull())
-        .groupBy(F.col("l_orderkey").alias("k"))
-        .agg(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                    * 100
-                ).cast("long")
-            ).alias("rc")
-        )
-    )
-    o = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
-    ).select(
-        F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("tc"),
-    )
-    d = o.join(li, "k", "left").select(
-        F.when(F.col("rc").isNull(), F.lit(-1).cast("long"))
-        .when(F.abs(F.col("tc") - F.col("rc")) == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.length(
-                F.abs(F.col("tc") - F.col("rc")).cast("string")
-            ).cast("long")
-        )
-        .alias("decade")
-    )
-    return d.groupBy("decade").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Experiment-assignment audit (r11): SRM + independence.  Sample-ratio
-# mismatch is the first thing an A/B platform checks -- does the
-# deterministic md5 80/20 user split actually land 80/20 (chi-square
-# vs the design ratio), and is event TYPE independent of the split
-# (a pre-experiment A/A balance check on the q326 machinery)?
+# Experiment-assignment audit (r11): SRM + independence STATISTICS.
+# q269 reads out per-arm metrics (conversion, value) and q256 audits
+# near-dup leakage across splits; neither computes the DECISION
+# statistic.  This one does: sample-ratio-mismatch chi-square of the
+# md5 80/20 user split against its design ratio, plus event_type x
+# split independence (the q326 machinery) -- the two numbers an
+# experiment platform actually alerts on.
 # ---------------------------------------------------------------------------
 @register(
     "q329_split_srm_audit",
