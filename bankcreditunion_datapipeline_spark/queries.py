@@ -22567,3 +22567,164 @@ def q329_split_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "indep_dof",
         "indep_chi2_r4",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis (r11): does order value DIFFER IN DISTRIBUTION across
+# the five priorities?  The k-group generalization of q304's exact
+# Mann-Whitney midrank machinery -- q74 compares medians and q300
+# compares moments; this is the distribution-free omnibus test, with
+# midranks exact over the O(distinct cents) value summary.
+# ---------------------------------------------------------------------------
+@register(
+    "q330_priority_value_kruskal",
+    """
+    WITH x AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    dv AS (SELECT v, count(*) AS c FROM x GROUP BY v),
+    cumv AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM dv),
+    gv AS (SELECT g, v, count(*) AS cg FROM x GROUP BY g, v),
+    rs AS (
+      SELECT gv.g,
+             CAST(sum(gv.cg) AS BIGINT) AS ni,
+             CAST(sum(gv.cg * (2 * cumv.below + cumv.c + 1)) AS BIGINT)
+                 AS r2
+      FROM gv JOIN cumv ON gv.v = cumv.v
+      GROUP BY gv.g),
+    tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM rs),
+    ties AS (
+      SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t3
+      FROM dv),
+    h AS (
+      SELECT tot.n, tot.k,
+             (3.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1)))
+               * sum(CAST(rs.r2 AS DOUBLE) * CAST(rs.r2 AS DOUBLE)
+                     / CAST(rs.ni AS DOUBLE))
+               - 3.0 * (tot.n + 1) AS hraw
+      FROM rs CROSS JOIN tot
+      GROUP BY tot.n, tot.k)
+    SELECT h.n AS n_orders, h.k AS n_groups,
+           CAST(h.k - 1 AS BIGINT) AS dof,
+           round(h.hraw + 0.0, 4) AS h_r4,
+           round(h.hraw
+                 / (1.0 - CAST(ties.t3 AS DOUBLE)
+                          / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n))
+                 + 0.0, 4) AS h_tiecorr_r4
+    FROM h CROSS JOIN ties
+    """,
+    doc="Kruskal-Wallis across o_orderpriority on exact integer "
+    "cents: midranks via the q304 lane (2*midrank = 2*below + c + 1, "
+    "integers -- below/c from ONE cum window over the O(distinct "
+    "cents) value summary, never a global row_number over raw "
+    "orders), per-group rank sums as exact BIGINTs, then H = "
+    "(3/(N(N+1))) * sum(R2_i^2 / n_i) - 3(N+1) (the standard "
+    "12-formula with R = R2/2 folded in) evaluated in doubles "
+    "DERIVED from those integers over k=5 bounded terms (q73 round-4 "
+    "discipline), plus the tie-corrected variant with the exact "
+    "integer tie term sum(c^3 - c) (fail-loud if any cents value "
+    "repeats > 2e6 times -- c^3 would overflow; DuckDB "
+    "HUGEINT-promotes, Spark carries the guard).  Scale: two grouped "
+    "counts + one summary window + O(k) finisher.",
+)
+def q330_priority_value_kruskal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    x = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    ).select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    dv = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumv = dv.withColumn(
+        "below", F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    )
+    gv = x.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    rs = (
+        gv.join(cumv, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("ni"),
+            F.sum(
+                F.col("cg")
+                * (2 * F.col("below") + F.col("c") + F.lit(1))
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    ties = dv.select(
+        F.when(
+            F.col("c") <= F.lit(2_000_000),
+            F.col("c") * F.col("c") * F.col("c") - F.col("c"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "q330: a cents value repeats > 2e6 times -- the "
+                    "exact c^3 tie term overflows; coarsen the value "
+                    "units (SCALE.md ladder discipline)"
+                )
+            )
+        )
+        .alias("t")
+    ).agg(F.sum("t").cast("long").alias("t3"))
+    tot = rs.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    h = (
+        rs.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            (
+                (F.lit(3.0) / (F.col("n").cast("double") * (F.col("n") + 1)))
+                * F.sum(
+                    F.col("r2").cast("double")
+                    * F.col("r2").cast("double")
+                    / F.col("ni").cast("double")
+                )
+                - F.lit(3.0) * (F.col("n") + 1)
+            ).alias("hraw")
+        )
+    )
+    return h.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(F.col("hraw") + F.lit(0.0), 4).alias("h_r4"),
+        F.round(
+            F.col("hraw")
+            / (
+                F.lit(1.0)
+                - F.col("t3").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * F.col("n")
+                    - F.col("n")
+                )
+            )
+            + F.lit(0.0),
+            4,
+        ).alias("h_tiecorr_r4"),
+    )
