@@ -22728,3 +22728,94 @@ def q330_priority_value_kruskal(
             4,
         ).alias("h_tiecorr_r4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (r11): the corpus-statistics readout the
+# vocab lanes (q29 counts, q209 OOV, q274 coverage) never computed --
+# how close the token distribution is to Zipf's law (slope ~ -1 on
+# log rank vs log freq).  Deviations flag synthetic/boilerplate
+# corpora; the fit runs over the BOUNDED top-200 frame.
+# ---------------------------------------------------------------------------
+_Q331_TOP = 200
+
+
+@register(
+    "q331_zipf_slope",
+    f"""
+    WITH base AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    uni AS (SELECT unnest(w) AS tok FROM base),
+    cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    top AS (SELECT tok, c FROM cu ORDER BY c DESC, tok ASC
+            LIMIT {_Q331_TOP}),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+           FROM top),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(CAST(c AS DOUBLE))) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+      FROM rk)
+    SELECT CAST((SELECT count(*) FROM cu) AS BIGINT) AS vocab_size,
+           n AS n_fit,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.0, 4)
+               AS slope_r4,
+           round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+                 / n + 0.0, 4) AS intercept_r4
+    FROM s
+    """,
+    doc="Zipf fit over the token stream (q236 tokenization lane): "
+    f"deterministic top-{_Q331_TOP} words by (count DESC, word ASC), "
+    "rank from a row_number over that BOUNDED frame (TakeOrdered cut, "
+    "never a global sort of the vocabulary), then the closed-form OLS "
+    "slope/intercept of ln(freq) on ln(rank) -- doubles derive from "
+    "identical integers on both engines and every float sum spans "
+    f"<= {_Q331_TOP} terms (the q73 bounded-cardinality round-4 "
+    "discipline).  A healthy natural corpus fits slope ~ -1; this "
+    "synthetic word-soup fits much flatter, which is the point of "
+    "the audit.  Scale: one grouped count on the vocab grain + an "
+    "O(top) finisher; vocab_size is a count, not a sort.",
+)
+def q331_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    uni = docs.select(
+        F.explode(
+            F.array_remove(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
+            )
+        ).alias("tok")
+    )
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = cu.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    top = cu.orderBy(F.desc("c"), F.asc("tok")).limit(_Q331_TOP)
+    rk = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.crossJoin(F.broadcast(vocab)).select(
+        "vocab_size",
+        F.col("n").alias("n_fit"),
+        F.round(slope + F.lit(0.0), 4).alias("slope_r4"),
+        F.round(
+            (F.col("sy") - F.col("sx") * slope) / F.col("n") + F.lit(0.0), 4
+        ).alias("intercept_r4"),
+    )
