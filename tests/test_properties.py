@@ -455,3 +455,101 @@ def test_skyline_2d_matches_brute_force(spark, pts):
         )
     )
     assert got == ref
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=14),
+        st.integers(min_value=1, max_value=14),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**COMMON)
+@given(edges=EDGES, cut=st.integers(min_value=2, max_value=13))
+def test_incremental_survivors_match_monolithic(spark, edges, cut):
+    """q320's dominance property on RANDOM graphs and cut points: for
+    any edge set split into standing (both ends < cut) and delta (the
+    rest), re-picking per-policy survivors from {standing survivors
+    UNION delta endpoints} equals the monolithic pick -- including
+    merges, old singletons joining through delta edges, and clusters
+    untouched by the delta."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        connected_components,
+        extend_components,
+        incremental_survivor_candidates,
+        pick_survivors,
+    )
+
+    # deterministic attrs: quality = (7 * id) % 13 (plenty of ties ->
+    # the id tiebreak decides), so argmax rarely equals min-id
+    attrs = spark.createDataFrame(
+        [(i, (7 * i) % 13) for i in range(1, 15)], "id long, q long"
+    )
+    policies = {
+        "s_min": [("id", "asc")],
+        "s_q": [("q", "desc"), ("id", "asc")],
+    }
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    old = pairs.filter((F.col("id_a") < cut) & (F.col("id_b") < cut))
+    delta = pairs.filter((F.col("id_a") >= cut) | (F.col("id_b") >= cut))
+
+    standing = connected_components(old)
+    s_old = pick_survivors(standing.join(attrs, "id"), policies)
+    old_ids = s_old.select(F.col("s_min").alias("id")).unionByName(
+        s_old.select(F.col("s_q").alias("id"))
+    )
+    labels = extend_components(standing, delta)
+    cands = incremental_survivor_candidates(labels, old_ids, delta)
+    got = sorted(
+        map(tuple, pick_survivors(cands.join(attrs, "id"), policies).collect())
+    )
+    mono = pick_survivors(
+        connected_components(pairs).join(attrs, "id"), policies
+    )
+    assert got == sorted(map(tuple, mono.collect()))
+
+
+RANK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # value (HEAVY ties)
+        st.sampled_from(["x", "y", None]),        # partition key
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**COMMON)
+@given(rows=RANK_ROWS, n_tiles=st.integers(min_value=1, max_value=7))
+def test_distributed_ntile_matches_window_random(spark, rows, n_tiles):
+    """ranking.py two-strategies-must-agree on RANDOM frames: heavy
+    ties (values 0..3, id tiebreak), NULL partition strata, N above
+    and below n_tiles, remainder splits -- the distributed ntile must
+    replay the window-form ntile value for value."""
+    from pyspark.sql.window import Window
+
+    from bankcreditunion_datapipeline_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    data = [(i, v, g) for i, (v, g) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long, g string")
+    got = {
+        (r["id"]): r["t"]
+        for r in distributed_ntile(
+            df,
+            n_tiles,
+            [("v", "desc"), ("id", "asc")],
+            partition_cols=["g"],
+            out_col="t",
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        (r["id"]): r["t"]
+        for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+    }
+    assert got == want
