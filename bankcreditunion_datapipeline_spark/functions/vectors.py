@@ -121,7 +121,12 @@ def attach_sign_bits(df, planes: list[list[float]], vec_col: str = "embedding", 
             pdf[out] = sig
             yield pdf
 
-    return df.mapInPandas(fn, schema)
+    # a one-file embeddings scan arrives as ONE partition (the r11
+    # ensure_min_partitions find) -- spread before the Arrow kernel or
+    # every signature computes in a single task
+    from ..operators.dedup import ensure_min_partitions
+
+    return ensure_min_partitions(df).mapInPandas(fn, schema)
 
 
 def l2_squared(a: Column | list[float], b: Column | list[float]) -> Column:

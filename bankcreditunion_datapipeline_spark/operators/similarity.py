@@ -228,7 +228,11 @@ def build_ivf_index(
             pdf["ivf_cell"] = cells
             yield pdf
 
-    return df.mapInPandas(assign, schema), centroids
+    from .dedup import ensure_min_partitions
+
+    # one-file scans arrive as ONE partition -- spread before the Arrow
+    # kernel (r11 ensure_min_partitions find)
+    return ensure_min_partitions(df).mapInPandas(assign, schema), centroids
 
 
 def ivf_topk(
@@ -307,7 +311,11 @@ def project_embeddings(
                 out[f"{out_prefix}{i}"] = cols[i]
             yield pd.DataFrame(out)
 
-    return df.select(*keep_cols, vec_col).mapInPandas(fn, schema)
+    from .dedup import ensure_min_partitions
+
+    return ensure_min_partitions(
+        df.select(*keep_cols, vec_col)
+    ).mapInPandas(fn, schema)
 
 
 def label_centroids(
@@ -371,6 +379,12 @@ def kmeans_assign(
     identical doubles, since the same three dot products are summed).
     """
     keep_cols = list(keep_cols or [])
+    from .dedup import ensure_min_partitions
+
+    # the k-way fan-out's interpreted HOF folds are the CPU cost; a
+    # one-file scan arrives as ONE partition, so spread first (r11
+    # ensure_min_partitions find)
+    df = ensure_min_partitions(df)
     # NULL vectors have no nearest centroid -- excluded by contract (a
     # NULL distance would otherwise poison the argmin struct ordering)
     left = df.filter(F.col(vec_col).isNotNull()).select(
@@ -754,7 +768,11 @@ def pq_encode_arrow(
                 outs.append(out)
             yield pd.concat(outs, ignore_index=True)
 
-    return df.select(id_col, *keep_cols, vec_col).mapInPandas(encode, schema)
+    from .dedup import ensure_min_partitions
+
+    return ensure_min_partitions(
+        df.select(id_col, *keep_cols, vec_col)
+    ).mapInPandas(encode, schema)
 
 
 def reciprocal_rank_fusion(
