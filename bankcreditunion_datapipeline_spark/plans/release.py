@@ -1,0 +1,369 @@
+"""End-to-end corpus RELEASE plan: the full composition a training-data
+team actually ships, assembled from the engine's graded operators.
+
+    raw documents
+      -> hygiene + language + quality gates        (plans/curation front)
+      -> per-language p95 length trim
+      -> exact dedup (content digest, keep min id)
+      -> MinHash near-dup clusters -> KEEP-POLICY survivor per cluster
+      -> semantic near-dup clusters (embedding cosine, block-joined)
+         -> keep-policy survivor per cluster
+      -> benchmark contamination gate (distinct 5-gram overlap)
+      -> temperature-mixture token budgets, per-source budget cut
+      -> leakage-free hash split on the CLUSTER label (train/holdout)
+      -> deterministic shards + reproducible epoch order + write
+      -> ONE manifest: per-stage (n_docs, n_tokens) + per-shard stats
+
+Differences from `plans/curation.py` (which remains the graded q49
+surface): near-dedup here keeps the BEST cluster member under an
+explicit keep policy (longest text, min id) instead of the greedy
+drop-non-minimal rule; a semantic dedup stage and a contamination gate
+sit between dedup and export; and the split key is the duplicate-cluster
+label (q103's leak-free discipline) rather than the raw doc id, so the
+holdout boundary can never separate two members of one cluster even in
+keep-all configurations.
+
+Scale shape (the 100 TB posture, stage by stage): the gate stages are
+narrow projections over ONE persisted base; every pair-generating stage
+is blocked (LSH bands / embedding cluster label) and fail-loud budgeted
+upstream; connected components run on the pair graph only (empty-graph
+fast path below skips them outright); survivor windows partition by
+cluster; the budget window partitions by source; split and shard
+assignment are narrow md5 projections; the manifest is O(stages +
+shards) driver rows. No global windows, no unblocked cross joins, no
+Python-row UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import (
+    connected_components,
+    ensure_min_partitions,
+    exact_dedup_keep_min,
+    minhash_near_dup_pairs,
+    semantic_dedup_pairs,
+)
+from ..operators.sampling import epoch_permutation, hash_bucket, mixture_weights
+from ..operators.text import clean_text, lang_id, quality_score
+
+_BUCKETS = 65536
+
+
+@dataclass
+class ReleaseResult:
+    train: DataFrame        # surviving train docs with (shard, pos)
+    holdout: DataFrame      # leak-free holdout docs
+    manifest: DataFrame     # (stage, n_docs, n_tokens) incl. shard rows
+    funnel: dict[str, tuple[int, int]] = field(default_factory=dict)
+
+
+def _n_tokens(c: Column) -> Column:
+    """Whitespace token count of cleaned text; ''/whitespace-only -> 0,
+    NULL -> NULL (aggregated sums skip it). Mirrors plans/export.py."""
+    return (
+        F.when(F.trim(c) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(c), r"\s+")))
+        .cast("long")
+    )
+
+
+def _distinct_gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gh) distinct n-gram xxhash64 set per doc over single-space
+    tokenization (exact on cleaned text, which is whitespace-normalized)
+    -- the q77 contamination gram lane. Docs under n tokens emit no rows."""
+    w = F.split(F.col(text_col), " ")
+    sz = F.size(w)
+    idx = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n)))
+            )
+        ).alias("gh"),
+    ).distinct()
+
+
+def _survivors(
+    members: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    grp_col: str,
+) -> DataFrame:
+    """Cluster `members` by the pair graph and keep ONE survivor per
+    cluster under the keep policy (longest text DESC, id ASC -- a total
+    order, the q309 discipline). Docs in no pair survive as their own
+    cluster. `grp_col` is (re)written to the cluster label: the minimal
+    member id, coalesced with any previous label for untouched docs --
+    the leak-free split key downstream.
+
+    Empty-pair fast path: when the blocked pair lane finds nothing, skip
+    the CC jobs entirely (the common case for already-clean corpora; CC
+    is iterative and its checkpoint rounds are the expensive part)."""
+    if pairs.limit(1).count() == 0:
+        return members
+    labels = connected_components(pairs).withColumnRenamed("id", "__cc_id")
+    m = members.join(
+        labels, members[id_col] == labels["__cc_id"], "left"
+    ).withColumn(
+        grp_col,
+        F.coalesce(F.col("component"), F.col(grp_col)),
+    ).drop("__cc_id", "component")
+    rn = F.row_number().over(
+        Window.partitionBy(grp_col).orderBy(
+            F.length(text_col).desc(), F.col(id_col).asc()
+        )
+    )
+    return m.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def release_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    allowed_langs: list[str] | None = None,
+    min_quality: float = 0.2,
+    length_quantile: float = 0.95,
+    near_dup_threshold: float = 0.7,
+    near_dup_hash: str = "xxhash64",
+    near_dup_hashes: int = 16,
+    near_dup_bands: int = 8,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    semantic_threshold: float = 0.35,
+    contamination_ngram: int = 5,
+    total_token_budget: int | None = None,
+    alpha: float = 0.5,
+    holdout_rate: float = 0.05,
+    n_shards: int = 4,
+    seed: str = "release0",
+    out_dir: str | None = None,
+) -> ReleaseResult:
+    """Run the full release composition and return (train, holdout,
+    manifest). `benchmark` is the eval corpus whose n-grams must not
+    leak into the release (skipped when None); `embeddings` maps
+    `emb_id_col` -> (`vec_col`, `block_col`) for the semantic stage
+    (skipped when None -- docs WITHOUT an embedding row always survive
+    that stage: absence of evidence is not a duplicate).
+    `total_token_budget=None` skips the mixture cut.
+
+    Persist discipline follows plans/curation.py: every stage boundary
+    feeds >= 2 consumers (the next stage + its manifest agg), so each is
+    persisted and counted from the cache with ONE count+token-sum job.
+    The funnel maps stage -> (n_docs, n_tokens); rejection is observable
+    at every boundary, never silent.
+
+    Reference parity: composes the capabilities SURVEY.md §2 grades
+    individually -- the medallion gates (reference silverLayer/
+    BuildSilverLayer.py quarantine discipline) extended with the
+    LLM-corpus stages (dedup/contamination/mixture/split/shards) the
+    100 TB target needs.
+    """
+    funnel: dict[str, tuple[int, int]] = {}
+    spark = docs.sparkSession
+
+    def record(name: str, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        g = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__nt"), F.lit(0)).alias("t"),
+        ).first()
+        funnel[name] = (int(g["n"]), int(g["t"]))
+        return df
+
+    # ---- gates: one persisted base, conditional agg for the row-local
+    # stages (one job, not one per gate) -----------------------------------
+    base = ensure_min_partitions(
+        docs.withColumn(text_col, clean_text(F.col(text_col)))
+        .withColumn("__lang", lang_id(F.col(text_col)))
+        .withColumn("__q", quality_score(F.col(text_col)))
+        .withColumn("__nt", _n_tokens(F.col(text_col)))
+    ).persist()
+    lang_ok = (
+        F.col("__lang").isin(allowed_langs) if allowed_langs else F.lit(True)
+    )
+    qual_ok = lang_ok & (F.col("__q") >= min_quality)
+    g = base.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).alias("t0"),
+        F.sum(lang_ok.cast("long")).alias("n1"),
+        F.coalesce(F.sum(F.when(lang_ok, F.col("__nt"))), F.lit(0)).alias("t1"),
+        F.sum(qual_ok.cast("long")).alias("n2"),
+        F.coalesce(F.sum(F.when(qual_ok, F.col("__nt"))), F.lit(0)).alias("t2"),
+    ).first()
+    funnel["input"] = (int(g["n0"]), int(g["t0"]))
+    funnel["lang_gate"] = (int(g["n1"] or 0), int(g["t1"]))
+    funnel["quality_gate"] = (int(g["n2"] or 0), int(g["t2"]))
+    quality = base.filter(qual_ok)
+
+    # ---- per-language p95 length trim (NULL-safe lang join, r4 fix) ------
+    cut = quality.groupBy(F.col("__lang").alias("__cut_lang")).agg(
+        F.percentile(F.length(text_col), F.lit(length_quantile)).alias("__cut")
+    )
+    trimmed = record(
+        "length_gate",
+        quality.join(
+            F.broadcast(cut), F.col("__lang").eqNullSafe(F.col("__cut_lang"))
+        )
+        .filter(F.length(text_col) <= F.col("__cut"))
+        .drop("__cut_lang", "__cut", "__lang", "__q"),
+    )
+
+    # ---- exact dedup (digest equi-join, keep min id) ----------------------
+    exact = record(
+        "exact_dedup", exact_dedup_keep_min(trimmed, id_col, text_col)
+    ).withColumn("__grp", F.col(id_col))
+
+    # ---- near dedup: LSH-blocked pairs -> CC -> keep-policy survivor ------
+    near_pairs = minhash_near_dup_pairs(
+        exact,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=near_dup_threshold,
+        num_hashes=near_dup_hashes,
+        bands=near_dup_bands,
+        hash=near_dup_hash,
+    ).select("id_a", "id_b")
+    near = record(
+        "near_dedup", _survivors(exact, near_pairs, id_col, text_col, "__grp")
+    )
+    cur = near
+
+    # ---- semantic dedup: block-joined cosine pairs -> CC -> survivor ------
+    if embeddings is not None:
+        emb = cur.select(id_col).join(
+            embeddings.select(
+                F.col(emb_id_col).alias(id_col), vec_col, block_col
+            ),
+            id_col,
+        )
+        sem_pairs = semantic_dedup_pairs(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=block_col,
+            threshold=semantic_threshold,
+        ).select("id_a", "id_b")
+        cur = record(
+            "semantic_dedup",
+            _survivors(cur, sem_pairs, id_col, text_col, "__grp"),
+        )
+
+    # ---- contamination gate: distinct n-gram overlap vs the benchmark -----
+    if benchmark is not None:
+        bench_grams = (
+            _distinct_gram_hashes(
+                benchmark.select(
+                    F.col(id_col),
+                    clean_text(F.col(text_col)).alias(text_col),
+                ),
+                id_col,
+                text_col,
+                contamination_ngram,
+            )
+            .select("gh")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        perdoc = (
+            _distinct_gram_hashes(cur, id_col, text_col, contamination_ngram)
+            .join(F.broadcast(bench_grams), "gh", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("__n_grams"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_hits"),
+            )
+        )
+        # a doc is contaminated when >= half its distinct grams appear in
+        # the benchmark (q77's decision rule); docs under n tokens carry
+        # no grams -> no perdoc row -> kept (no evidence)
+        cur = record(
+            "contamination_gate",
+            cur.join(perdoc, id_col, "left").filter(
+                F.col("__n_grams").isNull()
+                | (2 * F.col("__n_hits") < F.col("__n_grams"))
+            ).drop("__n_grams", "__n_hits"),
+        )
+
+    # ---- temperature-mixture token budgets, per-source budget cut ---------
+    if total_token_budget is not None:
+        weights = mixture_weights(cur, source_col, alpha).withColumn(
+            "__budget",
+            F.ceil(
+                F.col("sample_weight") * F.lit(float(total_token_budget))
+            ).cast("long"),
+        )
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # NULL-source docs have no mixture group to draw budget from and
+        # are rejected here (equi-join semantics; plans/export.py contract)
+        cur = record(
+            "budget_cut",
+            cur.withColumn(
+                "__before", F.sum("__nt").over(w) - F.col("__nt")
+            )
+            .join(
+                F.broadcast(weights.select(source_col, "__budget")), source_col
+            )
+            .filter(F.col("__before") < F.col("__budget"))
+            .drop("__before", "__budget"),
+        )
+
+    # ---- leakage-free split: hash the CLUSTER label, not the doc id -------
+    threshold = int(holdout_rate * _BUCKETS)
+    b = hash_bucket(F.col("__grp"))
+    holdout = record("holdout", cur.filter(b < threshold))
+    train_raw = cur.filter(b >= threshold)
+    n_cur, t_cur = funnel[
+        "budget_cut" if total_token_budget is not None else
+        ("contamination_gate" if benchmark is not None else
+         ("semantic_dedup" if embeddings is not None else "near_dedup"))
+    ]
+    funnel["train"] = (
+        n_cur - funnel["holdout"][0],
+        t_cur - funnel["holdout"][1],
+    )
+
+    # ---- shards + reproducible epoch order + manifest ----------------------
+    laid_out = epoch_permutation(
+        train_raw, id_col, n_shards=n_shards, seed=seed
+    ).persist()
+    if out_dir is not None:
+        laid_out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    shard_rows = (
+        laid_out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    rows = [(k, int(n), int(t)) for k, (n, t) in funnel.items()] + [
+        (f"shard_{r['shard']}", int(r["n_docs"]), int(r["n_tokens"]))
+        for r in shard_rows
+    ]
+    manifest = spark.createDataFrame(
+        rows, "stage string, n_docs long, n_tokens long"
+    )
+    return ReleaseResult(
+        train=laid_out.drop("__nt"),
+        holdout=holdout.drop("__nt"),
+        manifest=manifest,
+        funnel=funnel,
+    )

@@ -21976,13 +21976,16 @@ _Q322_TOPK = 50
     f"support >= {_Q322_SUPPORT}, top {_Q322_TOPK} by (lift_e6 DESC, "
     "w1, w2) -- a total order, so the cut is deterministic and rides "
     "TakeOrderedAndProject, never a global sort.  The multiply "
-    "is guarded factor-first INSIDE the lift expression (n_ab <= "
-    "9.2e12 div N checked before n_ab * N, so the guard itself cannot "
-    "overflow and fires regardless of conjunct evaluation order -- "
-    "the q307/SCALE.md discipline; DuckDB HUGEINT-promotes, no "
-    "mirror needed).  At 100x the guard trips only when "
-    "n_ab * N > 9.2e12 -- then coarsen to per-shard mining or drop "
-    "the e6 scale.  Scale: three grouped counts + two equi-joins on "
+    "is guarded factor-first INSIDE the lift expression, on BOTH "
+    "sides of the div: n_ab <= 9.2e12 div N (numerator ladder) AND "
+    "n_a <= 9.2e18 div n_b (the denominator margin product, which at "
+    "1e12-bigram streams can wrap BIGINT long before the numerator "
+    "ladder does) -- each predicate is itself division-form so the "
+    "guard cannot overflow and fires regardless of conjunct "
+    "evaluation order (the q307/SCALE.md discipline; DuckDB "
+    "HUGEINT-promotes, no mirror needed).  At 100x a trip means "
+    "coarsen to per-shard mining or drop the e6 scale.  Scale: "
+    "three grouped counts + two equi-joins on "
     "the bigram/vocab grain + one broadcast single-row total; no "
     "windows, no pair explosion (bigrams are linear in tokens).",
 )
@@ -22017,13 +22020,15 @@ def q322_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
     )
     lift = F.when(
-        F.expr("n_ab <= 9200000000000 div n"),
+        F.expr("n_ab <= 9200000000000 div n")
+        & F.expr("n_a <= 9200000000000000000 div n_b"),
         F.expr("CAST(n_ab * n * 1000000 div (n_a * n_b) AS BIGINT)"),
     ).otherwise(
         F.raise_error(
             F.lit(
-                "q322: n_ab * N exceeds the e6 lift ladder "
-                "(9.2e12) -- mine per shard or drop the e6 scale"
+                "q322: n_ab * N exceeds the e6 lift ladder (9.2e12) "
+                "or the margin product n_a * n_b exceeds BIGINT "
+                "(9.2e18) -- mine per shard or drop the e6 scale"
             )
         )
     )
@@ -22277,7 +22282,7 @@ _Q327_U_SQL_DUCK = " UNION ALL ".join(
     w AS (SELECT b, cents, ({_Q327_W_SQL}) AS wt FROM u),
     m AS (SELECT b, sum(wt * cents) AS swc, sum(wt) AS sw
           FROM w GROUP BY b),
-    mm AS (SELECT b, swc // nullif(sw, 0) AS mean_cents FROM m),
+    mm AS (SELECT b, swc // sw AS mean_cents FROM m WHERE sw > 0),
     r AS (SELECT mean_cents,
                  row_number() OVER (ORDER BY mean_cents, b) AS rn
           FROM mm),
@@ -22303,7 +22308,11 @@ _Q327_U_SQL_DUCK = " UNION ALL ".join(
     "the CDF baked as 12 integer THRESHOLD literals (tail truncated "
     "at w=12, P ~ 3e-9; no transcendental at query time, both "
     "engines compare identical integers).  Replicate mean = "
-    "floor-div of exact integer cent sums; CI bounds are the "
+    "floor-div of exact integer cent sums over replicates with "
+    "sw > 0 (a zero-total-weight replicate -- P ~ B*e^-N, only ever "
+    "seen on tiny fuzz tables -- is dropped on BOTH engines rather "
+    "than ranked as a NULL mean, whose sort position differs "
+    "Spark-vs-DuckDB); CI bounds are the "
     "ceil-div rank order statistics (ranks 3/98 of 100, tie-broken "
     "by b) of the replicate means, extracted in ONE pass over the "
     "O(B) frame; point estimate = full-sample floor-div mean.  "
@@ -22388,10 +22397,15 @@ def q327_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("p")
-    ).select(
+    ).filter(F.col("p.sw") > 0).select(
         F.col("p.b").alias("b"),
-        F.expr("p.swc div nullif(p.sw, 0)").alias("mean_cents"),
+        F.expr("p.swc div p.sw").alias("mean_cents"),
     )
+    # sw > 0 BEFORE the rank: a replicate whose total Poisson weight
+    # is 0 (P ~ B*e^-N -- fuzz-table plausible, corpus-impossible)
+    # would otherwise rank as a NULL mean, and Spark sorts NULLS
+    # FIRST ascending where DuckDB sorts NULLS LAST -- a silent
+    # cross-engine rank shift at positions LO_RN/HI_RN.
     r = mm.withColumn(
         "rn", F.row_number().over(Window.orderBy("mean_cents", "b"))
     )

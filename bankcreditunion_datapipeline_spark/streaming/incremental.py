@@ -1304,7 +1304,7 @@ def streaming_source_quality_counts(
     Batch finisher: `streaming_quality_decile_boundaries` -- because
     counts over a bounded value domain determine every order statistic
     exactly, the stream maintains EXACT per-source decile boundaries
-    (the q253 ceil-div rank rule), not a sketch.
+    (ntile tile-end ranks, matching q319 for any N), not a sketch.
     """
     from ..operators.text import quality_score
 
@@ -1342,12 +1342,19 @@ def quality_decile_boundaries(
     counts: DataFrame, n_tiles: int = 10
 ) -> DataFrame:
     """(source, tile, boundary_qint) from (source, qint, n) counts:
-    boundary_qint = the exact qint at rank ceil(tile * N / n_tiles)
-    within the source (the q253 ceil-div rank rule -- the value the
-    top of each tile sees).  Shared by the batch path and the
-    streaming finisher so streaming == batch by construction; the cum
-    window is partitioned by source over the O(distinct qint) summary,
-    never raw docs."""
+    boundary_qint = the exact qint at the NTILE tile-end rank
+    ``tile * (N div k) + least(tile, N % k)`` within the source --
+    ntile(k) gives the first (N % k) tiles ceil(N/k) rows and the
+    rest floor(N/k), so this is exactly max_qint of q319's tile
+    (ties in qint cannot shift the VALUE at a rank, so the boundary
+    is tie-order independent even though ntile's row assignment is
+    not).  The earlier ceil-div rank ceil(tile*N/k) (q253's rule)
+    agrees only when k | N; this form makes the q319 twin exact for
+    remainder counts too.  When N < k, tiles t > N repeat the max
+    (q319 leaves them empty -- consumers read tiles 1..min(k, N)).
+    Shared by the batch path and the streaming finisher so
+    streaming == batch by construction; the cum window is partitioned
+    by source over the O(distinct qint) summary, never raw docs."""
     from pyspark.sql.window import Window
 
     w = (
@@ -1369,7 +1376,11 @@ def quality_decile_boundaries(
         ).alias("tile"),
     )
     hit = tiles.filter(
-        F.col("cum") >= F.expr(f"(tile * __N + {int(n_tiles)} - 1) div {int(n_tiles)}")
+        F.col("cum")
+        >= F.expr(
+            f"tile * (__N div {int(n_tiles)})"
+            f" + least(CAST(tile AS BIGINT), __N % {int(n_tiles)})"
+        )
     )
     return (
         hit.groupBy("source", "tile")

@@ -2103,6 +2103,40 @@ def test_streaming_quality_deciles_match_batch_and_idempotent(spark, tmp_path):
     }
     assert got == want
 
+    # REMAINDER case (the r11 ADVICE gap): +13 docs makes the source
+    # counts 47/46 -- not multiples of 10 -- and the boundary must
+    # STILL equal the window-form ntile tile max (the finisher uses
+    # ntile tile-end ranks t*(N div k) + least(t, N % k), not the
+    # ceil-div rank, which diverges here: N=46, t=5 -> rank 23 both,
+    # but N=47, t=5 -> ntile 25 vs ceil-div 24)
+    write_wave(80, 13)
+    run()
+    full2 = spark.read.schema(schema).parquet(src)
+    streamed_b2 = streaming_quality_decile_boundaries(spark, state)
+    got2 = {
+        (r["source"], r["tile"]): r["boundary_qint"]
+        for r in streamed_b2.collect()
+    }
+    wf2 = full2.select(
+        "source",
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("qint"),
+    ).withColumn(
+        "tile",
+        F.ntile(10).over(
+            Window.partitionBy("source").orderBy("qint", "doc_id")
+        ),
+    )
+    want2 = {
+        (r["source"], r["tile"]): r["b"]
+        for r in wf2.groupBy("source", "tile")
+        .agg(F.max("qint").alias("b"))
+        .collect()
+    }
+    assert got2 == want2
+
 
 def test_streaming_survivor_clusters_equals_monolithic(spark, tmp_path):
     """q320's stream twin: folding pair-delta batches with only
