@@ -100,9 +100,15 @@ def curate_documents(
 
     # The predicate gates (lang, quality) are row-local, so their funnel
     # counts come from ONE conditional aggregation over the persisted base
-    # -- not one job per gate.
+    # -- not one job per gate. Spread the SCAN before the regex-heavy
+    # projections (r12): with the exchange above the withColumns the
+    # clean/lang/quality chain ran on the scan's few file-partitions (one
+    # small parquet = one task) and only the finished rows parallelized.
+    from ..operators.dedup import ensure_min_partitions
+
     base = pin(
-        docs.withColumn(text_col, clean_text(F.col(text_col)))
+        ensure_min_partitions(docs)
+        .withColumn(text_col, clean_text(F.col(text_col)))
         .withColumn("__lang", lang_id(F.col(text_col)))
         .withColumn("__q", quality_score(F.col(text_col)))
     )

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.dedup import (
-    connected_components,
+    connected_components_star,
     ensure_min_partitions,
     exact_dedup_keep_min,
     minhash_near_dup_pairs,
@@ -108,10 +108,18 @@ def _survivors(
 
     Empty-pair fast path: when the blocked pair lane finds nothing, skip
     the CC jobs entirely (the common case for already-clean corpora; CC
-    is iterative and its checkpoint rounds are the expensive part)."""
+    is iterative and its checkpoint rounds are the expensive part).
+    Pairs are PERSISTED before the probe: the probe and the CC edge
+    materialization would otherwise each replay the full LSH/cosine pair
+    pipeline (measured ~3.5s per replay at sf0.1). CC itself is the
+    large-star/small-star form -- diameter-independent rounds, measured
+    ~1.7x faster than min-label propagation on these shallow graphs."""
+    pairs = pairs.persist()
     if pairs.limit(1).count() == 0:
         return members
-    labels = connected_components(pairs).withColumnRenamed("id", "__cc_id")
+    labels = connected_components_star(pairs).withColumnRenamed(
+        "id", "__cc_id"
+    )
     m = members.join(
         labels, members[id_col] == labels["__cc_id"], "left"
     ).withColumn(
@@ -151,6 +159,7 @@ def release_corpus(
     n_shards: int = 4,
     seed: str = "release0",
     out_dir: str | None = None,
+    timings: dict | None = None,
 ) -> ReleaseResult:
     """Run the full release composition and return (train, holdout,
     manifest). `benchmark` is the eval corpus whose n-grams must not
@@ -176,22 +185,34 @@ def release_corpus(
     spark = docs.sparkSession
 
     def record(name: str, df: DataFrame) -> DataFrame:
+        import time as _time
+
+        t0 = _time.time()
         df = df.persist()
         g = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("__nt"), F.lit(0)).alias("t"),
         ).first()
         funnel[name] = (int(g["n"]), int(g["t"]))
+        if timings is not None:
+            timings[name] = round(_time.time() - t0, 3)
         return df
 
     # ---- gates: one persisted base, conditional agg for the row-local
     # stages (one job, not one per gate) -----------------------------------
-    base = ensure_min_partitions(
-        docs.withColumn(text_col, clean_text(F.col(text_col)))
+    # spread the SCAN before the regex-heavy projections: repartitioning
+    # on top of the withColumns would leave the clean/lang/quality chain
+    # running on the scan's few file-partitions (one small parquet = one
+    # task) and only shuffle the finished rows -- the r11
+    # ensure_min_partitions lesson applied at the plan level
+    base = (
+        ensure_min_partitions(docs)
+        .withColumn(text_col, clean_text(F.col(text_col)))
         .withColumn("__lang", lang_id(F.col(text_col)))
         .withColumn("__q", quality_score(F.col(text_col)))
         .withColumn("__nt", _n_tokens(F.col(text_col)))
-    ).persist()
+        .persist()
+    )
     lang_ok = (
         F.col("__lang").isin(allowed_langs) if allowed_langs else F.lit(True)
     )
@@ -298,7 +319,12 @@ def release_corpus(
             ).drop("__n_grams", "__n_hits"),
         )
 
-    # ---- temperature-mixture token budgets, per-source budget cut ---------
+    # ---- budget cut + split + shards: ALL NARROW over the last persisted
+    # stage, so they fold into ONE final frame and the four remaining
+    # manifest groups (budget_cut, holdout, train, shard_k) come from a
+    # SINGLE O(2 x shards)-row grouped aggregation -- separate
+    # record() passes here paid ~4 extra jobs (~3s at sf0.1) for frames
+    # the cell grid already determines ------------------------------------
     if total_token_budget is not None:
         weights = mixture_weights(cur, source_col, alpha).withColumn(
             "__budget",
@@ -313,8 +339,7 @@ def release_corpus(
         )
         # NULL-source docs have no mixture group to draw budget from and
         # are rejected here (equi-join semantics; plans/export.py contract)
-        cur = record(
-            "budget_cut",
+        cur = (
             cur.withColumn(
                 "__before", F.sum("__nt").over(w) - F.col("__nt")
             )
@@ -322,48 +347,62 @@ def release_corpus(
                 F.broadcast(weights.select(source_col, "__budget")), source_col
             )
             .filter(F.col("__before") < F.col("__budget"))
-            .drop("__before", "__budget"),
+            .drop("__before", "__budget")
         )
 
-    # ---- leakage-free split: hash the CLUSTER label, not the doc id -------
+    # leakage-free split: hash the CLUSTER label, not the doc id
     threshold = int(holdout_rate * _BUCKETS)
-    b = hash_bucket(F.col("__grp"))
-    holdout = record("holdout", cur.filter(b < threshold))
-    train_raw = cur.filter(b >= threshold)
-    n_cur, t_cur = funnel[
-        "budget_cut" if total_token_budget is not None else
-        ("contamination_gate" if benchmark is not None else
-         ("semantic_dedup" if embeddings is not None else "near_dedup"))
-    ]
-    funnel["train"] = (
-        n_cur - funnel["holdout"][0],
-        t_cur - funnel["holdout"][1],
+    final = (
+        cur.withColumn(
+            "__side",
+            F.when(hash_bucket(F.col("__grp")) < threshold, F.lit("holdout"))
+            .otherwise(F.lit("train")),
+        )
+        .withColumn("__shard", hash_bucket(F.col(id_col), n_shards))
+        .persist()
+    )
+    cells = final.groupBy("__side", "__shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).alias("t"),
+    ).collect()
+    if total_token_budget is not None:
+        funnel["budget_cut"] = (
+            sum(int(c["n"]) for c in cells),
+            sum(int(c["t"]) for c in cells),
+        )
+    for side in ("holdout", "train"):
+        funnel[side] = (
+            sum(int(c["n"]) for c in cells if c["__side"] == side),
+            sum(int(c["t"]) for c in cells if c["__side"] == side),
+        )
+    shard_stats = sorted(
+        (int(c["__shard"]), int(c["n"]), int(c["t"]))
+        for c in cells
+        if c["__side"] == "train"
     )
 
-    # ---- shards + reproducible epoch order + manifest ----------------------
+    # reproducible epoch order on the train side (lazy: the write is the
+    # only consumer that needs `pos` materialized)
     laid_out = epoch_permutation(
-        train_raw, id_col, n_shards=n_shards, seed=seed
-    ).persist()
+        final.filter(F.col("__side") == "train").drop("__side", "__shard"),
+        id_col,
+        n_shards=n_shards,
+        seed=seed,
+    )
     if out_dir is not None:
         laid_out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    shard_rows = (
-        laid_out.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("n_tokens"),
-        )
-        .collect()
-    )
+
     rows = [(k, int(n), int(t)) for k, (n, t) in funnel.items()] + [
-        (f"shard_{r['shard']}", int(r["n_docs"]), int(r["n_tokens"]))
-        for r in shard_rows
+        (f"shard_{s}", n, t) for s, n, t in shard_stats
     ]
     manifest = spark.createDataFrame(
         rows, "stage string, n_docs long, n_tokens long"
     )
     return ReleaseResult(
         train=laid_out.drop("__nt"),
-        holdout=holdout.drop("__nt"),
+        holdout=final.filter(F.col("__side") == "holdout").drop(
+            "__nt", "__side", "__shard"
+        ),
         manifest=manifest,
         funnel=funnel,
     )

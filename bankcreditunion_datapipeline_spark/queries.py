@@ -1846,16 +1846,22 @@ def q48_p95_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5 lane (q21's _minhash_md5_ctes) the COMPOSITION -- stage ordering
 # and funnel counts -- is hash-checked too, not just row-counted.
 # ---------------------------------------------------------------------------
-def _q49_oracle(min_quality: float = 0.2) -> str:
-    """Replays curate_documents stage for stage: clean_text regex chain
-    (the q46 twin), lang-id marker argmax over the CLEANED text (q18
-    twin; allowed_langs=None so the lang gate passes everything),
-    quality_score ((length-sweet-spot * alpha-ratio) * punct-penalty,
-    trunc6 -- pure IEEE over identical doubles), per-lang p95 length
-    trim with a NULL-safe lang join (q48 twin + the r4 silent-drop
-    fix), exact dedup keeping min doc_id per md5 digest, md5-lane
-    MinHash near-dedup at 0.7 (drop the greater id of each verified
-    pair), and the md5-bucket holdout split (q44 twin, rate 0.05)."""
+def _curation_front_ctes(
+    min_quality: float = 0.2, materialized: bool = False
+) -> str:
+    """Shared CTE chain (no leading WITH) replaying the curation FRONT:
+    clean_text regex chain (q46 twin), lang-id marker argmax over the
+    CLEANED text (q18 twin), quality_score gate (trunc6 -- pure IEEE
+    over identical doubles), per-lang p95 length trim with a NULL-safe
+    lang join (q48 twin + the r4 silent-drop fix), and exact dedup
+    keeping min doc_id per md5 digest.  Carries (doc_id, source, text)
+    through every CTE so composing oracles (q49 funnel, q332 release
+    manifest) can read provenance; ends at CTE `exact`.  `materialized`
+    inserts DuckDB's AS MATERIALIZED hint: deep composing oracles whose
+    final SELECT references these CTEs from many scalar subqueries would
+    otherwise inline (re-expand and re-scan the parquet) per reference
+    -- q332 hit the process fd limit that way."""
+    m = "MATERIALIZED " if materialized else ""
     clean = """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(text, '<[^>]+>', ' ', 'g'),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -1863,23 +1869,19 @@ def _q49_oracle(min_quality: float = 0.2) -> str:
                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
                '\\s+', ' ', 'g'))"""
     g4 = "greatest(h_en, h_de, h_fr, h_es)"
-    bucket = (
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536"
-    )
-    return f"""
-    WITH cleaned AS (
-      SELECT doc_id, {clean} AS text FROM documents),
-    padded AS (
-      SELECT doc_id, text, length(text) AS n,
+    return f"""cleaned AS {m}(
+      SELECT doc_id, source, {clean} AS text FROM documents),
+    padded AS {m}(
+      SELECT doc_id, source, text, length(text) AS n,
              ' ' || lower(text) || ' ' AS p
       FROM cleaned),
-    hits AS (
-      SELECT doc_id, text, n,
+    hits AS {m}(
+      SELECT doc_id, source, text, n,
              {_HITS['en']} AS h_en, {_HITS['de']} AS h_de,
              {_HITS['fr']} AS h_fr, {_HITS['es']} AS h_es
       FROM padded),
-    feat AS (
-      SELECT doc_id, text,
+    feat AS {m}(
+      SELECT doc_id, source, text,
              CASE WHEN h_en IS NULL THEN NULL
                   WHEN {g4} = 0 THEN NULL
                   WHEN h_fr = {g4} THEN 'fr'
@@ -1895,20 +1897,34 @@ def _q49_oracle(min_quality: float = 0.2) -> str:
                     THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0 / n
                     ELSE 0.0 END) * 4)) * 1000000) / 1000000.0 AS q
       FROM hits),
-    qual AS (SELECT doc_id, text, lang FROM feat WHERE q >= {min_quality}),
-    cut AS (
+    qual AS {m}(SELECT doc_id, source, text, lang FROM feat WHERE q >= {min_quality}),
+    cut AS {m}(
       SELECT lang AS cl, quantile_cont(length(text), 0.95) AS c
       FROM qual GROUP BY lang),
-    trimmed AS (
-      SELECT q.doc_id, q.text
+    trimmed AS {m}(
+      SELECT q.doc_id, q.source, q.text
       FROM qual q JOIN cut ON q.lang IS NOT DISTINCT FROM cut.cl
       WHERE length(q.text) <= cut.c),
-    keep AS (
+    keep AS {m}(
       SELECT md5(text) AS dg, min(doc_id) AS doc_id
       FROM trimmed GROUP BY md5(text)),
-    exact AS (
-      SELECT t.doc_id, t.text FROM trimmed t
-      JOIN keep k ON md5(t.text) = k.dg AND t.doc_id = k.doc_id),
+    exact AS {m}(
+      SELECT t.doc_id, t.source, t.text FROM trimmed t
+      JOIN keep k ON md5(t.text) = k.dg AND t.doc_id = k.doc_id)"""
+
+
+def _q49_oracle(min_quality: float = 0.2) -> str:
+    """Replays curate_documents stage for stage: the shared curation
+    front (`_curation_front_ctes`: clean -> lang -> quality -> p95 trim
+    -> exact dedup; allowed_langs=None so the lang gate passes
+    everything), then md5-lane MinHash near-dedup at 0.7 (drop the
+    greater id of each verified pair) and the md5-bucket holdout split
+    (q44 twin, rate 0.05)."""
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 65536"
+    )
+    return f"""
+    WITH {_curation_front_ctes(min_quality)},
     {_minhash_md5_ctes('exact', 16, 8, 7000, 'nd_')},
     near AS (
       SELECT e.doc_id FROM exact e
@@ -22833,3 +22849,197 @@ def q331_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - F.col("sx") * slope) / F.col("n") + F.lit(0.0), 4
         ).alias("intercept_r4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-release flagship (r12, VERDICT r11 #1): the FULL end-to-end
+# composition a training-data team ships, graded as one manifest --
+# curation front (q49 lane) -> exact dedup -> MinHash near-dup CLUSTERS
+# with keep-policy survivors (q309/q320 discipline, not q49's greedy
+# drop) -> semantic dedup over embeddings (q120 lane, block-joined) ->
+# benchmark contamination gate (q77 decision rule) -> temperature
+# mixture token budgets (q127 lane) -> leak-free split on the CLUSTER
+# label (q103 discipline) -> shard stats. One graded result: per-stage
+# (n_docs, n_tokens) + per-shard rows.
+# ---------------------------------------------------------------------------
+_Q332_BUDGET = 10000
+_Q332_SPLIT = int(0.05 * 65536)
+_Q332_SHARDS = 4
+
+
+def _q332_oracle() -> str:
+    """Replays plans/release.py stage for stage. The near/semantic
+    cluster stages use the recursive-CC + keep-policy shape of the
+    q320/q103 oracles (survivor = longest text, min doc_id, per
+    component); grams compare as raw strings where Spark uses xxhash64
+    (the q77 equivalence: distinct-set counts agree absent 64-bit
+    collisions)."""
+    ng = "5"
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+        ", 6)"
+    )
+    return f"""
+    WITH RECURSIVE {_curation_front_ctes(0.2, materialized=True)},
+    tok AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+      FROM cleaned),
+    {_minhash_md5_ctes('exact', 16, 8, 7000, 'nd_')},
+    nd_ebi AS MATERIALIZED (
+      SELECT id_a, id_b FROM nd_pairs
+      UNION SELECT id_b, id_a FROM nd_pairs),
+    nd_reach(id, r) AS (
+      SELECT id_a, id_a FROM nd_ebi
+      UNION
+      SELECT e.id_a, nd_reach.r FROM nd_ebi e JOIN nd_reach ON e.id_b = nd_reach.id),
+    nd_comp AS MATERIALIZED (SELECT id, min(r) AS component FROM nd_reach GROUP BY id),
+    near_m AS MATERIALIZED (
+      SELECT e.doc_id, e.source, e.text,
+             coalesce(c.component, e.doc_id) AS grp
+      FROM exact e LEFT JOIN nd_comp c ON c.id = e.doc_id),
+    near AS MATERIALIZED (
+      SELECT doc_id, source, text, grp FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp
+                  ORDER BY length(text) DESC, doc_id ASC) AS rn
+        FROM near_m) WHERE rn = 1),
+    sem_pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      JOIN near na ON na.doc_id = a.vec_id
+      JOIN near nb ON nb.doc_id = b.vec_id
+      WHERE {cos} >= 0.35),
+    sem_ebi AS MATERIALIZED (
+      SELECT id_a, id_b FROM sem_pairs
+      UNION SELECT id_b, id_a FROM sem_pairs),
+    sem_reach(id, r) AS (
+      SELECT id_a, id_a FROM sem_ebi
+      UNION
+      SELECT e.id_a, sem_reach.r FROM sem_ebi e JOIN sem_reach ON e.id_b = sem_reach.id),
+    sem_comp AS MATERIALIZED (SELECT id, min(r) AS component FROM sem_reach GROUP BY id),
+    sem_m AS MATERIALIZED (
+      SELECT n.doc_id, n.source, n.text,
+             coalesce(c.component, n.grp) AS grp
+      FROM near n LEFT JOIN sem_comp c ON c.id = n.doc_id),
+    sem AS MATERIALIZED (
+      SELECT doc_id, source, text, grp FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp
+                  ORDER BY length(text) DESC, doc_id ASC) AS rn
+        FROM sem_m) WHERE rn = 1),
+    bt AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM cleaned WHERE doc_id % 97 = 0 AND text IS NOT NULL),
+    bg AS MATERIALIZED (
+      SELECT DISTINCT array_to_string(
+               w[CAST(i AS BIGINT):CAST(i + {ng} - 1 AS BIGINT)], ' ') AS g
+      FROM bt, unnest(generate_series(1, len(w) - {ng} + 1)) AS t(i)
+      WHERE len(w) >= {ng}),
+    st AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM sem),
+    sg AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+               w[CAST(i AS BIGINT):CAST(i + {ng} - 1 AS BIGINT)], ' ') AS g
+      FROM st, unnest(generate_series(1, len(w) - {ng} + 1)) AS t(i)
+      WHERE len(w) >= {ng}),
+    pd AS MATERIALIZED (
+      SELECT s.doc_id, count(*) AS ngr,
+             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS nh
+      FROM sg s LEFT JOIN bg b ON s.g = b.g
+      GROUP BY s.doc_id),
+    cdocs AS MATERIALIZED (
+      SELECT m.doc_id, m.source, m.grp
+      FROM sem m LEFT JOIN pd ON pd.doc_id = m.doc_id
+      WHERE pd.doc_id IS NULL OR 2 * pd.nh < pd.ngr),
+    wts AS MATERIALIZED (
+      SELECT source, round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS wgt
+      FROM (SELECT source, count(*) AS n FROM cdocs GROUP BY source)),
+    bdg AS MATERIALIZED (
+      SELECT source, CAST(ceil(wgt * {_Q332_BUDGET}) AS BIGINT) AS budget
+      FROM wts),
+    cum AS MATERIALIZED (
+      SELECT d.doc_id, d.grp, t.nt, bdg.budget,
+             sum(t.nt) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                             ROWS UNBOUNDED PRECEDING) - t.nt AS before
+      FROM cdocs d JOIN tok t USING (doc_id) JOIN bdg USING (source)),
+    selq AS MATERIALIZED (SELECT doc_id, grp, nt FROM cum WHERE before < budget),
+    spl AS MATERIALIZED (
+      SELECT doc_id, nt,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4))
+                       AS INT) % 65536 < {_Q332_SPLIT}
+                  THEN 'holdout' ELSE 'train' END AS side
+      FROM selq),
+    shards AS MATERIALIZED (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % {_Q332_SHARDS} AS shard,
+             nt
+      FROM spl WHERE side = 'train')
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT 'input' AS stage, (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT coalesce(sum(nt), 0) FROM tok) AS n_tokens
+      UNION ALL SELECT 'lang_gate', (SELECT count(*) FROM documents),
+             (SELECT coalesce(sum(nt), 0) FROM tok)
+      UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM qual),
+             (SELECT coalesce(sum(t.nt), 0) FROM qual q JOIN tok t USING (doc_id))
+      UNION ALL SELECT 'length_gate', (SELECT count(*) FROM trimmed),
+             (SELECT coalesce(sum(t.nt), 0) FROM trimmed q JOIN tok t USING (doc_id))
+      UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM exact),
+             (SELECT coalesce(sum(t.nt), 0) FROM exact q JOIN tok t USING (doc_id))
+      UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM near),
+             (SELECT coalesce(sum(t.nt), 0) FROM near q JOIN tok t USING (doc_id))
+      UNION ALL SELECT 'semantic_dedup', (SELECT count(*) FROM sem),
+             (SELECT coalesce(sum(t.nt), 0) FROM sem q JOIN tok t USING (doc_id))
+      UNION ALL SELECT 'contamination_gate', (SELECT count(*) FROM cdocs),
+             (SELECT coalesce(sum(t.nt), 0) FROM cdocs q JOIN tok t USING (doc_id))
+      UNION ALL SELECT 'budget_cut', (SELECT count(*) FROM selq),
+             (SELECT coalesce(sum(nt), 0) FROM selq)
+      UNION ALL SELECT 'holdout',
+             (SELECT count(*) FROM spl WHERE side = 'holdout'),
+             (SELECT coalesce(sum(nt), 0) FROM spl WHERE side = 'holdout')
+      UNION ALL SELECT 'train',
+             (SELECT count(*) FROM spl WHERE side = 'train'),
+             (SELECT coalesce(sum(nt), 0) FROM spl WHERE side = 'train')
+      UNION ALL
+      SELECT 'shard_' || CAST(shard AS VARCHAR), count(*), coalesce(sum(nt), 0)
+      FROM shards GROUP BY shard)
+    """
+
+
+@register(
+    "q332_corpus_release_manifest",
+    _q332_oracle(),
+    doc="release_corpus (plans/release.py) end to end: the q49 curation "
+    "front, then near-dup CLUSTERS (LSH md5 lane -> CC -> keep-policy "
+    "survivor: longest text, min id), semantic dedup over the embeddings "
+    "table (block-joined cosine pairs -> CC -> same policy), the q77 "
+    "contamination gate against the doc_id%97 stand-in benchmark, "
+    f"temperature mixture budgets (alpha=0.5, {_Q332_BUDGET} tokens), a "
+    "leak-free md5 split on the CLUSTER label (rate 0.05), and "
+    f"{_Q332_SHARDS} md5 shards -- graded as ONE manifest of per-stage "
+    "(n_docs, n_tokens) plus per-shard rows, so a regression ANYWHERE "
+    "in the composition moves a graded number.  Scale: every stage is "
+    "the already-audited operator (blocked pair lanes, cluster-/source-"
+    "partitioned windows, broadcast dims, O(stages+shards) driver rows); "
+    "the only additions are persist boundaries between stages.",
+)
+def q332_corpus_release_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .plans.release import release_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    res = release_corpus(
+        docs,
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+        embeddings=emb,
+        near_dup_hash="md5",
+        total_token_budget=_Q332_BUDGET,
+        n_shards=_Q332_SHARDS,
+    )
+    return res.manifest

@@ -1,0 +1,238 @@
+"""plans/release.py: the end-to-end corpus-release composition.
+
+The graded q332 checks the WHOLE manifest against the DuckDB oracle at
+sf0.01; these tests pin the semantics the manifest alone can't see --
+keep-policy survivor identity, cluster-level split leakage, optional
+stages, manifest internal consistency, write layout, determinism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bankcreditunion_datapipeline_spark.plans.release import release_corpus
+
+SCHEMA = "doc_id long, source string, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _corpus(spark):
+    """Synthetic corpus with a known near-dup cluster: docs 1/2/3 share
+    almost all shingles (3 is longest -> keep-policy survivor), doc 4
+    is unrelated, doc 5 is an exact duplicate of doc 4 (higher id ->
+    dropped at exact dedup), docs 6..25 are distinct filler so gates
+    and budgets have mass."""
+    t = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby every single morning"
+    )
+    rows = [
+        (1, "a", t),
+        (2, "a", t + " indeed"),
+        (3, "a", t + " indeed truly and verily again"),
+        (4, "b", "completely different content about spark engines and "
+                  "distributed shuffle exchanges running at large scale"),
+        (5, "b", "completely different content about spark engines and "
+                  "distributed shuffle exchanges running at large scale"),
+    ]
+    for i in range(6, 26):
+        rows.append(
+            (
+                i,
+                "a" if i % 2 else "b",
+                f"unique document number {i} holds words w{i}a w{i}b "
+                f"w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h w{i}i w{i}j "
+                f"w{i}k w{i}l w{i}m w{i}n w{i}o w{i}p",
+            )
+        )
+    return _docs(spark, rows)
+
+
+def test_release_funnel_monotone_and_manifest_consistent(spark):
+    res = release_corpus(
+        _corpus(spark),
+        min_quality=0.0,
+        length_quantile=1.0,
+        near_dup_hash="md5",
+        near_dup_threshold=0.5,
+        total_token_budget=100000,
+        n_shards=2,
+    )
+    f = res.funnel
+    chain = ["input", "lang_gate", "quality_gate", "length_gate",
+             "exact_dedup", "near_dedup", "budget_cut"]
+    for a, b in zip(chain, chain[1:]):
+        assert f[a][0] >= f[b][0], (a, b, f)
+        assert f[a][1] >= f[b][1], (a, b, f)
+    # split partitions the last pre-split stage exactly
+    assert f["holdout"][0] + f["train"][0] == f["budget_cut"][0]
+    assert f["holdout"][1] + f["train"][1] == f["budget_cut"][1]
+    # shard rows partition train exactly
+    rows = {r["stage"]: (r["n_docs"], r["n_tokens"])
+            for r in res.manifest.collect()}
+    shard_n = sum(v[0] for k, v in rows.items() if k.startswith("shard_"))
+    shard_t = sum(v[1] for k, v in rows.items() if k.startswith("shard_"))
+    assert (shard_n, shard_t) == f["train"]
+    # manifest rows mirror the funnel dict
+    for k, v in f.items():
+        assert rows[k] == v
+    # optional stages absent when not configured
+    assert "semantic_dedup" not in rows and "contamination_gate" not in rows
+    # train/holdout DataFrames agree with the manifest
+    assert res.holdout.count() == f["holdout"][0]
+    assert res.train.count() == f["train"][0]
+
+
+def test_release_keep_policy_survivor_and_exact_dedup(spark):
+    res = release_corpus(
+        _corpus(spark),
+        min_quality=0.0,
+        length_quantile=1.0,
+        near_dup_hash="md5",
+        near_dup_threshold=0.5,
+    )
+    kept = {
+        r["doc_id"]
+        for r in res.train.select("doc_id")
+        .unionByName(res.holdout.select("doc_id"))
+        .collect()
+    }
+    # near-dup cluster {1,2,3}: keep policy = longest text -> 3 survives
+    assert 3 in kept and 1 not in kept and 2 not in kept
+    # exact-dup pair {4,5}: min id survives
+    assert 4 in kept and 5 not in kept
+    assert res.funnel["exact_dedup"][0] == res.funnel["length_gate"][0] - 1
+
+
+def test_release_split_is_cluster_hashed_and_deterministic(spark):
+    docs = _corpus(spark)
+    r1 = release_corpus(docs, min_quality=0.0, length_quantile=1.0,
+                        near_dup_hash="md5", near_dup_threshold=0.5)
+    r2 = release_corpus(docs, min_quality=0.0, length_quantile=1.0,
+                        near_dup_hash="md5", near_dup_threshold=0.5)
+    ids1 = sorted(r["doc_id"] for r in r1.holdout.collect())
+    ids2 = sorted(r["doc_id"] for r in r2.holdout.collect())
+    assert ids1 == ids2  # split is a pure function of the corpus
+    # the cluster {1,2,3} survivor (doc 3) is hashed by its CLUSTER
+    # label (min member id = 1), not its own id: recompute both buckets
+    # and confirm the side matches the label hash
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    b = spark.range(1).select(
+        hash_bucket(F.lit(1)).alias("grp_b"),
+        hash_bucket(F.lit(3)).alias("own_b"),
+    ).first()
+    side_is_holdout = 3 in {r["doc_id"] for r in r1.holdout.collect()}
+    thr = int(0.05 * 65536)
+    assert side_is_holdout == (b["grp_b"] < thr)
+
+
+def test_release_contamination_gate_rejects_benchmark_overlap(spark):
+    docs = _corpus(spark)
+    # benchmark = doc 4's text: doc 4 shares 100% of its 5-grams and
+    # must be rejected; short/no-gram docs are kept (no evidence)
+    bench = _docs(
+        spark,
+        [(999, "x", "completely different content about spark engines and "
+                     "distributed shuffle exchanges running at large scale")],
+    )
+    res = release_corpus(
+        docs, benchmark=bench, min_quality=0.0, length_quantile=1.0,
+        near_dup_hash="md5", near_dup_threshold=0.5
+    )
+    kept = {
+        r["doc_id"]
+        for r in res.train.select("doc_id")
+        .unionByName(res.holdout.select("doc_id"))
+        .collect()
+    }
+    assert 4 not in kept
+    assert res.funnel["contamination_gate"][0] == res.funnel["near_dedup"][0] - 1
+
+
+def test_release_semantic_stage_and_skip_behaviour(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "a", "one two three four five six seven eight nine ten "
+                      "eleven twelve"),
+            (3, "b", "red orange yellow green blue indigo violet colors"),
+        ],
+    )
+    # vectors: 1 and 2 identical direction (cosine 1.0) in one block;
+    # 3 orthogonal. Survivor of {1,2} = longer text (doc 2).
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [2.0, 0.0], 0),
+            (3, [0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    res = release_corpus(
+        docs, embeddings=emb, min_quality=0.0, length_quantile=1.0,
+        near_dup_hash="md5", semantic_threshold=0.95
+    )
+    kept = {
+        r["doc_id"]
+        for r in res.train.select("doc_id")
+        .unionByName(res.holdout.select("doc_id"))
+        .collect()
+    }
+    assert 2 in kept and 1 not in kept and 3 in kept
+    assert res.funnel["semantic_dedup"][0] == res.funnel["near_dedup"][0] - 1
+    # doc WITHOUT an embedding row survives the stage (no evidence)
+    res2 = release_corpus(
+        docs,
+        embeddings=emb.filter(F.col("vec_id") != 3),
+        min_quality=0.0,
+        length_quantile=1.0,
+        near_dup_hash="md5",
+        semantic_threshold=0.95,
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in res2.train.select("doc_id")
+        .unionByName(res2.holdout.select("doc_id"))
+        .collect()
+    }
+    assert 3 in kept2
+
+
+def test_release_write_layout(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    res = release_corpus(
+        _corpus(spark),
+        min_quality=0.0,
+        length_quantile=1.0,
+        near_dup_hash="md5",
+        n_shards=2,
+        out_dir=out,
+    )
+    back = spark.read.parquet(out)
+    assert "pos" in back.columns
+    assert back.count() == res.funnel["train"][0]
+    assert sorted(
+        r["shard"] for r in back.select("shard").distinct().collect()
+    ) == sorted(
+        int(k.split("_")[1])
+        for k in {
+            r["stage"]
+            for r in res.manifest.collect()
+            if r["stage"].startswith("shard_")
+        }
+    )
+    # reproducible epoch order: pos is dense 1..n per shard
+    per = back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("m"),
+        F.min("pos").alias("lo"),
+    )
+    for r in per.collect():
+        assert r["lo"] == 1 and r["m"] == r["n"]

@@ -46,6 +46,9 @@ from bankcreditunion_datapipeline_spark.sources.files import read_testdata
 FAMILY = [
     "q21_minhash_near_dups",
     "q49_curation_funnel",
+    # r12 flagship: the full release composition (gates -> exact/near/
+    # semantic dedup -> contamination -> budgets -> split -> shards)
+    "q332_corpus_release_manifest",
     "q82_exact_jaccard_pairs",
     "q126_dup_components_star",
     "q147_supplier_pagerank",
