@@ -1231,15 +1231,28 @@ def incremental_near_dup_pairs(
         .select("new_id", "index_id")
         .distinct()
     )
-    a = new_sigs.select(F.col(id_col).alias("new_id"), F.col("__hashes").alias("__h_a"))
+    a = new_sigs.select(F.col(id_col).alias("new_id"), F.array_distinct("__hashes").alias("__h_a"))
     b = index_sigs.select(
         F.col(id_col).alias("index_id"), F.array_distinct("__hashes").alias("__h_b")
     )
+    # INTEGER verify rule (den*inter >= num*union), identical to
+    # minhash_near_dup_pairs: the previous round(jaccard, 6) >= threshold
+    # could float-flip exactly at the cut, so a cross-batch pair and the
+    # same pair found monolithically could disagree -- the streaming
+    # release twin (streaming_release_manifest) requires them equal.
+    num = int(round(threshold * 10000))
+    n_inter = F.size(F.array_intersect(F.col("__h_a"), F.col("__h_b")))
+    n_union = F.size(F.array_union(F.col("__h_a"), F.col("__h_b")))
     return (
         cands.join(a, "new_id")
         .join(b, "index_id")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("__h_a"), F.col("__h_b")), 6))
-        .filter(F.col("jaccard_sim") >= threshold)
+        .withColumn("__ni", n_inter)
+        .withColumn("__nu", n_union)
+        .filter(10000 * F.col("__ni") >= num * F.col("__nu"))
+        .withColumn(
+            "jaccard_sim",
+            F.floor(F.col("__ni").cast("long") * 1000000 / F.col("__nu")) / 1000000,
+        )
         .select("new_id", "index_id", "jaccard_sim")
     )
 

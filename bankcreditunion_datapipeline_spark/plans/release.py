@@ -98,6 +98,7 @@ def _survivors(
     id_col: str,
     text_col: str,
     grp_col: str,
+    length_col: str | None = None,
 ) -> DataFrame:
     """Cluster `members` by the pair graph and keep ONE survivor per
     cluster under the keep policy (longest text DESC, id ASC -- a total
@@ -113,7 +114,12 @@ def _survivors(
     materialization would otherwise each replay the full LSH/cosine pair
     pipeline (measured ~3.5s per replay at sf0.1). CC itself is the
     large-star/small-star form -- diameter-independent rounds, measured
-    ~1.7x faster than min-label propagation on these shallow graphs."""
+    ~1.7x faster than min-label propagation on these shallow graphs.
+
+    `length_col` orders the keep policy by a precomputed length column
+    instead of length(text_col) -- the streaming twin's metadata frames
+    carry lengths but never document bodies."""
+    order_len = F.col(length_col) if length_col else F.length(text_col)
     pairs = pairs.persist()
     if pairs.limit(1).count() == 0:
         return members
@@ -128,7 +134,7 @@ def _survivors(
     ).drop("__cc_id", "component")
     rn = F.row_number().over(
         Window.partitionBy(grp_col).orderBy(
-            F.length(text_col).desc(), F.col(id_col).asc()
+            order_len.desc(), F.col(id_col).asc()
         )
     )
     return m.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")

@@ -1461,3 +1461,368 @@ def streaming_survivor_clusters(
             )
             surv = pick_survivors(members, policies)
     return surv
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the corpus-release flagship (plans/release.py, q332):
+# fold document batches keeping only NARROW state -- per-doc metadata,
+# the minhash signature index, and the pair log -- then extract the
+# identical release manifest without ever re-reading a document body.
+# ---------------------------------------------------------------------------
+
+
+def streaming_release_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.2,
+    near_dup_threshold: float = 0.7,
+    near_dup_hashes: int = 16,
+    near_dup_bands: int = 8,
+    contamination_ngram: int = 5,
+) -> None:
+    """Ingest half of the release twin: per micro-batch, write three
+    ``batch=<id>`` overwrite-idempotent state partitions --
+
+    - ``meta``: per quality-passing doc, the NARROW columns every later
+      stage needs (source, lang, cleaned length, token count, content
+      digest, and -- when ``benchmark`` is given -- the doc's distinct
+      n-gram count and benchmark-hit count). Document BODIES are never
+      stored: gates, exact dedup, keep policies, contamination, budgets,
+      split and shards are all functions of this metadata.
+    - ``sig``: the minhash signature index of the batch (xxhash64
+      production lane), so later batches pair against stored signatures
+      -- history is never re-shingled.
+    - ``pairs``: the batch's near-dup pair delta = intra-batch pairs +
+      batch-vs-index pairs (own batch excluded from the index view, so
+      a REDELIVERED batch cannot pair against its previous attempt).
+
+    Contamination stats are computed at ingest against a FIXED benchmark
+    (the n-gram hit counts are row-local given the benchmark's gram set,
+    which is eval-sized and broadcast); swapping benchmarks later needs
+    a gram-index state instead -- documented trade, not a silent gap.
+
+    Per-batch work is O(batch) + O(batch-vs-index candidates); state is
+    O(corpus metadata + signatures + pairs), never corpus text. The
+    quality gate (row-local) filters BEFORE any state is written; the
+    LENGTH gate does not -- its per-lang p95 moves with the cumulative
+    corpus, so membership is decided at extraction time from the stored
+    lengths (and the pair log is filtered to current members there:
+    LSH candidacy + Jaccard verify are pairwise-pure, so pairs computed
+    among a superset restrict exactly)."""
+    from ..operators.dedup import (
+        build_minhash_index,
+        incremental_near_dup_pairs,
+        minhash_near_dup_pairs,
+    )
+    from ..operators.text import clean_text, lang_id, quality_score
+    from ..plans.release import _distinct_gram_hashes, _n_tokens
+
+    bench_grams = None
+    if benchmark is not None:
+        bench_grams = (
+            _distinct_gram_hashes(
+                benchmark.select(
+                    F.col(id_col),
+                    clean_text(F.col(text_col)).alias(text_col),
+                ),
+                id_col,
+                text_col,
+                contamination_ngram,
+            )
+            .select("gh")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+            .persist()
+        )
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        base = (
+            df.withColumn(text_col, clean_text(F.col(text_col)))
+            .withColumn("__lang", lang_id(F.col(text_col)))
+            .withColumn("__q", quality_score(F.col(text_col)))
+            .withColumn("__nt", _n_tokens(F.col(text_col)))
+            .persist()
+        )
+        qual_ok = F.col("__q") >= min_quality
+        base.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.coalesce(F.sum("__nt"), F.lit(0)).alias("t_input"),
+            F.sum(qual_ok.cast("long")).alias("n_quality"),
+            F.coalesce(F.sum(F.when(qual_ok, F.col("__nt"))), F.lit(0)).alias(
+                "t_quality"
+            ),
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "gates", f"batch={batch_id}")
+        )
+        passed = base.filter(qual_ok).persist()
+        meta = passed.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("__lang").alias("lang"),
+            F.length(text_col).alias("length"),
+            F.col("__nt").alias("nt"),
+            F.md5(F.col(text_col).cast("binary")).alias("digest"),
+        )
+        if bench_grams is not None:
+            perdoc = (
+                _distinct_gram_hashes(passed, id_col, text_col, contamination_ngram)
+                .join(F.broadcast(bench_grams), "gh", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+                )
+            )
+            meta = meta.join(perdoc, id_col, "left")
+        else:
+            meta = meta.withColumn(
+                "n_grams", F.lit(None).cast("long")
+            ).withColumn("n_hits", F.lit(None).cast("long"))
+        meta.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "meta", f"batch={batch_id}")
+        )
+        sigs = build_minhash_index(
+            passed, id_col, text_col, num_hashes=near_dup_hashes
+        ).persist()
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "sig", f"batch={batch_id}")
+        )
+        intra = minhash_near_dup_pairs(
+            passed,
+            id_col,
+            text_col,
+            threshold=near_dup_threshold,
+            num_hashes=near_dup_hashes,
+            bands=near_dup_bands,
+        ).select("id_a", "id_b")
+        pairs = intra
+        sig_dir = os.path.join(state_dir, "sig")
+        if _storage_path_exists(spark, sig_dir):
+            index_sigs = spark.read.parquet(sig_dir)
+            if "batch" in index_sigs.columns:
+                index_sigs = index_sigs.filter(
+                    F.col("batch") != batch_id
+                ).drop("batch")
+            cross = incremental_near_dup_pairs(
+                passed,
+                index_sigs,
+                id_col,
+                text_col,
+                threshold=near_dup_threshold,
+                num_hashes=near_dup_hashes,
+                bands=near_dup_bands,
+            ).select(
+                F.least("new_id", "index_id").alias("id_a"),
+                F.greatest("new_id", "index_id").alias("id_b"),
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.distinct().write.mode("overwrite").parquet(
+            os.path.join(state_dir, "pairs", f"batch={batch_id}")
+        )
+        passed.unpersist()
+        base.unpersist()
+        sigs.unpersist()
+
+    incremental_files(spark, source_dir, checkpoint_dir, schema, batch_fn)
+
+
+def streaming_release_manifest(
+    spark: SparkSession,
+    state_dir: str,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    contamination: bool = False,
+    length_quantile: float = 0.95,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    semantic_threshold: float = 0.35,
+    total_token_budget: int | None = None,
+    alpha: float = 0.5,
+    holdout_rate: float = 0.05,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Extract the release manifest from the folded stream state --
+    identical rows to ``release_corpus(union of all batches).manifest``
+    (asserted in the streaming test), computed WITHOUT document bodies:
+
+    - gates: sum-monoid over the per-batch gate summaries;
+    - length gate: per-lang exact p95 over the stored lengths (the gate
+      is cumulative, so it is decided here, not at ingest);
+    - exact dedup: keep-min per stored digest;
+    - near dedup: the pair log filtered to current members (pairwise-
+      pure predicate -> restriction is exact), star CC, keep policy
+      over stored lengths;
+    - semantic dedup / contamination / budgets / split / shards: the
+      same arithmetic as plans/release.py over metadata columns.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import semantic_dedup_pairs
+    from ..operators.sampling import hash_bucket, mixture_weights
+    from ..plans.release import _BUCKETS, _survivors
+
+    g = (
+        spark.read.parquet(os.path.join(state_dir, "gates"))
+        .agg(
+            F.sum("n_input").alias("n0"),
+            F.sum("t_input").alias("t0"),
+            F.sum("n_quality").alias("n2"),
+            F.sum("t_quality").alias("t2"),
+        )
+        .first()
+    )
+    funnel: dict[str, tuple[int, int]] = {
+        "input": (int(g["n0"]), int(g["t0"])),
+        "lang_gate": (int(g["n0"]), int(g["t0"])),
+        "quality_gate": (int(g["n2"]), int(g["t2"])),
+    }
+    # every persist below is UNPERSISTED before returning: the state
+    # directories are mutable (the next ingest run appends partitions),
+    # and a cached scan of them would serve stale rows to the next
+    # extraction (measured: a second extract after new batches read the
+    # first extract's 9-row cache). The manifest itself is built from
+    # driver-side rows, so nothing downstream needs these caches.
+    pinned: list[DataFrame] = []
+
+    def pin(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        pinned.append(df)
+        return df
+
+    meta = pin(
+        spark.read.parquet(os.path.join(state_dir, "meta")).drop("batch")
+    )
+
+    def record(name: str, df: DataFrame) -> DataFrame:
+        df = pin(df)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("nt"), F.lit(0)).alias("t"),
+        ).first()
+        funnel[name] = (int(r["n"]), int(r["t"]))
+        return df
+
+    cut = meta.groupBy(F.col("lang").alias("__cut_lang")).agg(
+        F.percentile(F.col("length"), F.lit(length_quantile)).alias("__cut")
+    )
+    gated = record(
+        "length_gate",
+        meta.join(
+            F.broadcast(cut), F.col("lang").eqNullSafe(F.col("__cut_lang"))
+        )
+        .filter(F.col("length") <= F.col("__cut"))
+        .drop("__cut_lang", "__cut", "lang"),
+    )
+    keepers = gated.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    exact = record(
+        "exact_dedup",
+        gated.join(keepers, ["digest", id_col], "left_semi").drop("digest"),
+    ).withColumn("__grp", F.col(id_col))
+
+    member_ids = exact.select(F.col(id_col))
+    pairs = (
+        spark.read.parquet(os.path.join(state_dir, "pairs"))
+        .drop("batch")
+        .join(member_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        .join(member_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+        .distinct()
+    )
+    cur = record(
+        "near_dedup",
+        _survivors(exact, pairs, id_col, "", "__grp", length_col="length"),
+    )
+
+    if embeddings is not None:
+        emb = cur.select(id_col).join(
+            embeddings.select(
+                F.col(emb_id_col).alias(id_col), vec_col, block_col
+            ),
+            id_col,
+        )
+        sem_pairs = semantic_dedup_pairs(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=block_col,
+            threshold=semantic_threshold,
+        ).select("id_a", "id_b")
+        cur = record(
+            "semantic_dedup",
+            _survivors(cur, sem_pairs, id_col, "", "__grp", length_col="length"),
+        )
+
+    if contamination:
+        cur = record(
+            "contamination_gate",
+            cur.filter(
+                F.col("n_grams").isNull()
+                | (2 * F.col("n_hits") < F.col("n_grams"))
+            ),
+        )
+
+    if total_token_budget is not None:
+        weights = mixture_weights(cur, source_col, alpha).withColumn(
+            "__budget",
+            F.ceil(
+                F.col("sample_weight") * F.lit(float(total_token_budget))
+            ).cast("long"),
+        )
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cur = (
+            cur.withColumn("__before", F.sum("nt").over(w) - F.col("nt"))
+            .join(
+                F.broadcast(weights.select(source_col, "__budget")), source_col
+            )
+            .filter(F.col("__before") < F.col("__budget"))
+            .drop("__before", "__budget")
+        )
+
+    threshold = int(holdout_rate * _BUCKETS)
+    final = pin(
+        cur.withColumn(
+            "__side",
+            F.when(hash_bucket(F.col("__grp")) < threshold, F.lit("holdout"))
+            .otherwise(F.lit("train")),
+        )
+        .withColumn("__shard", hash_bucket(F.col(id_col), n_shards))
+    )
+    cells = final.groupBy("__side", "__shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("nt"), F.lit(0)).alias("t"),
+    ).collect()
+    if total_token_budget is not None:
+        funnel["budget_cut"] = (
+            sum(int(c["n"]) for c in cells),
+            sum(int(c["t"]) for c in cells),
+        )
+    for side in ("holdout", "train"):
+        funnel[side] = (
+            sum(int(c["n"]) for c in cells if c["__side"] == side),
+            sum(int(c["t"]) for c in cells if c["__side"] == side),
+        )
+    shard_stats = sorted(
+        (int(c["__shard"]), int(c["n"]), int(c["t"]))
+        for c in cells
+        if c["__side"] == "train"
+    )
+    rows = [(k, int(n), int(t)) for k, (n, t) in funnel.items()] + [
+        (f"shard_{s}", n, t) for s, n, t in shard_stats
+    ]
+    for df in pinned:
+        df.unpersist()
+    return spark.createDataFrame(
+        rows, "stage string, n_docs long, n_tokens long"
+    )

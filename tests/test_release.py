@@ -236,3 +236,102 @@ def test_release_write_layout(spark, tmp_path):
     )
     for r in per.collect():
         assert r["lo"] == 1 and r["m"] == r["n"]
+
+
+def test_streaming_release_twin_equals_batch(spark, tmp_path):
+    """The full release twin: fold document file batches keeping only
+    narrow state (meta + signature index + pair log), then extract the
+    manifest -- must equal release_corpus over the union corpus, row
+    for row, with every optional stage ON (semantic via embeddings,
+    contamination vs a fixed benchmark, mixture budget); a redelivered
+    batch (checkpoint wiped) must not change the state."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_release_ingest,
+        streaming_release_manifest,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    all_rows = [tuple(r) for r in _corpus(spark).collect()]
+    bench = _docs(
+        spark,
+        [(999, "x", "completely different content about spark engines and "
+                     "distributed shuffle exchanges running at large scale")],
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0) + 1.0, float(i % 2)], i % 2)
+         for i in range(1, 26)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kw = dict(min_quality=0.0, near_dup_threshold=0.5)
+
+    def write_wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        streaming_release_ingest(
+            spark, src, ckpt, schema, state, benchmark=bench, **kw
+        )
+
+    def extract():
+        return sorted(
+            map(
+                tuple,
+                streaming_release_manifest(
+                    spark,
+                    state,
+                    embeddings=emb,
+                    contamination=True,
+                    total_token_budget=200,
+                    n_shards=2,
+                ).collect(),
+            )
+        )
+
+    write_wave(all_rows[:9])
+    run()
+    first = extract()
+    shutil.rmtree(ckpt)
+    run()  # redelivery of batch 0: state must be unchanged
+    assert extract() == first
+
+    write_wave(all_rows[9:17])
+    run()
+    write_wave(all_rows[17:])
+    run()
+
+    got = extract()
+    from bankcreditunion_datapipeline_spark.plans.release import (
+        release_corpus,
+    )
+
+    res = release_corpus(
+        _docs(spark, all_rows),
+        benchmark=bench,
+        embeddings=emb,
+        total_token_budget=200,
+        n_shards=2,
+        **kw,
+    )
+    want = sorted(map(tuple, res.manifest.collect()))
+    assert got == want
