@@ -335,3 +335,26 @@ def test_streaming_release_twin_equals_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, res.manifest.collect()))
     assert got == want
+
+
+def test_cached_pair_lane_identity_and_keying(spark, sf_dir):
+    """_cached_lane returns the SAME persisted frame for the same
+    (application, dir, name) key -- the audit family shares one
+    materialization -- and a different dir is a different key (the fuzz
+    harness builds variants into fresh dirs, so mutated corpora can
+    never hit a stale lane)."""
+    import bankcreditunion_datapipeline_spark.queries as Q
+
+    a = Q._q21_pair_lane(spark, sf_dir)
+    b = Q._q21_pair_lane(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory  # persisted once, shared
+    # same dir through a symlink-free rename of the path string still
+    # hits (realpath-keyed)
+    c = Q._q21_pair_lane(spark, sf_dir + "/")
+    assert c is a
+    # and the lane IS the graded q21 result
+    from bankcreditunion_datapipeline_spark.queries import registry
+
+    q21 = registry()["q21_minhash_near_dups"].spark_fn(spark, sf_dir)
+    assert q21 is a
