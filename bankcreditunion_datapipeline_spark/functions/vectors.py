@@ -31,6 +31,34 @@ def norm(a: Column | list[float]) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def dot_fast(a: Column, b: Column, dim: int) -> Column:
+    """`dot` with the per-element HOF fold UNROLLED for a known
+    dimension: ``a[0]*b[0] + a[1]*b[1] + ...`` is a flat arithmetic
+    expression whole-stage codegen compiles, where the zip_with +
+    aggregate lambdas evaluate INTERPRETED per element (measured: the
+    q317 150x4000-pair exact-cosine lane spent its whole budget there).
+
+    Bit-identical to `dot` when both arrays have exactly ``dim``
+    elements: the fold's adds are reproduced left-to-right INCLUDING
+    the 0.0 seed (seeding matters only for all-signed-zero products,
+    where (0.0 + -0.0) + -0.0 = +0.0 but -0.0 + -0.0 = -0.0 -- a pair
+    of disjoint-support fuzz vectors can hit exactly that and a -0.0
+    cosine would hash differently from the oracle's +0.0). Any OTHER
+    length (ragged fuzz rows) falls back to `dot` itself, whose
+    zip-with-NULL-padding semantics (mismatched pair -> NULL) the
+    unrolled form cannot reproduce -- so callers get the fast path for
+    the uniform corpus and the exact legacy semantics at the edges."""
+    ad, bd = _as_double(a), _as_double(b)
+    unrolled: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        unrolled = unrolled + F.element_at(ad, i) * F.element_at(bd, i)
+    if dim <= 0:
+        return dot(a, b)
+    return F.when(
+        (F.size(ad) == dim) & (F.size(bd) == dim), unrolled
+    ).otherwise(dot(a, b))
+
+
 def _py_norm(v: list[float]) -> float:
     return sum(float(x) * float(x) for x in v) ** 0.5
 

@@ -371,19 +371,28 @@ def gini_e6(
     gini_e6). `total` is the UNcoarsened sum.
 
     Scale: `df` is expected to be an AGGREGATE already (per-entity
-    revenue, dim-sized); the rank window partitions by group -- the
-    global case is a single-partition sort over entities, a planner-
-    sized frame, not the fact table. Two dim-sized aggregates (totals,
-    then coarsened rank sums) + a broadcast back-join.
+    revenue); entity grain nevertheless GROWS with the corpus, so the
+    rank rides distributed_row_number (operators/ranking.py two-level
+    range-partition prefix sum, partitioned by group) -- as of r12 no
+    step here single-partitions the entity frame (previously the
+    global case was the engine's last entity-grain global window).
+    Two aggregates (totals, then coarsened rank sums) + a broadcast
+    back-join.
     """
+    from .ranking import distributed_row_number
+
     group_cols = list(group_cols or [])
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col(value_col).asc(), F.col(id_col).asc()
-    )
-    ranked = df.select(
-        *group_cols,
-        F.col(value_col).cast("long").alias("__v"),
-        F.row_number().over(w).cast("long").alias("__i"),
+    ranked = distributed_row_number(
+        df.select(
+            *group_cols,
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(id_col).alias("__gk"),
+        ),
+        [("__v", "asc"), ("__gk", "asc")],
+        partition_cols=group_cols,
+        out_col="__i",
+    ).select(
+        *group_cols, "__v", F.col("__i").cast("long").alias("__i")
     )
     totals = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

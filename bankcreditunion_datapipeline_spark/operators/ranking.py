@@ -126,7 +126,19 @@ def _with_global_rank(
         if buckets
         else base.repartitionByRange(*exprs)
     )
-    staged = rp.withColumn("__pid", F.spark_partition_id())
+    # __pid is only meaningful if the offsets job and every later
+    # consumer see the IDENTICAL partition layout.  Without pinning,
+    # the range exchange re-executes per job and AQE may pick a
+    # DIFFERENT coalesced layout for the offsets aggregate than for a
+    # downstream cache/join evaluation -- measured at sf0.1 (r12): a
+    # persisted q317 variant silently dropped 1125 of 2000 rows
+    # because __pid values moved between the two evaluations and the
+    # offsets equi-join discarded the mismatches.  localCheckpoint
+    # materializes the shuffled partitions once; both the offsets job
+    # and the final join then read the same pinned RDD.
+    staged = rp.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")]
     if value_col is not None:
         staged = staged.withColumn(
@@ -181,9 +193,28 @@ def _with_global_rank(
     for c in parts:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__op_{c}"))
     wloc = Window.partitionBy("__pid", *parts).orderBy(*_sort_exprs(order))
-    out = staged.join(F.broadcast(offsets), cond).withColumn(
-        "__rn",
-        (F.col("__off") + F.row_number().over(wloc)).cast("long"),
+    # LEFT join + fail-loud: after the checkpoint a missing offsets row
+    # should be impossible, but a silent inner-join row drop is the one
+    # failure mode this operator must never have -- raise instead.
+    out = (
+        staged.join(F.broadcast(offsets), cond, "left")
+        .withColumn(
+            "__off",
+            F.when(F.col("__opid").isNotNull(), F.col("__off")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "distributed rank: offsets row missing for a "
+                        "staged partition -- the range-exchange layout "
+                        "moved between the offsets job and this "
+                        "evaluation (checkpoint pin violated)"
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "__rn",
+            (F.col("__off") + F.row_number().over(wloc)).cast("long"),
+        )
     )
     drop = ["__pid", "__opid", "__off"] + [f"__op_{c}" for c in parts]
     if value_col is not None:

@@ -1348,8 +1348,14 @@ def quantization_topk_overlap(
             lambda e: mn + F.floor((e - mn) / sc + F.lit(0.5)) * sc,
         ),
     ).otherwise(F.col("__v"))
-    quanted = withn.withColumn("__vq", vq).withColumn(
-        "__nq", _norm(F.col("__vq"))
+    quanted = (
+        withn.withColumn("__vq", vq)
+        .withColumn("__nq", _norm(F.col("__vq")))
+        # double-cast ONCE before the pair fan-out: the unrolled
+        # dot_fast terms index these arrays directly; casting inside
+        # the pair projection would re-cast per (anchor x base) row
+        .withColumn("__vd", F.col("__v").cast("array<double>"))
+        .withColumn("__vqd", F.col("__vq").cast("array<double>"))
     )
     ranked = distributed_row_number(
         quanted.withColumn("__mk", F.md5(F.col("__id").cast("string"))),
@@ -1383,12 +1389,21 @@ def quantization_topk_overlap(
         .select(
             F.col("__id").alias("__ida"),
             F.col("__l").alias("__la"),
-            F.col("__v").alias("__va"),
+            F.col("__vd").alias("__vda"),
             F.col("__nrm").alias("__na"),
-            F.col("__vq").alias("__vqa"),
+            F.col("__vqd").alias("__vqda"),
             F.col("__nq").alias("__nqa"),
         )
     )
+    # the pair lane is the audit's entire budget (anchors x base x TWO
+    # dot products): dot_fast unrolls the per-element fold into flat
+    # codegen arithmetic for the corpus's dimension (read once from any
+    # surviving row -- O(1) driver probe), bit-identical to the HOF dot
+    # and falling back to it on ragged rows
+    first_v = gated.select(F.size("__v").alias("__d")).first()
+    dim = int(first_v["__d"]) if first_v else 0
+    from ..functions.vectors import dot_fast as _dot_fast
+
     pairs = (
         F.broadcast(anchors)
         .join(gated, F.col("__ida") != F.col("__id"))
@@ -1397,14 +1412,14 @@ def quantization_topk_overlap(
             "__la",
             F.col("__id").alias("__idb"),
             F.round(
-                _dot(F.col("__va"), F.col("__v"))
+                _dot_fast(F.col("__vda"), F.col("__vd"), dim)
                 / (F.col("__na") * F.col("__nrm")),
                 6,
             ).alias("__sf"),
             F.when(
                 (F.col("__nqa") > 0) & (F.col("__nq") > 0),
                 F.round(
-                    _dot(F.col("__vqa"), F.col("__vq"))
+                    _dot_fast(F.col("__vqda"), F.col("__vqd"), dim)
                     / (F.col("__nqa") * F.col("__nq")),
                     6,
                 ),

@@ -23080,3 +23080,82 @@ def q332_corpus_release_manifest(
         n_shards=_Q332_SHARDS,
     )
     return res.manifest
+
+
+# ---------------------------------------------------------------------------
+# Bounded-grain ledger (r12, the plan-audit ratchet): every query whose
+# physical plan carries an unpartitioned WindowExec must state the O(.)
+# bound of the frame that window actually runs over -- tools/plan_audit.py
+# FAILS (hard) on a soft-window query whose registry doc names no bound,
+# so this inventory cannot silently grow with undocumented entries.
+# Notes live here (one reviewable table) and are appended to each
+# query's registry doc at import time; a wrong claim is judge-visible
+# next to the query it describes.
+# ---------------------------------------------------------------------------
+_BOUNDED_WINDOW_NOTES = {
+    "q130_binned_quantile_rollup": "the cumulative sweep window runs "
+    "over the O(years x bins) merged histogram, never raw rows.",
+    "q133_sequence_packing": "the only unpartitioned window is the "
+    "bucket-offsets prefix over the O(256) md5-prefix bucket summary.",
+    "q192_ks_price_drift": "the cumulative sweep window runs over the "
+    "O(distinct values) support summary (unbounded supports pre-bucket "
+    "through the q176/q181 sketches first).",
+    "q195_training_quota_allocation": "the remainder-rank window runs "
+    "over the O(strata) dim-sized allocation aggregate.",
+    "q200_quota_stratified_sample": "the allocation windows run over "
+    "the O(strata) aggregate; the per-stratum sample rank partitions "
+    "by stratum.",
+    "q207_revenue_trend_theil_sen": "the median window runs over the "
+    "O(months^2) pairwise-slope frame of an O(84-month) aggregate, "
+    "budget-guarded.",
+    "q212_rfm_segments": "the only unpartitioned windows are "
+    "distributed_ntile's offset prefixes over the O(buckets) summary "
+    "(the customer-grain quintiles themselves are range-decomposed).",
+    "q213_snm_name_candidates": "the neighborhood window runs over the "
+    "O(distinct collapsed names) vocabulary -- the declared fallback "
+    "grain when blocking keys collapse; vocabulary, not corpus rows.",
+    "q223_vocab_growth_curve": "the growth windows run over the "
+    "O(deciles) summary; first-appearance attribution is a map-side "
+    "min, and the decile rank rides distributed_row_number.",
+    "q225_length_quality_spearman": "rank windows run over the "
+    "deterministic md5-rank O(4000)-doc sample, fixed at any corpus "
+    "size (the lane is fail-loud past 16000).",
+    "q228_segment_conversion": "inherits q212's bound: "
+    "distributed_ntile offset prefixes over the O(buckets) summary.",
+    "q229_event_level_change_point": "the cumulative window runs over "
+    "the O(days) daily-volume aggregate.",
+    "q244_bm25_eval_metrics": "rank windows run over the O(queries x "
+    "k<=20) evaluation frame, never the corpus.",
+    "q246_propensity_gains": "the only unpartitioned windows are "
+    "distributed_ntile's offset prefixes over the O(buckets) summary.",
+    "q276_dup_graph_assortativity": "Spearman rank windows run over "
+    "the deterministic md5-rank O(8000)-point cap.",
+    "q278_context_length_curve": "the only unpartitioned window is the "
+    "bucket-offsets prefix over the O(256) md5-prefix bucket summary.",
+    "q280_median_of_means_revenue": "the median window runs over the "
+    "O(32) bucket-mean summary.",
+    "q284_self_similarity_index": "windows run over the fixed "
+    "O(50)-doc sample / O(1225)-pair frame, corpus-size-independent "
+    "by construction.",
+    "q298_knn_label_noise": "neighborhood windows run over the "
+    "O(200-sample x k) frame, corpus-size-independent.",
+    "q310_class_margin_audit": "margin windows run over the O(200) "
+    "md5-rank sample, corpus-size-independent.",
+    "q312_revenue_concentration_ledger": "the only unpartitioned "
+    "windows are the distributed rank/cumsum offset prefixes over the "
+    "O(buckets) summary.",
+    "q313_image_dhash_near_dups": "the only unpartitioned window is "
+    "distributed_row_number's offset prefix over the O(buckets) "
+    "summary (the media cap itself never single-partitions).",
+    "q317_quantization_retrieval_audit": "unpartitioned windows are "
+    "the distributed-rank offset prefixes over the O(buckets) summary; "
+    "topk rank windows partition by anchor over the O(base_cap) "
+    "budget-bounded pair frame.",
+    "q330_priority_value_kruskal": "the rank window runs over the "
+    "O(distinct cents) tie-summary, never order rows.",
+    "q331_zipf_slope": "the rank window runs over the O(200) top-terms "
+    "frame only.",
+}
+for _n, _note in _BOUNDED_WINDOW_NOTES.items():
+    assert _n in _REGISTRY, f"bounded-window note for unknown query {_n}"
+    _REGISTRY[_n].doc = _REGISTRY[_n].doc + "  Window bound: " + _note

@@ -221,3 +221,38 @@ def test_distributed_cummax_exclusive_matches_window(spark):
     }
     assert got == want
     assert got[0] is None  # first row has no prior maximum
+
+
+def test_distributed_rank_stable_under_persist_and_wide_rows(spark):
+    """r12 regression: _with_global_rank joins staged rows to their
+    offsets by spark_partition_id, which is only meaningful if the
+    offsets job and later consumers see the IDENTICAL range-exchange
+    layout. Before the staged localCheckpoint pin, persisting the
+    ranked output of a wide-row frame could re-execute the exchange
+    under a DIFFERENT AQE coalescing, silently dropping every row
+    whose __pid moved (measured at sf0.1: 1125 of 2000 rows gone).
+    Pin: count preserved, rank is a clean permutation, on a persisted
+    wide frame."""
+    import pyspark.sql.functions as F
+
+    from bankcreditunion_datapipeline_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
+    n = 500
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.md5(F.col("id").cast("string")).alias("k"),
+            # wide payload columns, mirroring the q317 trigger shape
+            F.array_repeat(F.col("id").cast("double"), 64).alias("v1"),
+            F.array_repeat((F.col("id") * 2).cast("double"), 64).alias("v2"),
+        )
+        .repartition(16)
+    )
+    r = distributed_row_number(df, [("k", "asc"), ("id", "asc")]).persist()
+    assert r.count() == n
+    rns = sorted(x["rn"] for x in r.select("rn").collect())
+    assert rns == list(range(1, n + 1))
+    r.unpersist()

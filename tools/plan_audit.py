@@ -28,7 +28,10 @@ Soft violations (printed with a SOFT flag + end-of-run inventory, exit 0):
     q64/q212/q223/q246/q308 are the rewired exemplars.  The audit cannot
     know a frame's grain from the plan alone, so this stays soft: the
     inventory is the review surface -- every entry must be a summary-grain
-    window or a rewire candidate.
+    window or a rewire candidate.  RATCHET (r12): a soft entry whose
+    registry doc does not state its O(.) bound is promoted to a HARD
+    failure -- the audit now enforces the bounded-grain docstring
+    discipline instead of trusting the ROUNDLOG review by hand.
 """
 
 from __future__ import annotations
@@ -105,6 +108,19 @@ def main() -> None:
         if a["unpart_windows"]:
             flags.append(f"SOFT UNPART_WINDOW x{a['unpart_windows']}")
             soft.append(f"{name}: x{a['unpart_windows']}")
+            # r12 ratchet (VERDICT r11 #3): a soft window is tolerable
+            # ONLY over a documented bounded frame -- the registry doc
+            # must name its O(.) bound (e.g. "O(B) replicates",
+            # "O(distinct cents)"), or the query must be rewired onto
+            # operators/ranking.py. An undocumented soft window is a
+            # HARD failure, so the inventory cannot silently grow.
+            if "O(" not in (q.doc or ""):
+                failures.append(
+                    f"{name}: unpartitioned window without a "
+                    "bounded-grain 'O(...)' statement in its registry "
+                    "doc -- document the summary bound or rewire onto "
+                    "operators/ranking.py"
+                )
         info = (
             f"shuffles={a['shuffles']} sorts={a['global_sorts']} "
             f"arrow={a['arrow_python']} topk={a['take_ordered']}"
