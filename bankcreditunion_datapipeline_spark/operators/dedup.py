@@ -1284,7 +1284,10 @@ def semantic_dedup_pairs(
     base = df.select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col),
-        F.col(vec_col),
+        # double-cast ONCE before the within-cluster pair fan-out (the
+        # join replicates each row ~cluster_size times; casting in the
+        # pair expression would re-cast per pair) -- the q317 lane
+        F.col(vec_col).cast("array<double>").alias("__vd"),
         F.sqrt(
             F.aggregate(
                 F.zip_with(
@@ -1300,21 +1303,25 @@ def semantic_dedup_pairs(
     a = base.select(
         "__cl",
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__v_a"),
+        F.col("__vd").alias("__v_a"),
         F.col("__n").alias("__n_a"),
     )
     b = base.select(
         "__cl",
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__v_b"),
+        F.col("__vd").alias("__v_b"),
         F.col("__n").alias("__n_b"),
     )
-    prods = F.zip_with(
-        F.col("__v_a").cast("array<double>"),
-        F.col("__v_b").cast("array<double>"),
-        lambda x, y: x * y,
-    )
-    dp = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    # per-pair dot rides the dimension-unrolled codegen form
+    # (functions/vectors.dot_fast: bit-identical to the HOF fold,
+    # `dot` fallback on ragged lengths); dim probed once from any row
+    from ..functions.vectors import dot_fast as _dot_fast
+
+    first_d = df.filter(F.col(vec_col).isNotNull()).select(
+        F.size(vec_col).alias("__d")
+    ).first()
+    dim = int(first_d["__d"]) if first_d and first_d["__d"] is not None else 0
+    dp = _dot_fast(F.col("__v_a"), F.col("__v_b"), dim)
     denom = F.col("__n_a") * F.col("__n_b")
     cos = F.when(denom != 0, F.round(dp / denom, 6))
     return (

@@ -23102,6 +23102,11 @@ _BOUNDED_WINDOW_NOTES = {
     "through the q176/q181 sketches first).",
     "q195_training_quota_allocation": "the remainder-rank window runs "
     "over the O(strata) dim-sized allocation aggregate.",
+    "q199_revenue_gini": "the only unpartitioned window is "
+    "distributed_row_number's offset prefix over the O(buckets) "
+    "summary -- the entity-grain rank itself is range-decomposed "
+    "(r12 rewire; previously the engine's last entity-grain global "
+    "window).",
     "q200_quota_stratified_sample": "the allocation windows run over "
     "the O(strata) aggregate; the per-stratum sample rank partitions "
     "by stratum.",
