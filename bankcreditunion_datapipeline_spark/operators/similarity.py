@@ -938,17 +938,19 @@ def mutual_nearest_pairs(
     # norms for every PAIR (3 folds/pair); precomputing leaves only the
     # dot fold pair-side (3x fewer lambda evals, arithmetic unchanged
     # -- same sqrt over the same dot, so results are bit-identical)
-    from ..functions.vectors import dot as _dot
+    from ..functions.vectors import dot_fast as _dot_fast
     from ..functions.vectors import norm as _norm
 
+    first_d = base.select(F.size("__v").alias("__d")).first()
+    dim = int(first_d["__d"]) if first_d and first_d["__d"] is not None else 0
     a = gated.select(
         F.col("__id").alias("__ida"),
-        F.col("__v").alias("__va"),
+        F.col("__v").cast("array<double>").alias("__va"),
         _norm(F.col("__v")).alias("__na"),
     )
     b = base.select(
         F.col("__id").alias("__idb"),
-        F.col("__v").alias("__vb"),
+        F.col("__v").cast("array<double>").alias("__vb"),
         _norm(F.col("__v")).alias("__nb"),
     )
     denom = F.col("__na") * F.col("__nb")
@@ -960,7 +962,7 @@ def mutual_nearest_pairs(
             F.round(
                 F.when(
                     denom != 0,
-                    _dot(F.col("__va"), F.col("__vb")) / denom,
+                    _dot_fast(F.col("__va"), F.col("__vb"), dim) / denom,
                 ),
                 6,
             ).alias("__score"),
@@ -1200,7 +1202,6 @@ def knn_label_disagreement(
     Returns one row per auditable vector: (id, label, majority_label,
     n_votes, disagree 0/1).
     """
-    from ..functions.vectors import dot as _dot
     from ..functions.vectors import norm as _norm
 
     base = df.filter(
@@ -1224,16 +1225,20 @@ def knn_label_disagreement(
             ),
         ).isNull()
     ).drop("__m")
+    from ..functions.vectors import dot_fast as _dot_fast
+
+    first_d = base.select(F.size("__v").alias("__d")).first()
+    dim = int(first_d["__d"]) if first_d and first_d["__d"] is not None else 0
     a = gated.select(
         F.col("__id").alias("__ida"),
         F.col("__l").alias("__la"),
-        F.col("__v").alias("__va"),
+        F.col("__v").cast("array<double>").alias("__va"),
         _norm(F.col("__v")).alias("__na"),
     )
     b = base.select(
         F.col("__id").alias("__idb"),
         F.col("__l").alias("__lb"),
-        F.col("__v").alias("__vb"),
+        F.col("__v").cast("array<double>").alias("__vb"),
         _norm(F.col("__v")).alias("__nb"),
     )
     denom = F.col("__na") * F.col("__nb")
@@ -1247,7 +1252,7 @@ def knn_label_disagreement(
             F.round(
                 F.when(
                     denom != 0,
-                    _dot(F.col("__va"), F.col("__vb")) / denom,
+                    _dot_fast(F.col("__va"), F.col("__vb"), dim) / denom,
                 ),
                 6,
             ).alias("__s"),
@@ -1322,7 +1327,6 @@ def quantization_topk_overlap(
     audit stays a fixed-size sample BY CONSTRUCTION -- overlap is a
     rate, not an enumeration, and a sample estimates it.
     """
-    from ..functions.vectors import dot as _dot
     from ..functions.vectors import norm as _norm
     from .ranking import distributed_row_number
 
