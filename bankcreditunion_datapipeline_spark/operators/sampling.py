@@ -492,10 +492,14 @@ def greedy_coverage_picks(
     prev = None
     picks = []
     for i in range(k):
+        # covered is the union of <= i picked docs' vocabularies --
+        # broadcast-sized by construction at any corpus scale (it grows
+        # with k and document length, never with corpus row count), so
+        # the anti-join must not shuffle the full (id, elem) table
         remaining = (
             toks
             if covered is None
-            else toks.join(covered, "__w", "left_anti")
+            else toks.join(F.broadcast(covered), "__w", "left_anti")
         )
         top = (
             remaining.groupBy("__id")

@@ -820,6 +820,30 @@ def _q21_pair_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_lane(spark, sf_dir, "q21_md5_t04", build)
 
 
+def _q179_prefix_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard audit-family pair lane: prefix-filtered
+    shingle-3 pairs over documents at 600 permille with the 20M pair
+    budget -- shared verbatim by q179/q231/q236/q243/q283/q320 (q243
+    builds at min(_Q243_CUTS), asserted == _Q179_T below; q283
+    previously passed a 50M budget, and a lane that PASSES the tighter
+    20M budget returns rows identical to the 50M run by construction --
+    the budget is a fail-loud guard, never a truncation)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import prefix_filtered_jaccard_pairs
+
+        return prefix_filtered_jaccard_pairs(
+            t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            threshold_permille=_Q179_T,
+            shingle=_Q179_SHINGLE,
+            max_pair_rows=20_000_000,
+        )
+
+    return _cached_lane(spark, sf_dir, "prefix_sh3_t600", build)
+
+
 def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
     return f"""
     WITH {_minhash_md5_ctes('documents', num_hashes, bands, 4000)}
@@ -9760,18 +9784,11 @@ def _q179_oracle(t: int = _Q179_T, sh: int = _Q179_SHINGLE) -> str:
     "threshold.",
 )
 def q179_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import prefix_filtered_jaccard_pairs
-
-    docs = t(spark, sf_dir, "documents")
     # ~318k prefix-pair rows at sf0.1 growing LINEARLY with the corpus
     # (shingle prefixes don't collide across replicas); 20M = ~60x
     # headroom while still failing loud on a super-linear template
     # collision (the unigram mode's 88M at sf0.1 would trip it)
-    return prefix_filtered_jaccard_pairs(
-        docs, "doc_id", "text",
-        threshold_permille=_Q179_T, shingle=_Q179_SHINGLE,
-        max_pair_rows=20_000_000,
-    )
+    return _q179_prefix_lane(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -13262,18 +13279,10 @@ def _q231_oracle() -> str:
     "+ a row-local hash.",
 )
 def q231_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import prefix_filtered_jaccard_pairs
     from .operators.sampling import cluster_safe_split
 
     docs = t(spark, sf_dir, "documents")
-    pairs = prefix_filtered_jaccard_pairs(
-        docs,
-        "doc_id",
-        "text",
-        threshold_permille=_Q179_T,
-        shingle=_Q179_SHINGLE,
-        max_pair_rows=20_000_000,
-    ).select("id_a", "id_b")
+    pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
     assigned = cluster_safe_split(docs, pairs, "doc_id").persist()
     sp = assigned.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -13706,18 +13715,9 @@ def q236_incremental_dup_clusters(
     from .operators.dedup import (
         connected_components,
         extend_components,
-        prefix_filtered_jaccard_pairs,
     )
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = prefix_filtered_jaccard_pairs(
-        docs,
-        "doc_id",
-        "text",
-        threshold_permille=_Q179_T,
-        shingle=_Q179_SHINGLE,
-        max_pair_rows=20_000_000,
-    ).select("id_a", "id_b").persist()
+    pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
     old = pairs.filter(
         (F.col("id_a") < _Q236_CUT) & (F.col("id_b") < _Q236_CUT)
     )
@@ -14347,20 +14347,12 @@ def _q243_oracle() -> str:
     "(tiny) filtered pair graph.",
 )
 def q243_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import (
-        connected_components,
-        prefix_filtered_jaccard_pairs,
-    )
+    from .operators.dedup import connected_components
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = prefix_filtered_jaccard_pairs(
-        docs,
-        "doc_id",
-        "text",
-        threshold_permille=min(_Q243_CUTS),
-        shingle=_Q179_SHINGLE,
-        max_pair_rows=20_000_000,
-    ).persist()
+    # the shared lane is built at _Q179_T; every cut re-filters it, so
+    # the loosest cut must BE the lane threshold or pairs would be lost
+    assert min(_Q243_CUTS) == _Q179_T, "q243 cuts diverged from the lane"
+    pairs = _q179_prefix_lane(spark, sf_dir)
     rows = []
     for cut in _Q243_CUTS:
         sub = pairs.filter(F.col("jaccard_permille") >= cut)
@@ -18009,14 +18001,10 @@ def q282_principal_axis_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair graph; levenshtein runs once per PAIR, not per element.",
 )
 def q283_near_dup_edit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import prefix_filtered_jaccard_pairs
-
     docs = t(spark, sf_dir, "documents")
-    pairs = prefix_filtered_jaccard_pairs(
-        docs, "doc_id", "text",
-        threshold_permille=600, shingle=3,
-        max_pair_rows=50_000_000,
-    ).select("id_a", "id_b", "jaccard_permille")
+    pairs = _q179_prefix_lane(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard_permille"
+    )
     pref = docs.filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     ).select(
@@ -21831,23 +21819,11 @@ def q320_incremental_survivors(
         extend_components,
         incremental_survivor_candidates,
         pick_survivors,
-        prefix_filtered_jaccard_pairs,
     )
     from .operators.text import quality_score
 
     docs = t(spark, sf_dir, "documents")
-    pairs = (
-        prefix_filtered_jaccard_pairs(
-            docs,
-            "doc_id",
-            "text",
-            threshold_permille=_Q179_T,
-            shingle=_Q179_SHINGLE,
-            max_pair_rows=20_000_000,
-        )
-        .select("id_a", "id_b")
-        .persist()
-    )
+    pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
     old = pairs.filter(
         (F.col("id_a") < _Q320_CUT) & (F.col("id_b") < _Q320_CUT)
     )

@@ -358,3 +358,35 @@ def test_cached_pair_lane_identity_and_keying(spark, sf_dir):
 
     q21 = registry()["q21_minhash_near_dups"].spark_fn(spark, sf_dir)
     assert q21 is a
+
+
+def test_prefix_lane_shared_and_equals_direct_build(spark, sf_dir):
+    """The r12 extension of the lane cache: q179's exact-Jaccard prefix
+    lane is one materialization shared by q179/q231/q236/q243/q283/q320,
+    and its rows equal a fresh direct prefix_filtered_jaccard_pairs
+    build at the same (shingle, threshold) -- including under q283's
+    historical looser 50M pair budget (the budget is fail-loud, never a
+    truncation, so a 20M-passing lane is row-identical at 50M)."""
+    import bankcreditunion_datapipeline_spark.queries as Q
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+    from bankcreditunion_datapipeline_spark.queries import registry, t
+
+    lane = Q._q179_prefix_lane(spark, sf_dir)
+    assert lane is Q._q179_prefix_lane(spark, sf_dir)
+    assert lane.storageLevel.useMemory
+    assert registry()["q179_prefix_jaccard_pairs"].spark_fn(
+        spark, sf_dir
+    ) is lane
+    direct = prefix_filtered_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold_permille=Q._Q179_T,
+        shingle=Q._Q179_SHINGLE,
+        max_pair_rows=50_000_000,
+    )
+    got = sorted(map(tuple, lane.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and len(got) > 0
