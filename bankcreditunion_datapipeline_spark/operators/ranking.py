@@ -64,6 +64,17 @@ from pyspark.sql.window import Window
 
 OrderSpec = Sequence[Tuple[str, str]]
 
+# Runtime call log (r13 ratchet, VERDICT r12 #3): every public
+# distributed-rank operator records its name here at DataFrame-BUILD
+# time.  tools/plan_audit.py clears the set before constructing each
+# registered query and cross-checks it against the query's doc: a doc
+# (or bounded-window ledger note) that claims a distributed_* rewire
+# which never actually fired is a HARD audit failure -- q228 (r12)
+# proved a stated bound can be false while a presence-only ratchet
+# passes.  queries.py's _cached_lane replays a lane's recorded ops on
+# cache hits so shared-lane consumers attribute correctly.
+CALLS: set = set()
+
 
 def _sort_exprs(order: OrderSpec) -> list:
     out = []
@@ -246,6 +257,7 @@ def distributed_row_number(
     from the offsets aggregate.  ``buckets`` defaults to the session's
     shuffle parallelism.
     """
+    CALLS.add("distributed_row_number")
     if {out_col, total_col} & {"__rn", "__n"}:
         raise ValueError(
             "distributed_row_number: output names may not be the "
@@ -284,6 +296,7 @@ def distributed_cumsum(
     per-partition-key value total (the Lorenz-share denominator),
     ``count_col`` = the per-partition-key row count.
     """
+    CALLS.add("distributed_cumsum")
     reserved = {"__rn", "__n", "__cum", "__tot"}
     requested = {out_col, rank_col, total_col, count_col} - {None}
     if requested & reserved:
@@ -330,6 +343,7 @@ def distributed_cummax_exclusive(
     just contributes nothing).  Same total-order contract as the rank
     operators.
     """
+    CALLS.add("distributed_cummax_exclusive")
     if not order:
         raise ValueError("distributed_cummax_exclusive: empty order spec")
     clash = {"__pid", "__opid", "__bm", "__boff"} & set(df.columns)
@@ -410,6 +424,7 @@ def distributed_ntile(
     form (two-strategies-must-agree: tests/test_ranking.py pins random
     frames; the checker grades the rewired callers against unchanged
     ntile oracles).  See the module doc for contracts."""
+    CALLS.add("distributed_ntile")
     if n_tiles < 1:
         raise ValueError(
             f"distributed_ntile: n_tiles must be >= 1, got {n_tiles}"

@@ -28,7 +28,9 @@ narrow projections over ONE persisted base; every pair-generating stage
 is blocked (LSH bands / embedding cluster label) and fail-loud budgeted
 upstream; connected components run on the pair graph only (empty-graph
 fast path below skips them outright); survivor windows partition by
-cluster; the budget window partitions by source; split and shard
+cluster; the budget cut rides distributed_cumsum bucketed WITHIN each
+source (source is the corpus skew key -- a plain per-source window
+would single-task the dominant crawl); split and shard
 assignment are narrow md5 projections; the manifest is O(stages +
 shards) driver rows. No global windows, no unblocked cross joins, no
 Python-row UDFs.
@@ -90,6 +92,45 @@ def _distinct_gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> 
             )
         ).alias("gh"),
     ).distinct()
+
+
+def _budget_cut(
+    cur: DataFrame,
+    weights: DataFrame,
+    source_col: str,
+    id_col: str,
+    nt_col: str,
+) -> DataFrame:
+    """Per-source mixture budget cut: keep a doc while the EXCLUSIVE
+    token prefix (id order) within its source is under the source's
+    budget.  The running sum rides distributed_cumsum (operators/
+    ranking.py) partitioned by source rather than a plain window:
+    source is THE canonical skew key of a training corpus (one web
+    crawl is routinely >80% of docs), so a per-source window would put
+    the dominant source's entire surviving doc set through ONE
+    WindowExec task at scale -- the two-level range-bucketed form is
+    value-identical (two-strategies-must-agree, tests/test_ranking.py)
+    and never single-partitions a source.  NULL-source docs have no
+    mixture group to draw budget from and are rejected by the equi-join
+    (plans/export.py contract; the cumsum's null-safe offset join
+    carries them that far unchanged).  `weights` must provide
+    (source_col, __budget).  Shared by the batch flagship and the
+    streaming twin so their manifests agree by construction."""
+    from ..operators.ranking import distributed_cumsum
+
+    cut = distributed_cumsum(
+        cur,
+        [(id_col, "asc")],
+        value_col=nt_col,
+        partition_cols=[source_col],
+        out_col="__cum_nt",
+    )
+    return (
+        cut.withColumn("__before", F.col("__cum_nt") - F.col(nt_col))
+        .join(F.broadcast(weights.select(source_col, "__budget")), source_col)
+        .filter(F.col("__before") < F.col("__budget"))
+        .drop("__cum_nt", "__before", "__budget")
+    )
 
 
 def _survivors(
@@ -338,23 +379,7 @@ def release_corpus(
                 F.col("sample_weight") * F.lit(float(total_token_budget))
             ).cast("long"),
         )
-        w = (
-            Window.partitionBy(source_col)
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        # NULL-source docs have no mixture group to draw budget from and
-        # are rejected here (equi-join semantics; plans/export.py contract)
-        cur = (
-            cur.withColumn(
-                "__before", F.sum("__nt").over(w) - F.col("__nt")
-            )
-            .join(
-                F.broadcast(weights.select(source_col, "__budget")), source_col
-            )
-            .filter(F.col("__before") < F.col("__budget"))
-            .drop("__before", "__budget")
-        )
+        cur = _budget_cut(cur, weights, source_col, id_col, "__nt")
 
     # leakage-free split: hash the CLUSTER label, not the doc id
     threshold = int(holdout_rate * _BUCKETS)

@@ -765,7 +765,8 @@ def _minhash_md5_ctes(
             >= {thr_num} * len(list_distinct(ha.hd || hb.hd)))"""
 
 
-_LANE_CACHE: dict[tuple, DataFrame] = {}
+# key -> (persisted lane DataFrame, distributed-rank ops its build fired)
+_LANE_CACHE: dict[tuple, tuple] = {}
 
 
 def _cached_lane(
@@ -787,15 +788,25 @@ def _cached_lane(
     the same process never receives frames bound to a stopped one."""
     import os as _os
 
+    from .operators import ranking as _ranking
+
     key = (
         spark.sparkContext.applicationId,
         _os.path.realpath(sf_dir),
         name,
     )
-    df = _LANE_CACHE.get(key)
-    if df is None:
+    hit = _LANE_CACHE.get(key)
+    if hit is None:
+        # record which distributed-rank operators the lane build fires,
+        # and replay them into the call log on every cache hit: the r13
+        # claim-verifying audit attributes a shared lane's rewires to
+        # EVERY consumer, not just the first builder
+        before = set(_ranking.CALLS)
         df = build().persist()
-        _LANE_CACHE[key] = df
+        hit = (df, set(_ranking.CALLS) - before)
+        _LANE_CACHE[key] = hit
+    df, lane_ops = hit
+    _ranking.CALLS.update(lane_ops)
     return df
 
 
@@ -12989,10 +13000,14 @@ def q227_coverage_corpus_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against distinct purchase-event users -- conversion permille per "
     "tier, the composition every growth team runs (segment table x "
     "behavioral funnel). Buyer set is distinct-collapsed before the "
-    "LEFT join (never fan-out), floor-div permille.",
+    "LEFT join (never fan-out), floor-div permille. The quintile rides "
+    "distributed_ntile (operators/ranking.py): the customer grain grows "
+    "linearly with the corpus, so the raw ntile window would put every "
+    "customer through ONE WindowExec task; the two-level form is "
+    "value-identical (the k tiebreak makes the order total).",
 )
 def q228_segment_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .operators.ranking import distributed_ntile
 
     per = (
         t(spark, sf_dir, "orders")
@@ -13004,18 +13019,12 @@ def q228_segment_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_orderdate").alias("last_d"))
     )
     ref = per.agg(F.max("last_d").alias("ref"))
-    seg = per.crossJoin(F.broadcast(ref)).select(
-        "k",
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                F.datediff(F.col("ref"), F.col("last_d")).asc(),
-                F.col("k").asc(),
-            )
-        )
-        .cast("long")
-        .alias("r_q"),
+    scored = per.crossJoin(F.broadcast(ref)).withColumn(
+        "__dd", F.datediff(F.col("ref"), F.col("last_d")).cast("long")
     )
+    seg = distributed_ntile(
+        scored, 5, [("__dd", "asc"), ("k", "asc")], out_col="r_q"
+    ).select("k", F.col("r_q").cast("long").alias("r_q"))
     buyers = (
         t(spark, sf_dir, "events")
         .filter(
@@ -22880,13 +22889,21 @@ _Q332_SPLIT = int(0.05 * 65536)
 _Q332_SHARDS = 4
 
 
-def _q332_oracle() -> str:
+def _release_oracle(
+    budget: "int | None" = _Q332_BUDGET,
+    contamination: bool = True,
+    nd_thr_num: int = 7000,
+) -> str:
     """Replays plans/release.py stage for stage. The near/semantic
     cluster stages use the recursive-CC + keep-policy shape of the
     q320/q103 oracles (survivor = longest text, min doc_id, per
     component); grams compare as raw strings where Spark uses xxhash64
     (the q77 equivalence: distinct-set counts agree absent 64-bit
-    collisions)."""
+    collisions).  Parameterized (r13, VERDICT r12 #7) so each of the
+    flagship's conditional branches grades against its own oracle:
+    ``budget=None`` drops the mixture/cum CTEs (the no-budget path),
+    ``contamination=False`` drops the gram CTEs (the no-benchmark
+    path), ``nd_thr_num`` is the 10000-scaled near-dup verify cut."""
     ng = "5"
     cos = (
         "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -22894,6 +22911,61 @@ def _q332_oracle() -> str:
         " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
         ", 6)"
     )
+    if contamination:
+        contam_ctes = f"""bt AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM cleaned WHERE doc_id % 97 = 0 AND text IS NOT NULL),
+    bg AS MATERIALIZED (
+      SELECT DISTINCT array_to_string(
+               w[CAST(i AS BIGINT):CAST(i + {ng} - 1 AS BIGINT)], ' ') AS g
+      FROM bt, unnest(generate_series(1, len(w) - {ng} + 1)) AS t(i)
+      WHERE len(w) >= {ng}),
+    st AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM sem),
+    sg AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+               w[CAST(i AS BIGINT):CAST(i + {ng} - 1 AS BIGINT)], ' ') AS g
+      FROM st, unnest(generate_series(1, len(w) - {ng} + 1)) AS t(i)
+      WHERE len(w) >= {ng}),
+    pd AS MATERIALIZED (
+      SELECT s.doc_id, count(*) AS ngr,
+             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS nh
+      FROM sg s LEFT JOIN bg b ON s.g = b.g
+      GROUP BY s.doc_id),
+    cdocs AS MATERIALIZED (
+      SELECT m.doc_id, m.source, m.grp
+      FROM sem m LEFT JOIN pd ON pd.doc_id = m.doc_id
+      WHERE pd.doc_id IS NULL OR 2 * pd.nh < pd.ngr)"""
+        contam_row = """
+      UNION ALL SELECT 'contamination_gate', (SELECT count(*) FROM cdocs),
+             (SELECT coalesce(sum(t.nt), 0) FROM cdocs q JOIN tok t USING (doc_id))"""
+    else:
+        contam_ctes = (
+            "cdocs AS MATERIALIZED (SELECT doc_id, source, grp FROM sem)"
+        )
+        contam_row = ""
+    if budget is not None:
+        budget_ctes = f"""wts AS MATERIALIZED (
+      SELECT source, round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS wgt
+      FROM (SELECT source, count(*) AS n FROM cdocs GROUP BY source)),
+    bdg AS MATERIALIZED (
+      SELECT source, CAST(ceil(wgt * {budget}) AS BIGINT) AS budget
+      FROM wts),
+    cum AS MATERIALIZED (
+      SELECT d.doc_id, d.grp, t.nt, bdg.budget,
+             sum(t.nt) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                             ROWS UNBOUNDED PRECEDING) - t.nt AS before
+      FROM cdocs d JOIN tok t USING (doc_id) JOIN bdg USING (source)),
+    selq AS MATERIALIZED (SELECT doc_id, grp, nt FROM cum WHERE before < budget)"""
+        budget_row = """
+      UNION ALL SELECT 'budget_cut', (SELECT count(*) FROM selq),
+             (SELECT coalesce(sum(nt), 0) FROM selq)"""
+    else:
+        budget_ctes = (
+            "selq AS MATERIALIZED (SELECT d.doc_id, d.grp, t.nt "
+            "FROM cdocs d JOIN tok t USING (doc_id))"
+        )
+        budget_row = ""
     return f"""
     WITH RECURSIVE {_curation_front_ctes(0.2, materialized=True)},
     tok AS MATERIALIZED (
@@ -22901,7 +22973,7 @@ def _q332_oracle() -> str:
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
       FROM cleaned),
-    {_minhash_md5_ctes('exact', 16, 8, 7000, 'nd_')},
+    {_minhash_md5_ctes('exact', 16, 8, nd_thr_num, 'nd_')},
     nd_ebi AS MATERIALIZED (
       SELECT id_a, id_b FROM nd_pairs
       UNION SELECT id_b, id_a FROM nd_pairs),
@@ -22943,42 +23015,8 @@ def _q332_oracle() -> str:
         SELECT *, row_number() OVER (PARTITION BY grp
                   ORDER BY length(text) DESC, doc_id ASC) AS rn
         FROM sem_m) WHERE rn = 1),
-    bt AS MATERIALIZED (
-      SELECT doc_id, string_split(text, ' ') AS w
-      FROM cleaned WHERE doc_id % 97 = 0 AND text IS NOT NULL),
-    bg AS MATERIALIZED (
-      SELECT DISTINCT array_to_string(
-               w[CAST(i AS BIGINT):CAST(i + {ng} - 1 AS BIGINT)], ' ') AS g
-      FROM bt, unnest(generate_series(1, len(w) - {ng} + 1)) AS t(i)
-      WHERE len(w) >= {ng}),
-    st AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM sem),
-    sg AS MATERIALIZED (
-      SELECT DISTINCT doc_id,
-             array_to_string(
-               w[CAST(i AS BIGINT):CAST(i + {ng} - 1 AS BIGINT)], ' ') AS g
-      FROM st, unnest(generate_series(1, len(w) - {ng} + 1)) AS t(i)
-      WHERE len(w) >= {ng}),
-    pd AS MATERIALIZED (
-      SELECT s.doc_id, count(*) AS ngr,
-             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS nh
-      FROM sg s LEFT JOIN bg b ON s.g = b.g
-      GROUP BY s.doc_id),
-    cdocs AS MATERIALIZED (
-      SELECT m.doc_id, m.source, m.grp
-      FROM sem m LEFT JOIN pd ON pd.doc_id = m.doc_id
-      WHERE pd.doc_id IS NULL OR 2 * pd.nh < pd.ngr),
-    wts AS MATERIALIZED (
-      SELECT source, round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS wgt
-      FROM (SELECT source, count(*) AS n FROM cdocs GROUP BY source)),
-    bdg AS MATERIALIZED (
-      SELECT source, CAST(ceil(wgt * {_Q332_BUDGET}) AS BIGINT) AS budget
-      FROM wts),
-    cum AS MATERIALIZED (
-      SELECT d.doc_id, d.grp, t.nt, bdg.budget,
-             sum(t.nt) OVER (PARTITION BY d.source ORDER BY d.doc_id
-                             ROWS UNBOUNDED PRECEDING) - t.nt AS before
-      FROM cdocs d JOIN tok t USING (doc_id) JOIN bdg USING (source)),
-    selq AS MATERIALIZED (SELECT doc_id, grp, nt FROM cum WHERE before < budget),
+    {contam_ctes},
+    {budget_ctes},
     spl AS MATERIALIZED (
       SELECT doc_id, nt,
              CASE WHEN CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4))
@@ -23006,11 +23044,7 @@ def _q332_oracle() -> str:
       UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM near),
              (SELECT coalesce(sum(t.nt), 0) FROM near q JOIN tok t USING (doc_id))
       UNION ALL SELECT 'semantic_dedup', (SELECT count(*) FROM sem),
-             (SELECT coalesce(sum(t.nt), 0) FROM sem q JOIN tok t USING (doc_id))
-      UNION ALL SELECT 'contamination_gate', (SELECT count(*) FROM cdocs),
-             (SELECT coalesce(sum(t.nt), 0) FROM cdocs q JOIN tok t USING (doc_id))
-      UNION ALL SELECT 'budget_cut', (SELECT count(*) FROM selq),
-             (SELECT coalesce(sum(nt), 0) FROM selq)
+             (SELECT coalesce(sum(t.nt), 0) FROM sem q JOIN tok t USING (doc_id)){contam_row}{budget_row}
       UNION ALL SELECT 'holdout',
              (SELECT count(*) FROM spl WHERE side = 'holdout'),
              (SELECT coalesce(sum(nt), 0) FROM spl WHERE side = 'holdout')
@@ -23025,7 +23059,7 @@ def _q332_oracle() -> str:
 
 @register(
     "q332_corpus_release_manifest",
-    _q332_oracle(),
+    _release_oracle(),
     doc="release_corpus (plans/release.py) end to end: the q49 curation "
     "front, then near-dup CLUSTERS (LSH md5 lane -> CC -> keep-policy "
     "survivor: longest text, min id), semantic dedup over the embeddings "
@@ -23036,8 +23070,10 @@ def _q332_oracle() -> str:
     f"{_Q332_SHARDS} md5 shards -- graded as ONE manifest of per-stage "
     "(n_docs, n_tokens) plus per-shard rows, so a regression ANYWHERE "
     "in the composition moves a graded number.  Scale: every stage is "
-    "the already-audited operator (blocked pair lanes, cluster-/source-"
-    "partitioned windows, broadcast dims, O(stages+shards) driver rows); "
+    "the already-audited operator (blocked pair lanes, cluster-"
+    "partitioned survivor windows, a distributed_cumsum budget cut "
+    "bucketed WITHIN each source -- source is the corpus skew key -- "
+    "broadcast dims, O(stages+shards) driver rows); "
     "the only additions are persist boundaries between stages.",
 )
 def q332_corpus_release_manifest(
@@ -23053,6 +23089,46 @@ def q332_corpus_release_manifest(
         embeddings=emb,
         near_dup_hash="md5",
         total_token_budget=_Q332_BUDGET,
+        n_shards=_Q332_SHARDS,
+    )
+    return res.manifest
+
+
+# ---------------------------------------------------------------------------
+# The flagship's OTHER branches (r13, VERDICT r12 #7): q332 exercises
+# one configuration; this grades the conditional paths it skips --
+# benchmark=None (no contamination stage), total_token_budget=None (no
+# mixture cut), and a 0.99 near-dup verify cut (on this corpus the LSH
+# lane finds no >=0.99-Jaccard pairs after exact dedup, so the
+# empty-pair fast path in _survivors carries the near stage through
+# keep-all). A regression in ANY branch moves a graded manifest row.
+# ---------------------------------------------------------------------------
+@register(
+    "q333_release_unbudgeted_manifest",
+    _release_oracle(budget=None, contamination=False, nd_thr_num=9900),
+    doc="release_corpus (plans/release.py) in its keep-all/no-budget "
+    "configuration: same curation front, md5 LSH lane, semantic stage, "
+    "leak-free cluster split and shards as q332, with near-dup verify "
+    "at 0.99 (keep-all on this corpus -- exercises the empty-pair fast "
+    "path), no benchmark (the contamination-skip branch) and no token "
+    "budget (the budget=None branch). Together with q332 every "
+    "conditional branch of the flagship moves a graded number. Scale "
+    "posture identical to q332 (the skipped stages only REMOVE work).",
+)
+def q333_release_unbudgeted_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .plans.release import release_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    res = release_corpus(
+        docs,
+        benchmark=None,
+        embeddings=emb,
+        near_dup_threshold=0.99,
+        near_dup_hash="md5",
+        total_token_budget=None,
         n_shards=_Q332_SHARDS,
     )
     return res.manifest
@@ -23101,8 +23177,8 @@ _BOUNDED_WINDOW_NOTES = {
     "q225_length_quality_spearman": "rank windows run over the "
     "deterministic md5-rank O(4000)-doc sample, fixed at any corpus "
     "size (the lane is fail-loud past 16000).",
-    "q228_segment_conversion": "inherits q212's bound: "
-    "distributed_ntile offset prefixes over the O(buckets) summary.",
+    "q228_segment_conversion": "the only unpartitioned windows are "
+    "distributed_ntile's offset prefixes over the O(buckets) summary.",
     "q229_event_level_change_point": "the cumulative window runs over "
     "the O(days) daily-volume aggregate.",
     "q244_bm25_eval_metrics": "rank windows run over the O(queries x "
@@ -23123,15 +23199,15 @@ _BOUNDED_WINDOW_NOTES = {
     "q310_class_margin_audit": "margin windows run over the O(200) "
     "md5-rank sample, corpus-size-independent.",
     "q312_revenue_concentration_ledger": "the only unpartitioned "
-    "windows are the distributed rank/cumsum offset prefixes over the "
+    "windows are distributed_cumsum's offset prefixes over the "
     "O(buckets) summary.",
     "q313_image_dhash_near_dups": "the only unpartitioned window is "
     "distributed_row_number's offset prefix over the O(buckets) "
     "summary (the media cap itself never single-partitions).",
     "q317_quantization_retrieval_audit": "unpartitioned windows are "
-    "the distributed-rank offset prefixes over the O(buckets) summary; "
-    "topk rank windows partition by anchor over the O(base_cap) "
-    "budget-bounded pair frame.",
+    "distributed_row_number's offset prefixes over the O(buckets) "
+    "summary; topk rank windows partition by anchor over the "
+    "O(base_cap) budget-bounded pair frame.",
     "q330_priority_value_kruskal": "the rank window runs over the "
     "O(distinct cents) tie-summary, never order rows.",
     "q331_zipf_slope": "the rank window runs over the O(200) top-terms "

@@ -1776,19 +1776,9 @@ def streaming_release_manifest(
                 F.col("sample_weight") * F.lit(float(total_token_budget))
             ).cast("long"),
         )
-        w = (
-            Window.partitionBy(source_col)
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cur = (
-            cur.withColumn("__before", F.sum("nt").over(w) - F.col("nt"))
-            .join(
-                F.broadcast(weights.select(source_col, "__budget")), source_col
-            )
-            .filter(F.col("__before") < F.col("__budget"))
-            .drop("__before", "__budget")
-        )
+        from ..plans.release import _budget_cut
+
+        cur = _budget_cut(cur, weights, source_col, id_col, "nt")
 
     threshold = int(holdout_rate * _BUCKETS)
     final = pin(

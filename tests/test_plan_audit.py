@@ -21,10 +21,12 @@ sys.path.insert(
 from plan_audit import (  # noqa: E402
     audit_plan,
     count_unpartitioned_windows,
+    false_rank_claims,
     unpartitioned_window_lines,
 )
 
 from bankcreditunion_datapipeline_spark import queries as _q  # noqa: E402
+from bankcreditunion_datapipeline_spark.operators import ranking as _rk  # noqa: E402
 
 
 def _plan(df) -> str:
@@ -65,6 +67,62 @@ def test_detector_ignores_partition_only_window(spark):
         "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
     assert count_unpartitioned_windows(_plan(part_only)) == 0
+
+
+def test_false_rank_claim_fails_and_true_claim_passes():
+    # r13 ratchet (VERDICT r12 #3): a deliberately FALSE note -- one
+    # claiming a distributed_* rewire that never fired -- must fail the
+    # audit; the q228 class cannot pass on a stated-but-untrue bound.
+    note = "rides distributed_ntile over the customer summary"
+    assert false_rank_claims(note, set()) == ["distributed_ntile"]
+    assert false_rank_claims(note, {"distributed_ntile"}) == []
+    # a misnamed sibling is tolerated (both are real two-level rewires)
+    assert false_rank_claims(note, {"distributed_row_number"}) == []
+    # docs with no distributed_* claim never fail regardless of calls
+    assert false_rank_claims("the window runs over O(days)", set()) == []
+    assert false_rank_claims("", set()) == []
+
+
+def test_rank_operators_record_calls_at_build_time(spark):
+    from bankcreditunion_datapipeline_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    df = spark.range(10).withColumn("v", F.col("id") % 3)
+    _rk.CALLS.clear()
+    distributed_ntile(df, 2, [("v", "asc"), ("id", "asc")], out_col="t")
+    assert "distributed_ntile" in _rk.CALLS  # logged at BUILD, no action ran
+
+
+def test_q228_claim_is_now_true(spark, sf_dir):
+    # the r12 finding itself: q228's ledger note claims distributed_ntile;
+    # building the query must actually fire it.
+    q = _q.registry()["q228_segment_conversion"]
+    assert "distributed_ntile" in (q.doc or "")
+    _rk.CALLS.clear()
+    q.spark_fn(spark, sf_dir)
+    assert false_rank_claims(q.doc, set(_rk.CALLS)) == []
+
+
+def test_cached_lane_replays_rank_ops_on_hit(spark):
+    # a shared lane's rewires must attribute to EVERY consumer: the
+    # second consumer sees the lane's ops in CALLS even on a cache hit.
+    from bankcreditunion_datapipeline_spark.queries import _cached_lane
+
+    built = []
+
+    def build():
+        built.append(1)
+        _rk.CALLS.add("distributed_row_number")
+        return spark.range(3)
+
+    _rk.CALLS.clear()
+    _cached_lane(spark, "/tmp", "test_lane_replay", build)
+    assert built == [1] and "distributed_row_number" in _rk.CALLS
+    _rk.CALLS.clear()
+    _cached_lane(spark, "/tmp", "test_lane_replay", build)
+    assert built == [1], "lane rebuilt on what should be a cache hit"
+    assert "distributed_row_number" in _rk.CALLS
 
 
 # order columns an unpartitioned window may legitimately ride in the

@@ -390,3 +390,56 @@ def test_prefix_lane_shared_and_equals_direct_build(spark, sf_dir):
     got = sorted(map(tuple, lane.collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got == want and len(got) > 0
+
+
+def test_budget_cut_equals_window_form_under_source_skew(spark):
+    # r13 (VERDICT r12 #2): the budget cut rides distributed_cumsum
+    # bucketed WITHIN each source. Two-strategies-must-agree against the
+    # naive per-source window form on a skewed corpus (one source holds
+    # ~90% of docs -- the shape that single-tasks the window at scale).
+    from pyspark.sql.window import Window
+
+    from bankcreditunion_datapipeline_spark.plans.release import _budget_cut
+
+    rows = [(i, "crawl" if i % 10 else "books", (i % 7) + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nt long")
+    weights = spark.createDataFrame(
+        [("crawl", 60), ("books", 25)], "source string, __budget long"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in _budget_cut(df, weights, "source", "doc_id", "nt").collect()
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in df.withColumn("__before", F.sum("nt").over(w) - F.col("nt"))
+        .join(F.broadcast(weights), "source")
+        .filter(F.col("__before") < F.col("__budget"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_release_unbudgeted_keepall_configuration(spark):
+    # the q333 configuration's branch semantics at unit scale: no
+    # benchmark -> no contamination_gate row; no budget -> no budget_cut
+    # row; a 1.01-impossible near threshold -> empty pair lane -> the
+    # near stage keeps ALL exact survivors (the fast path).
+    res = release_corpus(
+        _corpus(spark),
+        benchmark=None,
+        embeddings=None,
+        near_dup_threshold=0.99,
+        total_token_budget=None,
+    )
+    stages = {r["stage"] for r in res.manifest.collect()}
+    assert "contamination_gate" not in stages
+    assert "budget_cut" not in stages
+    f = res.funnel
+    assert f["near_dedup"][0] <= f["exact_dedup"][0]
+    assert f["holdout"][0] + f["train"][0] == f["near_dedup"][0]

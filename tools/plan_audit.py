@@ -43,7 +43,31 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bankcreditunion_datapipeline_spark import queries as _q  # noqa: E402
+from bankcreditunion_datapipeline_spark.operators import ranking as _ranking  # noqa: E402
 from bankcreditunion_datapipeline_spark.session import build_session  # noqa: E402
+
+
+def claimed_rank_ops(doc: str) -> set:
+    """distributed_* operator names a registry doc (which includes the
+    appended bounded-window ledger note) claims as its rewire."""
+    return set(re.findall(r"\bdistributed_\w+", doc or ""))
+
+
+def false_rank_claims(doc: str, called: set) -> list:
+    """r13 ratchet (VERDICT r12 #1/#3): q228 proved a stated bound can
+    be FALSE while a presence-only check passes -- its note claimed
+    distributed_ntile while the query ran a raw global ntile window.
+    This verifies the CLAIM, not its presence: a doc that names one or
+    more distributed_* rewires of which NONE actually fired while the
+    query's DataFrame was built (operators/ranking.py:CALLS, lane hits
+    replayed by queries._cached_lane) is a hard failure.  Claiming
+    distributed_row_number while firing distributed_cumsum is tolerated
+    (both are real two-level rewires -- the failure class is a claimed
+    rewire masking a raw window, not a misnamed sibling)."""
+    claimed = claimed_rank_ops(doc)
+    if claimed and not called:
+        return sorted(claimed)
+    return []
 
 
 def unpartitioned_window_lines(plan: str) -> list:
@@ -91,6 +115,7 @@ def main() -> None:
     failures: list[str] = []
     soft: list[str] = []
     for name, q in sorted(_q.registry().items()):
+        _ranking.CALLS.clear()
         try:
             df = q.spark_fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -99,6 +124,15 @@ def main() -> None:
             continue
         a = audit_plan(plan)
         flags = []
+        fake = false_rank_claims(q.doc, set(_ranking.CALLS))
+        if fake:
+            flags.append(f"FALSE_CLAIM {','.join(fake)}")
+            failures.append(
+                f"{name}: doc claims {', '.join(fake)} but building the "
+                "query fired no distributed-rank operator -- a false "
+                "bounded-window claim (the q228 class); rewire the query "
+                "or correct the doc"
+            )
         if a["python_udf"]:
             flags.append(f"PYTHON_UDF x{a['python_udf']}")
             failures.append(f"{name}: row-at-a-time Python UDF in plan")
