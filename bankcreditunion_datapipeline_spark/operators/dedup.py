@@ -1268,6 +1268,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     threshold: float = 0.95,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs: exact pairwise cosine
     WITHIN a cluster only (Abbas et al. 2023 -- k-means the embeddings,
@@ -1278,28 +1279,38 @@ def semantic_dedup_pairs(
 
     Norms are computed ONCE per row before the self-join (the join fans
     each row into ~cluster_size pairs; folding the norm inside the pair
-    expression would recompute it per pair).  The join shuffles each
-    side's vectors exactly once, keyed by the cluster id.
+    expression would recompute it per pair), ride the same
+    dimension-unrolled codegen form as the pair dot (functions/vectors.
+    dot_fast -- bit-identical to the HOF fold including the 0.0 seed),
+    and the projected base is PERSISTED before the self-join: both join
+    sides would otherwise replay the upstream frame (in the release
+    plan that is a survivors-x-embeddings join plus the cast and norm,
+    measured ~2x the stage cost at sf0.1).
     """
+    from ..functions.vectors import dot_fast as _dot_fast
+
+    if dim is None:
+        # probe the width from any row (one tiny job; callers that know
+        # the width -- e.g. release_corpus probing the embeddings table
+        # BEFORE the survivors join -- pass `dim` and skip it)
+        first_d = df.filter(F.col(vec_col).isNotNull()).select(
+            F.size(vec_col).alias("__d")
+        ).first()
+        dim = (
+            int(first_d["__d"])
+            if first_d and first_d["__d"] is not None
+            else 0
+        )
+    vd = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col),
         # double-cast ONCE before the within-cluster pair fan-out (the
         # join replicates each row ~cluster_size times; casting in the
         # pair expression would re-cast per pair) -- the q317 lane
-        F.col(vec_col).cast("array<double>").alias("__vd"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"),
-                    F.col(vec_col).cast("array<double>"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("__n"),
-    )
+        vd.alias("__vd"),
+        F.sqrt(_dot_fast(vd, vd, dim)).alias("__n"),
+    ).persist()
     a = base.select(
         "__cl",
         F.col(id_col).alias("id_a"),
@@ -1312,15 +1323,8 @@ def semantic_dedup_pairs(
         F.col("__vd").alias("__v_b"),
         F.col("__n").alias("__n_b"),
     )
-    # per-pair dot rides the dimension-unrolled codegen form
-    # (functions/vectors.dot_fast: bit-identical to the HOF fold,
-    # `dot` fallback on ragged lengths); dim probed once from any row
-    from ..functions.vectors import dot_fast as _dot_fast
-
-    first_d = df.filter(F.col(vec_col).isNotNull()).select(
-        F.size(vec_col).alias("__d")
-    ).first()
-    dim = int(first_d["__d"]) if first_d and first_d["__d"] is not None else 0
+    # per-pair dot rides the same unrolled form (`dot` fallback keeps
+    # ragged rows on zip-with-NULL semantics)
     dp = _dot_fast(F.col("__v_a"), F.col("__v_b"), dim)
     denom = F.col("__n_a") * F.col("__n_b")
     cos = F.when(denom != 0, F.round(dp / denom, 6))
@@ -1372,8 +1376,12 @@ def connected_components_star(
     large-star: for every node u, attach each STRICTLY LARGER neighbor to
     min(N(u) + {u}). small-star: orient edges downward, attach u and all
     its smaller neighbors to the minimum. Fixpoint = edge set stable
-    (checked by count + xxhash64 checksum -- two cheap jobs over the
-    just-checkpointed edges, no set-difference join).
+    (checked by count + xxhash64 checksum, no set-difference join).
+    Checkpoints are LAZY (eager=False): the per-round signature agg is
+    the action that materializes each round's edges, so a round costs
+    ONE job, not a checkpoint job plus a signature job -- on the tiny
+    shrunken graphs near-dup pipelines produce (hundreds of edges by
+    round 2) fixed job latency, not data, dominates the round (r13).
     """
     edges = (
         pairs.select(
@@ -1383,7 +1391,7 @@ def connected_components_star(
         .filter(F.col("lo") != F.col("hi"))
         .select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     all_nodes = (
         edges.select(F.col("u").alias("id"))
@@ -1440,7 +1448,11 @@ def connected_components_star(
         # `rows_per_partition` per task; coalesce is narrow (no extra
         # shuffle) and clamps itself to the current partition count.
         parts = max(1, -(-sig[0] // rows_per_partition))
-        new_edges = small_star(large_star(edges)).coalesce(parts).localCheckpoint()
+        new_edges = (
+            small_star(large_star(edges))
+            .coalesce(parts)
+            .localCheckpoint(eager=False)
+        )
         new_sig = _sig(new_edges)
         edges, sig_prev = new_edges, sig
         sig = new_sig

@@ -140,6 +140,8 @@ def _survivors(
     text_col: str,
     grp_col: str,
     length_col: str | None = None,
+    timings: dict | None = None,
+    label: str = "",
 ) -> DataFrame:
     """Cluster `members` by the pair graph and keep ONE survivor per
     cluster under the keep policy (longest text DESC, id ASC -- a total
@@ -160,9 +162,15 @@ def _survivors(
     `length_col` orders the keep policy by a precomputed length column
     instead of length(text_col) -- the streaming twin's metadata frames
     carry lengths but never document bodies."""
+    import time as _time
+
     order_len = F.col(length_col) if length_col else F.length(text_col)
+    t0 = _time.time()
     pairs = pairs.persist()
-    if pairs.limit(1).count() == 0:
+    empty = pairs.limit(1).count() == 0
+    if timings is not None:
+        timings[f"{label}pairs_probe"] = round(_time.time() - t0, 3)
+    if empty:
         return members
     labels = connected_components_star(pairs).withColumnRenamed(
         "id", "__cc_id"
@@ -264,6 +272,9 @@ def release_corpus(
         F.col("__lang").isin(allowed_langs) if allowed_langs else F.lit(True)
     )
     qual_ok = lang_ok & (F.col("__q") >= min_quality)
+    import time as _time
+
+    _t0 = _time.time()
     g = base.agg(
         F.count(F.lit(1)).alias("n0"),
         F.coalesce(F.sum("__nt"), F.lit(0)).alias("t0"),
@@ -272,6 +283,8 @@ def release_corpus(
         F.sum(qual_ok.cast("long")).alias("n2"),
         F.coalesce(F.sum(F.when(qual_ok, F.col("__nt"))), F.lit(0)).alias("t2"),
     ).first()
+    if timings is not None:
+        timings["gates_agg"] = round(_time.time() - _t0, 3)
     funnel["input"] = (int(g["n0"]), int(g["t0"]))
     funnel["lang_gate"] = (int(g["n1"] or 0), int(g["t1"]))
     funnel["quality_gate"] = (int(g["n2"] or 0), int(g["t2"]))
@@ -306,7 +319,9 @@ def release_corpus(
         hash=near_dup_hash,
     ).select("id_a", "id_b")
     near = record(
-        "near_dedup", _survivors(exact, near_pairs, id_col, text_col, "__grp")
+        "near_dedup",
+        _survivors(exact, near_pairs, id_col, text_col, "__grp",
+                   timings=timings, label="near_"),
     )
     cur = near
 
@@ -318,16 +333,26 @@ def release_corpus(
             ),
             id_col,
         )
+        # probe the vector width from the embeddings SCAN (not the
+        # survivors join): the width is corpus metadata, and probing the
+        # joined frame would run the join once just to read one size
+        dim_row = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("__d"))
+            .first()
+        )
         sem_pairs = semantic_dedup_pairs(
             emb,
             id_col=id_col,
             vec_col=vec_col,
             cluster_col=block_col,
             threshold=semantic_threshold,
+            dim=int(dim_row["__d"]) if dim_row and dim_row["__d"] is not None else 0,
         ).select("id_a", "id_b")
         cur = record(
             "semantic_dedup",
-            _survivors(cur, sem_pairs, id_col, text_col, "__grp"),
+            _survivors(cur, sem_pairs, id_col, text_col, "__grp",
+                       timings=timings, label="sem_"),
         )
 
     # ---- contamination gate: distinct n-gram overlap vs the benchmark -----
@@ -392,10 +417,13 @@ def release_corpus(
         .withColumn("__shard", hash_bucket(F.col(id_col), n_shards))
         .persist()
     )
+    _t0 = _time.time()
     cells = final.groupBy("__side", "__shard").agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("__nt"), F.lit(0)).alias("t"),
     ).collect()
+    if timings is not None:
+        timings["final_cells"] = round(_time.time() - _t0, 3)
     if total_token_budget is not None:
         funnel["budget_cut"] = (
             sum(int(c["n"]) for c in cells),
