@@ -265,6 +265,132 @@ def ivf_topk(
     )
 
 
+def ivf_batch_candidates(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    decimals: int = 6,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Batch-query IVF probe: the 100 TB SERVING shape, where ANN runs
+    as a query TABLE against the indexed base rather than one driver
+    loop per query (ivf_topk's shape).  Three relational steps, no
+    driver-side planning:
+
+    1. probe plan: queries x broadcast(centroids) -- O(cells) rows per
+       query -- ranked by the q111/q238 rounded-L2 + label tiebreak
+       ``row_number() OVER (PARTITION BY query ORDER BY dist, label)``,
+       kept to ``cell_rank <= nprobe``;
+    2. candidate fetch: ONE equi-join of the plan against the base on
+       the cell id -- with the index written ``partitionBy(cell)`` this
+       is partition pruning, and the only shuffle is keyed by cell;
+    3. exact re-rank material: rounded cosine per (query, candidate),
+       zero-norm rows excluded on BOTH engines (a zero vector has no
+       cosine; the oracle divides, so the exclusion must be mirrored,
+       not defaulted).
+
+    Returns (q_id, cell_rank, vec_id, score): callers derive ANY
+    nprobe' <= nprobe curve point by filtering cell_rank (the candidate
+    join is paid once for the whole curve -- q334's shape) and top-k by
+    a per-query rank window (bounded by the probed cells' occupancy).
+    Centroids are `label_centroids` frames (centroid_label, centroid).
+    """
+    from ..functions.vectors import dot_fast
+
+    if nprobe < 1:
+        raise ValueError(f"ivf_batch_candidates: nprobe must be >= 1, got {nprobe}")
+    if dim is None:
+        first_d = queries.filter(F.col(q_vec_col).isNotNull()).select(
+            F.size(q_vec_col).alias("__d")
+        ).first()
+        dim = (
+            int(first_d["__d"])
+            if first_d and first_d["__d"] is not None
+            else 0
+        )
+    qd = F.col(q_vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(q_id_col),
+        qd.alias("__qd"),
+        dot_fast(qd, qd, dim).alias("__q_sq"),
+    ).filter(F.col("__q_sq") > 0)
+    cent = centroids.filter(F.col("centroid_label").isNotNull()).select(
+        F.col("centroid_label").alias("__code"),
+        F.col("centroid").alias("__cv"),
+        dot_fast(F.col("centroid"), F.col("centroid"), dim).alias("__c_sq"),
+    )
+    dist = F.round(
+        F.col("__q_sq")
+        - 2 * dot_fast(F.col("__qd"), F.col("__cv"), dim)
+        + F.col("__c_sq"),
+        decimals,
+    )
+    wplan = Window.partitionBy(q_id_col).orderBy(
+        dist.asc(), F.col("__code").asc()
+    )
+    plan = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(wplan))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(q_id_col, "__qd", "__q_sq", "cell_rank", "__code")
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    base = assigned.filter(
+        F.col(vec_col).isNotNull() & F.col(cell_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(cell_col).alias("__bcell"),
+        vd.alias("__vd"),
+        dot_fast(vd, vd, dim).alias("__v_sq"),
+    ).filter(F.col("__v_sq") > 0)
+    score = F.round(
+        dot_fast(F.col("__qd"), F.col("__vd"), dim)
+        / (F.sqrt(F.col("__q_sq")) * F.sqrt(F.col("__v_sq"))),
+        decimals,
+    )
+    return (
+        plan.join(base, plan["__code"] == base["__bcell"])
+        .select(
+            F.col(q_id_col),
+            F.col("cell_rank").cast("long").alias("cell_rank"),
+            F.col(id_col),
+            score.alias("score"),
+        )
+    )
+
+
+def ivf_batch_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    **kwargs,
+) -> DataFrame:
+    """Top-k per query over ivf_batch_candidates: the per-query rank
+    window runs over the probed cells' candidates only (bounded by
+    nprobe x max cell size, never the corpus)."""
+    q_id_col = kwargs.get("q_id_col", "q_id")
+    id_col = kwargs.get("id_col", "vec_id")
+    cand = ivf_batch_candidates(
+        assigned, centroids, queries, nprobe=nprobe, **kwargs
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("cell_rank")
+    )
+
+
 def project_embeddings(
     df: DataFrame,
     axes: list[list[float]],

@@ -23135,6 +23135,194 @@ def q333_release_unbudgeted_manifest(
 
 
 # ---------------------------------------------------------------------------
+# Batch-query IVF recall curve (r13, VERDICT r12 #8): q238 grades the
+# recall-vs-nprobe tradeoff for ONE query planned driver-side; this
+# grades the SERVING shape -- a query TABLE probed via broadcast
+# centroids + ONE cell equi-join, every step relational. The candidate
+# join is paid once at the loosest nprobe; every curve point filters
+# cell_rank from that one pass.
+# ---------------------------------------------------------------------------
+_Q334_K = 10
+_Q334_ANCHORS = 16
+_Q334_PROBES = (1, 2, 4)
+
+
+def _q334_oracle() -> str:
+    k, na = _Q334_K, _Q334_ANCHORS
+    sels = []
+    for n in _Q334_PROBES:
+        sels.append(f"""
+    sel{n} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, vec_id) AS rk
+        FROM scored WHERE cell_rank <= {n}) WHERE rk <= {k}),
+    r{n} AS (
+      SELECT CAST({n} AS BIGINT) AS nprobe, CAST(s.q_id AS BIGINT) AS q_id,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000 // {k} AS BIGINT) AS recall_permille
+      FROM sel{n} s LEFT JOIN truth t
+        ON t.q_id = s.q_id AND t.vec_id = s.vec_id
+      GROUP BY s.q_id)""")
+    union = " UNION ALL ".join(f"SELECT * FROM r{n}" for n in _Q334_PROBES)
+    return f"""
+    WITH cent AS (
+      SELECT label AS code,
+             [{_KM_DIMS}]::DOUBLE[] AS centroid
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label),
+    exn AS (
+      SELECT vec_id, x, list_dot_product(x, x) AS xx FROM (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL)
+      WHERE list_dot_product(x, x) > 0),
+    anch AS (
+      SELECT vec_id AS q_id, x AS q, xx AS qq FROM (
+        SELECT *, row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mr
+        FROM exn) WHERE mr <= {na}),
+    cr AS (
+      SELECT a.q_id, c.code,
+             row_number() OVER (PARTITION BY a.q_id ORDER BY
+               round(a.qq - 2 * list_dot_product(a.q, c.centroid)
+                     + list_dot_product(c.centroid, c.centroid), 6),
+               c.code) AS cell_rank
+      FROM anch a CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, code AS cell FROM (
+        SELECT e.vec_id, c.code,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(e.xx - 2 * list_dot_product(e.x, c.centroid)
+                       + list_dot_product(c.centroid, c.centroid), 6),
+                 c.code) AS rk
+        FROM exn e CROSS JOIN cent c) WHERE rk = 1),
+    scored AS (
+      SELECT a.q_id, b.vec_id, cr.cell_rank,
+             round(list_dot_product(a.q, b.x)
+                   / (sqrt(a.qq) * sqrt(b.xx)), 6) AS score
+      FROM anch a
+      JOIN cr ON cr.q_id = a.q_id
+      JOIN assign s ON s.cell = cr.code
+      JOIN exn b ON b.vec_id = s.vec_id),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= {k}),
+    {",".join(sels)}
+    {union}
+    """
+
+
+@register(
+    "q334_ivf_batch_recall",
+    _q334_oracle(),
+    doc="ivf_batch_candidates/ivf_batch_topk (operators/similarity.py): "
+    f"recall-vs-nprobe curve for a BATCH of {_Q334_ANCHORS} md5-rank "
+    "anchors (a bounded top-k cap: orderBy+limit plans as "
+    "TakeOrderedAndProject, never a single-partition window) against "
+    "the label-centroid IVF index -- "
+    "the serving shape at 100 TB: probe plan = queries x broadcast "
+    "centroids ranked per query (q111/q238 rounded-L2 + label "
+    "tiebreak), candidates = ONE cell equi-join paid at the loosest "
+    "nprobe (every curve point filters cell_rank from that pass; with "
+    "the index written partitionBy(cell) the probe is partition "
+    "pruning), exact rounded-1e-6 cosine re-rank per query with "
+    "vec_id tiebreaks. Truth = the all-cells probe of the SAME pass "
+    "(every assigned vector is reachable, so cell_rank <= n_cells IS "
+    "the exact top-k). Zero-norm vectors are excluded on both engines "
+    "(a zero vector has no cosine). Per (nprobe, anchor): hits and "
+    "floor-permille recall. All rank windows partition by query over "
+    "O(cells)/O(probed occupancy) frames.",
+)
+def q334_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import dot_fast
+    from .operators.similarity import (
+        ivf_batch_candidates,
+        kmeans_assign,
+        label_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    vd = F.col("embedding").cast("array<double>")
+    nz = emb.select(
+        "vec_id", "embedding", dot_fast(vd, vd, 64).alias("__sq")
+    ).filter(F.col("__sq") > 0)
+    # the centroid frame feeds three consumers (assignment broadcast,
+    # probe-plan broadcast, candidate build) -- persist the 64-avg agg
+    # once instead of recomputing it per broadcast
+    cent = label_centroids(emb, dim=64).persist()
+    asg = kmeans_assign(nz.select("vec_id", "embedding"), cent).select(
+        "vec_id", F.col("assigned").alias("cell")
+    )
+    base = nz.select("vec_id", "embedding").join(asg, "vec_id")
+    # md5-rank anchor cap as a BOUNDED top-k: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition heaps + O(k) driver merge --
+    # never a single-partition window, no range exchange needed at k=16)
+    anch = (
+        nz.withColumn("__mk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy(F.asc("__mk"), F.asc("vec_id"))
+        .limit(_Q334_ANCHORS)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    # ONE candidate pass at the all-cells horizon: truth (exact top-k)
+    # and every nprobe cut read the same persisted frame. nprobe is an
+    # UPPER BOUND on cell_rank, so any value >= the cell count probes
+    # everything -- the sentinel skips a count job over the centroid agg
+    cand = ivf_batch_candidates(
+        base, cent, anch, nprobe=1 << 20, dim=64
+    ).persist()
+    wq = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    truth = (
+        cand.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _Q334_K)
+        .select("q_id", "vec_id")
+        .withColumn("__t", F.lit(1))
+    )
+    sels = None
+    for n in _Q334_PROBES:
+        sel = (
+            cand.filter(F.col("cell_rank") <= n)
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _Q334_K)
+            .select(
+                F.lit(n).cast("long").alias("nprobe"), "q_id", "vec_id"
+            )
+        )
+        sels = sel if sels is None else sels.unionByName(sel)
+    return (
+        sels.join(truth, ["q_id", "vec_id"], "left")
+        .groupBy("nprobe", "q_id")
+        .agg(
+            F.sum(F.col("__t").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                "CAST(sum(CASE WHEN __t IS NOT NULL THEN 1 ELSE 0 END) "
+                f"* 1000 div {_Q334_K} AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+        .select(
+            "nprobe",
+            F.col("q_id").cast("long").alias("q_id"),
+            "n_hits",
+            "recall_permille",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bounded-grain ledger (r12, the plan-audit ratchet): every query whose
 # physical plan carries an unpartitioned WindowExec must state the O(.)
 # bound of the frame that window actually runs over -- tools/plan_audit.py

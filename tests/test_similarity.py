@@ -642,3 +642,85 @@ def test_knn_label_disagreement_budget_fails_loud(spark):
         knn_label_disagreement(
             df, "vec_id", "embedding", "label", k=2, max_rows=10
         ).collect()
+
+
+def test_ivf_batch_topk_all_cells_equals_brute_force(spark):
+    # r13 (VERDICT r12 #8): the batch probe at nprobe >= n_cells IS the
+    # exact search -- per query, identical to brute-force cosine top-k.
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        ivf_batch_topk,
+        kmeans_assign,
+        label_centroids,
+    )
+
+    import random
+
+    rnd = random.Random(13)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cent = label_centroids(emb, dim=8)
+    asg = kmeans_assign(emb, cent).select(
+        "vec_id", F.col("assigned").alias("cell")
+    )
+    base = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    got = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in ivf_batch_topk(
+            base, cent, queries, k=5, nprobe=99, dim=8
+        ).collect()
+    }
+    # driver-side brute force truth
+    vecs = {i: v for i, v, _ in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return round(num / (na * nb), 6)
+
+    for q in range(3):
+        want = sorted(
+            ((cos(vecs[q], v), i) for i, v in vecs.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for rank, (_, vid) in enumerate(want, start=1):
+            assert got[(q, rank)] == vid, (q, rank, got[(q, rank)], vid)
+
+
+def test_ivf_batch_candidates_nprobe_monotone_and_zero_norm_excluded(spark):
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        ivf_batch_candidates,
+        kmeans_assign,
+        label_centroids,
+    )
+
+    rows = [(i, [float(i % 5 + 1), float(i % 7)], i % 2) for i in range(20)]
+    rows.append((99, [0.0, 0.0], 0))  # zero-norm: excluded both sides
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cent = label_centroids(emb, dim=2)
+    asg = kmeans_assign(emb, cent).select(
+        "vec_id", F.col("assigned").alias("cell")
+    )
+    base = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    queries = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c1 = ivf_batch_candidates(base, cent, queries, nprobe=1, dim=2)
+    c2 = ivf_batch_candidates(base, cent, queries, nprobe=2, dim=2)
+    s1 = {(r["q_id"], r["vec_id"]) for r in c1.collect()}
+    s2 = {(r["q_id"], r["vec_id"]) for r in c2.collect()}
+    assert s1 < s2  # wider probe strictly adds candidates here
+    assert not any(q == 99 or v == 99 for q, v in s2)
