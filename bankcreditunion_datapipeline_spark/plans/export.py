@@ -9,9 +9,11 @@ curation that turns a curated corpus into loader-ready shards.
       -> partitioned write (one directory per shard) + manifest
 
 Scale shape: every step is a narrow projection or a per-source/per-shard
-window -- no global sort, no driver-side loop over rows. The only data
-movements are the per-source budget window's shuffle and the final
-partitioned write. The manifest is an O(n_shards) aggregate.
+pass -- no global sort, no driver-side loop over rows. The budget cut
+rides the shared _budget_cut (plans/release.py): distributed_cumsum
+bucketed WITHIN each source, because source is the corpus skew key and
+a per-source window would single-task the dominant crawl. The manifest
+is an O(n_shards) aggregate.
 """
 
 from __future__ import annotations
@@ -20,7 +22,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators.sampling import assign_shards, epoch_permutation, mixture_weights
 
@@ -66,24 +67,26 @@ def export_training_data(
             "long"
         ),
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = toks.withColumn(
-        "__before", F.sum("__n_tokens").over(w) - F.col("__n_tokens")
-    )
+    from .release import _budget_cut
+
     # NULL-source docs get no budget row and are EXCLUDED here (equi-join
     # semantics, mirrored by the oracle's USING join): a doc without
     # provenance has no mixture group to draw budget from. Assign a
-    # sentinel source upstream to opt such docs in.
-    selected = (
-        cum.join(
-            F.broadcast(weights.select(source_col, "token_budget")), source_col
-        )
-        .filter(F.col("__before") < F.col("token_budget"))
-        .drop("__before", "token_budget")
+    # sentinel source upstream to opt such docs in. The cut rides the
+    # shared _budget_cut (distributed_cumsum bucketed WITHIN each source
+    # -- the r13 skew posture; a per-source window would single-task the
+    # dominant crawl); null_values="drop" replays the windowed oracle's
+    # NULL-before exclusion. stabilize_input=False: the input is a plain
+    # column-pruned scan projection, cheaper to re-scan than to pin.
+    selected = _budget_cut(
+        toks,
+        weights,
+        source_col,
+        id_col,
+        "__n_tokens",
+        budget_col="token_budget",
+        null_values="drop",
+        stabilize_input=False,
     )
     laid_out = epoch_permutation(selected, id_col, n_shards, seed)
     if out_dir is not None:

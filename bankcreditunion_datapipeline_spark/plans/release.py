@@ -100,6 +100,9 @@ def _budget_cut(
     source_col: str,
     id_col: str,
     nt_col: str,
+    budget_col: str = "__budget",
+    null_values: str = "fail",
+    stabilize_input: bool = True,
 ) -> DataFrame:
     """Per-source mixture budget cut: keep a doc while the EXCLUSIVE
     token prefix (id order) within its source is under the source's
@@ -114,22 +117,51 @@ def _budget_cut(
     mixture group to draw budget from and are rejected by the equi-join
     (plans/export.py contract; the cumsum's null-safe offset join
     carries them that far unchanged).  `weights` must provide
-    (source_col, __budget).  Shared by the batch flagship and the
-    streaming twin so their manifests agree by construction."""
+    (source_col, budget_col).  Shared by the batch flagship, the
+    streaming twin and plans/export.py so every budget cut in the repo
+    carries the same skew posture.
+
+    `null_values` sets the NULL-token policy, mirroring what the
+    caller's windowed oracle does: "fail" (release -- NULLs are
+    upstream-impossible, so refuse loudly per the distributed_cumsum
+    contract) or "drop" (export/q104 class -- the windowed form's
+    ``sum(...) - nt`` is NULL for a NULL-token row, so the < filter
+    drops it; followers see the same prefix either way because a window
+    sum SKIPS NULL contributions, which is exactly the coalesce-to-0
+    prefix)."""
     from ..operators.ranking import distributed_cumsum
 
+    if null_values not in ("fail", "drop"):
+        raise ValueError(
+            f"_budget_cut: null_values must be fail|drop, got {null_values!r}"
+        )
+    vcol = nt_col
+    if null_values == "drop":
+        cur = cur.withColumn(
+            "__nt0", F.coalesce(F.col(nt_col).cast("long"), F.lit(0))
+        )
+        vcol = "__nt0"
     cut = distributed_cumsum(
         cur,
         [(id_col, "asc")],
-        value_col=nt_col,
+        value_col=vcol,
         partition_cols=[source_col],
         out_col="__cum_nt",
+        stabilize_input=stabilize_input,
     )
+    before = F.col("__cum_nt") - F.col(vcol)
+    if null_values == "drop":
+        before = F.when(F.col(nt_col).isNotNull(), before)
     return (
-        cut.withColumn("__before", F.col("__cum_nt") - F.col(nt_col))
-        .join(F.broadcast(weights.select(source_col, "__budget")), source_col)
-        .filter(F.col("__before") < F.col("__budget"))
-        .drop("__cum_nt", "__before", "__budget")
+        cut.withColumn("__before", before)
+        .join(
+            F.broadcast(
+                weights.select(source_col, F.col(budget_col).alias("__bdg"))
+            ),
+            source_col,
+        )
+        .filter(F.col("__before") < F.col("__bdg"))
+        .drop("__cum_nt", "__before", "__bdg", "__nt0")
     )
 
 

@@ -3323,24 +3323,31 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source, pack_id
     """,
     doc="sequence packing: per-source running token count assigns each doc "
-    "to floor(tokens_before/budget) -- contiguous fixed-budget packs from "
-    "one window pass (no UDF, no iteration).",
+    "to floor(tokens_before/budget) -- contiguous fixed-budget packs. "
+    "The per-source running count rides distributed_cumsum (operators/"
+    "ranking.py) bucketed WITHIN each source (r13: source is the corpus "
+    "skew key -- a per-source window single-tasks the dominant crawl; "
+    "the two-level form is value-identical, incl. the window sum's "
+    "NULL-skip, replayed as a coalesce-to-0 prefix). No UDF, no "
+    "iteration.",
 )
 def q75_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .operators.ranking import distributed_cumsum
 
     docs = t(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     toks = docs.select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("tok")
+    ).withColumn("__t0", F.coalesce(F.col("tok").cast("long"), F.lit(0)))
+    led = distributed_cumsum(
+        toks,
+        [("doc_id", "asc")],
+        "__t0",
+        partition_cols=["source"],
+        out_col="__rcum",
+        stabilize_input=False,
     )
-    packed = toks.withColumn(
-        "pack_id",
-        F.floor(F.coalesce(F.sum("tok").over(w), F.lit(0)) / 200).cast("long"),
+    packed = led.withColumn(
+        "pack_id", F.expr("(__rcum - __t0) div 200").cast("long")
     )
     return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4811,22 +4818,34 @@ def q103_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="token-budget curriculum cut: cumulative window sum per source in "
     "doc_id order, keep while the PRE-doc cumulative is under budget "
     "(the first overshooting doc is kept, closing the budget exactly "
-    "once). Integer token counts -- no float boundary. At scale the "
-    "window partitions by source; skewed sources split via AQE.",
+    "once). Integer token counts -- no float boundary. The running sum "
+    "rides distributed_cumsum (operators/ranking.py) bucketed WITHIN "
+    "each source (r13: source is the corpus skew key; a per-source "
+    "window single-tasks the dominant crawl -- AQE splits skewed "
+    "JOINS, not WindowExec). NULL-token rows keep the windowed form's "
+    "NULL `before` and drop at the filter, exactly as the oracle does.",
 )
 def q104_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .operators.ranking import distributed_cumsum
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    ).withColumn("__t0", F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)))
+    led = distributed_cumsum(
+        toks,
+        [("doc_id", "asc")],
+        "__t0",
+        partition_cols=["source"],
+        out_col="__rcum",
+        stabilize_input=False,
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = led.withColumn(
+        "before",
+        F.when(
+            F.col("n_tokens").isNotNull(), F.col("__rcum") - F.col("__t0")
+        ),
     )
-    c = toks.withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
     return (
         c.filter(F.col("before") < 5000)
         .groupBy("source")
