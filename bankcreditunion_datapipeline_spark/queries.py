@@ -7107,81 +7107,84 @@ def q145_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT year(o_orderdate) AS yr, o_custkey,
-             round(sum(o_totalprice), 2) AS r
+             CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS rc
       FROM orders
       WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1, 2),
     ranked AS (
-      SELECT yr, o_custkey, r,
-             sum(r) OVER (PARTITION BY yr
-                          ORDER BY r DESC, o_custkey
-                          ROWS UNBOUNDED PRECEDING) AS cum
-      FROM rev),
-    -- tot = the LAST value of the pinned-order running sum, so both
-    -- sides of the 80% inequality come from the identical summation
-    -- order (a bare sum() OVER (PARTITION BY) may fold in any order
-    -- and could flip a crossing row that lands exactly on the line)
-    rtot AS (
-      SELECT yr, cum,
-             last_value(cum) OVER (PARTITION BY yr
-                          ORDER BY r DESC, o_custkey
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND UNBOUNDED FOLLOWING) AS tot,
+      SELECT yr, o_custkey, rc,
+             sum(rc) OVER (PARTITION BY yr
+                          ORDER BY rc DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rc) OVER (PARTITION BY yr) AS tot,
              count(*) OVER (PARTITION BY yr) AS n_cust
-      FROM ranked),
+      FROM rev),
     hit AS (
-      SELECT yr, n_cust, cum, tot FROM rtot
+      SELECT yr, n_cust, cum, tot FROM ranked
       WHERE 10 * cum >= 8 * tot)
     SELECT yr,
            CAST(min(n_cust) AS BIGINT) AS n_customers,
            CAST(min(n_cust) - count(*) + 1 AS BIGINT) AS n_top,
-           floor((min(cum) / min(tot)) * 1000000) / 1000000.0 AS top_share_t
+           CAST(min(cum) * 1000000 // min(tot) AS BIGINT) / 1000000.0
+             AS top_share_t
     FROM hit GROUP BY yr
     """,
     doc="ABC/Pareto cut per order year: rank customers by revenue desc "
     "(unique-key tiebreak), running share until the 80% line, report the "
     "head count (n_cust - |crossing set| + 1: every row past the first "
     "crossing also crosses, since cum is monotone) and the exact share "
-    "at the crossing. The crossing test is the INTEGER-SCALED inequality "
-    "10*cum >= 8*tot over 2-decimal sums -- no float threshold to flip; "
-    "the share itself floor-truncates.",
+    "at the crossing, floor-truncated at 1e-6. All in integer CENTS "
+    "(r13): exact commutative sums make the 80% inequality and the "
+    "share engine-portable with no pinned-order float discipline, and "
+    "the running sum rides distributed_cumsum (operators/ranking.py) "
+    "bucketed WITHIN each year -- the per-year customer grain is "
+    "O(active customers), the q228 class, so a per-year window would "
+    "single-task it. Guard: yearly cents <= 9.2e12 for the x1e6 ladder.",
 )
 def q146_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .operators.ranking import distributed_cumsum
 
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
     )
     rev = orders.groupBy(
         F.year("o_orderdate").alias("yr"), "o_custkey"
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("r"))
-    w_cum = (
-        Window.partitionBy("yr")
-        .orderBy(F.desc("r"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    ).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+        .cast("long")
+        .alias("rc")
     )
-    w_all = Window.partitionBy("yr")
-    ranked = rev.select("yr", "o_custkey", "r", F.sum("r").over(w_cum).alias("cum"))
-    # tot from the LAST cum in the same pinned order as cum itself --
-    # identical summation order on both sides of the crossing inequality
-    w_full = (
-        Window.partitionBy("yr")
-        .orderBy(F.desc("r"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    led = distributed_cumsum(
+        rev,
+        [("rc", "desc"), ("o_custkey", "asc")],
+        "rc",
+        partition_cols=["yr"],
+        out_col="cum",
+        total_col="tot",
+        count_col="n_cust",
     )
-    rtot = ranked.select(
-        "yr",
-        "cum",
-        F.last("cum").over(w_full).alias("tot"),
-        F.count(F.lit(1)).over(w_all).alias("n_cust"),
-    )
-    hit = rtot.filter(10 * F.col("cum") >= 8 * F.col("tot"))
-    return hit.groupBy("yr").agg(
+    hit = led.filter(10 * F.col("cum") >= 8 * F.col("tot"))
+    agg = hit.groupBy("yr").agg(
         F.min("n_cust").cast("long").alias("n_customers"),
         (F.min("n_cust") - F.count(F.lit(1)) + 1).cast("long").alias("n_top"),
-        (F.floor((F.min("cum") / F.min("tot")) * 1000000) / 1000000).alias(
-            "top_share_t"
-        ),
+        F.min("cum").alias("__cum"),
+        F.min("tot").alias("__tot"),
+    )
+    share = F.when(
+        F.col("__tot") <= F.lit(9_200_000_000_000),
+        F.expr("CAST(__cum * 1000000 div __tot AS BIGINT)")
+        / F.lit(1000000.0),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q146_revenue_pareto: yearly revenue cents exceed the "
+                "x1e6 share ladder budget (9.2e12) -- coarsen cents to "
+                "dollars (the gini_e6 discipline)"
+            )
+        )
+    )
+    return agg.select(
+        "yr", "n_customers", "n_top", share.alias("top_share_t")
     )
 
 
