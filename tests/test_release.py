@@ -443,3 +443,66 @@ def test_release_unbudgeted_keepall_configuration(spark):
     f = res.funnel
     assert f["near_dedup"][0] <= f["exact_dedup"][0]
     assert f["holdout"][0] + f["train"][0] == f["near_dedup"][0]
+
+
+def test_streaming_release_twin_equals_batch_unbudgeted(spark, tmp_path):
+    """The q333 configuration's twin: no benchmark at ingest (no gram
+    state), extraction with contamination=False and no token budget --
+    the folded-state manifest must still equal release_corpus row for
+    row through the skipped-stage branches."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bankcreditunion_datapipeline_spark.streaming.incremental import (
+        streaming_release_ingest,
+        streaming_release_manifest,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0) + 1.0, float(i % 2)], i % 2)
+         for i in range(1, 26)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kw = dict(min_quality=0.0, near_dup_threshold=0.5)
+    _corpus(spark).coalesce(1).write.mode("append").parquet(src)
+    streaming_release_ingest(
+        spark, src, str(tmp_path / "ckpt"), schema,
+        str(tmp_path / "state"), benchmark=None, **kw
+    )
+    got = sorted(
+        map(
+            tuple,
+            streaming_release_manifest(
+                spark,
+                str(tmp_path / "state"),
+                embeddings=emb,
+                contamination=False,
+                total_token_budget=None,
+                n_shards=2,
+            ).collect(),
+        )
+    )
+    res = release_corpus(
+        _corpus(spark),
+        benchmark=None,
+        embeddings=emb,
+        total_token_budget=None,
+        n_shards=2,
+        **kw,
+    )
+    want = sorted(map(tuple, res.manifest.collect()))
+    assert got == want
+    stages = {r[0] for r in got}
+    assert "contamination_gate" not in stages and "budget_cut" not in stages
