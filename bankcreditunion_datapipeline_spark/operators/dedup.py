@@ -1343,12 +1343,15 @@ def semantic_dedup_keep(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     threshold: float = 0.95,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Rows surviving semantic dedup: drop any row that is the non-minimal
     side of a within-cluster pair at/above `threshold` (same greedy
-    edge-wise keep rule as the text near-dup path)."""
+    edge-wise keep rule as the text near-dup path). `dim` forwards to
+    semantic_dedup_pairs (callers that know the vector width skip the
+    probe job)."""
     dropped = (
-        semantic_dedup_pairs(df, id_col, vec_col, cluster_col, threshold)
+        semantic_dedup_pairs(df, id_col, vec_col, cluster_col, threshold, dim)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

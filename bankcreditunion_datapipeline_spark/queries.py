@@ -5669,7 +5669,9 @@ def q120_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import semantic_dedup_keep
 
     emb = t(spark, sf_dir, "embeddings")
-    return semantic_dedup_keep(emb, threshold=0.35).select("vec_id", "label")
+    return semantic_dedup_keep(emb, threshold=0.35, dim=64).select(
+        "vec_id", "label"
+    )
 
 
 # ---------------------------------------------------------------------------
