@@ -221,59 +221,29 @@ def _survivors(
     return m.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def release_corpus(
+def release_front(
     docs: DataFrame,
-    benchmark: DataFrame | None = None,
-    embeddings: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    source_col: str = "source",
     allowed_langs: list[str] | None = None,
     min_quality: float = 0.2,
     length_quantile: float = 0.95,
-    near_dup_threshold: float = 0.7,
-    near_dup_hash: str = "xxhash64",
-    near_dup_hashes: int = 16,
-    near_dup_bands: int = 8,
-    emb_id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    block_col: str = "label",
-    semantic_threshold: float = 0.35,
-    contamination_ngram: int = 5,
-    total_token_budget: int | None = None,
-    alpha: float = 0.5,
-    holdout_rate: float = 0.05,
-    n_shards: int = 4,
-    seed: str = "release0",
-    out_dir: str | None = None,
     timings: dict | None = None,
-) -> ReleaseResult:
-    """Run the full release composition and return (train, holdout,
-    manifest). `benchmark` is the eval corpus whose n-grams must not
-    leak into the release (skipped when None); `embeddings` maps
-    `emb_id_col` -> (`vec_col`, `block_col`) for the semantic stage
-    (skipped when None -- docs WITHOUT an embedding row always survive
-    that stage: absence of evidence is not a duplicate).
-    `total_token_budget=None` skips the mixture cut.
-
-    Persist discipline follows plans/curation.py: every stage boundary
-    feeds >= 2 consumers (the next stage + its manifest agg), so each is
-    persisted and counted from the cache with ONE count+token-sum job.
-    The funnel maps stage -> (n_docs, n_tokens); rejection is observable
-    at every boundary, never silent.
-
-    Reference parity: composes the capabilities SURVEY.md §2 grades
-    individually -- the medallion gates (reference silverLayer/
-    BuildSilverLayer.py quarantine discipline) extended with the
-    LLM-corpus stages (dedup/contamination/mixture/split/shards) the
-    100 TB target needs.
+) -> tuple[DataFrame, dict]:
+    """The release composition's configuration-independent FRONT --
+    hygiene/language/quality gates, per-language p95 length trim, exact
+    dedup, initial cluster label -- split out so callers grading
+    MULTIPLE release configurations over one corpus (q332/q333, which
+    differ only from the near-dup stage on) share ONE materialization
+    (the _cached_lane discipline: a deterministic function of (corpus,
+    gate params), every stage persisted and funnel-counted exactly as
+    the inline form was).  Returns (exact_docs carrying __grp + __nt,
+    funnel prefix dict).
     """
     funnel: dict[str, tuple[int, int]] = {}
-    spark = docs.sparkSession
+    import time as _time
 
     def record(name: str, df: DataFrame) -> DataFrame:
-        import time as _time
-
         t0 = _time.time()
         df = df.persist()
         g = df.agg(
@@ -304,8 +274,6 @@ def release_corpus(
         F.col("__lang").isin(allowed_langs) if allowed_langs else F.lit(True)
     )
     qual_ok = lang_ok & (F.col("__q") >= min_quality)
-    import time as _time
-
     _t0 = _time.time()
     g = base.agg(
         F.count(F.lit(1)).alias("n0"),
@@ -339,6 +307,91 @@ def release_corpus(
     exact = record(
         "exact_dedup", exact_dedup_keep_min(trimmed, id_col, text_col)
     ).withColumn("__grp", F.col(id_col))
+    return exact, funnel
+
+
+def release_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    allowed_langs: list[str] | None = None,
+    min_quality: float = 0.2,
+    length_quantile: float = 0.95,
+    near_dup_threshold: float = 0.7,
+    near_dup_hash: str = "xxhash64",
+    near_dup_hashes: int = 16,
+    near_dup_bands: int = 8,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    semantic_threshold: float = 0.35,
+    contamination_ngram: int = 5,
+    total_token_budget: int | None = None,
+    alpha: float = 0.5,
+    holdout_rate: float = 0.05,
+    n_shards: int = 4,
+    seed: str = "release0",
+    out_dir: str | None = None,
+    timings: dict | None = None,
+    front: "tuple[DataFrame, dict] | None" = None,
+) -> ReleaseResult:
+    """Run the full release composition and return (train, holdout,
+    manifest). `benchmark` is the eval corpus whose n-grams must not
+    leak into the release (skipped when None); `embeddings` maps
+    `emb_id_col` -> (`vec_col`, `block_col`) for the semantic stage
+    (skipped when None -- docs WITHOUT an embedding row always survive
+    that stage: absence of evidence is not a duplicate).
+    `total_token_budget=None` skips the mixture cut.  `front` injects a
+    precomputed `release_front` result (exact docs + funnel prefix) so
+    multiple configurations over one corpus share the materialized
+    front; the caller is responsible for having built it with the SAME
+    (docs, gate params) this call would use.
+
+    Persist discipline follows plans/curation.py: every stage boundary
+    feeds >= 2 consumers (the next stage + its manifest agg), so each is
+    persisted and counted from the cache with ONE count+token-sum job.
+    The funnel maps stage -> (n_docs, n_tokens); rejection is observable
+    at every boundary, never silent.
+
+    Reference parity: composes the capabilities SURVEY.md §2 grades
+    individually -- the medallion gates (reference silverLayer/
+    BuildSilverLayer.py quarantine discipline) extended with the
+    LLM-corpus stages (dedup/contamination/mixture/split/shards) the
+    100 TB target needs.
+    """
+    import time as _time
+
+    funnel: dict[str, tuple[int, int]] = {}
+    spark = docs.sparkSession
+
+    def record(name: str, df: DataFrame) -> DataFrame:
+        t0 = _time.time()
+        df = df.persist()
+        g = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__nt"), F.lit(0)).alias("t"),
+        ).first()
+        funnel[name] = (int(g["n"]), int(g["t"]))
+        if timings is not None:
+            timings[name] = round(_time.time() - t0, 3)
+        return df
+
+    # ---- gates / trim / exact dedup: the shared front ---------------------
+    if front is None:
+        front = release_front(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            allowed_langs=allowed_langs,
+            min_quality=min_quality,
+            length_quantile=length_quantile,
+            timings=timings,
+        )
+    exact, front_funnel = front
+    funnel.update(front_funnel)
 
     # ---- near dedup: LSH-blocked pairs -> CC -> keep-policy survivor ------
     near_pairs = minhash_near_dup_pairs(

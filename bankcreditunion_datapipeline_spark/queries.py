@@ -22912,6 +22912,26 @@ _Q332_BUDGET = 10000
 _Q332_SPLIT = int(0.05 * 65536)
 _Q332_SHARDS = 4
 
+# (applicationId, realpath) -> release_front result: q332 and q333 differ
+# only from the near-dup stage on, so the gates/trim/exact front is ONE
+# session-shared materialization (the _cached_lane discipline --
+# deterministic over the immutable testdata; funnel ints are immutable,
+# release_corpus copies them into its own dict)
+_RELEASE_FRONT_CACHE: dict = {}
+
+
+def _release_front_shared(spark: SparkSession, sf_dir: str):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    hit = _RELEASE_FRONT_CACHE.get(key)
+    if hit is None:
+        from .plans.release import release_front
+
+        hit = release_front(t(spark, sf_dir, "documents"))
+        _RELEASE_FRONT_CACHE[key] = hit
+    return hit
+
 
 def _release_oracle(
     budget: "int | None" = _Q332_BUDGET,
@@ -23114,6 +23134,7 @@ def q332_corpus_release_manifest(
         near_dup_hash="md5",
         total_token_budget=_Q332_BUDGET,
         n_shards=_Q332_SHARDS,
+        front=_release_front_shared(spark, sf_dir),
     )
     return res.manifest
 
@@ -23154,6 +23175,7 @@ def q333_release_unbudgeted_manifest(
         near_dup_hash="md5",
         total_token_budget=None,
         n_shards=_Q332_SHARDS,
+        front=_release_front_shared(spark, sf_dir),
     )
     return res.manifest
 
