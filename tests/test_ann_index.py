@@ -130,3 +130,45 @@ def test_null_label_rows_never_create_unsearchable_cells(spark, tmp_path):
     # and no NULL-label centroid survives to eat an nprobe slot
     cent = spark.read.parquet(f"{idx}/centroids")
     assert cent.filter(F.col("centroid_label").isNull()).count() == 0
+
+
+def test_batch_probe_gets_dynamic_partition_pruning(spark, tmp_path):
+    # r13: the BATCH probe (ivf_batch_candidates, q334's operator) over a
+    # cell-partitioned persisted index must prune partitions via Spark's
+    # Dynamic Partition Pruning -- the probe plan's nprobe cells arrive as
+    # a join side, not a driver literal, so the prune is a
+    # dynamicpruningexpression on the partition column (the distributed
+    # twin of test_probe_is_partition_pruning's static IN prune). Results
+    # must equal the in-memory path row for row.
+    from bankcreditunion_datapipeline_spark.operators.similarity import (
+        ivf_batch_candidates,
+        kmeans_assign,
+        label_centroids,
+    )
+
+    emb = read_testdata(spark, SF, "embeddings")
+    cent = label_centroids(emb, dim=64).persist()
+    asg = kmeans_assign(emb, cent).select(
+        "vec_id", F.col("assigned").alias("cell")
+    )
+    base = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    idx = str(tmp_path / "vecs")
+    base.write.partitionBy("cell").parquet(idx)
+    persisted = spark.read.parquet(idx)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_batch_candidates(persisted, cent, queries, nprobe=2, dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = sorted(
+        (r["q_id"], r["cell_rank"], r["vec_id"], r["score"])
+        for r in out.collect()
+    )
+    want = sorted(
+        (r["q_id"], r["cell_rank"], r["vec_id"], r["score"])
+        for r in ivf_batch_candidates(
+            base, cent, queries, nprobe=2, dim=64
+        ).collect()
+    )
+    assert got == want and len(got) > 0
