@@ -22923,7 +22923,14 @@ _RELEASE_FRONT_CACHE: dict = {}
 def _release_front_shared(spark: SparkSession, sf_dir: str):
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    # key carries the gate params the front was built with (defaults
+    # today) so a future configuration with different gates can never
+    # hit a stale front
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+        ("doc_id", "text", None, 0.2, 0.95),
+    )
     hit = _RELEASE_FRONT_CACHE.get(key)
     if hit is None:
         from .plans.release import release_front
