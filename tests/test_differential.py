@@ -53,9 +53,13 @@ SUBSET = [
     # median/MAD robust scores (percentile-interpolation parity under
     # mutated/NULL measures -- the q141 estimator class)
     "q141_robust_daily_scores",
-    # integer-scaled Pareto crossing with tot from the pinned-order
-    # running sum (one summation order on both sides)
+    # integer-cents Pareto crossing + distributed_cumsum bucketed within
+    # year (r13 rewire: exact commutative sums, x1e6 ladder guard)
     "q146_revenue_pareto",
+    # r13: the window sum's NULL-skip replayed as a coalesce-to-0 prefix
+    # in the source-bucketed distributed_cumsum (NULL-text docs keep
+    # their pack in q75 / drop at the filter in q104)
+    "q75_sequence_packing",
     # portable md5-lane near-dup twins (hex-string lanes, band keys,
     # 60-bit simhash votes) -- new r5 oracle classes
     "q21_minhash_near_dups",
