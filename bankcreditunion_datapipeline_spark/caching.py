@@ -1,0 +1,102 @@
+"""Session cache-lifetime policy (r14, VERDICT r13 #3).
+
+The engine persists three kinds of frames during a 331-query session:
+
+1. **Session-shared lanes** (`queries._cached_lane` results, the release
+   front): deterministic functions of the immutable corpus, built once
+   per (applicationId, sf_dir) and read by every consumer.  Bounded BY
+   DESIGN (one frame per lane family, ~10 entries per session); never
+   swept.
+2. **Per-query scaffolding** (pair lanes' shingle/signature bases, the
+   semantic-dedup projected base, stage boundaries inside a plan
+   composition): persisted because >= 2 branches of ONE query's plan
+   consume them.  Spark's CacheManager keys entries by canonicalized
+   plan, so across a full bench session these accumulate one entry per
+   distinct persisted subplan -- previously released only by LRU
+   eviction ("eviction luck").
+3. **Iterative-round checkpoints** (localCheckpoint in CC/PageRank
+   loops): released by the ContextCleaner when the round frames go out
+   of scope; not tracked here.
+
+This module gives class 2 an EXPLICIT lifetime: operators register
+scaffolding with :func:`transient_persist`, and the query registry
+sweeps the registered frames at the NEXT query entry once the count
+crosses ``SPARK_GRAFT_TRANSIENT_BOUND`` (default 256 -- measured
+headroom: a full sf0.1 bench run peaks well under the default
+storage pool, see SCALE.md "Cache lifetime" for the recorded
+high-water mark).
+
+The sweep is VALUE-SAFE by construction: unpersisting a Spark frame
+never changes results, only forces recompute on a later read.  The
+bound (rather than an every-query sweep) preserves the plan-keyed
+cache reuse that back-to-back invocations of the same query rely on
+(bench best-of-2, checker-after-bench), while turning the previous
+unbounded accumulation into a hard ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+# persisted scaffolding frames eligible for the bounded sweep, in
+# registration order (oldest first)
+TRANSIENTS: list[DataFrame] = []
+
+
+def transient_bound() -> int:
+    return int(os.environ.get("SPARK_GRAFT_TRANSIENT_BOUND", "256"))
+
+
+def transient_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for the bounded query-boundary sweep.
+
+    Use for per-query scaffolding (class 2 above): frames consumed only
+    by the query that builds them.  Session-shared lanes must use plain
+    ``persist()`` -- sweeping them would silently degrade every later
+    consumer to a full rebuild.
+    """
+    df = df.persist()
+    TRANSIENTS.append(df)
+    return df
+
+
+def release_transients() -> int:
+    """Unpersist every registered transient; returns how many."""
+    n = len(TRANSIENTS)
+    while TRANSIENTS:
+        df = TRANSIENTS.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 -- a stopped session is fine
+            pass
+    return n
+
+
+def sweep_if_over_bound() -> int:
+    """Query-boundary hook: release transients once past the bound.
+
+    Called by the registry wrapper BEFORE building a query, so every
+    frame registered by previous queries has already been consumed (the
+    driver/bench/checker materialize each result before moving on).
+    Returns the number of frames released (0 = under bound).
+    """
+    if len(TRANSIENTS) > transient_bound():
+        return release_transients()
+    return 0
+
+
+def storage_status(spark) -> dict:
+    """Persistent-storage introspection for the bench high-water mark:
+    (n_cached_rdds, memory bytes, disk bytes) from the JVM block
+    manager.  Diagnostic only -- never on a query path."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    mem = sum(i.memSize() for i in infos)
+    disk = sum(i.diskSize() for i in infos)
+    return {
+        "n_cached_rdds": len(infos),
+        "mem_bytes": int(mem),
+        "disk_bytes": int(disk),
+        "n_transients": len(TRANSIENTS),
+    }

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import transient_persist
 from ..functions.vectors import attach_sign_bits, cosine, hamming64, random_hyperplanes
 
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -456,10 +457,9 @@ def minhash_near_dup_pairs(
         # Docs with empty/NULL text contribute no shingle rows -- same
         # exclusion as the xxhash64 path's NULL-signature filter.
         band_hasher = F.md5
-        flat = (
+        flat = transient_persist(
             word_shingles_flat(ensure_min_partitions(df), id_col, text_col, shingle_k)
             .select(F.col(id_col), F.md5(F.col("__s")).alias("__h"))
-            .persist()
         )
         bands_src = portable_minhash_signatures(flat, id_col, num_hashes)
         sigs = flat.groupBy(id_col).agg(F.collect_list("__h").alias("__hashes"))
@@ -471,7 +471,9 @@ def minhash_near_dup_pairs(
             .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
             .select(id_col, "__hashes")
         )
-        sigs = attach_minhash_from_hashes(shingled, "__hashes", num_hashes, "__sig").persist()
+        sigs = transient_persist(
+            attach_minhash_from_hashes(shingled, "__hashes", num_hashes, "__sig")
+        )
         bands_src = sigs.filter(F.col("__sig").isNotNull())
     bands_t = lsh_band_table(bands_src, id_col, "__sig", bands, band_hasher)
     cands = candidate_pairs(bands_t, id_col)
@@ -720,7 +722,7 @@ def simhash_near_dup_pairs(
     # the dominant cost.
     sigd = attach_simhash(
         ensure_min_partitions(df), id_col, text_col, "__sim", token_hasher, bits
-    ).persist()
+    ).transform(transient_persist)
     chunk_structs = F.array(
         *[
             F.struct(
@@ -799,7 +801,7 @@ def hamming_blocked_pairs(
     )
     chunked = sigd.select(
         F.col(id_col), F.col("__sig"), F.explode(chunk_structs).alias("ch")
-    ).select(id_col, "__sig", "ch.chunk_id", "ch.chunk_val").persist()
+    ).select(id_col, "__sig", "ch.chunk_id", "ch.chunk_val").transform(transient_persist)
     freq = chunked.groupBy("chunk_id", "chunk_val").agg(
         F.count(F.lit(1)).alias("__m")
     )
@@ -865,7 +867,7 @@ def ngram_jaccard_pairs(
         .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
         .select(id_col, "__hashes")
     )
-    sigs = attach_minhash_from_hashes(grams, "__hashes", num_hashes, "__sig").persist()
+    sigs = attach_minhash_from_hashes(grams, "__hashes", num_hashes, "__sig").transform(transient_persist)
     cands = candidate_pairs(lsh_band_table(sigs, id_col, "__sig", bands), id_col)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("__hashes").alias("__h_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("__hashes").alias("__h_b"))
@@ -1129,7 +1131,7 @@ def embedding_near_dup_pairs(
     df = ensure_min_partitions(df)
     sigd = attach_sign_bits(
         df.select(F.col(id_col), F.col(vec_col)), planes, vec_col, "__sig"
-    ).persist()
+    ).transform(transient_persist)
     chunks = max_hamming + 1
     bits_per = n_planes // chunks
     chunk_structs = F.array(
@@ -1217,7 +1219,7 @@ def incremental_near_dup_pairs(
     candidate join can partition-prune on band_hash).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    new_sigs = build_minhash_index(new_df, id_col, text_col, num_hashes, shingle_k).persist()
+    new_sigs = build_minhash_index(new_df, id_col, text_col, num_hashes, shingle_k).transform(transient_persist)
     new_bands = lsh_band_table(new_sigs, id_col, "__sig", bands).select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("new_id")
     )
@@ -1302,15 +1304,20 @@ def semantic_dedup_pairs(
             else 0
         )
     vd = F.col(vec_col).cast("array<double>")
-    base = df.select(
-        F.col(cluster_col).alias("__cl"),
-        F.col(id_col),
-        # double-cast ONCE before the within-cluster pair fan-out (the
-        # join replicates each row ~cluster_size times; casting in the
-        # pair expression would re-cast per pair) -- the q317 lane
-        vd.alias("__vd"),
-        F.sqrt(_dot_fast(vd, vd, dim)).alias("__n"),
-    ).persist()
+    # registered as a bounded-lifetime transient (caching.py, r13 ADVICE:
+    # a plain persist here leaked one session-lifetime cache entry per
+    # invocation -- q120 plus every release configuration)
+    base = transient_persist(
+        df.select(
+            F.col(cluster_col).alias("__cl"),
+            F.col(id_col),
+            # double-cast ONCE before the within-cluster pair fan-out (the
+            # join replicates each row ~cluster_size times; casting in the
+            # pair expression would re-cast per pair) -- the q317 lane
+            vd.alias("__vd"),
+            F.sqrt(_dot_fast(vd, vd, dim)).alias("__n"),
+        )
+    )
     a = base.select(
         "__cl",
         F.col(id_col).alias("id_a"),
@@ -1818,7 +1825,7 @@ def prefix_filtered_jaccard_pairs(
         )
     # one persisted frame serves prefix construction AND verification
     # (the element arrays ARE the verify operand)
-    docs = base.select("id", elems.alias("__ts")).persist()
+    docs = base.select("id", elems.alias("__ts")).transform(transient_persist)
     toks = docs.select("id", F.explode("__ts").alias("tok"))
     sizes = docs.select("id", F.size("__ts").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -1965,7 +1972,7 @@ def idf_weighted_jaccard_pairs(
                 )
             ).alias("__w"),
         )
-        .persist()
+        .transform(transient_persist)
     )
     dfreq = toks.groupBy("__w").agg(
         F.count(F.lit(1)).cast("long").alias("__df")

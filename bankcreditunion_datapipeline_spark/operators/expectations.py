@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import transient_persist
 from pyspark.sql.window import Window
 
 
@@ -365,7 +367,7 @@ def column_value_overlap(
     longf = parts[0]
     for p in parts[1:]:
         longf = longf.unionByName(p)
-    longf = longf.persist()
+    longf = longf.transform(transient_persist)
     sizes = longf.groupBy("__col").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import transient_persist
 from ..functions.vectors import attach_sign_bits, cosine, dot, hamming64, random_hyperplanes
 
 
@@ -1270,7 +1271,7 @@ def power_iteration_top_component(
         )
         .groupBy("i", "j")
         .agg(F.round(F.sum("__p"), decimals).alias("v"))
-        .persist()
+        .transform(transient_persist)
     )
     spark = df.sparkSession
     x = spark.createDataFrame(
@@ -1512,7 +1513,7 @@ def quantization_topk_overlap(
             ).isNull()
         )
         .drop("__m")
-        .persist()
+        .transform(transient_persist)
     )
     anchors = (
         gated.filter(F.col("__mr") <= n_anchors)
@@ -1555,7 +1556,7 @@ def quantization_topk_overlap(
                 ),
             ).alias("__sq"),
         )
-        .persist()
+        .transform(transient_persist)
     )
     from pyspark.sql.window import Window
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import transient_persist
 from pyspark.sql.window import Window
 
 
@@ -912,7 +914,7 @@ def lateness_summary(
     h = hist.select(
         F.col("late_min").cast("long").alias("late_min"),
         F.col("w").cast("long").alias("w"),
-    ).persist()
+    ).transform(transient_persist)
     q = weighted_quantiles_exact(h, "late_min", "w", list(probs_permille))
     n = h.agg(
         F.sum("w").cast("long").alias("n_events"),

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import transient_persist
 from ..operators.dedup import exact_dedup_keep_min, drop_near_dups, minhash_near_dup_pairs
 from ..operators.sampling import split_train_holdout
 from ..operators.text import clean_text, lang_id, quality_score
@@ -89,7 +90,9 @@ def curate_documents(
         docs = docs.drop(text_col).join(cleaned, id_col)
 
     def pin(df: DataFrame) -> DataFrame:
-        df = df.persist()
+        # tracked transient (caching.py): warm for the caller's collects,
+        # released by the bounded query-boundary sweep instead of LRU luck
+        df = transient_persist(df)
         pinned.append(df)
         return df
 

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import transient_persist
 from ..operators.dedup import (
     connected_components_star,
     ensure_min_partitions,
@@ -198,7 +199,7 @@ def _survivors(
 
     order_len = F.col(length_col) if length_col else F.length(text_col)
     t0 = _time.time()
-    pairs = pairs.persist()
+    pairs = transient_persist(pairs)
     empty = pairs.limit(1).count() == 0
     if timings is not None:
         timings[f"{label}pairs_probe"] = round(_time.time() - t0, 3)
@@ -243,6 +244,9 @@ def release_front(
     funnel: dict[str, tuple[int, int]] = {}
     import time as _time
 
+    # plain persist() here, NOT transient_persist: the front is the
+    # session-cached class (one materialization per (app, corpus) held by
+    # queries._RELEASE_FRONT_CACHE, bounded by design -- caching.py §1)
     def record(name: str, df: DataFrame) -> DataFrame:
         t0 = _time.time()
         df = df.persist()
@@ -337,6 +341,8 @@ def release_corpus(
     out_dir: str | None = None,
     timings: dict | None = None,
     front: "tuple[DataFrame, dict] | None" = None,
+    near_pairs: DataFrame | None = None,
+    sem_pairs: DataFrame | None = None,
 ) -> ReleaseResult:
     """Run the full release composition and return (train, holdout,
     manifest). `benchmark` is the eval corpus whose n-grams must not
@@ -349,6 +355,26 @@ def release_corpus(
     multiple configurations over one corpus share the materialized
     front; the caller is responsible for having built it with the SAME
     (docs, gate params) this call would use.
+
+    `near_pairs` / `sem_pairs` inject configuration-INDEPENDENT pair
+    lanes shared across release configurations (r14, VERDICT r13 #2):
+
+    - `near_pairs`: verified MinHash pairs (id_a, id_b, jaccard_sim)
+      over the front's exact docs, built with the SAME
+      (hash, num_hashes, bands, shingle) family at a verify threshold
+      <= every configuration's `near_dup_threshold`.  This call
+      refilters ``jaccard_sim >= near_dup_threshold`` -- exactly the
+      integer verify cut, because jaccard_sim is floor-truncated at
+      1e-6 and thresholds are 1e-4-grain, so floor(ni*1e6/nu) >= t*1e6
+      iff 10000*ni >= (t*10000)*nu (both sides integers).  The LSH
+      candidate set itself is threshold-independent (bands/hashes fix
+      it), so a loose-cut lane LOSES no pairs vs a direct tight build.
+    - `sem_pairs`: within-block cosine pairs over (front exact docs
+      WITH an embedding row) at THE SAME `semantic_threshold`.  This
+      call restricts them to pairs whose BOTH endpoints survived the
+      near stage (two semi-joins): cosine is a per-pair predicate, so
+      full-set pairs filtered to the survivor-induced subgraph are
+      value-identical to pairs computed on the survivors directly.
 
     Persist discipline follows plans/curation.py: every stage boundary
     feeds >= 2 consumers (the next stage + its manifest agg), so each is
@@ -368,8 +394,11 @@ def release_corpus(
     spark = docs.sparkSession
 
     def record(name: str, df: DataFrame) -> DataFrame:
+        # per-call stage boundaries are tracked transients (caching.py);
+        # the shared front's stages stay plain-persisted -- they are the
+        # session-cached class (queries._RELEASE_FRONT_CACHE)
         t0 = _time.time()
-        df = df.persist()
+        df = transient_persist(df)
         g = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("__nt"), F.lit(0)).alias("t"),
@@ -394,15 +423,22 @@ def release_corpus(
     funnel.update(front_funnel)
 
     # ---- near dedup: LSH-blocked pairs -> CC -> keep-policy survivor ------
-    near_pairs = minhash_near_dup_pairs(
-        exact,
-        id_col=id_col,
-        text_col=text_col,
-        threshold=near_dup_threshold,
-        num_hashes=near_dup_hashes,
-        bands=near_dup_bands,
-        hash=near_dup_hash,
-    ).select("id_a", "id_b")
+    if near_pairs is None:
+        near_pairs = minhash_near_dup_pairs(
+            exact,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_dup_threshold,
+            num_hashes=near_dup_hashes,
+            bands=near_dup_bands,
+            hash=near_dup_hash,
+        ).select("id_a", "id_b")
+    else:
+        # shared lane built at a looser cut: refilter is the exact
+        # integer verify inequality (see docstring)
+        near_pairs = near_pairs.filter(
+            F.col("jaccard_sim") >= near_dup_threshold
+        ).select("id_a", "id_b")
     near = record(
         "near_dedup",
         _survivors(exact, near_pairs, id_col, text_col, "__grp",
@@ -411,7 +447,25 @@ def release_corpus(
     cur = near
 
     # ---- semantic dedup: block-joined cosine pairs -> CC -> survivor ------
-    if embeddings is not None:
+    if sem_pairs is not None:
+        # shared full-set lane -> survivor-induced subgraph: keep only
+        # pairs whose BOTH endpoints survived the near stage (the CC
+        # must never merge survivors through an already-dropped doc)
+        sem_pairs = (
+            sem_pairs.select("id_a", "id_b")
+            .join(
+                cur.select(F.col(id_col).alias("id_a")), "id_a", "semi"
+            )
+            .join(
+                cur.select(F.col(id_col).alias("id_b")), "id_b", "semi"
+            )
+        )
+        cur = record(
+            "semantic_dedup",
+            _survivors(cur, sem_pairs, id_col, text_col, "__grp",
+                       timings=timings, label="sem_"),
+        )
+    elif embeddings is not None:
         emb = cur.select(id_col).join(
             embeddings.select(
                 F.col(emb_id_col).alias(id_col), vec_col, block_col
@@ -500,7 +554,7 @@ def release_corpus(
             .otherwise(F.lit("train")),
         )
         .withColumn("__shard", hash_bucket(F.col(id_col), n_shards))
-        .persist()
+        .transform(transient_persist)
     )
     _t0 = _time.time()
     cells = final.groupBy("__side", "__shard").agg(

@@ -29,6 +29,7 @@ from .operators.analytics import (
     top_k,
     top_k_per_group,
 )
+from .caching import transient_persist
 from .operators.conform import broadcast_lookup, left_join, union_conform
 from .sources.files import read_testdata
 
@@ -46,7 +47,22 @@ _REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
-        _REGISTRY[name] = Query(name, fn, oracle, doc)
+        import functools
+
+        from .caching import sweep_if_over_bound
+
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # bounded cache-lifetime sweep (caching.py): by query entry,
+            # every transient persisted by PREVIOUS queries has been
+            # consumed (driver/bench/checker materialize each result
+            # before moving on), so releasing them here is recompute-
+            # only-safe and keeps session storage under a hard ceiling
+            # instead of riding LRU eviction.
+            sweep_if_over_bound()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Query(name, run, oracle, doc)
         return fn
 
     return deco
@@ -800,10 +816,21 @@ def _cached_lane(
         # record which distributed-rank operators the lane build fires,
         # and replay them into the call log on every cache hit: the r13
         # claim-verifying audit attributes a shared lane's rewires to
-        # EVERY consumer, not just the first builder
-        before = set(_ranking.CALLS)
-        df = build().persist()
-        hit = (df, set(_ranking.CALLS) - before)
+        # EVERY consumer, not just the first builder.  The build runs
+        # against a FRESH call set (swapped in, merged back) rather than
+        # a before/after difference: if the first consumer already fired
+        # the same operator before building the lane, a set difference
+        # would exclude it from lane_ops and a later cache-hit consumer
+        # claiming that op would spuriously fail the false-claim ratchet.
+        outer = _ranking.CALLS
+        _ranking.CALLS = set()
+        try:
+            df = build().persist()
+            lane_ops = set(_ranking.CALLS)
+        finally:
+            outer.update(_ranking.CALLS)
+            _ranking.CALLS = outer
+        hit = (df, lane_ops)
         _LANE_CACHE[key] = hit
     df, lane_ops = hit
     _ranking.CALLS.update(lane_ops)
@@ -7141,7 +7168,9 @@ def q145_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the running sum rides distributed_cumsum (operators/ranking.py) "
     "bucketed WITHIN each year -- the per-year customer grain is "
     "O(active customers), the q228 class, so a per-year window would "
-    "single-task it. Guard: yearly cents <= 9.2e12 for the x1e6 ladder.",
+    "single-task it. Guard: yearly total cents AND |crossing cum| both "
+    "<= 9.2e12 for the x1e6 ladder (cum can exceed tot when mutated "
+    "data carries negative per-customer cents).",
 )
 def q146_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import distributed_cumsum
@@ -7172,8 +7201,12 @@ def q146_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cum").alias("__cum"),
         F.min("tot").alias("__tot"),
     )
+    # guard BOTH ladder multiplicands (r13 ADVICE): with negative
+    # per-customer cents (mutated/fuzz data) the crossing cum can exceed
+    # tot, so tot alone passing does not bound cum*1e6 under ANSI
     share = F.when(
-        F.col("__tot") <= F.lit(9_200_000_000_000),
+        (F.col("__tot") <= F.lit(9_200_000_000_000))
+        & (F.abs(F.col("__cum")) <= F.lit(9_200_000_000_000)),
         F.expr("CAST(__cum * 1000000 div __tot AS BIGINT)")
         / F.lit(1000000.0),
     ).otherwise(
@@ -13316,7 +13349,7 @@ def q231_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
-    assigned = cluster_safe_split(docs, pairs, "doc_id").persist()
+    assigned = cluster_safe_split(docs, pairs, "doc_id").transform(transient_persist)
     sp = assigned.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("grp").cast("long").alias("n_clusters"),
@@ -14028,7 +14061,7 @@ def q239_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = (
         u.select("source", fingerprint(F.col("text")).alias("fp"))
         .distinct()
-        .persist()
+        .transform(transient_persist)
     )
     sizes = fps.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -14131,7 +14164,7 @@ def q240_source_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
-        .persist()
+        .transform(transient_persist)
     )
     dfreq = bi.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
     per_doc = (
@@ -14528,7 +14561,7 @@ def q244_bm25_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rel", F.col("n_terms") == nt)
         .crossJoin(F.broadcast(rel_total))
-        .persist()
+        .transform(transient_persist)
     )
     outs = []
     for k in _Q244_KS:
@@ -15483,7 +15516,7 @@ def q254_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both sides of the cell self-join read this frame -- persist
         # or the broadcast-assign pipeline runs twice (q214/HITS
         # discipline; measured 24.7s -> ~6s at the 10x proof)
-        .persist()
+        .transform(transient_persist)
     )
     a = base.filter(F.col("vec_id") % 17 == 0).select(
         F.col("vec_id").alias("anchor_id"),
@@ -17390,7 +17423,7 @@ def q276_dup_graph_assortativity(
         # referenced twice by bi and transitively by every join below:
         # without this the whole LSH pipeline re-runs per reference
         # (measured 120.9s -> ~8s at the 10x proof)
-        .persist()
+        .transform(transient_persist)
     )
     bi = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
         e.select(F.col("v").alias("s"), F.col("u").alias("d"))
@@ -17422,7 +17455,7 @@ def q276_dup_graph_assortativity(
         .drop("__mr")
         # spearman_e6 reads its input for the guard and both rank
         # windows -- persist the capped summary (<= 8000 rows)
-        .persist()
+        .transform(transient_persist)
     )
     return spearman_e6(pts, "x", "y", "i")
 
@@ -17501,7 +17534,7 @@ def q277_cm_width_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = tru.select(
         "user_id", F.col("user_id").cast("string").alias("k"), "true_n"
-    ).persist()
+    ).transform(transient_persist)
     outs = []
     for w in _Q277_WIDTHS:
         cm = count_min_table(occ, "k", depth=4, width=w)
@@ -17609,7 +17642,7 @@ def q278_context_length_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = (
         pack_sequences(d, "doc_id", "n_tok", seq_len=1)
         .select(F.col("n_tok"), F.col("seq_id").alias("start"))
-        .persist()
+        .transform(transient_persist)
     )
     tot = offs.agg(F.sum("n_tok").alias("__t"))
     outs = []
@@ -18132,7 +18165,7 @@ def q284_self_similarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__mr") <= 50)
         .select("doc_id", word_shingles(F.col("text"), 2).alias("s"))
         .filter(F.col("s").isNotNull())
-        .persist()
+        .transform(transient_persist)
     )
     a = sampled.select(
         F.col("doc_id").alias("__ida"), F.col("s").alias("__sa")
@@ -18243,7 +18276,7 @@ def q285_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nxt").isNotNull())
     tc = seq.groupBy("s", "nxt").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).persist()
+    ).transform(transient_persist)
     outs = tc.groupBy("s").agg(F.sum("n").cast("long").alias("cs")).select(
         F.col("s").alias("__os"), "cs"
     )
@@ -18431,7 +18464,7 @@ def q287_tail_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = weighted_quantiles_exact(
         v, "cents", "one", list(_Q287_PROBS), group_cols=("w",)
-    ).persist()
+    ).transform(transient_persist)
     outs = []
     for p_ in _Q287_PROBS:
         series = wq.filter(F.col("p_permille") == p_).select(
@@ -18962,7 +18995,7 @@ def q293_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("lat"),
             F.lit(1).cast("long").alias("one"),
         )
-        .persist()
+        .transform(transient_persist)
     )
     q = weighted_quantiles_exact(
         base, "lat", "one", list(_Q293_PROBS), group_cols=("priority",)
@@ -19066,7 +19099,7 @@ def q294_segment_rate_paradox_audit(
     cell = base.groupBy("nation", "seg").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("f").cast("long").alias("fc"),
-    ).persist()
+    ).transform(transient_persist)
     seg = cell.groupBy("seg").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("fc").cast("long").alias("fc"),
@@ -19437,7 +19470,7 @@ def q298_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn("__mr", F.row_number().over(wmr))
         .filter(F.col("__mr") <= _Q298_SAMPLE)
         .select("vec_id", "embedding", "label")
-        .persist()
+        .transform(transient_persist)
     )
     per_vec = knn_label_disagreement(
         sampled, "vec_id", "embedding", "label", k=_Q298_K
@@ -20140,7 +20173,7 @@ def q305_cell_blocked_label_noise(
         )
         .filter(F.col("__nrm") > 0)
         # both sides of the cell self-join read this frame (q254)
-        .persist()
+        .transform(transient_persist)
     )
     a = base.filter(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id").alias("__ida"),
@@ -20736,7 +20769,7 @@ def q310_class_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__nrm"
             ),
         )
-        .persist()
+        .transform(transient_persist)
     )
     a = base.select(
         F.col("vec_id").alias("__ida"),
@@ -21206,7 +21239,7 @@ def q314_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         F.expr("(us - prev_us) div 60000000").alias("gap_min"),
         F.lit(1).alias("one"),
-    ).persist()
+    ).transform(transient_persist)
     q = weighted_quantiles_exact(
         g,
         "gap_min",
@@ -22068,7 +22101,7 @@ def q322_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    bg = bg.persist()
+    bg = bg.transform(transient_persist)
     nab = bg.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("n_ab")
     )
@@ -22919,25 +22952,103 @@ _Q332_SHARDS = 4
 # release_corpus copies them into its own dict)
 _RELEASE_FRONT_CACHE: dict = {}
 
+# THE gate-param set of the graded release configurations: the front
+# cache key, the release_front build, AND both release_corpus calls all
+# read this one dict (r13 ADVICE: a hardcoded key tuple next to default
+# call args desyncs silently when one site is edited -- stale-front
+# reuse across configurations).
+_RELEASE_GATE_PARAMS: dict = {
+    "id_col": "doc_id",
+    "text_col": "text",
+    "allowed_langs": None,
+    "min_quality": 0.2,
+    "length_quantile": 0.95,
+}
+
 
 def _release_front_shared(spark: SparkSession, sf_dir: str):
     import os as _os
 
-    # key carries the gate params the front was built with (defaults
-    # today) so a future configuration with different gates can never
-    # hit a stale front
+    # key carries the gate params the front is built with (the same
+    # dict splatted into release_front below) so a future configuration
+    # with different gates can never hit a stale front
     key = (
         spark.sparkContext.applicationId,
         _os.path.realpath(sf_dir),
-        ("doc_id", "text", None, 0.2, 0.95),
+        tuple(sorted((k, v) for k, v in _RELEASE_GATE_PARAMS.items())),
     )
     hit = _RELEASE_FRONT_CACHE.get(key)
     if hit is None:
         from .plans.release import release_front
 
-        hit = release_front(t(spark, sf_dir, "documents"))
+        hit = release_front(
+            t(spark, sf_dir, "documents"), **_RELEASE_GATE_PARAMS
+        )
         _RELEASE_FRONT_CACHE[key] = hit
     return hit
+
+
+# Configuration-INDEPENDENT pair lanes shared by every graded release
+# configuration (r14, VERDICT r13 #2): the md5 MinHash family
+# (shingle -> signature -> band join -> integer-verified jaccard) and the
+# block-joined cosine pairs are functions of the FRONT, not of any
+# configuration's threshold/keep policy.  The near lane is built ONCE at
+# the loosest graded verify cut (q243's build-at-the-loosest-cut
+# discipline) and each configuration refilters jaccard_sim -- exactly the
+# integer verify cut (see release_corpus docstring); the semantic lane is
+# built over ALL front docs with embeddings and each configuration
+# restricts to its near-survivor-induced subgraph with two semi-joins.
+_RELEASE_ND_FAMILY = {"num_hashes": 16, "bands": 8, "hash": "md5"}
+_RELEASE_ND_LANE_T = 0.7  # loosest near_dup_threshold across q332/q333
+_RELEASE_SEM_T = 0.35
+
+
+def _release_near_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from .operators.dedup import minhash_near_dup_pairs
+
+        exact, _ = _release_front_shared(spark, sf_dir)
+        return minhash_near_dup_pairs(
+            exact,
+            id_col=_RELEASE_GATE_PARAMS["id_col"],
+            text_col=_RELEASE_GATE_PARAMS["text_col"],
+            threshold=_RELEASE_ND_LANE_T,
+            **_RELEASE_ND_FAMILY,
+        )
+
+    return _cached_lane(spark, sf_dir, "release_nd_md5_16x8_t07", build)
+
+
+def _release_sem_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from .operators.dedup import semantic_dedup_pairs
+
+        exact, _ = _release_front_shared(spark, sf_dir)
+        emb = t(spark, sf_dir, "embeddings")
+        id_col = _RELEASE_GATE_PARAMS["id_col"]
+        base = exact.select(id_col).join(
+            emb.select(
+                F.col("vec_id").alias(id_col), "embedding", "label"
+            ),
+            id_col,
+        )
+        dim_row = (
+            emb.filter(F.col("embedding").isNotNull())
+            .select(F.size("embedding").alias("__d"))
+            .first()
+        )
+        return semantic_dedup_pairs(
+            base,
+            id_col=id_col,
+            vec_col="embedding",
+            cluster_col="label",
+            threshold=_RELEASE_SEM_T,
+            dim=int(dim_row["__d"])
+            if dim_row and dim_row["__d"] is not None
+            else 0,
+        )
+
+    return _cached_lane(spark, sf_dir, "release_sem_t035", build)
 
 
 def _release_oracle(
@@ -23142,6 +23253,9 @@ def q332_corpus_release_manifest(
         total_token_budget=_Q332_BUDGET,
         n_shards=_Q332_SHARDS,
         front=_release_front_shared(spark, sf_dir),
+        near_pairs=_release_near_lane(spark, sf_dir),
+        sem_pairs=_release_sem_lane(spark, sf_dir),
+        **_RELEASE_GATE_PARAMS,
     )
     return res.manifest
 
@@ -23183,6 +23297,9 @@ def q333_release_unbudgeted_manifest(
         total_token_budget=None,
         n_shards=_Q332_SHARDS,
         front=_release_front_shared(spark, sf_dir),
+        near_pairs=_release_near_lane(spark, sf_dir),
+        sem_pairs=_release_sem_lane(spark, sf_dir),
+        **_RELEASE_GATE_PARAMS,
     )
     return res.manifest
 
@@ -23313,7 +23430,7 @@ def q334_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the centroid frame feeds three consumers (assignment broadcast,
     # probe-plan broadcast, candidate build) -- persist the 64-avg agg
     # once instead of recomputing it per broadcast
-    cent = label_centroids(emb, dim=64).persist()
+    cent = label_centroids(emb, dim=64).transform(transient_persist)
     asg = kmeans_assign(nz.select("vec_id", "embedding"), cent).select(
         "vec_id", F.col("assigned").alias("cell")
     )
@@ -23335,7 +23452,7 @@ def q334_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everything -- the sentinel skips a count job over the centroid agg
     cand = ivf_batch_candidates(
         base, cent, anch, nprobe=1 << 20, dim=64
-    ).persist()
+    ).transform(transient_persist)
     wq = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     truth = (
         cand.withColumn("rk", F.row_number().over(wq))

@@ -45,6 +45,13 @@ def main() -> None:
     # first-touch noise.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    # storage-cache high-water mark across the run (VERDICT r13 #3): the
+    # bounded transient sweep (caching.py) is the policy; this records the
+    # measurement SCALE.md cites. One py4j introspection call per query --
+    # microseconds, never on a query plan path.
+    from bankcreditunion_datapipeline_spark.caching import storage_status
+
+    hwm = {"n_cached_rdds": 0, "mem_bytes": 0, "disk_bytes": 0, "n_transients": 0}
     for name, q in sorted(registry.items()):
         best = None
         n = None
@@ -60,6 +67,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name}: ERROR {e}", file=sys.stderr)
+        st = storage_status(spark)
+        for k in hwm:
+            hwm[k] = max(hwm[k], st[k])
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     ordered = sorted(v for v in timings.values() if v >= 0)
@@ -87,6 +97,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
                 "median_query_sec": median,
+                "storage_hwm": hwm,
                 "queries": timings,
             },
             fh,

@@ -125,6 +125,26 @@ def test_cached_lane_replays_rank_ops_on_hit(spark):
     assert "distributed_row_number" in _rk.CALLS
 
 
+def test_cached_lane_records_ops_already_fired_by_builder(spark):
+    # r13 ADVICE: the first consumer may fire the same distributed_* op
+    # BEFORE building the lane; a before/after set difference would then
+    # exclude it from lane_ops and a later cache-hit consumer claiming it
+    # would spuriously hard-fail the false-claim ratchet. The build runs
+    # against a fresh swapped-in call set, so the op is captured anyway.
+    from bankcreditunion_datapipeline_spark.queries import _cached_lane
+
+    def build():
+        _rk.CALLS.add("distributed_cumsum")
+        return spark.range(3)
+
+    _rk.CALLS.clear()
+    _rk.CALLS.add("distributed_cumsum")  # consumer fired it pre-build
+    _cached_lane(spark, "/tmp", "test_lane_prefired", build)
+    _rk.CALLS.clear()
+    _cached_lane(spark, "/tmp", "test_lane_prefired", build)  # cache hit
+    assert "distributed_cumsum" in _rk.CALLS
+
+
 # order columns an unpartitioned window may legitimately ride in the
 # rewired queries: __pid is ranking.py's O(buckets x keys) offsets
 # summary; decile/bin are the O(10)/O(bins) readout cum-sums.
