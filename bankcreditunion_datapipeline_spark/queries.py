@@ -23235,8 +23235,14 @@ def _release_oracle(
     "the already-audited operator (blocked pair lanes, cluster-"
     "partitioned survivor windows, a distributed_cumsum budget cut "
     "bucketed WITHIN each source -- source is the corpus skew key -- "
-    "broadcast dims, O(stages+shards) driver rows); "
-    "the only additions are persist boundaries between stages.",
+    "broadcast dims, O(stages+shards) driver rows).  The front, the "
+    "MinHash pair lane (built once at the loosest graded verify cut, "
+    "refiltered per configuration by the exact integer inequality), "
+    "the semantic cosine pair lane (survivor-induced-subgraph "
+    "restriction per configuration), and the CC label frames are "
+    "session-shared materializations (r14) -- the discipline of a "
+    "production pipeline that stores signatures and cluster labels as "
+    "tables instead of recomputing them per release configuration.",
 )
 def q332_corpus_release_manifest(
     spark: SparkSession, sf_dir: str
@@ -23255,6 +23261,7 @@ def q332_corpus_release_manifest(
         front=_release_front_shared(spark, sf_dir),
         near_pairs=_release_near_lane(spark, sf_dir),
         sem_pairs=_release_sem_lane(spark, sf_dir),
+        cc_memo=lambda key, build: _cached_lane(spark, sf_dir, key, build),
         **_RELEASE_GATE_PARAMS,
     )
     return res.manifest
@@ -23276,10 +23283,13 @@ def q332_corpus_release_manifest(
     "configuration: same curation front, md5 LSH lane, semantic stage, "
     "leak-free cluster split and shards as q332, with near-dup verify "
     "at 0.99 (keep-all on this corpus -- exercises the empty-pair fast "
-    "path), no benchmark (the contamination-skip branch) and no token "
-    "budget (the budget=None branch). Together with q332 every "
-    "conditional branch of the flagship moves a graded number. Scale "
-    "posture identical to q332 (the skipped stages only REMOVE work).",
+    "path, reached here by refiltering the SHARED 0.7-cut pair lane at "
+    ">= 0.99, the exact integer verify cut), no benchmark (the "
+    "contamination-skip branch) and no token budget (the budget=None "
+    "branch). Together with q332 every conditional branch of the "
+    "flagship moves a graded number. Scale posture identical to q332 "
+    "(the skipped stages only REMOVE work; the shared front/pair/CC "
+    "lanes are one session materialization across both configurations).",
 )
 def q333_release_unbudgeted_manifest(
     spark: SparkSession, sf_dir: str
@@ -23299,6 +23309,7 @@ def q333_release_unbudgeted_manifest(
         front=_release_front_shared(spark, sf_dir),
         near_pairs=_release_near_lane(spark, sf_dir),
         sem_pairs=_release_sem_lane(spark, sf_dir),
+        cc_memo=lambda key, build: _cached_lane(spark, sf_dir, key, build),
         **_RELEASE_GATE_PARAMS,
     )
     return res.manifest
