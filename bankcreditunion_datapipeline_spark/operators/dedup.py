@@ -1184,12 +1184,27 @@ def build_minhash_index(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Persistable dedup index: (id, __hashes, __sig) per document. The
     100 TB dedup workflow is NOT re-pairing the whole corpus per run -- you
     build this index once, write it (bucketed by id or partitioned by band
     via lsh_band_table), and dedup each arriving delta against it.
+
+    ``hash`` picks the lane exactly as in minhash_near_dup_pairs:
+    "xxhash64" (production) or "md5" (the SQL-replayable q21 family) --
+    an index and the deltas paired against it must ride ONE lane.
     """
+    assert hash in ("xxhash64", "md5")
+    if hash == "md5":
+        flat = word_shingles_flat(
+            ensure_min_partitions(df), id_col, text_col, shingle_k
+        ).select(F.col(id_col), F.md5(F.col("__s")).alias("__h"))
+        sigs = portable_minhash_signatures(flat, id_col, num_hashes)
+        hashes = flat.groupBy(id_col).agg(
+            F.array_distinct(F.collect_list("__h")).alias("__hashes")
+        )
+        return sigs.join(hashes, id_col).select(id_col, "__hashes", "__sig")
     shingled = (
         ensure_min_partitions(df)
         .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh"))
@@ -1211,20 +1226,26 @@ def incremental_near_dup_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     index_bands: DataFrame | None = None,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs between a new delta and an existing index: returns
     (new_id, index_id, jaccard_sim). Only the delta is shingled; the index
     side reuses stored signatures (pass `index_bands` if the band table is
     also persisted -- then the index side does zero signature work and the
-    candidate join can partition-prune on band_hash).
+    candidate join can partition-prune on band_hash). ``hash`` must match
+    the lane the index was built with (build_minhash_index).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    new_sigs = build_minhash_index(new_df, id_col, text_col, num_hashes, shingle_k).transform(transient_persist)
-    new_bands = lsh_band_table(new_sigs, id_col, "__sig", bands).select(
+    assert hash in ("xxhash64", "md5")
+    band_hasher = F.md5 if hash == "md5" else F.xxhash64
+    new_sigs = build_minhash_index(
+        new_df, id_col, text_col, num_hashes, shingle_k, hash=hash
+    ).transform(transient_persist)
+    new_bands = lsh_band_table(new_sigs, id_col, "__sig", bands, band_hasher).select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("new_id")
     )
     if index_bands is None:
-        index_bands = lsh_band_table(index_sigs, id_col, "__sig", bands)
+        index_bands = lsh_band_table(index_sigs, id_col, "__sig", bands, band_hasher)
     idx_bands = index_bands.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("index_id")
     )

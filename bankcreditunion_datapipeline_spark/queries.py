@@ -23316,6 +23316,111 @@ def q333_release_unbudgeted_manifest(
 
 
 # ---------------------------------------------------------------------------
+# Graded streaming replay of the flagship (r14, VERDICT r13 #6): the q332
+# corpus fed through the streaming release twin as THREE micro-batches --
+# with batch 0 REDELIVERED (checkpoint wiped after the first wave, the
+# test_release.py protocol) -- then the manifest extracted from the
+# folded narrow state (meta + md5 signature index + pair-delta log;
+# document bodies never stored).  Graded against the SAME oracle as
+# q332: streaming fold == batch composition == DuckDB, so redelivery
+# idempotence and cross-batch pair completeness are hash-graded numbers,
+# not just test assertions.  The md5 lane rides the r14 hash pass-
+# through in build_minhash_index / incremental_near_dup_pairs.
+# ---------------------------------------------------------------------------
+_Q335_STATE_CACHE: dict = {}
+_Q335_BATCHES = 3
+
+
+@register(
+    "q335_streaming_release_replay",
+    _release_oracle(),
+    doc="streaming_release_ingest + streaming_release_manifest "
+    "(streaming/incremental.py): the q332 release configuration fed as "
+    f"{_Q335_BATCHES} deterministic micro-batches (doc_id mod "
+    f"{_Q335_BATCHES}) through Structured Streaming file batches with "
+    "Trigger.AvailableNow, batch 0 redelivered via a wiped checkpoint "
+    "(overwrite-idempotent state partitions), manifest extracted from "
+    "narrow metadata state only -- must hash-match the monolithic q332 "
+    "oracle row for row. Per-batch work is O(batch + batch-vs-index "
+    "candidates); state is O(corpus metadata + signatures + pairs), "
+    "never corpus text. CC labels ride the same cc_memo lane class as "
+    "q332 (the replay state is frozen once built, keyed by batch count).",
+)
+def q335_streaming_release_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .streaming.incremental import (
+        streaming_release_ingest,
+        streaming_release_manifest,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    state_dir = _Q335_STATE_CACHE.get(key)
+    if state_dir is None:
+        root = _tempfile.mkdtemp(prefix="q335_replay_")
+        src = _os.path.join(root, "src")
+        ckpt = _os.path.join(root, "ckpt")
+        state_dir = _os.path.join(root, "state")
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("source", StringType()),
+                StructField("text", StringType()),
+            ]
+        )
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+        def ingest() -> None:
+            streaming_release_ingest(
+                spark,
+                src,
+                ckpt,
+                schema,
+                state_dir,
+                benchmark=bench,
+                near_dup_hash="md5",
+            )
+
+        for b in range(_Q335_BATCHES):
+            docs.filter(
+                F.pmod(F.col("doc_id"), F.lit(_Q335_BATCHES)) == b
+            ).select("doc_id", "source", "text").coalesce(4).write.mode(
+                "append"
+            ).parquet(src)
+            ingest()
+            if b == 0:
+                # redelivery: wipe the checkpoint so the next run
+                # replays wave 0 as batch 0 again -- state must be
+                # byte-idempotent (the graded manifest would move
+                # otherwise)
+                _shutil.rmtree(ckpt)
+                ingest()
+        _Q335_STATE_CACHE[key] = state_dir
+    return streaming_release_manifest(
+        spark,
+        state_dir,
+        embeddings=t(spark, sf_dir, "embeddings"),
+        contamination=True,
+        total_token_budget=_Q332_BUDGET,
+        n_shards=_Q332_SHARDS,
+        cc_memo=lambda k, build: _cached_lane(spark, state_dir, k, build),
+        cc_key_prefix=f"q335_b{_Q335_BATCHES}_",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch-query IVF recall curve (r13, VERDICT r12 #8): q238 grades the
 # recall-vs-nprobe tradeoff for ONE query planned driver-side; this
 # grades the SERVING shape -- a query TABLE probed via broadcast

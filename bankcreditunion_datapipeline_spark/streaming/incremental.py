@@ -1485,6 +1485,7 @@ def streaming_release_ingest(
     near_dup_threshold: float = 0.7,
     near_dup_hashes: int = 16,
     near_dup_bands: int = 8,
+    near_dup_hash: str = "xxhash64",
     contamination_ngram: int = 5,
 ) -> None:
     """Ingest half of the release twin: per micro-batch, write three
@@ -1589,7 +1590,8 @@ def streaming_release_ingest(
             os.path.join(state_dir, "meta", f"batch={batch_id}")
         )
         sigs = build_minhash_index(
-            passed, id_col, text_col, num_hashes=near_dup_hashes
+            passed, id_col, text_col, num_hashes=near_dup_hashes,
+            hash=near_dup_hash,
         ).persist()
         sigs.write.mode("overwrite").parquet(
             os.path.join(state_dir, "sig", f"batch={batch_id}")
@@ -1601,6 +1603,7 @@ def streaming_release_ingest(
             threshold=near_dup_threshold,
             num_hashes=near_dup_hashes,
             bands=near_dup_bands,
+            hash=near_dup_hash,
         ).select("id_a", "id_b")
         pairs = intra
         sig_dir = os.path.join(state_dir, "sig")
@@ -1618,6 +1621,7 @@ def streaming_release_ingest(
                 threshold=near_dup_threshold,
                 num_hashes=near_dup_hashes,
                 bands=near_dup_bands,
+                hash=near_dup_hash,
             ).select(
                 F.least("new_id", "index_id").alias("id_a"),
                 F.greatest("new_id", "index_id").alias("id_b"),
@@ -1649,6 +1653,8 @@ def streaming_release_manifest(
     alpha: float = 0.5,
     holdout_rate: float = 0.05,
     n_shards: int = 4,
+    cc_memo=None,
+    cc_key_prefix: str = "",
 ) -> DataFrame:
     """Extract the release manifest from the folded stream state --
     identical rows to ``release_corpus(union of all batches).manifest``
@@ -1663,6 +1669,12 @@ def streaming_release_manifest(
       over stored lengths;
     - semantic dedup / contamination / budgets / split / shards: the
       same arithmetic as plans/release.py over metadata columns.
+
+    ``cc_memo`` forwards to plans.release._survivors (same contract as
+    release_corpus): ONLY sound when the state dir is frozen between
+    extractions under the memo key -- the caller owns that guarantee
+    (state dirs are otherwise mutable; ``cc_key_prefix`` should encode
+    the state identity, e.g. path + batch count).
     """
     from pyspark.sql.window import Window
 
@@ -1738,7 +1750,8 @@ def streaming_release_manifest(
     )
     cur = record(
         "near_dedup",
-        _survivors(exact, pairs, id_col, "", "__grp", length_col="length"),
+        _survivors(exact, pairs, id_col, "", "__grp", length_col="length",
+                   cc_memo=cc_memo, cc_key=f"{cc_key_prefix}near_cc"),
     )
 
     if embeddings is not None:
@@ -1757,7 +1770,9 @@ def streaming_release_manifest(
         ).select("id_a", "id_b")
         cur = record(
             "semantic_dedup",
-            _survivors(cur, sem_pairs, id_col, "", "__grp", length_col="length"),
+            _survivors(cur, sem_pairs, id_col, "", "__grp",
+                       length_col="length",
+                       cc_memo=cc_memo, cc_key=f"{cc_key_prefix}sem_cc"),
         )
 
     if contamination:

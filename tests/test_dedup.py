@@ -177,6 +177,36 @@ def test_incremental_near_dups_matches_full_run(spark, sf_dir):
     assert len(inc_pairs) > 0  # fixture contains cross near-dups
 
 
+def test_incremental_near_dups_md5_lane_matches_full_run(spark, sf_dir):
+    # r14: the md5 (SQL-replayable) lane rides the same index/delta
+    # split as production xxhash64 -- intra + cross pair union must
+    # equal the monolithic md5 run (the q335 streaming replay grade
+    # rests on this)
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_near_dup_pairs,
+        minhash_near_dup_pairs,
+    )
+    from bankcreditunion_datapipeline_spark.sources.files import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    index = build_minhash_index(existing, num_hashes=16, hash="md5").persist()
+    inc = incremental_near_dup_pairs(
+        delta, index, num_hashes=16, bands=8, hash="md5"
+    )
+    inc_pairs = {frozenset((r.new_id, r.index_id)) for r in inc.collect()}
+    full = minhash_near_dup_pairs(docs, num_hashes=16, bands=8, hash="md5")
+    cross = {
+        frozenset((r.id_a, r.id_b))
+        for r in full.collect()
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    assert inc_pairs == cross
+    assert len(inc_pairs) > 0
+
+
 def test_minhash_survives_null_text(spark):
     """A NULL-text document must yield a NULL signature (and no pairs), not
     a TypeError inside the Arrow batch (ADVICE r1: np.asarray(None) crash)."""
