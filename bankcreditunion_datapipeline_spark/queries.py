@@ -23394,8 +23394,14 @@ def q335_streaming_release_replay(
             )
 
         for b in range(_Q335_BATCHES):
+            # coalesce NULL ids into batch 0: the batch split must
+            # PARTITION the corpus (a bare pmod filter would silently
+            # drop NULL-id docs that the monolithic q332 path keeps)
             docs.filter(
-                F.pmod(F.col("doc_id"), F.lit(_Q335_BATCHES)) == b
+                F.coalesce(
+                    F.pmod(F.col("doc_id"), F.lit(_Q335_BATCHES)), F.lit(0)
+                )
+                == b
             ).select("doc_id", "source", "text").coalesce(4).write.mode(
                 "append"
             ).parquet(src)

@@ -1527,6 +1527,8 @@ def streaming_release_ingest(
 
     bench_grams = None
     if benchmark is not None:
+        from ..caching import transient_persist
+
         bench_grams = (
             _distinct_gram_hashes(
                 benchmark.select(
@@ -1540,7 +1542,7 @@ def streaming_release_ingest(
             .select("gh")
             .distinct()
             .withColumn("__hit", F.lit(1))
-            .persist()
+            .transform(transient_persist)
         )
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
