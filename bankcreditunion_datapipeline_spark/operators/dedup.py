@@ -1285,6 +1285,24 @@ def incremental_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Probe the vector width from any non-NULL row (ONE tiny job).
+
+    The width is corpus metadata: probe it from the narrowest frame
+    available (the raw embeddings SCAN, not a frame behind a join --
+    probing a joined frame runs the join just to read one array size).
+    Returns 0 for an empty/all-NULL column; `dot_fast` then falls back
+    to the HOF fold, which handles any width. The single shared probe
+    for release_corpus, the queries-side sem lane, and
+    semantic_dedup_pairs' own dim=None path."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("__d"))
+        .first()
+    )
+    return int(row["__d"]) if row and row["__d"] is not None else 0
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1292,6 +1310,7 @@ def semantic_dedup_pairs(
     cluster_col: str = "label",
     threshold: float = 0.95,
     dim: "int | None" = None,
+    persist_fn=None,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs: exact pairwise cosine
     WITHIN a cluster only (Abbas et al. 2023 -- k-means the embeddings,
@@ -1309,6 +1328,12 @@ def semantic_dedup_pairs(
     sides would otherwise replay the upstream frame (in the release
     plan that is a survivors-x-embeddings join plus the cast and norm,
     measured ~2x the stage cost at sf0.1).
+
+    `persist_fn` overrides how the projected base is persisted: callers
+    with a stricter cache-lifetime contract than the bounded transient
+    sweep (streaming_release_manifest, whose inputs scan MUTABLE state
+    dirs and must leave no cache behind) pass their own pin/unpersist
+    hook; default is the bounded transient register (caching.py).
     """
     from ..functions.vectors import dot_fast as _dot_fast
 
@@ -1316,19 +1341,12 @@ def semantic_dedup_pairs(
         # probe the width from any row (one tiny job; callers that know
         # the width -- e.g. release_corpus probing the embeddings table
         # BEFORE the survivors join -- pass `dim` and skip it)
-        first_d = df.filter(F.col(vec_col).isNotNull()).select(
-            F.size(vec_col).alias("__d")
-        ).first()
-        dim = (
-            int(first_d["__d"])
-            if first_d and first_d["__d"] is not None
-            else 0
-        )
+        dim = embedding_dim(df, vec_col)
     vd = F.col(vec_col).cast("array<double>")
     # registered as a bounded-lifetime transient (caching.py, r13 ADVICE:
     # a plain persist here leaked one session-lifetime cache entry per
     # invocation -- q120 plus every release configuration)
-    base = transient_persist(
+    base = (persist_fn or transient_persist)(
         df.select(
             F.col(cluster_col).alias("__cl"),
             F.col(id_col),

@@ -1044,3 +1044,91 @@ def diversity_from_counts(
             "div (n_tokens * n_tokens) AS BIGINT)"
         ).alias("diversity_e6"),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id", "source"),
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights over hashed bigram features: score
+    every document by how much its hashed-n-gram distribution looks like
+    the `target` corpus rather than the raw corpus (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" --
+    the feature space is hashed n-gram counts, the weight is the
+    log-ratio of two add-1-smoothed bucket multinomials).
+
+    Per gram occurrence in bucket b:
+        w(b) = log2( ((ct(b)+1) * (R+B)) / ((cr(b)+1) * (T+B)) )
+    where ct/cr are target/raw bucket counts, T/R their totals and B the
+    bucket count -- ONE log2 of a ratio of integer-derived doubles (the
+    engine-portable ln discipline).  A document's weight is the sum over
+    its gram occurrences; resampling keeps documents proportional to it.
+
+    Plan shape, sized for the 100 TB corpus:
+    - bigrams are built NARROWLY from the token array (transform over
+      the split array -- no posexplode + lead window, so the token
+      stream never shuffles for position);
+    - the feature space is the FIXED hash range, so both model tables
+      (raw + target bucket counts) are <= `buckets` rows -- broadcast,
+      never a shuffle of the gram stream (this is the point of hashed
+      features: a real vocabulary outgrows broadcast, B=4096 never
+      does);
+    - the only wide op is the per-document reduce, keyed by the
+      corpus's natural id -- no skew.
+    - the gram->bucket hash is md5-based (`sampling.hash_bucket`), so
+      weights are reproducible outside Spark.
+
+    Documents with < 2 tokens have no bigrams and no output row.
+    Returns id cols + (n_grams, importance) per document, importance =
+    the summed log-ratio (NOT averaged -- callers wanting a per-gram
+    rate divide by n_grams).
+    """
+    from .sampling import hash_bucket
+
+    def _bucketed(frame: DataFrame, with_ids: bool) -> DataFrame:
+        grams = F.when(
+            F.size(F.col("__t")) >= 2,
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> concat(element_at(__t, i), ' ', "
+                "element_at(__t, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(c) for c in id_cols] if with_ids else []
+        return (
+            frame.withColumn("__t", F.split(F.col(text_col), " "))
+            .select(*cols, F.explode(grams).alias("__g"))
+            .withColumn("__b", hash_bucket(F.col("__g"), buckets))
+            .drop("__g")
+        )
+
+    raw = _bucketed(df, with_ids=True)
+    cr = raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    ct = (
+        _bucketed(target, with_ids=False)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    totals = cr.agg(
+        F.sum("__cr").cast("long").alias("__rt")
+    ).crossJoin(
+        ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("long").alias("__tt"))
+    )
+    b = F.lit(buckets)
+    w = F.log2(
+        ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) * (F.col("__rt") + b))
+        / ((F.col("__cr") + F.lit(1.0)) * (F.col("__tt") + b))
+    )
+    return (
+        raw.join(F.broadcast(cr), "__b")
+        .join(F.broadcast(ct), "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(w).alias("importance"),
+        )
+    )

@@ -47,6 +47,7 @@ from pyspark.sql.window import Window
 from ..caching import transient_persist
 from ..operators.dedup import (
     connected_components_star,
+    embedding_dim,
     ensure_min_partitions,
     exact_dedup_keep_min,
     minhash_near_dup_pairs,
@@ -177,6 +178,7 @@ def _survivors(
     label: str = "",
     cc_memo=None,
     cc_key: str = "",
+    persist_fn=None,
 ) -> DataFrame:
     """Cluster `members` by the pair graph and keep ONE survivor per
     cluster under the keep policy (longest text DESC, id ASC -- a total
@@ -196,12 +198,18 @@ def _survivors(
 
     `length_col` orders the keep policy by a precomputed length column
     instead of length(text_col) -- the streaming twin's metadata frames
-    carry lengths but never document bodies."""
+    carry lengths but never document bodies.
+
+    `persist_fn` overrides how the pair graph is persisted: callers
+    whose pairs scan MUTABLE inputs (streaming_release_manifest's state
+    dirs) pass their own pin hook so the cache is released before the
+    extraction returns -- a bounded-sweep transient would outlive the
+    call and serve stale rows to the next extraction."""
     import time as _time
 
     order_len = F.col(length_col) if length_col else F.length(text_col)
     t0 = _time.time()
-    pairs = transient_persist(pairs)
+    pairs = (persist_fn or transient_persist)(pairs)
     empty = pairs.limit(1).count() == 0
     if timings is not None:
         timings[f"{label}pairs_probe"] = round(_time.time() - t0, 3)
@@ -356,7 +364,9 @@ def release_corpus(
     timings: dict | None = None,
     front: "tuple[DataFrame, dict] | None" = None,
     near_pairs: DataFrame | None = None,
+    near_pairs_lane_threshold: float | None = None,
     sem_pairs: DataFrame | None = None,
+    sem_pairs_lane_threshold: float | None = None,
     cc_memo=None,
 ) -> ReleaseResult:
     """Run the full release composition and return (train, holdout,
@@ -384,12 +394,25 @@ def release_corpus(
       iff 10000*ni >= (t*10000)*nu (both sides integers).  The LSH
       candidate set itself is threshold-independent (bands/hashes fix
       it), so a loose-cut lane LOSES no pairs vs a direct tight build.
-    - `sem_pairs`: within-block cosine pairs over (front exact docs
-      WITH an embedding row) at THE SAME `semantic_threshold`.  This
-      call restricts them to pairs whose BOTH endpoints survived the
-      near stage (two semi-joins): cosine is a per-pair predicate, so
-      full-set pairs filtered to the survivor-induced subgraph are
-      value-identical to pairs computed on the survivors directly.
+    - `sem_pairs`: within-block cosine pairs (id_a, id_b, cosine_sim)
+      over ALL front exact docs with an embedding row, built at a
+      threshold <= every configuration's `semantic_threshold`.  This
+      call refilters ``cosine_sim >= semantic_threshold`` (cosine_sim
+      is round()ed at 1e-6 inside semantic_dedup_pairs, so refiltering
+      the stored value at a coarser-grain threshold is the identical
+      predicate a direct tight build applies) and restricts to pairs
+      whose BOTH endpoints survived the near stage (two semi-joins):
+      cosine is a per-pair predicate, so full-set pairs filtered to
+      the survivor-induced subgraph are value-identical to pairs
+      computed on the survivors directly.
+
+    Injected lanes FAIL LOUD on configuration drift (the r13 ADVICE #3
+    silent-desync class): each must arrive with its
+    ``*_lane_threshold`` (the cut the lane was BUILT at), and this call
+    raises ValueError when a configuration's threshold is looser than
+    the lane's build cut -- a lane built at 0.7 simply does not contain
+    the [0.6, 0.7) pairs a 0.6 configuration needs, and silently
+    missing them would corrupt the graded manifest.
 
     `cc_memo` is an optional ``(key, build) -> DataFrame`` memoizer
     for the two connected-components label frames (each a deterministic
@@ -460,7 +483,23 @@ def release_corpus(
         ).select("id_a", "id_b")
     else:
         # shared lane built at a looser cut: refilter is the exact
-        # integer verify inequality (see docstring)
+        # integer verify inequality (see docstring); fail loud when the
+        # configuration needs pairs below the lane's build cut
+        if near_pairs_lane_threshold is None:
+            raise ValueError(
+                "near_pairs injected without near_pairs_lane_threshold: "
+                "the lane's build cut is part of its identity -- pass "
+                "the threshold the lane was built at"
+            )
+        if near_dup_threshold < near_pairs_lane_threshold:
+            raise ValueError(
+                f"near_dup_threshold={near_dup_threshold} is below the "
+                f"injected lane's build cut "
+                f"{near_pairs_lane_threshold}: the lane does not "
+                f"contain pairs in [{near_dup_threshold}, "
+                f"{near_pairs_lane_threshold}) -- build the lane at "
+                f"the loosest graded cut or drop the injection"
+            )
         near_pairs = near_pairs.filter(
             F.col("jaccard_sim") >= near_dup_threshold
         ).select("id_a", "id_b")
@@ -482,11 +521,29 @@ def release_corpus(
 
     # ---- semantic dedup: block-joined cosine pairs -> CC -> survivor ------
     if sem_pairs is not None:
-        # shared full-set lane -> survivor-induced subgraph: keep only
-        # pairs whose BOTH endpoints survived the near stage (the CC
-        # must never merge survivors through an already-dropped doc)
+        # shared full-set lane -> refilter at the configuration's cut
+        # (identical predicate on the stored 1e-6-rounded cosine), then
+        # survivor-induced subgraph: keep only pairs whose BOTH
+        # endpoints survived the near stage (the CC must never merge
+        # survivors through an already-dropped doc)
+        if sem_pairs_lane_threshold is None:
+            raise ValueError(
+                "sem_pairs injected without sem_pairs_lane_threshold: "
+                "the lane's build cut is part of its identity -- pass "
+                "the threshold the lane was built at"
+            )
+        if semantic_threshold < sem_pairs_lane_threshold:
+            raise ValueError(
+                f"semantic_threshold={semantic_threshold} is below the "
+                f"injected lane's build cut {sem_pairs_lane_threshold}: "
+                f"the lane does not contain pairs in "
+                f"[{semantic_threshold}, {sem_pairs_lane_threshold}) "
+                f"-- build the lane at the loosest graded cut or drop "
+                f"the injection"
+            )
         sem_pairs = (
-            sem_pairs.select("id_a", "id_b")
+            sem_pairs.filter(F.col("cosine_sim") >= semantic_threshold)
+            .select("id_a", "id_b")
             .join(
                 cur.select(F.col(id_col).alias("id_a")), "id_a", "semi"
             )
@@ -512,18 +569,13 @@ def release_corpus(
         # probe the vector width from the embeddings SCAN (not the
         # survivors join): the width is corpus metadata, and probing the
         # joined frame would run the join once just to read one size
-        dim_row = (
-            embeddings.filter(F.col(vec_col).isNotNull())
-            .select(F.size(vec_col).alias("__d"))
-            .first()
-        )
         sem_pairs = semantic_dedup_pairs(
             emb,
             id_col=id_col,
             vec_col=vec_col,
             cluster_col=block_col,
             threshold=semantic_threshold,
-            dim=int(dim_row["__d"]) if dim_row and dim_row["__d"] is not None else 0,
+            dim=embedding_dim(embeddings, vec_col),
         ).select("id_a", "id_b")
         cur = record(
             "semantic_dedup",

@@ -23032,20 +23032,15 @@ def _release_sem_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             id_col,
         )
-        dim_row = (
-            emb.filter(F.col("embedding").isNotNull())
-            .select(F.size("embedding").alias("__d"))
-            .first()
-        )
+        from .operators.dedup import embedding_dim
+
         return semantic_dedup_pairs(
             base,
             id_col=id_col,
             vec_col="embedding",
             cluster_col="label",
             threshold=_RELEASE_SEM_T,
-            dim=int(dim_row["__d"])
-            if dim_row and dim_row["__d"] is not None
-            else 0,
+            dim=embedding_dim(emb, "embedding"),
         )
 
     return _cached_lane(spark, sf_dir, "release_sem_t035", build)
@@ -23260,7 +23255,9 @@ def q332_corpus_release_manifest(
         n_shards=_Q332_SHARDS,
         front=_release_front_shared(spark, sf_dir),
         near_pairs=_release_near_lane(spark, sf_dir),
+        near_pairs_lane_threshold=_RELEASE_ND_LANE_T,
         sem_pairs=_release_sem_lane(spark, sf_dir),
+        sem_pairs_lane_threshold=_RELEASE_SEM_T,
         cc_memo=lambda key, build: _cached_lane(spark, sf_dir, key, build),
         **_RELEASE_GATE_PARAMS,
     )
@@ -23308,7 +23305,9 @@ def q333_release_unbudgeted_manifest(
         n_shards=_Q332_SHARDS,
         front=_release_front_shared(spark, sf_dir),
         near_pairs=_release_near_lane(spark, sf_dir),
+        near_pairs_lane_threshold=_RELEASE_ND_LANE_T,
         sem_pairs=_release_sem_lane(spark, sf_dir),
+        sem_pairs_lane_threshold=_RELEASE_SEM_T,
         cc_memo=lambda key, build: _cached_lane(spark, sf_dir, key, build),
         **_RELEASE_GATE_PARAMS,
     )
@@ -23369,7 +23368,14 @@ def q335_streaming_release_replay(
     key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
     state_dir = _Q335_STATE_CACHE.get(key)
     if state_dir is None:
+        import atexit as _atexit
+
         root = _tempfile.mkdtemp(prefix="q335_replay_")
+        # the replay root holds a full parquet copy of the corpus plus
+        # sig/pair/meta state, cached per (app, sf_dir) for the life of
+        # the process -- reclaim it at interpreter exit (each checker/
+        # bench/fuzz process would otherwise abandon its tree in /tmp)
+        _atexit.register(_shutil.rmtree, root, ignore_errors=True)
         src = _os.path.join(root, "src")
         ckpt = _os.path.join(root, "ckpt")
         state_dir = _os.path.join(root, "state")
@@ -23611,6 +23617,90 @@ def q334_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             "recall_permille",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (r14): score every document by how much its
+# hashed-bigram distribution resembles a TARGET corpus rather than the
+# raw corpus -- the data-selection step between quality filtering and
+# mixture weighting in a training-data pipeline (select web documents
+# that "look like" the curated target).  Feature space = md5-hashed
+# bigram buckets, weight = log-ratio of add-1-smoothed bucket
+# multinomials (Xie et al. 2023, importance resampling).  Target here =
+# the deterministic doc_id % 97 == 0 slice (the q332 benchmark
+# convention: a stable, engine-portable stand-in for a curated corpus).
+# ---------------------------------------------------------------------------
+_Q336_BUCKETS = 4096
+
+
+@register(
+    "q336_dsir_importance_weights",
+    f"""
+    WITH sub AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    big AS (
+      SELECT doc_id, source,
+             w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1] AS g
+      FROM sub, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    bk AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(g), 1, 4)) AS INT)
+               % {_Q336_BUCKETS} AS b
+      FROM big),
+    tgt AS (SELECT b, count(*) AS ct FROM bk
+            WHERE doc_id % 97 = 0 GROUP BY b),
+    raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+    tots AS (SELECT
+      (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS tt,
+      (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS rt),
+    perdoc AS (
+      SELECT doc_id, source, count(*) AS ng,
+             sum(log2(((coalesce(ct, 0) + 1.0) * (rt + {_Q336_BUCKETS}))
+                      / ((cr + 1.0) * (tt + {_Q336_BUCKETS})))) AS iw
+      FROM bk JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tots
+      GROUP BY doc_id, source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ng) AS BIGINT) AS n_grams,
+           floor((avg(iw / ng)) * 10000) / 10000.0 AS avg_importance,
+           CAST(sum(CASE WHEN iw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_leaning
+    FROM perdoc GROUP BY source
+    """,
+    doc="dsir_importance_weights (operators/text.py): hashed-bigram "
+    "importance weights toward the doc_id % 97 target slice, rolled "
+    "up per source. Bigrams built NARROWLY (transform over the split "
+    "array -- no positional window shuffle); both bucket-count model "
+    f"tables are <= {_Q336_BUCKETS} rows -> BROADCAST (the point of "
+    "hashed features: a raw vocabulary outgrows broadcast range, the "
+    "fixed hash range never does); the only wide op is the per-doc "
+    "reduce on the corpus's natural key. Per-gram weight is ONE log2 "
+    "of a ratio of integer-derived doubles (the ln discipline); the "
+    "per-source avg is floored at 1e-4 like q109/q157; the "
+    "target-leaning predicate compares the summed log-ratio to 0 "
+    "(equivalently: the product of per-gram probability ratios to 1).",
+)
+def q336_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import dsir_importance_weights
+
+    docs = t(spark, sf_dir, "documents")
+    scores = dsir_importance_weights(
+        docs,
+        target=docs.filter(F.col("doc_id") % 97 == 0),
+        buckets=_Q336_BUCKETS,
+    )
+    return scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        (F.floor(F.avg(F.col("importance") / F.col("n_grams")) * 10000) / 10000)
+        .alias("avg_importance"),
+        F.sum((F.col("importance") > 0).cast("long"))
+        .cast("long")
+        .alias("n_target_leaning"),
     )
 
 

@@ -1753,7 +1753,8 @@ def streaming_release_manifest(
     cur = record(
         "near_dedup",
         _survivors(exact, pairs, id_col, "", "__grp", length_col="length",
-                   cc_memo=cc_memo, cc_key=f"{cc_key_prefix}near_cc"),
+                   cc_memo=cc_memo, cc_key=f"{cc_key_prefix}near_cc",
+                   persist_fn=pin),
     )
 
     if embeddings is not None:
@@ -1769,12 +1770,14 @@ def streaming_release_manifest(
             vec_col=vec_col,
             cluster_col=block_col,
             threshold=semantic_threshold,
+            persist_fn=pin,
         ).select("id_a", "id_b")
         cur = record(
             "semantic_dedup",
             _survivors(cur, sem_pairs, id_col, "", "__grp",
                        length_col="length",
-                       cc_memo=cc_memo, cc_key=f"{cc_key_prefix}sem_cc"),
+                       cc_memo=cc_memo, cc_key=f"{cc_key_prefix}sem_cc",
+                       persist_fn=pin),
         )
 
     if contamination:

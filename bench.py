@@ -67,9 +67,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name}: ERROR {e}", file=sys.stderr)
-        st = storage_status(spark)
-        for k in hwm:
-            hwm[k] = max(hwm[k], st[k])
+        try:
+            # diagnostic only: a query error above may have broken the
+            # session/gateway, and the HWM probe must never abort the
+            # remaining queries (the sidecar is written after the loop)
+            st = storage_status(spark)
+            for k in hwm:
+                hwm[k] = max(hwm[k], st[k])
+        except Exception as e:  # noqa: BLE001
+            print(f"# storage_status: ERROR {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     ordered = sorted(v for v in timings.values() if v >= 0)

@@ -506,3 +506,92 @@ def test_streaming_release_twin_equals_batch_unbudgeted(spark, tmp_path):
     assert got == want
     stages = {r[0] for r in got}
     assert "contamination_gate" not in stages and "budget_cut" not in stages
+
+
+def test_injected_lane_threshold_contract_fails_loud(spark):
+    """r14 review: an injected pair lane must carry its build cut, and a
+    configuration whose threshold is LOOSER than the lane's cut must
+    raise -- a 0.7-cut lane simply does not contain the [0.6, 0.7)
+    pairs a 0.6 configuration needs, and silently missing them would
+    corrupt the graded manifest (the r13 ADVICE #3 desync class)."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    docs = _corpus(spark)
+    lane = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7
+    )
+    # missing build cut -> raise
+    with pytest.raises(ValueError, match="near_pairs_lane_threshold"):
+        release_corpus(docs, near_pairs=lane)
+    # configuration looser than the lane's cut -> raise
+    with pytest.raises(ValueError, match="below the"):
+        release_corpus(
+            docs,
+            near_pairs=lane,
+            near_pairs_lane_threshold=0.7,
+            near_dup_threshold=0.6,
+        )
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 2)], 0) for i in range(1, 26)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sem = semantic_dedup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        cluster_col="label", threshold=0.35,
+    )
+    with pytest.raises(ValueError, match="sem_pairs_lane_threshold"):
+        release_corpus(docs, embeddings=emb, sem_pairs=sem)
+    with pytest.raises(ValueError, match="below the"):
+        release_corpus(
+            docs,
+            embeddings=emb,
+            sem_pairs=sem,
+            sem_pairs_lane_threshold=0.35,
+            semantic_threshold=0.2,
+        )
+
+
+def test_loose_sem_lane_refiltered_equals_direct_tight_build(spark):
+    """A sem lane built at a LOOSE cut and refiltered by release_corpus
+    at a tighter configuration threshold must yield the same manifest
+    as the direct inline build at that threshold: cosine_sim is stored
+    1e-6-rounded, so `cosine_sim >= t` on the lane is the identical
+    predicate semantic_dedup_pairs applies internally."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    docs = _corpus(spark)
+    # embeddings engineered for a cosine spread: some pairs above 0.9,
+    # some between 0.5 and 0.9, all within one block
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.5 * (i % 5)], 0) for i in range(1, 26)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    lane = semantic_dedup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        cluster_col="label", threshold=0.5,
+    )
+    kw = dict(min_quality=0.0, near_dup_threshold=0.99)
+    via_lane = release_corpus(
+        docs,
+        embeddings=emb,
+        sem_pairs=lane,
+        sem_pairs_lane_threshold=0.5,
+        semantic_threshold=0.9,
+        **kw,
+    ).manifest
+    direct = release_corpus(
+        docs, embeddings=emb, semantic_threshold=0.9, **kw
+    ).manifest
+    got = sorted(map(tuple, via_lane.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+    # the spread is real: the loose lane carries pairs the tight
+    # configuration must drop
+    n_loose = lane.count()
+    n_tight = lane.filter(F.col("cosine_sim") >= 0.9).count()
+    assert n_loose > n_tight > 0

@@ -492,3 +492,70 @@ def test_gini_simpson_budget_fails_loud(spark):
     df = spark.createDataFrame([("a", "x y z")], "source string, text string")
     with pytest.raises(Exception, match="gini_simpson_diversity"):
         gini_simpson_diversity(df, "text", max_group_tokens=2).collect()
+
+
+def test_dsir_importance_weights_hand_values(spark):
+    """r14: dsir_importance_weights replicates the add-1-smoothed hashed
+    bucket log-ratio exactly (hand-recomputed in Python over the same
+    md5 buckets), skips sub-bigram docs, and ranks a target-looking doc
+    above a raw-only doc."""
+    import math
+
+    from bankcreditunion_datapipeline_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    B = 64
+    rows = [
+        # target member: its bigrams are FREQUENT in the target slice
+        # but diluted in the raw corpus (doc 3's mass), so its summed
+        # log-ratio is positive despite add-1 smoothing
+        (1, "a", "x y x y x y x y x y"),
+        (2, "a", "x y z"),            # shares target bigram 'x y'
+        (3, "b", " ".join(f"p{i}" for i in range(21))),  # raw-only mass
+        (4, "b", "single"),           # no bigram -> no row
+        (5, "b", ""),                 # no bigram -> no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = docs.filter(F.col("doc_id") == 1)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["importance"])
+        for r in dsir_importance_weights(
+            docs, target, buckets=B
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    def grams(text):
+        w = text.split(" ")
+        return [f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for doc_id, _, text in rows:
+        for g in grams(text) if len(text.split(" ")) >= 2 else []:
+            b = bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+            if doc_id == 1:
+                ct[b] = ct.get(b, 0) + 1
+    T, R = sum(ct.values()), sum(cr.values())
+    for doc_id, _, text in rows:
+        gs = grams(text) if len(text.split(" ")) >= 2 else []
+        if not gs:
+            assert doc_id not in got
+            continue
+        want = sum(
+            math.log2(
+                ((ct.get(bucket(g), 0) + 1.0) * (R + B))
+                / ((cr[bucket(g)] + 1.0) * (T + B))
+            )
+            for g in gs
+        )
+        n, imp = got[doc_id]
+        assert n == len(gs)
+        assert abs(imp - want) < 1e-9
+    # the target member leans target, the disjoint doc leans raw
+    assert got[1][1] > 0 > got[3][1]
