@@ -695,3 +695,67 @@ def water_filling_caps(
             "kept_permille"
         ),
     )
+
+
+def annealed_mixture_schedule(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    gammas: tuple[int, ...] = (0, 1, 2, 3),
+    per_epoch_total: int = 10_000,
+    out: str = "alloc",
+) -> DataFrame:
+    """Epoch-annealed mixture schedule: for each epoch e allocate
+    `per_epoch_total` integer slots across groups proportionally to
+    sum(weight^gamma_e) -- gamma 0 is a uniform (row-count) mixture,
+    growing gammas tilt the mixture toward high-weight groups.  The
+    training-schedule planner behind quality annealing (train broadly
+    early, concentrate on high-quality sources late -- the data-mixing
+    counterpart of learning-rate annealing).
+
+    `weight_col` must be an INTEGER per-row weight (e.g. quality
+    permille): powers are chained BIGINT multiplications, allocations
+    ride `proportional_allocation`'s largest-remainder apportionment,
+    so the whole schedule is integer end-to-end -- engine-exact, no
+    float pow.  NULL weights contribute to the gamma-0 row count but
+    drop out of weighted epochs (absence of a score is not evidence of
+    quality).  BIGINT lane: sum(w^max_gamma) * per_epoch_total must fit
+    -- permille weights cube to <= 1e9/row, and the allocation guard
+    fails loud past the lane (pre-aggregate coarser weights at corpus
+    scales that exceed it).
+
+    Scale shape: ONE groupBy computes every epoch's weight sum in a
+    single pass (shuffle sized by |groups|); each epoch's allocation is
+    a planner over the dim-sized aggregate (the q195 remainder-rank
+    window class, O(groups) rows).  Returns (epoch, group, weight_sum,
+    alloc) with sum(alloc) == per_epoch_total per epoch exactly.
+    """
+    w = F.col(weight_col).cast("long")
+    aggs = []
+    for g in gammas:
+        expr = F.lit(1).cast("long")
+        for _ in range(g):
+            expr = expr * w
+        aggs.append(F.sum(expr).cast("long").alias(f"__w{g}"))
+    per_group = df.groupBy(group_col).agg(*aggs)
+    parts = []
+    for g in gammas:
+        counts = per_group.select(
+            group_col, F.coalesce(F.col(f"__w{g}"), F.lit(0)).alias("__w")
+        )
+        parts.append(
+            proportional_allocation(
+                counts, [group_col], "__w", per_epoch_total, out=out
+            )
+            .withColumn("epoch", F.lit(g).cast("long"))
+            .select(
+                "epoch",
+                group_col,
+                F.col("__w").alias("weight_sum"),
+                out,
+            )
+        )
+    sched = parts[0]
+    for p in parts[1:]:
+        sched = sched.unionByName(p)
+    return sched

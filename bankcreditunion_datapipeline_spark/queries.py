@@ -23705,6 +23705,88 @@ def q336_dsir_importance_weights(
 
 
 # ---------------------------------------------------------------------------
+# Quality-annealed epoch mixture (r14): per training epoch, allocate a
+# fixed slot budget across sources proportionally to sum(quality^gamma)
+# with gamma ramping 0 -> 3 -- uniform early (train broadly), quality-
+# concentrated late (the data-mixing counterpart of learning-rate
+# annealing; curriculum/annealed-mixture practice in LLM data recipes).
+# Integer end-to-end: permille quality powers are BIGINT chain products,
+# allocation is Hamilton largest-remainder -- no float pow anywhere.
+# ---------------------------------------------------------------------------
+_Q337_PER_EPOCH = 10_000
+
+
+@register(
+    "q337_annealed_mixture_schedule",
+    f"""
+    WITH q AS (
+      SELECT source, ({_QUALITY_QINT_SQL}) // 1000 AS qp
+      FROM documents WHERE source IS NOT NULL),
+    e(epoch) AS (VALUES (0), (1), (2), (3)),
+    w AS (
+      SELECT epoch, source,
+             CAST(coalesce(sum(CASE WHEN epoch = 0 THEN 1
+                                    WHEN epoch = 1 THEN qp
+                                    WHEN epoch = 2 THEN qp * qp
+                                    ELSE qp * qp * qp END), 0) AS BIGINT)
+               AS w
+      FROM q CROSS JOIN e GROUP BY epoch, source),
+    g AS (SELECT epoch, sum(w) AS grand FROM w GROUP BY epoch),
+    f AS (
+      SELECT w.epoch, source, w,
+             w * {_Q337_PER_EPOCH} // grand AS fl,
+             w * {_Q337_PER_EPOCH} % grand AS rem
+      FROM w JOIN g ON w.epoch = g.epoch),
+    l AS (SELECT epoch, {_Q337_PER_EPOCH} - sum(fl) AS leftover
+          FROM f GROUP BY epoch),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY epoch ORDER BY rem DESC, source ASC) AS rn
+      FROM f)
+    SELECT CAST(r.epoch AS BIGINT) AS epoch, source,
+           CAST(w AS BIGINT) AS weight_sum,
+           CAST(fl + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r JOIN l ON r.epoch = l.epoch
+    """,
+    doc="annealed_mixture_schedule (operators/sampling.py): per-epoch "
+    "largest-remainder allocation over sum(quality_permille^gamma), "
+    "gamma = epoch in 0..3 -- ONE groupBy computes every epoch's weight "
+    "sum in a single pass (shuffle sized by |sources|), each epoch's "
+    "apportionment rides proportional_allocation (the q195 planner "
+    "class) over the dim-sized aggregate. Integer end-to-end: permille "
+    "quality (the q158 qint twin, integer-div 1000) chain-multiplied in "
+    "BIGINT, fail-loud past the lane; allocations sum EXACTLY to "
+    f"{_Q337_PER_EPOCH} per epoch.",
+)
+def q337_annealed_mixture_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sampling import annealed_mixture_schedule
+    from .operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    # permille quality through the proven q158 qint expression then an
+    # integer div -- NEVER floor(q * 1000) directly (the nested-floor
+    # identity floor(floor(y)/1000) == floor(y/1000) makes the two
+    # mathematically equal, but only the qint-first form is the byte
+    # path the oracle replays)
+    q = docs.select(
+        "source",
+        F.floor(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("__qint"),
+    ).select(
+        "source",
+        F.expr("CAST(__qint div 1000 AS BIGINT)").alias("qp"),
+    )
+    return annealed_mixture_schedule(
+        q, "source", "qp", gammas=(0, 1, 2, 3),
+        per_epoch_total=_Q337_PER_EPOCH,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bounded-grain ledger (r12, the plan-audit ratchet): every query whose
 # physical plan carries an unpartitioned WindowExec must state the O(.)
 # bound of the frame that window actually runs over -- tools/plan_audit.py
@@ -23724,6 +23806,9 @@ _BOUNDED_WINDOW_NOTES = {
     "through the q176/q181 sketches first).",
     "q195_training_quota_allocation": "the remainder-rank window runs "
     "over the O(strata) dim-sized allocation aggregate.",
+    "q337_annealed_mixture_schedule": "the remainder-rank windows run "
+    "over the O(sources) dim-sized per-epoch allocation aggregates "
+    "(the q195 planner class, one per epoch).",
     "q199_revenue_gini": "the only unpartitioned window is "
     "distributed_row_number's offset prefix over the O(buckets) "
     "summary -- the entity-grain rank itself is range-decomposed "

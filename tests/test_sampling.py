@@ -515,3 +515,43 @@ def test_water_filling_zero_mass_excluded(spark):
     )
     rows = water_filling_caps(df, "k", "m").collect()
     assert {r.k for r in rows} == {"b", "c"}
+
+
+def test_annealed_mixture_schedule_hand_values(spark):
+    """r14: epoch 0 allocates by row count, higher gammas tilt toward
+    the high-weight group, every epoch's allocations sum exactly to the
+    budget, NULL weights count rows at gamma 0 but drop from weighted
+    epochs."""
+    from bankcreditunion_datapipeline_spark.operators.sampling import (
+        annealed_mixture_schedule,
+    )
+
+    rows = [
+        ("a", 10), ("a", 10),            # high-quality source
+        ("b", 1), ("b", 1), ("b", 1),    # low-quality, more rows
+        ("c", None),                     # unscored row
+    ]
+    df = spark.createDataFrame(rows, "src string, w int")
+    out = annealed_mixture_schedule(
+        df, "src", "w", gammas=(0, 1, 2), per_epoch_total=100
+    )
+    got = {
+        (r["epoch"], r["src"]): (r["weight_sum"], r["alloc"])
+        for r in out.collect()
+    }
+    # gamma 0: row counts 2/3/1 -> Hamilton over 100
+    assert got[(0, "a")][0] == 2
+    assert got[(0, "b")][0] == 3
+    assert got[(0, "c")][0] == 1
+    # gamma 1: sums 20/3/0 (NULL drops out)
+    assert got[(1, "a")] == (20, 87)   # 20*100//23 = 86, top remainder
+    assert got[(1, "b")][0] == 3
+    assert got[(1, "c")][0] == 0
+    # gamma 2: 200/3/0 -- concentration grows with gamma
+    assert got[(2, "a")][0] == 200
+    for e in (0, 1, 2):
+        assert sum(v[1] for (ep, _), v in got.items() if ep == e) == 100
+    share_a = [got[(e, "a")][1] for e in (0, 1, 2)]
+    assert share_a[0] < share_a[1] < share_a[2] or (
+        share_a[0] < share_a[1] and share_a[1] <= share_a[2]
+    )
