@@ -1,6 +1,7 @@
 """Session cache-lifetime policy (r14, VERDICT r13 #3).
 
-The engine persists three kinds of frames during a 331-query session:
+The engine persists three kinds of frames during a full-registry
+(330+ query) bench/checker session:
 
 1. **Session-shared lanes** (`queries._cached_lane` results, the release
    front): deterministic functions of the immutable corpus, built once
