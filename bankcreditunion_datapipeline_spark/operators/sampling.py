@@ -725,29 +725,36 @@ def annealed_mixture_schedule(
     scales that exceed it).
 
     Scale shape: ONE groupBy computes every epoch's weight sum in a
-    single pass (shuffle sized by |groups|); each epoch's allocation is
-    a planner over the dim-sized aggregate (the q195 remainder-rank
-    window class, O(groups) rows).  Returns (epoch, group, weight_sum,
-    alloc) with sum(alloc) == per_epoch_total per epoch exactly.
+    single pass -- the multi-gamma aggregate is PERSISTED (dim-sized,
+    |groups| rows; without the persist each epoch's allocation branch
+    would column-prune its own copy of the aggregate and re-scan the
+    corpus once per gamma); each epoch's allocation is a planner over
+    the cached aggregate (the q195 remainder-rank window class,
+    O(groups) rows).  Returns (epoch, group, weight_sum, alloc) with
+    sum(alloc) == per_epoch_total per epoch exactly; `epoch` is the
+    POSITION in `gammas` (== the gamma value for the default ladder),
+    so duplicate or sparse gamma tuples stay well-labeled.
     """
+    from ..caching import transient_persist
+
     w = F.col(weight_col).cast("long")
     aggs = []
-    for g in gammas:
+    for i, g in enumerate(gammas):
         expr = F.lit(1).cast("long")
         for _ in range(g):
             expr = expr * w
-        aggs.append(F.sum(expr).cast("long").alias(f"__w{g}"))
-    per_group = df.groupBy(group_col).agg(*aggs)
+        aggs.append(F.sum(expr).cast("long").alias(f"__w{i}"))
+    per_group = transient_persist(df.groupBy(group_col).agg(*aggs))
     parts = []
-    for g in gammas:
+    for i, _g in enumerate(gammas):
         counts = per_group.select(
-            group_col, F.coalesce(F.col(f"__w{g}"), F.lit(0)).alias("__w")
+            group_col, F.coalesce(F.col(f"__w{i}"), F.lit(0)).alias("__w")
         )
         parts.append(
             proportional_allocation(
                 counts, [group_col], "__w", per_epoch_total, out=out
             )
-            .withColumn("epoch", F.lit(g).cast("long"))
+            .withColumn("epoch", F.lit(i).cast("long"))
             .select(
                 "epoch",
                 group_col,

@@ -1105,9 +1105,20 @@ def dsir_importance_weights(
             .drop("__g")
         )
 
+    from ..caching import transient_persist
+
     raw = _bucketed(df, with_ids=True)
-    cr = raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    ct = (
+    # both model tables are PERSISTED (<= `buckets` rows each): cr/ct
+    # feed the scoring join AND the totals -- unpersisted, each consumer
+    # column-prunes its own copy of the aggregate and the corpus-sized
+    # gram pipeline replays once per consumer (5 explode subtrees in
+    # the plan); cached, the corpus is scanned twice (model + scoring)
+    # and the target once -- the pass-count minimum, since the model
+    # must be complete before scoring
+    cr = transient_persist(
+        raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    ct = transient_persist(
         _bucketed(target, with_ids=False)
         .groupBy("__b")
         .agg(F.count(F.lit(1)).alias("__ct"))

@@ -365,6 +365,7 @@ def release_corpus(
     front: "tuple[DataFrame, dict] | None" = None,
     near_pairs: DataFrame | None = None,
     near_pairs_lane_threshold: float | None = None,
+    near_pairs_lane_family: "tuple[str, int, int] | None" = None,
     sem_pairs: DataFrame | None = None,
     sem_pairs_lane_threshold: float | None = None,
     cc_memo=None,
@@ -412,7 +413,16 @@ def release_corpus(
     raises ValueError when a configuration's threshold is looser than
     the lane's build cut -- a lane built at 0.7 simply does not contain
     the [0.6, 0.7) pairs a 0.6 configuration needs, and silently
-    missing them would corrupt the graded manifest.
+    missing them would corrupt the graded manifest.  The near lane's
+    identity ALSO includes its MinHash family: pass
+    ``near_pairs_lane_family=(hash, num_hashes, bands)`` and this call
+    raises when the configuration's (near_dup_hash, near_dup_hashes,
+    near_dup_bands) differ -- a 16x8 md5 lane's candidate set is not a
+    16-band xxhash64 one, and the threshold guard alone cannot see
+    that.  The sem lane's remaining identity (WHICH embeddings frame
+    and block column it was built over) cannot be introspected from a
+    DataFrame and stays a caller contract: build it over the same
+    (embeddings, block_col) the configuration would use inline.
 
     `cc_memo` is an optional ``(key, build) -> DataFrame`` memoizer
     for the two connected-components label frames (each a deterministic
@@ -490,6 +500,20 @@ def release_corpus(
                 "near_pairs injected without near_pairs_lane_threshold: "
                 "the lane's build cut is part of its identity -- pass "
                 "the threshold the lane was built at"
+            )
+        if near_pairs_lane_family is None:
+            raise ValueError(
+                "near_pairs injected without near_pairs_lane_family: "
+                "the lane's (hash, num_hashes, bands) family is part of "
+                "its identity -- pass the family the lane was built with"
+            )
+        cfg_family = (near_dup_hash, near_dup_hashes, near_dup_bands)
+        if tuple(near_pairs_lane_family) != cfg_family:
+            raise ValueError(
+                f"injected near lane family {near_pairs_lane_family} "
+                f"differs from the configuration's {cfg_family}: the "
+                f"candidate sets are different -- build the lane with "
+                f"the configuration's family or drop the injection"
             )
         if near_dup_threshold < near_pairs_lane_threshold:
             raise ValueError(

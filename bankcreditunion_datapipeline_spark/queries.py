@@ -22999,6 +22999,13 @@ def _release_front_shared(spark: SparkSession, sf_dir: str):
 # built over ALL front docs with embeddings and each configuration
 # restricts to its near-survivor-induced subgraph with two semi-joins.
 _RELEASE_ND_FAMILY = {"num_hashes": 16, "bands": 8, "hash": "md5"}
+# the (hash, num_hashes, bands) identity tuple release_corpus verifies
+# against each configuration's family when the lane is injected
+_RELEASE_ND_LANE_FAMILY = (
+    _RELEASE_ND_FAMILY["hash"],
+    _RELEASE_ND_FAMILY["num_hashes"],
+    _RELEASE_ND_FAMILY["bands"],
+)
 _RELEASE_ND_LANE_T = 0.7  # loosest near_dup_threshold across q332/q333
 _RELEASE_SEM_T = 0.35
 
@@ -23256,6 +23263,7 @@ def q332_corpus_release_manifest(
         front=_release_front_shared(spark, sf_dir),
         near_pairs=_release_near_lane(spark, sf_dir),
         near_pairs_lane_threshold=_RELEASE_ND_LANE_T,
+        near_pairs_lane_family=_RELEASE_ND_LANE_FAMILY,
         sem_pairs=_release_sem_lane(spark, sf_dir),
         sem_pairs_lane_threshold=_RELEASE_SEM_T,
         cc_memo=lambda key, build: _cached_lane(spark, sf_dir, key, build),
@@ -23306,6 +23314,7 @@ def q333_release_unbudgeted_manifest(
         front=_release_front_shared(spark, sf_dir),
         near_pairs=_release_near_lane(spark, sf_dir),
         near_pairs_lane_threshold=_RELEASE_ND_LANE_T,
+        near_pairs_lane_family=_RELEASE_ND_LANE_FAMILY,
         sem_pairs=_release_sem_lane(spark, sf_dir),
         sem_pairs_lane_threshold=_RELEASE_SEM_T,
         cc_memo=lambda key, build: _cached_lane(spark, sf_dir, key, build),

@@ -526,12 +526,28 @@ def test_injected_lane_threshold_contract_fails_loud(spark):
     # missing build cut -> raise
     with pytest.raises(ValueError, match="near_pairs_lane_threshold"):
         release_corpus(docs, near_pairs=lane)
+    # missing family -> raise (the band/hash identity, not just the cut)
+    with pytest.raises(ValueError, match="near_pairs_lane_family"):
+        release_corpus(
+            docs, near_pairs=lane, near_pairs_lane_threshold=0.7
+        )
+    # family mismatch -> raise (an md5 16x8 lane is not the xxhash64
+    # candidate set the configuration would build inline)
+    with pytest.raises(ValueError, match="family"):
+        release_corpus(
+            docs,
+            near_pairs=lane,
+            near_pairs_lane_threshold=0.7,
+            near_pairs_lane_family=("md5", 16, 8),
+            near_dup_threshold=0.7,
+        )
     # configuration looser than the lane's cut -> raise
     with pytest.raises(ValueError, match="below the"):
         release_corpus(
             docs,
             near_pairs=lane,
             near_pairs_lane_threshold=0.7,
+            near_pairs_lane_family=("xxhash64", 16, 8),
             near_dup_threshold=0.6,
         )
     emb = spark.createDataFrame(
