@@ -13,6 +13,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..localresult import local_result_frame
 from pyspark.sql.window import Window
 
 # Spark caps pivot width (spark.sql.pivotMaxValues = 10000); a quarterly
@@ -1276,8 +1278,8 @@ def cross_correlation_e6(
     the O(days) series summaries, never the event corpus.
     """
     spark = x.sparkSession
-    lag_df = spark.createDataFrame(
-        [(int(lv),) for lv in lags], "lag long"
+    lag_df = local_result_frame(
+        spark, [(int(lv),) for lv in lags], "lag long"
     )
     xs = x.select(
         F.col(day_col).alias("__dx"), F.col(x_col).cast("long").alias("__x")

@@ -574,9 +574,19 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             .withColumn("__changed", F.col("component") != F.col("__old"))
             .select("id", "component", "__changed")
             .coalesce(parts)
-            .localCheckpoint()  # truncate lineage before the next round
+            # LAZY checkpoint (r14, the connected_components_star
+            # lesson): the convergence count below is the action that
+            # materializes the round -- a full-scan aggregate touches
+            # every partition, so the checkpoint is complete and each
+            # round costs ONE job instead of an eager-checkpoint job
+            # plus a convergence job.  On the tiny shrunken graphs
+            # near-dup pipelines produce, fixed job latency dominates
+            # the round.
+            .localCheckpoint(eager=False)
         )
-        converged = new_labels.filter(F.col("__changed")).isEmpty()
+        converged = (
+            new_labels.filter(F.col("__changed")).count() == 0
+        )
         labels = new_labels.drop("__changed")
         if converged:
             break

@@ -34,6 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import transient_persist
+from ..localresult import local_result_frame
+
 SCALE = 1_000_000_000_000
 
 
@@ -240,7 +243,8 @@ def triangle_count(
     )
     n_wedges = int(row["n_wedges"])
     trans = (3 * n_tri * 1000000 // n_wedges) / 1000000.0 if n_wedges else None
-    out = pairs.sparkSession.createDataFrame(
+    out = local_result_frame(
+        pairs.sparkSession,
         [(int(row["n_nodes"]), n_edges, n_wedges, n_tri, trans)],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
         "transitivity_t double",
@@ -694,11 +698,18 @@ def local_clustering(
     )
     n_edges = e.count()
     e = e.coalesce(max(1, -(-n_edges // 500_000)))
+    # deg is referenced three times (both orientation sides + the final
+    # join) and `oriented` twice (both wedge sides); without persists the
+    # logical subtree fans out multiplicatively through the credit
+    # union below (the r14-open q264 plan carried 1951 Exchange nodes /
+    # 498 cache scans, pure planning+scheduling overhead on a tiny
+    # graph).  Both frames are graph-bounded (nodes / edges).
     deg = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .transform(transient_persist)
     )
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
@@ -727,10 +738,13 @@ def local_clustering(
         )
         .join(e, ["u", "v"], "left_semi")
     )
-    credits = (
-        closed.select(F.col("src").alias("node"))
-        .union(closed.select(F.col("u").alias("node")))
-        .union(closed.select(F.col("v").alias("node")))
+    # one pass over `closed` instead of a 3-way union of the same
+    # subtree: exploding the (center, endpoint, endpoint) triple yields
+    # the identical credit multiset with a single wedge+closure subplan
+    credits = closed.select(
+        F.explode(F.array(F.col("src"), F.col("u"), F.col("v"))).alias(
+            "node"
+        )
     )
     pernode = credits.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")

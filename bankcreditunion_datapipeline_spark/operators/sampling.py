@@ -21,6 +21,8 @@ from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..localresult import local_result_frame
 from pyspark.sql.window import Window
 
 # 16^4 four-hex-digit buckets
@@ -488,19 +490,26 @@ def greedy_coverage_picks(
         .distinct()
         .persist()
     )
-    covered = None
-    prev = None
+    # covered is the union of <= k picked docs' vocabularies -- bounded
+    # by k * document vocabulary at any corpus scale (it grows with k
+    # and document length, never with corpus row count).  That bound is
+    # exactly the broadcast-join bound, so the set lives on the DRIVER
+    # (r14 optimization): the previous DataFrame union+distinct+persist
+    # chain paid a shuffle stage + a persist + an unpersist per round
+    # inside the argmax job; the driver set costs one doc-vocab-sized
+    # collect per round and the anti-join probe side becomes a local
+    # relation broadcast (same anti-join semantics, no per-round
+    # distinct, O(1) storage in k by construction).
+    covered: set = set()
     picks = []
     for i in range(k):
-        # covered is the union of <= i picked docs' vocabularies --
-        # broadcast-sized by construction at any corpus scale (it grows
-        # with k and document length, never with corpus row count), so
-        # the anti-join must not shuffle the full (id, elem) table
-        remaining = (
-            toks
-            if covered is None
-            else toks.join(F.broadcast(covered), "__w", "left_anti")
-        )
+        if covered:
+            cov_df = local_result_frame(
+                spark, [(w,) for w in sorted(covered)], "__w string"
+            )
+            remaining = toks.join(F.broadcast(cov_df), "__w", "left_anti")
+        else:
+            remaining = toks
         top = (
             remaining.groupBy("__id")
             .agg(F.count(F.lit(1)).cast("long").alias("__g"))
@@ -508,34 +517,18 @@ def greedy_coverage_picks(
             .limit(1)
             .collect()
         )
-        # the collect above materialized the NEWEST covered frame, so
-        # the round-(i-1) cache it was built from is no longer needed:
-        # release it now instead of leaving k cached frames to the
-        # ContextCleaner (this is a driver-side LOOP, not the lazily-
-        # returned-frame pattern -- storage must stay O(1) in k)
-        if prev is not None:
-            prev.unpersist()
-            prev = None
         if not top:
             break
         picks.append((i + 1, top[0]["__id"], top[0]["__g"]))
-        this_words = toks.filter(F.col("__id") == top[0]["__id"]).select(
-            "__w"
+        covered.update(
+            r["__w"]
+            for r in toks.filter(F.col("__id") == top[0]["__id"])
+            .select("__w")
+            .collect()
         )
-        prev = covered
-        covered = (
-            this_words
-            if covered is None
-            else covered.unionByName(this_words).distinct()
-        ).persist()
-    # the result is fully driver-side: every cache can release now
-    if prev is not None:
-        prev.unpersist()
-    if covered is not None:
-        covered.unpersist()
     toks.unpersist()
-    return spark.createDataFrame(
-        picks, "pick long, doc_id long, marginal_gain long"
+    return local_result_frame(
+        spark, picks, "pick long, doc_id long, marginal_gain long"
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..caching import transient_persist
+from ..localresult import local_result_frame
 from ..functions.vectors import attach_sign_bits, cosine, dot, hamming64, random_hyperplanes
 
 
@@ -581,8 +582,8 @@ def kmeans_iterate(
             (i, [round(float(x), decimals) for x in r[1]])
             for i, r in enumerate(seeds)
         ]
-    centroids = df.sparkSession.createDataFrame(
-        labeled, "centroid_label int, centroid array<double>"
+    centroids = local_result_frame(
+        df.sparkSession, labeled, "centroid_label int, centroid array<double>"
     )
     assigned = None
     iters = 0
@@ -1019,8 +1020,8 @@ def mmr_rerank(
                 best = (key, cid, rel)
         selected.append((best[1], best[2], len(selected) + 1))
         chosen.add(best[1])
-    return df.sparkSession.createDataFrame(
-        selected, "vec_id long, rel_micro long, mmr_rank long"
+    return local_result_frame(
+        df.sparkSession, selected, "vec_id long, rel_micro long, mmr_rank long"
     )
 
 
@@ -1274,8 +1275,8 @@ def power_iteration_top_component(
         .transform(transient_persist)
     )
     spark = df.sparkSession
-    x = spark.createDataFrame(
-        [(i, 1.0) for i in range(1, dim + 1)], "xi int, val double"
+    x = local_result_frame(
+        spark, [(i, 1.0) for i in range(1, dim + 1)], "xi int, val double"
     )
     mx = None
     for _ in range(rounds):

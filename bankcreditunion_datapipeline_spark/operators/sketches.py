@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..localresult import local_result_frame
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -277,7 +279,9 @@ def binned_quantiles(
         .withColumn("total", F.sum("n").over(Window.partitionBy()))
     )
     p = F.broadcast(
-        spark.createDataFrame([(float(x),) for x in probs], "prob double")
+        local_result_frame(
+            spark, [(float(x),) for x in probs], "prob double"
+        )
     )
     hit = p.join(cum, cum["cum"] >= p["prob"] * cum["total"])
     first = (
@@ -614,8 +618,8 @@ def log_histogram_quantiles(
         (F.expr(ub) - F.expr(lb)).alias("span"),
     )
     p = F.broadcast(
-        spark.createDataFrame(
-            [(int(x),) for x in probs_permille], "p_permille long"
+        local_result_frame(
+            spark, [(int(x),) for x in probs_permille], "p_permille long"
         )
     )
     # integer ceil-div rank; the probe stays a broadcast theta join over
@@ -748,8 +752,10 @@ def weighted_quantiles_exact(
         .alias("__total"),
     )
     p = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(int(x),) for x in probs_permille], "p_permille long"
+        local_result_frame(
+            df.sparkSession,
+            [(int(x),) for x in probs_permille],
+            "p_permille long",
         )
     )
     hit = p.join(

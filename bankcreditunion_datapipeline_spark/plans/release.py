@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..caching import transient_persist
+from ..localresult import local_result_frame
 from ..operators.dedup import (
     connected_components_star,
     embedding_dim,
@@ -709,8 +710,8 @@ def release_corpus(
     rows = [(k, int(n), int(t)) for k, (n, t) in funnel.items()] + [
         (f"shard_{s}", n, t) for s, n, t in shard_stats
     ]
-    manifest = spark.createDataFrame(
-        rows, "stage string, n_docs long, n_tokens long"
+    manifest = local_result_frame(
+        spark, rows, "stage string, n_docs long, n_tokens long"
     )
     return ReleaseResult(
         train=laid_out.drop("__nt"),

@@ -30,6 +30,7 @@ from .operators.analytics import (
     top_k_per_group,
 )
 from .caching import transient_persist
+from .localresult import local_result_frame
 from .operators.conform import broadcast_lookup, left_join, union_conform
 from .sources.files import read_testdata
 
@@ -2077,7 +2078,7 @@ def q49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_bands=8,
     )
     rows = [(k, int(v)) for k, v in res.funnel.items()]
-    return spark.createDataFrame(rows, "stage string, n_rows long")
+    return local_result_frame(spark, rows, "stage string, n_rows long")
 
 
 # ---------------------------------------------------------------------------
@@ -7683,6 +7684,42 @@ def q152_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QGRAPH_HASHES, _QGRAPH_BANDS = 16, 8
 
 
+def _qgraph_pair_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-view near-dup pair lane: md5 MinHash-LSH pairs over
+    documents at threshold 0.4 with the lighter (16, 8) QGRAPH family --
+    shared verbatim by q153/q158/q262/q264/q309 (r14 optimization: each
+    of the five previously re-ran the full shingle->signature->band->
+    verify pipeline inline, the single most expensive rebuild in the
+    suite at ~16s cold per consumer)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import minhash_near_dup_pairs
+
+        return minhash_near_dup_pairs(
+            t(spark, sf_dir, "documents"),
+            threshold=0.4,
+            num_hashes=_QGRAPH_HASHES,
+            bands=_QGRAPH_BANDS,
+            hash="md5",
+        )
+
+    return _cached_lane(spark, sf_dir, "qgraph_md5_16x8_t04", build)
+
+
+def _qgraph_cc_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (id, component) over the QGRAPH pair
+    lane -- shared verbatim by q158/q262/q309, which previously each ran
+    an identical min-label-propagation loop over identical pairs (the
+    release-family cc_memo pattern applied to the graph views)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import connected_components
+
+        return connected_components(_qgraph_pair_lane(spark, sf_dir))
+
+    return _cached_lane(spark, sf_dir, "qgraph_cc_t04", build)
+
+
 def _q153_oracle() -> str:
     return f"""
     WITH {_minhash_md5_ctes('documents', _QGRAPH_HASHES, _QGRAPH_BANDS, 4000)},
@@ -7724,18 +7761,9 @@ def _q153_oracle() -> str:
     "(exact at oracle scale).",
 )
 def q153_near_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_near_dup_pairs
     from .operators.graph import triangle_count
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs,
-        threshold=0.4,
-        num_hashes=_QGRAPH_HASHES,
-        bands=_QGRAPH_BANDS,
-        hash="md5",
-    )
-    return triangle_count(pairs)
+    return triangle_count(_qgraph_pair_lane(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -8081,18 +8109,10 @@ def _q158_oracle() -> str:
 def q158_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from .operators.dedup import connected_components, minhash_near_dup_pairs
     from .operators.text import quality_score
 
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs,
-        threshold=0.4,
-        num_hashes=_QGRAPH_HASHES,
-        bands=_QGRAPH_BANDS,
-        hash="md5",
-    )
-    comp = connected_components(pairs)
+    comp = _qgraph_cc_lane(spark, sf_dir)
     q = docs.select(
         F.col("doc_id").alias("id"),
         F.floor(quality_score(F.col("text")) * 1000000).cast("long").alias("qint"),
@@ -10335,7 +10355,7 @@ def q185_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
     mday = daily.agg(F.max("day").alias("mday"))
     w = F.broadcast(
-        spark.createDataFrame(_q185_weights(), "age int, w_micro long")
+        local_result_frame(spark, _q185_weights(), "age int, w_micro long")
     )
     scored = (
         daily.crossJoin(F.broadcast(mday))
@@ -15399,8 +15419,10 @@ def q253_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__total"),
     )
     p = F.broadcast(
-        est.sparkSession.createDataFrame(
-            [(int(x),) for x in _Q176_PROBS], "p_permille long"
+        local_result_frame(
+            est.sparkSession,
+            [(int(x),) for x in _Q176_PROBS],
+            "p_permille long",
         )
     )
     ex = (
@@ -15913,8 +15935,8 @@ def q258_conversion_window_curve(
         ).alias("__dsec"),
     )
     wins = F.broadcast(
-        d.sparkSession.createDataFrame(
-            [(3600,), (86400,), (604800,)], "win_sec long"
+        local_result_frame(
+            d.sparkSession, [(3600,), (86400,), (604800,)], "win_sec long"
         )
     )
     return d.crossJoin(wins).groupBy("win_sec").agg(
@@ -16251,18 +16273,10 @@ def q261_dedup_scope_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q262_dedup_quality_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from .operators.dedup import connected_components, minhash_near_dup_pairs
     from .operators.text import quality_score
 
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs,
-        threshold=0.4,
-        num_hashes=_QGRAPH_HASHES,
-        bands=_QGRAPH_BANDS,
-        hash="md5",
-    )
-    comp = connected_components(pairs)
+    comp = _qgraph_cc_lane(spark, sf_dir)
     q = docs.select(
         F.col("doc_id").alias("id"),
         F.floor(quality_score(F.col("text")) * 1000000)
@@ -16472,18 +16486,9 @@ def q263_purchase_state_attribution(
 def q264_near_dup_clustering_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .operators.dedup import minhash_near_dup_pairs
     from .operators.graph import local_clustering
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs,
-        threshold=0.4,
-        num_hashes=_QGRAPH_HASHES,
-        bands=_QGRAPH_BANDS,
-        hash="md5",
-    )
-    pern = local_clustering(pairs)
+    pern = local_clustering(_qgraph_pair_lane(spark, sf_dir))
     return pern.groupBy(F.col("degree")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("n_triangles").cast("long").alias("n_triangles"),
@@ -17266,8 +17271,10 @@ def q274_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tc"),
     )
     p = F.broadcast(
-        docs.sparkSession.createDataFrame(
-            [(int(x),) for x in _Q274_TARGETS], "p_permille long"
+        local_result_frame(
+            docs.sparkSession,
+            [(int(x),) for x in _Q274_TARGETS],
+            "p_permille long",
         )
     )
     return (
@@ -17994,8 +18001,8 @@ def q282_principal_axis_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("label")).alias("tc"),
     )
     q = F.broadcast(
-        emb.sparkSession.createDataFrame(
-            [(250,), (500,), (750,)], "p_permille long"
+        local_result_frame(
+            emb.sparkSession, [(250,), (500,), (750,)], "p_permille long"
         )
     )
     return (
@@ -20619,18 +20626,10 @@ def q308_value_decile_migration(
 def q309_keep_policy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from .operators.dedup import connected_components, minhash_near_dup_pairs
     from .operators.text import quality_score
 
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs,
-        threshold=0.4,
-        num_hashes=_QGRAPH_HASHES,
-        bands=_QGRAPH_BANDS,
-        hash="md5",
-    )
-    comp = connected_components(pairs)
+    comp = _qgraph_cc_lane(spark, sf_dir)
     q = docs.select(
         F.col("doc_id").alias("id"),
         F.floor(quality_score(F.col("text")) * 1000000)
