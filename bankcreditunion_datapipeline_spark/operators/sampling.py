@@ -479,6 +479,13 @@ def greedy_coverage_picks(
                 lambda i: F.concat_ws(" ", F.slice(base_w, i, ngram)),
             ),
         ).otherwise(F.array().cast("array<string>"))
+    # (id, elem) rows are distinct BY CONSTRUCTION (array_distinct runs
+    # per document before the explode), so the former .distinct() was a
+    # redundant full shuffle.  Instead the one shuffle that remains is a
+    # repartition on __id (count unset -> spark.sql.shuffle.partitions,
+    # scale-adaptive + AQE-coalesced): every round's groupBy("__id")
+    # then REUSES the cached partitioning (guide §2.4) -- the broadcast
+    # anti-join is narrow, so round jobs run exchange-free.
     toks = (
         df.filter(
             F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
@@ -487,7 +494,7 @@ def greedy_coverage_picks(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(elems)).alias("__w"),
         )
-        .distinct()
+        .repartition(F.col("__id"))
         .persist()
     )
     # covered is the union of <= k picked docs' vocabularies -- bounded
@@ -542,6 +549,7 @@ def cluster_safe_split(
     rest: str = "test",
     seed: str = "split0",
     buckets: int = _BUCKETS,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/val/test assignment: an entire near-duplicate
     CLUSTER (connected component of ``pairs``) lands in exactly one
@@ -574,9 +582,17 @@ def cluster_safe_split(
     assert tuple(r for _, r in splits) == tuple(
         sorted(r for _, r in splits)
     ), "split rates must be cumulative ascending"
-    labels = connected_components(
-        pairs.select(F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b"))
-    )
+    # ``labels`` may inject a precomputed (id, component) labeling of
+    # the SAME pair graph (the release-corpus lane-injection contract:
+    # the caller owns the identity claim; session lanes make the CC of
+    # a shared pair lane a one-per-session build instead of one per
+    # consumer).  Semantics are identical by contract.
+    if labels is None:
+        labels = connected_components(
+            pairs.select(
+                F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b")
+            )
+        )
     lab = (
         df.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("id"))

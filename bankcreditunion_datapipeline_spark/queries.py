@@ -883,6 +883,78 @@ def _q179_prefix_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_lane(spark, sf_dir, "prefix_sh3_t600", build)
 
 
+def _q21_cc_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over the q21 md5 pair lane -- shared
+    verbatim by q256 (via cluster_safe_split's labels injection), q261
+    and q272, which previously each re-ran an identical min-label
+    propagation loop over the identical lane (r14 optimization)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import connected_components
+
+        return connected_components(
+            _q21_pair_lane(spark, sf_dir).select("id_a", "id_b")
+        )
+
+    return _cached_lane(spark, sf_dir, "q21_cc_t04", build)
+
+
+def _prefix_cc_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over the FULL q179 prefix lane
+    (t=600) -- shared verbatim by q231 (via cluster_safe_split's labels
+    injection) and q243's loosest cut, which equals the lane threshold
+    by the assert at its call site (the >= 600 refilter keeps every
+    lane row, so CC over the unfiltered lane is value-identical)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import connected_components
+
+        return connected_components(
+            _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
+        )
+
+    return _cached_lane(spark, sf_dir, "prefix_cc_t600", build)
+
+
+def _prefix_standing300_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC labels over the 'standing' subgraph of the prefix lane (both
+    endpoints below doc_id 300) -- the incremental-dedup base state
+    shared verbatim by q236 and q320 (both split at 300; the lane build
+    asserts the two cut constants stay equal)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import connected_components
+
+        assert _Q236_CUT == _Q320_CUT, "q236/q320 split cuts diverged"
+        pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
+        return connected_components(
+            pairs.filter(
+                (F.col("id_a") < _Q236_CUT) & (F.col("id_b") < _Q236_CUT)
+            )
+        )
+
+    return _cached_lane(spark, sf_dir, "prefix_cc_old300", build)
+
+
+def _prefix_extended300_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extend_components(standing, delta) over the 300-split of the
+    prefix lane -- the post-delta labeling shared verbatim by q236
+    (its graded output) and q320 (its labels_new input)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import extend_components
+
+        pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
+        delta = pairs.filter(
+            (F.col("id_a") >= _Q236_CUT) | (F.col("id_b") >= _Q236_CUT)
+        )
+        return extend_components(
+            _prefix_standing300_lane(spark, sf_dir), delta
+        )
+
+    return _cached_lane(spark, sf_dir, "prefix_ext300", build)
+
+
 def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
     return f"""
     WITH {_minhash_md5_ctes('documents', num_hashes, bands, 4000)}
@@ -13369,7 +13441,9 @@ def q231_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
-    assigned = cluster_safe_split(docs, pairs, "doc_id").transform(transient_persist)
+    assigned = cluster_safe_split(
+        docs, pairs, "doc_id", labels=_prefix_cc_lane(spark, sf_dir)
+    ).transform(transient_persist)
     sp = assigned.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("grp").cast("long").alias("n_clusters"),
@@ -13798,20 +13872,7 @@ def _q236_oracle() -> str:
 def q236_incremental_dup_clusters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .operators.dedup import (
-        connected_components,
-        extend_components,
-    )
-
-    pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
-    old = pairs.filter(
-        (F.col("id_a") < _Q236_CUT) & (F.col("id_b") < _Q236_CUT)
-    )
-    delta = pairs.filter(
-        (F.col("id_a") >= _Q236_CUT) | (F.col("id_b") >= _Q236_CUT)
-    )
-    standing = connected_components(old)
-    return extend_components(standing, delta)
+    return _prefix_extended300_lane(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -14439,10 +14500,15 @@ def q243_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the loosest cut must BE the lane threshold or pairs would be lost
     assert min(_Q243_CUTS) == _Q179_T, "q243 cuts diverged from the lane"
     pairs = _q179_prefix_lane(spark, sf_dir)
-    rows = []
-    for cut in _Q243_CUTS:
+
+    def one_cut(cut: int) -> DataFrame:
         sub = pairs.filter(F.col("jaccard_permille") >= cut)
-        comp = connected_components(sub)
+        # the loosest cut keeps every lane row (asserted above), so its
+        # labeling IS the shared full-lane CC lane (also q231's)
+        if cut == _Q179_T:
+            comp = _prefix_cc_lane(spark, sf_dir)
+        else:
+            comp = connected_components(sub)
         sz = comp.groupBy("component").agg(
             F.count(F.lit(1)).cast("long").alias("n")
         )
@@ -14458,15 +14524,25 @@ def q243_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("largest_cluster"),
         )
         npairs = sub.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        rows.append(
-            npairs.crossJoin(F.broadcast(stats)).select(
-                F.lit(cut).cast("long").alias("threshold_permille"),
-                "n_pairs",
-                "n_clusters",
-                "n_clustered_docs",
-                "largest_cluster",
-            )
+        return npairs.crossJoin(F.broadcast(stats)).select(
+            F.lit(cut).cast("long").alias("threshold_permille"),
+            "n_pairs",
+            "n_clusters",
+            "n_clustered_docs",
+            "largest_cluster",
         )
+
+    # The five cuts are INDEPENDENT curves over one shared lane; each
+    # cut's CC loop is a sequence of tiny driver-paced round jobs, so
+    # running the cuts sequentially left the cluster idle through every
+    # round boundary.  Overlap them from a small thread pool (guide
+    # §2.6 -- concurrent jobs back-fill each other's stragglers; 3 in
+    # flight is plenty).  Per-cut results are assembled in cut order, so
+    # the output rows are identical to the sequential loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        rows = list(pool.map(one_cut, _Q243_CUTS))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
@@ -15053,12 +15129,21 @@ def q249_lsh_bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_Q21_BANDS,
         hash="md5",
     ).select("id_a", "id_b")
-    pcc = connected_components(pred).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("__pc")
-    )
-    tcc = connected_components(truth).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("__tc")
-    )
+    # the pred and truth clusterings are independent pipelines (LSH
+    # pairs -> CC vs prefix-filtered exact pairs -> CC); each CC loop is
+    # driver-paced round jobs, so overlap the two from a thread pool
+    # (guide §2.6) -- the joins below consume both, order-independent
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pcc = pool.submit(connected_components, pred)
+        f_tcc = pool.submit(connected_components, truth)
+        pcc = f_pcc.result().select(
+            F.col("id").alias("doc_id"), F.col("component").alias("__pc")
+        )
+        tcc = f_tcc.result().select(
+            F.col("id").alias("doc_id"), F.col("component").alias("__tc")
+        )
     uni = docs.filter(
         word_shingles(F.col("text"), 3).isNotNull()
     ).select("doc_id")
@@ -15732,7 +15817,9 @@ def q256_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pairs = _q21_pair_lane(spark, sf_dir).select("id_a", "id_b")
-    assigned = cluster_safe_split(docs, pairs).select("id", "split")
+    assigned = cluster_safe_split(
+        docs, pairs, labels=_q21_cc_lane(spark, sf_dir)
+    ).select("id", "split")
     cells = (
         assigned.join(
             docs.select(F.col("doc_id").alias("id"), "source"), "id"
@@ -16186,11 +16273,9 @@ def q260_heldout_bigram_coverage(
     "source join touches only CLUSTERED docs.",
 )
 def q261_dedup_scope_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import connected_components, minhash_near_dup_pairs
-
     docs = t(spark, sf_dir, "documents")
     pairs = _q21_pair_lane(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs)
+    comp = _q21_cc_lane(spark, sf_dir)
     m = comp.join(
         docs.select(F.col("doc_id").alias("id"), "source"), "id"
     )
@@ -17088,11 +17173,9 @@ def q271_weighted_price_quantiles(
 def q272_post_dedup_token_budget(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .operators.dedup import connected_components, minhash_near_dup_pairs
-
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     pairs = _q21_pair_lane(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs).select(
+    comp = _q21_cc_lane(spark, sf_dir).select(
         F.col("id").alias("doc_id"), "component"
     )
     dm = docs.select(
@@ -21880,8 +21963,6 @@ def q320_incremental_survivors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from .operators.dedup import (
-        connected_components,
-        extend_components,
         incremental_survivor_candidates,
         pick_survivors,
     )
@@ -21889,9 +21970,6 @@ def q320_incremental_survivors(
 
     docs = t(spark, sf_dir, "documents")
     pairs = _q179_prefix_lane(spark, sf_dir).select("id_a", "id_b")
-    old = pairs.filter(
-        (F.col("id_a") < _Q320_CUT) & (F.col("id_b") < _Q320_CUT)
-    )
     delta = pairs.filter(
         (F.col("id_a") >= _Q320_CUT) | (F.col("id_b") >= _Q320_CUT)
     )
@@ -21918,14 +21996,14 @@ def q320_incremental_survivors(
             *[F.col(n).cast("long").alias(n) for n in policies],
         )
 
-    standing = connected_components(old)
+    standing = _prefix_standing300_lane(spark, sf_dir)
     s_old = survivors(standing.join(attrs, "id"))
     old_surv_ids = (
         s_old.select(F.col("s_min").alias("id"))
         .unionByName(s_old.select(F.col("s_q").alias("id")))
         .unionByName(s_old.select(F.col("s_len").alias("id")))
     )
-    labels_new = extend_components(standing, delta)
+    labels_new = _prefix_extended300_lane(spark, sf_dir)
     cands = incremental_survivor_candidates(
         labels_new, old_surv_ids, delta
     )
