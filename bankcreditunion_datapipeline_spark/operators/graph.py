@@ -381,7 +381,10 @@ def k_core(
             .join(alive.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
             .coalesce(parts)
-            .localCheckpoint()
+            # lazy: the convergence count below is the materializing
+            # full-scan action -- one job per round (the r14
+            # connected_components change)
+            .localCheckpoint(eager=False)
         )
         n_next = e_next.count()
         e = e_next
@@ -897,6 +900,7 @@ def bfs_depth_from_reps(
     a_col: str = "id_a",
     b_col: str = "id_b",
     rows_per_partition: int = 500_000,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed BFS over an undirected pair graph from each
     connected component's REPRESENTATIVE (its minimum id -- the
@@ -945,8 +949,16 @@ def bfs_depth_from_reps(
     )
     from .dedup import connected_components
 
-    comp = connected_components(
-        e.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    # ``labels`` may inject a precomputed (id, component) labeling of
+    # the same pair graph (the lane-injection contract, r14): q275
+    # passes the session-shared q21 CC lane instead of re-running the
+    # propagation loop here.
+    comp = (
+        labels
+        if labels is not None
+        else connected_components(
+            e.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+        )
     ).select(F.col("id"), F.col("component"))
     depth = comp.select(
         "id",
@@ -958,13 +970,6 @@ def bfs_depth_from_reps(
     ).coalesce(parts).localCheckpoint()
     for k in range(1, max_rounds + 1):
         frontier = depth.filter(F.col("depth") == k - 1)
-        # early exit preserves the fixed-round contract EXACTLY: the
-        # round-k frontier is nodes first reached at k-1, so an empty
-        # frontier means no later round can relax anything -- the
-        # remaining rounds are provably no-ops (O(1)-row driver probe,
-        # the kmeans_iterate convergence class)
-        if frontier.limit(1).count() == 0:
-            break
         reach = (
             frontier
             .join(bi, depth["id"] == bi["s"])
@@ -982,8 +987,17 @@ def bfs_depth_from_reps(
                 ).cast("long").alias("depth"),
             )
             .coalesce(parts)
-            .localCheckpoint()
+            # LAZY checkpoint materialized by the early-exit count below
+            # (full-scan aggregate -> every partition cached): one job
+            # per round instead of an eager-checkpoint job plus a
+            # frontier-probe job (the connected_components r14 change).
+            .localCheckpoint(eager=False)
         )
+        # early exit preserves the fixed-round contract EXACTLY: zero
+        # nodes first reached at round k means the round-(k+1) frontier
+        # is empty and every later round is provably a no-op.
+        if depth.filter(F.col("depth") == k).count() == 0:
+            break
     bi.unpersist()
     e.unpersist()
     return depth

@@ -955,6 +955,35 @@ def _prefix_extended300_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_lane(spark, sf_dir, "prefix_ext300", build)
 
 
+def _synth_chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic chain-pair graph over documents ids
+    ((doc_id % 10) < (doc_id div 10 % 7) emits (id, id+1) when id+1
+    exists) -- the shared input of q60/q91/q103/q126."""
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    a = ids.filter(
+        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
+    ).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return a.join(
+        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+
+
+def _synth_cc_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propagation-CC labels over the synthetic chain graph -- shared
+    verbatim by q60/q91/q103 (q126 deliberately keeps its own
+    large-star/small-star run: exercising that operator IS its doc
+    claim)."""
+
+    def build() -> DataFrame:
+        from .operators.dedup import connected_components
+
+        return connected_components(_synth_chain_pairs(spark, sf_dir))
+
+    return _cached_lane(spark, sf_dir, "synth_chain_cc", build)
+
+
 def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
     return f"""
     WITH {_minhash_md5_ctes('documents', num_hashes, bands, 4000)}
@@ -2654,16 +2683,7 @@ def q59_customer_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixpoint via recursive-CTE transitive closure.",
 )
 def q60_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import connected_components
-
-    ids = t(spark, sf_dir, "documents").select("doc_id")
-    a = ids.filter(
-        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
-    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
-    pairs = a.join(
-        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
-    )
-    labels = connected_components(pairs)
+    labels = _synth_cc_lane(spark, sf_dir)
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return sizes.groupBy("component_size").agg(F.count(F.lit(1)).alias("n_components"))
 
@@ -4287,15 +4307,8 @@ def q90_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from .operators.dedup import connected_components
-
     docs = t(spark, sf_dir, "documents")
-    ids = docs.select("doc_id")
-    a = ids.filter(
-        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
-    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
-    pairs = a.join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
-    labels = connected_components(pairs)
+    labels = _synth_cc_lane(spark, sf_dir)
     members = labels.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     )
@@ -4863,16 +4876,10 @@ def q102_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "off-by-one (DuckDB CAST rounds, Python int() truncates).",
 )
 def q103_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import connected_components
     from .operators.sampling import hash_bucket
 
     docs = t(spark, sf_dir, "documents")
-    ids = docs.select("doc_id")
-    a = ids.filter(
-        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
-    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
-    pairs = a.join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
-    labels = connected_components(pairs)
+    labels = _synth_cc_lane(spark, sf_dir)
     lab = docs.join(labels, docs.doc_id == labels.id, "left").select(
         "doc_id",
         "n_chars",
@@ -6005,14 +6012,7 @@ def q125_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q126_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components_star
 
-    ids = t(spark, sf_dir, "documents").select("doc_id")
-    a = ids.filter(
-        (F.col("doc_id") % 10) < (F.expr("doc_id div 10") % 7)
-    ).select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
-    pairs = a.join(
-        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
-    )
-    labels = connected_components_star(pairs)
+    labels = connected_components_star(_synth_chain_pairs(spark, sf_dir))
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return sizes.groupBy("component_size").agg(F.count(F.lit(1)).alias("n_components"))
 
@@ -17433,12 +17433,14 @@ def _q275_oracle() -> str:
     "shortest-path layer's first oracle-graded consumer.",
 )
 def q275_dup_chain_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_near_dup_pairs
     from .operators.graph import bfs_depth_from_reps
 
-    docs = t(spark, sf_dir, "documents")
     pairs = _q21_pair_lane(spark, sf_dir).select("id_a", "id_b")
-    depth = bfs_depth_from_reps(pairs, max_rounds=_Q275_ROUNDS)
+    depth = bfs_depth_from_reps(
+        pairs,
+        max_rounds=_Q275_ROUNDS,
+        labels=_q21_cc_lane(spark, sf_dir),
+    )
     per = depth.groupBy("component").agg(
         F.max("depth").alias("max_depth"),
         F.count(F.lit(1)).alias("sz"),
