@@ -588,9 +588,12 @@ def kmeans_iterate(
     assigned = None
     iters = 0
     for iters in range(1, max_iters + 1):
+        # lazy: the changed-probe join (or round 1's centroid
+        # recompute) is the materializing action -- one fewer job per
+        # round (the r14 connected_components change)
         new_assigned = kmeans_assign(
             df, centroids, id_col=id_col, vec_col=vec_col
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if assigned is not None:
             changed = (
                 new_assigned.alias("n")

