@@ -899,6 +899,7 @@ def exact_jaccard_pairs(
     k: int = 3,
     max_doc_freq: int | None = None,
     max_pair_rows: int | None = 100_000_000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard pairs via an inverted-index self-join --
     the oracle-checkable ground truth that the LSH paths
@@ -936,13 +937,18 @@ def exact_jaccard_pairs(
     jaccard >= threshold_num/threshold_den, with the threshold applied
     as an integer inequality so the cut can't float-flip.
     """
-    inter, sa, sb = _gram_pair_counts(
-        df, id_col, text_col, k, max_doc_freq, max_pair_rows
-    )
+    # ``counts`` may inject a precomputed (id_a, id_b, n_inter, na, nb)
+    # pair-count table for the same (df, k, caps) configuration (the
+    # lane-injection contract, r14): q82 and q149 share one inverted-
+    # index self-join instead of each rebuilding it.
+    if counts is None:
+        inter, sa, sb = _gram_pair_counts(
+            df, id_col, text_col, k, max_doc_freq, max_pair_rows
+        )
+        counts = inter.join(sa, "id_a").join(sb, "id_b")
     u = F.col("na") + F.col("nb") - F.col("n_inter")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        counts
         .filter(threshold_den * F.col("n_inter") >= threshold_num * u)
         .select(
             "id_a",
@@ -1089,6 +1095,7 @@ def overlap_coefficient_pairs(
     k: int = 3,
     max_doc_freq: int | None = None,
     max_pair_rows: int | None = 100_000_000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT overlap coefficient (Szymkiewicz-Simpson) pairs:
     n_inter / min(|A|, |B|) >= threshold -- the CONTAINMENT detector.
@@ -1098,13 +1105,16 @@ def overlap_coefficient_pairs(
     asymmetric view. Same inverted-index core, guards, and integer
     threshold discipline as exact_jaccard_pairs; returns
     (id_a, id_b, n_inter, n_small, overlap_t)."""
-    inter, sa, sb = _gram_pair_counts(
-        df, id_col, text_col, k, max_doc_freq, max_pair_rows
-    )
+    # ``counts``: see exact_jaccard_pairs -- the shared injected
+    # pair-count table (r14).
+    if counts is None:
+        inter, sa, sb = _gram_pair_counts(
+            df, id_col, text_col, k, max_doc_freq, max_pair_rows
+        )
+        counts = inter.join(sa, "id_a").join(sb, "id_b")
     small = F.least(F.col("na"), F.col("nb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        counts
         .filter(threshold_den * F.col("n_inter") >= threshold_num * small)
         .select(
             "id_a",
