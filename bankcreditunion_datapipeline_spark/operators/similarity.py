@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..caching import transient_persist
 from ..localresult import local_result_frame
-from ..functions.vectors import attach_sign_bits, cosine, dot, hamming64, random_hyperplanes
+from ..functions.vectors import attach_sign_bits, cosine, dot, dot_fast, hamming64, random_hyperplanes
 
 
 def brute_force_topk(
@@ -505,6 +505,13 @@ def kmeans_assign(
     interpreted per element, so only the unavoidable cross-term fold runs
     k times per row (3x fewer folds than the naive per-pair expression;
     identical doubles, since the same three dot products are summed).
+
+    r14 measured note: the fold deliberately stays on the zip_with +
+    aggregate HOFs here. An interleaved noop-sink A/B of this exact
+    operator (4 reps each way, one session) put the dot_fast unrolled
+    form at ~2x SLOWER inside this crossJoin + min(struct) shape
+    (steady-state 2.0-2.8s vs 0.8-1.6s at sf0.1), the OPPOSITE of its
+    plain-projection win (q317/q254/q305) -- don't "optimize" this back.
     """
     keep_cols = list(keep_cols or [])
     from .dedup import ensure_min_partitions
@@ -690,22 +697,28 @@ def pq_encode(
     # NULL vectors have no nearest codeword -- excluded (same contract as
     # pq_encode_arrow and kmeans_assign)
     df = df.filter(F.col(vec_col).isNotNull())
+    # cast the vector to array<double> BEFORE slicing so the exploded
+    # subvec attribute is already double -- dot_fast's unrolled
+    # element_at terms then reference a bare attribute instead of
+    # re-casting the array per term (the q317 double-cast lesson)
     subvecs = df.select(
         id_col,
         *keep_cols,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
-                lambda s: F.slice(vec_col, s * d0 + 1, d0),
+                lambda s: F.slice(
+                    F.col(vec_col).cast("array<double>"), s * d0 + 1, d0
+                ),
             )
         ).alias("sub", "subvec"),
-    ).withColumn("__v_sq", dot(F.col("subvec"), F.col("subvec")))
+    ).withColumn("__v_sq", dot_fast(F.col("subvec"), F.col("subvec"), d0))
     cb = codebooks.withColumn(
-        "__c_sq", dot(F.col("codeword"), F.col("codeword"))
+        "__c_sq", dot_fast(F.col("codeword"), F.col("codeword"), d0)
     )
     dist = F.round(
         F.col("__v_sq")
-        - 2 * dot(F.col("subvec"), F.col("codeword"))
+        - 2 * dot_fast(F.col("subvec"), F.col("codeword"), d0)
         + F.col("__c_sq"),
         decimals,
     )
@@ -766,11 +779,11 @@ def pq_adc_topk(
         ).alias("sub", "qsub")
     )
     cb = codebooks.withColumn(
-        "__c_sq", dot(F.col("codeword"), F.col("codeword"))
+        "__c_sq", dot_fast(F.col("codeword"), F.col("codeword"), d0)
     )
     dq = F.round(
-        dot(F.col("qsub"), F.col("qsub"))
-        - 2 * dot(F.col("qsub"), F.col("codeword"))
+        dot_fast(F.col("qsub"), F.col("qsub"), d0)
+        - 2 * dot_fast(F.col("qsub"), F.col("codeword"), d0)
         + F.col("__c_sq"),
         decimals,
     )
@@ -1159,7 +1172,15 @@ def kmeans_training_curve(
     shuffle; the seed frame is a k-row orderBy().limit() (TakeOrdered,
     no global sort).
     """
-    emb = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    # every round reads emb twice (assign fan-out + centroid recompute)
+    # plus the seed TakeOrdered -- persist the narrow projection once
+    # instead of 2*rounds+1 scans (guide §5; released by the bounded
+    # transient sweep)
+    emb = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .transform(transient_persist)
+    )
     w = Window.orderBy(F.asc(id_col))
     cent = (
         emb.orderBy(F.asc(id_col))
