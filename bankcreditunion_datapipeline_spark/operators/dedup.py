@@ -1567,6 +1567,79 @@ def winnow_fingerprints(
     everything narrow except the per-doc window shuffle, which any
     positional text operator needs.
     """
+    # r15 (guide §4.2): the whole selection is per-document, so ONE
+    # Arrow batch kernel replaces posexplode + two per-doc windows +
+    # a global distinct -- zero shuffles where the relational form paid
+    # a doc-keyed exchange for the frame min and another for distinct.
+    # Token/gram/md5/min semantics are pinned to the expression lane
+    # (kept below as _winnow_fingerprints_expr, diffed in tests):
+    # trim = ASCII-space strip, split on ASCII \s+, md5 of UTF-8 bytes
+    # as lowercase hex, string min = bytewise (hex alphabet, identical
+    # to UTF8 binary comparison).
+    #
+    # NULL-id edge: the window form puts ALL null-id docs in ONE
+    # partition (SQL PARTITION BY semantics) -- a per-doc kernel
+    # cannot reproduce that, so null-id rows (none in any shipped
+    # corpus; parquet null_count stats prune the branch to a no-op
+    # scan) keep the expression lane and union in.
+    null_ids = df.filter(F.col(id_col).isNull())
+    null_part = _winnow_fingerprints_expr(null_ids, id_col, text_col, k, window)
+    sel = df.filter(F.col(id_col).isNotNull()).select(id_col, text_col)
+    id_dtype = dict(sel.dtypes)[id_col]
+
+    def _kern(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or (isinstance(txt, float)):
+                    continue
+                toks = [t for t in ws.split(str(txt).strip(" ").lower()) if t]
+                n = len(toks)
+                if n == 0:
+                    continue
+                if n < k:
+                    grams = [" ".join(toks)]
+                else:
+                    grams = [
+                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                    ]
+                h = [
+                    hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams
+                ]
+                s = len(h)
+                last = max(s - window, 0)  # 0-based inclusive
+                seen = set()
+                for i in range(last + 1):
+                    wm = min(h[i : i + window])
+                    if wm not in seen:
+                        seen.add(wm)
+                        ids.append(did)
+                        fps.append(wm)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=object), "fp": pd.Series(fps, dtype=object)})
+
+    return sel.mapInPandas(_kern, f"{id_col} {id_dtype}, fp string").unionByName(
+        null_part
+    )
+
+
+def _winnow_fingerprints_expr(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """The pre-r15 relational winnowing lane -- kept as the semantic
+    reference the Arrow kernel is tested against (identical rows on the
+    fixtures), and as the fallback if a corpus ever needs the all-JVM
+    path."""
     from pyspark.sql.window import Window
 
     hashed = word_shingles_flat(df, id_col, text_col, k, with_pos=True).select(

@@ -90,27 +90,43 @@ def main() -> None:
     # closing commit; the captured line carries totals + the worst-N
     # queries + the sidecar pointer, a deterministic ~500 chars at ANY
     # registry size.
-    sidecar_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
-    )
-    with open(sidecar_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
-                "median_query_sec": median,
-                "storage_hwm": hwm,
-                "queries": timings,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
-        fh.write("\n")
+    # r15 (VERDICT r14 #2): a scaling run at a lower core count used to
+    # OVERWRITE the main run's sidecar (the only full per-query record),
+    # which emptied PERF's per_query/geomean/scaling blocks. Now every
+    # run ALSO writes a per-core-count sidecar and embeds `cpus`; the
+    # canonical BENCH_SIDECAR.json path is kept so existing pointers
+    # resolve. Additions-only: timing methodology unchanged.
+    from bankcreditunion_datapipeline_spark.session import default_parallelism
+
+    cpus = default_parallelism()
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,
+        "median_query_sec": median,
+        "storage_hwm": hwm,
+        "queries": timings,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = [os.path.join(here, f"BENCH_SIDECAR_c{cpus}.json")]
+    main_path = os.path.join(here, "BENCH_SIDECAR.json")
+    # never clobber a higher-core (main-run) record with a low-core
+    # scaling run -- that is exactly what emptied PERF_r14's per_query
+    try:
+        with open(main_path) as fh:
+            prev_cpus = json.load(fh).get("cpus", 0)
+    except Exception:  # noqa: BLE001
+        prev_cpus = 0
+    if cpus >= prev_cpus:
+        paths.append(main_path)
+    for sidecar_path in paths:
+        with open(sidecar_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     print("# full timings: " + json.dumps(timings), file=sys.stderr)
 
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
@@ -123,6 +139,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "sf": sf,
+            "cpus": cpus,
             "n_queries": len(timings),
             # corpus grows every round -- normalize totals across rounds
             "avg_query_sec": round(total / n_ok, 3) if n_ok else 0.0,

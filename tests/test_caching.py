@@ -45,6 +45,18 @@ def test_sweep_only_fires_past_bound(spark, monkeypatch):
     assert caching.TRANSIENTS == []
 
 
+def test_sweep_defers_on_same_query_reentry(spark, monkeypatch):
+    # bench best-of-2: re-entering the SAME query must not evict the
+    # stage caches its second run reuses; the next different query
+    # still sweeps (r15, VERDICT r14 #5 / q49)
+    monkeypatch.setenv("SPARK_GRAFT_TRANSIENT_BOUND", "0")
+    transient_persist(spark.range(5))
+    assert sweep_if_over_bound("qX") == 1, "first entry past bound sweeps"
+    transient_persist(spark.range(5))
+    assert sweep_if_over_bound("qX") == 0, "same-query re-entry defers"
+    assert sweep_if_over_bound("qY") == 1, "next different query sweeps"
+
+
 def test_registry_wrapper_sweeps_between_queries(spark, sf_dir, monkeypatch):
     from bankcreditunion_datapipeline_spark import queries as q
 

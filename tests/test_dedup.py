@@ -581,6 +581,42 @@ def test_winnowing_locality_guarantee_and_selectivity(spark):
     assert fp.filter("doc_id = 4").count() == 1
 
 
+def test_winnowing_arrow_kernel_matches_expression_lane(spark, sf_dir):
+    """r15: winnow_fingerprints moved to an Arrow mapInPandas kernel
+    (guide §4.2). The kernel must emit EXACTLY the rows of the
+    relational reference lane -- on the corpus fixture and on the edge
+    shapes (short docs, whitespace-only, multi-space runs, tabs, NULLs,
+    unicode case)."""
+    from bankcreditunion_datapipeline_spark.operators.dedup import (
+        _winnow_fingerprints_expr,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (100, "a b"),  # < k tokens
+            (101, "a b c"),  # exactly k
+            (102, "a b c d e f"),  # exactly window+k-1
+            (103, "   leading  and   trailing   "),
+            (104, ""),
+            (105, "    "),
+            (106, "tab\tsep\ttokens\nnew line mix"),
+            (107, "ÜPPER Ünïcode CASE fold test here now"),
+            (108, None),
+            (109, "x " * 40),  # repeated token: duplicate grams
+        ],
+        "doc_id long, text string",
+    )
+    for frame in (docs.select("doc_id", "text"), edge):
+        got = {tuple(r) for r in winnow_fingerprints(frame, k=3, window=4).collect()}
+        want = {
+            tuple(r)
+            for r in _winnow_fingerprints_expr(frame, k=3, window=4).collect()
+        }
+        assert got == want
+
+
 def test_containment_catches_subset_dup_jaccard_misses(spark):
     """A short doc quoted verbatim inside a much longer one: containment
     ~1.0 (all of the short doc's grams appear in the long one) while
