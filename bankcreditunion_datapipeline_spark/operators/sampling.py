@@ -463,37 +463,55 @@ def greedy_coverage_picks(
     Output: (pick 1..k, doc_id, marginal_gain).
     """
     spark = df.sparkSession
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    if ngram == 1:
-        elems = words
-    else:
-        # guard the short-doc case BEFORE the sequence: Spark's
-        # sequence(1, 0) DESCENDS (yields [1, 0] -> slice(start=0)
-        # raises) rather than emptying -- the documented q203 pitfall,
-        # re-caught here by the adversarial fuzz corpus
-        base_w = words
-        elems = F.when(
-            F.size(base_w) >= ngram,
-            F.transform(
-                F.sequence(F.lit(1), F.size(base_w) - (ngram - 1)),
-                lambda i: F.concat_ws(" ", F.slice(base_w, i, ngram)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    # (id, elem) rows are distinct BY CONSTRUCTION (array_distinct runs
-    # per document before the explode), so the former .distinct() was a
-    # redundant full shuffle.  Instead the one shuffle that remains is a
-    # repartition on __id (count unset -> spark.sql.shuffle.partitions,
-    # scale-adaptive + AQE-coalesced): every round's groupBy("__id")
-    # then REUSES the cached partitioning (guide §2.4) -- the broadcast
-    # anti-join is narrow, so round jobs run exchange-free.
+    # r15 (guide §4.2): the distinct per-doc n-gram build was a chain of
+    # interpreted array-HOF lambdas (filter + size + transform +
+    # concat_ws/slice per element, then array_distinct) -- measured
+    # 3.7s of q227's 5.4s at sf0.1 for 256k output rows. One Arrow
+    # kernel emits the identical (id, elem) rows: split on the literal
+    # single space (Python str.split(" ") == the old F.split(text, " ")
+    # + non-empty filter), n-grams joined by " ", per-doc first-seen
+    # dedup (row ORDER is irrelevant downstream -- the consumers are a
+    # groupBy count and set membership).
+    sel = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    id_dtype = dict(sel.dtypes)["__id"]
+
+    def _kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            ws: list = []
+            for did, txt in zip(pdf["__id"], pdf["__t"]):
+                if txt is None:
+                    continue
+                w = [t for t in str(txt).split(" ") if t]
+                if len(w) < ngram:
+                    continue
+                seen = set()
+                for i in range(len(w) - ngram + 1):
+                    g = " ".join(w[i : i + ngram])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(did)
+                        ws.append(g)
+            yield pd.DataFrame(
+                {
+                    "__id": pd.Series(ids, dtype=object),
+                    "__w": pd.Series(ws, dtype=object),
+                }
+            )
+
+    # (id, elem) rows are distinct BY CONSTRUCTION (per-doc dedup runs
+    # in the kernel), so no .distinct() shuffle.  The one shuffle that
+    # remains is a repartition on __id (count unset ->
+    # spark.sql.shuffle.partitions, scale-adaptive + AQE-coalesced):
+    # every round's groupBy("__id") then REUSES the cached partitioning
+    # (guide §2.4) -- the broadcast anti-join is narrow, so round jobs
+    # run exchange-free.
     toks = (
-        df.filter(
-            F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
-        )
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.array_distinct(elems)).alias("__w"),
-        )
+        sel.mapInPandas(_kern, f"__id {id_dtype}, __w string")
         .repartition(F.col("__id"))
         .persist()
     )

@@ -317,6 +317,34 @@ def test_connected_components_star_matches_propagation(spark):
             assert comp <= node, name
 
 
+def test_cc_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """r15: both CC operators take a driver union-find fast path below
+    the edge budget. Forcing the budget to -1 disables it; labels must
+    be IDENTICAL either way on every graph shape (including a random
+    graph and a deep chain)."""
+    import random
+
+    from bankcreditunion_datapipeline_spark.operators import dedup
+
+    rng = random.Random(7)
+    cases = {
+        "chain": [(i, i + 1) for i in range(1, 40)],
+        "random": [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(150)
+        ],
+        "self_pairs": [(3, 3), (4, 5)],
+        "two_comps": [(1, 2), (2, 3), (10, 11), (12, 11)],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        for fn in (dedup.connected_components, dedup.connected_components_star):
+            fast = {(r.id, r.component) for r in fn(df).collect()}
+            monkeypatch.setattr(dedup, "DRIVER_CC_BUDGET_EDGES", -1)
+            slow = {(r.id, r.component) for r in fn(df).collect()}
+            monkeypatch.undo()
+            assert fast == slow, (name, fn.__name__)
+
+
 def test_exact_jaccard_pairs_matches_bruteforce_with_singletons(spark):
     """The singleton-gram prune must be lossless: corpus built so MOST
     grams are hapax (each doc carries unique filler words) yet the two
